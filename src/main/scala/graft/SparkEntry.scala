@@ -1,13 +1,26 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.queries._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles
+
+  /** Headline subset Bench.scala times per round (kept separate so the
+    * bench isn't diluted by correctness-only micro-queries). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q2_filter_project", "q3_topk_orders",
+    "q4_segment_revenue", "q5_nation_revenue", "q6_forecast_revenue",
+    "q9_window_rank", "q13_events_hourly")
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class CoreQueriesSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query has an oracle or is explicitly oracle-free") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // oracle-free queries are allowed (rows-only check) but must be rare;
+    // for the core battery everything is SQL-expressible.
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  test("bench queries are a subset of queries") {
+    assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
+  }
+
+  for ((name, fn) <- SparkEntry.queries) {
+    test(s"$name runs at sf0.001 and is deterministic") {
+      val df1 = fn(spark, sf)
+      assert(df1.schema.nonEmpty)
+      val rows1 = df1.collect()
+      val rows2 = fn(spark, sf).collect()
+      assert(rows1.toSeq == rows2.toSeq, s"$name not deterministic")
+    }
+  }
+
+  test("q1 has the 6 returnflag/linestatus groups") {
+    assert(queries.CoreQueries.q1PricingSummary(spark, sf).count() == 6)
+  }
+
+  test("q8 distinct flags == 6") {
+    assert(queries.CoreQueries.q8DistinctFlags(spark, sf).count() == 6)
+  }
+}
