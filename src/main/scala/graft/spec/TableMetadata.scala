@@ -1,0 +1,111 @@
+package graft.spec
+
+/** Root table metadata (`spec/metadata.go:55-78`): the single JSON file
+  * a table pointer chain hangs off. Immutable; every commit produces a
+  * new copy via [[TableMetadata#updated]]-style copies. */
+final case class TableMetadata(
+    formatVersion: Int = 2,
+    tableUuid: String,
+    location: String,
+    lastUpdatedMs: Long = 0L,
+    lastColumnId: Int = 0,
+    schemas: Seq[Schema],
+    currentSchemaId: Int,
+    partitionSpecs: Seq[PartitionSpec],
+    defaultSpecId: Int = 0,
+    lastPartitionId: Int = 0,
+    properties: Map[String, String] = Map.empty,
+    currentSnapshotId: Option[Long] = None,
+    snapshots: Seq[Snapshot] = Nil,
+    snapshotLog: Seq[SnapshotLogEntry] = Nil,
+    metadataLog: Seq[MetadataLogEntry] = Nil,
+    sortOrders: Seq[SortOrder] = Seq(SortOrder.unsorted),
+    defaultSortOrderId: Int = 0,
+    refs: Map[String, SnapshotRef] = Map.empty,
+    lastSequenceNumber: Long = 0L) {
+
+  def currentSchema: Schema =
+    schemas.find(_.schemaId == currentSchemaId)
+      .getOrElse(throw new IllegalStateException(
+        s"current schema $currentSchemaId not found"))
+
+  def schemaById(id: Int): Option[Schema] = schemas.find(_.schemaId == id)
+
+  def defaultPartitionSpec: PartitionSpec =
+    partitionSpecs.find(_.specId == defaultSpecId)
+      .getOrElse(PartitionSpec.unpartitioned)
+
+  def specById(id: Int): Option[PartitionSpec] =
+    partitionSpecs.find(_.specId == id)
+
+  def currentSnapshot: Option[Snapshot] =
+    currentSnapshotId.flatMap(id => snapshots.find(_.snapshotId == id))
+
+  def snapshotById(id: Long): Option[Snapshot] =
+    snapshots.find(_.snapshotId == id)
+
+  /** Time travel: snapshot with max timestamp <= asOfMs
+    * (`table/table.go:104-120`). */
+  def snapshotAsOf(asOfMs: Long): Option[Snapshot] =
+    snapshots.filter(_.timestampMs <= asOfMs)
+      .sortBy(_.timestampMs).lastOption
+
+  def defaultSortOrder: SortOrder =
+    sortOrders.find(_.orderId == defaultSortOrderId)
+      .getOrElse(SortOrder.unsorted)
+
+  def ref(name: String): Option[SnapshotRef] = refs.get(name)
+
+  /** Append a new schema version; auto-assigns the next schema ID when
+    * the proposed one collides or is 0 (`spec/metadata.go:307-333`). */
+  def addSchema(schema: Schema, setCurrent: Boolean): TableMetadata = {
+    val id =
+      if (schema.schemaId != 0 && !schemas.exists(_.schemaId == schema.schemaId))
+        schema.schemaId
+      else schemas.map(_.schemaId).max + 1
+    val s2 = schema.copy(schemaId = id)
+    copy(
+      schemas = schemas :+ s2,
+      currentSchemaId = if (setCurrent) id else currentSchemaId,
+      lastColumnId = math.max(lastColumnId, s2.highestFieldId))
+  }
+
+  def withSnapshot(snap: Snapshot): TableMetadata = copy(
+    snapshots = snapshots :+ snap,
+    currentSnapshotId = Some(snap.snapshotId),
+    lastSequenceNumber = math.max(lastSequenceNumber, snap.sequenceNumber),
+    snapshotLog = snapshotLog :+
+      SnapshotLogEntry(snap.snapshotId, snap.timestampMs),
+    lastUpdatedMs = snap.timestampMs,
+    refs = refs + ("main" -> SnapshotRef(snap.snapshotId, "branch")))
+
+  def removeSnapshots(ids: Set[Long]): TableMetadata = copy(
+    snapshots = snapshots.filterNot(s => ids.contains(s.snapshotId)),
+    snapshotLog = snapshotLog.filterNot(e => ids.contains(e.snapshotId)))
+
+  def toJson: String = MetadataJson.write(this)
+}
+
+object TableMetadata {
+  /** Fresh V2 metadata for a new table (`spec/metadata.go:194-233`). */
+  def newTable(
+      tableUuid: String,
+      location: String,
+      schema: Schema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      properties: Map[String, String] = Map.empty): TableMetadata =
+    TableMetadata(
+      formatVersion = 2,
+      tableUuid = tableUuid,
+      location = location,
+      lastUpdatedMs = System.currentTimeMillis(),
+      lastColumnId = schema.highestFieldId,
+      schemas = Seq(schema),
+      currentSchemaId = schema.schemaId,
+      partitionSpecs = Seq(spec),
+      defaultSpecId = spec.specId,
+      lastPartitionId = spec.lastFieldId,
+      properties = properties)
+
+  def fromJson(json: String): TableMetadata = MetadataJson.parse(json)
+}
