@@ -1,0 +1,128 @@
+package graft.catalog
+
+import graft.spec._
+
+final case class TableIdentifier(namespace: Seq[String], name: String) {
+  override def toString: String = (namespace :+ name).mkString(".")
+}
+
+object TableIdentifier {
+  def of(parts: String*): TableIdentifier =
+    TableIdentifier(parts.init, parts.last)
+  def parse(s: String): TableIdentifier = of(s.split('.').toSeq: _*)
+}
+
+/** Commit-time preconditions (optimistic concurrency), mirroring
+  * `catalog/catalog.go:131-203`. */
+sealed trait TableRequirement
+object TableRequirement {
+  case object AssertCreate extends TableRequirement
+  final case class AssertTableUuid(uuid: String) extends TableRequirement
+  /** `snapshotId = None` asserts the ref does NOT exist. */
+  final case class AssertRefSnapshotId(ref: String, snapshotId: Option[Long])
+      extends TableRequirement
+  final case class AssertCurrentSchemaId(id: Int) extends TableRequirement
+  final case class AssertLastAssignedFieldId(id: Int) extends TableRequirement
+  final case class AssertDefaultSpecId(id: Int) extends TableRequirement
+  final case class AssertDefaultSortOrderId(id: Int) extends TableRequirement
+
+  /** Check one requirement against current metadata; returns an error
+    * message if violated (`catalog/catalog.go` REST-server semantics). */
+  def check(r: TableRequirement, m: TableMetadata): Option[String] = r match {
+    case AssertCreate => Some("table already exists")
+    case AssertTableUuid(u) =>
+      if (m.tableUuid == u) None
+      else Some(s"uuid mismatch: ${m.tableUuid} != $u")
+    case AssertRefSnapshotId(ref, expected) =>
+      val actual = m.ref(ref).map(_.snapshotId)
+      if (actual == expected) None
+      else Some(s"ref $ref snapshot changed: $actual != $expected")
+    case AssertCurrentSchemaId(id) =>
+      if (m.currentSchemaId == id) None
+      else Some(s"current schema changed: ${m.currentSchemaId} != $id")
+    case AssertLastAssignedFieldId(id) =>
+      if (m.lastColumnId == id) None
+      else Some(s"last column id changed: ${m.lastColumnId} != $id")
+    case AssertDefaultSpecId(id) =>
+      if (m.defaultSpecId == id) None
+      else Some(s"default spec changed: ${m.defaultSpecId} != $id")
+    case AssertDefaultSortOrderId(id) =>
+      if (m.defaultSortOrderId == id) None
+      else Some(s"default sort order changed: ${m.defaultSortOrderId} != $id")
+  }
+}
+
+/** Metadata mutations applied atomically at commit
+  * (`catalog/catalog.go:205-280`). */
+sealed trait TableUpdate
+object TableUpdate {
+  final case class AddSnapshot(snapshot: Snapshot) extends TableUpdate
+  final case class SetSnapshotRef(refName: String, snapshotId: Long,
+      refType: String) extends TableUpdate
+  final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate
+  final case class RemoveSnapshotRef(refName: String) extends TableUpdate
+  final case class AddSchema(schema: Schema, setCurrent: Boolean)
+      extends TableUpdate
+  final case class SetCurrentSchema(schemaId: Int) extends TableUpdate
+  final case class AddPartitionSpec(spec: PartitionSpec) extends TableUpdate
+  final case class SetDefaultSpec(specId: Int) extends TableUpdate
+  final case class AddSortOrder(order: SortOrder) extends TableUpdate
+  final case class SetDefaultSortOrder(orderId: Int) extends TableUpdate
+  final case class SetLocation(location: String) extends TableUpdate
+  final case class SetProperties(updates: Map[String, String])
+      extends TableUpdate
+  final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
+
+  def apply(m: TableMetadata, u: TableUpdate): TableMetadata = u match {
+    case AddSnapshot(s) => m.withSnapshot(s)
+    case SetSnapshotRef(name, id, tpe) =>
+      val base = m.copy(refs = m.refs + (name -> SnapshotRef(id, tpe)))
+      if (name == "main") base.copy(currentSnapshotId = Some(id)) else base
+    case RemoveSnapshots(ids) => m.removeSnapshots(ids.toSet)
+    case RemoveSnapshotRef(name) => m.copy(refs = m.refs - name)
+    case AddSchema(s, setCurrent) => m.addSchema(s, setCurrent)
+    case SetCurrentSchema(id) => m.copy(currentSchemaId = id)
+    case AddPartitionSpec(s) =>
+      m.copy(partitionSpecs = m.partitionSpecs :+ s,
+        lastPartitionId = math.max(m.lastPartitionId, s.lastFieldId))
+    case SetDefaultSpec(id) => m.copy(defaultSpecId = id)
+    case AddSortOrder(o) => m.copy(sortOrders = m.sortOrders :+ o)
+    case SetDefaultSortOrder(id) => m.copy(defaultSortOrderId = id)
+    case SetLocation(loc) => m.copy(location = loc)
+    case SetProperties(updates) => m.copy(properties = m.properties ++ updates)
+    case RemoveProperties(removals) =>
+      m.copy(properties = m.properties -- removals)
+  }
+}
+
+class NoSuchTableException(msg: String) extends RuntimeException(msg)
+class NoSuchNamespaceException(msg: String) extends RuntimeException(msg)
+class AlreadyExistsException(msg: String) extends RuntimeException(msg)
+/** Retryable: another writer won the CAS (`errors.go:95-123`). */
+class CommitFailedException(msg: String) extends RuntimeException(msg)
+
+/** Catalog client surface mirroring `catalog/catalog.go:11-53`. */
+trait Catalog {
+  def listNamespaces(): Seq[Seq[String]]
+  def createNamespace(ns: Seq[String],
+      properties: Map[String, String] = Map.empty): Unit
+  def dropNamespace(ns: Seq[String]): Unit
+  def namespaceExists(ns: Seq[String]): Boolean
+
+  def listTables(ns: Seq[String]): Seq[TableIdentifier]
+  def createTable(id: TableIdentifier, schema: Schema,
+      spec: PartitionSpec = PartitionSpec.unpartitioned,
+      sortOrder: SortOrder = SortOrder.unsorted,
+      properties: Map[String, String] = Map.empty): TableMetadata
+  def loadTable(id: TableIdentifier): TableMetadata
+  def tableExists(id: TableIdentifier): Boolean
+  def dropTable(id: TableIdentifier, purge: Boolean = false): Unit
+  def renameTable(from: TableIdentifier, to: TableIdentifier): Unit
+
+  /** Atomic commit: re-validate requirements against the CURRENT
+    * metadata, apply updates, swap. Throws [[CommitFailedException]]
+    * when a concurrent writer invalidated a requirement. */
+  def commitTable(id: TableIdentifier,
+      requirements: Seq[TableRequirement],
+      updates: Seq[TableUpdate]): TableMetadata
+}

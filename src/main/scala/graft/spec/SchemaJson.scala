@@ -27,6 +27,9 @@ private[spec] object Js {
 object SchemaJson {
   import Js._
 
+  /** Parse arbitrary JSON to a tree (for other packages' small needs). */
+  def parseTree(s: String): JsonNode = Js.parse(s)
+
   def write(s: Schema): String = Js.write(schemaNode(s))
 
   def schemaNode(s: Schema): ObjectNode = {
