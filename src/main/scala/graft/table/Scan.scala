@@ -1,0 +1,185 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.spec._
+
+/** One unit of scan work (`table/scan.go:193-199`) — a data file plus
+  * the delete files that apply to it under MoR sequence rules. */
+final case class FileScanTask(
+    file: DataFile,
+    sequenceNumber: Long,
+    specId: Int,
+    deleteFiles: Seq[DataFile])
+
+/** Fluent scan (`table/scan.go:17-77`): snapshot/as-of/filter/select/
+  * limit configure a driver-side plan; execution is a Spark DataFrame.
+  *
+  * Planning = snapshot-resolve → manifest-list read → manifest prune
+  * (partition summaries) → entry prune (column bounds) → tasks with MoR
+  * delete files attached (the step `table/scan.go:146-149` skips).
+  * Execution = vectorized parquet read + Catalyst, with position deletes
+  * applied as an anti-join on (_metadata.file_path, _metadata.row_index)
+  * and equality deletes as anti-joins on their key columns.
+  */
+class Scan private (
+    table: Table,
+    spark: SparkSession,
+    snapshotId: Option[Long] = None,
+    asOfMs: Option[Long] = None,
+    filterExpr: Option[Expr] = None,
+    selected: Seq[String] = Nil,
+    limitN: Option[Int] = None,
+    caseSensitive: Boolean = true) {
+
+  def this(table: Table, spark: SparkSession) = this(table, spark, None)
+
+  private def copy2(
+      snapshotId: Option[Long] = snapshotId,
+      asOfMs: Option[Long] = asOfMs,
+      filterExpr: Option[Expr] = filterExpr,
+      selected: Seq[String] = selected,
+      limitN: Option[Int] = limitN,
+      caseSensitive: Boolean = caseSensitive): Scan =
+    new Scan(table, spark, snapshotId, asOfMs, filterExpr, selected,
+      limitN, caseSensitive)
+
+  def useSnapshot(id: Long): Scan = copy2(snapshotId = Some(id))
+  def asOf(tsMs: Long): Scan = copy2(asOfMs = Some(tsMs))
+  def filter(e: Expr): Scan =
+    copy2(filterExpr = Some(filterExpr.map(_.and(e)).getOrElse(e)))
+  def select(cols: String*): Scan = copy2(selected = cols)
+  def limit(n: Int): Scan = copy2(limitN = Some(n))
+  def withCaseSensitive(b: Boolean): Scan = copy2(caseSensitive = b)
+
+  /** Snapshot resolution (`table/scan.go:80-98`). */
+  def resolveSnapshot(): Option[Snapshot] =
+    snapshotId.map(id => table.snapshotById(id).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $id not found")))
+      .orElse(asOfMs.map(ts => table.snapshotAsOf(ts).getOrElse(
+        throw new IllegalArgumentException(s"no snapshot as of $ts"))))
+      .orElse(table.currentSnapshot)
+
+  private def schemaForSnapshot(s: Snapshot): Schema =
+    s.schemaId.flatMap(table.metadata.schemaById)
+      .getOrElse(table.schema)
+
+  /** Plan files with real pruning (`table/scan.go:101-190` + the stubs
+    * of `table/insert.go:255-266` implemented). */
+  def planFiles(): Seq[FileScanTask] = {
+    val snap = resolveSnapshot().getOrElse(return Nil)
+    val schema = schemaForSnapshot(snap)
+    val pred = filterExpr.map(_.simplify)
+    val manifests = table.manifestList(snap)
+
+    def manifestSurvives(mf: ManifestFile): Boolean = pred.forall { e =>
+      table.metadata.specById(mf.partitionSpecId) match {
+        case Some(spec) => Pruning.manifestMightMatch(e, mf, spec, schema)
+        case None => true
+      }
+    }
+
+    // delete manifests are routed separately, never skipped (fixes J2)
+    val (deleteManifests, dataManifests) =
+      manifests.partition(_.content == ManifestContent.Deletes)
+
+    val deleteEntries = deleteManifests
+      .flatMap(mf => table.readManifest(mf).liveEntries)
+
+    val tasks = Seq.newBuilder[FileScanTask]
+    dataManifests.filter(manifestSurvives).foreach { mf =>
+      val manifest = table.readManifest(mf)
+      manifest.liveEntries.foreach { e =>
+        val survives = pred.forall(p =>
+          Pruning.fileMightMatch(p, e.dataFile, schema))
+        if (survives) {
+          val seq = e.sequenceNumber.getOrElse(0L)
+          // MoR applicability: position deletes with deleteSeq >= dataSeq,
+          // equality deletes with deleteSeq > dataSeq (Iceberg spec rule)
+          val applicable = deleteEntries.filter { d =>
+            val dSeq = d.sequenceNumber.getOrElse(0L)
+            d.dataFile.content match {
+              case FileContent.PositionDeletes => dSeq >= seq
+              case FileContent.EqualityDeletes => dSeq > seq
+              case _ => false
+            }
+          }.map(_.dataFile)
+          tasks += FileScanTask(e.dataFile, seq, mf.partitionSpecId,
+            applicable)
+        }
+      }
+    }
+    tasks.result()
+  }
+
+  /** Metadata-only count (`table/scan.go:234-250`): exact when no row
+    * filter and no applicable delete files; falls back to executing. */
+  def count(): Long = {
+    val tasks = planFiles()
+    if (filterExpr.isEmpty && tasks.forall(_.deleteFiles.isEmpty)) {
+      val total = tasks.map(_.file.recordCount).sum
+      limitN.map(l => math.min(total, l.toLong)).getOrElse(total)
+    } else toDF.count()
+  }
+
+  /** Execute: assemble the DataFrame (`table/scan.go:202-231`, the part
+    * the reference returns empty). */
+  def toDF: DataFrame = {
+    val snap = resolveSnapshot().getOrElse(
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.spec.SchemaConverters.toSparkSchema(table.schema)))
+    val schema = schemaForSnapshot(snap)
+    val sparkSchema = graft.spec.SchemaConverters.toSparkSchema(schema)
+    val tasks = planFiles()
+    if (tasks.isEmpty)
+      return applyProjection(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema))
+
+    val paths = tasks.map(_.file.filePath)
+    val posDeletes = tasks.flatMap(_.deleteFiles)
+      .filter(_.content == FileContent.PositionDeletes)
+      .map(_.filePath).distinct
+    val eqDeletes = tasks.flatMap(t =>
+      t.deleteFiles.filter(_.content == FileContent.EqualityDeletes)
+        .map(d => (d.filePath, d.equalityIds))).distinct
+
+    var df = spark.read.schema(sparkSchema).parquet(paths: _*)
+
+    if (posDeletes.nonEmpty) {
+      // position anti-join on (file, row ordinal) — J2, the read-side
+      // application the reference never wired (table/scan.go:146-149)
+      val withPos = spark.read.schema(sparkSchema).parquet(paths: _*)
+        .withColumn("__file_path", col("_metadata.file_path"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      val deletes = spark.read.parquet(posDeletes: _*)
+        .select(col("file_path").as("__file_path"), col("pos").as("__pos"))
+      df = withPos.join(deletes, Seq("__file_path", "__pos"), "left_anti")
+        .drop("__file_path", "__pos")
+    }
+
+    eqDeletes.groupBy(_._2).foreach { case (fieldIds, group) =>
+      val keyCols = fieldIds.flatMap(id => schema.field(id)).map(_.name)
+      if (keyCols.nonEmpty) {
+        val delDf = spark.read.parquet(group.map(_._1): _*)
+          .select(keyCols.map(col): _*).distinct()
+        df = df.join(delDf, keyCols, "left_anti")
+      }
+    }
+
+    applyProjection(df)
+  }
+
+  private def applyProjection(df0: DataFrame): DataFrame = {
+    var df = df0
+    filterExpr.foreach(e => df = df.where(e.toColumn))
+    if (selected.nonEmpty) df = df.select(selected.map(col): _*)
+    limitN.foreach(n => df = df.limit(n))
+    df
+  }
+}
+
+object Scan {
+  def apply(table: Table, spark: SparkSession): Scan = new Scan(table, spark)
+}

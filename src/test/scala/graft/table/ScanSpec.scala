@@ -1,0 +1,199 @@
+package graft.table
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.io.HadoopFileIO
+import graft.spec._
+
+class PruningSpec extends AnyFunSuite {
+  private val schema = Schema(0, Seq(
+    NestedField(1, "id", LongType, required = true),
+    NestedField(2, "name", StringType, required = false)))
+
+  private def file(lo: Long, hi: Long, nulls: Long = 0, rows: Long = 100,
+      nameLo: String = "aaa", nameHi: String = "zzz") = DataFile(
+    filePath = s"file:///d/$lo-$hi.parquet",
+    recordCount = rows,
+    valueCounts = Map(1 -> rows, 2 -> rows),
+    nullValueCounts = Map(1 -> 0L, 2 -> nulls),
+    lowerBounds = Map(1 -> Bounds.serialize(lo, LongType),
+      2 -> Bounds.serialize(nameLo, StringType)),
+    upperBounds = Map(1 -> Bounds.serialize(hi, LongType),
+      2 -> Bounds.serialize(nameHi, StringType)))
+
+  private def m(e: Expr, f: DataFile) = Pruning.fileMightMatch(e, f, schema)
+
+  test("Eq prunes by [lower, upper]") {
+    assert(m(Col("id").eqTo(15L), file(10, 20)))
+    assert(!m(Col("id").eqTo(25L), file(10, 20)))
+    assert(m(Col("id").eqTo(10), file(10, 20)), "int literal vs long bounds")
+    assert(!m(Col("id").eqTo(9), file(10, 20)))
+  }
+
+  test("range ops prune at edges") {
+    assert(!m(Col("id").lt(10L), file(10, 20)))
+    assert(m(Col("id").lte(10L), file(10, 20)))
+    assert(!m(Col("id").gt(20L), file(10, 20)))
+    assert(m(Col("id").gte(20L), file(10, 20)))
+    assert(m(Col("id").between(18L, 30L), file(10, 20)))
+    assert(!m(Col("id").between(21L, 30L), file(10, 20)))
+  }
+
+  test("In prunes when no value in range") {
+    assert(m(Col("id").in(1L, 15L), file(10, 20)))
+    assert(!m(Col("id").in(1L, 9L, 21L), file(10, 20)))
+  }
+
+  test("null-count pruning") {
+    assert(!m(Col("name").isNull, file(10, 20, nulls = 0)))
+    assert(m(Col("name").isNull, file(10, 20, nulls = 5)))
+    assert(m(Col("name").notNull, file(10, 20, nulls = 5)))
+    // all-null column: NotNull and comparisons prune
+    val allNull = file(10, 20).copy(
+      nullValueCounts = Map(1 -> 0L, 2 -> 100L))
+    assert(!Pruning.fileMightMatch(Col("name").notNull, allNull, schema))
+    assert(!Pruning.fileMightMatch(Col("name").eqTo("x"), allNull, schema))
+  }
+
+  test("StartsWith prunes via string bounds") {
+    assert(m(Col("name").startsWith("m"), file(1, 2)))
+    assert(!m(Col("name").startsWith("m"),
+      file(1, 2, nameLo = "aaa", nameHi = "ccc")))
+    assert(m(Col("name").startsWith("bob"),
+      file(1, 2, nameLo = "alpha", nameHi = "carol")))
+  }
+
+  test("And/Or compose; Not degrades to keep") {
+    assert(!m(Col("id").gt(20L) and Col("name").startsWith("m"), file(10, 20)))
+    assert(m(Col("id").gt(25L).or(Col("id").lt(15L)), file(10, 20)))
+    assert(m(Expr.not(Col("id").eqTo(15L)), file(10, 20)))
+  }
+
+  test("missing stats keep the file") {
+    val bare = DataFile(filePath = "file:///d/bare.parquet", recordCount = 1)
+    assert(Pruning.fileMightMatch(Col("id").eqTo(999L), bare, schema))
+  }
+}
+
+class ScanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshTable(name: String,
+      schema: Schema = Fixtures4.usersSchema): Table = {
+    val dir = Files.createTempDirectory("graft-scan-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    Table.create(cat, TableIdentifier(Seq("db"), name), schema,
+      io = new HadoopFileIO())
+  }
+
+  private def usersDf(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"user_$i",
+        if (i % 2 == 1) null else s"u$i@x.com",
+        new java.sql.Timestamp(1704067200000L + i * 1000L)))
+      .toDF("id", "name", "email", "created_at")
+  }
+
+  test("create -> append -> scan round-trips rows (t1 smoke shape)") {
+    var t = freshTable("smoke")
+    val df = usersDf(1 to 10)
+    t = TableOps.append(t, df)
+    val scanned = Scan(t, spark).toDF
+    assert(scanned.count() == 10)
+    assert(scanned.schema.fieldNames.toSeq ==
+      Seq("id", "name", "email", "created_at"))
+    // filter + select + limit through the engine ops
+    val got = Scan(t, spark)
+      .filter(Col("id").gt(5L))
+      .select("id", "name")
+      .toDF.orderBy("id").collect().map(r => r.getLong(0))
+    assert(got.toSeq == Seq(6L, 7L, 8L, 9L, 10L))
+    assert(Scan(t, spark).limit(3).toDF.count() == 3)
+  }
+
+  test("metadata-only count (S5/A1) and limit clamp") {
+    var t = freshTable("cnt")
+    t = TableOps.append(t, usersDf(1 to 10))
+    t = TableOps.append(t, usersDf(11 to 30))
+    assert(Scan(t, spark).count() == 30)
+    assert(Scan(t, spark).limit(7).count() == 7)
+    // with a filter it must execute, not estimate
+    assert(Scan(t, spark).filter(Col("id").lte(12L)).count() == 12)
+  }
+
+  test("file pruning cuts planned files by id bounds") {
+    var t = freshTable("prune")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    t = TableOps.append(t, usersDf(11 to 20).coalesce(1))
+    t = TableOps.append(t, usersDf(21 to 30).coalesce(1))
+    assert(Scan(t, spark).planFiles().size == 3)
+    val pruned = Scan(t, spark).filter(Col("id").gt(25L)).planFiles()
+    assert(pruned.size == 1, s"expected 1 surviving file, got $pruned")
+    val prunedEq = Scan(t, spark).filter(Col("id").eqTo(15L)).planFiles()
+    assert(prunedEq.size == 1)
+    // correctness unaffected
+    assert(Scan(t, spark).filter(Col("id").gt(25L)).toDF.count() == 5)
+  }
+
+  test("null pruning: email IS NULL keeps files, odd ids null") {
+    var t = freshTable("nulls")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    val nullRows = Scan(t, spark).filter(Col("email").isNull).toDF
+    assert(nullRows.count() == 5)
+  }
+
+  test("time travel: snapshot id and as-of (M4 surface via scan)") {
+    var t = freshTable("tt")
+    t = TableOps.append(t, usersDf(1 to 10))
+    val s1 = t.currentSnapshot.get
+    Thread.sleep(5)
+    t = TableOps.append(t, usersDf(11 to 20))
+    val s2 = t.currentSnapshot.get
+    assert(Scan(t, spark).useSnapshot(s1.snapshotId).toDF.count() == 10)
+    assert(Scan(t, spark).useSnapshot(s2.snapshotId).toDF.count() == 20)
+    assert(Scan(t, spark).asOf(s1.timestampMs).toDF.count() == 10)
+    assert(Scan(t, spark).asOf(s2.timestampMs).toDF.count() == 20)
+    intercept[IllegalArgumentException] {
+      Scan(t, spark).asOf(s1.timestampMs - 10000).resolveSnapshot()
+    }
+  }
+
+  test("harvested stats carry real bounds and counts") {
+    var t = freshTable("stats")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    val files = Scan(t, spark).planFiles().map(_.file)
+    assert(files.size == 1)
+    val f = files.head
+    assert(f.recordCount == 10)
+    assert(Bounds.deserialize(f.lowerBounds(1), LongType) == 1L)
+    assert(Bounds.deserialize(f.upperBounds(1), LongType) == 10L)
+    assert(f.nullValueCounts(3) == 5) // odd-id emails are null
+    assert(f.valueCounts(1) == 10)
+    assert(f.fileSizeInBytes > 0)
+    assert(f.splitOffsets.nonEmpty)
+    // string bounds round-trip
+    assert(Bounds.deserialize(f.lowerBounds(2), StringType) == "user_1")
+  }
+
+  test("scan of empty table returns empty DF with table schema") {
+    val t = freshTable("empty")
+    val df = Scan(t, spark).toDF
+    assert(df.count() == 0)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "name", "email", "created_at"))
+  }
+}
+
+object Fixtures4 {
+  val usersSchema: Schema = Schema(0, Seq(
+    NestedField(1, "id", LongType, required = true),
+    NestedField(2, "name", StringType, required = true),
+    NestedField(3, "email", StringType, required = false),
+    NestedField(4, "created_at", TimestampType, required = true)))
+}

@@ -51,8 +51,13 @@ def main(sf_dir, out_dir):
         for c in g.columns:
             a, b = g[c], e[c]
             if a.dtype.kind == 'M' or b.dtype.kind == 'M':
-                a = pd.to_datetime(a).astype('datetime64[us]')
-                b = pd.to_datetime(b).astype('datetime64[us]')
+                a, b = pd.to_datetime(a), pd.to_datetime(b)
+                if getattr(a.dt, 'tz', None) is not None:
+                    a = a.dt.tz_convert('UTC').dt.tz_localize(None)
+                if getattr(b.dt, 'tz', None) is not None:
+                    b = b.dt.tz_convert('UTC').dt.tz_localize(None)
+                a = a.astype('datetime64[us]')
+                b = b.astype('datetime64[us]')
             eq = (a.astype(str) == b.astype(str))
             if not eq.all():
                 i = eq.idxmin()
