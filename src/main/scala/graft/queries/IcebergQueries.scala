@@ -8,8 +8,19 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.{LocalCatalog, TableIdentifier}
 import graft.io.HadoopFileIO
-import graft.spec.SchemaConverters
+import graft.spec.{PartitionSpec, Schema, SchemaConverters}
 import graft.table._
+
+/** Specs keyed by column NAME (ids resolved from the schema). */
+private object PartitionSpecs {
+  def monthOf(schema: Schema, src: String, name: String): PartitionSpec =
+    PartitionSpec.builder(0)
+      .month(schema.fieldByName(src).get.id, name).build()
+  def bucketOf(schema: Schema, src: String, name: String,
+      n: Int): PartitionSpec =
+    PartitionSpec.builder(0)
+      .bucket(schema.fieldByName(src).get.id, name, n).build()
+}
 
 /** Queries routed END-TO-END through the Iceberg engine: testdata
   * parquet → create table → append (real manifests, snapshots, stats) →
@@ -127,12 +138,72 @@ object IcebergQueries {
     """SELECT l_linestatus, COUNT(*) AS n FROM lineitem
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** orders partitioned by month(o_orderdate), through the partitioned
+    * write path (derived transform column, hive-dir harvest). */
+  private def ordersMonthly(spark: SparkSession, sfDir: String): Table =
+    cache.getOrElseUpdate(s"om:$sfDir", {
+      val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sfo" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      val schema = SchemaConverters.fromSparkSchema(df.schema)
+      val spec = PartitionSpecs.monthOf(schema, "o_orderdate", "order_month")
+      val t = Table.create(cat, TableIdentifier(ns, "orders"), schema,
+        spec, io = io)
+      TableOps.append(t, df)
+    })
+
+  /** lineitem bucket[8](l_orderkey): hash partitioning through the
+    * murmur3 bucket transform. */
+  private def lineitemBucketed(spark: SparkSession, sfDir: String): Table =
+    cache.getOrElseUpdate(s"lb:$sfDir", {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sfb" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      val schema = SchemaConverters.fromSparkSchema(df.schema)
+      val spec = PartitionSpecs.bucketOf(schema, "l_orderkey", "ok_bucket", 8)
+      val t = Table.create(cat, TableIdentifier(ns, "lineitem"), schema,
+        spec, io = io)
+      TableOps.append(t, df)
+    })
+
+  def i6PartitionedMonth(s: SparkSession, dir: String): DataFrame =
+    Scan(ordersMonthly(s, dir), s)
+      .filter(Col("o_orderdate").gte(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
+        and Col("o_orderdate").lt(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+      .toDF
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+      .orderBy("o_orderstatus")
+
+  val i6Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  def i7BucketEq(s: SparkSession, dir: String): DataFrame =
+    Scan(lineitemBucketed(s, dir), s)
+      .filter(Col("l_orderkey").eqTo(042L))
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .toDF.orderBy("l_linenumber")
+
+  val i7Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey = 42 ORDER BY l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
     "i3_time_travel" -> (i3TimeTravel _),
     "i4_metadata_count" -> (i4MetadataCount _),
     "i5_multi_snapshot" -> (i5MultiSnapshot _),
+    "i6_partitioned_month" -> (i6PartitionedMonth _),
+    "i7_bucket_eq" -> (i7BucketEq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,5 +212,7 @@ object IcebergQueries {
     "i3_time_travel" -> i3Sql,
     "i4_metadata_count" -> i4Sql,
     "i5_multi_snapshot" -> i5Sql,
+    "i6_partitioned_month" -> i6Sql,
+    "i7_bucket_eq" -> i7Sql,
   )
 }

@@ -106,6 +106,76 @@ object Pruning {
     case _ => v
   }
 
+  // --------------------------------------- file-level partition tuple
+
+  /** Prune by the file's exact partition tuple: every row in the file
+    * has transform(col) == tuple value, so predicates project to exact
+    * point checks — strictly stronger than bounds for bucket/truncate
+    * (where column min/max overlap across partitions). */
+  def partitionTupleMightMatch(expr: Expr, file: DataFile,
+      spec: PartitionSpec, schema: Schema): Boolean = {
+    if (spec.isUnpartitioned || file.partition.isEmpty) return true
+    expr match {
+      case AlwaysTrue => true
+      case AlwaysFalse => false
+      case And(cs) => cs.forall(partitionTupleMightMatch(_, file, spec, schema))
+      case Or(cs) => cs.exists(partitionTupleMightMatch(_, file, spec, schema))
+      case Not(_) => true
+      case leaf: Leaf =>
+        spec.fields
+          .filter(pf => schema.field(pf.sourceId).exists(_.name == leaf.column))
+          .forall { pf =>
+            file.partition.get(pf.name) match {
+              case None => true
+              case Some(pv) => tupleLeafMightMatch(leaf, pf, pv, schema)
+            }
+          }
+    }
+  }
+
+  private def tupleLeafMightMatch(leaf: Leaf, pf: PartitionField,
+      pv: Any, schema: Schema): Boolean = {
+    val srcType = schema.field(pf.sourceId).get.fieldType
+    val resType = Transform.resultType(pf.transform, srcType)
+    def project(v: Any): Option[Any] =
+      Transforms.applyToValue(pf.transform, coerce(v, srcType), srcType)
+    def cmp(v: Any): Option[Int] = // sign of project(v) - pv
+      project(v).flatMap(p =>
+        if (p == null || pv == null) None
+        else safeCompare(p, pv, resType))
+
+    if (pv == null) return leaf match {
+      case IsNull(_) => true
+      case NotNull(_) => pf.transform != Transform.Identity
+      case _ => pf.transform != Transform.Identity // void/derived nulls keep
+    }
+    pf.transform match {
+      case Transform.Identity | Transform.Year | Transform.Month |
+          Transform.Day | Transform.Hour =>
+        leaf match {
+          case IsNull(_) => false // tuple value non-null, monotone transform
+          case NotNull(_) => true
+          case Eq(_, v) => cmp(v).forall(_ == 0)
+          // floor projection: rows with transform(col)=pv can satisfy
+          // col < v iff pv <= project(v); col > v iff pv >= project(v)
+          case Lt(_, v) => cmp(v).forall(_ >= 0)
+          case Lte(_, v) => cmp(v).forall(_ >= 0)
+          case Gt(_, v) => cmp(v).forall(_ <= 0)
+          case Gte(_, v) => cmp(v).forall(_ <= 0)
+          case In(_, vs) => vs.exists(v => cmp(v).forall(_ == 0))
+          case _ => true
+        }
+      case Transform.Bucket(_) | Transform.Truncate(_) =>
+        leaf match {
+          case Eq(_, v) => cmp(v).forall(_ == 0)
+          case In(_, vs) => vs.exists(v => cmp(v).forall(_ == 0))
+          case IsNull(_) => false
+          case _ => true
+        }
+      case Transform.Void => true
+    }
+  }
+
   // -------------------------------------------- manifest-level summary
 
   /** Manifest pruning via partition field summaries

@@ -90,9 +90,12 @@ class Scan private (
     val tasks = Seq.newBuilder[FileScanTask]
     dataManifests.filter(manifestSurvives).foreach { mf =>
       val manifest = table.readManifest(mf)
+      val mfSpec = table.metadata.specById(mf.partitionSpecId)
       manifest.liveEntries.foreach { e =>
         val survives = pred.forall(p =>
-          Pruning.fileMightMatch(p, e.dataFile, schema))
+          Pruning.fileMightMatch(p, e.dataFile, schema) &&
+            mfSpec.forall(sp =>
+              Pruning.partitionTupleMightMatch(p, e.dataFile, sp, schema)))
         if (survives) {
           val seq = e.sequenceNumber.getOrElse(0L)
           // MoR applicability: position deletes with deleteSeq >= dataSeq,
@@ -137,38 +140,44 @@ class Scan private (
       return applyProjection(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema))
 
-    val paths = tasks.map(_.file.filePath)
-    val posDeletes = tasks.flatMap(_.deleteFiles)
-      .filter(_.content == FileContent.PositionDeletes)
-      .map(_.filePath).distinct
-    val eqDeletes = tasks.flatMap(t =>
-      t.deleteFiles.filter(_.content == FileContent.EqualityDeletes)
-        .map(d => (d.filePath, d.equalityIds))).distinct
+    // Equality deletes are sequence-scoped: a delete applies only to
+    // files with OLDER data sequence numbers, so tasks are grouped by
+    // their applicable equality-delete set and each group is read and
+    // anti-joined independently, then unioned. Position deletes carry
+    // file_path and therefore self-scope — applied once, globally.
+    val groups = tasks.groupBy(_.deleteFiles
+      .filter(_.content == FileContent.EqualityDeletes)
+      .map(d => (d.filePath, d.equalityIds)).toSet)
 
-    var df = spark.read.schema(sparkSchema).parquet(paths: _*)
-
-    if (posDeletes.nonEmpty) {
-      // position anti-join on (file, row ordinal) — J2, the read-side
-      // application the reference never wired (table/scan.go:146-149)
-      val withPos = spark.read.schema(sparkSchema).parquet(paths: _*)
-        .withColumn("__file_path", col("_metadata.file_path"))
-        .withColumn("__pos", col("_metadata.row_index"))
-      val deletes = spark.read.parquet(posDeletes: _*)
-        .select(col("file_path").as("__file_path"), col("pos").as("__pos"))
-      df = withPos.join(deletes, Seq("__file_path", "__pos"), "left_anti")
-        .drop("__file_path", "__pos")
-    }
-
-    eqDeletes.groupBy(_._2).foreach { case (fieldIds, group) =>
-      val keyCols = fieldIds.flatMap(id => schema.field(id)).map(_.name)
-      if (keyCols.nonEmpty) {
-        val delDf = spark.read.parquet(group.map(_._1): _*)
-          .select(keyCols.map(col): _*).distinct()
-        df = df.join(delDf, keyCols, "left_anti")
+    val parts = groups.toSeq.map { case (eqSet, groupTasks) =>
+      val paths = groupTasks.map(_.file.filePath)
+      var df = spark.read.schema(sparkSchema).parquet(paths: _*)
+      val posDeletes = groupTasks.flatMap(_.deleteFiles)
+        .filter(_.content == FileContent.PositionDeletes)
+        .map(_.filePath).distinct
+      if (posDeletes.nonEmpty) {
+        // position anti-join on (file, row ordinal) — J2, the read-side
+        // application the reference never wired (table/scan.go:146-149)
+        val withPos = spark.read.schema(sparkSchema).parquet(paths: _*)
+          .withColumn("__file_path", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+        val deletes = spark.read.parquet(posDeletes: _*)
+          .select(col("file_path").as("__file_path"),
+            col("pos").as("__pos"))
+        df = withPos.join(deletes, Seq("__file_path", "__pos"), "left_anti")
+          .drop("__file_path", "__pos")
       }
+      eqSet.groupBy(_._2).foreach { case (fieldIds, files) =>
+        val keyCols = fieldIds.flatMap(id => schema.field(id)).map(_.name)
+        if (keyCols.nonEmpty) {
+          val delDf = spark.read.parquet(files.map(_._1).toSeq: _*)
+            .select(keyCols.map(col): _*).distinct()
+          df = df.join(delDf, keyCols.toSeq, "left_anti")
+        }
+      }
+      df
     }
-
-    applyProjection(df)
+    applyProjection(parts.reduce(_ unionAll _))
   }
 
   private def applyProjection(df0: DataFrame): DataFrame = {

@@ -21,11 +21,12 @@ import graft.spec._
 object DataWriter {
 
   /** Normalize to the URI form Spark's `_metadata.file_path` reports
-    * ("file:///abs/path") so MoR position deletes join exactly. */
+    * ("file:/abs/path", no authority — verified empirically) so MoR
+    * position deletes join exactly. */
   def normalizePath(p: String): String = {
     val u = new java.net.URI(p)
-    if (u.getScheme == null) "file://" + p
-    else if (u.getScheme == "file") "file://" + u.getPath
+    if (u.getScheme == null) "file:" + p
+    else if (u.getScheme == "file") "file:" + u.getPath
     else p
   }
 
@@ -174,11 +175,178 @@ object DataWriter {
   }
 }
 
+/** Partition-aware write (SURVEY S8 — the reference lands everything in
+  * one "__default__" group, `table/writer.go:247-266`). Partition values
+  * are computed as derived Spark columns from the spec's transforms, the
+  * data is repartitioned so each partition tuple is written by one task
+  * (no small-file explosion), written with `partitionBy` (Hive-style
+  * dirs; original columns stay IN the files — only derived `__p_*`
+  * columns are folded into directory names), then each leaf directory is
+  * harvested with its parsed partition tuple.
+  */
+object PartitionedWriter {
+  import org.apache.spark.sql.functions.col
+
+  private val partPrefix = "__p_"
+
+  def writeDataFiles(meta: TableMetadata, df: DataFrame): Seq[DataFile] = {
+    val spec = meta.defaultPartitionSpec
+    if (spec.isUnpartitioned) return DataWriter.writeDataFiles(meta, df)
+    val spark = df.sparkSession
+    val schema = meta.currentSchema
+
+    val partCols = spec.fields.map { pf =>
+      val src = schema.field(pf.sourceId).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source ${pf.sourceId} missing"))
+      (partPrefix + pf.name,
+        Transforms.applyToColumn(pf.transform, col(src.name), src.fieldType))
+    }
+    var df2 = df
+    partCols.foreach { case (n, c) => df2 = df2.withColumn(n, c) }
+    val names = partCols.map(_._1)
+    // co-locate each partition tuple in one task before the dir split
+    df2 = df2.repartition(names.map(col): _*)
+    val sortCols = meta.defaultSortOrder.fields.flatMap(sf =>
+      schema.field(sf.sourceId).map(f => sortColumn(sf, f.name)))
+    // partition columns FIRST: FileFormatWriter requires ordering by the
+    // partition columns and re-sorts (unstably) if it isn't satisfied,
+    // which would destroy the declared sort order within files
+    df2 = df2.sortWithinPartitions(names.map(col) ++ sortCols: _*)
+
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    val dir = meta.location.stripSuffix("/") + "/data/" +
+      java.util.UUID.randomUUID().toString
+    try df2.write.option("compression", "snappy")
+      .partitionBy(names: _*).parquet(dir)
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+
+    harvestPartitionDirs(spark.sessionState.newHadoopConf(), dir, meta, spec)
+  }
+
+  private def sortColumn(sf: SortField,
+      name: String): org.apache.spark.sql.Column = {
+    val c = col(name)
+    (sf.direction, sf.nullOrder) match {
+      case (SortDirection.Asc, NullOrder.NullsFirst) => c.asc_nulls_first
+      case (SortDirection.Asc, NullOrder.NullsLast) => c.asc_nulls_last
+      case (SortDirection.Desc, NullOrder.NullsFirst) => c.desc_nulls_first
+      case (SortDirection.Desc, NullOrder.NullsLast) => c.desc_nulls_last
+    }
+  }
+
+  /** Walk Hive-style partition dirs, decode each tuple with the spec's
+    * RESULT types, harvest per-file stats per leaf. */
+  private def harvestPartitionDirs(
+      conf: org.apache.hadoop.conf.Configuration,
+      root: String, meta: TableMetadata,
+      spec: PartitionSpec): Seq[DataFile] = {
+    val schema = meta.currentSchema
+    val partitionType = spec.partitionType(schema)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf)
+
+    def walk(dir: Path, values: Map[String, Any]): Seq[DataFile] = {
+      val entries = fs.listStatus(dir).toSeq
+      val subdirs = entries.filter(_.isDirectory)
+      if (subdirs.isEmpty) {
+        if (entries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet")))
+          DataWriter.harvestDataFiles(conf, dir.toString, schema, values)
+        else Nil
+      } else subdirs.flatMap { sd =>
+        val name = sd.getPath.getName
+        val idx = name.indexOf('=')
+        if (idx < 0) walk(sd.getPath, values)
+        else {
+          val colName = name.substring(0, idx).stripPrefix(partPrefix)
+          val raw = java.net.URLDecoder.decode(
+            name.substring(idx + 1), "UTF-8")
+          val typed: Any =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else partitionType.fieldByName(colName).map(f =>
+              parseValue(raw, f.fieldType)).getOrElse(raw)
+          walk(sd.getPath, values + (colName -> typed))
+        }
+      }
+    }
+    walk(rootPath, Map.empty)
+  }
+
+  private def parseValue(raw: String, t: IcebergType): Any = t match {
+    case IntType | DateType => raw.toInt
+    case LongType | TimeType | TimestampType | TimestampTzType => raw.toLong
+    case FloatType => raw.toFloat
+    case DoubleType => raw.toDouble
+    case BooleanType => raw.toBoolean
+    case DecimalType(_, s) => new java.math.BigDecimal(raw).setScale(s)
+    case _ => raw
+  }
+}
+
+/** MoR delete-file writers (SURVEY S9/S10; `table/writer.go:268-419`). */
+object DeleteFileWriter {
+  import org.apache.spark.sql.functions.col
+
+  /** Position-delete file: `(file_path string, pos long)` sorted by
+    * (file_path, pos) as the Iceberg spec requires
+    * (`table/writer.go:290-293`). */
+  def writePositionDeletes(meta: TableMetadata,
+      deletes: DataFrame): Seq[DataFile] = {
+    val df = deletes
+      .select(col("file_path").cast("string"), col("pos").cast("long"))
+      .orderBy("file_path", "pos")
+      .coalesce(1)
+    writeDeleteParquet(meta, df, FileContent.PositionDeletes, Nil)
+  }
+
+  /** Equality-delete file: key-column values identify deleted rows
+    * (`table/writer.go:360-419`). */
+  def writeEqualityDeletes(meta: TableMetadata, keys: DataFrame,
+      equalityFieldIds: Seq[Int]): Seq[DataFile] = {
+    writeDeleteParquet(meta, keys.distinct().coalesce(1),
+      FileContent.EqualityDeletes, equalityFieldIds)
+  }
+
+  private def writeDeleteParquet(meta: TableMetadata, df: DataFrame,
+      content: FileContent, eqIds: Seq[Int]): Seq[DataFile] = {
+    val spark = df.sparkSession
+    val dir = meta.location.stripSuffix("/") + "/data/deletes-" +
+      java.util.UUID.randomUUID().toString
+    df.write.option("compression", "snappy").parquet(dir)
+    // delete files carry their own schema; stats harvested generically
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    fs.listStatus(dirPath).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        val rows = try {
+          import scala.jdk.CollectionConverters._
+          reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        } finally reader.close()
+        DataFile(
+          content = content,
+          filePath = DataWriter.normalizePath(st.getPath.toString),
+          recordCount = rows,
+          fileSizeInBytes = st.getLen,
+          equalityIds = eqIds)
+      }
+  }
+}
+
 /** Convenience write ops on a table (fluent facades in M7 widen this). */
 object TableOps {
-  /** Unpartitioned append (`table/insert.go:49-170`). */
+  /** Append honoring the table's partition spec
+    * (`table/insert.go:49-170`). */
   def append(table: Table, df: DataFrame): Table = {
-    val files = DataWriter.writeDataFiles(table.metadata, df)
+    val files = PartitionedWriter.writeDataFiles(table.metadata, df)
     table.commitSnapshot(PendingSnapshot(Operation.Append,
       addedDataFiles = files))
   }

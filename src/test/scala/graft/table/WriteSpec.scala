@@ -1,0 +1,169 @@
+package graft.table
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.io.HadoopFileIO
+import graft.spec._
+
+class PartitionedWriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshTable(name: String, spec: PartitionSpec,
+      sortOrder: SortOrder = SortOrder.unsorted): Table = {
+    val dir = Files.createTempDirectory("graft-pw-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    Table.create(cat, TableIdentifier(Seq("db"), name),
+      Fixtures4.usersSchema, spec, sortOrder, io = new HadoopFileIO())
+  }
+
+  private def usersDf(ids: Range, dayOf: Int => Int): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val day = dayOf(i)
+      (i.toLong, s"user_$i", if (i % 2 == 1) null else s"u$i@x.com",
+        new java.sql.Timestamp(86400000L * day + i * 1000L))
+    }.toDF("id", "name", "email", "created_at")
+  }
+
+  test("day-partitioned append: one file per day, tuple recorded (S8)") {
+    val spec = PartitionSpec.builder(0).day(4, "created_day").build()
+    var t = freshTable("daily", spec)
+    t = TableOps.append(t, usersDf(1 to 30, i => 19800 + (i % 3)))
+    val tasks = Scan(t, spark).planFiles()
+    assert(tasks.size == 3, s"one file per day partition: $tasks")
+    assert(tasks.map(_.file.partition("created_day")).toSet ==
+      Set(19800, 19801, 19802))
+    // all original columns survive in the data files
+    val df = Scan(t, spark).toDF
+    assert(df.columns.toSeq == Seq("id", "name", "email", "created_at"))
+    assert(df.count() == 30)
+    // manifest partition summaries filled
+    val mf = t.manifestList(t.currentSnapshot.get)
+      .find(_.content == ManifestContent.Data).get
+    assert(mf.partitions.nonEmpty)
+    assert(mf.partitions.head.lowerBound.map(
+      Bounds.deserialize(_, IntType)).contains(19800))
+  }
+
+  test("partition-tuple pruning on day partitions") {
+    val spec = PartitionSpec.builder(0).day(4, "created_day").build()
+    var t = freshTable("daily2", spec)
+    t = TableOps.append(t, usersDf(1 to 30, i => 19800 + (i % 3)))
+    // equality on the raw timestamp projects onto day partition
+    val tsInDay1 = new java.sql.Timestamp(86400000L * 19801 + 4000L)
+    val pruned = Scan(t, spark)
+      .filter(Col("created_at").eqTo(tsInDay1)).planFiles()
+    assert(pruned.size == 1)
+    assert(pruned.head.file.partition("created_day") == 19801)
+    // range predicate keeps only later days
+    val hi = new java.sql.Timestamp(86400000L * 19802)
+    val ge = Scan(t, spark).filter(Col("created_at").gte(hi)).planFiles()
+    assert(ge.map(_.file.partition("created_day")).toSet == Set(19802))
+  }
+
+  test("bucket-partitioned append prunes by hash, not bounds") {
+    val spec = PartitionSpec.builder(0).bucket(1, "id_bucket", 4).build()
+    var t = freshTable("bucketed", spec)
+    t = TableOps.append(t, usersDf(1 to 100, _ => 19800))
+    val tasks = Scan(t, spark).planFiles()
+    assert(tasks.size == 4, s"4 bucket files: ${tasks.size}")
+    // id bounds overlap across buckets — only the tuple can prune
+    val target = 42L
+    val expectedBucket = Transforms.bucketHash(target, LongType)
+      .map(h => (h & Int.MaxValue) % 4).get
+    val pruned = Scan(t, spark).filter(Col("id").eqTo(target)).planFiles()
+    assert(pruned.size == 1)
+    assert(pruned.head.file.partition("id_bucket") == expectedBucket)
+    assert(Scan(t, spark).filter(Col("id").eqTo(target)).toDF.count() == 1)
+  }
+
+  test("truncate-partitioned strings") {
+    val spec = PartitionSpec.builder(0).truncate(2, "name_t", 6).build()
+    var t = freshTable("trunc", spec)
+    t = TableOps.append(t, usersDf(1 to 20, _ => 19800))
+    // user_1..user_20 truncate[6] -> "user_1" and "user_2" (6 chars)
+    val tasks = Scan(t, spark).planFiles()
+    assert(tasks.map(_.file.partition("name_t")).toSet ==
+      Set("user_1", "user_2", "user_3", "user_4", "user_5", "user_6",
+        "user_7", "user_8", "user_9"))
+    val pruned = Scan(t, spark)
+      .filter(Col("name").eqTo("user_17")).planFiles()
+    assert(pruned.size == 1)
+    assert(pruned.head.file.partition("name_t") == "user_1")
+  }
+
+  test("sort order applied within partition files") {
+    val spec = PartitionSpec.builder(0).day(4, "d").build()
+    val order = SortOrder(1, Seq(SortField(1,
+      direction = SortDirection.Desc, nullOrder = NullOrder.NullsLast)))
+    var t = freshTable("sorted", spec, order)
+    t = TableOps.append(t, usersDf(1 to 10, _ => 19800))
+    val ids = Scan(t, spark).toDF.select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == (10 to 1 by -1).map(_.toLong))
+  }
+}
+
+class DeleteFileWriterSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("position deletes round-trip and apply at scan (J2)") {
+    val dir = Files.createTempDirectory("graft-mor-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "mor"),
+      Fixtures4.usersSchema, io = new HadoopFileIO())
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"u$i", s"e$i",
+      new java.sql.Timestamp(1704067200000L + i))).toDF(
+      "id", "name", "email", "created_at")
+    t = TableOps.append(t, df.coalesce(1))
+
+    val dataPath = Scan(t, spark).planFiles().head.file.filePath
+    // delete positions 0 and 1 (ids 1, 2 in write order)
+    val deletes = Seq((dataPath, 0L), (dataPath, 1L)).toDF("file_path", "pos")
+    val delFiles = DeleteFileWriter.writePositionDeletes(t.metadata, deletes)
+    assert(delFiles.size == 1)
+    assert(delFiles.head.content == FileContent.PositionDeletes)
+    assert(delFiles.head.recordCount == 2)
+    t = t.commitSnapshot(PendingSnapshot(Operation.Delete,
+      addedDeleteFiles = delFiles))
+
+    val remaining = Scan(t, spark).toDF.select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(remaining == (3 to 10).map(_.toLong).toSet,
+      s"positions 0,1 must be anti-joined away: $remaining")
+    // metadata count must NOT shortcut when delete files apply
+    assert(Scan(t, spark).count() == 8)
+  }
+
+  test("equality deletes apply to older sequence numbers only") {
+    val dir = Files.createTempDirectory("graft-eqd-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "eq"),
+      Fixtures4.usersSchema, io = new HadoopFileIO())
+    import spark.implicits._
+    def rows(ids: Range) = ids.map(i => (i.toLong, s"u$i", s"e$i",
+      new java.sql.Timestamp(1704067200000L + i))).toDF(
+      "id", "name", "email", "created_at")
+    t = TableOps.append(t, rows(1 to 5))
+    // equality-delete ids 2 and 4 (seq 2 > data seq 1)
+    val delFiles = DeleteFileWriter.writeEqualityDeletes(t.metadata,
+      Seq(2L, 4L).toDF("id"), equalityFieldIds = Seq(1))
+    t = t.commitSnapshot(PendingSnapshot(Operation.Delete,
+      addedDeleteFiles = delFiles))
+    assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L))
+    // re-insert id 2 AFTER the delete: newer sequence, must survive
+    t = TableOps.append(t, rows(2 to 2))
+    assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 5L))
+  }
+}
