@@ -10,12 +10,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ PredicateQueries.queries ++ IcebergQueries.queries
+    CoreQueries.queries ++ PredicateQueries.queries ++
+      IcebergQueries.queries ++ MutationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ PredicateQueries.oracles ++ IcebergQueries.oracles
+    CoreQueries.oracles ++ PredicateQueries.oracles ++
+      IcebergQueries.oracles ++ MutationQueries.oracles
 
   /** Headline subset Bench.scala times per round (kept separate so the
     * bench isn't diluted by correctness-only micro-queries). */

@@ -1,0 +1,246 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.spec._
+
+/** Full CRUD over Iceberg tables (SURVEY §2.7), Spark-first:
+  * candidate files come from the pruned scan plan, rewrites are single
+  * Spark jobs over just those files, and the swap commits atomically
+  * through [[SnapshotWriter]].
+  *
+  * Row-level semantics: DELETE removes rows where the predicate is TRUE
+  * (survivors = `pred IS NOT TRUE`, i.e. FALSE or NULL — SQL MERGE/
+  * DELETE semantics, 3VL-correct unlike the reference's row loop).
+  */
+object Mutations {
+
+  private def survivorFilter(pred: Expr): Column =
+    !coalesce(pred.toColumn, lit(false))
+
+  private def matchFilter(pred: Expr): Column =
+    coalesce(pred.toColumn, lit(false))
+
+  private def readFiles(table: Table, spark: SparkSession,
+      paths: Seq[String]): DataFrame =
+    spark.read
+      .schema(graft.spec.SchemaConverters.toSparkSchema(table.schema))
+      .parquet(paths: _*)
+
+  /** Copy-on-write delete (T4, `table/delete.go:82-183`): rewrite only
+    * the pruned candidate files without their matching rows, swap both
+    * sets in one snapshot. */
+  def deleteCoW(table: Table, spark: SparkSession, pred0: Expr): Table = {
+    val pred = pred0.simplify
+    val candidates = Scan(table, spark).filter(pred).planFiles()
+      .map(_.file.filePath)
+    if (candidates.isEmpty) return table
+    val survivors = readFiles(table, spark, candidates)
+      .where(survivorFilter(pred))
+    val newFiles = PartitionedWriter.writeDataFiles(table.metadata, survivors)
+    table.commitSnapshot(PendingSnapshot(Operation.Delete,
+      addedDataFiles = newFiles,
+      deletedFilePaths = candidates.toSet))
+  }
+
+  /** Merge-on-read position delete (T5, `table/delete.go:400-464`):
+    * record matching (file, pos) pairs; the scan applies them (J2). */
+  def deleteMoR(table: Table, spark: SparkSession, pred0: Expr): Table = {
+    val pred = pred0.simplify
+    val candidates = Scan(table, spark).filter(pred).planFiles()
+      .map(_.file.filePath)
+    if (candidates.isEmpty) return table
+    val deletes = readFiles(table, spark, candidates)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .where(matchFilter(pred))
+      .select("file_path", "pos")
+    if (deletes.isEmpty) return table
+    val delFiles = DeleteFileWriter.writePositionDeletes(table.metadata,
+      deletes)
+    table.commitSnapshot(PendingSnapshot(Operation.Delete,
+      addedDeleteFiles = delFiles))
+  }
+
+  /** Merge-on-read equality delete (T6 — the reference returns "not yet
+    * fully implemented", `table/delete.go:494-501`): write the key
+    * values; the scan anti-joins rows from OLDER sequence numbers. */
+  def deleteByKeys(table: Table, spark: SparkSession, keys: DataFrame):
+      Table = {
+    val fieldIds = keys.columns.toSeq.map(c =>
+      table.schema.fieldByName(c).getOrElse(throw new IllegalArgumentException(
+        s"key column $c not in schema")).id)
+    val delFiles = DeleteFileWriter.writeEqualityDeletes(table.metadata,
+      keys, fieldIds)
+    table.commitSnapshot(PendingSnapshot(Operation.Delete,
+      addedDeleteFiles = delFiles))
+  }
+
+  /** CoW update (T7, `table/update.go:29-238`): rewrite candidates with
+    * per-column `when(pred, value)` replacements. */
+  def update(table: Table, spark: SparkSession, pred0: Expr,
+      assignments: Map[String, Any]): Table = {
+    val pred = pred0.simplify
+    val candidates = Scan(table, spark).filter(pred).planFiles()
+      .map(_.file.filePath)
+    if (candidates.isEmpty) return table
+    var df = readFiles(table, spark, candidates)
+    val hit = matchFilter(pred)
+    val sparkSchema = graft.spec.SchemaConverters.toSparkSchema(table.schema)
+    assignments.foreach { case (name, value) =>
+      val target = sparkSchema(name).dataType
+      df = df.withColumn(name,
+        when(hit, lit(value).cast(target)).otherwise(col(name)))
+    }
+    val newFiles = PartitionedWriter.writeDataFiles(table.metadata, df)
+    table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
+      addedDataFiles = newFiles,
+      deletedFilePaths = candidates.toSet))
+  }
+
+  /** Upsert / MERGE (T8/J1, `table/update.go:360-650`): key-matched
+    * rows are replaced by the incoming row, unmatched incoming rows are
+    * appended — as one join-based rewrite. The incoming side of the
+    * anti-join is broadcast (it is usually the small side). */
+  def upsert(table: Table, spark: SparkSession, incoming: DataFrame,
+      keyColumns: Seq[String]): Table = {
+    require(keyColumns.nonEmpty, "upsert requires key columns")
+    val schemaCols = table.schema.columnNames
+    val incomingAligned = incoming.select(schemaCols.map(col): _*)
+
+    // candidate pruning: point-lookup In() when the key set is small
+    val keysDf = incomingAligned.select(keyColumns.map(col): _*).distinct()
+    val keyPrune: Option[Expr] =
+      if (keyColumns.size == 1) {
+        val values = keysDf.limit(10001).collect().map(_.get(0)).toSeq
+        if (values.size <= 10000) Some(In(keyColumns.head, values)) else None
+      } else None
+
+    val scan = keyPrune.foldLeft(Scan(table, spark))(_ filter _)
+    val candidates = scan.planFiles().map(_.file.filePath)
+
+    val survivors =
+      if (candidates.isEmpty) None
+      else Some(readFiles(table, spark, candidates)
+        .join(broadcast(keysDf), keyColumns, "left_anti"))
+
+    val merged = survivors match {
+      case Some(s) => s.unionByName(incomingAligned)
+      case None => incomingAligned
+    }
+    val newFiles = PartitionedWriter.writeDataFiles(table.metadata, merged)
+    table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
+      addedDataFiles = newFiles,
+      deletedFilePaths = candidates.toSet))
+  }
+
+  /** Full overwrite (T2, `table/insert.go:173-182`): all live files
+    * deleted, new content appended, one `overwrite` snapshot. */
+  def overwrite(table: Table, spark: SparkSession, df: DataFrame): Table = {
+    val allFiles = Scan(table, spark).planFiles().map(_.file.filePath)
+    val newFiles = PartitionedWriter.writeDataFiles(table.metadata, df)
+    table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
+      addedDataFiles = newFiles,
+      deletedFilePaths = allFiles.toSet))
+  }
+
+  /** Selective overwrite (T3, `table/insert.go:40-46,185-252`): delete
+    * rows matching the filter AND append `df`, atomically. */
+  def overwriteWhere(table: Table, spark: SparkSession, pred0: Expr,
+      df: DataFrame): Table = {
+    val pred = pred0.simplify
+    val candidates = Scan(table, spark).filter(pred).planFiles()
+      .map(_.file.filePath)
+    val rewritten =
+      if (candidates.isEmpty) Nil
+      else PartitionedWriter.writeDataFiles(table.metadata,
+        readFiles(table, spark, candidates).where(survivorFilter(pred)))
+    val appended = PartitionedWriter.writeDataFiles(table.metadata, df)
+    table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
+      addedDataFiles = rewritten ++ appended,
+      deletedFilePaths = candidates.toSet))
+  }
+}
+
+/** Fluent mutation facades (T9, `table/insert.go:300-368`,
+  * `table/delete.go:503-547`, `table/update.go:307-356,652-686`). */
+final class InsertBuilder(table: Table, spark: SparkSession) {
+  private var data: Option[DataFrame] = None
+  private var overwriteAll = false
+  def withData(df: DataFrame): InsertBuilder = { data = Some(df); this }
+  def withOverwrite(b: Boolean): InsertBuilder = { overwriteAll = b; this }
+  def execute(): Table = {
+    val df = data.getOrElse(throw new IllegalArgumentException("no data"))
+    if (overwriteAll) Mutations.overwrite(table, spark, df)
+    else TableOps.append(table, df)
+  }
+}
+
+final class DeleteBuilder(table: Table, spark: SparkSession) {
+  private var pred: Option[Expr] = None
+  private var mor = false
+  def where(e: Expr): DeleteBuilder = { pred = Some(e); this }
+  /** CoW is the default mode (`config.go:36-44`). */
+  def withMergeOnRead(b: Boolean): DeleteBuilder = { mor = b; this }
+  def execute(): Table = {
+    val p = pred.getOrElse(throw new IllegalArgumentException("no filter"))
+    if (mor) Mutations.deleteMoR(table, spark, p)
+    else Mutations.deleteCoW(table, spark, p)
+  }
+}
+
+final class UpdateBuilder(table: Table, spark: SparkSession) {
+  private var pred: Option[Expr] = None
+  private val sets = Map.newBuilder[String, Any]
+  def where(e: Expr): UpdateBuilder = { pred = Some(e); this }
+  def set(column: String, value: Any): UpdateBuilder = {
+    sets += column -> value; this
+  }
+  def execute(): Table = Mutations.update(table, spark,
+    pred.getOrElse(AlwaysTrue), sets.result())
+}
+
+final class UpsertBuilder(table: Table, spark: SparkSession) {
+  private var data: Option[DataFrame] = None
+  private var keys: Seq[String] = Nil
+  def withData(df: DataFrame): UpsertBuilder = { data = Some(df); this }
+  def withKeyColumns(cols: String*): UpsertBuilder = { keys = cols; this }
+  def execute(): Table = Mutations.upsert(table, spark,
+    data.getOrElse(throw new IllegalArgumentException("no data")), keys)
+}
+
+/** BulkWriter (T10, `table/insert.go:370-461`): accumulates data files
+  * across writes and commits one snapshot per `maxPendingFiles` batch;
+  * abort() deletes orphaned files. */
+final class BulkWriter(initial: Table, spark: SparkSession,
+    maxPendingFiles: Int = 100) {
+  private var table = initial
+  private val pending = collection.mutable.Buffer[DataFile]()
+
+  def write(df: DataFrame): BulkWriter = {
+    pending ++= PartitionedWriter.writeDataFiles(table.metadata, df)
+    if (pending.size >= maxPendingFiles) flush()
+    this
+  }
+
+  def flush(): BulkWriter = {
+    if (pending.nonEmpty) {
+      table = table.commitSnapshot(PendingSnapshot(Operation.Append,
+        addedDataFiles = pending.toSeq))
+      pending.clear()
+    }
+    this
+  }
+
+  def commit(): Table = { flush(); table }
+
+  /** Delete uncommitted files (`table/insert.go:444-461`). */
+  def abort(): Unit = {
+    table.io.deleteFiles(pending.map(_.filePath.stripPrefix("file:")).toSeq)
+    pending.clear()
+  }
+
+  def currentTable: Table = table
+  def pendingCount: Int = pending.size
+}

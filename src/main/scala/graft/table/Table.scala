@@ -43,6 +43,21 @@ class Table(
   /** Metadata-only transaction (`table/table.go:153-254`). */
   def newTransaction(): Transaction = new Transaction(this)
 
+  // Fluent entry points (`table/table.go:144-151` + T9 builders)
+  def newScan(spark: org.apache.spark.sql.SparkSession): Scan =
+    Scan(this, spark)
+  def newInsert(spark: org.apache.spark.sql.SparkSession): InsertBuilder =
+    new InsertBuilder(this, spark)
+  def newDelete(spark: org.apache.spark.sql.SparkSession): DeleteBuilder =
+    new DeleteBuilder(this, spark)
+  def newUpdate(spark: org.apache.spark.sql.SparkSession): UpdateBuilder =
+    new UpdateBuilder(this, spark)
+  def newUpsert(spark: org.apache.spark.sql.SparkSession): UpsertBuilder =
+    new UpsertBuilder(this, spark)
+  def newBulkWriter(spark: org.apache.spark.sql.SparkSession,
+      maxPendingFiles: Int = 100): BulkWriter =
+    new BulkWriter(this, spark, maxPendingFiles)
+
   /** Data commit: appended/deleted data files + delete files become one
     * new snapshot via [[SnapshotWriter]], with the commit-conflict retry
     * loop the reference configures but never wires (`config.go:68-69`,

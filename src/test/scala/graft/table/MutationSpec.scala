@@ -1,0 +1,136 @@
+package graft.table
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.io.HadoopFileIO
+import graft.spec._
+
+/** Mutation-semantics goldens (SURVEY §5.2 item 4). */
+class MutationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshTable(name: String): Table = {
+    val dir = Files.createTempDirectory("graft-mut-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    Table.create(cat, TableIdentifier(Seq("db"), name),
+      Fixtures4.usersSchema, io = new HadoopFileIO())
+  }
+
+  private def usersDf(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"user_$i",
+      if (i % 2 == 1) null else s"u$i@x.com",
+      new java.sql.Timestamp(1704067200000L + i * 1000L)))
+      .toDF("id", "name", "email", "created_at")
+  }
+
+  private def ids(t: Table): Set[Long] =
+    Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet
+
+  test("CoW delete removes matching rows, rewrites only candidates") {
+    var t = freshTable("cow")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    t = TableOps.append(t, usersDf(11 to 20).coalesce(1))
+    val before = Scan(t, spark).planFiles().map(_.file.filePath).toSet
+    t = t.newDelete(spark).where(Col("id").between(15L, 17L)).execute()
+    assert(ids(t) == ((1 to 14) ++ (18 to 20)).map(_.toLong).toSet)
+    val after = Scan(t, spark).planFiles().map(_.file.filePath).toSet
+    // file 1 (ids 1-10) pruned out of the rewrite → untouched
+    assert(after.intersect(before).size == 1,
+      s"non-candidate file must survive: before=$before after=$after")
+    assert(t.currentSnapshot.get.summary.get.operation == Operation.Delete)
+  }
+
+  test("CoW delete with NULL predicate keeps NULL rows (3VL)") {
+    var t = freshTable("cow3vl")
+    t = TableOps.append(t, usersDf(1 to 10))
+    // email == 'u2@x.com' is NULL for odd rows: they must SURVIVE
+    t = t.newDelete(spark).where(Col("email").eqTo("u2@x.com")).execute()
+    assert(ids(t) == (1 to 10).filter(_ != 2).map(_.toLong).toSet)
+  }
+
+  test("MoR delete leaves data files untouched, scan applies deletes") {
+    var t = freshTable("mor")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    val dataFiles = Scan(t, spark).planFiles().map(_.file.filePath).toSet
+    t = t.newDelete(spark).where(Col("id").lte(3L))
+      .withMergeOnRead(true).execute()
+    assert(Scan(t, spark).planFiles().map(_.file.filePath).toSet == dataFiles,
+      "MoR must not rewrite data files")
+    assert(ids(t) == (4 to 10).map(_.toLong).toSet)
+    assert(Scan(t, spark).count() == 7)
+  }
+
+  test("update rewrites matching rows only") {
+    var t = freshTable("upd")
+    t = TableOps.append(t, usersDf(1 to 10))
+    t = t.newUpdate(spark).where(Col("id").gt(8L))
+      .set("name", "RENAMED").execute()
+    val rows = Scan(t, spark).toDF.select("id", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(9L) == "RENAMED" && rows(10L) == "RENAMED")
+    assert(rows(1L) == "user_1")
+    assert(ids(t).size == 10)
+  }
+
+  test("upsert: matched replaced, unmatched appended (J1 semantics)") {
+    var t = freshTable("ups")
+    t = TableOps.append(t, usersDf(1 to 10))
+    import spark.implicits._
+    val incoming = Seq(
+      (5L, "user_5_v2", "new5@x.com",
+        new java.sql.Timestamp(1704067200000L)),
+      (99L, "user_99", null.asInstanceOf[String],
+        new java.sql.Timestamp(1704067200000L)))
+      .toDF("id", "name", "email", "created_at")
+    t = t.newUpsert(spark).withData(incoming).withKeyColumns("id").execute()
+    val rows = Scan(t, spark).toDF.select("id", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 11)
+    assert(rows(5L) == "user_5_v2")
+    assert(rows(99L) == "user_99")
+    assert(rows(4L) == "user_4")
+  }
+
+  test("full overwrite replaces table content") {
+    var t = freshTable("ovw")
+    t = TableOps.append(t, usersDf(1 to 10))
+    t = t.newInsert(spark).withData(usersDf(100 to 102))
+      .withOverwrite(true).execute()
+    assert(ids(t) == Set(100L, 101L, 102L))
+    assert(t.currentSnapshot.get.summary.get.operation == Operation.Overwrite)
+    // time travel still sees the old content
+    val prev = t.metadata.snapshots.head
+    assert(Scan(t, spark).useSnapshot(prev.snapshotId).toDF.count() == 10)
+  }
+
+  test("BulkWriter batches commits at maxPendingFiles") {
+    var t = freshTable("bulk")
+    val bw = t.newBulkWriter(spark, maxPendingFiles = 2)
+    bw.write(usersDf(1 to 3).coalesce(1))
+    assert(bw.pendingCount == 1, "below threshold: no commit yet")
+    bw.write(usersDf(4 to 6).coalesce(1)) // hits threshold -> auto-commit
+    assert(bw.pendingCount == 0)
+    bw.write(usersDf(7 to 9).coalesce(1))
+    t = bw.commit()
+    assert(ids(t) == (1 to 9).map(_.toLong).toSet)
+    assert(t.metadata.snapshots.size == 2, "2 snapshots: auto + final")
+  }
+
+  test("snapshot expiry removes old snapshots (M8 surface)") {
+    var t = freshTable("expire")
+    t = TableOps.append(t, usersDf(1 to 5))
+    val old = t.currentSnapshot.get.snapshotId
+    t = TableOps.append(t, usersDf(6 to 10))
+    t = t.newTransaction().removeSnapshots(Seq(old)).commit()
+    assert(t.metadata.snapshots.map(_.snapshotId) ==
+      Seq(t.currentSnapshot.get.snapshotId))
+    assert(ids(t).size == 10)
+  }
+}
