@@ -1,0 +1,286 @@
+package graft.catalog
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+import graft.spec._
+import graft.spec.{SchemaJson, MetadataJson}
+
+/** Iceberg REST catalog client (`catalog/rest.go:17-509`) over
+  * `java.net.http.HttpClient`. Endpoint shapes follow the Iceberg REST
+  * OpenAPI spec the reference implements: `/v1/config`, namespace CRUD,
+  * table CRUD, rename, and requirement/update commits. Offline-testable
+  * against an in-process server (the environment has no egress).
+  */
+class RestCatalog(
+    baseUri: String,
+    token: Option[String] = None,
+    warehouse: Option[String] = None,
+    timeout: Duration = Duration.ofSeconds(30)) extends Catalog {
+
+  private val http = HttpClient.newBuilder()
+    .connectTimeout(timeout).build()
+  private val root = baseUri.stripSuffix("/")
+  private val mapper = SchemaJson.parseTree("{}") // warm jackson
+  private var prefix: String = ""
+
+  /** `/v1/config` (`catalog/rest.go` GetConfig): may supply a route
+    * prefix and defaults. Call before first use; safe to skip. */
+  def fetchConfig(): Map[String, String] = {
+    val q = warehouse.map(w => s"?warehouse=${enc(w)}").getOrElse("")
+    val n = getJson(s"$root/v1/config$q")
+    val defaults = Option(n.get("defaults")).map(d =>
+      fieldsOf(d).map { case (k, v) => k -> v.asText }.toMap)
+      .getOrElse(Map.empty)
+    val overrides = Option(n.get("overrides")).map(d =>
+      fieldsOf(d).map { case (k, v) => k -> v.asText }.toMap)
+      .getOrElse(Map.empty)
+    val merged = defaults ++ overrides
+    prefix = merged.get("prefix").map(p => "/" + p.stripPrefix("/")).getOrElse("")
+    merged
+  }
+
+  private def base = s"$root/v1$prefix"
+  private def enc(s: String) =
+    java.net.URLEncoder.encode(s, UTF_8)
+  private def nsPath(ns: Seq[String]) = ns.mkString("%1F") // unit sep per spec
+
+  // ------------------------------------------------------------- http
+
+  private def request(method: String, uri: String,
+      body: Option[String] = None): HttpRequest = {
+    var b = HttpRequest.newBuilder(URI.create(uri))
+      .timeout(timeout)
+      .header("Content-Type", "application/json")
+    token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+    b = method match {
+      case "GET" => b.GET()
+      case "DELETE" => b.DELETE()
+      case m => b.method(m,
+        HttpRequest.BodyPublishers.ofString(body.getOrElse("")))
+    }
+    b.build()
+  }
+
+  private def send(method: String, uri: String,
+      body: Option[String] = None): (Int, String) = {
+    val resp = http.send(request(method, uri, body),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def expect(method: String, uri: String, body: Option[String],
+      ok: Set[Int]): String = {
+    val (code, respBody) = send(method, uri, body)
+    if (ok.contains(code)) respBody
+    else code match {
+      case 404 => throw new NoSuchTableException(s"$method $uri: $respBody")
+      case 409 => throw new CommitFailedException(s"$method $uri: $respBody")
+      case 419 | 401 | 403 => throw new RuntimeException(
+        s"auth failure $code: $respBody")
+      case _ => throw new RuntimeException(
+        s"$method $uri -> $code: $respBody")
+    }
+  }
+
+  private def getJson(uri: String): JsonNode =
+    SchemaJson.parseTree(expect("GET", uri, None, Set(200)))
+
+  private def fieldsOf(n: JsonNode): Iterator[(String, JsonNode)] = {
+    val it = n.properties().iterator()
+    new Iterator[(String, JsonNode)] {
+      def hasNext = it.hasNext
+      def next() = { val e = it.next(); e.getKey -> e.getValue }
+    }
+  }
+
+  // ------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Seq[Seq[String]] = {
+    val n = getJson(s"$base/namespaces")
+    Option(n.get("namespaces")).map { arr =>
+      elems(arr).map(e => elems(e).map(_.asText).toSeq).toSeq
+    }.getOrElse(Nil)
+  }
+
+  private def elems(n: JsonNode): Iterator[JsonNode] = {
+    val it = n.elements()
+    new Iterator[JsonNode] {
+      def hasNext = it.hasNext; def next() = it.next()
+    }
+  }
+
+  override def createNamespace(ns: Seq[String],
+      properties: Map[String, String]): Unit = {
+    val props = properties.map { case (k, v) =>
+      s""""${k}": "${v}"""" }.mkString(",")
+    val body = s"""{"namespace": [${ns.map(n => s""""$n"""").mkString(",")}],
+      |"properties": {$props}}""".stripMargin
+    val (code, resp) = send("POST", s"$base/namespaces", Some(body))
+    if (code == 409) throw new AlreadyExistsException(ns.mkString("."))
+    if (code != 200) throw new RuntimeException(s"createNamespace: $code $resp")
+  }
+
+  override def dropNamespace(ns: Seq[String]): Unit = {
+    val (code, resp) = send("DELETE", s"$base/namespaces/${nsPath(ns)}")
+    if (code == 404) throw new NoSuchNamespaceException(ns.mkString("."))
+    if (code != 204 && code != 200)
+      throw new RuntimeException(s"dropNamespace: $code $resp")
+  }
+
+  override def namespaceExists(ns: Seq[String]): Boolean =
+    send("HEAD", s"$base/namespaces/${nsPath(ns)}")._1 match {
+      case 200 | 204 => true
+      case _ => false
+    }
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(ns: Seq[String]): Seq[TableIdentifier] = {
+    val n = getJson(s"$base/namespaces/${nsPath(ns)}/tables")
+    Option(n.get("identifiers")).map { arr =>
+      elems(arr).map { e =>
+        TableIdentifier(
+          elems(e.get("namespace")).map(_.asText).toSeq,
+          e.get("name").asText)
+      }.toSeq
+    }.getOrElse(Nil)
+  }
+
+  override def createTable(id: TableIdentifier, schema: Schema,
+      spec: PartitionSpec, sortOrder: SortOrder,
+      properties: Map[String, String]): TableMetadata = {
+    val props = properties.map { case (k, v) =>
+      s""""$k": "$v"""" }.mkString(",")
+    val body =
+      s"""{"name": "${id.name}",
+         |"schema": ${schema.toJson},
+         |"properties": {$props}}""".stripMargin
+    val resp = expect("POST",
+      s"$base/namespaces/${nsPath(id.namespace)}/tables", Some(body),
+      Set(200))
+    parseLoadResponse(resp)
+  }
+
+  override def loadTable(id: TableIdentifier): TableMetadata =
+    parseLoadResponse(expect("GET", tableUri(id), None, Set(200)))
+
+  private def tableUri(id: TableIdentifier) =
+    s"$base/namespaces/${nsPath(id.namespace)}/tables/${enc(id.name)}"
+
+  private def parseLoadResponse(body: String): TableMetadata = {
+    val n = SchemaJson.parseTree(body)
+    val meta = Option(n.get("metadata")).getOrElse(n)
+    MetadataJson.parse(meta.toString)
+  }
+
+  override def tableExists(id: TableIdentifier): Boolean =
+    send("HEAD", tableUri(id))._1 match {
+      case 200 | 204 => true
+      case _ => false
+    }
+
+  override def dropTable(id: TableIdentifier, purge: Boolean): Unit = {
+    val suffix = if (purge) "?purgeRequested=true" else ""
+    val (code, resp) = send("DELETE", tableUri(id) + suffix)
+    if (code == 404) throw new NoSuchTableException(id.toString)
+    if (code != 204 && code != 200)
+      throw new RuntimeException(s"dropTable: $code $resp")
+  }
+
+  override def renameTable(from: TableIdentifier,
+      to: TableIdentifier): Unit = {
+    def idJson(id: TableIdentifier) =
+      s"""{"namespace": [${id.namespace.map(n => s""""$n"""").mkString(",")}],
+         |"name": "${id.name}"}""".stripMargin
+    expect("POST", s"$base/tables/rename",
+      Some(s"""{"source": ${idJson(from)}, "destination": ${idJson(to)}}"""),
+      Set(200, 204))
+    ()
+  }
+
+  // ------------------------------------------------------------ commit
+
+  override def commitTable(id: TableIdentifier,
+      requirements: Seq[TableRequirement],
+      updates: Seq[TableUpdate]): TableMetadata = {
+    val body =
+      s"""{"requirements": [${requirements.map(reqJson).mkString(",")}],
+         |"updates": [${updates.map(updateJson).mkString(",")}]}""".stripMargin
+    parseLoadResponse(expect("POST", tableUri(id), Some(body), Set(200)))
+  }
+
+  /** Requirement JSON per `catalog/catalog.go:131-203`. */
+  private def reqJson(r: TableRequirement): String = r match {
+    case TableRequirement.AssertCreate =>
+      """{"type": "assert-create"}"""
+    case TableRequirement.AssertTableUuid(u) =>
+      s"""{"type": "assert-table-uuid", "uuid": "$u"}"""
+    case TableRequirement.AssertRefSnapshotId(ref, sid) =>
+      val sidJson = sid.map(_.toString).getOrElse("null")
+      s"""{"type": "assert-ref-snapshot-id", "ref": "$ref", "snapshot-id": $sidJson}"""
+    case TableRequirement.AssertCurrentSchemaId(i) =>
+      s"""{"type": "assert-current-schema-id", "current-schema-id": $i}"""
+    case TableRequirement.AssertLastAssignedFieldId(i) =>
+      s"""{"type": "assert-last-assigned-field-id", "last-assigned-field-id": $i}"""
+    case TableRequirement.AssertDefaultSpecId(i) =>
+      s"""{"type": "assert-default-spec-id", "default-spec-id": $i}"""
+    case TableRequirement.AssertDefaultSortOrderId(i) =>
+      s"""{"type": "assert-default-sort-order-id", "default-sort-order-id": $i}"""
+  }
+
+  /** Update JSON per `catalog/catalog.go:205-280`. */
+  private def updateJson(u: TableUpdate): String = u match {
+    case TableUpdate.AddSnapshot(s) =>
+      s"""{"action": "add-snapshot", "snapshot": ${snapshotJson(s)}}"""
+    case TableUpdate.SetSnapshotRef(name, sid, tpe) =>
+      s"""{"action": "set-snapshot-ref", "ref-name": "$name",
+         |"snapshot-id": $sid, "type": "$tpe"}""".stripMargin
+    case TableUpdate.RemoveSnapshots(ids) =>
+      s"""{"action": "remove-snapshots", "snapshot-ids": [${ids.mkString(",")}]}"""
+    case TableUpdate.RemoveSnapshotRef(name) =>
+      s"""{"action": "remove-snapshot-ref", "ref-name": "$name"}"""
+    case TableUpdate.AddSchema(s, _) =>
+      s"""{"action": "add-schema", "schema": ${s.toJson}}"""
+    case TableUpdate.SetCurrentSchema(i) =>
+      s"""{"action": "set-current-schema", "schema-id": $i}"""
+    case TableUpdate.AddPartitionSpec(s) =>
+      s"""{"action": "add-spec", "spec": ${specJson(s)}}"""
+    case TableUpdate.SetDefaultSpec(i) =>
+      s"""{"action": "set-default-spec", "spec-id": $i}"""
+    case TableUpdate.AddSortOrder(_) | TableUpdate.SetDefaultSortOrder(_) =>
+      s"""{"action": "set-default-sort-order", "sort-order-id": 0}"""
+    case TableUpdate.SetLocation(l) =>
+      s"""{"action": "set-location", "location": "$l"}"""
+    case TableUpdate.SetProperties(m) =>
+      val kvs = m.map { case (k, v) => s""""$k": "$v"""" }.mkString(",")
+      s"""{"action": "set-properties", "updates": {$kvs}}"""
+    case TableUpdate.RemoveProperties(ks) =>
+      s"""{"action": "remove-properties",
+         |"removals": [${ks.map(k => s""""$k"""").mkString(",")}]}""".stripMargin
+  }
+
+  private def snapshotJson(s: Snapshot): String = {
+    // reuse the metadata writer by wrapping in a single-snapshot doc
+    val m = TableMetadata(tableUuid = "x", location = "x",
+      schemas = Seq(Schema(0, Nil)), currentSchemaId = 0,
+      partitionSpecs = Seq(PartitionSpec.unpartitioned))
+      .copy(snapshots = Seq(s))
+    val n = SchemaJson.parseTree(MetadataJson.write(m))
+    n.get("snapshots").get(0).toString
+  }
+
+  private def specJson(s: PartitionSpec): String = {
+    val fields = s.fields.map { f =>
+      s"""{"source-id": ${f.sourceId}, "field-id": ${f.fieldId},
+         |"name": "${f.name}", "transform": "${f.transform.name}"}"""
+        .stripMargin
+    }.mkString(",")
+    s"""{"spec-id": ${s.specId}, "fields": [$fields]}"""
+  }
+}

@@ -196,6 +196,33 @@ object IcebergQueries {
     """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
       |WHERE l_orderkey = 42 ORDER BY l_linenumber""".stripMargin
 
+  /** Schema evolution under the gate: rename + add over committed data,
+    * scan through the field-ID remap. */
+  def i8SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val t = cache.getOrElseUpdate(s"evo:$dir", {
+      val df = s.read.parquet(s"$dir/lineitem.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sfe" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      var tbl = Table.create(cat, TableIdentifier(ns, "lineitem"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io)
+      tbl = TableOps.append(tbl, df)
+      tbl.updateSchema()
+        .renameColumn("l_returnflag", "return_flag")
+        .addColumn("note", graft.spec.StringType)
+        .commit()
+    })
+    Scan(t, s).toDF
+      .groupBy("return_flag")
+      .agg(count(lit(1)).as("n"), count(col("note")).as("n_note"))
+      .orderBy("return_flag")
+  }
+
+  val i8Sql: String =
+    """SELECT l_returnflag AS return_flag, COUNT(*) AS n,
+      |  CAST(0 AS BIGINT) AS n_note
+      |FROM lineitem GROUP BY l_returnflag ORDER BY return_flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -204,6 +231,7 @@ object IcebergQueries {
     "i5_multi_snapshot" -> (i5MultiSnapshot _),
     "i6_partitioned_month" -> (i6PartitionedMonth _),
     "i7_bucket_eq" -> (i7BucketEq _),
+    "i8_schema_evolution" -> (i8SchemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,5 +242,6 @@ object IcebergQueries {
     "i5_multi_snapshot" -> i5Sql,
     "i6_partitioned_month" -> i6Sql,
     "i7_bucket_eq" -> i7Sql,
+    "i8_schema_evolution" -> i8Sql,
   )
 }

@@ -224,7 +224,8 @@ object MetadataJson {
         optNode(f, "null-order").map(_.asText).getOrElse("nulls-first"))))
       .toSeq).getOrElse(Nil))
 
-  private def parseSnapshot(n: JsonNode): Snapshot = Snapshot(
+  /** Public: the REST layer ships snapshots as bare JSON objects. */
+  def parseSnapshot(n: JsonNode): Snapshot = Snapshot(
     snapshotId = n.get("snapshot-id").asLong,
     parentSnapshotId = optNode(n, "parent-snapshot-id").map(_.asLong),
     sequenceNumber = optNode(n, "sequence-number").map(_.asLong).getOrElse(0L),

@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions.{col, lit}
 import graft.spec._
 
 /** One unit of scan work (`table/scan.go:193-199`) — a data file plus
-  * the delete files that apply to it under MoR sequence rules. */
+  * the delete files that apply to it under MoR sequence rules, and the
+  * schema id the file was written under (drives field-ID remapping). */
 final case class FileScanTask(
     file: DataFile,
     sequenceNumber: Long,
     specId: Int,
-    deleteFiles: Seq[DataFile])
+    deleteFiles: Seq[DataFile],
+    schemaId: Int)
 
 /** Fluent scan (`table/scan.go:17-77`): snapshot/as-of/filter/select/
   * limit configure a driver-side plan; execution is a Spark DataFrame.
@@ -61,9 +63,13 @@ class Scan private (
         throw new IllegalArgumentException(s"no snapshot as of $ts"))))
       .orElse(table.currentSnapshot)
 
+  /** Current-snapshot reads use the table's CURRENT schema (so schema
+    * evolution is visible immediately); explicit time travel reads with
+    * the snapshot's own schema — Iceberg's documented behavior. */
   private def schemaForSnapshot(s: Snapshot): Schema =
-    s.schemaId.flatMap(table.metadata.schemaById)
-      .getOrElse(table.schema)
+    if (snapshotId.isDefined || asOfMs.isDefined)
+      s.schemaId.flatMap(table.metadata.schemaById).getOrElse(table.schema)
+    else table.schema
 
   /** Plan files with real pruning (`table/scan.go:101-190` + the stubs
     * of `table/insert.go:255-266` implemented). */
@@ -109,7 +115,7 @@ class Scan private (
             }
           }.map(_.dataFile)
           tasks += FileScanTask(e.dataFile, seq, mf.partitionSpecId,
-            applicable)
+            applicable, manifest.schemaId)
         }
       }
     }
@@ -142,29 +148,59 @@ class Scan private (
 
     // Equality deletes are sequence-scoped: a delete applies only to
     // files with OLDER data sequence numbers, so tasks are grouped by
-    // their applicable equality-delete set and each group is read and
-    // anti-joined independently, then unioned. Position deletes carry
-    // file_path and therefore self-scope — applied once, globally.
-    val groups = tasks.groupBy(_.deleteFiles
+    // their applicable equality-delete set (and by the schema they were
+    // written under — field-ID remap is per write schema) and each group
+    // is read, remapped, and anti-joined independently, then unioned.
+    // Position deletes carry file_path and therefore self-scope.
+    val groups = tasks.groupBy(t => (t.schemaId, t.deleteFiles
       .filter(_.content == FileContent.EqualityDeletes)
-      .map(d => (d.filePath, d.equalityIds)).toSet)
+      .map(d => (d.filePath, d.equalityIds)).toSet))
 
-    val parts = groups.toSeq.map { case (eqSet, groupTasks) =>
+    val parts = groups.toSeq.map { case ((fileSchemaId, eqSet), groupTasks) =>
       val paths = groupTasks.map(_.file.filePath)
-      var df = spark.read.schema(sparkSchema).parquet(paths: _*)
+      val fileSchema = table.metadata.schemaById(fileSchemaId)
+        .getOrElse(schema)
+      val fileSparkSchema =
+        graft.spec.SchemaConverters.toSparkSchema(fileSchema)
       val posDeletes = groupTasks.flatMap(_.deleteFiles)
         .filter(_.content == FileContent.PositionDeletes)
         .map(_.filePath).distinct
-      if (posDeletes.nonEmpty) {
-        // position anti-join on (file, row ordinal) — J2, the read-side
-        // application the reference never wired (table/scan.go:146-149)
-        val withPos = spark.read.schema(sparkSchema).parquet(paths: _*)
-          .withColumn("__file_path", col("_metadata.file_path"))
+
+      var df = spark.read.schema(fileSparkSchema).parquet(paths: _*)
+      // MoR position metadata captured before any projection (J2 — the
+      // read-side application the reference never wired,
+      // table/scan.go:146-149)
+      if (posDeletes.nonEmpty)
+        df = df.withColumn("__file_path", col("_metadata.file_path"))
           .withColumn("__pos", col("_metadata.row_index"))
+
+      // field-ID remap (SURVEY M6 "reads remap by field ID"): each query
+      // column resolves the file column carrying the same ID —
+      // rename-safe; added columns null-fill; dropped columns vanish.
+      if (fileSchemaId != schema.schemaId) {
+        val projected = schema.fields.map { qf =>
+          fileSchema.field(qf.id) match {
+            case Some(ff) =>
+              col(ff.name)
+                .cast(graft.spec.SchemaConverters.toSparkType(qf.fieldType))
+                .as(qf.name)
+            case None =>
+              lit(null)
+                .cast(graft.spec.SchemaConverters.toSparkType(qf.fieldType))
+                .as(qf.name)
+          }
+        }
+        val extras =
+          if (posDeletes.nonEmpty) Seq(col("__file_path"), col("__pos"))
+          else Nil
+        df = df.select(projected ++ extras: _*)
+      }
+
+      if (posDeletes.nonEmpty) {
         val deletes = spark.read.parquet(posDeletes: _*)
           .select(col("file_path").as("__file_path"),
             col("pos").as("__pos"))
-        df = withPos.join(deletes, Seq("__file_path", "__pos"), "left_anti")
+        df = df.join(deletes, Seq("__file_path", "__pos"), "left_anti")
           .drop("__file_path", "__pos")
       }
       eqSet.groupBy(_._2).foreach { case (fieldIds, files) =>

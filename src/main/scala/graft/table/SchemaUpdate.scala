@@ -1,0 +1,66 @@
+package graft.table
+
+import graft.spec._
+
+/** Fluent schema evolution (SURVEY M6; `spec/metadata.go:307-333`,
+  * `table/table.go:197-202`): field IDs are the identity, so renames
+  * keep IDs, adds allocate past `lastColumnId`, and drops remove the
+  * field while old data files remain readable via the scan's field-ID
+  * remap. */
+final class SchemaUpdate(table: Table) {
+  private var fields: Seq[NestedField] = table.schema.fields
+  private var nextId: Int =
+    math.max(table.metadata.lastColumnId, table.schema.highestFieldId)
+
+  def addColumn(name: String, t: IcebergType, required: Boolean = false,
+      doc: Option[String] = None): SchemaUpdate = {
+    require(!fields.exists(_.name == name), s"column $name already exists")
+    nextId += 1
+    fields = fields :+ NestedField(nextId, name, t, required, doc)
+    this
+  }
+
+  def renameColumn(oldName: String, newName: String): SchemaUpdate = {
+    require(fields.exists(_.name == oldName), s"no column $oldName")
+    require(!fields.exists(_.name == newName), s"column $newName exists")
+    fields = fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f)
+    this
+  }
+
+  def dropColumn(name: String): SchemaUpdate = {
+    require(fields.exists(_.name == name), s"no column $name")
+    fields = fields.filterNot(_.name == name)
+    this
+  }
+
+  /** Type promotion (int→long, float→double, decimal widening). */
+  def updateColumnType(name: String, t: IcebergType): SchemaUpdate = {
+    val f = fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    require(isPromotable(f.fieldType, t), s"cannot promote ${f.fieldType} to $t")
+    fields = fields.map(x => if (x.name == name) x.copy(fieldType = t) else x)
+    this
+  }
+
+  private def isPromotable(from: IcebergType, to: IcebergType): Boolean =
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (IntType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (DecimalType(p1, s1), DecimalType(p2, s2)) =>
+        s1 == s2 && p2 >= p1
+      case _ => false
+    }
+
+  def makeOptional(name: String): SchemaUpdate = {
+    fields = fields.map(f =>
+      if (f.name == name) f.copy(required = false) else f)
+    this
+  }
+
+  def commit(): Table =
+    table.newTransaction()
+      .addSchema(Schema(0, fields, table.schema.identifierFieldIds))
+      .commit()
+}

@@ -57,6 +57,7 @@ class Table(
   def newBulkWriter(spark: org.apache.spark.sql.SparkSession,
       maxPendingFiles: Int = 100): BulkWriter =
     new BulkWriter(this, spark, maxPendingFiles)
+  def updateSchema(): SchemaUpdate = new SchemaUpdate(this)
 
   /** Data commit: appended/deleted data files + delete files become one
     * new snapshot via [[SnapshotWriter]], with the commit-conflict retry

@@ -1,0 +1,215 @@
+package graft.catalog
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.spec._
+
+/** RestCatalog client against an in-process HTTP server that translates
+  * the Iceberg REST protocol onto a LocalCatalog (no egress in this
+  * environment, so the server is the test fixture; the CLIENT is the
+  * product — `catalog/rest.go` parity). */
+class RestCatalogSpec extends AnyFunSuite {
+
+  private def withServer(f: (RestCatalog, LocalCatalog) => Unit): Unit = {
+    val backing = new LocalCatalog(
+      Files.createTempDirectory("graft-rest-wh-").toString)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => handle(ex, backing))
+    server.start()
+    try {
+      val cat = new RestCatalog(
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+        token = Some("test-token"))
+      cat.fetchConfig()
+      f(cat, backing)
+    } finally server.stop(0)
+  }
+
+  // ------------------------------------------------- mini REST server
+
+  private def handle(ex: HttpExchange, cat: LocalCatalog): Unit = {
+    def reply(code: Int, body: String = ""): Unit = {
+      val bytes = body.getBytes(UTF_8)
+      if (ex.getRequestMethod == "HEAD") {
+        ex.sendResponseHeaders(code, -1)
+      } else {
+        ex.sendResponseHeaders(code, if (bytes.isEmpty) -1 else bytes.length)
+        if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      }
+      ex.close()
+    }
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    def ns(seg: String): Seq[String] = seg.split('\u001F').toSeq
+    try {
+      val parts = path.stripPrefix("/v1/").split("/").toList
+      (method, parts) match {
+        case ("GET", List("config")) =>
+          reply(200, """{"defaults": {}, "overrides": {}}""")
+        case ("GET", List("namespaces")) =>
+          val arr = cat.listNamespaces().map(n =>
+            n.map(s => s""""$s"""").mkString("[", ",", "]"))
+            .mkString("[", ",", "]")
+          reply(200, s"""{"namespaces": $arr}""")
+        case ("POST", List("namespaces")) =>
+          val n = SchemaJson.parseTree(body)
+          val names = {
+            val it = n.get("namespace").elements()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next().asText
+            b.result()
+          }
+          try { cat.createNamespace(names); reply(200, "{}") }
+          catch { case _: AlreadyExistsException => reply(409) }
+        case ("HEAD", List("namespaces", s)) =>
+          reply(if (cat.namespaceExists(ns(s))) 204 else 404)
+        case ("DELETE", List("namespaces", s)) =>
+          try { cat.dropNamespace(ns(s)); reply(204) }
+          catch { case _: NoSuchNamespaceException => reply(404) }
+        case ("GET", List("namespaces", s, "tables")) =>
+          val ids = cat.listTables(ns(s)).map { id =>
+            s"""{"namespace": ${id.namespace.map(x => s""""$x"""")
+              .mkString("[", ",", "]")}, "name": "${id.name}"}"""
+          }.mkString("[", ",", "]")
+          reply(200, s"""{"identifiers": $ids}""")
+        case ("POST", List("namespaces", s, "tables")) =>
+          val n = SchemaJson.parseTree(body)
+          val schema = SchemaJson.parseSchema(n.get("schema"))
+          val meta = cat.createTable(
+            TableIdentifier(ns(s), n.get("name").asText), schema)
+          reply(200, s"""{"metadata-location": "x", "metadata": ${meta.toJson}}""")
+        case ("GET", List("namespaces", s, "tables", t)) =>
+          try reply(200, s"""{"metadata-location": "x",
+            |"metadata": ${cat.loadTable(TableIdentifier(ns(s), t)).toJson}}"""
+            .stripMargin)
+          catch { case _: NoSuchTableException => reply(404) }
+        case ("HEAD", List("namespaces", s, "tables", t)) =>
+          reply(if (cat.tableExists(TableIdentifier(ns(s), t))) 204 else 404)
+        case ("DELETE", List("namespaces", s, "tables", t)) =>
+          try { cat.dropTable(TableIdentifier(ns(s), t)); reply(204) }
+          catch { case _: NoSuchTableException => reply(404) }
+        case ("POST", List("tables", "rename")) =>
+          val n = SchemaJson.parseTree(body)
+          def id(node: com.fasterxml.jackson.databind.JsonNode) = {
+            val it = node.get("namespace").elements()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next().asText
+            TableIdentifier(b.result(), node.get("name").asText)
+          }
+          cat.renameTable(id(n.get("source")), id(n.get("destination")))
+          reply(204)
+        case ("POST", List("namespaces", s, "tables", t)) =>
+          val n = SchemaJson.parseTree(body)
+          val reqs = {
+            val it = n.get("requirements").elements()
+            val b = Seq.newBuilder[TableRequirement]
+            while (it.hasNext) {
+              val r = it.next()
+              r.get("type").asText match {
+                case "assert-ref-snapshot-id" =>
+                  b += TableRequirement.AssertRefSnapshotId(
+                    r.get("ref").asText,
+                    Option(r.get("snapshot-id"))
+                      .filterNot(_.isNull).map(_.asLong))
+                case _ => ()
+              }
+            }
+            b.result()
+          }
+          val ups = {
+            val it = n.get("updates").elements()
+            val b = Seq.newBuilder[TableUpdate]
+            while (it.hasNext) {
+              val u = it.next()
+              u.get("action").asText match {
+                case "add-snapshot" =>
+                  b += TableUpdate.AddSnapshot(
+                    MetadataJson.parseSnapshot(u.get("snapshot")))
+                case "set-properties" =>
+                  val props = Map.newBuilder[String, String]
+                  val fit = u.get("updates").properties().iterator()
+                  while (fit.hasNext) {
+                    val e = fit.next(); props += e.getKey -> e.getValue.asText
+                  }
+                  b += TableUpdate.SetProperties(props.result())
+                case "set-snapshot-ref" =>
+                  b += TableUpdate.SetSnapshotRef(u.get("ref-name").asText,
+                    u.get("snapshot-id").asLong, u.get("type").asText)
+                case _ => ()
+              }
+            }
+            b.result()
+          }
+          try {
+            val meta = cat.commitTable(TableIdentifier(ns(s), t), reqs, ups)
+            reply(200, s"""{"metadata-location": "x", "metadata": ${meta.toJson}}""")
+          } catch {
+            case e: CommitFailedException => reply(409, e.getMessage)
+          }
+        case _ => reply(404, s"no route: $method $path")
+      }
+    } catch {
+      case e: Exception => reply(500, String.valueOf(e.getMessage))
+    }
+  }
+
+  // ------------------------------------------------------------- tests
+
+  private val schema = Schema(0, Seq(
+    NestedField(1, "id", LongType, required = true),
+    NestedField(2, "name", StringType, required = false)))
+
+  test("namespace + table lifecycle over HTTP") {
+    withServer { (cat, _) =>
+      cat.createNamespace(Seq("db"))
+      assert(cat.namespaceExists(Seq("db")))
+      assert(!cat.namespaceExists(Seq("nope")))
+      intercept[AlreadyExistsException](cat.createNamespace(Seq("db")))
+
+      val id = TableIdentifier(Seq("db"), "t1")
+      val meta = cat.createTable(id, schema)
+      assert(meta.currentSchema.fieldByName("id").isDefined)
+      assert(cat.tableExists(id))
+      assert(cat.listTables(Seq("db")) == Seq(id))
+
+      val loaded = cat.loadTable(id)
+      assert(loaded.tableUuid == meta.tableUuid)
+
+      val id2 = TableIdentifier(Seq("db"), "t2")
+      cat.renameTable(id, id2)
+      assert(cat.tableExists(id2) && !cat.tableExists(id))
+
+      cat.dropTable(id2)
+      intercept[NoSuchTableException](cat.loadTable(id2))
+    }
+  }
+
+  test("commit round-trips snapshots and conflicts map to CommitFailed") {
+    withServer { (cat, _) =>
+      cat.createNamespace(Seq("db"))
+      val id = TableIdentifier(Seq("db"), "t")
+      cat.createTable(id, schema)
+      val snap = Snapshot(7L, None, 1L, 123456789L, "file:///ml.avro",
+        Some(Summary(Operation.Append, Map(Summary.AddedRecords -> 5L))),
+        Some(0))
+      val meta = cat.commitTable(id,
+        Seq(TableRequirement.AssertRefSnapshotId("main", None)),
+        Seq(TableUpdate.AddSnapshot(snap)))
+      assert(meta.currentSnapshotId.contains(7L))
+      assert(meta.snapshotById(7L).flatMap(_.summary)
+        .map(_.counter(Summary.AddedRecords)).contains(5L))
+      // stale requirement now -> 409 -> CommitFailedException
+      intercept[CommitFailedException] {
+        cat.commitTable(id,
+          Seq(TableRequirement.AssertRefSnapshotId("main", None)),
+          Seq(TableUpdate.SetProperties(Map("x" -> "y"))))
+      }
+    }
+  }
+}
