@@ -11,13 +11,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ PredicateQueries.queries ++
-      IcebergQueries.queries ++ MutationQueries.queries
+      IcebergQueries.queries ++ MutationQueries.queries ++
+      OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ PredicateQueries.oracles ++
-      IcebergQueries.oracles ++ MutationQueries.oracles
+      IcebergQueries.oracles ++ MutationQueries.oracles ++
+      OpsQueries.oracles
 
   /** Headline subset Bench.scala times per round (kept separate so the
     * bench isn't diluted by correctness-only micro-queries). */

@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column handling: media travels as an
+  * opaque `binary` column plus typed metadata; decode / feature-extract
+  * / frame-sample run as `mapPartitions` over typed Datasets so each
+  * task amortizes per-batch setup (the JVM analog of a batched Pandas
+  * UDF).
+  *
+  * The actual byte decoding is a clearly-marked STUB — this container
+  * ships no image/audio codecs — but everything Spark-side is real:
+  * schemas, encoders, batch iteration, partition sizing. A production
+  * build swaps `stubDecode*` for a real codec call per batch.
+  */
+object Multimodal {
+
+  /** One media object: id, modality tag, raw bytes, typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      modality: String, // "image" | "audio" | "video"
+      content: Array[Byte],
+      meta: Map[String, String])
+
+  final case class ImageFeatures(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      embedding: Array[Float])
+
+  final case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      duration_ms: Long,
+      mfcc: Array[Float])
+
+  final case class VideoFrame(
+      media_id: Long,
+      frame_index: Int,
+      timestamp_ms: Long,
+      frame_bytes: Array[Byte])
+
+  /** STUB: deterministic pseudo-decode of an image payload. A real
+    * implementation calls the codec ONCE PER BATCH inside
+    * [[decodeImages]]'s mapPartitions. */
+  private def stubDecodeImage(id: Long, bytes: Array[Byte],
+      dim: Int): ImageFeatures = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val rnd = new scala.util.Random(h.toLong ^ id)
+    ImageFeatures(
+      media_id = id,
+      width = 64 + math.abs(h % 1920),
+      height = 64 + math.abs((h / 7) % 1080),
+      channels = 3,
+      embedding = Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+  }
+
+  private def stubDecodeAudio(id: Long,
+      bytes: Array[Byte]): AudioFeatures = {
+    val h = java.util.Arrays.hashCode(bytes)
+    val rnd = new scala.util.Random(h.toLong ^ id)
+    AudioFeatures(id, 16000, math.abs(h % 60000L),
+      Array.fill(13)(rnd.nextFloat()))
+  }
+
+  /** Batched image decode + feature extraction. Partition-level loop so
+    * per-batch state (a real decoder context) initializes once. */
+  def decodeImages(media: Dataset[MediaRow],
+      embeddingDim: Int = 64): Dataset[ImageFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "image").mapPartitions { rows =>
+      // real impl: val decoder = ImageCodec.open()  (once per partition)
+      rows.map(r => stubDecodeImage(r.media_id, r.content, embeddingDim))
+    }
+  }
+
+  def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "audio")
+      .mapPartitions(rows => rows.map(r =>
+        stubDecodeAudio(r.media_id, r.content)))
+  }
+
+  /** Frame sampling: every `everyMs` milliseconds, emit a frame row.
+    * Frame extraction is stubbed (slices of the payload); the fan-out
+    * shape (one row in, many out) is the real contract. */
+  def sampleFrames(media: Dataset[MediaRow],
+      everyMs: Long = 1000L, maxFrames: Int = 16): Dataset[VideoFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      val durationMs = math.abs(
+        java.util.Arrays.hashCode(r.content) % 15000L) + 1000L
+      val n = math.min(maxFrames, (durationMs / everyMs).toInt + 1)
+      (0 until n).map { i =>
+        val ts = i * everyMs
+        val start = ((ts.toDouble / durationMs) * r.content.length).toInt
+        val end = math.min(r.content.length, start + 256)
+        VideoFrame(r.media_id, i, ts,
+          java.util.Arrays.copyOfRange(r.content, start, math.max(start, end)))
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table for tests/benchmarks. */
+  def syntheticMedia(spark: SparkSession, n: Int,
+      payloadBytes: Int = 4096): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val modality = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val rnd = new scala.util.Random(i)
+      val bytes = new Array[Byte](payloadBytes)
+      rnd.nextBytes(bytes)
+      MediaRow(i, modality, bytes,
+        Map("source" -> s"src${i % 5}", "len" -> payloadBytes.toString))
+    }
+  }
+
+  /** Size-aware repartition: media payloads are orders of magnitude
+    * bigger than metadata rows, so partition count derives from total
+    * payload bytes, not row count — keeps executor memory bounded at
+    * 100 TB. */
+  def repartitionBySize(df: DataFrame, contentCol: String = "content",
+      targetBytesPerPartition: Long = 128L * 1024 * 1024): DataFrame = {
+    val total = df.agg(sum(length(col(contentCol)))).head.getLong(0)
+    val parts = math.max(1, (total / targetBytesPerPartition).toInt)
+    df.repartition(parts)
+  }
+}

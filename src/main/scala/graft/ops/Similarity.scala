@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (`Array[Float]`).
+  *
+  * Scale design: the brute-force path is a broadcast of the (small)
+  * query set against a full corpus scan — one pass, no shuffle of the
+  * corpus. The LSH path buckets the corpus by random-hyperplane
+  * signature so each query probes one bucket (plus multi-probe
+  * neighbors); the IVF path clusters with KMeans and probes the nearest
+  * `nprobe` centroids — both cut the candidate set by orders of
+  * magnitude before the exact re-rank.
+  */
+object Similarity {
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double via an in-order fold (deterministic across engines). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0),
+      (acc, v) => acc + v.cast("double") * v.cast("double")))
+    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
+  }
+
+  /** Exact top-k neighbors of each query vector (brute force — the
+    * correctness baseline). Queries are broadcast; the corpus is
+    * scanned once. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "nid", "rank", "score")
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * a fixed hash mapped to [-1, 1]. Pure built-ins — reproducible. */
+  private def planeComponent(plane: Column, dim: Column,
+      seed: Long): Column =
+    (pmod(xxhash64(plane, dim, lit(seed)), lit(2000001L)).cast("double")
+      / 1000000.0) - 1.0
+
+  /** Random-hyperplane LSH signature: one sign bit per plane packed
+    * into a long. Same-signature vectors are cosine-close with high
+    * probability. */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") * planeComponent(lit(p), i, seed)),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN via hyperplane LSH: candidates share the query's bucket (or a
+    * bucket within `multiProbe` flipped bits), then exact cosine
+    * re-ranks. Recall rises with fewer planes / more probes. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 12, multiProbe: Int = 1, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+      .withColumn("__bucket", hyperplaneSignature(col("__cv"), planes, seed))
+    val probes = (0 until planes).map(b => lit(1L << b))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .withColumn("__sig", hyperplaneSignature(col("__qv"), planes, seed))
+      .withColumn("__probe",
+        explode(array((lit(0L) +: (if (multiProbe > 0) probes else Nil)): _*)))
+      .withColumn("__bucket", col("__sig").bitwiseXOR(col("__probe")))
+      .select("qid", "__qv", "__bucket")
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("nid").asc)
+    scored.select("qid", "nid", "score").distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** ANN via IVF (inverted file): KMeans centroids (Spark ML, fixed
+    * seed), corpus partitioned by nearest centroid, queries probe the
+    * `nprobe` nearest centroids, exact cosine re-rank inside. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 2, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+      .withColumn("__features", array_to_vector(
+        col("__cv").cast("array<double>")))
+    val km = new KMeans().setK(nCentroids).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+    val model = km.fit(c)
+    val assigned = model.transform(c).select("nid", "__cv", "__cell")
+
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+    val qCells = q.crossJoin(broadcast(centroids))
+      .withColumn("__cscore", cosine(col("__qv"), col("__centroid")))
+    val wq = Window.partitionBy("qid")
+      .orderBy(col("__cscore").desc, col("__cell").asc)
+    val probed = qCells.withColumn("__cr", row_number().over(wq))
+      .where(col("__cr") <= nprobe)
+      .select("qid", "__qv", "__cell")
+
+    val scored = assigned.join(broadcast(probed), Seq("__cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("nid").asc)
+    scored.select("qid", "nid", "score").distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

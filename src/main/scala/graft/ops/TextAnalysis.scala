@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All column expressions are built from `functions._` (codegen'd, no
+  * UDFs in the hot path) so they stay inside WholeStageCodegen and
+  * scale linearly with executors — no shuffle for any per-row metric.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count, robust to empty/blank strings. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** BPE-ish token count: word pieces + standalone punctuation
+    * (`\w+` or single non-space-non-word chars). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+      .cast("long")
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLength(text: Column): Column = {
+    val n = tokenCount(text)
+    val chars = length(regexp_replace(trim(text), "\\s+", ""))
+    when(n === 0, lit(0.0)).otherwise(chars.cast("double") / n)
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise(
+        (length(text) - length(regexp_replace(text,
+          "[!-/:-@\\[-`{-~]", ""))).cast("double") / length(text))
+
+  private val stopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  /** Fraction of tokens that are (English) stopwords — a standard
+    * quality signal for web-scraped corpora. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => t.isInCollection(stopwords))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(size(stops).cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0, 1]: length sweet-spot, some
+    * stopwords, not all punctuation. Heuristic, deterministic. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
+  }
+
+  /** Canonical whitespace-normalized lowercase form. */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Deterministic document fingerprint: md5 of the normalized text —
+    * reproducible by any engine (used as the dedup key). */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** 64-bit rolling-hash fingerprint (xxhash64 of normalized text) for
+    * cheap joins; not portable to other engines (rows-only checks). */
+  def fingerprint64(text: Column): Column = xxhash64(normalized(text))
+
+  /** Character n-gram language ID over stopword/char profiles.
+    * Deterministic heuristic: scores each candidate language by hits of
+    * its most-frequent function words; ties break lexicographically. */
+  def langId(text: Column): Column = {
+    val profiles: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht ", " das "),
+      "en" -> Seq(" the ", " and ", " of ", " is ", " not ", " that "),
+      "es" -> Seq(" el ", " la ", " que ", " de ", " y ", " los "),
+      "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
+      "zh" -> Seq("的", "是", "了", "在", "和", "不"))
+    val padded = concat(lit(" "), normalized(text), lit(" "))
+    val scored = profiles.map { case (lang, markers) =>
+      val score = markers.map(m =>
+        when(padded.contains(m), 1).otherwise(0))
+        .reduce(_ + _)
+      struct(score.as("score"), lit(lang).as("lang"))
+    }
+    // max score, ties -> lexicographically first language
+    val best = array(scored: _*)
+    val maxScore = array_max(transform(best, s => s.getField("score")))
+    val winners = filter(best, s => s.getField("score") === maxScore)
+    when(maxScore === 0, lit("unknown"))
+      .otherwise(array_min(transform(winners, s => s.getField("lang"))))
+  }
+
+  /** One-call document profile. */
+  def profile(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_tokens_bpeish", bpeishTokenCount(t))
+      .withColumn("mean_token_len", meanTokenLength(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+      .withColumn("lang_pred", langId(t))
+  }
+}

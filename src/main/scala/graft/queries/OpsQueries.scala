@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** LLM-pipeline operators over the documents/embeddings testdata, each
+  * under the driver gate. SQL-expressible ops carry DuckDB oracles;
+  * the LSH/IVF/minhash families are oracle-free (rows-only driver
+  * check) but recall-tested against the exact baseline in OpsSpec.
+  */
+object OpsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // -------------------------------------------------- d1 exact dedup
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  val d1Sql: String =
+    """SELECT d.lang, COUNT(*) AS n
+      |FROM documents d
+      |JOIN (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+      |             MIN(doc_id) AS keep
+      |      FROM documents GROUP BY 1) k
+      |  ON d.doc_id = k.keep
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
+  // -------------------------------------------------- d2 token stats
+  def d2TextStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        round(TextAnalysis.meanTokenLength(col("text")), 6)
+          .as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  val d2Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_measured,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |       ELSE round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+      |            / len(string_split_regex(trim(text), '\s+')), 6) END
+      |    AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ d3 fingerprints
+  def d3Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("fp")).as("n_unique"))
+      .orderBy("source")
+
+  val d3Sql: String =
+    """SELECT source, COUNT(*) AS n,
+      |  COUNT(DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+      |    AS n_unique
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // ----------------------------------------- d4 language ID (no SQL)
+  def d4LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("lang_pred", TextAnalysis.langId(col("text")))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  // --------------------------------------- d5 quality score (no SQL)
+  def d5Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .groupBy((floor(col("q") * 10) / 10).as("quality_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("quality_bucket")
+
+  // ----------------------------------- d6 minhash near-dedup (no SQL)
+  def d6MinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val kept = Dedup.minhashDedup(docs, numHashes = 32, bands = 8,
+      threshold = 0.7)
+    kept.groupBy("lang").agg(count(lit(1)).as("n_kept")).orderBy("lang")
+  }
+
+  // -------------------------------------- d7 simhash near-dup pairs
+  def d7SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val edges = Dedup.simhashEdges(t(s, dir, "documents"), maxHamming = 3)
+    edges.agg(count(lit(1)).as("n_pairs"))
+  }
+
+  // -------------------------------------------- e1 exact ANN (oracle)
+  /** Rank-only output: scores are float-order-sensitive across engines,
+    * ranks are not (ties broken by id). */
+  def e1AnnBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 5)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val e1Sql: String =
+    """SELECT qid, nid, rank FROM (
+      |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(e.embedding AS DOUBLE[])) DESC,
+      |               e.vec_id ASC) AS rank
+      |  FROM embeddings q, embeddings e
+      |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) sub
+      |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+
+  // ------------------------------------------- e2 LSH ANN (no SQL)
+  def e2AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+      planes = 5, multiProbe = 1)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  // ------------------------------------------- e3 IVF ANN (no SQL)
+  def e3AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3), k = 5,
+      nCentroids = 8, nprobe = 4)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  // ----------------------------- e4 embedding near-dup edges (no SQL)
+  def e4EmbeddingDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Dedup.embeddingEdges(emb, planes = 8, threshold = 0.9)
+      .agg(count(lit(1)).as("n_near_dup_pairs"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_dedup_exact" -> (d1DedupExact _),
+    "d2_text_stats" -> (d2TextStats _),
+    "d3_fingerprint" -> (d3Fingerprint _),
+    "d4_lang_id" -> (d4LangId _),
+    "d5_quality" -> (d5Quality _),
+    "d6_minhash_dedup" -> (d6MinhashDedup _),
+    "d7_simhash_pairs" -> (d7SimhashPairs _),
+    "e1_ann_bruteforce" -> (e1AnnBruteforce _),
+    "e2_ann_lsh" -> (e2AnnLsh _),
+    "e3_ann_ivf" -> (e3AnnIvf _),
+    "e4_embedding_dedup" -> (e4EmbeddingDedup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d1_dedup_exact" -> d1Sql,
+    "d2_text_stats" -> d2Sql,
+    "d3_fingerprint" -> d3Sql,
+    "e1_ann_bruteforce" -> e1Sql,
+  )
+}

@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("token counting handles blanks and whitespace runs") {
+    val df = Seq((1L, "one two  three"), (2L, ""), (3L, "   "),
+      (4L, "single")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("bpe-ish tokens split punctuation") {
+    val df = Seq((1L, "hello, world! it's x2")).toDF("doc_id", "text")
+    // hello , world ! it ' s x2  -> 8
+    assert(df.select(TextAnalysis.bpeishTokenCount(col("text")))
+      .head.getLong(0) == 8L)
+  }
+
+  test("langId picks obvious languages, unknown on gibberish") {
+    val df = Seq(
+      (1L, "the cat is on the mat and that is fine"),
+      (2L, "le chat est sur le tapis et les chiens"),
+      (3L, "der hund ist nicht der beste und die katze"),
+      (4L, "el perro que corre y la casa de los gatos"),
+      (5L, "qqq zzz xxx")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en"); assert(got(2L) == "fr")
+    assert(got(3L) == "de"); assert(got(4L) == "es")
+    assert(got(5L) == "unknown")
+  }
+
+  test("fingerprint is whitespace/case insensitive") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"),
+      (3L, "different")).toDF("doc_id", "text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text")))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again today"), // near dup of 1
+    (4L, "completely different content about spark query engines"),
+    (5L, "  The Quick  Brown fox jumps over the lazy dog again today")) // ws/case dup of 1
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per normalized text") {
+    val kept = Dedup.exact(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash edges find near-dups, not unrelated docs") {
+    val edges = Dedup.minhashEdges(docs, "text", "doc_id",
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((1L, 2L)))
+    assert(edges.contains((1L, 3L)) || edges.contains((3L, 5L)) ||
+      edges.contains((2L, 3L)))
+    assert(!edges.exists(e => e._1 == 4L || e._2 == 4L),
+      s"doc 4 is unrelated: $edges")
+  }
+
+  test("minhashDedup collapses the near-dup cluster to min id") {
+    val kept = Dedup.minhashDedup(docs, numHashes = 32, bands = 16,
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L), s"cluster {1,2,3,5} -> 1, plus 4: $kept")
+  }
+
+  test("connected components labels transitive clusters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("id")
+    val comps = Dedup.connectedComponents(edges, ids)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(4L) == 4L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+  }
+
+  test("simhash: identical docs hamming 0, near dups small, far apart big") {
+    val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) <= 12)
+    assert(ham(fp(1L), fp(4L)) > 12)
+  }
+
+  test("jaccard built-in") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("a", "b")
+    assert(df.select(Dedup.jaccard(col("a"), col("b"))).head.getDouble(0)
+      == 0.5)
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine matches manual computation") {
+    val df = Seq((Seq(1f, 0f, 0f), Seq(0f, 1f, 0f)),
+      (Seq(1f, 1f, 0f), Seq(1f, 1f, 0f)),
+      (Seq(1f, 0f, 0f), Seq(-1f, 0f, 0f))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    assert(got(0) == 0.0)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+    assert(got(2) == -1.0)
+  }
+
+  /** Deterministic clustered vectors: 4 clusters of 25, dim 16. */
+  private def clustered: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    (0 until 100).map { i =>
+      val c = centers(i % 4)
+      val v = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("brute force top-k finds same-cluster neighbors") {
+    val df = clustered
+    val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0),
+      k = 10)
+    val nids = top.select("nid").collect().map(_.getLong(0))
+    assert(nids.length == 10)
+    assert(nids.forall(_ % 4 == 0), s"cluster 0 members only: ${nids.toSeq}")
+  }
+
+  test("LSH top-k recall >= 0.6 vs brute force on clustered data") {
+    val df = clustered
+    val qs = df.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(df, qs, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(df, qs, k = 5, planes = 8,
+      multiProbe = 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall $recall")
+  }
+
+  test("IVF top-k recall >= 0.8 with nprobe=2 on clustered data") {
+    val df = clustered
+    val qs = df.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(df, qs, k = 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(df, qs, k = 5, nCentroids = 4,
+      nprobe = 2)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("image decode plumbing: schema, determinism, modality filter") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val feats = Multimodal.decodeImages(media, embeddingDim = 8)
+    val rows = feats.collect()
+    assert(rows.length == 10, "every 3rd synthetic row is an image")
+    assert(rows.forall(_.embedding.length == 8))
+    assert(rows.forall(r => r.width >= 64 && r.height >= 64))
+    // deterministic across runs
+    val again = Multimodal.decodeImages(
+      Multimodal.syntheticMedia(spark, 30), embeddingDim = 8).collect()
+    assert(rows.sortBy(_.media_id).map(_.embedding.toSeq).toSeq ==
+      again.sortBy(_.media_id).map(_.embedding.toSeq).toSeq)
+  }
+
+  test("video frame sampling fans out rows") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, everyMs = 1000L,
+      maxFrames = 4)
+    val byId = frames.collect().groupBy(_.media_id)
+    assert(byId.nonEmpty)
+    assert(byId.values.forall(f => f.length >= 1 && f.length <= 4))
+    assert(byId.values.forall(_.map(_.frame_index).toSeq.sorted ==
+      (0 until byId(byId.keySet.head).length).toSeq ||
+      byId.values.forall(_.nonEmpty)))
+  }
+
+  test("audio features extracted with fixed mfcc width") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val audio = Multimodal.extractAudioFeatures(media).collect()
+    assert(audio.length == 10)
+    assert(audio.forall(_.mfcc.length == 13))
+  }
+
+  test("size-aware repartition scales with payload bytes") {
+    val media = Multimodal.syntheticMedia(spark, 64,
+      payloadBytes = 1024 * 1024).toDF()
+    val parts = Multimodal.repartitionBySize(media,
+      targetBytesPerPartition = 8L * 1024 * 1024)
+    assert(parts.rdd.getNumPartitions == 8)
+  }
+}
