@@ -26,5 +26,6 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q2_filter_project", "q3_topk_orders",
     "q4_segment_revenue", "q5_nation_revenue", "q6_forecast_revenue",
-    "q9_window_rank", "q13_events_hourly")
+    "q9_window_rank", "q13_events_hourly",
+    "d1_dedup_exact", "d6_minhash_dedup", "e1_ann_bruteforce")
 }

@@ -107,14 +107,16 @@ object CoreQueries {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- q4
-  /** 3-way join + agg. customer is the smallest side -> broadcast;
-    * lineitem-orders co-shuffle on the order key. */
+  /** 3-way join + agg. customer/orders scale with SF, so the broadcast
+    * decision is left to Catalyst+AQE (auto-broadcasts under the
+    * threshold, sort-merge above it) — a forced hint would OOM at
+    * 100 TB. lineitem-orders co-shuffle on the order key. */
   def q4SegmentRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
     val c = t(s, dir, "customer")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(
         dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
@@ -132,9 +134,10 @@ object CoreQueries {
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
   // ---------------------------------------------------------------- q5
-  /** TPC-H Q5-style 6-way star join. All dimension sides (supplier,
-    * nation, region, customer) broadcast; only the lineitem-orders join
-    * shuffles. At 1000 executors this is one shuffle of the fact table. */
+  /** TPC-H Q5-style 6-way star join. Only the BOUNDED dims (nation: 25
+    * rows, region: 5) get explicit broadcast hints — supplier/customer/
+    * orders grow with SF, so their strategy is Catalyst+AQE's call
+    * (auto-broadcast under threshold, shuffle join at 100 TB). */
   def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val o = t(s, dir, "orders")
@@ -143,8 +146,8 @@ object CoreQueries {
     val n = t(s, dir, "nation")
     val r = t(s, dir, "region")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

@@ -120,10 +120,13 @@ object Mutations {
     val scan = keyPrune.foldLeft(Scan(table, spark))(_ filter _)
     val candidates = scan.planFiles().map(_.file.filePath)
 
+    // broadcast the key set only when provably small (we counted it);
+    // a forced broadcast of an unbounded incoming side would OOM
+    val keySide = if (keyPrune.isDefined) broadcast(keysDf) else keysDf
     val survivors =
       if (candidates.isEmpty) None
       else Some(readFiles(table, spark, candidates)
-        .join(broadcast(keysDf), keyColumns, "left_anti"))
+        .join(keySide, keyColumns, "left_anti"))
 
     val merged = survivors match {
       case Some(s) => s.unionByName(incomingAligned)
