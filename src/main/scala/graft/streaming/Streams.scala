@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.table.{PendingSnapshot, PartitionedWriter, Table}
+import graft.spec.Operation
+
+/** Structured Streaming surface (engine capability beyond the
+  * reference, whose closest analog is BulkWriter micro-batching —
+  * `table/insert.go:370-461`, SURVEY §2.9).
+  */
+object Streams {
+
+  /** Iceberg sink for `writeStream.foreachBatch`: each micro-batch
+    * commits one append snapshot (exactly the one-snapshot-per-batch
+    * shape of the reference's BulkWriter, made transactional). The
+    * returned handle tracks the evolving table. */
+  final class IcebergStreamSink(initial: Table) extends Serializable {
+    @volatile private var tableRef: Table = initial
+
+    /** The foreachBatch function: append the batch, commit, advance. */
+    def addBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
+      if (!batch.isEmpty) {
+        val files = PartitionedWriter.writeDataFiles(tableRef.metadata, batch)
+        tableRef = tableRef.commitSnapshot(PendingSnapshot(Operation.Append,
+          addedDataFiles = files))
+      }
+    }
+
+    def table: Table = tableRef
+  }
+
+  def icebergSink(table: Table): IcebergStreamSink =
+    new IcebergStreamSink(table)
+
+  /** Watermarked tumbling-window rollup: the streaming analog of the
+    * q13 batch query. `events` must carry an event-time column. */
+  def windowedRollup(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "event_type", valueCol: String = "value",
+      window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
+
+  /** Session state for the stateful-op example. */
+  final case class UserSession(userId: Long, nEvents: Long,
+      totalValue: Double, lastTs: Long)
+  final case class SessionUpdate(userId: Long, nEvents: Long,
+      totalValue: Double, closed: Boolean)
+
+  /** Custom per-key state via flatMapGroupsWithState — the
+    * KeyValueGroupedDataset state machinery. Default is NoTimeout so
+    * `processAllAvailable` settles (ProcessingTimeTimeout keeps
+    * scheduling timer batches and never quiesces); pass `withTimeout =
+    * true` for session expiry in a continuously-running deployment. */
+  def sessionize(events: Dataset[(Long, Double, Long)],
+      withTimeout: Boolean = false): Dataset[SessionUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf) {
+        (userId: Long, rows: Iterator[(Long, Double, Long)],
+         state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(userId, s.nEvents, s.totalValue,
+              closed = true))
+          } else {
+            val buffered = rows.toSeq
+            val prev = state.getOption
+              .getOrElse(UserSession(userId, 0L, 0.0, 0L))
+            val next = UserSession(
+              userId,
+              prev.nEvents + buffered.size,
+              prev.totalValue + buffered.map(_._2).sum,
+              math.max(prev.lastTs, buffered.map(_._3).maxOption
+                .getOrElse(0L)))
+            state.update(next)
+            if (withTimeout) state.setTimeoutDuration("30 seconds")
+            Iterator(SessionUpdate(userId, next.nEvents, next.totalValue,
+              closed = false))
+          }
+      }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.streaming
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkTestSession
+import graft.catalog.{LocalCatalog, TableIdentifier}
+import graft.io.HadoopFileIO
+import graft.spec._
+import graft.table._
+
+class StreamsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val eventSchema = Schema(0, Seq(
+    NestedField(1, "event_id", LongType, required = true),
+    NestedField(2, "user_id", LongType, required = true),
+    NestedField(3, "value", DoubleType, required = true)))
+
+  test("foreachBatch Iceberg sink: one snapshot per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val table = Table.create(cat, TableIdentifier(Seq("db"), "events"),
+      eventSchema, io = new HadoopFileIO())
+    val sink = Streams.icebergSink(table)
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = input.toDF()
+      .toDF("event_id", "user_id", "value")
+      .writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.addBatch(df, id))
+      .start()
+    try {
+      input.addData((1L, 10L, 1.5), (2L, 10L, 2.5))
+      q.processAllAvailable()
+      input.addData((3L, 11L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val t = sink.table
+    assert(t.metadata.snapshots.size == 2,
+      s"one snapshot per non-empty batch: ${t.metadata.snapshots.size}")
+    assert(Scan(t, spark).count() == 3)
+    assert(Scan(t, spark).toDF.agg(sum("value")).head.getDouble(0) == 7.0)
+    // time travel into the stream's history
+    val first = t.metadata.snapshots.head
+    assert(Scan(t, spark).useSnapshot(first.snapshotId).toDF.count() == 2)
+  }
+
+  test("watermarked tumbling-window rollup over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = Streams.windowedRollup(events, window_ = "1 minute",
+      watermark = "5 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("rollup").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:10")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:40")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-01 00:01:10")
+      input.addData((t0, "click", 1.0), (t1, "click", 2.0),
+        (t2, "click", 4.0), (t1, "view", 8.0))
+      q.processAllAvailable()
+      val out = spark.table("rollup")
+        .select(col("window.start"), col("event_type"), col("n"),
+          col("total_value"))
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSet
+      assert(out == Set(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 00:01:00.0", "click", 1L, 4.0),
+        ("2024-01-01 00:00:00.0", "view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization accumulates per-user state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, Long)]
+    val updates = Streams.sessionize(input.toDS())
+    val q = updates.writeStream.outputMode("update")
+      .format("memory").queryName("sessions").start()
+    try {
+      input.addData((10L, 1.0, 100L), (10L, 2.0, 200L), (11L, 5.0, 150L))
+      q.processAllAvailable()
+      input.addData((10L, 3.0, 300L))
+      q.processAllAvailable()
+      val latest = spark.table("sessions")
+        .groupBy("userId")
+        .agg(max("nEvents").as("n"), max("totalValue").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(latest(10L) == (3L, 6.0), "state carried across batches")
+      assert(latest(11L) == (1L, 5.0))
+    } finally q.stop()
+  }
+}
