@@ -98,25 +98,9 @@ object Transforms extends Serializable {
     case Transform.Hour =>
       floor(unix_timestamp(source).cast("long") / lit(3600L)).cast("int")
     case Transform.Bucket(n) =>
-      // typed per source type: udf needs a concrete input encoder
-      def b(v: Any): Integer =
-        if (v == null) null
-        else bucketHash(coerceFromSpark(v, sourceType), sourceType)
-          .map(h => Int.box((h & Int.MaxValue) % n)).orNull
-      val f = sourceType match {
-        case IntType => udf((v: java.lang.Integer) => b(v))
-        case LongType => udf((v: java.lang.Long) => b(v))
-        case StringType => udf((v: String) => b(v))
-        case DateType => udf((v: java.sql.Date) => b(v))
-        case TimestampTzType => udf((v: java.sql.Timestamp) => b(v))
-        case TimestampType => udf((v: java.time.LocalDateTime) => b(v))
-        case DecimalType(_, _) => udf((v: java.math.BigDecimal) => b(v))
-        case BinaryType | UUIDType | FixedType(_) =>
-          udf((v: Array[Byte]) => b(v))
-        case other => throw new IllegalArgumentException(
-          s"bucket transform unsupported for $other")
-      }
-      f(source)
+      // native Catalyst expression with codegen (graft.functions) —
+      // stays inside WholeStageCodegen, unlike a Scala UDF
+      graft.functions.IcebergFunctions.icebergBucket(source, n)
     case Transform.Truncate(w) => sourceType match {
       case StringType => substring(source, 1, w)
       case _ => source - pmod(source, lit(w))

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal shim into the `private[sql]` Column↔Expression converters
+  * (Spark 4 moved Column onto ColumnNode, hiding the Expression
+  * constructor). Lives under org.apache.spark.sql so the package-private
+  * access resolves — the standard extension-library technique. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
