@@ -358,6 +358,23 @@ object CoreQueries {
       |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- q18
+  /** ROLLUP grouping sets (engine surplus over the reference's
+    * aggregation-free surface — SURVEY §2.4). */
+  def q18Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q18Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -376,6 +393,7 @@ object CoreQueries {
     "q15_between" -> (q15Between _),
     "q16_customers_no_orders" -> (q16CustomersNoOrders _),
     "q17_parts_ordered" -> (q17PartsOrdered _),
+    "q18_rollup" -> (q18Rollup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -396,5 +414,6 @@ object CoreQueries {
     "q15_between" -> q15Sql,
     "q16_customers_no_orders" -> q16Sql,
     "q17_parts_ordered" -> q17Sql,
+    "q18_rollup" -> q18Sql,
   )
 }

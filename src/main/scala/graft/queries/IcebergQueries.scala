@@ -223,6 +223,49 @@ object IcebergQueries {
       |  CAST(0 AS BIGINT) AS n_note
       |FROM lineitem GROUP BY l_returnflag ORDER BY return_flag""".stripMargin
 
+  /** events through the engine: the ns-timestamp source converts to the
+    * engine's µs at ingest (SURVEY §7 risk 5) and rolls up by hour. */
+  def i9EventsIngest(s: SparkSession, dir: String): DataFrame = {
+    val t = cache.getOrElseUpdate(s"ev:$dir", {
+      val df = CoreQueries.events(s, dir) // ns-as-long -> µs timestamps
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sfv" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      val tbl = Table.create(cat, TableIdentifier(ns, "events"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io)
+      TableOps.append(tbl, df)
+    })
+    Scan(t, s).toDF
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "hour")
+  }
+
+  val i9Sql: String =
+    """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Compaction is content-preserving: compact the multi-snapshot
+    * lineitem table into target-size files, then scan — the oracle is
+    * the ORIGINAL table (identity up to row order). */
+  def i10Compaction(s: SparkSession, dir: String): DataFrame = {
+    val t = cache.getOrElseUpdate(s"cmp:$dir", {
+      val (two, _) = lineitemTwoSnaps(s, dir)
+      Maintenance.compactDataFiles(two, s, targetFileSizeBytes = 8L * 1024 * 1024)
+    })
+    Scan(t, s).toDF
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val i10Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -232,6 +275,8 @@ object IcebergQueries {
     "i6_partitioned_month" -> (i6PartitionedMonth _),
     "i7_bucket_eq" -> (i7BucketEq _),
     "i8_schema_evolution" -> (i8SchemaEvolution _),
+    "i9_events_ingest" -> (i9EventsIngest _),
+    "i10_compaction" -> (i10Compaction _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +288,7 @@ object IcebergQueries {
     "i6_partitioned_month" -> i6Sql,
     "i7_bucket_eq" -> i7Sql,
     "i8_schema_evolution" -> i8Sql,
+    "i9_events_ingest" -> i9Sql,
+    "i10_compaction" -> i10Sql,
   )
 }

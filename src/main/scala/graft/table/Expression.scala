@@ -29,6 +29,27 @@ sealed trait Expr {
   def or(other: Expr): Expr = Expr.or(this, other)
   def unary_! : Expr = Not(this)
 
+  /** Rewrite every leaf's column name (used for case-insensitive
+    * resolution against a schema). */
+  def mapColumns(f: String => String): Expr = this match {
+    case And(cs) => And(cs.map(_.mapColumns(f)))
+    case Or(cs) => Or(cs.map(_.mapColumns(f)))
+    case Not(c) => Not(c.mapColumns(f))
+    case Eq(c, v) => Eq(f(c), v)
+    case NotEq(c, v) => NotEq(f(c), v)
+    case Lt(c, v) => Lt(f(c), v)
+    case Lte(c, v) => Lte(f(c), v)
+    case Gt(c, v) => Gt(f(c), v)
+    case Gte(c, v) => Gte(f(c), v)
+    case In(c, vs) => In(f(c), vs)
+    case NotIn(c, vs) => NotIn(f(c), vs)
+    case IsNull(c) => IsNull(f(c))
+    case NotNull(c) => NotNull(f(c))
+    case StartsWith(c, p) => StartsWith(f(c), p)
+    case NotStartsWith(c, p) => NotStartsWith(f(c), p)
+    case other => other
+  }
+
   /** Column names referenced anywhere in this predicate
     * (`table/expression.go:435-458`). */
   def referencedColumns: Set[String] = this match {

@@ -1,0 +1,94 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+
+import graft.avro.ManifestAvro
+import graft.spec._
+
+/** Table maintenance: small-file compaction and snapshot expiry with
+  * orphan-file GC (SURVEY M8 "+ orphan-file GC (stretch)"). At 100 TB
+  * these are the operations that keep scan planning O(live files) and
+  * storage bounded; both are metadata-driven — no full-table listing.
+  */
+object Maintenance {
+
+  /** Bin-pack compaction: rewrite the current live file set into
+    * ~targetFileSizeBytes files (one replace snapshot). The read is one
+    * Spark job over the live files; partitioned tables recompute their
+    * partition columns through the normal partitioned write. */
+  def compactDataFiles(table: Table, spark: SparkSession,
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): Table = {
+    val tasks = Scan(table, spark).planFiles()
+    if (tasks.isEmpty) return table
+    val totalBytes = tasks.map(_.file.fileSizeInBytes).sum
+    val totalRecords = tasks.map(_.file.recordCount).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileSizeBytes - 1)
+      / targetFileSizeBytes)
+    val recordsPerFile = math.max(1L, totalRecords / nFiles)
+    // read through the scan (applies MoR deletes, so compaction also
+    // absorbs delete files into the rewritten data)
+    val df = Scan(table, spark).toDF
+    val newFiles = {
+      val spec = table.spec
+      if (spec.isUnpartitioned)
+        DataWriter.writeDataFiles(table.metadata,
+          df.repartition(nFiles.toInt), maxRecordsPerFile = recordsPerFile)
+      else PartitionedWriter.writeDataFiles(table.metadata, df)
+    }
+    val removed = tasks.map(_.file.filePath).toSet ++
+      tasks.flatMap(_.deleteFiles.map(_.filePath))
+    table.commitSnapshot(PendingSnapshot(Operation.Replace,
+      addedDataFiles = newFiles, deletedFilePaths = removed))
+  }
+
+  /** All storage paths reachable from a snapshot: its manifest list,
+    * manifests, and every referenced data/delete file. */
+  private def reachableFrom(table: Table,
+      snapshots: Seq[Snapshot]): Set[String] = {
+    val paths = Set.newBuilder[String]
+    snapshots.foreach { s =>
+      if (s.manifestList.nonEmpty) {
+        paths += s.manifestList
+        val manifests = ManifestAvro.readManifestList(
+          table.io.readAllBytes(s.manifestList))
+        manifests.foreach { mf =>
+          paths += mf.manifestPath
+          ManifestAvro.readManifest(table.io.readAllBytes(mf.manifestPath))
+            .entries.foreach(e => paths += e.dataFile.filePath)
+        }
+      }
+    }
+    paths.result()
+  }
+
+  /** Expire snapshots older than `olderThanMs` (always keeping the
+    * current one and at least `retainLast`), then delete every file
+    * reachable ONLY from the expired snapshots. Deletion happens after
+    * the metadata commit, so a crash leaves orphans (safe), never
+    * dangling references. */
+  def expireSnapshots(table: Table, olderThanMs: Long,
+      retainLast: Int = 1): Table = {
+    val current = table.currentSnapshot.map(_.snapshotId).toSet
+    val ordered = table.metadata.snapshots.sortBy(_.timestampMs)
+    val retained = ordered.takeRight(math.max(retainLast, 1))
+      .map(_.snapshotId).toSet ++ current
+    val expired = ordered.filter(s =>
+      s.timestampMs < olderThanMs && !retained.contains(s.snapshotId))
+    if (expired.isEmpty) return table
+
+    val keepSnapshots = table.metadata.snapshots
+      .filterNot(s => expired.exists(_.snapshotId == s.snapshotId))
+    val reachable = reachableFrom(table, keepSnapshots)
+    val candidates = reachableFrom(table, expired)
+    val orphans = candidates -- reachable
+
+    val committed = table.newTransaction()
+      .removeSnapshots(expired.map(_.snapshotId))
+      .commit()
+    orphans.foreach { p =>
+      try committed.io.delete(p)
+      catch { case _: Exception => () } // best-effort GC
+    }
+    committed
+  }
+}

@@ -71,12 +71,22 @@ class Scan private (
       s.schemaId.flatMap(table.metadata.schemaById).getOrElse(table.schema)
     else table.schema
 
+  /** Case-insensitive name resolution (`table/scan.go:68-71`'s
+    * CaseSensitive option, actually honored). */
+  private def resolve(schema: Schema, name: String): String =
+    if (caseSensitive) name
+    else schema.fields.map(_.name)
+      .find(_.equalsIgnoreCase(name)).getOrElse(name)
+
+  private def resolvedFilter(schema: Schema): Option[Expr] =
+    filterExpr.map(_.simplify.mapColumns(resolve(schema, _)))
+
   /** Plan files with real pruning (`table/scan.go:101-190` + the stubs
     * of `table/insert.go:255-266` implemented). */
   def planFiles(): Seq[FileScanTask] = {
     val snap = resolveSnapshot().getOrElse(return Nil)
     val schema = schemaForSnapshot(snap)
-    val pred = filterExpr.map(_.simplify)
+    val pred = resolvedFilter(schema)
     val manifests = table.manifestList(snap)
 
     def manifestSurvives(mf: ManifestFile): Boolean = pred.forall { e =>
@@ -217,9 +227,12 @@ class Scan private (
   }
 
   private def applyProjection(df0: DataFrame): DataFrame = {
+    val schema = resolveSnapshot().map(schemaForSnapshot)
+      .getOrElse(table.schema)
     var df = df0
-    filterExpr.foreach(e => df = df.where(e.toColumn))
-    if (selected.nonEmpty) df = df.select(selected.map(col): _*)
+    resolvedFilter(schema).foreach(e => df = df.where(e.toColumn))
+    if (selected.nonEmpty)
+      df = df.select(selected.map(s => col(resolve(schema, s))): _*)
     limitN.foreach(n => df = df.limit(n))
     df
   }

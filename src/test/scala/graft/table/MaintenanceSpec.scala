@@ -1,0 +1,129 @@
+package graft.table
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkTestSession
+import graft.catalog._
+import graft.io.HadoopFileIO
+import graft.spec._
+
+class MaintenanceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshTable(name: String): Table = {
+    val dir = Files.createTempDirectory("graft-maint-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    Table.create(cat, TableIdentifier(Seq("db"), name),
+      Fixtures4.usersSchema, io = new HadoopFileIO())
+  }
+
+  private def usersDf(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"user_$i", s"u$i@x.com",
+      new java.sql.Timestamp(1704067200000L + i)))
+      .toDF("id", "name", "email", "created_at")
+  }
+
+  test("compaction bin-packs many files into few, content-preserving") {
+    var t = freshTable("compact")
+    (1 to 6).foreach { b =>
+      t = TableOps.append(t,
+        usersDf((b * 100) to (b * 100 + 9)).coalesce(1))
+    }
+    assert(Scan(t, spark).planFiles().size == 6)
+    val before = Scan(t, spark).toDF.orderBy("id").collect().toSeq
+    t = Maintenance.compactDataFiles(t, spark)
+    assert(Scan(t, spark).planFiles().size < 6, "fewer files after compaction")
+    assert(t.currentSnapshot.get.summary.get.operation == Operation.Replace)
+    val after = Scan(t, spark).toDF.orderBy("id").collect().toSeq
+    assert(after == before, "compaction must not change content")
+  }
+
+  test("compaction absorbs MoR delete files into rewritten data") {
+    var t = freshTable("compactmor")
+    t = TableOps.append(t, usersDf(1 to 20).coalesce(1))
+    t = t.newDelete(spark).where(Col("id").lte(5L))
+      .withMergeOnRead(true).execute()
+    assert(Scan(t, spark).planFiles().exists(_.deleteFiles.nonEmpty))
+    t = Maintenance.compactDataFiles(t, spark)
+    val tasks = Scan(t, spark).planFiles()
+    assert(tasks.forall(_.deleteFiles.isEmpty),
+      "post-compaction scan needs no delete-file application")
+    assert(Scan(t, spark).count() == 15)
+  }
+
+  test("expireSnapshots removes snapshots and GCs orphaned files") {
+    var t = freshTable("expire")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    Thread.sleep(5)
+    // full overwrite -> first snapshot's data file becomes unreferenced
+    // once the first snapshot is expired
+    t = Mutations.overwrite(t, spark, usersDf(100 to 109).coalesce(1))
+    val firstDataFiles = {
+      val first = t.metadata.snapshots.head
+      t.manifestList(first).flatMap(m => t.readManifest(m).entries)
+        .map(_.dataFile.filePath)
+    }
+    assert(firstDataFiles.nonEmpty)
+    val cutoff = t.currentSnapshot.get.timestampMs
+    t = Maintenance.expireSnapshots(t, olderThanMs = cutoff, retainLast = 1)
+    assert(t.metadata.snapshots.size == 1)
+    // old data file physically gone, current data intact
+    firstDataFiles.foreach { p =>
+      assert(!t.io.exists(p), s"orphan not GCed: $p")
+    }
+    assert(Scan(t, spark).count() == 10)
+    assert(Scan(t, spark).toDF.agg(org.apache.spark.sql.functions.min("id"))
+      .head.getLong(0) == 100L)
+  }
+
+  test("expireSnapshots keeps files still referenced by retained snapshots") {
+    var t = freshTable("expire2")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    Thread.sleep(5)
+    t = TableOps.append(t, usersDf(11 to 20).coalesce(1)) // carries fwd file 1
+    val sharedFile = {
+      val first = t.metadata.snapshots.head
+      t.manifestList(first).flatMap(m => t.readManifest(m).entries)
+        .map(_.dataFile.filePath).head
+    }
+    val cutoff = t.currentSnapshot.get.timestampMs
+    t = Maintenance.expireSnapshots(t, olderThanMs = cutoff, retainLast = 1)
+    assert(t.metadata.snapshots.size == 1)
+    assert(t.io.exists(sharedFile),
+      "file referenced by the retained snapshot must survive GC")
+    assert(Scan(t, spark).count() == 20)
+  }
+}
+
+class CaseSensitivitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("case-insensitive scan resolves filter and projection names") {
+    val dir = Files.createTempDirectory("graft-case-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "c"),
+      Fixtures4.usersSchema, io = new HadoopFileIO())
+    import spark.implicits._
+    def users(ids: Range) = ids.map(i => (i.toLong, s"u$i", s"e$i",
+      new java.sql.Timestamp(i.toLong))).toDF("id", "name", "email",
+      "created_at")
+    t = TableOps.append(t, users(1 to 10).coalesce(1))
+    t = TableOps.append(t, users(11 to 20).coalesce(1))
+    val got = Scan(t, spark).withCaseSensitive(false)
+      .filter(Col("ID").gt(18L))
+      .select("NAME")
+      .toDF.orderBy("NAME").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("u19", "u20"))
+    // the engine-level flag drives PRUNING: a case-mismatched name
+    // resolves (and prunes) only in insensitive mode; in sensitive mode
+    // the unknown column disables stats pruning (conservative keep-all)
+    assert(Scan(t, spark).withCaseSensitive(false)
+      .filter(Col("ID").gt(18L)).planFiles().size == 1)
+    assert(Scan(t, spark).filter(Col("ID").gt(18L)).planFiles().size == 2)
+  }
+}
