@@ -104,8 +104,15 @@ object Mutations {
     * appended — as one join-based rewrite. The incoming side of the
     * anti-join is broadcast (it is usually the small side). */
   def upsert(table: Table, spark: SparkSession, incoming: DataFrame,
-      keyColumns: Seq[String]): Table = {
-    require(keyColumns.nonEmpty, "upsert requires key columns")
+      keyColumns0: Seq[String]): Table = {
+    // default to the schema's identifier fields (primary-key-ish,
+    // spec/schema.go:25-31) when no explicit keys are given
+    val keyColumns =
+      if (keyColumns0.nonEmpty) keyColumns0
+      else table.schema.identifierFieldIds
+        .flatMap(id => table.schema.field(id)).map(_.name)
+    require(keyColumns.nonEmpty,
+      "upsert requires key columns (or schema identifier-field-ids)")
     val schemaCols = table.schema.columnNames
     val incomingAligned = incoming.select(schemaCols.map(col): _*)
 

@@ -33,7 +33,8 @@ class Scan private (
     filterExpr: Option[Expr] = None,
     selected: Seq[String] = Nil,
     limitN: Option[Int] = None,
-    caseSensitive: Boolean = true) {
+    caseSensitive: Boolean = true,
+    options: Map[String, String] = Map.empty) {
 
   def this(table: Table, spark: SparkSession) = this(table, spark, None)
 
@@ -43,9 +44,10 @@ class Scan private (
       filterExpr: Option[Expr] = filterExpr,
       selected: Seq[String] = selected,
       limitN: Option[Int] = limitN,
-      caseSensitive: Boolean = caseSensitive): Scan =
+      caseSensitive: Boolean = caseSensitive,
+      options: Map[String, String] = options): Scan =
     new Scan(table, spark, snapshotId, asOfMs, filterExpr, selected,
-      limitN, caseSensitive)
+      limitN, caseSensitive, options)
 
   def useSnapshot(id: Long): Scan = copy2(snapshotId = Some(id))
   def asOf(tsMs: Long): Scan = copy2(asOfMs = Some(tsMs))
@@ -54,6 +56,9 @@ class Scan private (
   def select(cols: String*): Scan = copy2(selected = cols)
   def limit(n: Int): Scan = copy2(limitN = Some(n))
   def withCaseSensitive(b: Boolean): Scan = copy2(caseSensitive = b)
+  /** Free-form scan options (`table/scan.go:73-77`). */
+  def option(key: String, value: String): Scan =
+    copy2(options = options + (key -> value))
 
   /** Snapshot resolution (`table/scan.go:80-98`). */
   def resolveSnapshot(): Option[Snapshot] =

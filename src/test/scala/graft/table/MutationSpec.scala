@@ -98,6 +98,24 @@ class MutationSpec extends AnyFunSuite {
     assert(rows(4L) == "user_4")
   }
 
+  test("upsert defaults to schema identifier fields when no keys given") {
+    val dir = Files.createTempDirectory("graft-idf-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val schema = Fixtures4.usersSchema.copy(identifierFieldIds = Seq(1))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "idf"), schema,
+      io = new HadoopFileIO())
+    t = TableOps.append(t, usersDf(1 to 5))
+    import spark.implicits._
+    val incoming = Seq((3L, "three_v2", "x", new java.sql.Timestamp(0L)))
+      .toDF("id", "name", "email", "created_at")
+    t = t.newUpsert(spark).withData(incoming).execute() // no keys passed
+    val rows = Scan(t, spark).toDF.select("id", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 5)
+    assert(rows(3L) == "three_v2")
+  }
+
   test("full overwrite replaces table content") {
     var t = freshTable("ovw")
     t = TableOps.append(t, usersDf(1 to 10))
