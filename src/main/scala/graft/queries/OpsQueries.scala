@@ -142,6 +142,26 @@ object OpsQueries {
       .agg(count(lit(1)).as("n_near_dup_pairs"))
   }
 
+  // --------------------------------------- d8 token frequency (oracle)
+  /** Corpus-wide token frequency — the exact flavor of the vocabulary
+    * pass a tokenizer-training pipeline runs. */
+  def d8TokenFreq(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(TextAnalysis.normalized(col("text")), " "))
+        .as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+
+  val d8Sql: String =
+    """SELECT tok, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+      |  FROM documents) sub
+      |WHERE tok <> ''
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -154,6 +174,7 @@ object OpsQueries {
     "e2_ann_lsh" -> (e2AnnLsh _),
     "e3_ann_ivf" -> (e3AnnIvf _),
     "e4_embedding_dedup" -> (e4EmbeddingDedup _),
+    "d8_token_freq" -> (d8TokenFreq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -161,5 +182,6 @@ object OpsQueries {
     "d2_text_stats" -> d2Sql,
     "d3_fingerprint" -> d3Sql,
     "e1_ann_bruteforce" -> e1Sql,
+    "d8_token_freq" -> d8Sql,
   )
 }

@@ -216,3 +216,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(parts.rdd.getNumPartitions == 8)
   }
 }
+
+class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import org.apache.spark.sql.functions._
+
+  test("salted join preserves exact join semantics") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val skewed = (1 to 1000).map(i =>
+      (if (i <= 900) 1L else (i % 50).toLong, i)).toDF("k", "v")
+    val small = (0L to 49L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = skewed.join(small, Seq("k"), "inner")
+      .select("k", "v", "name").collect().toSet
+    val salted = Skew.saltedJoin(skewed, small, "k", saltFactor = 4)
+      .select("k", "v", "name").collect().toSet
+    assert(salted == plain, "salting must not change the join result")
+  }
+
+  test("skew profile surfaces the hot key") {
+    import spark.implicits._
+    val skewed = (1 to 1000).map(i =>
+      (if (i <= 900) 1L else (i % 50).toLong, i)).toDF("k", "v")
+    val top = Skew.keySkewProfile(skewed, "k", topN = 1).collect().head
+    assert(top.getLong(0) == 1L)
+    assert(top.getDouble(2) >= 0.9)
+  }
+}
