@@ -28,20 +28,28 @@ object Mutations {
       .schema(graft.spec.SchemaConverters.toSparkSchema(table.schema))
       .parquet(paths: _*)
 
+  /** Read candidate tasks THROUGH the MoR-applying reader: a CoW
+    * rewrite that read raw parquet would resurrect rows already removed
+    * by delete files. Applied deletes also get retired: the rewritten
+    * files carry a fresh (higher) sequence number, so old position/
+    * equality deletes no longer apply to them. */
+  private def readCandidates(table: Table, spark: SparkSession,
+      candidates: Seq[FileScanTask]): DataFrame =
+    Scan(table, spark).readTasks(table.schema, candidates)
+
   /** Copy-on-write delete (T4, `table/delete.go:82-183`): rewrite only
     * the pruned candidate files without their matching rows, swap both
     * sets in one snapshot. */
   def deleteCoW(table: Table, spark: SparkSession, pred0: Expr): Table = {
     val pred = pred0.simplify
     val candidates = Scan(table, spark).filter(pred).planFiles()
-      .map(_.file.filePath)
     if (candidates.isEmpty) return table
-    val survivors = readFiles(table, spark, candidates)
+    val survivors = readCandidates(table, spark, candidates)
       .where(survivorFilter(pred))
     val newFiles = PartitionedWriter.writeDataFiles(table.metadata, survivors)
     table.commitSnapshot(PendingSnapshot(Operation.Delete,
       addedDataFiles = newFiles,
-      deletedFilePaths = candidates.toSet))
+      deletedFilePaths = candidates.map(_.file.filePath).toSet))
   }
 
   /** Merge-on-read position delete (T5, `table/delete.go:400-464`):
@@ -83,9 +91,8 @@ object Mutations {
       assignments: Map[String, Any]): Table = {
     val pred = pred0.simplify
     val candidates = Scan(table, spark).filter(pred).planFiles()
-      .map(_.file.filePath)
     if (candidates.isEmpty) return table
-    var df = readFiles(table, spark, candidates)
+    var df = readCandidates(table, spark, candidates)
     val hit = matchFilter(pred)
     val sparkSchema = graft.spec.SchemaConverters.toSparkSchema(table.schema)
     assignments.foreach { case (name, value) =>
@@ -96,7 +103,7 @@ object Mutations {
     val newFiles = PartitionedWriter.writeDataFiles(table.metadata, df)
     table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
       addedDataFiles = newFiles,
-      deletedFilePaths = candidates.toSet))
+      deletedFilePaths = candidates.map(_.file.filePath).toSet))
   }
 
   /** Upsert / MERGE (T8/J1, `table/update.go:360-650`): key-matched
@@ -125,14 +132,14 @@ object Mutations {
       } else None
 
     val scan = keyPrune.foldLeft(Scan(table, spark))(_ filter _)
-    val candidates = scan.planFiles().map(_.file.filePath)
+    val candidates = scan.planFiles()
 
     // broadcast the key set only when provably small (we counted it);
     // a forced broadcast of an unbounded incoming side would OOM
     val keySide = if (keyPrune.isDefined) broadcast(keysDf) else keysDf
     val survivors =
       if (candidates.isEmpty) None
-      else Some(readFiles(table, spark, candidates)
+      else Some(readCandidates(table, spark, candidates)
         .join(keySide, keyColumns, "left_anti"))
 
     val merged = survivors match {
@@ -142,7 +149,7 @@ object Mutations {
     val newFiles = PartitionedWriter.writeDataFiles(table.metadata, merged)
     table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
       addedDataFiles = newFiles,
-      deletedFilePaths = candidates.toSet))
+      deletedFilePaths = candidates.map(_.file.filePath).toSet))
   }
 
   /** Full overwrite (T2, `table/insert.go:173-182`): all live files
@@ -161,15 +168,15 @@ object Mutations {
       df: DataFrame): Table = {
     val pred = pred0.simplify
     val candidates = Scan(table, spark).filter(pred).planFiles()
-      .map(_.file.filePath)
     val rewritten =
       if (candidates.isEmpty) Nil
       else PartitionedWriter.writeDataFiles(table.metadata,
-        readFiles(table, spark, candidates).where(survivorFilter(pred)))
+        readCandidates(table, spark, candidates)
+          .where(survivorFilter(pred)))
     val appended = PartitionedWriter.writeDataFiles(table.metadata, df)
     table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
       addedDataFiles = rewritten ++ appended,
-      deletedFilePaths = candidates.toSet))
+      deletedFilePaths = candidates.map(_.file.filePath).toSet))
   }
 }
 

@@ -154,12 +154,19 @@ class Scan private (
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         graft.spec.SchemaConverters.toSparkSchema(table.schema)))
-    val schema = schemaForSnapshot(snap)
+    applyProjection(readTasks(schemaForSnapshot(snap), planFiles()))
+  }
+
+  /** Raw read of a task subset with MoR deletes applied and schemas
+    * remapped — no filter/select/limit. Mutation rewrites use this so
+    * rows already removed by delete files are NOT resurrected into
+    * rewritten files. */
+  private[table] def readTasks(schema: Schema,
+      tasks: Seq[FileScanTask]): DataFrame = {
     val sparkSchema = graft.spec.SchemaConverters.toSparkSchema(schema)
-    val tasks = planFiles()
     if (tasks.isEmpty)
-      return applyProjection(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sparkSchema)
 
     // Equality deletes are sequence-scoped: a delete applies only to
     // files with OLDER data sequence numbers, so tasks are grouped by
@@ -228,7 +235,7 @@ class Scan private (
       }
       df
     }
-    applyProjection(parts.reduce(_ unionAll _))
+    parts.reduce(_ unionAll _)
   }
 
   private def applyProjection(df0: DataFrame): DataFrame = {

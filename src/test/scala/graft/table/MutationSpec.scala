@@ -98,6 +98,24 @@ class MutationSpec extends AnyFunSuite {
     assert(rows(4L) == "user_4")
   }
 
+  test("CoW rewrite must not resurrect MoR-deleted rows") {
+    var t = freshTable("morcow")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    // MoR delete ids 1-3 (positions recorded, file untouched)
+    t = t.newDelete(spark).where(Col("id").lte(3L))
+      .withMergeOnRead(true).execute()
+    assert(ids(t) == (4 to 10).map(_.toLong).toSet)
+    // CoW delete id 10 rewrites the candidate file: the rewrite reads
+    // through the MoR-applying path, so ids 1-3 must STAY deleted
+    t = t.newDelete(spark).where(Col("id").eqTo(10L)).execute()
+    assert(ids(t) == (4 to 9).map(_.toLong).toSet,
+      s"MoR-deleted rows resurrected: ${ids(t)}")
+    // same invariant through update
+    t = t.newUpdate(spark).where(Col("id").eqTo(4L))
+      .set("name", "four_v2").execute()
+    assert(ids(t) == (4 to 9).map(_.toLong).toSet)
+  }
+
   test("upsert defaults to schema identifier fields when no keys given") {
     val dir = Files.createTempDirectory("graft-idf-").toString
     val cat = new LocalCatalog(dir)
