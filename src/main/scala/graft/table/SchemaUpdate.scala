@@ -29,7 +29,15 @@ final class SchemaUpdate(table: Table) {
   }
 
   def dropColumn(name: String): SchemaUpdate = {
-    require(fields.exists(_.name == name), s"no column $name")
+    val field = fields.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    // a partition transform sourcing this field would make every future
+    // write and manifest rewrite unresolvable
+    val referencing = table.metadata.partitionSpecs
+      .flatMap(_.fields).filter(_.sourceId == field.id)
+    require(referencing.isEmpty,
+      s"cannot drop $name: referenced by partition field(s) " +
+        referencing.map(_.name).mkString(", "))
     fields = fields.filterNot(_.name == name)
     this
   }

@@ -113,9 +113,30 @@ object DataWriter {
         }
       }
 
-      def boundsOf(m: collection.Map[Int, Any]): Map[Int, Array[Byte]] =
+      // String bounds truncate to 16 chars (SURVEY §7 risk 3 — the
+      // reference truncates nothing, which would embed whole documents
+      // in every manifest entry): lower truncates to a prefix (still a
+      // valid lower bound); upper truncates then increments the last
+      // char so it stays an upper bound; un-incrementable -> no bound.
+      val MaxBound = 16
+      def truncated(v: Any, isUpper: Boolean): Option[Any] = v match {
+        case s: String if s.length > MaxBound =>
+          if (!isUpper) Some(s.take(MaxBound))
+          else {
+            val prefix = s.take(MaxBound)
+            val idx = prefix.lastIndexWhere(_ != Char.MaxValue)
+            if (idx < 0) None
+            else Some(prefix.substring(0, idx) + (prefix(idx) + 1).toChar)
+          }
+        case other => Some(other)
+      }
+      def boundsOf(m: collection.Map[Int, Any],
+          isUpper: Boolean): Map[Int, Array[Byte]] =
         m.flatMap { case (fid, v) =>
-          schema.field(fid).map(f => fid -> Bounds.serialize(v, f.fieldType))
+          for {
+            f <- schema.field(fid)
+            tv <- truncated(v, isUpper)
+          } yield fid -> Bounds.serialize(tv, f.fieldType)
         }.toMap
 
       DataFile(
@@ -126,8 +147,8 @@ object DataWriter {
         columnSizes = columnSizes.toMap,
         valueCounts = valueCounts.toMap,
         nullValueCounts = nullCounts.toMap,
-        lowerBounds = boundsOf(mins),
-        upperBounds = boundsOf(maxs),
+        lowerBounds = boundsOf(mins, isUpper = false),
+        upperBounds = boundsOf(maxs, isUpper = true),
         splitOffsets = splitOffsets,
         sortOrderId = Some(0))
     }

@@ -127,3 +127,52 @@ class CaseSensitivitySpec extends AnyFunSuite {
     assert(Scan(t, spark).filter(Col("ID").gt(18L)).planFiles().size == 2)
   }
 }
+
+class BoundsTruncationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("long string bounds truncate but stay pruning-correct") {
+    val dir = Files.createTempDirectory("graft-trunc-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val schema = Schema(0, Seq(
+      NestedField(1, "doc_id", LongType, required = true),
+      NestedField(2, "text", StringType, required = false)))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "docs"), schema,
+      io = new HadoopFileIO())
+    import spark.implicits._
+    val longText = "m" + ("x" * 100) // 101 chars, > 16-char bound cap
+    t = TableOps.append(t, Seq(
+      (1L, "aaa " + ("y" * 80)),
+      (2L, longText),
+      (3L, "zebra")).toDF("doc_id", "text").coalesce(1))
+    val f = Scan(t, spark).planFiles().head.file
+    val lower = new String(f.lowerBounds(2), "UTF-8")
+    val upper = new String(f.upperBounds(2), "UTF-8")
+    assert(lower.length <= 16 && upper.length <= 16,
+      s"bounds must be truncated: '$lower' / '$upper'")
+    // truncated bounds remain conservative for pruning + StartsWith
+    assert(Scan(t, spark).filter(Col("text").startsWith("zeb")).toDF
+      .count() == 1)
+    assert(Scan(t, spark).filter(Col("text").eqTo(longText)).toDF
+      .count() == 1)
+    // a value clearly outside [lower, upper] prunes the file
+    assert(Scan(t, spark).filter(Col("text").eqTo("zzzzz"))
+      .planFiles().isEmpty)
+  }
+
+  test("dropColumn refuses partition-source columns") {
+    val dir = Files.createTempDirectory("graft-dropguard-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val schema = Fixtures4.usersSchema
+    val spec = PartitionSpec.builder(0).day(4, "d").build()
+    val t = Table.create(cat, TableIdentifier(Seq("db"), "g"), schema,
+      spec, io = new HadoopFileIO())
+    intercept[IllegalArgumentException] {
+      t.updateSchema().dropColumn("created_at")
+    }
+    // non-partition columns still droppable
+    t.updateSchema().dropColumn("email")
+  }
+}
