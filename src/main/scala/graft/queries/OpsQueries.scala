@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Similarity, TextAnalysis}
 
 /** LLM-pipeline operators over the documents/embeddings testdata, each
   * under the driver gate. SQL-expressible ops carry DuckDB oracles;
@@ -162,6 +162,31 @@ object OpsQueries {
       |WHERE tok <> ''
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  // -------------------------------------------- e5 as-of join (oracle)
+  /** Enrich each purchase with the user's latest preceding error —
+    * checked against DuckDB's NATIVE ASOF JOIN. */
+  def e5AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = CoreQueries.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    AsOf.asOfJoin(purchases, errors, Seq("user_id"), "ts",
+        rightPrefix = "err_")
+      .select(col("user_id"), col("event_id"),
+        col("err_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val e5Sql: String =
+    """SELECT p.user_id, p.event_id, e.event_id AS err_event_id
+      |FROM (SELECT user_id, ts, event_id FROM events
+      |      WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+      |                WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id AND p.ts >= e.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -175,6 +200,7 @@ object OpsQueries {
     "e3_ann_ivf" -> (e3AnnIvf _),
     "e4_embedding_dedup" -> (e4EmbeddingDedup _),
     "d8_token_freq" -> (d8TokenFreq _),
+    "e5_asof_join" -> (e5AsOfJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -183,5 +209,6 @@ object OpsQueries {
     "d3_fingerprint" -> d3Sql,
     "e1_ann_bruteforce" -> e1Sql,
     "d8_token_freq" -> d8Sql,
+    "e5_asof_join" -> e5Sql,
   )
 }

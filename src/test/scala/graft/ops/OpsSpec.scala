@@ -243,3 +243,28 @@ class SkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(top.getDouble(2) >= 0.9)
   }
 }
+
+class AsOfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+
+  test("backward as-of join picks latest right row per key") {
+    import spark.implicits._
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 205L, "t2"), (2L, 150L, "t3"),
+      (3L, 50L, "t4")) // key 3 has no quotes before ts 50
+      .toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 90L, 10.0), (1L, 200L, 11.0), (1L, 300L, 12.0),
+      (2L, 150L, 20.0), (3L, 60L, 30.0))
+      .toDF("k", "ts", "px")
+    val got = graft.ops.AsOf.asOfJoin(trades, quotes, Seq("k"), "ts")
+      .select("k", "trade", "right_px")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got == Set(
+      (1L, "t1", Some(10.0)),  // 90 <= 100 < 200
+      (1L, "t2", Some(11.0)),  // 200 <= 205 < 300
+      (2L, "t3", Some(20.0)),  // equal ts matches
+      (3L, "t4", None)))       // no quote at or before 50
+  }
+}
