@@ -375,6 +375,65 @@ object CoreQueries {
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""
       .stripMargin
 
+  // ---------------------------------------------------------------- q19
+  /** Scalar-function battery (engine surplus; the reference's only
+    * string function is StartsWith — F1): case, substring, concat,
+    * length, trim, abs, coalesce-driven null fill. */
+  def q19ScalarFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        upper(col("c_mktsegment")).as("seg_upper"),
+        lower(col("c_name")).as("name_lower"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("tagged"),
+        length(col("c_name")).as("name_len"),
+        abs(col("c_acctbal") - lit(5000.0)).as("bal_dist"),
+        coalesce(
+          when(col("c_acctbal") < 0, col("c_acctbal")),
+          lit(0.0)).as("neg_bal"))
+      .orderBy("c_custkey")
+
+  val q19Sql: String =
+    """SELECT c_custkey,
+      |  upper(c_mktsegment) AS seg_upper,
+      |  lower(c_name) AS name_lower,
+      |  substring(c_name, 1, 8) AS name_prefix,
+      |  concat_ws('|', c_mktsegment, c_name) AS tagged,
+      |  CAST(length(c_name) AS INT) AS name_len,
+      |  abs(c_acctbal - 5000.0) AS bal_dist,
+      |  coalesce(CASE WHEN c_acctbal < 0 THEN c_acctbal END, 0.0) AS neg_bal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Date/time function battery over order dates: extract fields,
+    * date arithmetic, month boundaries. */
+  def q20DateFunctions(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"),
+        quarter(col("o_orderdate")).as("q"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"),
+        datediff(lit("1998-01-01").cast("date"),
+          col("o_orderdate").cast("date")).as("days_to_98"))
+      .orderBy("o_orderkey").limit(2000)
+
+  val q20Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS y,
+      |  CAST(month(o_orderdate) AS INT) AS m,
+      |  CAST(day(o_orderdate) AS INT) AS d,
+      |  CAST(quarter(o_orderdate) AS INT) AS q,
+      |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT)
+      |    AS days_to_98
+      |FROM orders ORDER BY o_orderkey LIMIT 2000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project" -> (q2FilterProject _),
@@ -394,6 +453,8 @@ object CoreQueries {
     "q16_customers_no_orders" -> (q16CustomersNoOrders _),
     "q17_parts_ordered" -> (q17PartsOrdered _),
     "q18_rollup" -> (q18Rollup _),
+    "q19_scalar_functions" -> (q19ScalarFunctions _),
+    "q20_date_functions" -> (q20DateFunctions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -415,5 +476,7 @@ object CoreQueries {
     "q16_customers_no_orders" -> q16Sql,
     "q17_parts_ordered" -> q17Sql,
     "q18_rollup" -> q18Sql,
+    "q19_scalar_functions" -> q19Sql,
+    "q20_date_functions" -> q20Sql,
   )
 }
