@@ -57,16 +57,20 @@ object Mutations {
   def deleteMoR(table: Table, spark: SparkSession, pred0: Expr): Table = {
     val pred = pred0.simplify
     val candidates = Scan(table, spark).filter(pred).planFiles()
-      .map(_.file.filePath)
     if (candidates.isEmpty) return table
-    val deletes = readFiles(table, spark, candidates)
+    val deletes = readFiles(table, spark, candidates.map(_.file.filePath))
       .withColumn("file_path", col("_metadata.file_path"))
       .withColumn("pos", col("_metadata.row_index"))
       .where(matchFilter(pred))
       .select("file_path", "pos")
     if (deletes.isEmpty) return table
-    val delFiles = DeleteFileWriter.writePositionDeletes(table.metadata,
-      deletes)
+    // partition-scoped delete files: the plan knows each candidate's
+    // partition tuple, so deletes route into per-partition files and
+    // later scans of other partitions never touch them
+    val pathToPartition =
+      candidates.map(t => t.file.filePath -> t.file.partition).toMap
+    val delFiles = DeleteFileWriter.writePositionDeletesPartitioned(
+      table.metadata, deletes, pathToPartition)
     table.commitSnapshot(PendingSnapshot(Operation.Delete,
       addedDeleteFiles = delFiles))
   }

@@ -108,6 +108,33 @@ class Scan private (
     val deleteEntries = deleteManifests
       .flatMap(mf => table.readManifest(mf).liveEntries)
 
+    // Partition-scoped delete index (the shape of Iceberg's
+    // DeleteFileIndex): empty-tuple delete files are global, tuple-
+    // scoped ones attach only to data files in the same partition.
+    // Applicability is memoized per (tuple, dataSeq) — the number of
+    // distinct data sequence numbers is O(#snapshots) — so planning is
+    // O(#files + #combos × #deletes-in-scope), not O(#files × #deletes).
+    val (scopedDeletes, globalDeletes) =
+      deleteEntries.partition(_.dataFile.partition.nonEmpty)
+    val scopedIndex = scopedDeletes.groupBy(_.dataFile.partition)
+    val attachMemo =
+      collection.mutable.Map.empty[(Map[String, Any], Long), Seq[DataFile]]
+    def applicableDeletes(partition: Map[String, Any],
+        seq: Long): Seq[DataFile] =
+      if (deleteEntries.isEmpty) Nil
+      else attachMemo.getOrElseUpdate((partition, seq), {
+        // MoR applicability: position deletes with deleteSeq >= dataSeq,
+        // equality deletes with deleteSeq > dataSeq (Iceberg spec rule)
+        (globalDeletes ++ scopedIndex.getOrElse(partition, Nil)).filter { d =>
+          val dSeq = d.sequenceNumber.getOrElse(0L)
+          d.dataFile.content match {
+            case FileContent.PositionDeletes => dSeq >= seq
+            case FileContent.EqualityDeletes => dSeq > seq
+            case _ => false
+          }
+        }.map(_.dataFile)
+      })
+
     val tasks = Seq.newBuilder[FileScanTask]
     dataManifests.filter(manifestSurvives).foreach { mf =>
       val manifest = table.readManifest(mf)
@@ -119,18 +146,8 @@ class Scan private (
               Pruning.partitionTupleMightMatch(p, e.dataFile, sp, schema)))
         if (survives) {
           val seq = e.sequenceNumber.getOrElse(0L)
-          // MoR applicability: position deletes with deleteSeq >= dataSeq,
-          // equality deletes with deleteSeq > dataSeq (Iceberg spec rule)
-          val applicable = deleteEntries.filter { d =>
-            val dSeq = d.sequenceNumber.getOrElse(0L)
-            d.dataFile.content match {
-              case FileContent.PositionDeletes => dSeq >= seq
-              case FileContent.EqualityDeletes => dSeq > seq
-              case _ => false
-            }
-          }.map(_.dataFile)
           tasks += FileScanTask(e.dataFile, seq, mf.partitionSpecId,
-            applicable, manifest.schemaId)
+            applicableDeletes(e.dataFile.partition, seq), manifest.schemaId)
         }
       }
     }

@@ -269,15 +269,32 @@ object PartitionedWriter {
       spec: PartitionSpec): Seq[DataFile] = {
     val schema = meta.currentSchema
     val partitionType = spec.partitionType(schema)
+    PartitionDirs.leaves(conf, root, partitionType).flatMap {
+      case (leaf, values) =>
+        DataWriter.harvestDataFiles(conf, leaf.toString, schema, values)
+    }
+  }
+}
+
+/** Shared Hive-style partition-directory walker: finds parquet leaf
+  * dirs under `root` and decodes each `name=value` segment to the
+  * partition type's RESULT types (strip the writer's `__p_` prefix). */
+private[table] object PartitionDirs {
+  private val partPrefix = "__p_"
+
+  def leaves(conf: org.apache.hadoop.conf.Configuration, root: String,
+      partitionType: StructType): Seq[(Path, Map[String, Any])] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(conf)
 
-    def walk(dir: Path, values: Map[String, Any]): Seq[DataFile] = {
+    def walk(dir: Path,
+        values: Map[String, Any]): Seq[(Path, Map[String, Any])] = {
       val entries = fs.listStatus(dir).toSeq
       val subdirs = entries.filter(_.isDirectory)
       if (subdirs.isEmpty) {
-        if (entries.exists(e => e.isFile && e.getPath.getName.endsWith(".parquet")))
-          DataWriter.harvestDataFiles(conf, dir.toString, schema, values)
+        if (entries.exists(e =>
+            e.isFile && e.getPath.getName.endsWith(".parquet")))
+          Seq(dir -> values)
         else Nil
       } else subdirs.flatMap { sd =>
         val name = sd.getPath.getName
@@ -298,7 +315,7 @@ object PartitionedWriter {
     walk(rootPath, Map.empty)
   }
 
-  private def parseValue(raw: String, t: IcebergType): Any = t match {
+  def parseValue(raw: String, t: IcebergType): Any = t match {
     case IntType | DateType => raw.toInt
     case LongType | TimeType | TimestampType | TimestampTzType => raw.toLong
     case FloatType => raw.toFloat
@@ -309,27 +326,103 @@ object PartitionedWriter {
   }
 }
 
-/** MoR delete-file writers (SURVEY S9/S10; `table/writer.go:268-419`). */
+/** MoR delete-file writers (SURVEY S9/S10; `table/writer.go:268-419`).
+  *
+  * Scale design: the pairs are range-partitioned (so one data file's
+  * deletes cluster into one task) and each task emits its own delete
+  * file — the Iceberg spec allows many delete files per snapshot, so
+  * there is no single-task funnel. Without an explicit `numFiles`, the
+  * range shuffle is left to AQE, which coalesces small deletes into few
+  * files and fans large ones out across the cluster.
+  */
 object DeleteFileWriter {
-  import org.apache.spark.sql.functions.col
+  import org.apache.spark.sql.functions.{broadcast, col}
 
-  /** Position-delete file: `(file_path string, pos long)` sorted by
-    * (file_path, pos) as the Iceberg spec requires
+  /** Position-delete files: `(file_path string, pos long)`, each file
+    * sorted by (file_path, pos) as the Iceberg spec requires
     * (`table/writer.go:290-293`). */
-  def writePositionDeletes(meta: TableMetadata,
-      deletes: DataFrame): Seq[DataFile] = {
-    val df = deletes
+  def writePositionDeletes(meta: TableMetadata, deletes: DataFrame,
+      numFiles: Int = 0): Seq[DataFile] = {
+    val base = deletes
       .select(col("file_path").cast("string"), col("pos").cast("long"))
-      .orderBy("file_path", "pos")
-      .coalesce(1)
-    writeDeleteParquet(meta, df, FileContent.PositionDeletes, Nil)
+    val ranged =
+      if (numFiles > 0)
+        base.repartitionByRange(numFiles, col("file_path"), col("pos"))
+      else base.repartitionByRange(col("file_path"), col("pos"))
+    writeDeleteParquet(meta, ranged.sortWithinPartitions("file_path", "pos"),
+      FileContent.PositionDeletes, Nil)
   }
 
-  /** Equality-delete file: key-column values identify deleted rows
-    * (`table/writer.go:360-419`). */
+  /** Partition-scoped position deletes: `pathToPartition` maps each
+    * candidate data file to its partition tuple (known to the scan plan,
+    * driver-side). Deletes are routed into per-partition delete files so
+    * [[Scan.planFiles]] attaches them partition-locally — a read of one
+    * partition no longer drags in every delete file in the table.
+    * Falls back to global files when the spec is unpartitioned or any
+    * candidate predates partitioning (empty tuple = applies-everywhere
+    * in our planner's index). */
+  def writePositionDeletesPartitioned(meta: TableMetadata,
+      deletes: DataFrame,
+      pathToPartition: Map[String, Map[String, Any]],
+      numFiles: Int = 0): Seq[DataFile] = {
+    val spec = meta.defaultPartitionSpec
+    if (spec.isUnpartitioned || pathToPartition.isEmpty ||
+        pathToPartition.values.exists(_.isEmpty))
+      return writePositionDeletes(meta, deletes, numFiles)
+    val spark = deletes.sparkSession
+    val partitionType = spec.partitionType(meta.currentSchema)
+    val partNames = partitionType.fields.map(f => "__p_" + f.name)
+
+    // file_path → partition values, as STRINGS: the Hive-style dir
+    // encoding round-trips them and harvest re-types via partitionType
+    // (same discipline as PartitionedWriter).
+    import org.apache.spark.sql.types.{StringType => SStr, StructField => SF, StructType => ST}
+    val mappingSchema = ST(SF("file_path", SStr) +: partNames.map(SF(_, SStr)))
+    val mappingRows = pathToPartition.toSeq.map { case (p, tuple) =>
+      org.apache.spark.sql.Row.fromSeq(p +: partitionType.fields.map { f =>
+        tuple.get(f.name).flatMap(Option(_)).map {
+          case d: java.math.BigDecimal => d.toPlainString
+          case other => other.toString
+        }.orNull
+      })
+    }
+    val mapping = spark.createDataFrame(
+      spark.sparkContext.parallelize(mappingRows, 1), mappingSchema)
+
+    val base = deletes
+      .select(col("file_path").cast("string"), col("pos").cast("long"))
+      .join(broadcast(mapping), Seq("file_path"))
+    val ranged =
+      if (numFiles > 0) base.repartitionByRange(numFiles, col("file_path"), col("pos"))
+      else base.repartitionByRange(col("file_path"), col("pos"))
+    // partition cols lead the sort so FileFormatWriter doesn't re-sort
+    // (unstably) and (file_path, pos) order inside each file survives
+    val sorted = ranged.sortWithinPartitions(
+      partNames.map(col) ++ Seq(col("file_path"), col("pos")): _*)
+
+    val dir = meta.location.stripSuffix("/") + "/data/deletes-" +
+      java.util.UUID.randomUUID().toString
+    sorted.write.option("compression", "snappy")
+      .partitionBy(partNames: _*).parquet(dir)
+
+    val conf = spark.sessionState.newHadoopConf()
+    PartitionDirs.leaves(conf, dir, partitionType).flatMap {
+      case (leaf, tuple) => harvestDeleteDir(conf, leaf.toString,
+        FileContent.PositionDeletes, Nil, tuple)
+    }
+  }
+
+  /** Equality-delete files: key-column values identify deleted rows
+    * (`table/writer.go:360-419`); range-clustered by key, one file per
+    * task. */
   def writeEqualityDeletes(meta: TableMetadata, keys: DataFrame,
-      equalityFieldIds: Seq[Int]): Seq[DataFile] = {
-    writeDeleteParquet(meta, keys.distinct().coalesce(1),
+      equalityFieldIds: Seq[Int], numFiles: Int = 0): Seq[DataFile] = {
+    val keyCols = keys.columns.toSeq.map(col)
+    val dk = keys.distinct()
+    val ranged =
+      if (numFiles > 0) dk.repartitionByRange(numFiles, keyCols: _*)
+      else dk.repartitionByRange(keyCols: _*)
+    writeDeleteParquet(meta, ranged.sortWithinPartitions(keyCols: _*),
       FileContent.EqualityDeletes, equalityFieldIds)
   }
 
@@ -339,17 +432,23 @@ object DeleteFileWriter {
     val dir = meta.location.stripSuffix("/") + "/data/deletes-" +
       java.util.UUID.randomUUID().toString
     df.write.option("compression", "snappy").parquet(dir)
-    // delete files carry their own schema; stats harvested generically
-    val conf = spark.sessionState.newHadoopConf()
+    harvestDeleteDir(spark.sessionState.newHadoopConf(), dir, content,
+      eqIds, Map.empty)
+  }
+
+  /** Delete files carry their own schema; only row counts are harvested. */
+  private def harvestDeleteDir(conf: Configuration, dir: String,
+      content: FileContent, eqIds: Seq[Int],
+      partition: Map[String, Any]): Seq[DataFile] = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
     fs.listStatus(dirPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
       .map { st =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromStatus(st, conf))
         val rows = try {
-          import scala.jdk.CollectionConverters._
           reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
         } finally reader.close()
         DataFile(
@@ -357,6 +456,7 @@ object DeleteFileWriter {
           filePath = DataWriter.normalizePath(st.getPath.toString),
           recordCount = rows,
           fileSizeInBytes = st.getLen,
+          partition = partition,
           equalityIds = eqIds)
       }
   }

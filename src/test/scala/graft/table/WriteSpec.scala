@@ -166,4 +166,66 @@ class DeleteFileWriterSpec extends AnyFunSuite {
     assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
       Set(1L, 2L, 3L, 5L))
   }
+
+  test("large position delete fans out over many files (no coalesce(1))") {
+    val dir = Files.createTempDirectory("graft-morbig-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "morbig"),
+      Fixtures4.usersSchema, io = new HadoopFileIO())
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, s"u$i", s"e$i",
+      new java.sql.Timestamp(1704067200000L + i))).toDF(
+      "id", "name", "email", "created_at")
+    t = TableOps.append(t, df.repartition(4))
+
+    val dataPaths = Scan(t, spark).planFiles().map(_.file.filePath)
+    val deletes = spark.read.parquet(dataPaths: _*)
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .where(col("id") % 2 === 0)
+      .select("file_path", "pos")
+    // explicit fan-out: one delete file per range partition
+    val delFiles = DeleteFileWriter.writePositionDeletes(t.metadata,
+      deletes, numFiles = 4)
+    assert(delFiles.size > 1,
+      s"expected multiple delete files, got ${delFiles.size}")
+    assert(delFiles.map(_.recordCount).sum == 2500)
+    t = t.commitSnapshot(PendingSnapshot(Operation.Delete,
+      addedDeleteFiles = delFiles))
+    val ids = Scan(t, spark).toDF.select("id").collect().map(_.getLong(0))
+    assert(ids.length == 2500 && ids.forall(_ % 2 == 1))
+  }
+
+  test("partition-scoped MoR delete attaches only within its partition") {
+    val spec = PartitionSpec.builder(0).day(4, "created_day").build()
+    val dir = Files.createTempDirectory("graft-morpart-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "morpart"),
+      Fixtures4.usersSchema, spec, io = new HadoopFileIO())
+    import spark.implicits._
+    val df = (1 to 30).map { i =>
+      val day = 19800 + (i % 3)
+      (i.toLong, s"u$i", s"e$i", new java.sql.Timestamp(86400000L * day + i))
+    }.toDF("id", "name", "email", "created_at")
+    t = TableOps.append(t, df)
+
+    // MoR-delete rows that live ONLY in day 19801 (i % 3 == 1)
+    t = Mutations.deleteMoR(t, spark, Col("id").in(1L, 4L, 7L))
+    val tasks = Scan(t, spark).planFiles()
+    val byDay = tasks.groupBy(_.file.partition("created_day"))
+    assert(byDay(19801).forall(_.deleteFiles.nonEmpty),
+      "delete file must attach to its own partition")
+    assert(byDay(19800).forall(_.deleteFiles.isEmpty) &&
+      byDay(19802).forall(_.deleteFiles.isEmpty),
+      s"deletes must NOT attach to disjoint partitions: $byDay")
+    // delete files themselves carry the partition tuple
+    val delFiles = tasks.flatMap(_.deleteFiles).distinct
+    assert(delFiles.nonEmpty &&
+      delFiles.forall(_.partition("created_day") == 19801))
+    // correctness: only the three rows are gone
+    assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      (1 to 30).map(_.toLong).toSet -- Set(1L, 4L, 7L))
+  }
 }
