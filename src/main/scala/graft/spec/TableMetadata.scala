@@ -81,7 +81,10 @@ final case class TableMetadata(
 
   def removeSnapshots(ids: Set[Long]): TableMetadata = copy(
     snapshots = snapshots.filterNot(s => ids.contains(s.snapshotId)),
-    snapshotLog = snapshotLog.filterNot(e => ids.contains(e.snapshotId)))
+    snapshotLog = snapshotLog.filterNot(e => ids.contains(e.snapshotId)),
+    // refs pointing at removed snapshots would dangle (and break scans
+    // by tag/branch); drop them with the snapshots they referenced
+    refs = refs.filterNot { case (_, r) => ids.contains(r.snapshotId) })
 
   def toJson: String = MetadataJson.write(this)
 }

@@ -65,26 +65,56 @@ object Maintenance {
     * current one and at least `retainLast`), then delete every file
     * reachable ONLY from the expired snapshots. Deletion happens after
     * the metadata commit, so a crash leaves orphans (safe), never
-    * dangling references. */
+    * dangling references.
+    *
+    * Branch/tag refs pin their snapshots: a tagged snapshot is never
+    * expired while its ref lives (refs past their own `maxRefAgeMs` are
+    * dropped first), and a branch's `minSnapshotsToKeep` newest
+    * ancestors stay — otherwise expiry would break time travel through
+    * refs the API (Transaction.setRef) explicitly supports. */
   def expireSnapshots(table: Table, olderThanMs: Long,
-      retainLast: Int = 1): Table = {
+      retainLast: Int = 1, nowMs: Long = System.currentTimeMillis()): Table = {
+    val meta = table.metadata
     val current = table.currentSnapshot.map(_.snapshotId).toSet
-    val ordered = table.metadata.snapshots.sortBy(_.timestampMs)
+    val ordered = meta.snapshots.sortBy(_.timestampMs)
+
+    // refs past their own retention window are themselves expired
+    val (staleRefs, liveRefs) = meta.refs.partition { case (_, r) =>
+      r.maxRefAgeMs.exists { age =>
+        meta.snapshotById(r.snapshotId)
+          .exists(s => nowMs - s.timestampMs > age)
+      }
+    }
+    // every live ref pins its snapshot; branches also pin their newest
+    // minSnapshotsToKeep ancestors (walked over parent-snapshot-id)
+    val refPinned = liveRefs.values.flatMap { r =>
+      val keepN = r.minSnapshotsToKeep.getOrElse(1)
+      Iterator.iterate(meta.snapshotById(r.snapshotId))(
+        _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+        .takeWhile(_.isDefined).take(keepN).flatten.map(_.snapshotId)
+    }.toSet
+
     val retained = ordered.takeRight(math.max(retainLast, 1))
-      .map(_.snapshotId).toSet ++ current
+      .map(_.snapshotId).toSet ++ current ++ refPinned
     val expired = ordered.filter(s =>
       s.timestampMs < olderThanMs && !retained.contains(s.snapshotId))
-    if (expired.isEmpty) return table
+    if (expired.isEmpty && staleRefs.isEmpty) return table
+    if (expired.isEmpty) {
+      var tx = table.newTransaction()
+      staleRefs.keys.foreach(n => tx = tx.removeRef(n))
+      return tx.commit()
+    }
 
-    val keepSnapshots = table.metadata.snapshots
+    val keepSnapshots = meta.snapshots
       .filterNot(s => expired.exists(_.snapshotId == s.snapshotId))
     val reachable = reachableFrom(table, keepSnapshots)
     val candidates = reachableFrom(table, expired)
     val orphans = candidates -- reachable
 
-    val committed = table.newTransaction()
+    var tx = table.newTransaction()
       .removeSnapshots(expired.map(_.snapshotId))
-      .commit()
+    staleRefs.keys.foreach(n => tx = tx.removeRef(n))
+    val committed = tx.commit()
     orphans.foreach { p =>
       try committed.io.delete(p)
       catch { case _: Exception => () } // best-effort GC

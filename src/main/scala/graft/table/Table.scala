@@ -110,7 +110,10 @@ final case class PendingSnapshot(
     operation: Operation,
     addedDataFiles: Seq[DataFile] = Nil,
     deletedFilePaths: Set[String] = Set.empty,
-    addedDeleteFiles: Seq[DataFile] = Nil)
+    addedDeleteFiles: Seq[DataFile] = Nil,
+    /** Free-form summary properties (e.g. the streaming sink's
+      * batch-id watermark) persisted on the snapshot. */
+    summaryExtra: Map[String, String] = Map.empty)
 
 /** Builds a snapshot: writes the new manifests, REWRITES parent
   * manifests affected by deletes, carries the rest forward, and writes
@@ -271,6 +274,7 @@ object SnapshotWriter {
       .withCounter(Summary.TotalDeleteFiles,
         deleteManifests.map(m => m.addedFilesCount + m.existingFilesCount)
           .sum.toLong)
+      .copy(extra = pending.summaryExtra)
 
     Snapshot(
       snapshotId = snapshotId,

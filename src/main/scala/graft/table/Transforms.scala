@@ -86,24 +86,62 @@ object Transforms extends Serializable {
   }
 
   /** Column-level evaluation for the write path: the partition value as
-    * a Spark expression over the source column. */
+    * a Spark expression over the source column.
+    *
+    * Calendar transforms are timezone-INDEPENDENT: tz-aware timestamps
+    * use UTC epoch arithmetic (`unix_micros`), NTZ timestamps and dates
+    * their literal calendar fields — so written partition tuples always
+    * agree with the pruner's UTC projections in [[applyToValue]], no
+    * matter what `spark.sql.session.timeZone` is (year()/month()/hour()
+    * on a tz-aware column would silently follow the session zone).
+    *
+    * `sparkType` is the ACTUAL Spark type of the source column when the
+    * caller knows it: a DataFrame may carry a tz-aware TimestampType for
+    * an Iceberg NTZ field (or vice versa), and tz-dependence is a
+    * property of the Spark type, not the declared Iceberg one. */
   def applyToColumn(t: Transform, source: Column,
-      sourceType: IcebergType): Column = t match {
-    case Transform.Identity => source
-    case Transform.Void => lit(null)
-    case Transform.Year => year(source) - lit(1970)
-    case Transform.Month =>
-      (year(source) - lit(1970)) * lit(12) + month(source) - lit(1)
-    case Transform.Day => datediff(source.cast("date"), lit("1970-01-01"))
-    case Transform.Hour =>
-      floor(unix_timestamp(source).cast("long") / lit(3600L)).cast("int")
-    case Transform.Bucket(n) =>
-      // native Catalyst expression with codegen (graft.functions) —
-      // stays inside WholeStageCodegen, unlike a Scala UDF
-      graft.functions.IcebergFunctions.icebergBucket(source, n)
-    case Transform.Truncate(w) => sourceType match {
-      case StringType => substring(source, 1, w)
-      case _ => source - pmod(source, lit(w))
+      sourceType: IcebergType,
+      sparkType: Option[org.apache.spark.sql.types.DataType] = None): Column = {
+    import org.apache.spark.sql.types.{TimestampType => SparkTsType}
+    val MicrosPerDay = 86400000000L
+    val MicrosPerHour = 3600000000L
+    // tz-aware instant → UTC epoch arithmetic; NTZ/date → literal fields
+    val absoluteInstant = sparkType match {
+      case Some(dt) => dt == SparkTsType
+      case None => sourceType == TimestampTzType
+    }
+    // exact floor-division on longs: subtract the (non-negative) pmod,
+    // divide as decimal (double division would round past 2^53 µs)
+    def floorDiv(c: Column, d: Long): Column =
+      ((c - pmod(c, lit(d))).cast("decimal(38,0)") / lit(d)).cast("long")
+    def epochDay: Column =
+      if (absoluteInstant) floorDiv(unix_micros(source), MicrosPerDay)
+      else datediff(source.cast("date"), lit("1970-01-01")).cast("long")
+    // the UTC calendar date of the value, independent of session zone
+    def utcDate: Column =
+      if (absoluteInstant)
+        date_add(lit("1970-01-01").cast("date"), epochDay.cast("int"))
+      else source.cast("date")
+    t match {
+      case Transform.Identity => source
+      case Transform.Void => lit(null)
+      case Transform.Year => year(utcDate) - lit(1970)
+      case Transform.Month =>
+        (year(utcDate) - lit(1970)) * lit(12) + month(utcDate) - lit(1)
+      case Transform.Day => epochDay.cast("int")
+      case Transform.Hour =>
+        if (absoluteInstant)
+          floorDiv(unix_micros(source), MicrosPerHour).cast("int")
+        // NTZ: hours since epoch from literal calendar fields
+        else (epochDay * lit(24) + hour(source)).cast("int")
+      case Transform.Bucket(n) =>
+        // native Catalyst expression with codegen (graft.functions) —
+        // stays inside WholeStageCodegen, unlike a Scala UDF
+        graft.functions.IcebergFunctions.icebergBucket(source, n)
+      case Transform.Truncate(w) => sourceType match {
+        case StringType => substring(source, 1, w)
+        case _ => source - pmod(source, lit(w))
+      }
     }
   }
 

@@ -221,7 +221,8 @@ object PartitionedWriter {
         throw new IllegalArgumentException(
           s"partition source ${pf.sourceId} missing"))
       (partPrefix + pf.name,
-        Transforms.applyToColumn(pf.transform, col(src.name), src.fieldType))
+        Transforms.applyToColumn(pf.transform, col(src.name), src.fieldType,
+          df.schema.find(_.name == src.name).map(_.dataType)))
     }
     var df2 = df
     partCols.foreach { case (n, c) => df2 = df2.withColumn(n, c) }

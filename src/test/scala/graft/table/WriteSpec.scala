@@ -98,6 +98,32 @@ class PartitionedWriteSpec extends AnyFunSuite {
     assert(pruned.head.file.partition("name_t") == "user_1")
   }
 
+  test("calendar transforms are timezone-independent (UTC projection)") {
+    val spec = PartitionSpec.builder(0).day(4, "d").build()
+    var t = freshTable("tzday", spec)
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      // with a non-UTC session, year()/month()/cast("date") on a
+      // tz-aware column follow the session zone; tuples must stay UTC
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      // instants just past UTC midnight: LA-local date is the PREVIOUS day
+      t = TableOps.append(t, usersDf(1 to 9, i => 19800 + (i % 3)))
+      val tasks = Scan(t, spark).planFiles()
+      assert(tasks.map(_.file.partition("d")).toSet ==
+        Set(19800, 19801, 19802),
+        s"tuples must be UTC epoch days: ${tasks.map(_.file.partition)}")
+      // pruning projections agree with the written tuples
+      val ts = java.time.LocalDateTime.ofEpochSecond(
+        86400L * 19801 + 1, 0, java.time.ZoneOffset.UTC)
+      val pruned = Scan(t, spark)
+        .filter(Col("created_at").eqTo(ts)).planFiles()
+      assert(pruned.size == 1 && pruned.head.file.partition("d") == 19801)
+      assert(Scan(t, spark).filter(Col("created_at").eqTo(ts))
+        .toDF.count() == 1)
+    } finally spark.conf.set(tzKey, prev)
+  }
+
   test("sort order applied within partition files") {
     val spec = PartitionSpec.builder(0).day(4, "d").build()
     val order = SortOrder(1, Seq(SortField(1,
