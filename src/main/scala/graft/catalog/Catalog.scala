@@ -58,7 +58,10 @@ sealed trait TableUpdate
 object TableUpdate {
   final case class AddSnapshot(snapshot: Snapshot) extends TableUpdate
   final case class SetSnapshotRef(refName: String, snapshotId: Long,
-      refType: String) extends TableUpdate
+      refType: String,
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None) extends TableUpdate
   final case class RemoveSnapshots(snapshotIds: Seq[Long]) extends TableUpdate
   final case class RemoveSnapshotRef(refName: String) extends TableUpdate
   final case class AddSchema(schema: Schema, setCurrent: Boolean)
@@ -75,8 +78,9 @@ object TableUpdate {
 
   def apply(m: TableMetadata, u: TableUpdate): TableMetadata = u match {
     case AddSnapshot(s) => m.withSnapshot(s)
-    case SetSnapshotRef(name, id, tpe) =>
-      val base = m.copy(refs = m.refs + (name -> SnapshotRef(id, tpe)))
+    case SetSnapshotRef(name, id, tpe, minKeep, maxSnapAge, maxRefAge) =>
+      val base = m.copy(refs = m.refs +
+        (name -> SnapshotRef(id, tpe, minKeep, maxSnapAge, maxRefAge)))
       if (name == "main") base.copy(currentSnapshotId = Some(id)) else base
     case RemoveSnapshots(ids) => m.removeSnapshots(ids.toSet)
     case RemoveSnapshotRef(name) => m.copy(refs = m.refs - name)

@@ -238,9 +238,15 @@ class RestCatalog(
   private def updateJson(u: TableUpdate): String = u match {
     case TableUpdate.AddSnapshot(s) =>
       s"""{"action": "add-snapshot", "snapshot": ${snapshotJson(s)}}"""
-    case TableUpdate.SetSnapshotRef(name, sid, tpe) =>
+    case TableUpdate.SetSnapshotRef(name, sid, tpe, minKeep, maxSnapAge,
+        maxRefAge) =>
+      val knobs = Seq(
+        minKeep.map(v => s""""min-snapshots-to-keep": $v"""),
+        maxSnapAge.map(v => s""""max-snapshot-age-ms": $v"""),
+        maxRefAge.map(v => s""""max-ref-age-ms": $v""")).flatten
+      val extra = if (knobs.isEmpty) "" else knobs.mkString(", ", ", ", "")
       s"""{"action": "set-snapshot-ref", "ref-name": "$name",
-         |"snapshot-id": $sid, "type": "$tpe"}""".stripMargin
+         |"snapshot-id": $sid, "type": "$tpe"$extra}""".stripMargin
     case TableUpdate.RemoveSnapshots(ids) =>
       s"""{"action": "remove-snapshots", "snapshot-ids": [${ids.mkString(",")}]}"""
     case TableUpdate.RemoveSnapshotRef(name) =>

@@ -78,12 +78,17 @@ object Maintenance {
     val current = table.currentSnapshot.map(_.snapshotId).toSet
     val ordered = meta.snapshots.sortBy(_.timestampMs)
 
-    // refs past their own retention window are themselves expired
-    val (staleRefs, liveRefs) = meta.refs.partition { case (_, r) =>
-      r.maxRefAgeMs.exists { age =>
-        meta.snapshotById(r.snapshotId)
-          .exists(s => nowMs - s.timestampMs > age)
-      }
+    // refs past their own retention window are themselves expired, as
+    // are refs whose snapshot no longer resolves (they pin nothing and
+    // would otherwise linger forever). `main` is the table's current
+    // lineage and is never age-expired — upstream Iceberg has the same
+    // carve-out — else expiry could drop the branch currentSnapshotId
+    // still points at.
+    val (staleRefs, liveRefs) = meta.refs.partition { case (name, r) =>
+      val resolved = meta.snapshotById(r.snapshotId)
+      resolved.isEmpty ||
+        (name != "main" && r.maxRefAgeMs.exists(age =>
+          resolved.exists(s => nowMs - s.timestampMs > age)))
     }
     // every live ref pins its snapshot; branches also pin their newest
     // minSnapshotsToKeep ancestors (walked over parent-snapshot-id)

@@ -66,9 +66,17 @@ object Mutations {
     if (deletes.isEmpty) return table
     // partition-scoped delete files: the plan knows each candidate's
     // partition tuple, so deletes route into per-partition files and
-    // later scans of other partitions never touch them
+    // later scans of other partitions never touch them. Candidates
+    // written under an OLDER spec have tuples whose field names don't
+    // line up with the default spec — routing them through it would
+    // scope the delete to a partition the planner never matches and
+    // the rows would silently resurface; those go through the global
+    // (empty-tuple) writer instead, which attaches everywhere.
+    val defaultSpecId = table.metadata.defaultSpecId
     val pathToPartition =
-      candidates.map(t => t.file.filePath -> t.file.partition).toMap
+      if (candidates.forall(_.specId == defaultSpecId))
+        candidates.map(t => t.file.filePath -> t.file.partition).toMap
+      else Map.empty[String, Map[String, Any]]
     val delFiles = DeleteFileWriter.writePositionDeletesPartitioned(
       table.metadata, deletes, pathToPartition)
     table.commitSnapshot(PendingSnapshot(Operation.Delete,

@@ -100,6 +100,11 @@ object Pruning {
       ts.getTime * 1000L + (ts.getNanos / 1000) % 1000 // µs
     case (TimestampType | TimestampTzType, t2: java.time.Instant) =>
       t2.getEpochSecond * 1000000L + t2.getNano / 1000
+    // NTZ wall-clock literal: micros since epoch reading the fields as
+    // UTC — the canonical Iceberg `timestamp` representation
+    case (TimestampType | TimestampTzType, ldt: java.time.LocalDateTime) =>
+      ldt.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        ldt.getNano / 1000
     case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
     case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
     case (DecimalType(_, s), bd: java.math.BigDecimal) => bd.setScale(s)

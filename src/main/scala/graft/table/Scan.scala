@@ -106,33 +106,40 @@ class Scan private (
       manifests.partition(_.content == ManifestContent.Deletes)
 
     val deleteEntries = deleteManifests
-      .flatMap(mf => table.readManifest(mf).liveEntries)
+      .flatMap(mf => table.readManifest(mf).liveEntries
+        .map(e => (mf.partitionSpecId, e)))
 
     // Partition-scoped delete index (the shape of Iceberg's
-    // DeleteFileIndex): empty-tuple delete files are global, tuple-
-    // scoped ones attach only to data files in the same partition.
-    // Applicability is memoized per (tuple, dataSeq) — the number of
-    // distinct data sequence numbers is O(#snapshots) — so planning is
-    // O(#files + #combos × #deletes-in-scope), not O(#files × #deletes).
+    // DeleteFileIndex, which keys by (specId, partition)): empty-tuple
+    // delete files are global, tuple-scoped ones attach only to data
+    // files written under the SAME spec with the same tuple — tuples
+    // from different specs that happen to be value-equal must not
+    // cross-attach. Applicability is memoized per (specId, tuple,
+    // dataSeq) — distinct data sequence numbers are O(#snapshots) —
+    // so planning is O(#files + #combos × #deletes-in-scope), not
+    // O(#files × #deletes).
     val (scopedDeletes, globalDeletes) =
-      deleteEntries.partition(_.dataFile.partition.nonEmpty)
-    val scopedIndex = scopedDeletes.groupBy(_.dataFile.partition)
-    val attachMemo =
-      collection.mutable.Map.empty[(Map[String, Any], Long), Seq[DataFile]]
-    def applicableDeletes(partition: Map[String, Any],
+      deleteEntries.partition(_._2.dataFile.partition.nonEmpty)
+    val scopedIndex = scopedDeletes.groupBy {
+      case (sid, e) => (sid, e.dataFile.partition)
+    }
+    val attachMemo = collection.mutable.Map
+      .empty[(Int, Map[String, Any], Long), Seq[DataFile]]
+    def applicableDeletes(specId: Int, partition: Map[String, Any],
         seq: Long): Seq[DataFile] =
       if (deleteEntries.isEmpty) Nil
-      else attachMemo.getOrElseUpdate((partition, seq), {
+      else attachMemo.getOrElseUpdate((specId, partition, seq), {
         // MoR applicability: position deletes with deleteSeq >= dataSeq,
         // equality deletes with deleteSeq > dataSeq (Iceberg spec rule)
-        (globalDeletes ++ scopedIndex.getOrElse(partition, Nil)).filter { d =>
-          val dSeq = d.sequenceNumber.getOrElse(0L)
-          d.dataFile.content match {
-            case FileContent.PositionDeletes => dSeq >= seq
-            case FileContent.EqualityDeletes => dSeq > seq
-            case _ => false
-          }
-        }.map(_.dataFile)
+        (globalDeletes ++ scopedIndex.getOrElse((specId, partition), Nil))
+          .map(_._2).filter { d =>
+            val dSeq = d.sequenceNumber.getOrElse(0L)
+            d.dataFile.content match {
+              case FileContent.PositionDeletes => dSeq >= seq
+              case FileContent.EqualityDeletes => dSeq > seq
+              case _ => false
+            }
+          }.map(_.dataFile)
       })
 
     val tasks = Seq.newBuilder[FileScanTask]
@@ -147,7 +154,8 @@ class Scan private (
         if (survives) {
           val seq = e.sequenceNumber.getOrElse(0L)
           tasks += FileScanTask(e.dataFile, seq, mf.partitionSpecId,
-            applicableDeletes(e.dataFile.partition, seq), manifest.schemaId)
+            applicableDeletes(mf.partitionSpecId, e.dataFile.partition, seq),
+            manifest.schemaId)
         }
       }
     }

@@ -320,8 +320,12 @@ class Transaction(table: Table) {
     updates += TableUpdate.AddSchema(schema, setCurrent); this
   }
   def setRef(name: String, snapshotId: Long,
-      refType: String = "branch"): Transaction = {
-    updates += TableUpdate.SetSnapshotRef(name, snapshotId, refType); this
+      refType: String = "branch",
+      minSnapshotsToKeep: Option[Int] = None,
+      maxSnapshotAgeMs: Option[Long] = None,
+      maxRefAgeMs: Option[Long] = None): Transaction = {
+    updates += TableUpdate.SetSnapshotRef(name, snapshotId, refType,
+      minSnapshotsToKeep, maxSnapshotAgeMs, maxRefAgeMs); this
   }
   def removeRef(name: String): Transaction = {
     updates += TableUpdate.RemoveSnapshotRef(name); this

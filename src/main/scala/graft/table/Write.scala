@@ -390,9 +390,21 @@ object DeleteFileWriter {
     val mapping = spark.createDataFrame(
       spark.sparkContext.parallelize(mappingRows, 1), mappingSchema)
 
+    // LEFT join + fail-on-unmatched: an inner join would silently drop
+    // any delete row whose path doesn't exactly match the stored
+    // normalized path (scheme/authority drift) — rows that should be
+    // deleted would quietly survive. Coalesce short-circuits, so the
+    // raise_error only fires for unmatched rows.
+    import org.apache.spark.sql.functions.{coalesce, lit, raise_error, concat}
     val base = deletes
       .select(col("file_path").cast("string"), col("pos").cast("long"))
-      .join(broadcast(mapping), Seq("file_path"))
+      .join(broadcast(mapping.withColumn("__matched", lit(true))),
+        Seq("file_path"), "left")
+      .where(coalesce(col("__matched"), raise_error(concat(
+        lit("position-delete path matched no candidate data file " +
+          "(path normalization drift?): "), col("file_path")))
+        .cast("boolean")))
+      .drop("__matched")
     val ranged =
       if (numFiles > 0) base.repartitionByRange(numFiles, col("file_path"), col("pos"))
       else base.repartitionByRange(col("file_path"), col("pos"))

@@ -176,3 +176,57 @@ class BoundsTruncationSpec extends AnyFunSuite {
     t.updateSchema().dropColumn("email")
   }
 }
+
+class RefExpirySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshTable(name: String): Table = {
+    val dir = Files.createTempDirectory("graft-refexp-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    Table.create(cat, TableIdentifier(Seq("db"), name),
+      Fixtures4.usersSchema, io = new HadoopFileIO())
+  }
+
+  private def usersDf(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"user_$i", s"u$i@x.com",
+      new java.sql.Timestamp(1704067200000L + i)))
+      .toDF("id", "name", "email", "created_at")
+  }
+
+  test("expiry cleans refs with unresolvable snapshots") {
+    var t = freshTable("dangling")
+    t = TableOps.append(t, usersDf(1 to 5))
+    val s1 = t.currentSnapshot.get
+    t = TableOps.append(t, usersDf(6 to 10))
+    // dangle a tag: point it at s1, then drop s1 out from under it
+    t = t.newTransaction().setRef("dangling", s1.snapshotId, "tag").commit()
+    t = t.newTransaction().removeSnapshots(Seq(s1.snapshotId)).commit()
+    assert(t.metadata.snapshotById(s1.snapshotId).isEmpty)
+    val cleaned = Maintenance.expireSnapshots(t,
+      olderThanMs = 0, nowMs = System.currentTimeMillis())
+    assert(!cleaned.metadata.refs.contains("dangling"),
+      "a ref whose snapshot no longer resolves pins nothing and is stale")
+    assert(cleaned.currentSnapshot.isDefined)
+  }
+
+  test("main branch is never expired by maxRefAgeMs") {
+    var t = freshTable("mainref")
+    t = TableOps.append(t, usersDf(1 to 5))
+    val sid = t.currentSnapshot.get.snapshotId
+    // a max-ref-age far in the past on BOTH main and a side tag
+    t = t.newTransaction()
+      .setRef("main", sid, "branch", maxRefAgeMs = Some(1L))
+      .setRef("old-tag", sid, "tag", maxRefAgeMs = Some(1L))
+      .commit()
+    val later = System.currentTimeMillis() + 1000000L
+    val cleaned = Maintenance.expireSnapshots(t,
+      olderThanMs = 0, nowMs = later)
+    assert(cleaned.metadata.refs.contains("main"),
+      "main is the table's current lineage — never age-expired")
+    assert(!cleaned.metadata.refs.contains("old-tag"),
+      "ordinary refs past maxRefAgeMs are dropped")
+    assert(cleaned.currentSnapshot.map(_.snapshotId).contains(sid))
+  }
+}

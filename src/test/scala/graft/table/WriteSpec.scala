@@ -254,4 +254,67 @@ class DeleteFileWriterSpec extends AnyFunSuite {
     assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
       (1 to 30).map(_.toLong).toSet -- Set(1L, 4L, 7L))
   }
+
+  test("MoR delete after partition-spec evolution stays correct (global fallback)") {
+    val spec = PartitionSpec.builder(0).day(4, "created_day").build()
+    val dir = Files.createTempDirectory("graft-morspec-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "morspec"),
+      Fixtures4.usersSchema, spec, io = new HadoopFileIO())
+    import spark.implicits._
+    val df = (1 to 30).map { i =>
+      val day = 19800 + (i % 3)
+      (i.toLong, s"u$i", s"e$i", new java.sql.Timestamp(86400000L * day + i))
+    }.toDF("id", "name", "email", "created_at")
+    t = TableOps.append(t, df)
+
+    // evolve the default spec: candidates now predate it, so their
+    // tuples ({created_day -> X}) don't line up with the new spec's
+    // field names ({id_b -> ...})
+    val spec2 = PartitionSpec.builder(1).bucket(1, "id_b", 4).build()
+    t = t.newTransaction().addPartitionSpec(spec2).commit()
+    assert(t.metadata.defaultSpecId == 1)
+
+    t = Mutations.deleteMoR(t, spark, Col("id").in(2L, 5L, 8L))
+    // the writer must have fallen back to GLOBAL (empty-tuple) delete
+    // files — routing through the new spec would orphan the deletes
+    val delFiles = Scan(t, spark).planFiles().flatMap(_.deleteFiles).distinct
+    assert(delFiles.nonEmpty && delFiles.forall(_.partition.isEmpty),
+      s"old-spec candidates must take the global delete path: $delFiles")
+    assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      (1 to 30).map(_.toLong).toSet -- Set(2L, 5L, 8L),
+      "MoR-deleted rows must not resurface after spec evolution")
+  }
+
+  test("partitioned delete write fails loudly on unmatched file_path") {
+    val spec = PartitionSpec.builder(0).day(4, "created_day").build()
+    val dir = Files.createTempDirectory("graft-mordrift-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "mordrift"),
+      Fixtures4.usersSchema, spec, io = new HadoopFileIO())
+    import spark.implicits._
+    val df = (1 to 9).map { i =>
+      val day = 19800 + (i % 3)
+      (i.toLong, s"u$i", s"e$i", new java.sql.Timestamp(86400000L * day + i))
+    }.toDF("id", "name", "email", "created_at")
+    t = TableOps.append(t, df)
+    val tasks = Scan(t, spark).planFiles()
+    val pathToPartition =
+      tasks.map(x => x.file.filePath -> x.file.partition).toMap
+    // one real path, one drifted path that matches no candidate
+    val deletes = Seq(
+      (tasks.head.file.filePath, 0L),
+      ("file:/drifted/nonexistent.parquet", 1L)).toDF("file_path", "pos")
+    val ex = intercept[Exception] {
+      DeleteFileWriter.writePositionDeletesPartitioned(
+        t.metadata, deletes, pathToPartition)
+    }
+    def messages(e: Throwable): Seq[String] =
+      if (e == null) Nil
+      else Option(e.getMessage).toSeq ++ messages(e.getCause)
+    assert(messages(ex).exists(_.contains("matched no candidate")),
+      s"expected the path-drift raise_error, got: $ex")
+  }
 }
