@@ -266,6 +266,28 @@ object IcebergQueries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Scan by named ref (M5 read side): tag the first of the two
+    * lineitem snapshots, then read THROUGH the tag — the oracle sees
+    * only snap1's rows (l_linenumber <= 3). */
+  def i11RefRead(s: SparkSession, dir: String): DataFrame = {
+    val t = cache.getOrElseUpdate(s"ref:$dir", {
+      val (two, firstSnap) = lineitemTwoSnaps(s, dir)
+      two.newTransaction().setRef("v1-audit", firstSnap, "tag").commit()
+    })
+    Scan(t, s).useRef("v1-audit").toDF
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+      .orderBy("l_linestatus")
+  }
+
+  val i11Sql: String =
+    """SELECT l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_linenumber <= 3
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -277,6 +299,7 @@ object IcebergQueries {
     "i8_schema_evolution" -> (i8SchemaEvolution _),
     "i9_events_ingest" -> (i9EventsIngest _),
     "i10_compaction" -> (i10Compaction _),
+    "i11_ref_read" -> (i11RefRead _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -290,5 +313,6 @@ object IcebergQueries {
     "i8_schema_evolution" -> i8Sql,
     "i9_events_ingest" -> i9Sql,
     "i10_compaction" -> i10Sql,
+    "i11_ref_read" -> i11Sql,
   )
 }

@@ -30,6 +30,7 @@ class Scan private (
     spark: SparkSession,
     snapshotId: Option[Long] = None,
     asOfMs: Option[Long] = None,
+    refName: Option[String] = None,
     filterExpr: Option[Expr] = None,
     selected: Seq[String] = Nil,
     limitN: Option[Int] = None,
@@ -41,16 +42,20 @@ class Scan private (
   private def copy2(
       snapshotId: Option[Long] = snapshotId,
       asOfMs: Option[Long] = asOfMs,
+      refName: Option[String] = refName,
       filterExpr: Option[Expr] = filterExpr,
       selected: Seq[String] = selected,
       limitN: Option[Int] = limitN,
       caseSensitive: Boolean = caseSensitive,
       options: Map[String, String] = options): Scan =
-    new Scan(table, spark, snapshotId, asOfMs, filterExpr, selected,
-      limitN, caseSensitive, options)
+    new Scan(table, spark, snapshotId, asOfMs, refName, filterExpr,
+      selected, limitN, caseSensitive, options)
 
   def useSnapshot(id: Long): Scan = copy2(snapshotId = Some(id))
   def asOf(tsMs: Long): Scan = copy2(asOfMs = Some(tsMs))
+  /** Read a named branch or tag (SURVEY M5's read side; reference
+    * declares refs at `spec/snapshot.go:64-70` but has no scan-by-ref). */
+  def useRef(name: String): Scan = copy2(refName = Some(name))
   def filter(e: Expr): Scan =
     copy2(filterExpr = Some(filterExpr.map(_.and(e)).getOrElse(e)))
   def select(cols: String*): Scan = copy2(selected = cols)
@@ -60,19 +65,29 @@ class Scan private (
   def option(key: String, value: String): Scan =
     copy2(options = options + (key -> value))
 
-  /** Snapshot resolution (`table/scan.go:80-98`). */
+  /** Snapshot resolution (`table/scan.go:80-98`), extended with named
+    * refs: a branch/tag resolves through `metadata.refs` to its pinned
+    * snapshot id. */
   def resolveSnapshot(): Option[Snapshot] =
     snapshotId.map(id => table.snapshotById(id).getOrElse(
       throw new IllegalArgumentException(s"snapshot $id not found")))
+      .orElse(refName.map { n =>
+        val r = table.metadata.ref(n).getOrElse(
+          throw new IllegalArgumentException(s"ref $n not found"))
+        table.snapshotById(r.snapshotId).getOrElse(
+          throw new IllegalArgumentException(
+            s"ref $n points at missing snapshot ${r.snapshotId}"))
+      })
       .orElse(asOfMs.map(ts => table.snapshotAsOf(ts).getOrElse(
         throw new IllegalArgumentException(s"no snapshot as of $ts"))))
       .orElse(table.currentSnapshot)
 
   /** Current-snapshot reads use the table's CURRENT schema (so schema
-    * evolution is visible immediately); explicit time travel reads with
-    * the snapshot's own schema — Iceberg's documented behavior. */
+    * evolution is visible immediately); explicit time travel — snapshot
+    * id, as-of timestamp, or named ref — reads with the snapshot's own
+    * schema, Iceberg's documented behavior. */
   private def schemaForSnapshot(s: Snapshot): Schema =
-    if (snapshotId.isDefined || asOfMs.isDefined)
+    if (snapshotId.isDefined || asOfMs.isDefined || refName.isDefined)
       s.schemaId.flatMap(table.metadata.schemaById).getOrElse(table.schema)
     else table.schema
 

@@ -188,6 +188,26 @@ class ScanSpec extends AnyFunSuite {
     assert(df.schema.fieldNames.toSeq ==
       Seq("id", "name", "email", "created_at"))
   }
+
+  test("scan by ref: tags and branches resolve to their snapshot (M5)") {
+    var t = freshTable("refscan")
+    t = TableOps.append(t, usersDf(1 to 10))
+    val s1 = t.currentSnapshot.get.snapshotId
+    t = TableOps.append(t, usersDf(11 to 20))
+    t = t.newTransaction()
+      .setRef("audit-tag", s1, "tag")
+      .setRef("dev", t.currentSnapshot.get.snapshotId, "branch")
+      .commit()
+    assert(Scan(t, spark).useRef("audit-tag").toDF.count() == 10)
+    assert(Scan(t, spark).useRef("dev").toDF.count() == 20)
+    assert(Scan(t, spark).useRef("main").toDF.count() == 20)
+    // a filter composes with the ref read
+    assert(Scan(t, spark).useRef("audit-tag")
+      .filter(Col("id").lte(3L)).toDF.count() == 3)
+    intercept[IllegalArgumentException] {
+      Scan(t, spark).useRef("nope").resolveSnapshot()
+    }
+  }
 }
 
 object Fixtures4 {
