@@ -100,16 +100,26 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
-  /** Distributed connected components by iterative min-label
-    * propagation: each node adopts the smallest label among itself and
-    * its neighbors until fixpoint. Returns (id, component). */
+  /** Distributed connected components: min-label propagation PLUS
+    * pointer doubling (each node also adopts its label's label), so
+    * path-shaped components collapse in O(log n) rounds, not O(n).
+    * Returns (id, component = min id in the component).
+    *
+    * Scale discipline: the symmetric edge list is cached once (it is
+    * re-joined every round — without the cache the whole upstream LSH
+    * pipeline re-executes per iteration), superseded label caches are
+    * unpersisted as soon as the next round is materialized, and lineage
+    * is truncated via localCheckpoint every `checkpointInterval` rounds
+    * — bounded executor memory and no 20-deep lineage at convergence. */
   def connectedComponents(edges: DataFrame, ids: DataFrame,
-      maxIter: Int = 20): DataFrame = {
-    // symmetric edge list
+      maxIter: Int = 20, checkpointInterval: Int = 5): DataFrame = {
+    // symmetric edge list, reused every iteration
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
     var labels = ids.select(col(ids.columns.head).as("id"))
       .withColumn("component", col("id"))
+    var prevCached: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -117,19 +127,36 @@ object Dedup {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("component")).as("nmin"))
-      val updated = labels
+      val step = labels
         .join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component"),
           least(col("component"),
-            coalesce(col("nmin"), col("component"))).as("component"),
-          (col("nmin").isNotNull && col("nmin") < col("component"))
-            .as("changed"))
-      updated.cache()
+            coalesce(col("nmin"), col("component"))).as("c1"))
+      // pointer doubling: labels form a forest pointing at smaller ids,
+      // so label(label(u)) halves the distance to the root each round
+      val parents = labels
+        .select(col("id").as("p_id"), col("component").as("p_comp"))
+      val updated0 = step
+        .join(parents, step("c1") === col("p_id"), "left")
+        .select(col("id"), col("component"),
+          least(col("c1"), coalesce(col("p_comp"), col("c1")))
+            .as("newcomp"))
+        .select(col("id"), col("newcomp").as("component"),
+          (col("newcomp") < col("component")).as("changed"))
+      // truncate lineage periodically; localCheckpoint itself persists,
+      // so only cache() on non-checkpoint rounds
+      val updated =
+        if ((iter + 1) % checkpointInterval == 0)
+          updated0.localCheckpoint(true)
+        else { updated0.cache(); updated0 }
       val changes = updated.where(col("changed")).limit(1).count()
+      prevCached.foreach(_.unpersist(false))
+      prevCached = Some(updated)
       labels = updated.select("id", "component")
       converged = changes == 0
       iter += 1
     }
+    sym.unpersist(false)
     labels
   }
 

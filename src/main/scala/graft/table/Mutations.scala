@@ -118,6 +118,24 @@ object Mutations {
       deletedFilePaths = candidates.map(_.file.filePath).toSet))
   }
 
+  /** Per-key-column [min, max] of the incoming rows as a pruning
+    * predicate: any file whose bounds lie wholly outside the incoming
+    * key range cannot contain a matched row, so it survives untouched.
+    * Sound because pruning is only ever an over-approximation — rows in
+    * kept candidates that don't match a key survive the anti-join. */
+  private def keyBoundsPrune(keysDf: DataFrame,
+      keyColumns: Seq[String]): Option[Expr] = {
+    val aggs = keyColumns.flatMap(c =>
+      Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+    val row = keysDf.agg(aggs.head, aggs.tail: _*).collect().head
+    val parts = keyColumns.zipWithIndex.flatMap { case (c, i) =>
+      val (mn, mx) = (row.get(2 * i), row.get(2 * i + 1))
+      if (mn == null || mx == null) None // empty/all-null incoming keys
+      else Some(Col(c).between(mn, mx))
+    }
+    if (parts.isEmpty) None else Some(Expr.and(parts: _*))
+  }
+
   /** Upsert / MERGE (T8/J1, `table/update.go:360-650`): key-matched
     * rows are replaced by the incoming row, unmatched incoming rows are
     * appended — as one join-based rewrite. The incoming side of the
@@ -135,20 +153,27 @@ object Mutations {
     val schemaCols = table.schema.columnNames
     val incomingAligned = incoming.select(schemaCols.map(col): _*)
 
-    // candidate pruning: point-lookup In() when the key set is small
+    // candidate pruning: point-lookup In() when the key set is small;
+    // otherwise (multi-column keys or large sets) prune by the incoming
+    // keys' min/max per column against file bounds — one single-row agg
+    // job, never a collect of raw keys, never a full-table rewrite
     val keysDf = incomingAligned.select(keyColumns.map(col): _*).distinct()
-    val keyPrune: Option[Expr] =
+    val smallKeys: Option[Seq[Any]] =
       if (keyColumns.size == 1) {
         val values = keysDf.limit(10001).collect().map(_.get(0)).toSeq
-        if (values.size <= 10000) Some(In(keyColumns.head, values)) else None
+        if (values.size <= 10000) Some(values) else None
       } else None
+    val keyPrune: Option[Expr] = smallKeys match {
+      case Some(values) => Some(In(keyColumns.head, values))
+      case None => keyBoundsPrune(keysDf, keyColumns)
+    }
 
     val scan = keyPrune.foldLeft(Scan(table, spark))(_ filter _)
     val candidates = scan.planFiles()
 
     // broadcast the key set only when provably small (we counted it);
     // a forced broadcast of an unbounded incoming side would OOM
-    val keySide = if (keyPrune.isDefined) broadcast(keysDf) else keysDf
+    val keySide = if (smallKeys.isDefined) broadcast(keysDf) else keysDf
     val survivors =
       if (candidates.isEmpty) None
       else Some(readCandidates(table, spark, candidates)

@@ -96,6 +96,24 @@ class DedupSpec extends AnyFunSuite {
     assert(comps(10L) == 10L && comps(11L) == 10L)
   }
 
+  test("connected components: 1000-node chain converges, bounded caches") {
+    // a pure path is the worst case for plain min-propagation (O(n)
+    // rounds); pointer doubling must collapse it within maxIter=20
+    val n = 1000
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val ids = (1 to n).map(_.toLong).toDF("id")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val comps = Dedup.connectedComponents(edges, ids)
+    val labels = comps.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 1L),
+      s"chain must collapse to component 1: ${labels.filter(_._2 != 1L).take(5).toSeq}")
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 3,
+      s"superseded label caches must be unpersisted: before=$before after=$after")
+  }
+
   test("simhash: identical docs hamming 0, near dups small, far apart big") {
     val fp = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("f"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

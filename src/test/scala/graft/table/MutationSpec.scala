@@ -98,6 +98,31 @@ class MutationSpec extends AnyFunSuite {
     assert(rows(4L) == "user_4")
   }
 
+  test("multi-column-key upsert prunes candidates by key bounds") {
+    var t = freshTable("upsmk")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
+    t = TableOps.append(t, usersDf(11 to 20).coalesce(1))
+    val before = Scan(t, spark).planFiles().map(_.file.filePath).toSet
+    import spark.implicits._
+    val incoming = Seq(
+      (15L, "user_15", "v2-15@x.com", new java.sql.Timestamp(1704067200000L)),
+      (17L, "user_17", "v2-17@x.com", new java.sql.Timestamp(1704067200000L)))
+      .toDF("id", "name", "email", "created_at")
+    // two key columns → the In() fast path can't apply; bounds pruning
+    // (id in [15,17] x name in [user_15,user_17]) must keep file 1 out
+    t = t.newUpsert(spark).withData(incoming)
+      .withKeyColumns("id", "name").execute()
+    val after = Scan(t, spark).planFiles().map(_.file.filePath).toSet
+    assert(after.intersect(before).size == 1,
+      s"file with ids 1-10 is outside the incoming key bounds and must " +
+        s"survive untouched: before=$before after=$after")
+    val rows = Scan(t, spark).toDF.select("id", "email")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 20)
+    assert(rows(15L) == "v2-15@x.com" && rows(17L) == "v2-17@x.com")
+    assert(rows(16L) == "u16@x.com", "unmatched row in candidate file survives")
+  }
+
   test("CoW rewrite must not resurrect MoR-deleted rows") {
     var t = freshTable("morcow")
     t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
