@@ -105,6 +105,14 @@ class AlreadyExistsException(msg: String) extends RuntimeException(msg)
 /** Retryable: another writer won the CAS (`errors.go:95-123`). */
 class CommitFailedException(msg: String) extends RuntimeException(msg)
 
+/** Raised when a commit retry detects that files the pending snapshot
+  * depends on (CoW candidates, MoR delete targets) were concurrently
+  * rewritten or removed — recommitting would resurrect deleted rows or
+  * target dead files; the caller must re-plan the rewrite against the
+  * refreshed table (the richer requirement semantics the reference
+  * declares at `catalog/catalog.go:170-203`). */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /** Catalog client surface mirroring `catalog/catalog.go:11-53`. */
 trait Catalog {
   def listNamespaces(): Seq[Seq[String]]

@@ -158,7 +158,49 @@ object MutationQueries {
       |  AS p_brand, COUNT(*) AS n
       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------- m7: conflicting concurrent commits (rebase)
+  /** Two CoW deletes + one append all planned against the SAME stale
+    * table handle: the first delete rewrites the shared file, so the
+    * second delete and the append must rebase (the delete re-plans via
+    * CommitConflictException, the append rebases cleanly). The oracle
+    * is both predicates applied plus the appended rows — any stale-
+    * survivor recommit (lost update) breaks the hash. */
+  def m7ConcurrentCommits(s: SparkSession, dir: String): DataFrame = {
+    val t = cache.getOrElseUpdate(s"m7:$dir", {
+      val df = s.read.parquet(s"$dir/nation.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("m7" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      val t0 = TableOps.append(Table.create(cat,
+        TableIdentifier(ns, "nation"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io),
+        df.coalesce(1))
+      Mutations.deleteCoW(t0, s, Col("n_regionkey").eqTo(0L))
+      // stale-handle commits: both must detect the moved branch and land
+      Mutations.deleteCoW(t0, s, Col("n_regionkey").eqTo(4L))
+      TableOps.append(t0,
+        df.filter(col("n_regionkey") === 1)
+          .withColumn("n_nationkey", (col("n_nationkey") + lit(1000))
+            .cast(df.schema("n_nationkey").dataType))
+          .coalesce(1))
+      t0.refresh()
+    })
+    Scan(t, s).toDF
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  val m7Sql: String =
+    """SELECT n_nationkey, n_name, n_regionkey FROM (
+      |  SELECT n_nationkey, n_name, n_regionkey FROM nation
+      |  WHERE n_regionkey NOT IN (0, 4)
+      |  UNION ALL
+      |  SELECT n_nationkey + 1000 AS n_nationkey, n_name, n_regionkey
+      |  FROM nation WHERE n_regionkey = 1
+      |) ORDER BY n_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_concurrent_commits" -> (m7ConcurrentCommits _),
     "m1_delete_cow" -> (m1DeleteCow _),
     "m2_delete_mor" -> (m2DeleteMor _),
     "m3_update" -> (m3Update _),
@@ -168,6 +210,7 @@ object MutationQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "m7_concurrent_commits" -> m7Sql,
     "m1_delete_cow" -> m1Sql,
     "m2_delete_mor" -> m2Sql,
     "m3_update" -> m3Sql,

@@ -17,7 +17,12 @@ object Maintenance {
     * Spark job over the live files; partitioned tables recompute their
     * partition columns through the normal partitioned write. */
   def compactDataFiles(table: Table, spark: SparkSession,
-      targetFileSizeBytes: Long = 128L * 1024 * 1024): Table = {
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): Table =
+    Mutations.withConflictRetry(table)(
+      compactOnce(_, spark, targetFileSizeBytes))
+
+  private def compactOnce(table: Table, spark: SparkSession,
+      targetFileSizeBytes: Long): Table = {
     val tasks = Scan(table, spark).planFiles()
     if (tasks.isEmpty) return table
     val totalBytes = tasks.map(_.file.fileSizeInBytes).sum

@@ -16,6 +16,27 @@ import graft.spec._
   */
 object Mutations {
 
+  /** Re-plan-and-rerun loop around a rewrite whose commit can hit a
+    * rebase conflict (a concurrent commit rewrote our candidate files):
+    * the WHOLE operation re-executes against the refreshed table, so
+    * the new rewrite reads the concurrent changes instead of
+    * recommitting stale survivors. */
+  private[table] def withConflictRetry(table: Table, maxAttempts: Int = 3)(
+      op: Table => Table): Table = {
+    var t = table
+    var attempt = 0
+    while (true) {
+      try return op(t)
+      catch {
+        case _: graft.catalog.CommitConflictException
+            if attempt < maxAttempts =>
+          attempt += 1
+          t = t.refresh()
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private def survivorFilter(pred: Expr): Column =
     !coalesce(pred.toColumn, lit(false))
 
@@ -40,48 +61,59 @@ object Mutations {
   /** Copy-on-write delete (T4, `table/delete.go:82-183`): rewrite only
     * the pruned candidate files without their matching rows, swap both
     * sets in one snapshot. */
-  def deleteCoW(table: Table, spark: SparkSession, pred0: Expr): Table = {
-    val pred = pred0.simplify
-    val candidates = Scan(table, spark).filter(pred).planFiles()
-    if (candidates.isEmpty) return table
-    val survivors = readCandidates(table, spark, candidates)
-      .where(survivorFilter(pred))
-    val newFiles = PartitionedWriter.writeDataFiles(table.metadata, survivors)
-    table.commitSnapshot(PendingSnapshot(Operation.Delete,
-      addedDataFiles = newFiles,
-      deletedFilePaths = candidates.map(_.file.filePath).toSet))
-  }
+  def deleteCoW(table: Table, spark: SparkSession, pred0: Expr): Table =
+    withConflictRetry(table) { t =>
+      val pred = pred0.simplify
+      val candidates = Scan(t, spark).filter(pred).planFiles()
+      if (candidates.isEmpty) t
+      else {
+        val survivors = readCandidates(t, spark, candidates)
+          .where(survivorFilter(pred))
+        val newFiles = PartitionedWriter.writeDataFiles(t.metadata, survivors)
+        t.commitSnapshot(PendingSnapshot(Operation.Delete,
+          addedDataFiles = newFiles,
+          deletedFilePaths = candidates.map(_.file.filePath).toSet))
+      }
+    }
 
   /** Merge-on-read position delete (T5, `table/delete.go:400-464`):
     * record matching (file, pos) pairs; the scan applies them (J2). */
-  def deleteMoR(table: Table, spark: SparkSession, pred0: Expr): Table = {
-    val pred = pred0.simplify
-    val candidates = Scan(table, spark).filter(pred).planFiles()
-    if (candidates.isEmpty) return table
-    val deletes = readFiles(table, spark, candidates.map(_.file.filePath))
-      .withColumn("file_path", col("_metadata.file_path"))
-      .withColumn("pos", col("_metadata.row_index"))
-      .where(matchFilter(pred))
-      .select("file_path", "pos")
-    if (deletes.isEmpty) return table
-    // partition-scoped delete files: the plan knows each candidate's
-    // partition tuple, so deletes route into per-partition files and
-    // later scans of other partitions never touch them. Candidates
-    // written under an OLDER spec have tuples whose field names don't
-    // line up with the default spec — routing them through it would
-    // scope the delete to a partition the planner never matches and
-    // the rows would silently resurface; those go through the global
-    // (empty-tuple) writer instead, which attaches everywhere.
-    val defaultSpecId = table.metadata.defaultSpecId
-    val pathToPartition =
-      if (candidates.forall(_.specId == defaultSpecId))
-        candidates.map(t => t.file.filePath -> t.file.partition).toMap
-      else Map.empty[String, Map[String, Any]]
-    val delFiles = DeleteFileWriter.writePositionDeletesPartitioned(
-      table.metadata, deletes, pathToPartition)
-    table.commitSnapshot(PendingSnapshot(Operation.Delete,
-      addedDeleteFiles = delFiles))
-  }
+  def deleteMoR(table: Table, spark: SparkSession, pred0: Expr): Table =
+    withConflictRetry(table) { t =>
+      val pred = pred0.simplify
+      val candidates = Scan(t, spark).filter(pred).planFiles()
+      if (candidates.isEmpty) t
+      else {
+        val deletes = readFiles(t, spark, candidates.map(_.file.filePath))
+          .withColumn("file_path", col("_metadata.file_path"))
+          .withColumn("pos", col("_metadata.row_index"))
+          .where(matchFilter(pred))
+          .select("file_path", "pos")
+        if (deletes.isEmpty) t
+        else {
+          // partition-scoped delete files: the plan knows each candidate's
+          // partition tuple, so deletes route into per-partition files and
+          // later scans of other partitions never touch them. Candidates
+          // written under an OLDER spec have tuples whose field names don't
+          // line up with the default spec — routing them through it would
+          // scope the delete to a partition the planner never matches and
+          // the rows would silently resurface; those go through the global
+          // (empty-tuple) writer instead, which attaches everywhere.
+          val defaultSpecId = t.metadata.defaultSpecId
+          val pathToPartition =
+            if (candidates.forall(_.specId == defaultSpecId))
+              candidates.map(c => c.file.filePath -> c.file.partition).toMap
+            else Map.empty[String, Map[String, Any]]
+          val delFiles = DeleteFileWriter.writePositionDeletesPartitioned(
+            t.metadata, deletes, pathToPartition)
+          t.commitSnapshot(PendingSnapshot(Operation.Delete,
+            addedDeleteFiles = delFiles,
+            // position deletes target these paths; a concurrent rewrite
+            // of one must fail the rebase, not silently no-op the delete
+            referencedDataPaths = candidates.map(_.file.filePath).toSet))
+        }
+      }
+    }
 
   /** Merge-on-read equality delete (T6 — the reference returns "not yet
     * fully implemented", `table/delete.go:494-501`): write the key
@@ -100,23 +132,26 @@ object Mutations {
   /** CoW update (T7, `table/update.go:29-238`): rewrite candidates with
     * per-column `when(pred, value)` replacements. */
   def update(table: Table, spark: SparkSession, pred0: Expr,
-      assignments: Map[String, Any]): Table = {
-    val pred = pred0.simplify
-    val candidates = Scan(table, spark).filter(pred).planFiles()
-    if (candidates.isEmpty) return table
-    var df = readCandidates(table, spark, candidates)
-    val hit = matchFilter(pred)
-    val sparkSchema = graft.spec.SchemaConverters.toSparkSchema(table.schema)
-    assignments.foreach { case (name, value) =>
-      val target = sparkSchema(name).dataType
-      df = df.withColumn(name,
-        when(hit, lit(value).cast(target)).otherwise(col(name)))
+      assignments: Map[String, Any]): Table =
+    withConflictRetry(table) { t =>
+      val pred = pred0.simplify
+      val candidates = Scan(t, spark).filter(pred).planFiles()
+      if (candidates.isEmpty) t
+      else {
+        var df = readCandidates(t, spark, candidates)
+        val hit = matchFilter(pred)
+        val sparkSchema = graft.spec.SchemaConverters.toSparkSchema(t.schema)
+        assignments.foreach { case (name, value) =>
+          val target = sparkSchema(name).dataType
+          df = df.withColumn(name,
+            when(hit, lit(value).cast(target)).otherwise(col(name)))
+        }
+        val newFiles = PartitionedWriter.writeDataFiles(t.metadata, df)
+        t.commitSnapshot(PendingSnapshot(Operation.Overwrite,
+          addedDataFiles = newFiles,
+          deletedFilePaths = candidates.map(_.file.filePath).toSet))
+      }
     }
-    val newFiles = PartitionedWriter.writeDataFiles(table.metadata, df)
-    table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
-      addedDataFiles = newFiles,
-      deletedFilePaths = candidates.map(_.file.filePath).toSet))
-  }
 
   /** Per-key-column [min, max] of the incoming rows as a pruning
     * predicate: any file whose bounds lie wholly outside the incoming
@@ -141,7 +176,11 @@ object Mutations {
     * appended — as one join-based rewrite. The incoming side of the
     * anti-join is broadcast (it is usually the small side). */
   def upsert(table: Table, spark: SparkSession, incoming: DataFrame,
-      keyColumns0: Seq[String]): Table = {
+      keyColumns0: Seq[String]): Table =
+    withConflictRetry(table)(upsertOnce(_, spark, incoming, keyColumns0))
+
+  private def upsertOnce(table: Table, spark: SparkSession,
+      incoming: DataFrame, keyColumns0: Seq[String]): Table = {
     // default to the schema's identifier fields (primary-key-ish,
     // spec/schema.go:25-31) when no explicit keys are given
     val keyColumns =
@@ -202,19 +241,20 @@ object Mutations {
   /** Selective overwrite (T3, `table/insert.go:40-46,185-252`): delete
     * rows matching the filter AND append `df`, atomically. */
   def overwriteWhere(table: Table, spark: SparkSession, pred0: Expr,
-      df: DataFrame): Table = {
-    val pred = pred0.simplify
-    val candidates = Scan(table, spark).filter(pred).planFiles()
-    val rewritten =
-      if (candidates.isEmpty) Nil
-      else PartitionedWriter.writeDataFiles(table.metadata,
-        readCandidates(table, spark, candidates)
-          .where(survivorFilter(pred)))
-    val appended = PartitionedWriter.writeDataFiles(table.metadata, df)
-    table.commitSnapshot(PendingSnapshot(Operation.Overwrite,
-      addedDataFiles = rewritten ++ appended,
-      deletedFilePaths = candidates.map(_.file.filePath).toSet))
-  }
+      df: DataFrame): Table =
+    withConflictRetry(table) { t =>
+      val pred = pred0.simplify
+      val candidates = Scan(t, spark).filter(pred).planFiles()
+      val rewritten =
+        if (candidates.isEmpty) Nil
+        else PartitionedWriter.writeDataFiles(t.metadata,
+          readCandidates(t, spark, candidates)
+            .where(survivorFilter(pred)))
+      val appended = PartitionedWriter.writeDataFiles(t.metadata, df)
+      t.commitSnapshot(PendingSnapshot(Operation.Overwrite,
+        addedDataFiles = rewritten ++ appended,
+        deletedFilePaths = candidates.map(_.file.filePath).toSet))
+    }
 }
 
 /** Fluent mutation facades (T9, `table/insert.go:300-368`,

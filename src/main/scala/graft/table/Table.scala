@@ -80,9 +80,36 @@ class Table(
           attempt += 1
           Thread.sleep(Table.RetryBackoffMs * attempt)
           meta = catalog.loadTable(id) // refresh + rebase on fresh metadata
+          validateRebase(pending, meta)
       }
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Rebase conflict validation: a retried commit may only proceed if
+    * every file it depends on — CoW candidates it deletes, data files
+    * its MoR delete files target — is still live in the refreshed
+    * metadata. A concurrent rewrite of a candidate means OUR rewrite
+    * read stale content (recommitting would resurrect concurrently
+    * deleted rows) or our delete files point at dead paths; appends
+    * (no dependencies) always rebase cleanly. */
+  private def validateRebase(pending: PendingSnapshot,
+      refreshed: TableMetadata): Unit = {
+    val depends = pending.deletedFilePaths ++ pending.referencedDataPaths
+    if (depends.isEmpty) return
+    val live = refreshed.currentSnapshot.toSeq.flatMap { s =>
+      ManifestAvro.readManifestList(io.readAllBytes(s.manifestList))
+        .filter(_.content == ManifestContent.Data)
+        .flatMap(mf => ManifestAvro.readManifest(
+          io.readAllBytes(mf.manifestPath)).liveEntries
+          .map(_.dataFile.filePath))
+    }.toSet
+    val gone = depends.filterNot(live)
+    if (gone.nonEmpty)
+      throw new CommitConflictException(
+        s"concurrent commit rewrote/removed ${gone.size} file(s) this " +
+          s"${pending.operation} depends on (e.g. ${gone.head}); " +
+          "re-plan the rewrite against the refreshed table")
   }
 }
 
@@ -113,7 +140,11 @@ final case class PendingSnapshot(
     addedDeleteFiles: Seq[DataFile] = Nil,
     /** Free-form summary properties (e.g. the streaming sink's
       * batch-id watermark) persisted on the snapshot. */
-    summaryExtra: Map[String, String] = Map.empty)
+    summaryExtra: Map[String, String] = Map.empty,
+    /** Data-file paths this snapshot's content was computed FROM but
+      * does not delete (MoR delete targets): rebase validation fails
+      * the commit if any has been concurrently rewritten. */
+    referencedDataPaths: Set[String] = Set.empty)
 
 /** Builds a snapshot: writes the new manifests, REWRITES parent
   * manifests affected by deletes, carries the rest forward, and writes

@@ -123,6 +123,59 @@ class MutationSpec extends AnyFunSuite {
     assert(rows(16L) == "u16@x.com", "unmatched row in candidate file survives")
   }
 
+  test("concurrent CoW deletes: second re-plans, both land, no resurrection") {
+    var t0 = freshTable("race-cowcow")
+    t0 = TableOps.append(t0, usersDf(1 to 10).coalesce(1))
+    // two deletes planned against the SAME stale handle; A commits
+    // first, so B's candidate file is gone when B's commit rebases
+    val tA = Mutations.deleteCoW(t0, spark, Col("id").lte(3L))
+    assert(ids(tA) == (4 to 10).map(_.toLong).toSet)
+    val tB = Mutations.deleteCoW(t0, spark, Col("id").gte(8L))
+    assert(ids(tB) == (4 to 7).map(_.toLong).toSet,
+      s"both deletes must apply — stale-survivor recommit would " +
+        s"resurrect ids 1-3: ${ids(tB)}")
+  }
+
+  test("concurrent CoW delete + append: both land, no lost rows") {
+    var t0 = freshTable("race-cowapp")
+    t0 = TableOps.append(t0, usersDf(1 to 10).coalesce(1))
+    val tA = TableOps.append(t0, usersDf(11 to 20).coalesce(1))
+    assert(ids(tA) == (1 to 20).map(_.toLong).toSet)
+    // delete planned against the pre-append handle: its candidate is
+    // still live, so the rebase is clean and both commits land
+    val tB = Mutations.deleteCoW(t0, spark, Col("id").lte(3L))
+    assert(ids(tB) == (4 to 20).map(_.toLong).toSet,
+      s"appended rows must survive the rebased delete: ${ids(tB)}")
+  }
+
+  test("concurrent CoW rewrite + MoR delete: MoR re-plans onto live files") {
+    var t0 = freshTable("race-cowmor")
+    t0 = TableOps.append(t0, usersDf(1 to 10).coalesce(1))
+    val tA = Mutations.deleteCoW(t0, spark, Col("id").eqTo(1L))
+    assert(ids(tA) == (2 to 10).map(_.toLong).toSet)
+    // MoR delete planned against the stale handle: its position deletes
+    // reference the file tA just rewrote — must re-plan, not no-op
+    val tB = Mutations.deleteMoR(t0, spark, Col("id").gte(9L))
+    assert(ids(tB) == (2 to 8).map(_.toLong).toSet,
+      s"MoR delete against a rewritten file must re-plan: ${ids(tB)}")
+  }
+
+  test("threaded concurrent mutations converge with no lost updates") {
+    var t0 = freshTable("race-threads")
+    t0 = TableOps.append(t0, usersDf(1 to 40).coalesce(1))
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ops: Seq[() => Table] = Seq(
+      () => Mutations.deleteCoW(t0, spark, Col("id").lte(5L)),
+      () => Mutations.deleteCoW(t0, spark, Col("id").gte(36L)),
+      () => TableOps.append(t0, usersDf(41 to 45).coalesce(1)))
+    Await.result(Future.sequence(ops.map(op => Future(op()))), 120.seconds)
+    val finalIds = ids(t0.refresh())
+    assert(finalIds == ((6 to 35) ++ (41 to 45)).map(_.toLong).toSet,
+      s"all three concurrent commits must land exactly once: $finalIds")
+  }
+
   test("CoW rewrite must not resurrect MoR-deleted rows") {
     var t = freshTable("morcow")
     t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
