@@ -65,15 +65,62 @@ object Multimodal {
       Array.fill(13)(rnd.nextFloat()))
   }
 
+  /** Magic-number sniff for the formats the in-JDK codec handles. */
+  private def looksDecodable(bytes: Array[Byte]): Boolean =
+    bytes.length > 8 && (
+      // PNG: \x89 P N G
+      ((bytes(0) & 0xFF) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) ||
+      // BMP: B M
+      (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) ||
+      // GIF: G I F
+      (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte) ||
+      // JPEG: \xFF \xD8
+      ((bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8))
+
+  /** REAL decode for PNG/BMP/GIF/JPEG via the in-JDK `javax.imageio`
+    * (no external codec dependency): true width/height/channels and a
+    * deterministic grid-mean-RGB embedding. Payloads the JDK codec
+    * can't read (or that aren't images at all) fall back to the
+    * deterministic stub, so the pipeline shape never depends on codec
+    * availability. */
+  private def realDecodeImage(id: Long, bytes: Array[Byte],
+      dim: Int): Option[ImageFeatures] = {
+    if (!looksDecodable(bytes)) return None
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        // grid-mean embedding: dim cells tile the image row-major; each
+        // contributes the mean of one RGB channel, normalized to [-1, 1]
+        val cells = math.max(1, (dim + 2) / 3)
+        val g = math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
+        val emb = Array.tabulate(dim) { i =>
+          val cell = i / 3
+          val gx = math.min(w - 1, (cell % g) * w / g)
+          val gy = math.min(h - 1, (cell / g) * h / g)
+          val rgb = img.getRGB(gx, gy)
+          val channel = (rgb >> ((i % 3) * 8)) & 0xFF
+          channel / 127.5f - 1f
+        }
+        ImageFeatures(id, w, h,
+          channels = img.getColorModel.getNumComponents, emb)
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Batched image decode + feature extraction. Partition-level loop so
-    * per-batch state (a real decoder context) initializes once. */
+    * per-batch state (a real decoder context) initializes once. Real
+    * decode where the JDK codec can read the payload; stub otherwise. */
   def decodeImages(media: Dataset[MediaRow],
       embeddingDim: Int = 64): Dataset[ImageFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.modality == "image").mapPartitions { rows =>
-      // real impl: val decoder = ImageCodec.open()  (once per partition)
-      rows.map(r => stubDecodeImage(r.media_id, r.content, embeddingDim))
+      rows.map(r => realDecodeImage(r.media_id, r.content, embeddingDim)
+        .getOrElse(stubDecodeImage(r.media_id, r.content, embeddingDim)))
     }
   }
 

@@ -97,7 +97,8 @@ object Similarity {
     * `nprobe` nearest centroids, exact cosine re-rank inside. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 2, seed: Long = 42L,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxFitRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -106,7 +107,16 @@ object Similarity {
         col("__cv").cast("array<double>")))
     val km = new KMeans().setK(nCentroids).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("__cell")
-    val model = km.fit(c)
+    // fit on a bounded deterministic sample: centroid quality needs only
+    // a sketch of the distribution, and a full-corpus fit at 100 TB
+    // would iterate the whole table once per KMeans round
+    val corpusRows = c.count()
+    val fitSet =
+      if (corpusRows <= maxFitRows) c
+      else c.sample(withReplacement = false,
+        // oversample slightly so the sampled count stays >= nCentroids
+        math.min(1.0, maxFitRows.toDouble * 1.1 / corpusRows), seed)
+    val model = km.fit(fitSet)
     val assigned = model.transform(c).select("nid", "__cv", "__cell")
 
     val spark = corpus.sparkSession

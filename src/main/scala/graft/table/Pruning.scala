@@ -42,6 +42,19 @@ object Pruning {
       case (Some(n), Some(v)) => n == v && v > 0
       case _ => false
     }
+    // NaN model (spec/manifest.go:125-127's nan_value_counts, consulted):
+    // parquet min/max EXCLUDE NaN, and NaN sorts greater than every value
+    // in both Spark and DuckDB — so NaN rows satisfy Gt/Gte regardless of
+    // the recorded upper bound. Those prunes are only sound when the file
+    // provably has no NaNs; files without a harvested count stay.
+    val isFp = t == FloatType || t == DoubleType
+    val nanCount = file.nanValueCounts.get(fid)
+    val nanPossible = isFp && !nanCount.contains(0L)
+    def isNanLit(v: Any): Boolean = v match {
+      case d: Double => d.isNaN
+      case f: Float => f.isNaN
+      case _ => false
+    }
 
     def cmpLower(v: Any): Option[Int] = // sign of (v compared to lower)
       lower.flatMap(l => safeCompare(v, l, t))
@@ -51,17 +64,26 @@ object Pruning {
     leaf match {
       case IsNull(_) => nullCount.forall(_ > 0)
       case NotNull(_) => !allNull
+      case Eq(_, v) if isNanLit(v) => nanCount.forall(_ > 0)
       case Eq(_, v) =>
         if (allNull) false
         else cmpLower(v).forall(_ >= 0) && cmpUpper(v).forall(_ <= 0)
       case NotEq(_, _) => !allNull // can't prune by bounds alone
+      // col < NaN holds for every non-NaN value; col > NaN for none
+      case Lt(_, v) if isNanLit(v) => !allNull
+      case Lte(_, v) if isNanLit(v) => !allNull
+      case Gt(_, v) if isNanLit(v) => false
+      case Gte(_, v) if isNanLit(v) => nanCount.forall(_ > 0)
       case Lt(_, v) => !allNull && cmpLower(v).forall(_ > 0)
       case Lte(_, v) => !allNull && cmpLower(v).forall(_ >= 0)
-      case Gt(_, v) => !allNull && cmpUpper(v).forall(_ < 0)
-      case Gte(_, v) => !allNull && cmpUpper(v).forall(_ <= 0)
+      case Gt(_, v) =>
+        !allNull && (nanPossible || cmpUpper(v).forall(_ < 0))
+      case Gte(_, v) =>
+        !allNull && (nanPossible || cmpUpper(v).forall(_ <= 0))
       case In(_, vs) =>
         !allNull && vs.exists(v =>
-          cmpLower(v).forall(_ >= 0) && cmpUpper(v).forall(_ <= 0))
+          if (isNanLit(v)) nanCount.forall(_ > 0)
+          else cmpLower(v).forall(_ >= 0) && cmpUpper(v).forall(_ <= 0))
       case NotIn(_, _) => !allNull
       case StartsWith(_, p) =>
         if (allNull) false

@@ -49,7 +49,8 @@ object DataWriter {
         w = w.option("maxRecordsPerFile", maxRecordsPerFile)
       w.parquet(dir)
       harvestDataFiles(spark.sessionState.newHadoopConf(), dir,
-        meta.currentSchema)
+        meta.currentSchema,
+        nanCounts = nanCountsByFile(spark, dir, meta.currentSchema))
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -58,11 +59,41 @@ object DataWriter {
     }
   }
 
+  /** Per-file NaN counts for float/double columns — Parquet footers
+    * can't provide them (NaN is excluded from, or poisons, min/max
+    * stats), so one aggregation job re-reads ONLY the float/double
+    * columns of the just-written files (column-pruned, page-cache-warm)
+    * and counts `isnan` per file. Skipped entirely when the schema has
+    * no float/double fields. Real Iceberg counts NaNs inline in its own
+    * parquet writer; with Spark's writer this second pass is the
+    * equivalent, and without it float/double bounds pruning is unsound
+    * (a Gt prune would drop files whose NaN rows match, since NaN sorts
+    * greatest in both Spark and DuckDB). */
+  private[table] def nanCountsByFile(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: Schema): Map[String, Map[Int, Long]] = {
+    import org.apache.spark.sql.functions.{col, isnan, sum, when}
+    val fp = schema.fields.filter(f =>
+      f.fieldType == FloatType || f.fieldType == DoubleType)
+    if (fp.isEmpty) return Map.empty
+    val aggs = fp.map(f =>
+      sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as("n" + f.id))
+    spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("__fp"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        normalizePath(r.getString(0)) ->
+          fp.indices.map(i => fp(i).id -> r.getLong(i + 1)).toMap
+      }.toMap
+  }
+
   /** Read back parquet footers under `dir` and build stats-complete
     * DataFile entries (SURVEY S7's "harvest real per-file row counts &
     * min/max from Parquet footers"). */
   def harvestDataFiles(conf: Configuration, dir: String, schema: Schema,
-      partition: Map[String, Any] = Map.empty): Seq[DataFile] = {
+      partition: Map[String, Any] = Map.empty,
+      nanCounts: Map[String, Map[Int, Long]] = Map.empty): Seq[DataFile] = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
     val statuses = fs.listStatus(dirPath)
@@ -139,14 +170,16 @@ object DataWriter {
           } yield fid -> Bounds.serialize(tv, f.fieldType)
         }.toMap
 
+      val normalized = normalizePath(st.getPath.toString)
       DataFile(
-        filePath = normalizePath(st.getPath.toString),
+        filePath = normalized,
         recordCount = rowCount,
         fileSizeInBytes = st.getLen,
         partition = partition,
         columnSizes = columnSizes.toMap,
         valueCounts = valueCounts.toMap,
         nullValueCounts = nullCounts.toMap,
+        nanValueCounts = nanCounts.getOrElse(normalized, Map.empty),
         lowerBounds = boundsOf(mins, isUpper = false),
         upperBounds = boundsOf(maxs, isUpper = true),
         splitOffsets = splitOffsets,
@@ -177,8 +210,10 @@ object DataWriter {
         Some(l)
       case (IntType, l: Long) => Some(l.toInt)
       case (LongType, i: Int) => Some(i.toLong)
-      case (FloatType, f: Float) => Some(f)
-      case (DoubleType, d: Double) => Some(d)
+      // NaN poisons float/double min/max in some parquet writers
+      // (PARQUET-1225); a NaN bound is meaningless for pruning — drop it
+      case (FloatType, f: Float) => if (f.isNaN) None else Some(f)
+      case (DoubleType, d: Double) => if (d.isNaN) None else Some(d)
       case (BooleanType, b: Boolean) => Some(b)
       case (StringType, b: org.apache.parquet.io.api.Binary) =>
         Some(b.toStringUsingUTF8)
@@ -248,7 +283,8 @@ object PartitionedWriter {
       case None => spark.conf.unset(key)
     }
 
-    harvestPartitionDirs(spark.sessionState.newHadoopConf(), dir, meta, spec)
+    harvestPartitionDirs(spark.sessionState.newHadoopConf(), dir, meta, spec,
+      DataWriter.nanCountsByFile(spark, dir, meta.currentSchema))
   }
 
   private def sortColumn(sf: SortField,
@@ -267,12 +303,14 @@ object PartitionedWriter {
   private def harvestPartitionDirs(
       conf: org.apache.hadoop.conf.Configuration,
       root: String, meta: TableMetadata,
-      spec: PartitionSpec): Seq[DataFile] = {
+      spec: PartitionSpec,
+      nanCounts: Map[String, Map[Int, Long]] = Map.empty): Seq[DataFile] = {
     val schema = meta.currentSchema
     val partitionType = spec.partitionType(schema)
     PartitionDirs.leaves(conf, root, partitionType).flatMap {
       case (leaf, values) =>
-        DataWriter.harvestDataFiles(conf, leaf.toString, schema, values)
+        DataWriter.harvestDataFiles(conf, leaf.toString, schema, values,
+          nanCounts)
     }
   }
 }

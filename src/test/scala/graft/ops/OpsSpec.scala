@@ -207,6 +207,38 @@ class MultimodalSpec extends AnyFunSuite {
       again.sortBy(_.media_id).map(_.embedding.toSeq).toSeq)
   }
 
+  test("real PNG decode: true dimensions, channels, deterministic embedding") {
+    import spark.implicits._
+    // render two real PNGs in-process (javax.imageio is in the JDK)
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(seed)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, rnd.nextInt(0xFFFFFF))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image", png(120, 48, 7), Map.empty),
+      Multimodal.MediaRow(2L, "image", png(33, 77, 8), Map.empty),
+      // non-image payload in the image modality → stub fallback
+      Multimodal.MediaRow(3L, "image", Array.fill[Byte](64)(1), Map.empty)))
+    val feats = Multimodal.decodeImages(media, embeddingDim = 12)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).width == 120 && feats(0).height == 48)
+    assert(feats(1).width == 33 && feats(1).height == 77)
+    assert(feats(0).channels == 3)
+    assert(feats.forall(_.embedding.length == 12))
+    assert(feats.forall(_.embedding.forall(v => v >= -1f && v <= 1f)))
+    // decode is deterministic
+    val again = Multimodal.decodeImages(media, embeddingDim = 12)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.embedding.toSeq).toSeq ==
+      again.map(_.embedding.toSeq).toSeq)
+  }
+
   test("video frame sampling fans out rows") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L,

@@ -210,6 +210,72 @@ class ScanSpec extends AnyFunSuite {
   }
 }
 
+/** NaN stats (verdict #8): harvested nan_value_counts + NaN-sound
+  * float/double bounds pruning. NaN sorts greater than every value in
+  * Spark and DuckDB, and parquet min/max exclude it — so Gt/Gte prunes
+  * must keep NaN-bearing files. */
+class NaNStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val scoreSchema: Schema = Schema(0, Seq(
+    NestedField(1, "id", LongType, required = true),
+    NestedField(2, "score", DoubleType, required = false)))
+
+  private def freshTable(name: String): Table = {
+    val dir = Files.createTempDirectory("graft-nan-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    Table.create(cat, TableIdentifier(Seq("db"), name),
+      scoreSchema, io = new HadoopFileIO())
+  }
+
+  test("nan counts harvested; Gt/Gte keep NaN-bearing files") {
+    var t = freshTable("nans")
+    import spark.implicits._
+    // file A: small scores + a NaN; file B: mid scores, no NaN
+    t = TableOps.append(t, Seq((1L, 1.0), (2L, 2.0), (3L, Double.NaN))
+      .toDF("id", "score").coalesce(1))
+    t = TableOps.append(t, Seq((4L, 5.0), (5L, 6.0))
+      .toDF("id", "score").coalesce(1))
+    val files = Scan(t, spark).planFiles().map(_.file)
+    val nanByFile = files.map(f => f.nanValueCounts.getOrElse(2, -1L)).sorted
+    assert(nanByFile == Seq(0L, 1L),
+      s"nan_value_counts must be harvested per file: $files")
+
+    // score > 100 matches ONLY file A's NaN row — A must survive the
+    // prune, B must go
+    val kept = Scan(t, spark).filter(Col("score").gt(100.0)).planFiles()
+    assert(kept.size == 1 && kept.head.file.nanValueCounts(2) == 1L,
+      s"NaN-bearing file must not be pruned by Gt: $kept")
+    assert(Scan(t, spark).filter(Col("score").gt(100.0)).toDF
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "the NaN row satisfies score > 100 in Spark semantics")
+
+    // a NaN-bearing file matches EVERY Gt — and the row count proves it
+    val gtMid = Scan(t, spark).filter(Col("score").gt(5.5)).toDF
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gtMid == Set(3L, 5L),
+      s"NaN (id 3) and 6.0 (id 5) both satisfy > 5.5: $gtMid")
+
+    // Lt is NaN-insensitive: bounds prune still cuts file B
+    val keptLt = Scan(t, spark).filter(Col("score").lt(1.5)).planFiles()
+    assert(keptLt.size == 1,
+      s"Lt prune keeps only the low file: $keptLt")
+  }
+
+  test("NaN literal predicates: Eq/Gte keep only NaN-bearing files") {
+    var t = freshTable("nanlit")
+    import spark.implicits._
+    t = TableOps.append(t, Seq((1L, 1.0), (2L, Double.NaN))
+      .toDF("id", "score").coalesce(1))
+    t = TableOps.append(t, Seq((3L, 5.0)).toDF("id", "score").coalesce(1))
+    assert(Scan(t, spark).filter(Col("score").eqTo(Double.NaN))
+      .planFiles().size == 1)
+    assert(Scan(t, spark).filter(Col("score").gt(Double.NaN))
+      .planFiles().isEmpty, "nothing sorts above NaN")
+  }
+}
+
 object Fixtures4 {
   val usersSchema: Schema = Schema(0, Seq(
     NestedField(1, "id", LongType, required = true),
