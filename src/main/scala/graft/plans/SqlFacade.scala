@@ -1,0 +1,180 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, Expression => CExpr, Literal,
+  NamedExpression}
+import org.apache.spark.sql.catalyst.planning.PhysicalOperation
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Filter, LeafNode, LogicalPlan, Project, Statistics}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graftshim.Bridge
+
+import graft.table.{Expr, Scan, Table}
+
+/** SQL / `spark.table` façade (SURVEY "Missing #1" — the reference is
+  * programmatic-only, `iceberg.go:117-292`; this is the engine-idiomatic
+  * step beyond): a custom leaf [[GraftRelation]] plus an optimizer
+  * [[Rule]] — preference order (c): custom LogicalPlan + Rule — that
+  * substitutes, ONCE THE QUERY'S FILTERS ARE KNOWN, the manifest/file-
+  * pruned scan plan. Execution then runs on Spark's native vectorized
+  * parquet reader inside WholeStageCodegen; our layer contributes
+  * snapshot resolution, stats pruning, and MoR delete application.
+  *
+  * Registration: [[GraftSQL.install]] (live session) or configure
+  * `spark.sql.extensions=graft.plans.GraftExtensions` at build time;
+  * then [[GraftSQL.registerTable]] exposes a table to SQL by name.
+  */
+final case class GraftRelation(
+    table: Table,
+    output: Seq[Attribute],
+    session: SparkSession)
+    extends LeafNode with MultiInstanceRelation {
+
+  override def newInstance(): GraftRelation =
+    copy(output = output.map(_.newInstance()))
+
+  /** Manifest-derived size so join planning can broadcast small graft
+    * tables BEFORE the leaf is substituted; unknown → conservative. */
+  override def computeStats(): Statistics = Statistics(sizeInBytes =
+    try {
+      val sz = table.currentSnapshot.toSeq.flatMap(table.manifestList)
+        .flatMap(mf => table.readManifest(mf).liveEntries)
+        .map(e => BigInt(e.dataFile.fileSizeInBytes)).sum
+      if (sz > 0) sz else BigInt(Long.MaxValue / 4)
+    } catch { case _: Exception => BigInt(Long.MaxValue / 4) })
+
+  override def simpleString(maxFields: Int): String =
+    s"GraftRelation ${table.id.name} ${output.map(_.name).mkString("[", ",", "]")}"
+}
+
+/** Catalyst predicate → engine [[Expr]], for pruning only (row-level
+  * semantics stay with Catalyst — the original filters are re-applied
+  * above the substituted plan, so partial conversion is always sound).
+  */
+object FilterConvert {
+  import graft.table._
+  import org.apache.spark.sql.catalyst.{expressions => ce}
+
+  private def cv(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case other => other
+  }
+
+  def toExpr(e: CExpr): Option[Expr] = e match {
+    case ce.EqualTo(a: AttributeReference, Literal(v, _)) =>
+      Some(Eq(a.name, cv(v)))
+    case ce.EqualTo(Literal(v, _), a: AttributeReference) =>
+      Some(Eq(a.name, cv(v)))
+    case ce.GreaterThan(a: AttributeReference, Literal(v, _)) =>
+      Some(Gt(a.name, cv(v)))
+    case ce.GreaterThan(Literal(v, _), a: AttributeReference) =>
+      Some(Lt(a.name, cv(v)))
+    case ce.LessThan(a: AttributeReference, Literal(v, _)) =>
+      Some(Lt(a.name, cv(v)))
+    case ce.LessThan(Literal(v, _), a: AttributeReference) =>
+      Some(Gt(a.name, cv(v)))
+    case ce.GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      Some(Gte(a.name, cv(v)))
+    case ce.GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+      Some(Lte(a.name, cv(v)))
+    case ce.LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+      Some(Lte(a.name, cv(v)))
+    case ce.LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+      Some(Gte(a.name, cv(v)))
+    case ce.In(a: AttributeReference, vs)
+        if vs.forall(_.isInstanceOf[Literal]) =>
+      Some(In(a.name, vs.map { case Literal(v, _) => cv(v) }))
+    case ce.InSet(a: AttributeReference, vs) =>
+      Some(In(a.name, vs.toSeq.map(cv)))
+    case ce.IsNull(a: AttributeReference) => Some(IsNull(a.name))
+    case ce.IsNotNull(a: AttributeReference) => Some(NotNull(a.name))
+    case ce.StartsWith(a: AttributeReference, Literal(v, _)) =>
+      Some(StartsWith(a.name, cv(v).toString))
+    // AND: pruning with any convertible subset is an over-approximation
+    // of the row set, hence sound
+    case ce.And(l, r) => (toExpr(l), toExpr(r)) match {
+      case (Some(a), Some(b)) => Some(a.and(b))
+      case (one @ Some(_), None) => one
+      case (None, one @ Some(_)) => one
+      case _ => None
+    }
+    // OR: both sides must convert, else no pruning
+    case ce.Or(l, r) => for { a <- toExpr(l); b <- toExpr(r) } yield a.or(b)
+    case ce.Not(c) => toExpr(c).map(Not(_).simplify)
+    case _ => None
+  }
+}
+
+/** Replaces `[Project] + [Filter] + GraftRelation` with the pruned,
+  * MoR-applying scan plan. Runs late (user-provided optimizer batch),
+  * when pushdown has already moved the query's filters adjacent to the
+  * leaf — the same point DSv2's `SupportsPushDownFilters` sees them. */
+object GraftPruneRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+    case PhysicalOperation(projects, filters, rel: GraftRelation) =>
+      substitute(projects, filters, rel)
+  }
+
+  private def substitute(projects: Seq[NamedExpression],
+      filters: Seq[CExpr], rel: GraftRelation): LogicalPlan = {
+    val pruneExpr: Option[Expr] =
+      filters.flatMap(FilterConvert.toExpr).reduceOption(_ and _)
+    // the scan uses the converted predicate for manifest/file pruning
+    // ONLY — its literals are Catalyst-internal (micros, UTF8String) and
+    // row semantics stay with the re-applied Catalyst filters below
+    val scan = pruneExpr.foldLeft(Scan(rel.table, rel.session))(_ filter _)
+    val sub = Bridge.analyzed(scan.toDFPruneOnly)
+    // graft the sub-plan under the relation's original exprIds
+    val byName = sub.output.map(a => a.name -> a).toMap
+    val aliased = Project(rel.output.map { o =>
+      Alias(byName(o.name), o.name)(exprId = o.exprId)
+    }, sub)
+    val filtered = filters.foldLeft[LogicalPlan](aliased)(
+      (p, f) => Filter(f, p))
+    if (projects.nonEmpty &&
+        projects != filtered.output) Project(projects, filtered)
+    else filtered
+  }
+}
+
+/** Build-time extension hook:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(
+      e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => GraftPruneRule)
+}
+
+/** Entry points for the SQL surface. */
+object GraftSQL {
+
+  /** Idempotently add the prune rule to a LIVE session (sessions built
+    * without the extensions conf — e.g. notebooks, tests). */
+  def install(spark: SparkSession): Unit = {
+    val cls = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val existing = cls.experimental.extraOptimizations
+    if (!existing.contains(GraftPruneRule))
+      cls.experimental.extraOptimizations = existing :+ GraftPruneRule
+  }
+
+  /** A DataFrame whose plan is the lazy, filter-aware relation (NOT a
+    * materialized file list — pruning happens per query). */
+  def tableDF(spark: SparkSession, table: Table): DataFrame = {
+    val attrs = graft.spec.SchemaConverters.toSparkSchema(table.schema)
+      .fields.toSeq.map(f =>
+        AttributeReference(f.name, f.dataType, f.nullable)())
+    Bridge.ofRows(spark, GraftRelation(table, attrs, spark))
+  }
+
+  /** Expose `table` to `spark.sql` / `spark.table` as `viewName`. */
+  def registerTable(spark: SparkSession, table: Table,
+      viewName: String): Unit = {
+    install(spark)
+    tableDF(spark, table).createOrReplaceTempView(viewName)
+  }
+}

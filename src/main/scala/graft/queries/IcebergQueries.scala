@@ -288,6 +288,39 @@ object IcebergQueries {
       |FROM lineitem WHERE l_linenumber <= 3
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  // ------------------------------ SQL façade gates (verdict #7): the
+  // SAME engine tables queried through spark.sql — GraftRelation leaf +
+  // optimizer-rule substitution, native parquet execution.
+
+  def sql1ScanFilter(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftSQL.registerTable(s, lineitemTable(s, dir),
+      "g_lineitem")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM g_lineitem WHERE l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)
+  }
+
+  def sql2PartitionPrune(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftSQL.registerTable(s, ordersMonthly(s, dir),
+      "g_orders")
+    s.sql(
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM g_orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  }
+
+  def sql3BucketEq(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftSQL.registerTable(s, lineitemBucketed(s, dir),
+      "g_lineitem_b")
+    s.sql(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM g_lineitem_b
+        |WHERE l_orderkey = 42 ORDER BY l_linenumber""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -300,6 +333,9 @@ object IcebergQueries {
     "i9_events_ingest" -> (i9EventsIngest _),
     "i10_compaction" -> (i10Compaction _),
     "i11_ref_read" -> (i11RefRead _),
+    "sql1_scan_filter" -> (sql1ScanFilter _),
+    "sql2_partition_prune" -> (sql2PartitionPrune _),
+    "sql3_bucket_eq" -> (sql3BucketEq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -314,5 +350,8 @@ object IcebergQueries {
     "i9_events_ingest" -> i9Sql,
     "i10_compaction" -> i10Sql,
     "i11_ref_read" -> i11Sql,
+    "sql1_scan_filter" -> i1Sql,
+    "sql2_partition_prune" -> i6Sql,
+    "sql3_bucket_eq" -> i7Sql,
   )
 }

@@ -187,6 +187,19 @@ class Scan private (
     } else toDF.count()
   }
 
+  /** Execute with manifest/file pruning but WITHOUT re-applying the
+    * row-level filter/projection — for the SQL façade, whose filters
+    * carry Catalyst-internal literal representations (micros, UTF8String)
+    * meant for pruning only; Catalyst re-applies them row-level above
+    * the substituted plan. */
+  private[graft] def toDFPruneOnly: DataFrame = {
+    val snap = resolveSnapshot().getOrElse(
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.spec.SchemaConverters.toSparkSchema(table.schema)))
+    readTasks(schemaForSnapshot(snap), planFiles())
+  }
+
   /** Execute: assemble the DataFrame (`table/scan.go:202-231`, the part
     * the reference returns empty). */
   def toDF: DataFrame = {

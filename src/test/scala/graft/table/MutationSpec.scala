@@ -166,9 +166,13 @@ class MutationSpec extends AnyFunSuite {
     import scala.concurrent._
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
+    // predicates are disjoint from the appended ids: a re-planned delete
+    // legitimately sees concurrently appended rows (snapshot isolation),
+    // so an overlapping predicate would make the final state depend on
+    // commit order
     val ops: Seq[() => Table] = Seq(
       () => Mutations.deleteCoW(t0, spark, Col("id").lte(5L)),
-      () => Mutations.deleteCoW(t0, spark, Col("id").gte(36L)),
+      () => Mutations.deleteCoW(t0, spark, Col("id").between(36L, 40L)),
       () => TableOps.append(t0, usersDf(41 to 45).coalesce(1)))
     Await.result(Future.sequence(ops.map(op => Future(op()))), 120.seconds)
     val finalIds = ids(t0.refresh())
