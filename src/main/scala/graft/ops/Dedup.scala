@@ -51,6 +51,30 @@ object Dedup {
     array(hashes: _*)
   }
 
+  /** MinHash signatures as an AGGREGATION: explode shingles to rows,
+    * hash each once per seed, min-combine per document (map-side
+    * partial min — parity-tested against [[minhashSignature]]).
+    *
+    * Why two forms exist: the column form is fastest when its stage
+    * codegen-compiles, but fused into a join stage the k-wide tree
+    * overflows the generated-method limit, the stage falls back to
+    * interpreted eval, and without CSE the shingling regex re-runs per
+    * seed per shingle — measured 100x+ on the d6 bench. The pipeline
+    * therefore CACHES the banded frame ([[minhashCandidates]]) to keep
+    * the column expression in its own codegen stage; this aggregate
+    * form is the fallback shape for callers that need signatures
+    * joined elsewhere without managing stage isolation themselves. */
+  def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int): DataFrame = {
+    val exploded = df.select(col(idCol).as("__id"),
+      explode(array_distinct(shingles(col(textCol)))).as("__s"))
+    val aggs = (0 until numHashes).map(k =>
+      min(xxhash64(col("__s"), lit(k))).as(s"__h$k"))
+    exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(k => col(s"__h$k")): _*).as("__sig"))
+  }
+
   /** Candidate duplicate pairs via LSH banding: equal band-slices of
     * the minhash signature land in the same bucket. Returns (idA, idB)
     * with idA < idB, distinct. */
@@ -61,12 +85,19 @@ object Dedup {
     val sig = df
       .select(col(idCol).as("__id"), col(textCol).as("__text"))
       .withColumn("__sig", minhashSignature(col("__text"), numHashes))
+    // CACHE the banded frame: both sides of the self-join read it, and
+    // the cache fill runs the k-wide signature expression in its OWN
+    // codegen stage. Fused into the join stage it overflows the
+    // generated-method limit, the stage falls back to interpreted eval,
+    // and without CSE the shingling regex re-runs per seed per shingle
+    // — measured 100x+ on the d6 bench.
     val banded = sig.select(col("__id"), col("__sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("__band"))
       .withColumn("__bucket",
         hash(col("__band"), slice(col("__sig"),
           col("__band") * rows + 1, lit(rows))))
       .select("__id", "__band", "__bucket")
+      .cache()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.__band") === col("b.__band") &&
@@ -89,8 +120,12 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, numHashes, bands)
+    // cached for the same stage-isolation reason as the banded frame
+    // (both verify joins read it; keeps the shingle expression out of
+    // the join stages), and so the shingling runs once, not twice
     val sh = df.select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol))).as("__sh"))
+      .cache()
     cands
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "__sh_a"), "id_a")
@@ -100,26 +135,53 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
-  /** Distributed connected components: min-label propagation PLUS
-    * pointer doubling (each node also adopts its label's label), so
-    * path-shaped components collapse in O(log n) rounds, not O(n).
-    * Returns (id, component = min id in the component).
+  /** Connected components over a near-dup edge list. Returns
+    * (id, component = min id in the component).
     *
-    * Scale discipline: the symmetric edge list is cached once (it is
-    * re-joined every round — without the cache the whole upstream LSH
-    * pipeline re-executes per iteration), superseded label caches are
-    * unpersisted as soon as the next round is materialized, and lineage
-    * is truncated via localCheckpoint every `checkpointInterval` rounds
-    * — bounded executor memory and no 20-deep lineage at convergence. */
+    * Two regimes, chosen by the materialized edge count:
+    *  - `<= driverMaxEdges` (default 1M pairs ≈ 16 MB): union-find with
+    *    path compression on the driver. A dedup graph's edge set is the
+    *    VERIFIED near-dup pairs — tiny relative to the corpus even at
+    *    100 TB — and 20 Spark rounds of joins over a few thousand rows
+    *    cost more in job scheduling than the whole problem.
+    *  - larger: distributed min-label propagation PLUS pointer doubling
+    *    (each node also adopts its label's label), so path-shaped
+    *    components collapse in O(log n) rounds, not O(n).
+    *
+    * Scale discipline in the distributed regime: the symmetric edge
+    * list is cached once (it is re-joined every round — without the
+    * cache the whole upstream LSH pipeline re-executes per iteration),
+    * superseded label caches are unpersisted as soon as the next round
+    * is materialized, and lineage is truncated via localCheckpoint
+    * every `checkpointInterval` rounds — bounded executor memory and no
+    * 20-deep lineage at convergence. Only edge-touched nodes propagate;
+    * singletons (the vast majority) rejoin at the end. */
   def connectedComponents(edges: DataFrame, ids: DataFrame,
-      maxIter: Int = 20, checkpointInterval: Int = 5): DataFrame = {
+      maxIter: Int = 20, checkpointInterval: Int = 5,
+      driverMaxEdges: Int = 1000000): DataFrame = {
+    val e = edges.select(col("id_a"), col("id_b")).cache()
+    val probe = e.limit(driverMaxEdges + 1).collect()
+    if (probe.length <= driverMaxEdges) {
+      e.unpersist(false)
+      return driverComponents(probe.map(r => (r.get(0), r.get(1))), edges, ids)
+    }
     // symmetric edge list, reused every iteration
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(e.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = ids.select(col(ids.columns.head).as("id"))
-      .withColumn("component", col("id"))
-    var prevCached: Option[DataFrame] = None
+    // only nodes that appear in an edge participate in propagation —
+    // in a dedup graph the overwhelming majority of documents are
+    // singletons, and shuffling them through every iteration would
+    // dominate the cost; they rejoin as (id, id) components at the end
+    val edgeNodes = sym.select(col("src").as("id")).distinct().cache()
+    var labels = edgeNodes.withColumn("component", col("id"))
+    // plain caches are unpersisted as soon as the next round is FULLY
+    // materialized (the count() below scans every partition, so the
+    // successor never reads its parent again); checkpoint blocks ARE
+    // the data of a lineage-truncated plan, so a checkpoint is only
+    // released once the NEXT checkpoint exists
+    var prevPlain: Option[DataFrame] = None
+    var prevCheckpoint: Option[DataFrame] = None
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -143,21 +205,83 @@ object Dedup {
             .as("newcomp"))
         .select(col("id"), col("newcomp").as("component"),
           (col("newcomp") < col("component")).as("changed"))
-      // truncate lineage periodically; localCheckpoint itself persists,
-      // so only cache() on non-checkpoint rounds
+      val checkpointRound = (iter + 1) % checkpointInterval == 0
+      // eager localCheckpoint materializes every partition and truncates
+      // lineage; on other rounds cache() + the full count() below does
+      // the materializing
       val updated =
-        if ((iter + 1) % checkpointInterval == 0)
-          updated0.localCheckpoint(true)
+        if (checkpointRound) updated0.localCheckpoint(true)
         else { updated0.cache(); updated0 }
-      val changes = updated.where(col("changed")).limit(1).count()
-      prevCached.foreach(_.unpersist(false))
-      prevCached = Some(updated)
+      // FULL count (no limit-1 short-circuit): every partition of this
+      // round lands in the cache, so superseded rounds really are dead
+      val t0 = System.nanoTime()
+      val changes = updated.where(col("changed")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] iter=$iter changes=$changes " +
+          f"took=${(System.nanoTime() - t0) / 1e9}%.2fs")
+      prevPlain.foreach(_.unpersist(false))
+      prevPlain = if (checkpointRound) None else Some(updated)
+      if (checkpointRound) {
+        prevCheckpoint.foreach(_.unpersist(false))
+        prevCheckpoint = Some(updated)
+      }
       labels = updated.select("id", "component")
       converged = changes == 0
       iter += 1
     }
+    val singletons = ids.select(col(ids.columns.head).as("id"))
+      .join(edgeNodes, Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    val result = labels.unionByName(singletons)
     sym.unpersist(false)
-    labels
+    e.unpersist(false)
+    result
+  }
+
+  /** Small-graph path: union-find with path compression on the driver,
+    * canonical label = min member per set; singletons rejoin via
+    * anti-join. Exact same semantics as the distributed loop. */
+  private def driverComponents(pairs: Array[(Any, Any)], edges: DataFrame,
+      ids: DataFrame): DataFrame = {
+    val parent = collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    // canonical label: the minimum member of each set
+    val minOf = collection.mutable.HashMap.empty[Any, Any]
+    parent.keys.foreach { m =>
+      val r = find(m)
+      minOf.get(r) match {
+        case Some(cur) => if (lt(m, cur)) minOf(r) = m
+        case None => minOf(r) = m
+      }
+    }
+    val spark = edges.sparkSession
+    val idType = edges.schema("id_a").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("component", idType)))
+    val rows = parent.keys.toSeq.map(m =>
+      org.apache.spark.sql.Row(m, minOf(find(m))))
+    val labelDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val singletons = ids.select(col(ids.columns.head).as("id"))
+      .join(org.apache.spark.sql.functions.broadcast(
+        labelDf.select("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    labelDf.unionByName(singletons)
   }
 
   /** MinHash-LSH near-dedup end to end: keep the minimum id per
@@ -188,6 +312,28 @@ object Dedup {
     bitVotes.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** SimHash fingerprints as an AGGREGATION — same rationale as
+    * [[minhashSignatures]]: the column form inlines the tokenization
+    * into all 64 bit-vote subtrees, which melts down if the stage drops
+    * out of codegen (no CSE in interpreted eval). Explode tokens once,
+    * hash once, sum the 64 bit votes map-side. */
+  def simhashFingerprints(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("__id"),
+      explode(array_distinct(
+        split(TextAnalysis.normalized(col(textCol)), " "))).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    val votes = (0 until 64).map(bit =>
+      sum(when(shiftright(col("__h"), bit).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"__b$bit"))
+    toks.groupBy("__id").agg(votes.head, votes.tail: _*)
+      .select(col("__id"),
+        (0 until 64).map(bit =>
+          when(col(s"__b$bit") > 0, shiftleft(lit(1L), bit))
+            .otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("__fp"))
+  }
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -197,8 +343,7 @@ object Dedup {
     * at least one exact chunk), verify by full hamming distance. */
   def simhashEdges(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val fp = df.select(col(idCol).as("__id"),
-      simhash(col(textCol)).as("__fp"))
+    val fp = simhashFingerprints(df, textCol, idCol)
     val banded = fp.select(col("__id"), col("__fp"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk"),

@@ -104,14 +104,37 @@ class DedupSpec extends AnyFunSuite {
       .toDF("id_a", "id_b")
     val ids = (1 to n).map(_.toLong).toDF("id")
     val before = spark.sparkContext.getPersistentRDDs.size
-    val comps = Dedup.connectedComponents(edges, ids)
+    // driverMaxEdges=0 forces the distributed loop (the chain is the
+    // loop's worst case; the driver fast path is covered by the
+    // transitive-clusters test above)
+    val comps = Dedup.connectedComponents(edges, ids, driverMaxEdges = 0)
     val labels = comps.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == n)
     assert(labels.forall(_._2 == 1L),
       s"chain must collapse to component 1: ${labels.filter(_._2 != 1L).take(5).toSeq}")
+    // steady state: edge-node set, the final round's cache, and the
+    // last lineage checkpoint stay alive (the result reads them);
+    // everything superseded must be gone — the bound is CONSTANT in
+    // iteration count, which is the point
     val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after - before <= 3,
+    assert(after - before <= 5,
       s"superseded label caches must be unpersisted: before=$before after=$after")
+  }
+
+  test("aggregate signature forms match the column forms exactly") {
+    // minhash
+    val viaAgg = Dedup.minhashSignatures(docs, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg == viaCol)
+    // simhash
+    val fpAgg = Dedup.simhashFingerprints(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fpCol = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fpAgg == fpCol)
   }
 
   test("simhash: identical docs hamming 0, near dups small, far apart big") {
