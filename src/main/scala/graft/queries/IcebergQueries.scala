@@ -288,6 +288,25 @@ object IcebergQueries {
       |FROM lineitem WHERE l_linenumber <= 3
       |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** Incremental append scan between the two lineitem snapshots: only
+    * snap2's rows (l_linenumber > 3) are consumed. */
+  def i12Incremental(s: SparkSession, dir: String): DataFrame = {
+    val (t, firstSnap) = lineitemTwoSnaps(s, dir)
+    Scan(t, s).appendsBetween(firstSnap, t.currentSnapshot.get.snapshotId)
+      .toDF
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val i12Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_linenumber > 3
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------ SQL façade gates (verdict #7): the
   // SAME engine tables queried through spark.sql — GraftRelation leaf +
   // optimizer-rule substitution, native parquet execution.
@@ -333,6 +352,7 @@ object IcebergQueries {
     "i9_events_ingest" -> (i9EventsIngest _),
     "i10_compaction" -> (i10Compaction _),
     "i11_ref_read" -> (i11RefRead _),
+    "i12_incremental" -> (i12Incremental _),
     "sql1_scan_filter" -> (sql1ScanFilter _),
     "sql2_partition_prune" -> (sql2PartitionPrune _),
     "sql3_bucket_eq" -> (sql3BucketEq _),
@@ -350,6 +370,7 @@ object IcebergQueries {
     "i9_events_ingest" -> i9Sql,
     "i10_compaction" -> i10Sql,
     "i11_ref_read" -> i11Sql,
+    "i12_incremental" -> i12Sql,
     "sql1_scan_filter" -> i1Sql,
     "sql2_partition_prune" -> i6Sql,
     "sql3_bucket_eq" -> i7Sql,

@@ -56,6 +56,14 @@ class Scan private (
   /** Read a named branch or tag (SURVEY M5's read side; reference
     * declares refs at `spec/snapshot.go:64-70` but has no scan-by-ref). */
   def useRef(name: String): Scan = copy2(refName = Some(name))
+  /** Incremental append scan: only rows ADDED by snapshots in
+    * `(fromExclusive, toInclusive]` along the parent chain — the
+    * incremental-consumption surface (CDC-ish reads, micro-batch
+    * tailing). Delete files are ignored, matching Iceberg's
+    * incremental append scan semantics. */
+  def appendsBetween(fromExclusive: Long, toInclusive: Long): Scan =
+    copy2(snapshotId = Some(toInclusive),
+      options = options + ("incremental-from" -> fromExclusive.toString))
   def filter(e: Expr): Scan =
     copy2(filterExpr = Some(filterExpr.map(_.and(e)).getOrElse(e)))
   def select(cols: String*): Scan = copy2(selected = cols)
@@ -101,9 +109,56 @@ class Scan private (
   private def resolvedFilter(schema: Schema): Option[Expr] =
     filterExpr.map(_.simplify.mapColumns(resolve(schema, _)))
 
+  /** Incremental plan: Added entries of the snapshots in
+    * `(fromExclusive, to]` along the parent chain, pruned as usual,
+    * no delete attachment. Manifests not written by the snapshot under
+    * inspection are skipped via `addedSnapshotId` without reading. */
+  private def planIncremental(fromExclusive: Long): Seq[FileScanTask] = {
+    val to = resolveSnapshot().getOrElse(return Nil)
+    if (to.snapshotId == fromExclusive) return Nil
+    val schema = schemaForSnapshot(to)
+    val pred = resolvedFilter(schema)
+    val chain = Seq.newBuilder[Snapshot]
+    var cur: Option[Snapshot] = Some(to)
+    var found = false
+    while (cur.isDefined && !found) {
+      val s = cur.get
+      chain += s
+      cur = s.parentSnapshotId.flatMap(table.snapshotById)
+      found = s.parentSnapshotId.contains(fromExclusive)
+      if (cur.isEmpty && !found && s.parentSnapshotId.isDefined)
+        throw new IllegalArgumentException(
+          s"ancestor ${s.parentSnapshotId.get} of ${to.snapshotId} expired")
+    }
+    if (!found)
+      throw new IllegalArgumentException(
+        s"snapshot $fromExclusive is not an ancestor of ${to.snapshotId}")
+    chain.result().flatMap { s =>
+      table.manifestList(s)
+        .filter(mf => mf.content == ManifestContent.Data &&
+          mf.addedSnapshotId == s.snapshotId)
+        .flatMap { mf =>
+          val manifest = table.readManifest(mf)
+          val mfSpec = table.metadata.specById(mf.partitionSpecId)
+          manifest.entries
+            .filter(e => e.status == EntryStatus.Added &&
+              e.snapshotId.forall(_ == s.snapshotId))
+            .filter(e => pred.forall(p =>
+              Pruning.fileMightMatch(p, e.dataFile, schema) &&
+                mfSpec.forall(sp =>
+                  Pruning.partitionTupleMightMatch(p, e.dataFile, sp, schema))))
+            .map(e => FileScanTask(e.dataFile,
+              e.sequenceNumber.getOrElse(0L), mf.partitionSpecId, Nil,
+              manifest.schemaId))
+        }
+    }
+  }
+
   /** Plan files with real pruning (`table/scan.go:101-190` + the stubs
     * of `table/insert.go:255-266` implemented). */
   def planFiles(): Seq[FileScanTask] = {
+    options.get("incremental-from").foreach(f =>
+      return planIncremental(f.toLong))
     val snap = resolveSnapshot().getOrElse(return Nil)
     val schema = schemaForSnapshot(snap)
     val pred = resolvedFilter(schema)

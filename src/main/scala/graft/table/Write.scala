@@ -50,7 +50,10 @@ object DataWriter {
       w.parquet(dir)
       harvestDataFiles(spark.sessionState.newHadoopConf(), dir,
         meta.currentSchema,
-        nanCounts = nanCountsByFile(spark, dir, meta.currentSchema))
+        nanCounts =
+          if (nanStatsEnabled(meta))
+            nanCountsByFile(spark, dir, meta.currentSchema)
+          else Map.empty)
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
@@ -69,6 +72,14 @@ object DataWriter {
     * equivalent, and without it float/double bounds pruning is unsound
     * (a Gt prune would drop files whose NaN rows match, since NaN sorts
     * greatest in both Spark and DuckDB). */
+  /** NaN harvesting is on by default; tables whose float/double columns
+    * provably never carry NaN can opt out with table property
+    * `graft.write.nan-stats=false` — writes then skip the second pass
+    * (cost: the pruner stops using Gt/Gte bounds on those columns,
+    * which is the sound trade in the other direction). */
+  private[table] def nanStatsEnabled(meta: TableMetadata): Boolean =
+    meta.properties.getOrElse("graft.write.nan-stats", "true") != "false"
+
   private[table] def nanCountsByFile(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       schema: Schema): Map[String, Map[Int, Long]] = {
@@ -284,7 +295,9 @@ object PartitionedWriter {
     }
 
     harvestPartitionDirs(spark.sessionState.newHadoopConf(), dir, meta, spec,
-      DataWriter.nanCountsByFile(spark, dir, meta.currentSchema))
+      if (DataWriter.nanStatsEnabled(meta))
+        DataWriter.nanCountsByFile(spark, dir, meta.currentSchema)
+      else Map.empty)
   }
 
   private def sortColumn(sf: SortField,

@@ -189,6 +189,32 @@ class ScanSpec extends AnyFunSuite {
       Seq("id", "name", "email", "created_at"))
   }
 
+  test("incremental append scan reads only the snapshot range") {
+    var t = freshTable("incr")
+    t = TableOps.append(t, usersDf(1 to 10))
+    val s1 = t.currentSnapshot.get.snapshotId
+    t = TableOps.append(t, usersDf(11 to 20))
+    val s2 = t.currentSnapshot.get.snapshotId
+    t = TableOps.append(t, usersDf(21 to 30))
+    val s3 = t.currentSnapshot.get.snapshotId
+
+    def idsOf(sc: Scan): Set[Long] =
+      sc.toDF.select("id").collect().map(_.getLong(0)).toSet
+    assert(idsOf(Scan(t, spark).appendsBetween(s1, s3)) ==
+      (11 to 30).map(_.toLong).toSet)
+    assert(idsOf(Scan(t, spark).appendsBetween(s2, s3)) ==
+      (21 to 30).map(_.toLong).toSet)
+    assert(Scan(t, spark).appendsBetween(s1, s2).count() == 10,
+      "incremental count stays metadata-only")
+    assert(Scan(t, spark).appendsBetween(s3, s3).count() == 0)
+    // filters prune within the increment
+    assert(idsOf(Scan(t, spark).appendsBetween(s1, s3)
+      .filter(Col("id").lte(12L))) == Set(11L, 12L))
+    intercept[IllegalArgumentException] {
+      Scan(t, spark).appendsBetween(999L, s2).planFiles()
+    }
+  }
+
   test("scan by ref: tags and branches resolve to their snapshot (M5)") {
     var t = freshTable("refscan")
     t = TableOps.append(t, usersDf(1 to 10))
