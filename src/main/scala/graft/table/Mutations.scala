@@ -117,14 +117,37 @@ object Mutations {
 
   /** Merge-on-read equality delete (T6 — the reference returns "not yet
     * fully implemented", `table/delete.go:494-501`): write the key
-    * values; the scan anti-joins rows from OLDER sequence numbers. */
+    * values; the scan anti-joins rows from OLDER sequence numbers.
+    *
+    * Partition scoping: when every partition source column is among the
+    * key columns AND every live data manifest was written under the
+    * default spec, each key row's partition tuple is derivable and the
+    * delete files are written per-partition — scans of other partitions
+    * never touch them. Otherwise global (empty-tuple) files, which
+    * attach everywhere. */
   def deleteByKeys(table: Table, spark: SparkSession, keys: DataFrame):
       Table = {
     val fieldIds = keys.columns.toSeq.map(c =>
       table.schema.fieldByName(c).getOrElse(throw new IllegalArgumentException(
         s"key column $c not in schema")).id)
-    val delFiles = DeleteFileWriter.writeEqualityDeletes(table.metadata,
-      keys, fieldIds)
+    val spec = table.spec
+    val canScope = !spec.isUnpartitioned &&
+      spec.fields.forall(pf => table.schema.field(pf.sourceId)
+        .exists(f => keys.columns.contains(f.name))) && {
+        // older-spec data files have tuples the scoped index can't
+        // match — scoping would silently skip them
+        val liveSpecs = table.currentSnapshot.toSeq
+          .flatMap(table.manifestList)
+          .filter(_.content == ManifestContent.Data)
+          .map(_.partitionSpecId).toSet
+        liveSpecs.subsetOf(Set(spec.specId))
+      }
+    val delFiles =
+      if (canScope)
+        DeleteFileWriter.writeEqualityDeletesPartitioned(table.metadata,
+          keys, fieldIds)
+      else
+        DeleteFileWriter.writeEqualityDeletes(table.metadata, keys, fieldIds)
     table.commitSnapshot(PendingSnapshot(Operation.Delete,
       addedDeleteFiles = delFiles))
   }

@@ -476,6 +476,45 @@ object DeleteFileWriter {
     }
   }
 
+  /** Partition-scoped equality deletes: when every partition source
+    * column is among the key columns, each key row's partition tuple is
+    * computed through the spec's transforms and the delete files land
+    * per-partition — [[Scan.planFiles]]' (specId, partition) index then
+    * attaches them partition-locally instead of to every older file in
+    * the table. Caller must ensure all candidate data files were
+    * written under the default spec (see [[graft.table.Mutations]]). */
+  def writeEqualityDeletesPartitioned(meta: TableMetadata,
+      keys: DataFrame, equalityFieldIds: Seq[Int]): Seq[DataFile] = {
+    val spec = meta.defaultPartitionSpec
+    val schema = meta.currentSchema
+    val spark = keys.sparkSession
+    val partitionType = spec.partitionType(schema)
+    val partCols = spec.fields.map { pf =>
+      val src = schema.field(pf.sourceId).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source ${pf.sourceId} missing"))
+      ("__p_" + pf.name,
+        Transforms.applyToColumn(pf.transform, col(src.name), src.fieldType,
+          keys.schema.find(_.name == src.name).map(_.dataType)))
+    }
+    val partNames = partCols.map(_._1)
+    var dk = keys.distinct()
+    partCols.foreach { case (n, c) => dk = dk.withColumn(n, c) }
+    val keyCols = keys.columns.toSeq.map(col)
+    dk = dk.repartition(partNames.map(col): _*)
+      .sortWithinPartitions(partNames.map(col) ++ keyCols: _*)
+
+    val dir = meta.location.stripSuffix("/") + "/data/deletes-" +
+      java.util.UUID.randomUUID().toString
+    dk.write.option("compression", "snappy")
+      .partitionBy(partNames: _*).parquet(dir)
+    val conf = spark.sessionState.newHadoopConf()
+    PartitionDirs.leaves(conf, dir, partitionType).flatMap {
+      case (leaf, tuple) => harvestDeleteDir(conf, leaf.toString,
+        FileContent.EqualityDeletes, equalityFieldIds, tuple)
+    }
+  }
+
   /** Equality-delete files: key-column values identify deleted rows
     * (`table/writer.go:360-419`); range-clustered by key, one file per
     * task. */

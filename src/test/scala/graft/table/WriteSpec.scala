@@ -255,6 +255,51 @@ class DeleteFileWriterSpec extends AnyFunSuite {
       (1 to 30).map(_.toLong).toSet -- Set(1L, 4L, 7L))
   }
 
+  test("partition-scoped equality deletes attach only within their partition") {
+    val spec = PartitionSpec.builder(0).day(4, "created_day").build()
+    val dir = Files.createTempDirectory("graft-eqpart-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "eqpart"),
+      Fixtures4.usersSchema, spec, io = new HadoopFileIO())
+    import spark.implicits._
+    val df = (1 to 30).map { i =>
+      val day = 19800 + (i % 3)
+      (i.toLong, s"u$i", s"e$i", new java.sql.Timestamp(86400000L * day + i))
+    }.toDF("id", "name", "email", "created_at")
+    t = TableOps.append(t, df)
+
+    // keys include the partition source column (created_at) → scoped.
+    // ids 1, 4 live in day 19801
+    val keys = df.filter(col("id").isin(1L, 4L))
+      .select("id", "created_at")
+    t = Mutations.deleteByKeys(t, spark, keys)
+
+    val tasks = Scan(t, spark).planFiles()
+    val byDay = tasks.groupBy(_.file.partition("created_day"))
+    assert(byDay(19801).forall(_.deleteFiles.nonEmpty),
+      "scoped equality delete must attach in its partition")
+    assert(byDay(19800).forall(_.deleteFiles.isEmpty) &&
+      byDay(19802).forall(_.deleteFiles.isEmpty),
+      s"equality deletes must NOT attach to disjoint partitions: $byDay")
+    val delFiles = tasks.flatMap(_.deleteFiles).distinct
+    assert(delFiles.nonEmpty &&
+      delFiles.forall(_.partition("created_day") == 19801))
+    assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      (1 to 30).map(_.toLong).toSet -- Set(1L, 4L))
+
+    // keys WITHOUT the partition source fall back to global files
+    var t2 = Table.create(cat, TableIdentifier(Seq("db"), "eqpart2"),
+      Fixtures4.usersSchema, spec, io = new HadoopFileIO())
+    t2 = TableOps.append(t2, df)
+    t2 = Mutations.deleteByKeys(t2, spark,
+      df.filter(col("id") === 2L).select("id"))
+    val del2 = Scan(t2, spark).planFiles().flatMap(_.deleteFiles).distinct
+    assert(del2.nonEmpty && del2.forall(_.partition.isEmpty),
+      s"unscopable keys must produce global delete files: $del2")
+    assert(Scan(t2, spark).toDF.count() == 29)
+  }
+
   test("MoR delete after partition-spec evolution stays correct (global fallback)") {
     val spec = PartitionSpec.builder(0).day(4, "created_day").build()
     val dir = Files.createTempDirectory("graft-morspec-").toString
