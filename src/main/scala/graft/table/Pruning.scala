@@ -24,7 +24,7 @@ object Pruning {
       case And(cs) => cs.forall(fileMightMatch(_, file, schema))
       case Or(cs) => cs.exists(fileMightMatch(_, file, schema))
       case Not(_) => true // inclusive projection cannot negate
-      case leaf: Leaf => schema.fieldByName(leaf.column) match {
+      case leaf: Leaf => schema.fieldByPath(leaf.column) match {
         case None => true // unknown column: let Spark raise the error
         case Some(field) => leafMightMatch(leaf, file, field)
       }

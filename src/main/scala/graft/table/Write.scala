@@ -127,7 +127,10 @@ object DataWriter {
 
       for (block <- blocks; chunk <- block.getColumns.asScala) {
         val name = chunk.getPath.toDotString
-        schema.fieldByName(name).foreach { field =>
+        // dotted chunk paths resolve into struct leaves, so nested
+        // primitive columns get stats too (ref keys stats by field ID
+        // at any depth, spec/manifest.go:120-148)
+        schema.fieldByPath(name).foreach { field =>
           val fid = field.id
           columnSizes(fid) =
             columnSizes.getOrElse(fid, 0L) + chunk.getTotalSize

@@ -236,6 +236,52 @@ class ScanSpec extends AnyFunSuite {
   }
 }
 
+/** Nested-column stats: struct leaves get footer-harvested bounds keyed
+  * by their own field IDs, and dotted-path predicates prune on them. */
+class NestedStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val nestedSchema: Schema = Schema(0, Seq(
+    NestedField(1, "id", LongType, required = true),
+    NestedField(2, "profile", StructType(Seq(
+      NestedField(3, "age", IntType, required = false),
+      NestedField(4, "city", StringType, required = false))),
+      required = false)))
+
+  test("struct leaf bounds harvested; dotted predicate prunes files") {
+    val dir = Files.createTempDirectory("graft-nested-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "nested"),
+      nestedSchema, io = new HadoopFileIO())
+    import spark.implicits._
+    def batch(ids: Range, ageOf: Int => Int) =
+      ids.map(i => (i.toLong, (ageOf(i), s"city_$i")))
+        .toDF("id", "profile")
+        .select(col("id"), col("profile").cast(
+          "struct<age:int,city:string>"))
+    t = TableOps.append(t, batch(1 to 10, i => 20 + i).coalesce(1))
+    t = TableOps.append(t, batch(11 to 20, i => 60 + i).coalesce(1))
+
+    val files = Scan(t, spark).planFiles().map(_.file)
+    assert(files.size == 2)
+    // nested leaf 'age' (field id 3) carries real bounds
+    val ageBounds = files.map(f =>
+      Bounds.deserialize(f.lowerBounds(3), IntType).asInstanceOf[Int])
+      .sorted
+    assert(ageBounds == Seq(21, 71), s"harvested nested bounds: $ageBounds")
+    assert(files.forall(_.lowerBounds.contains(4)), "city bounds too")
+
+    // dotted predicate prunes to the one matching file and evaluates
+    val kept = Scan(t, spark).filter(Col("profile.age").gt(50)).planFiles()
+    assert(kept.size == 1, s"nested bounds must prune: $kept")
+    assert(Scan(t, spark).filter(Col("profile.age").gt(50)).toDF
+      .count() == 10)
+    assert(Scan(t, spark).filter(Col("profile.city").eqTo("city_3")).toDF
+      .count() == 1)
+  }
+}
+
 /** NaN stats (verdict #8): harvested nan_value_counts + NaN-sound
   * float/double bounds pruning. NaN sorts greater than every value in
   * Spark and DuckDB, and parquet min/max exclude it — so Gt/Gte prunes
