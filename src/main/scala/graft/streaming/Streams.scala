@@ -90,4 +90,63 @@ object Streams {
           }
       }
   }
+
+  /** Incremental table tailer — the CONSUMPTION side of the streaming
+    * loop (writeStream lands snapshots via [[IcebergStreamSink]]; this
+    * drains them). Each `poll()` refreshes the table, plans ONLY the
+    * snapshots appended since the last consumed one
+    * ([[graft.table.Scan.appendsBetween]] — added entries, manifest
+    * reads skipped via addedSnapshotId), hands the batch to `fn`, and
+    * durably records progress in
+    * `<table>/metadata/tail-checkpoint-<name>` AFTER fn returns —
+    * at-least-once on crash between fn and the checkpoint write, the
+    * same contract as foreachBatch. Restarts resume from the recorded
+    * snapshot. */
+  final class TableTailer(initial: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      name: String = "default") {
+    private var tableRef: Table = initial
+    private val ckptPath = initial.location.stripSuffix("/") +
+      s"/metadata/tail-checkpoint-$name"
+
+    private def readCheckpoint(): Option[Long] =
+      if (tableRef.io.exists(ckptPath))
+        Some(new String(tableRef.io.readAllBytes(ckptPath), "UTF-8").trim.toLong)
+      else None
+
+    private def writeCheckpoint(snapshotId: Long): Unit =
+      tableRef.io.writeString(ckptPath, snapshotId.toString,
+        overwrite = true)
+
+    /** Consume everything appended since the checkpoint; returns the
+      * number of snapshots drained (0 = caught up). */
+    def poll(fn: DataFrame => Unit): Int = {
+      tableRef = tableRef.refresh()
+      val current = tableRef.currentSnapshot.getOrElse(return 0)
+      val from = readCheckpoint()
+      if (from.contains(current.snapshotId)) return 0
+      val scan = from match {
+        case Some(f) => graft.table.Scan(tableRef, spark)
+          .appendsBetween(f, current.snapshotId)
+        case None => graft.table.Scan(tableRef, spark)
+          .useSnapshot(current.snapshotId) // first poll: full table
+      }
+      fn(scan.toDF)
+      writeCheckpoint(current.snapshotId)
+      // snapshots drained this poll (for monitoring)
+      var n = 0
+      var cur: Option[graft.spec.Snapshot] = Some(current)
+      while (cur.isDefined && !from.contains(cur.get.snapshotId)) {
+        n += 1
+        cur = cur.get.parentSnapshotId.flatMap(tableRef.snapshotById)
+      }
+      n
+    }
+
+    def table: Table = tableRef
+  }
+
+  def tailer(table: Table, spark: org.apache.spark.sql.SparkSession,
+      name: String = "default"): TableTailer =
+    new TableTailer(table, spark, name)
 }

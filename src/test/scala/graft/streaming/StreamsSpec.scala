@@ -56,6 +56,43 @@ class StreamsSpec extends AnyFunSuite {
     assert(Scan(t, spark).useSnapshot(first.snapshotId).toDF.count() == 2)
   }
 
+  test("table tailer drains appended snapshots incrementally, resumes from checkpoint") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tail-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "tailed"),
+      eventSchema, io = new HadoopFileIO())
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, i.toLong % 3, i * 1.0))
+        .toDF("event_id", "user_id", "value")
+
+    t = TableOps.append(t, batch(1 to 5))
+    val tail = Streams.tailer(t, spark, "spec")
+    val seen = collection.mutable.Buffer[Set[Long]]()
+    def drain(): Int = tail.poll { df =>
+      seen += df.select("event_id").collect().map(_.getLong(0)).toSet
+    }
+
+    assert(drain() == 1, "first poll consumes the full table")
+    assert(seen.last == (1 to 5).map(_.toLong).toSet)
+    assert(drain() == 0, "caught up -> no batch")
+
+    t = TableOps.append(t, batch(6 to 8))
+    t = TableOps.append(t, batch(9 to 10))
+    assert(drain() == 2, "two snapshots drained in one poll")
+    assert(seen.last == (6 to 10).map(_.toLong).toSet,
+      "only the increment is consumed")
+
+    // a NEW tailer with the same name resumes from the durable checkpoint
+    val resumed = Streams.tailer(tail.table, spark, "spec")
+    t = TableOps.append(t, batch(11 to 12))
+    var got: Set[Long] = Set.empty
+    resumed.poll(df =>
+      got = df.select("event_id").collect().map(_.getLong(0)).toSet)
+    assert(got == Set(11L, 12L), s"resume from checkpoint: $got")
+  }
+
   test("watermarked tumbling-window rollup over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
