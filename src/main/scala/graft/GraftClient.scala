@@ -99,6 +99,14 @@ class GraftClient(val config: GraftConfig,
   def tableExists(namespace: String, name: String): Boolean =
     catalog.tableExists(id(namespace, name))
 
+  /** Expose a catalog table to `spark.sql` / `spark.table` under
+    * `viewName` (defaults to the table name) — filter-aware pruning via
+    * [[graft.plans.GraftSQL]]. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession,
+      namespace: String, name: String, viewName: String = ""): Unit =
+    graft.plans.GraftSQL.registerTable(spark, table(namespace, name),
+      if (viewName.isEmpty) name else viewName)
+
   def listTables(namespace: String): Seq[String] =
     catalog.listTables(namespace.split('.').toSeq).map(_.name)
 }

@@ -30,6 +30,11 @@ class GraftClientSpec extends AnyFunSuite {
     val reloaded = client.table("analytics.raw", "users")
     assert(Scan(reloaded, spark).filter(Col("id").gt(1L)).toDF.count() == 1)
 
+    // SQL registration through the client
+    client.registerSql(spark, "analytics.raw", "users")
+    assert(spark.sql("SELECT name FROM users WHERE id = 2")
+      .collect().map(_.getString(0)).toSeq == Seq("b"))
+
     client.renameTable("analytics.raw", "users", "analytics.raw", "users2")
     assert(client.tableExists("analytics.raw", "users2"))
     client.dropTable("analytics.raw", "users2", purge = true)

@@ -139,8 +139,15 @@ class RestCatalogSpec extends AnyFunSuite {
                   }
                   b += TableUpdate.SetProperties(props.result())
                 case "set-snapshot-ref" =>
+                  def optInt(k: String) =
+                    Option(u.get(k)).map(_.asInt)
+                  def optLong(k: String) =
+                    Option(u.get(k)).map(_.asLong)
                   b += TableUpdate.SetSnapshotRef(u.get("ref-name").asText,
-                    u.get("snapshot-id").asLong, u.get("type").asText)
+                    u.get("snapshot-id").asLong, u.get("type").asText,
+                    optInt("min-snapshots-to-keep"),
+                    optLong("max-snapshot-age-ms"),
+                    optLong("max-ref-age-ms"))
                 case _ => ()
               }
             }
@@ -210,6 +217,18 @@ class RestCatalogSpec extends AnyFunSuite {
           Seq(TableRequirement.AssertRefSnapshotId("main", None)),
           Seq(TableUpdate.SetProperties(Map("x" -> "y"))))
       }
+      // ref retention knobs survive the JSON round-trip
+      val meta2 = cat.commitTable(id,
+        Seq(TableRequirement.AssertRefSnapshotId("main", Some(7L))),
+        Seq(TableUpdate.SetSnapshotRef("audit", 7L, "tag",
+          minSnapshotsToKeep = Some(2),
+          maxSnapshotAgeMs = Some(86400000L),
+          maxRefAgeMs = Some(604800000L))))
+      val ref = meta2.ref("audit").get
+      assert(ref.snapshotId == 7L && ref.refType == "tag")
+      assert(ref.minSnapshotsToKeep.contains(2))
+      assert(ref.maxSnapshotAgeMs.contains(86400000L))
+      assert(ref.maxRefAgeMs.contains(604800000L))
     }
   }
 }
