@@ -12,27 +12,49 @@ import graft.spec._
   */
 object Maintenance {
 
-  /** Bin-pack compaction: rewrite the current live file set into
-    * ~targetFileSizeBytes files (one replace snapshot). The read is one
-    * Spark job over the live files; partitioned tables recompute their
-    * partition columns through the normal partitioned write. */
+  /** Incremental bin-pack compaction: rewrite ONLY the files worth
+    * rewriting — files under `smallFileThresholdBytes` (default 3/4 of
+    * the target, Iceberg's bin-pack convention) and files carrying MoR
+    * delete files (rewriting absorbs the deletes) — into
+    * ~targetFileSizeBytes files, one replace snapshot. Well-sized,
+    * delete-free files are left untouched, so compacting a 100 TB table
+    * costs proportional to its SMALL-file volume, not its size. The
+    * read goes through the scan (MoR-applying), so absorbed delete
+    * files are retired with the rewrite. */
   def compactDataFiles(table: Table, spark: SparkSession,
-      targetFileSizeBytes: Long = 128L * 1024 * 1024): Table =
+      targetFileSizeBytes: Long = 128L * 1024 * 1024,
+      smallFileThresholdBytes: Long = -1L,
+      /** also rewrite well-sized files that carry MoR delete files
+        * (absorbing the deletes). Default on — matches a maintenance
+        * pass that retires delete files; turn off for cheap
+        * small-files-only passes on tables with wide-attaching
+        * (global) delete files. */
+      absorbDeleteFiles: Boolean = true): Table =
     Mutations.withConflictRetry(table)(
-      compactOnce(_, spark, targetFileSizeBytes))
+      compactOnce(_, spark, targetFileSizeBytes,
+        if (smallFileThresholdBytes >= 0) smallFileThresholdBytes
+        else targetFileSizeBytes * 3 / 4,
+        absorbDeleteFiles))
 
   private def compactOnce(table: Table, spark: SparkSession,
-      targetFileSizeBytes: Long): Table = {
+      targetFileSizeBytes: Long, smallThreshold: Long,
+      absorbDeleteFiles: Boolean): Table = {
     val tasks = Scan(table, spark).planFiles()
-    if (tasks.isEmpty) return table
-    val totalBytes = tasks.map(_.file.fileSizeInBytes).sum
-    val totalRecords = tasks.map(_.file.recordCount).sum
+    val candidates = tasks.filter(t =>
+      t.file.fileSizeInBytes < smallThreshold ||
+        (absorbDeleteFiles && t.deleteFiles.nonEmpty))
+    // one small delete-free file alone can't be improved
+    if (candidates.isEmpty ||
+        (candidates.size == 1 && candidates.head.deleteFiles.isEmpty))
+      return table
+    val totalBytes = candidates.map(_.file.fileSizeInBytes).sum
+    val totalRecords = candidates.map(_.file.recordCount).sum
     val nFiles = math.max(1L, (totalBytes + targetFileSizeBytes - 1)
       / targetFileSizeBytes)
     val recordsPerFile = math.max(1L, totalRecords / nFiles)
-    // read through the scan (applies MoR deletes, so compaction also
-    // absorbs delete files into the rewritten data)
-    val df = Scan(table, spark).toDF
+    // read through the scan path (applies MoR deletes of the selected
+    // candidates) — only the candidate tasks, not the whole table
+    val df = Scan(table, spark).readTasks(table.schema, candidates)
     val newFiles = {
       val spec = table.spec
       if (spec.isUnpartitioned)
@@ -40,10 +62,21 @@ object Maintenance {
           df.repartition(nFiles.toInt), maxRecordsPerFile = recordsPerFile)
       else PartitionedWriter.writeDataFiles(table.metadata, df)
     }
-    val removed = tasks.map(_.file.filePath).toSet ++
-      tasks.flatMap(_.deleteFiles.map(_.filePath))
+    // a delete file is retired only when EVERY data file it attaches to
+    // was rewritten — removing one still referenced by an untouched
+    // file would resurrect that file's deleted rows. Retained delete
+    // files can't affect the rewrite's output: new files carry higher
+    // sequence numbers.
+    val candidateSet = candidates.map(_.file.filePath).toSet
+    val attachments = tasks
+      .flatMap(t => t.deleteFiles.map(d => d.filePath -> t.file.filePath))
+      .groupBy(_._1)
+    val retiredDeletes = attachments.collect {
+      case (d, pairs) if pairs.map(_._2).toSet.subsetOf(candidateSet) => d
+    }
     table.commitSnapshot(PendingSnapshot(Operation.Replace,
-      addedDataFiles = newFiles, deletedFilePaths = removed))
+      addedDataFiles = newFiles,
+      deletedFilePaths = candidateSet ++ retiredDeletes))
   }
 
   /** All storage paths reachable from a snapshot: its manifest list,

@@ -55,6 +55,38 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(Scan(t, spark).count() == 15)
   }
 
+  test("incremental compaction leaves well-sized files untouched, keeps shared deletes") {
+    var t = freshTable("incrcompact")
+    t = TableOps.append(t, usersDf(1 to 10).coalesce(1))   // small
+    t = TableOps.append(t, usersDf(11 to 20).coalesce(1))  // small
+    t = TableOps.append(t, usersDf(21 to 1000).coalesce(1)) // "big"
+    val bigPath = Scan(t, spark).planFiles()
+      .maxBy(_.file.fileSizeInBytes).file.filePath
+    val bigSize = Scan(t, spark).planFiles()
+      .maxBy(_.file.fileSizeInBytes).file.fileSizeInBytes
+    // MoR-delete rows living in a small file; the global delete file
+    // attaches to every task
+    t = Mutations.deleteMoR(t, spark, Col("id").in(1L, 2L))
+
+    t = Maintenance.compactDataFiles(t, spark,
+      smallFileThresholdBytes = bigSize, // compact everything below big
+      absorbDeleteFiles = false) // cheap pass: don't chase global deletes
+    val after = Scan(t, spark).planFiles()
+    assert(after.map(_.file.filePath).contains(bigPath),
+      "the well-sized file must survive compaction untouched")
+    assert(after.size == 2,
+      s"two small files bin-pack into one, big untouched: ${after.size}")
+    // the delete file still attaches to the untouched big file (it was
+    // NOT retired — the big file wasn't rewritten); rewritten files are
+    // newer than it and unaffected
+    val bigTask = after.find(_.file.filePath == bigPath).get
+    assert(bigTask.deleteFiles.nonEmpty,
+      "shared delete file must be retained for non-rewritten files")
+    assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
+      (3 to 1000).map(_.toLong).toSet,
+      "deleted rows stay deleted through incremental compaction")
+  }
+
   test("expireSnapshots removes snapshots and GCs orphaned files") {
     var t = freshTable("expire")
     t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
