@@ -365,9 +365,13 @@ object Dedup {
   def embeddingEdges(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", planes: Int = 16,
       threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
+    // cached: both self-join sides read it — signature computed once
+    // per vector, and the planes-wide expression stays in its own
+    // codegen stage instead of fusing into the join
     val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__sig",
         Similarity.hyperplaneSignature(col("__v"), planes, seed))
+      .cache()
     val a = sig.as("a")
     val b = sig.as("b")
     a.join(b, col("a.__sig") === col("b.__sig") &&
