@@ -340,6 +340,19 @@ object IcebergQueries {
         |WHERE l_orderkey = 42 ORDER BY l_linenumber""".stripMargin)
   }
 
+  /** SQL over a MoR-mutated table: position-delete files must apply
+    * inside the substituted spark.sql plan. Table construction reuses
+    * MutationQueries' m2 build (lineitem MoR-delete of returnflag R). */
+  def sql4MorRead(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftSQL.registerTable(s,
+      MutationQueries.m2Table(s, dir), "g_lineitem_mor")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM g_lineitem_mor
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -356,6 +369,7 @@ object IcebergQueries {
     "sql1_scan_filter" -> (sql1ScanFilter _),
     "sql2_partition_prune" -> (sql2PartitionPrune _),
     "sql3_bucket_eq" -> (sql3BucketEq _),
+    "sql4_mor_read" -> (sql4MorRead _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -374,5 +388,6 @@ object IcebergQueries {
     "sql1_scan_filter" -> i1Sql,
     "sql2_partition_prune" -> i6Sql,
     "sql3_bucket_eq" -> i7Sql,
+    "sql4_mor_read" -> MutationQueries.m2Sql,
   )
 }

@@ -55,11 +55,15 @@ object MutationQueries {
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------- m2: MoR delete
-  def m2DeleteMor(s: SparkSession, dir: String): DataFrame = {
-    val t = build("m2", dir, "lineitem", s) { (t, _) =>
+  /** The m2 table, shared with the SQL-façade MoR gate (sql4). */
+  private[queries] def m2Table(s: SparkSession, dir: String): Table =
+    build("m2", dir, "lineitem", s) { (t, _) =>
       t.newDelete(s).where(Col("l_returnflag").eqTo("R"))
         .withMergeOnRead(true).execute()
     }
+
+  def m2DeleteMor(s: SparkSession, dir: String): DataFrame = {
+    val t = m2Table(s, dir)
     Scan(t, s).toDF
       .groupBy("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"))
