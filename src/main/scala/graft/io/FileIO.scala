@@ -21,6 +21,13 @@ trait FileIO {
   def length(path: String): Long
   def deleteFiles(paths: Seq[String]): Unit = paths.foreach(delete)
   def listFiles(prefix: String): Seq[String]
+  /** Move `src` to `dst` (replacing dst). Implementations should make
+    * this atomic where the store allows (posix/HDFS rename); the default
+    * is copy+delete — correct but not crash-atomic. */
+  def rename(src: String, dst: String): Unit = {
+    writeAllBytes(dst, readAllBytes(src), overwrite = true)
+    delete(src)
+  }
 
   def readAllBytes(path: String): Array[Byte] = {
     val in = open(path)
@@ -78,6 +85,14 @@ class HadoopFileIO(conf: Configuration = new Configuration()) extends FileIO {
   override def length(path: String): Long = {
     val p = new Path(path)
     fs(p).getFileStatus(p).getLen
+  }
+
+  override def rename(src: String, dst: String): Unit = {
+    val s = new Path(src); val d = new Path(dst)
+    val f = fs(s)
+    if (f.exists(d)) f.delete(d, false)
+    if (!f.rename(s, d))
+      throw new java.io.IOException(s"rename $src -> $dst failed")
   }
 
   override def listFiles(prefix: String): Seq[String] = {

@@ -110,13 +110,29 @@ object Streams {
       s"/metadata/tail-checkpoint-$name"
 
     private def readCheckpoint(): Option[Long] =
-      if (tableRef.io.exists(ckptPath))
-        Some(new String(tableRef.io.readAllBytes(ckptPath), "UTF-8").trim.toLong)
-      else None
+      if (!tableRef.io.exists(ckptPath)) None
+      else {
+        val raw = new String(tableRef.io.readAllBytes(ckptPath), "UTF-8").trim
+        try Some(raw.toLong)
+        catch {
+          case _: NumberFormatException =>
+            // a corrupt checkpoint must not wedge every subsequent poll
+            // with a bare NumberFormatException; surface what happened
+            // and how to recover.
+            throw new IllegalStateException(
+              s"tail checkpoint $ckptPath is corrupt (content: " +
+                s"'${raw.take(64)}'); delete it to restart the tailer " +
+                "from the full table (at-least-once redelivery)")
+        }
+      }
 
-    private def writeCheckpoint(snapshotId: Long): Unit =
-      tableRef.io.writeString(ckptPath, snapshotId.toString,
-        overwrite = true)
+    /** Durable progress record: temp-file + rename so a crash mid-write
+      * can never leave a truncated checkpoint behind. */
+    private def writeCheckpoint(snapshotId: Long): Unit = {
+      val tmp = ckptPath + ".tmp"
+      tableRef.io.writeString(tmp, snapshotId.toString, overwrite = true)
+      tableRef.io.rename(tmp, ckptPath)
+    }
 
     /** Consume everything appended since the checkpoint; returns the
       * number of snapshots drained (0 = caught up). */

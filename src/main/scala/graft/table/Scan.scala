@@ -133,7 +133,16 @@ class Scan private (
     if (!found)
       throw new IllegalArgumentException(
         s"snapshot $fromExclusive is not an ancestor of ${to.snapshotId}")
-    chain.result().flatMap { s =>
+    // Only operation=append snapshots contribute: Replace (compaction),
+    // Overwrite (update/upsert/overwriteWhere) and Delete snapshots add
+    // manifests whose Added entries are REWRITES of pre-existing rows —
+    // consuming them would re-deliver the whole rewritten file set as if
+    // it were new data (e.g. one compaction between tailer polls would
+    // duplicate the entire table downstream). Matches Iceberg's
+    // incremental append scan, which skips non-append snapshots.
+    chain.result()
+      .filter(_.summary.forall(_.operation == Operation.Append))
+      .flatMap { s =>
       table.manifestList(s)
         .filter(mf => mf.content == ManifestContent.Data &&
           mf.addedSnapshotId == s.snapshotId)

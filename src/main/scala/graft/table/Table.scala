@@ -97,9 +97,12 @@ class Table(
       refreshed: TableMetadata): Unit = {
     val depends = pending.deletedFilePaths ++ pending.referencedDataPaths
     if (depends.isEmpty) return
+    // Both manifest kinds: deletedFilePaths may name retired DELETE
+    // files (delete-absorbing compaction), which live only in Deletes
+    // manifests — excluding them would misclassify every CAS loss during
+    // such a compaction as a conflict, even vs a harmless append.
     val live = refreshed.currentSnapshot.toSeq.flatMap { s =>
       ManifestAvro.readManifestList(io.readAllBytes(s.manifestList))
-        .filter(_.content == ManifestContent.Data)
         .flatMap(mf => ManifestAvro.readManifest(
           io.readAllBytes(mf.manifestPath)).liveEntries
           .map(_.dataFile.filePath))
@@ -228,14 +231,17 @@ object SnapshotWriter {
 
     // 3. parent manifests: rewrite the ones containing deleted files,
     //    carry the rest forward untouched (O(#manifests-changed) I/O).
+    //    BOTH manifest kinds are inspected: compaction retires absorbed
+    //    DELETE files too (deletedFilePaths may name them), and leaving
+    //    them live would make every scan read retired delete parquet
+    //    forever — metadata garbage that grows with each compaction.
     val carried = Seq.newBuilder[ManifestFile]
     parent.foreach { p =>
       val parentList =
         if (p.manifestList.isEmpty) Nil
         else ManifestAvro.readManifestList(io.readAllBytes(p.manifestList))
       parentList.foreach { mf =>
-        val mustInspect = pending.deletedFilePaths.nonEmpty &&
-          mf.content == ManifestContent.Data
+        val mustInspect = pending.deletedFilePaths.nonEmpty
         if (!mustInspect) carried += mf
         else {
           val manifest = ManifestAvro.readManifest(io.readAllBytes(mf.manifestPath))
@@ -244,22 +250,24 @@ object SnapshotWriter {
             live.partition(e => pending.deletedFilePaths.contains(e.dataFile.filePath))
           if (removed.isEmpty) carried += mf
           else {
-            deletedFilesCount += removed.size
-            deletedRecords += removed.map(_.dataFile.recordCount).sum
+            if (mf.content == ManifestContent.Data) {
+              deletedFilesCount += removed.size
+              deletedRecords += removed.map(_.dataFile.recordCount).sum
+            }
             if (survivors.nonEmpty) {
               val mfSpec = meta.specById(mf.partitionSpecId).getOrElse(spec)
               val mfPartType = mfSpec.partitionType(meta.currentSchema)
               val entries = survivors.map(e =>
                 e.copy(status = EntryStatus.Existing))
               val bytes = ManifestAvro.writeManifest(manifest.schemaId, mfSpec,
-                mfPartType, ManifestContent.Data, entries)
+                mfPartType, mf.content, entries)
               val path = s"$metadataDir/manifest-$uuid8-$snapshotId.avro"
               io.writeAllBytes(path, bytes)
               carried += ManifestFile(
                 manifestPath = path,
                 manifestLength = bytes.length.toLong,
                 partitionSpecId = mf.partitionSpecId,
-                content = ManifestContent.Data,
+                content = mf.content,
                 sequenceNumber = seqNum,
                 minSequenceNumber =
                   entries.flatMap(_.sequenceNumber).minOption.getOrElse(seqNum),

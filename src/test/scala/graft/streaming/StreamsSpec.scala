@@ -93,6 +93,71 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == Set(11L, 12L), s"resume from checkpoint: $got")
   }
 
+  test("tailer skips compaction/overwrite snapshots — no re-delivery") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tail-compact-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "tailed2"),
+      eventSchema, io = new HadoopFileIO())
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, i.toLong % 3, i * 1.0))
+        .toDF("event_id", "user_id", "value")
+
+    t = TableOps.append(t, batch(1 to 5))
+    t = TableOps.append(t, batch(6 to 10))
+    val tail = Streams.tailer(t, spark, "spec")
+    val seen = collection.mutable.Buffer[Set[Long]]()
+    def drain(): Int = tail.poll { df =>
+      seen += df.select("event_id").collect().map(_.getLong(0)).toSet
+    }
+    drain() // initial full-table consumption
+
+    // compaction between polls rewrites EVERY row into new files under a
+    // replace snapshot; an incremental consumer must not see them again
+    t = Maintenance.compactDataFiles(tail.table, spark,
+      targetFileSizeBytes = 512L * 1024 * 1024)
+    assert(t.currentSnapshot.get.summary.get.operation == Operation.Replace,
+      "precondition: compaction actually committed a replace snapshot")
+    t = TableOps.append(t, batch(11 to 13))
+    drain()
+    assert(seen.last == Set(11L, 12L, 13L),
+      s"only the genuine append is delivered, got ${seen.last}")
+
+    // an update (overwrite snapshot) rewrites files too — same rule
+    t = t.newUpdate(spark).where(Col("event_id").eqTo(1L))
+      .set("value", 99.0).execute()
+    t = TableOps.append(t, batch(14 to 14))
+    drain()
+    assert(seen.last == Set(14L),
+      s"overwrite snapshot is not re-delivered, got ${seen.last}")
+  }
+
+  test("tailer checkpoint is crash-safe and corruption is diagnosable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tail-ckpt-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "tailed3"),
+      eventSchema, io = new HadoopFileIO())
+    t = TableOps.append(t,
+      Seq((1L, 1L, 1.0)).toDF("event_id", "user_id", "value"))
+    val tail = Streams.tailer(t, spark, "spec")
+    tail.poll(_ => ())
+    val ckpt = t.location.stripSuffix("/") + "/metadata/tail-checkpoint-spec"
+    assert(t.io.exists(ckpt) && !t.io.exists(ckpt + ".tmp"),
+      "checkpoint finalized via temp+rename, no temp left behind")
+
+    // simulate a torn write: poll must fail with a recoverable message,
+    // not a bare NumberFormatException
+    t.io.writeString(ckpt, "12345garbage", overwrite = true)
+    val e = intercept[IllegalStateException] {
+      Streams.tailer(t, spark, "spec").poll(_ => ())
+    }
+    assert(e.getMessage.contains("corrupt") &&
+      e.getMessage.contains("delete it"), e.getMessage)
+  }
+
   test("watermarked tumbling-window rollup over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
