@@ -75,9 +75,26 @@ object Dedup {
         array((0 until numHashes).map(k => col(s"__h$k")): _*).as("__sig"))
   }
 
+  /** Eagerly materialize a SMALL frame via localCheckpoint and release
+    * the given upstream caches. Caches registered with CacheManager
+    * leak until explicitly unpersisted; checkpoint blocks are released
+    * by the ContextCleaner when the result is garbage-collected, so
+    * repeated pipeline invocations in a long-lived session don't
+    * accumulate executor storage. */
+  private def materializeAndRelease(out: DataFrame,
+      caches: DataFrame*): DataFrame = {
+    val result = out.localCheckpoint(true)
+    caches.foreach(_.unpersist(false))
+    result
+  }
+
   /** Candidate duplicate pairs via LSH banding: equal band-slices of
     * the minhash signature land in the same bucket. Returns (idA, idB)
-    * with idA < idB, distinct. */
+    * with idA < idB, distinct.
+    *
+    * EAGER: the pair set (tiny relative to the corpus — that is the
+    * point of LSH) is materialized before returning so the banded
+    * cache below can be released immediately. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -100,11 +117,12 @@ object Dedup {
       .cache()
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.__band") === col("b.__band") &&
+    val cands = a.join(b, col("a.__band") === col("b.__band") &&
         col("a.__bucket") === col("b.__bucket") &&
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+    materializeAndRelease(cands, banded)
   }
 
   /** True n-gram Jaccard similarity between two shingle arrays —
@@ -115,7 +133,8 @@ object Dedup {
         size(array_union(a, b)))
 
   /** Verified near-duplicate edges: LSH candidates filtered by true
-    * Jaccard over shingle sets. */
+    * Jaccard over shingle sets. EAGER like [[minhashCandidates]] — the
+    * verified edge list is even smaller than the candidate set. */
   def minhashEdges(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
@@ -126,13 +145,14 @@ object Dedup {
     val sh = df.select(col(idCol).as("__id"),
       array_distinct(shingles(col(textCol))).as("__sh"))
       .cache()
-    cands
+    val edges = cands
       .join(sh.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__sh", "__sh_a"), "id_a")
       .join(sh.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__sh", "__sh_b"), "id_b")
       .where(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
       .select("id_a", "id_b")
+    materializeAndRelease(edges, sh)
   }
 
   /** Connected components over a near-dup edge list. Returns
@@ -229,13 +249,22 @@ object Dedup {
       converged = changes == 0
       iter += 1
     }
-    val singletons = ids.select(col(ids.columns.head).as("id"))
-      .join(edgeNodes, Seq("id"), "left_anti")
-      .withColumn("component", col("id"))
-    val result = labels.unionByName(singletons)
+    // Pin the (bounded: edge-touched nodes only) final labels and node
+    // set as checkpoint blocks, then release every CacheManager entry
+    // the loop created — the returned plan must not depend on caches a
+    // long-lived session would otherwise accumulate. Checkpoint blocks
+    // free themselves when the result is GC'd (ContextCleaner).
+    val finalLabels = labels.localCheckpoint(true)
+    val nodeSet = edgeNodes.localCheckpoint(true)
+    prevPlain.foreach(_.unpersist(false))
+    prevCheckpoint.foreach(_.unpersist(false))
+    edgeNodes.unpersist(false)
     sym.unpersist(false)
     e.unpersist(false)
-    result
+    val singletons = ids.select(col(ids.columns.head).as("id"))
+      .join(nodeSet.select("id"), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    finalLabels.unionByName(singletons)
   }
 
   /** Small-graph path: union-find with path compression on the driver,
@@ -374,9 +403,10 @@ object Dedup {
       .cache()
     val a = sig.as("a")
     val b = sig.as("b")
-    a.join(b, col("a.__sig") === col("b.__sig") &&
+    val edges = a.join(b, col("a.__sig") === col("b.__sig") &&
         col("a.__id") < col("b.__id"))
       .where(Similarity.cosine(col("a.__v"), col("b.__v")) >= threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    materializeAndRelease(edges, sig)
   }
 }

@@ -35,18 +35,67 @@ final case class GraftRelation(
   override def newInstance(): GraftRelation =
     copy(output = output.map(_.newInstance()))
 
-  /** Manifest-derived size so join planning can broadcast small graft
-    * tables BEFORE the leaf is substituted; unknown → conservative. */
-  override def computeStats(): Statistics = Statistics(sizeInBytes =
-    try {
-      val sz = table.currentSnapshot.toSeq.flatMap(table.manifestList)
-        .flatMap(mf => table.readManifest(mf).liveEntries)
-        .map(e => BigInt(e.dataFile.fileSizeInBytes)).sum
-      if (sz > 0) sz else BigInt(Long.MaxValue / 4)
-    } catch { case _: Exception => BigInt(Long.MaxValue / 4) })
+  /** Metadata-derived size so join planning can broadcast small graft
+    * tables BEFORE the leaf is substituted; unknown → conservative.
+    * Catalyst may call this several times while planning ONE query, so
+    * the value comes from snapshot-summary counters (zero I/O) or at
+    * worst one memoized manifest-LIST read — never per-manifest reads
+    * (at 1M files that was seconds of driver metadata I/O per SQL
+    * statement). */
+  override def computeStats(): Statistics =
+    Statistics(sizeInBytes = GraftRelation.sizeFor(table))
 
   override def simpleString(maxFields: Int): String =
     s"GraftRelation ${table.id.name} ${output.map(_.name).mkString("[", ",", "]")}"
+}
+
+object GraftRelation {
+  private val Unknown = BigInt(Long.MaxValue / 4)
+  /** (table uuid, snapshot id) → sizeInBytes. Snapshot content is
+    * immutable, so entries never invalidate; bounded to keep a
+    * long-lived session from growing without limit. */
+  private val sizeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), BigInt]()
+  private val MaxCacheEntries = 4096
+
+  private[plans] def sizeFor(table: graft.table.Table): BigInt =
+    try {
+      table.currentSnapshot match {
+        case None => BigInt(1) // empty table: broadcasting it is free
+        case Some(snap) =>
+          val key = (table.metadata.tableUuid, snap.snapshotId)
+          val cached = sizeCache.get(key)
+          if (cached != null) cached
+          else {
+            val sz = computeSize(table, snap)
+            if (sizeCache.size < MaxCacheEntries) sizeCache.put(key, sz)
+            sz
+          }
+      }
+    } catch { case _: Exception => Unknown }
+
+  private def computeSize(table: graft.table.Table,
+      snap: graft.spec.Snapshot): BigInt = {
+    val summary = snap.summary
+    val counterSize =
+      summary.map(_.counter(graft.spec.Summary.TotalFilesSize)).getOrElse(0L)
+    if (counterSize > 0) return BigInt(counterSize)
+    if (summary.exists(s =>
+        s.counter(graft.spec.Summary.TotalDataFiles) == 0))
+      return BigInt(1)
+    // older snapshot without the counter: ONE manifest-list read — row
+    // counts are in the list — times the schema's estimated row width
+    val rows = table.manifestList(snap)
+      .filter(_.content == graft.spec.ManifestContent.Data)
+      .map(_.liveRowsCount).sum
+    if (rows <= 0) Unknown
+    else {
+      val rowWidth = graft.spec.SchemaConverters
+        .toSparkSchema(table.schema).fields.map(_.dataType.defaultSize)
+        .sum.max(8)
+      BigInt(rows) * rowWidth
+    }
+  }
 }
 
 /** Catalyst predicate → engine [[Expr]], for pruning only (row-level
@@ -119,6 +168,23 @@ object GraftPruneRule extends Rule[LogicalPlan] {
       substitute(projects, filters, rel)
   }
 
+  /** Per-query metadata refresh: commits made after `registerTable` are
+    * visible to the next SQL statement, like Iceberg's Spark catalog —
+    * the registration must not pin its snapshot forever. Falls back to
+    * the registered handle when the catalog is unreachable or the
+    * current schema no longer carries every registered column with the
+    * same Spark type (the relation's output attributes are fixed; a
+    * mismatched substitution would mistype downstream operators). */
+  private def refreshed(rel: GraftRelation): Table =
+    try {
+      val t = rel.table.refresh()
+      val fresh = graft.spec.SchemaConverters.toSparkSchema(t.schema)
+        .fields.map(f => f.name -> f.dataType).toMap
+      val compatible = rel.output.forall(a =>
+        fresh.get(a.name).contains(a.dataType))
+      if (compatible) t else rel.table
+    } catch { case _: Exception => rel.table }
+
   private def substitute(projects: Seq[NamedExpression],
       filters: Seq[CExpr], rel: GraftRelation): LogicalPlan = {
     val pruneExpr: Option[Expr] =
@@ -126,7 +192,7 @@ object GraftPruneRule extends Rule[LogicalPlan] {
     // the scan uses the converted predicate for manifest/file pruning
     // ONLY — its literals are Catalyst-internal (micros, UTF8String) and
     // row semantics stay with the re-applied Catalyst filters below
-    val scan = pruneExpr.foldLeft(Scan(rel.table, rel.session))(_ filter _)
+    val scan = pruneExpr.foldLeft(Scan(refreshed(rel), rel.session))(_ filter _)
     val sub = Bridge.analyzed(scan.toDFPruneOnly)
     // graft the sub-plan under the relation's original exprIds
     val byName = sub.output.map(a => a.name -> a).toMap

@@ -42,6 +42,7 @@ object Summary {
   val AddedPositionDeletes = "added-position-deletes"
   val AddedEqualityDeletes = "added-equality-deletes"
   val TotalRecords = "total-records"
+  val TotalFilesSize = "total-files-size"
   val TotalDataFiles = "total-data-files"
   val TotalDeleteFiles = "total-delete-files"
   val TotalPositionDeletes = "total-position-deletes"
@@ -50,8 +51,8 @@ object Summary {
     AddedFilesSize, RemovedDataFiles, RemovedRecords, RemovedFilesSize,
     DeletedDataFiles, DeletedRecords, AddedDeleteFiles,
     AddedPositionDeletes, AddedEqualityDeletes, TotalRecords,
-    TotalDataFiles, TotalDeleteFiles, TotalPositionDeletes,
-    TotalEqualityDeletes)
+    TotalFilesSize, TotalDataFiles, TotalDeleteFiles,
+    TotalPositionDeletes, TotalEqualityDeletes)
 }
 
 final case class Snapshot(

@@ -1,6 +1,7 @@
 package graft.table
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 
 import graft.avro.ManifestAvro
 import graft.spec._
@@ -57,10 +58,26 @@ object Maintenance {
     val df = Scan(table, spark).readTasks(table.schema, candidates)
     val newFiles = {
       val spec = table.spec
-      if (spec.isUnpartitioned)
-        DataWriter.writeDataFiles(table.metadata,
-          df.repartition(nFiles.toInt), maxRecordsPerFile = recordsPerFile)
-      else PartitionedWriter.writeDataFiles(table.metadata, df)
+      if (spec.isUnpartitioned) {
+        // Range-cluster the output, never round-robin: repartition(n)
+        // gives every compacted file near-full-range min/max bounds, so
+        // post-compaction scans would prune WORSE than pre-compaction.
+        // Cluster keys: the table's sort order, else the first primitive
+        // column — compaction should improve clustering, not destroy it.
+        val schema = table.schema
+        val sortCols = table.metadata.defaultSortOrder.fields
+          .flatMap(sf => schema.field(sf.sourceId).map(f => col(f.name)))
+        val clusterCols =
+          if (sortCols.nonEmpty) sortCols
+          else schema.fields.filter(f => df.columns.contains(f.name))
+            .take(1).map(f => col(f.name)).toSeq
+        val clustered =
+          if (clusterCols.isEmpty) df.repartition(nFiles.toInt)
+          else df.repartitionByRange(nFiles.toInt, clusterCols: _*)
+            .sortWithinPartitions(clusterCols: _*)
+        DataWriter.writeDataFiles(table.metadata, clustered,
+          maxRecordsPerFile = recordsPerFile)
+      } else PartitionedWriter.writeDataFiles(table.metadata, df)
     }
     // a delete file is retired only when EVERY data file it attaches to
     // was rewritten — removing one still referenced by an untouched

@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions.{col, lit}
 
 import graft.spec._
 
+/** A delete file attached to a scan task, with the metadata MoR
+  * application needs beyond the file itself: its commit sequence number
+  * (equality deletes apply only to OLDER data) and the spec its
+  * partition scope was written under. */
+final case class DeleteFileRef(
+    file: DataFile,
+    sequenceNumber: Long,
+    specId: Int)
+
 /** One unit of scan work (`table/scan.go:193-199`) — a data file plus
   * the delete files that apply to it under MoR sequence rules, and the
   * schema id the file was written under (drives field-ID remapping). */
@@ -12,7 +21,7 @@ final case class FileScanTask(
     file: DataFile,
     sequenceNumber: Long,
     specId: Int,
-    deleteFiles: Seq[DataFile],
+    deleteFiles: Seq[DeleteFileRef],
     schemaId: Int)
 
 /** Fluent scan (`table/scan.go:17-77`): snapshot/as-of/filter/select/
@@ -203,22 +212,24 @@ class Scan private (
       case (sid, e) => (sid, e.dataFile.partition)
     }
     val attachMemo = collection.mutable.Map
-      .empty[(Int, Map[String, Any], Long), Seq[DataFile]]
+      .empty[(Int, Map[String, Any], Long), Seq[DeleteFileRef]]
     def applicableDeletes(specId: Int, partition: Map[String, Any],
-        seq: Long): Seq[DataFile] =
+        seq: Long): Seq[DeleteFileRef] =
       if (deleteEntries.isEmpty) Nil
       else attachMemo.getOrElseUpdate((specId, partition, seq), {
         // MoR applicability: position deletes with deleteSeq >= dataSeq,
         // equality deletes with deleteSeq > dataSeq (Iceberg spec rule)
         (globalDeletes ++ scopedIndex.getOrElse((specId, partition), Nil))
-          .map(_._2).filter { d =>
+          .filter { case (_, d) =>
             val dSeq = d.sequenceNumber.getOrElse(0L)
             d.dataFile.content match {
               case FileContent.PositionDeletes => dSeq >= seq
               case FileContent.EqualityDeletes => dSeq > seq
               case _ => false
             }
-          }.map(_.dataFile)
+          }.map { case (sid, d) =>
+            DeleteFileRef(d.dataFile, d.sequenceNumber.getOrElse(0L), sid)
+          }
       })
 
     val tasks = Seq.newBuilder[FileScanTask]

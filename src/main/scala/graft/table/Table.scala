@@ -177,6 +177,7 @@ object SnapshotWriter {
     val newManifests = Seq.newBuilder[ManifestFile]
     var deletedFilesCount = 0
     var deletedRecords = 0L
+    var deletedBytes = 0L
 
     // 1. manifest for added data files
     if (pending.addedDataFiles.nonEmpty) {
@@ -253,6 +254,7 @@ object SnapshotWriter {
             if (mf.content == ManifestContent.Data) {
               deletedFilesCount += removed.size
               deletedRecords += removed.map(_.dataFile.recordCount).sum
+              deletedBytes += removed.map(_.dataFile.fileSizeInBytes).sum
             }
             if (survivors.nonEmpty) {
               val mfSpec = meta.specById(mf.partitionSpecId).getOrElse(spec)
@@ -294,8 +296,22 @@ object SnapshotWriter {
 
     // 5. summary with real totals over the final manifest set
     val addedRecords = pending.addedDataFiles.map(_.recordCount).sum
+    val addedBytes = pending.addedDataFiles.map(_.fileSizeInBytes).sum
     val dataManifests = allManifests.filter(_.content == ManifestContent.Data)
     val deleteManifests = allManifests.filter(_.content == ManifestContent.Deletes)
+    // total-files-size carries forward incrementally (parent total +
+    // added - removed) so stats consumers (e.g. SQL broadcast planning)
+    // never have to open data manifests. Only emitted when the parent
+    // chain has the counter (or we're at the root) — a stale parent
+    // total would silently misestimate forever.
+    val parentTotalSize: Option[Long] = parent match {
+      case None => Some(0L)
+      case Some(p) => p.summary.flatMap { s =>
+        val t = s.counter(Summary.TotalFilesSize)
+        if (t > 0 || s.counter(Summary.TotalDataFiles) == 0) Some(t)
+        else None
+      }
+    }
     val summary = Summary(pending.operation)
       .withCounter(Summary.AddedDataFiles, pending.addedDataFiles.size.toLong)
       .withCounter(Summary.AddedRecords, addedRecords)
@@ -307,6 +323,9 @@ object SnapshotWriter {
       .withCounter(Summary.DeletedRecords, deletedRecords)
       .withCounter(Summary.TotalRecords,
         dataManifests.map(_.liveRowsCount).sum)
+      .withCounter(Summary.TotalFilesSize,
+        parentTotalSize.map(t => t + addedBytes - deletedBytes)
+          .getOrElse(0L))
       .withCounter(Summary.TotalDataFiles,
         dataManifests.map(m => m.addedFilesCount + m.existingFilesCount)
           .sum.toLong)

@@ -11,6 +11,23 @@ import graft.io.HadoopFileIO
 import graft.spec._
 import graft.table._
 
+/** FileIO that counts driver-side metadata reads (manifest lists are
+  * `snap-*.avro`, manifests `*manifest-*.avro`). */
+class CountingFileIO extends HadoopFileIO {
+  import scala.jdk.CollectionConverters._
+  private val counts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  override def open(path: String): java.io.InputStream = {
+    counts.merge(path, 1, (a, b) => a + b)
+    super.open(path)
+  }
+  def reset(): Unit = counts.clear()
+  def totalReads: Int = counts.values.asScala.map(_.intValue).sum
+  def listReads: Int = counts.asScala.collect {
+    case (p, n) if p.contains("/snap-") => n.intValue
+  }.sum
+}
+
 /** spark.sql / spark.table over engine tables: the GraftRelation leaf +
   * optimizer-rule substitution must deliver filter-aware manifest/file
   * pruning and MoR semantics, executing on the native parquet reader. */
@@ -103,6 +120,59 @@ class SqlFacadeSpec extends AnyFunSuite {
     val files = scannedFiles(q)
     assert(files.size == 1,
       s"partition-tuple pruning must reach the SQL path: $files")
+  }
+
+  test("computeStats is counter-based: zero metadata reads, even repeated") {
+    val dir = Files.createTempDirectory("graft-sqlstats-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new CountingFileIO
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "sqlstats"),
+      Fixtures4.usersSchema, io = io)
+    t = TableOps.append(t, usersDf(1 to 10))
+    val rel = GraftSQL.tableDF(spark, t)
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.logical.collectFirst { case r: GraftRelation => r }.get
+    io.reset()
+    // Catalyst may call computeStats several times while planning one
+    // query; none of them may open manifests (summary-counter path)
+    val sizes = (1 to 5).map(_ => rel.computeStats().sizeInBytes).distinct
+    assert(io.totalReads == 0,
+      s"stats must come from summary counters, saw ${io.totalReads} reads")
+    assert(sizes.size == 1 && sizes.head > 0 &&
+      sizes.head < BigInt(Long.MaxValue / 8),
+      s"real (not conservative-unknown) size expected: $sizes")
+  }
+
+  test("planning a SQL query reads the manifest list at most once") {
+    val dir = Files.createTempDirectory("graft-sqlio-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new CountingFileIO
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "sqlio"),
+      Fixtures4.usersSchema, io = io)
+    t = TableOps.append(t, usersDf(1 to 10))
+    GraftSQL.registerTable(spark, t, "users_io")
+    io.reset()
+    val n = spark.sql("SELECT COUNT(*) AS n FROM users_io WHERE id <= 5")
+      .collect().head.getLong(0)
+    assert(n == 5)
+    assert(io.listReads <= 1,
+      s"one planFiles = one manifest-list read, saw ${io.listReads}")
+  }
+
+  test("commits after registerTable are visible to the next query") {
+    var t = freshTable("sqlfresh")
+    t = TableOps.append(t, usersDf(1 to 5))
+    GraftSQL.registerTable(spark, t, "users_fresh")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM users_fresh")
+      .collect().head.getLong(0) == 5)
+    // commit through the same catalog, WITHOUT re-registering: the
+    // pinned-snapshot trap (ADVICE r3) — per-query refresh must see it
+    TableOps.append(t, usersDf(6 to 10))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM users_fresh")
+      .collect().head.getLong(0) == 10,
+      "registration must not pin the snapshot forever")
   }
 
   test("SQL join against a registered table works (self + other)") {

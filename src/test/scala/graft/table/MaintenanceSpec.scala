@@ -87,6 +87,47 @@ class MaintenanceSpec extends AnyFunSuite {
       "deleted rows stay deleted through incremental compaction")
   }
 
+  test("compaction range-clusters output: disjoint bounds, better pruning") {
+    var t = freshTable("compactrange")
+    // six small files with INTERLEAVED id ranges: every file spans
+    // nearly the full id domain, so pre-compaction pruning is useless
+    (0 until 6).foreach { b =>
+      t = TableOps.append(t, usersDf((b + 1) to 600 by 6).coalesce(1))
+    }
+    val before = Scan(t, spark).planFiles()
+    assert(before.size == 6)
+    assert(Scan(t, spark).filter(Col("id").lte(50L)).planFiles().size == 6,
+      "interleaved files: bounds pruning can't help before compaction")
+    val totalBytes = before.map(_.file.fileSizeInBytes).sum
+
+    // target ≈ a third of the data → ~3 output files
+    t = Maintenance.compactDataFiles(t, spark,
+      targetFileSizeBytes = totalBytes / 3 + 1)
+    val after = Scan(t, spark).planFiles()
+    assert(after.size >= 2 && after.size < 6,
+      s"multiple range-clustered outputs expected: ${after.size}")
+
+    // id bounds of compacted files must be pairwise disjoint — that is
+    // what repartitionByRange buys over round-robin
+    val ranges = after.map { task =>
+      val lo = Bounds.deserialize(task.file.lowerBounds(1), LongType)
+        .asInstanceOf[Long]
+      val hi = Bounds.deserialize(task.file.upperBounds(1), LongType)
+        .asInstanceOf[Long]
+      (lo, hi)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi1), (lo2, _)) =>
+        assert(hi1 < lo2, s"overlapping compacted bounds: $ranges")
+      case _ => ()
+    }
+    // and pruning now planFiles strictly fewer files than exist
+    val pruned = Scan(t, spark).filter(Col("id").lte(50L)).planFiles()
+    assert(pruned.size == 1,
+      s"post-compaction pruning must isolate the low-id file: ${pruned.size}")
+    assert(Scan(t, spark).toDF.count() == 600)
+  }
+
   test("expireSnapshots removes snapshots and GCs orphaned files") {
     var t = freshTable("expire")
     t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
