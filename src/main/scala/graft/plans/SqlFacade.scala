@@ -58,8 +58,14 @@ object GraftRelation {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), BigInt]()
   private val MaxCacheEntries = 4096
 
-  private[plans] def sizeFor(table: graft.table.Table): BigInt =
+  private[plans] def sizeFor(table0: graft.table.Table): BigInt =
     try {
+      // stats must track the CURRENT snapshot, not the registration-time
+      // pin — a table registered small but grown large would otherwise
+      // keep advertising the stale size and Catalyst might broadcast a
+      // now-huge table. refresh() is one metadata-JSON read; the result
+      // is memoized per (uuid, snapshotId) below.
+      val table = try table0.refresh() catch { case _: Exception => table0 }
       table.currentSnapshot match {
         case None => BigInt(1) // empty table: broadcasting it is free
         case Some(snap) =>

@@ -104,7 +104,12 @@ object Streams {
     * snapshot. */
   final class TableTailer(initial: Table,
       spark: org.apache.spark.sql.SparkSession,
-      name: String = "default") {
+      name: String = "default",
+      /** Overwrite snapshots in a polled range FAIL the poll by default
+        * (an upsert's new rows would otherwise be silently lost — see
+        * [[graft.table.Scan.appendsBetween]]); opt in to skipping them
+        * when the producer is known to only rewrite, never add. */
+      skipOverwrites: Boolean = false) {
     private var tableRef: Table = initial
     private val ckptPath = initial.location.stripSuffix("/") +
       s"/metadata/tail-checkpoint-$name"
@@ -142,8 +147,12 @@ object Streams {
       val from = readCheckpoint()
       if (from.contains(current.snapshotId)) return 0
       val scan = from match {
-        case Some(f) => graft.table.Scan(tableRef, spark)
-          .appendsBetween(f, current.snapshotId)
+        case Some(f) =>
+          val s = graft.table.Scan(tableRef, spark)
+            .appendsBetween(f, current.snapshotId)
+          if (skipOverwrites)
+            s.option("incremental-skip-overwrites", "true")
+          else s
         case None => graft.table.Scan(tableRef, spark)
           .useSnapshot(current.snapshotId) // first poll: full table
       }
@@ -163,6 +172,7 @@ object Streams {
   }
 
   def tailer(table: Table, spark: org.apache.spark.sql.SparkSession,
-      name: String = "default"): TableTailer =
-    new TableTailer(table, spark, name)
+      name: String = "default",
+      skipOverwrites: Boolean = false): TableTailer =
+    new TableTailer(table, spark, name, skipOverwrites)
 }

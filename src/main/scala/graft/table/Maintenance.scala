@@ -67,9 +67,13 @@ object Maintenance {
         val schema = table.schema
         val sortCols = table.metadata.defaultSortOrder.fields
           .flatMap(sf => schema.field(sf.sourceId).map(f => col(f.name)))
+        // fallback key must be range-orderable (repartitionByRange on a
+        // map column throws); non-orderable-only schemas round-robin
         val clusterCols =
           if (sortCols.nonEmpty) sortCols
-          else schema.fields.filter(f => df.columns.contains(f.name))
+          else schema.fields.filter(f => df.columns.contains(f.name) &&
+              org.apache.spark.sql.catalyst.expressions.RowOrdering
+                .isOrderable(graft.spec.SchemaConverters.toSparkType(f.fieldType)))
             .take(1).map(f => col(f.name)).toSeq
         val clustered =
           if (clusterCols.isEmpty) df.repartition(nFiles.toInt)
@@ -86,7 +90,7 @@ object Maintenance {
     // sequence numbers.
     val candidateSet = candidates.map(_.file.filePath).toSet
     val attachments = tasks
-      .flatMap(t => t.deleteFiles.map(d => d.filePath -> t.file.filePath))
+      .flatMap(t => t.deleteFiles.map(d => d.file.filePath -> t.file.filePath))
       .groupBy(_._1)
     val retiredDeletes = attachments.collect {
       case (d, pairs) if pairs.map(_._2).toSet.subsetOf(candidateSet) => d

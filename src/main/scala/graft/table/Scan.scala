@@ -147,10 +147,34 @@ class Scan private (
     // manifests whose Added entries are REWRITES of pre-existing rows —
     // consuming them would re-deliver the whole rewritten file set as if
     // it were new data (e.g. one compaction between tailer polls would
-    // duplicate the entire table downstream). Matches Iceberg's
-    // incremental append scan, which skips non-append snapshots.
+    // duplicate the entire table downstream).
+    //
+    // Replace and Delete skip SILENTLY: neither can carry rows that did
+    // not exist before (compaction rewrites; delete rewrites-minus-rows),
+    // so an append consumer loses nothing. Overwrite is different —
+    // upsert/merge commits GENUINELY NEW rows under Overwrite
+    // (Mutations upsert path), so silently skipping one would lose data
+    // downstream forever. Fail loud by default, matching Iceberg's
+    // streaming source, with an explicit opt-out mirroring its
+    // streaming-skip-overwrite-snapshots option.
+    val skipOverwrites =
+      options.get("incremental-skip-overwrites").contains("true")
     chain.result()
-      .filter(_.summary.forall(_.operation == Operation.Append))
+      .filter { s =>
+        s.summary.map(_.operation) match {
+          case None | Some(Operation.Append) => true
+          case Some(Operation.Replace) | Some(Operation.Delete) => false
+          case Some(Operation.Overwrite) =>
+            if (skipOverwrites) false
+            else throw new UnsupportedOperationException(
+              s"snapshot ${s.snapshotId} in the incremental range is an " +
+                "overwrite (upsert/update/overwriteWhere) — its rewritten " +
+                "files cannot be told apart from new data, and upserted " +
+                "rows WOULD be new data. Re-read from a full scan, or set " +
+                "option incremental-skip-overwrites=true to skip such " +
+                "snapshots (accepting that upserted rows are not delivered)")
+        }
+      }
       .flatMap { s =>
       table.manifestList(s)
         .filter(mf => mf.content == ManifestContent.Data &&
@@ -303,8 +327,8 @@ class Scan private (
     // is read, remapped, and anti-joined independently, then unioned.
     // Position deletes carry file_path and therefore self-scope.
     val groups = tasks.groupBy(t => (t.schemaId, t.deleteFiles
-      .filter(_.content == FileContent.EqualityDeletes)
-      .map(d => (d.filePath, d.equalityIds)).toSet))
+      .filter(_.file.content == FileContent.EqualityDeletes)
+      .map(d => (d.file.filePath, d.file.equalityIds)).toSet))
 
     val parts = groups.toSeq.map { case ((fileSchemaId, eqSet), groupTasks) =>
       val paths = groupTasks.map(_.file.filePath)
@@ -313,8 +337,8 @@ class Scan private (
       val fileSparkSchema =
         graft.spec.SchemaConverters.toSparkSchema(fileSchema)
       val posDeletes = groupTasks.flatMap(_.deleteFiles)
-        .filter(_.content == FileContent.PositionDeletes)
-        .map(_.filePath).distinct
+        .filter(_.file.content == FileContent.PositionDeletes)
+        .map(_.file.filePath).distinct
 
       var df = spark.read.schema(fileSparkSchema).parquet(paths: _*)
       // MoR position metadata captured before any projection (J2 — the

@@ -254,8 +254,11 @@ object SnapshotWriter {
             if (mf.content == ManifestContent.Data) {
               deletedFilesCount += removed.size
               deletedRecords += removed.map(_.dataFile.recordCount).sum
-              deletedBytes += removed.map(_.dataFile.fileSizeInBytes).sum
             }
+            // total-files-size includes delete-file bytes (Iceberg's
+            // semantics for the same summary key), so retired DELETE
+            // files count here too; file/record counters stay data-only.
+            deletedBytes += removed.map(_.dataFile.fileSizeInBytes).sum
             if (survivors.nonEmpty) {
               val mfSpec = meta.specById(mf.partitionSpecId).getOrElse(spec)
               val mfPartType = mfSpec.partitionType(meta.currentSchema)
@@ -296,7 +299,10 @@ object SnapshotWriter {
 
     // 5. summary with real totals over the final manifest set
     val addedRecords = pending.addedDataFiles.map(_.recordCount).sum
-    val addedBytes = pending.addedDataFiles.map(_.fileSizeInBytes).sum
+    // delete files count toward total-files-size (matching Iceberg),
+    // but not toward added-files-size / file-count counters
+    val addedBytes = pending.addedDataFiles.map(_.fileSizeInBytes).sum +
+      pending.addedDeleteFiles.map(_.fileSizeInBytes).sum
     val dataManifests = allManifests.filter(_.content == ManifestContent.Data)
     val deleteManifests = allManifests.filter(_.content == ManifestContent.Deletes)
     // total-files-size carries forward incrementally (parent total +

@@ -106,7 +106,7 @@ class StreamsSpec extends AnyFunSuite {
 
     t = TableOps.append(t, batch(1 to 5))
     t = TableOps.append(t, batch(6 to 10))
-    val tail = Streams.tailer(t, spark, "spec")
+    val tail = Streams.tailer(t, spark, "spec", skipOverwrites = true)
     val seen = collection.mutable.Buffer[Set[Long]]()
     def drain(): Int = tail.poll { df =>
       seen += df.select("event_id").collect().map(_.getLong(0)).toSet
@@ -131,6 +131,34 @@ class StreamsSpec extends AnyFunSuite {
     drain()
     assert(seen.last == Set(14L),
       s"overwrite snapshot is not re-delivered, got ${seen.last}")
+  }
+
+  test("tailer fails loud on overwrite snapshots by default") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tail-ow-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "tailed3"),
+      eventSchema, io = new HadoopFileIO())
+    def batch(ids: Range) =
+      ids.map(i => (i.toLong, i.toLong % 3, i * 1.0))
+        .toDF("event_id", "user_id", "value")
+
+    t = TableOps.append(t, batch(1 to 5))
+    val tail = Streams.tailer(t, spark, "spec-ow") // default: fail loud
+    tail.poll(_ => ()) // initial full-table consumption
+
+    // an upsert commits NEW rows under Operation.Overwrite — silently
+    // skipping it would lose row 6 downstream forever; the poll must
+    // surface that instead
+    t = tail.table.refresh().newUpsert(spark)
+      .withKeyColumns("event_id").withData(batch(6 to 6)).execute()
+    assert(t.currentSnapshot.get.summary.get.operation ==
+      Operation.Overwrite, "precondition: upsert commits an overwrite")
+    val e = intercept[UnsupportedOperationException] {
+      tail.poll(_ => ())
+    }
+    assert(e.getMessage.contains("incremental-skip-overwrites"))
   }
 
   test("tailer checkpoint is crash-safe and corruption is diagnosable") {

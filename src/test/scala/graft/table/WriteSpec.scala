@@ -249,7 +249,7 @@ class DeleteFileWriterSpec extends AnyFunSuite {
     // delete files themselves carry the partition tuple
     val delFiles = tasks.flatMap(_.deleteFiles).distinct
     assert(delFiles.nonEmpty &&
-      delFiles.forall(_.partition("created_day") == 19801))
+      delFiles.forall(_.file.partition("created_day") == 19801))
     // correctness: only the three rows are gone
     assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
       (1 to 30).map(_.toLong).toSet -- Set(1L, 4L, 7L))
@@ -284,7 +284,7 @@ class DeleteFileWriterSpec extends AnyFunSuite {
       s"equality deletes must NOT attach to disjoint partitions: $byDay")
     val delFiles = tasks.flatMap(_.deleteFiles).distinct
     assert(delFiles.nonEmpty &&
-      delFiles.forall(_.partition("created_day") == 19801))
+      delFiles.forall(_.file.partition("created_day") == 19801))
     assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
       (1 to 30).map(_.toLong).toSet -- Set(1L, 4L))
 
@@ -295,7 +295,7 @@ class DeleteFileWriterSpec extends AnyFunSuite {
     t2 = Mutations.deleteByKeys(t2, spark,
       df.filter(col("id") === 2L).select("id"))
     val del2 = Scan(t2, spark).planFiles().flatMap(_.deleteFiles).distinct
-    assert(del2.nonEmpty && del2.forall(_.partition.isEmpty),
+    assert(del2.nonEmpty && del2.forall(_.file.partition.isEmpty),
       s"unscopable keys must produce global delete files: $del2")
     assert(Scan(t2, spark).toDF.count() == 29)
   }
@@ -325,7 +325,7 @@ class DeleteFileWriterSpec extends AnyFunSuite {
     // the writer must have fallen back to GLOBAL (empty-tuple) delete
     // files — routing through the new spec would orphan the deletes
     val delFiles = Scan(t, spark).planFiles().flatMap(_.deleteFiles).distinct
-    assert(delFiles.nonEmpty && delFiles.forall(_.partition.isEmpty),
+    assert(delFiles.nonEmpty && delFiles.forall(_.file.partition.isEmpty),
       s"old-spec candidates must take the global delete path: $delFiles")
     assert(Scan(t, spark).toDF.select("id").collect().map(_.getLong(0)).toSet ==
       (1 to 30).map(_.toLong).toSet -- Set(2L, 5L, 8L),
