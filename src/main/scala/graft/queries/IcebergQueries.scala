@@ -307,6 +307,87 @@ object IcebergQueries {
       |FROM lineitem WHERE l_linenumber > 3
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Partition-spec evolution end-to-end (round-3 verdict #9): write
+    * under month(l_shipdate), evolve the default spec to
+    * day(l_shipdate), write more under the day spec, then MoR-delete
+    * rows living under BOTH specs. The (specId, partition)-indexed
+    * delete attachment and the old-spec global-fallback delete path
+    * both execute inside one scan, gated by the DuckDB oracle. */
+  private def lineitemSpecEvolved(spark: SparkSession,
+      sfDir: String): Table =
+    cache.getOrElseUpdate(s"li13:$sfDir", {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sf13" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      val schema = SchemaConverters.fromSparkSchema(df.schema)
+      val sd = schema.fieldByName("l_shipdate").get.id
+      var tbl = Table.create(cat, TableIdentifier(ns, "lineitem"),
+        schema, PartitionSpec.builder(0).month(sd, "ship_month").build(),
+        io = io)
+      tbl = TableOps.append(tbl, df.filter(col("l_linenumber") <= 3))
+      tbl = tbl.newTransaction().addPartitionSpec(
+        PartitionSpec.builder(1).day(sd, "ship_day").build()).commit()
+      tbl = TableOps.append(tbl, df.filter(col("l_linenumber") > 3))
+      // rows with l_quantity > 45 exist under both specs' files
+      Mutations.deleteMoR(tbl, spark, Col("l_quantity").gt(45.0))
+    })
+
+  def i13SpecEvolution(s: SparkSession, dir: String): DataFrame =
+    Scan(lineitemSpecEvolved(s, dir), s).toDF
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  val i13Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE NOT COALESCE(l_quantity > 45, FALSE)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** DSv2 readStream drain (round-3 verdict #1's gate): the two-snapshot
+    * lineitem table tailed through `spark.readStream.format("graft")`
+    * into a memory sink — first micro-batch is snap1's full content,
+    * the second micro-batch drains snap2 — then aggregated. The oracle
+    * covers ALL rows, so a hash match proves the source delivered every
+    * snapshot exactly once. */
+  def i14ReadStreamDrain(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/lineitem.parquet")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf14" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    var t = Table.create(cat, TableIdentifier(ns, "lineitem"),
+      SchemaConverters.fromSparkSchema(df.schema), io = io)
+    t = TableOps.append(t, df.filter(col("l_linenumber") <= 3))
+    val qn = "graft_i14_" + math.abs(dir.hashCode).toString
+    val q = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns.mkString("."))
+      .option("table", "lineitem")
+      .load()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // micro-batch 1: snap1's full content
+      TableOps.append(t, df.filter(col("l_linenumber") > 3))
+      q.processAllAvailable() // micro-batch 2: appendsBetween(snap1, snap2)
+    } finally q.stop()
+    s.table(qn)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val i14Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------ SQL façade gates (verdict #7): the
   // SAME engine tables queried through spark.sql — GraftRelation leaf +
   // optimizer-rule substitution, native parquet execution.
@@ -366,6 +447,8 @@ object IcebergQueries {
     "i10_compaction" -> (i10Compaction _),
     "i11_ref_read" -> (i11RefRead _),
     "i12_incremental" -> (i12Incremental _),
+    "i13_spec_evolution" -> (i13SpecEvolution _),
+    "i14_readstream_drain" -> (i14ReadStreamDrain _),
     "sql1_scan_filter" -> (sql1ScanFilter _),
     "sql2_partition_prune" -> (sql2PartitionPrune _),
     "sql3_bucket_eq" -> (sql3BucketEq _),
@@ -385,6 +468,8 @@ object IcebergQueries {
     "i10_compaction" -> i10Sql,
     "i11_ref_read" -> i11Sql,
     "i12_incremental" -> i12Sql,
+    "i13_spec_evolution" -> i13Sql,
+    "i14_readstream_drain" -> i14Sql,
     "sql1_scan_filter" -> i1Sql,
     "sql2_partition_prune" -> i6Sql,
     "sql3_bucket_eq" -> i7Sql,

@@ -1,0 +1,52 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** Re-exports of the `private[sql]` parquet reading machinery for the
+  * DSv2 source (`graft.sources`). The returned function is EXACTLY what
+  * `FileSourceScanExec` ships to executors — Spark's own vectorized
+  * parquet decode path, serialized into our `PartitionReaderFactory` —
+  * so the streaming source reads with the same code the batch planner
+  * uses, not a hand-rolled parquet loop.
+  */
+object ParquetShim {
+
+  /** Build the serializable per-file read function on the driver.
+    * `OPTION_RETURNING_BATCH = false` makes it yield [[InternalRow]]s
+    * (vectorized decode still applies underneath; batches are unwrapped
+    * row-wise), which is what a row-based DSv2 `PartitionReader`
+    * contract requires. */
+  def buildReaderFunc(
+      spark: SparkSession,
+      dataSchema: StructType,
+      requiredSchema: StructType)
+      : PartitionedFile => Iterator[InternalRow] = {
+    val fmt = new ParquetFileFormat
+    val conf: Configuration =
+      spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    fmt.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = requiredSchema,
+      filters = Nil,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      hadoopConf = conf)
+  }
+
+  def partitionedFile(path: String, length: Long): PartitionedFile =
+    PartitionedFile(
+      partitionValues = InternalRow.empty,
+      filePath = SparkPath.fromPathString(path),
+      start = 0L,
+      length = length,
+      locations = Array.empty,
+      modificationTime = 0L,
+      fileSize = length)
+}

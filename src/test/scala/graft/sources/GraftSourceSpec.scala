@@ -1,0 +1,204 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.catalog.{LocalCatalog, TableIdentifier}
+import graft.io.HadoopFileIO
+import graft.spec._
+import graft.table._
+
+class GraftSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val schema = Schema(0, Seq(
+    NestedField(1, "event_id", LongType, required = true),
+    NestedField(2, "user_id", LongType, required = true),
+    NestedField(3, "value", DoubleType, required = true)))
+
+  private def mkTable(name: String): (Table, String, String) = {
+    val dir = Files.createTempDirectory(s"graft-src-$name-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val t = Table.create(cat, TableIdentifier(Seq("db"), name),
+      schema, io = new HadoopFileIO())
+    (t, dir, name)
+  }
+
+  private def batch(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, i.toLong % 3, i * 1.0))
+      .toDF("event_id", "user_id", "value")
+  }
+
+  private def reader(dir: String, name: String) =
+    spark.read.format("graft")
+      .option("warehouse", dir).option("namespace", "db")
+      .option("table", name)
+
+  private def streamReader(dir: String, name: String) =
+    spark.readStream.format("graft")
+      .option("warehouse", dir).option("namespace", "db")
+      .option("table", name)
+
+  // ------------------------------------------------------- batch read
+
+  test("batch read parity with the Scan API") {
+    val (t0, dir, name) = mkTable("b1")
+    var t = TableOps.append(t0, batch(1 to 50))
+    t = TableOps.append(t, batch(51 to 80))
+
+    val viaSource = reader(dir, name).load()
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    val viaScan = Scan(t, spark).toDF
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(viaSource == viaScan && viaSource == (1L to 80L).toSet)
+  }
+
+  test("batch read prunes columns and accepts pushed filters") {
+    val (t0, dir, name) = mkTable("b2")
+    TableOps.append(t0, batch(1 to 100))
+
+    val df = reader(dir, name).load()
+      .where("event_id > 90").select("event_id")
+    assert(df.collect().map(_.getLong(0)).toSet == (91L to 100L).toSet)
+    // column pruning reached the scan: only event_id in ReadSchema
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("user_id"), s"pruned column in plan:\n$plan")
+  }
+
+  test("batch read fails loud on MoR delete files") {
+    val (t0, dir, name) = mkTable("b3")
+    var t = TableOps.append(t0, batch(1 to 10))
+    t = t.newDelete(spark).where(Col("event_id").eqTo(3L))
+      .withMergeOnRead(true).execute()
+    // MoR position-delete committed; source must refuse, not resurrect
+    val e = intercept[Exception] {
+      reader(dir, name).load().collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("MoR"),
+      s"expected loud MoR rejection, got: ${e.getMessage}")
+  }
+
+  // ------------------------------------------------- micro-batch read
+
+  test("readStream tails appended snapshots exactly once") {
+    val (t0, dir, name) = mkTable("s1")
+    var t = TableOps.append(t0, batch(1 to 5))
+    t = TableOps.append(t, batch(6 to 10))
+
+    val q = streamReader(dir, name).load()
+      .writeStream.format("memory").queryName("graft_s1")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("graft_s1")
+        .select("event_id").collect().map(_.getLong(0))
+      assert(first.sorted.toSeq == (1L to 10L),
+        s"first batch = full table, got ${first.toSeq.sorted}")
+
+      // two more appends while running: each drained exactly once
+      t = TableOps.append(t, batch(11 to 13))
+      t = TableOps.append(t, batch(14 to 15))
+      q.processAllAvailable()
+      val all = spark.table("graft_s1")
+        .select("event_id").collect().map(_.getLong(0))
+      assert(all.sorted.toSeq == (1L to 15L),
+        s"incremental drain without re-delivery, got ${all.toSeq.sorted}")
+    } finally q.stop()
+  }
+
+  test("readStream parity with batch scan after restart-free run") {
+    val (t0, dir, name) = mkTable("s2")
+    var t = TableOps.append(t0, batch(1 to 20))
+    val q = streamReader(dir, name).load()
+      .groupBy("user_id").count()
+      .writeStream.format("memory").queryName("graft_s2")
+      .outputMode("complete").start()
+    try {
+      t = TableOps.append(t, batch(21 to 40))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_s2").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batchRes = Scan(t.refresh(), spark).toDF
+        .groupBy("user_id").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed == batchRes,
+        s"stream agg $streamed != batch agg $batchRes")
+    } finally q.stop()
+  }
+
+  test("readStream starting-offset=latest skips existing data") {
+    val (t0, dir, name) = mkTable("s3")
+    var t = TableOps.append(t0, batch(1 to 100))
+
+    val q = streamReader(dir, name)
+      .option("starting-offset", "latest").load()
+      .writeStream.format("memory").queryName("graft_s3")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("graft_s3").count() == 0,
+        "latest start delivers nothing until a new append")
+      t = TableOps.append(t, batch(101 to 105))
+      q.processAllAvailable()
+      val got = spark.table("graft_s3")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(got == (101L to 105L).toSet, s"only new rows, got $got")
+    } finally q.stop()
+  }
+
+  test("readStream fails loud on an overwrite snapshot by default") {
+    val (t0, dir, name) = mkTable("s4")
+    var t = TableOps.append(t0, batch(1 to 5))
+    val q = streamReader(dir, name).load()
+      .writeStream.format("memory").queryName("graft_s4")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // upsert commits NEW rows under Operation.Overwrite
+      t = t.refresh().newUpsert(spark)
+        .withKeyColumns("event_id").withData(batch(6 to 6)).execute()
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+        q.awaitTermination(10000)
+      }
+      assert(e.getMessage.contains("incremental-skip-overwrites") ||
+        Option(e.getCause).exists(_.getMessage
+          .contains("incremental-skip-overwrites")),
+        s"expected the overwrite rejection, got: ${e.getMessage}")
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("readStream skip-overwrites=true skips them and keeps tailing") {
+    val (t0, dir, name) = mkTable("s5")
+    var t = TableOps.append(t0, batch(1 to 5))
+    val q = streamReader(dir, name)
+      .option("skip-overwrites", "true").load()
+      .writeStream.format("memory").queryName("graft_s5")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      t = t.refresh().newUpdate(spark).where(Col("event_id").eqTo(1L))
+        .set("value", 99.0).execute() // overwrite snapshot: rewrite only
+      t = TableOps.append(t, batch(6 to 8))
+      q.processAllAvailable()
+      val got = spark.table("graft_s5")
+        .select("event_id").collect().map(_.getLong(0))
+      assert(got.sorted.toSeq == (1L to 8L),
+        s"overwrite skipped, append delivered once, got ${got.toSeq.sorted}")
+    } finally q.stop()
+  }
+
+  test("offset json round-trip") {
+    val o = GraftOffset(42L)
+    assert(GraftOffset.fromJson(o.json()) == o)
+    assert(GraftOffset.fromJson("""{ "snapshotId" : -1 }""")
+      == GraftOffset(-1L))
+    intercept[IllegalArgumentException] {
+      GraftOffset.fromJson("""{"other":1}""")
+    }
+  }
+}
