@@ -22,11 +22,18 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
+    // Median of N warm iterations per query (round-3 verdict #5): this
+    // machine's run-to-run variance is ±2x on sub-second queries, so a
+    // single sample can't distinguish a regression from noise.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val samples = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> samples(samples.size / 2)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

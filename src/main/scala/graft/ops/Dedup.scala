@@ -31,14 +31,28 @@ object Dedup {
       .drop("__fp", "__rn")
   }
 
-  /** Word shingles of size n over the normalized text. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(TextAnalysis.normalized(text), " ")
-    when(size(toks) < n, array(TextAnalysis.normalized(text)))
+  /** Word shingles of size n over a PRE-SPLIT token array. Callers on
+    * a hot path should project the token split into its own column
+    * first ([[tokenized]]): higher-order functions evaluate outside
+    * codegen, where a `toks` SUBTREE (vs. a bound attribute) re-runs
+    * the normalize+split regex once per reference per row — measured
+    * ~2x on the d6 verify stage. */
+  def shinglesOfTokens(toks: Column, n: Int = 3): Column =
+    when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-  }
+
+  /** (id, token array) projection — the stage boundary that makes the
+    * token split evaluate exactly once per document. */
+  private def tokenized(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      split(TextAnalysis.normalized(col(textCol)), " ").as("__toks"))
+
+  /** Word shingles of size n over the normalized text. */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(split(TextAnalysis.normalized(text), " "), n)
 
   /** MinHash signature: k independent hash functions simulated as
     * xxhash64(shingle, seed_k); signature[k] = min over shingles.
@@ -66,8 +80,9 @@ object Dedup {
     * joined elsewhere without managing stage isolation themselves. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int): DataFrame = {
-    val exploded = df.select(col(idCol).as("__id"),
-      explode(array_distinct(shingles(col(textCol)))).as("__s"))
+    val exploded = tokenized(df, textCol, idCol)
+      .select(col("__id"),
+        explode(array_distinct(shinglesOfTokens(col("__toks")))).as("__s"))
     val aggs = (0 until numHashes).map(k =>
       min(xxhash64(col("__s"), lit(k))).as(s"__h$k"))
     exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*)
@@ -99,15 +114,17 @@ object Dedup {
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df
-      .select(col(idCol).as("__id"), col(textCol).as("__text"))
-      .withColumn("__sig", minhashSignature(col("__text"), numHashes))
-    // CACHE the banded frame: both sides of the self-join read it, and
-    // the cache fill runs the k-wide signature expression in its OWN
-    // codegen stage. Fused into the join stage it overflows the
-    // generated-method limit, the stage falls back to interpreted eval,
-    // and without CSE the shingling regex re-runs per seed per shingle
-    // — measured 100x+ on the d6 bench.
+    // AGGREGATE-form signatures (explode shingles once, hash once per
+    // seed, map-side min-combine), not the k-wide column expression:
+    // even isolated in its own cached stage, the column form's 32+
+    // copies of the shingling subtree overflow codegen's method limit,
+    // the stage falls back to interpreted eval with no CSE, and the
+    // regex re-runs per seed per shingle — measured 15x (12 s vs 0.8 s
+    // at sf0.001) on the d6 bench. The agg form shuffles one combined
+    // row per document (partial min is map-side), so it also scales.
+    val sig = minhashSignatures(df, textCol, idCol, numHashes)
+    // CACHE the banded frame: both sides of the self-join read it, so
+    // the signature aggregation runs once, not twice.
     val banded = sig.select(col("__id"), col("__sig"),
       explode(sequence(lit(0), lit(bands - 1))).as("__band"))
       .withColumn("__bucket",
@@ -142,8 +159,9 @@ object Dedup {
     // cached for the same stage-isolation reason as the banded frame
     // (both verify joins read it; keeps the shingle expression out of
     // the join stages), and so the shingling runs once, not twice
-    val sh = df.select(col(idCol).as("__id"),
-      array_distinct(shingles(col(textCol))).as("__sh"))
+    val sh = tokenized(df, textCol, idCol)
+      .select(col("__id"),
+        array_distinct(shinglesOfTokens(col("__toks"))).as("__sh"))
       .cache()
     val edges = cands
       .join(sh.withColumnRenamed("__id", "id_a")
