@@ -367,6 +367,60 @@ class NaNStatsSpec extends AnyFunSuite {
     assert(Scan(t, spark).filter(Col("score").gt(Double.NaN))
       .planFiles().isEmpty, "nothing sorts above NaN")
   }
+
+  test("equality-delete group fan-out is capped: plan size stays " +
+      "bounded at 30 per-partition delete sets, results exact") {
+    import spark.implicits._
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", LongType, required = true),
+      NestedField(2, "day", LongType, required = true),
+      NestedField(3, "name", StringType, required = false)))
+    val spec = PartitionSpec.builder(0).identity(2, "day").build()
+    val dir = Files.createTempDirectory("graft-eqcap-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "eqcap"),
+      schema, spec, io = new HadoopFileIO())
+
+    val nDays = 30
+    def rows(ids: Seq[(Long, Long)]) =
+      ids.map { case (id, day) => (id, day, s"n$id") }
+        .toDF("id", "day", "name")
+    // 5 rows per day across 30 days
+    t = TableOps.append(t, rows(for {
+      d <- 0L until nDays; i <- 0L until 5L } yield (d * 100 + i, d)))
+    // per-partition SCOPED equality deletes: key includes the partition
+    // source, so each day gets its own delete file / scope
+    t = Mutations.deleteByKeys(t, spark, rows(
+      (0L until nDays).map(d => (d * 100, d))).select("id", "day"))
+    // re-insert two deleted keys AFTER the delete: higher sequence
+    // number, so the `deleteSeq > dataSeq` rule must keep them
+    t = TableOps.append(t, rows(Seq((0L, 0L), (500L, 5L))))
+
+    val tasks = Scan(t, spark).planFiles()
+    val distinctSets = tasks.map(_.deleteFiles
+      .filter(_.file.content == FileContent.EqualityDeletes)
+      .map(_.file.filePath).toSet).filter(_.nonEmpty).distinct.size
+    assert(distinctSets > Scan.MaxEqDeleteGroups,
+      s"precondition: $distinctSets scoped delete sets exceed the cap")
+
+    val df = Scan(t, spark).toDF
+    val leaves = df.queryExecution.executedPlan.collectLeaves().size
+    assert(leaves <= 10,
+      s"coarse path must keep the plan bounded, got $leaves leaves")
+
+    val got = df.select("id").collect().map(_.getLong(0)).toSet
+    val expected = (for {
+      d <- 0L until nDays; i <- 0L until 5L } yield (d * 100 + i))
+      .toSet -- (0L until nDays).map(_ * 100).toSet ++ Set(0L, 500L)
+    assert(got == expected,
+      "deletes applied, re-inserted keys survive the sequence rule")
+
+    // exact path still in force under the cap
+    val small = Scan(t, spark).option("max-eq-delete-groups", "64").toDF
+    assert(small.select("id").collect().map(_.getLong(0)).toSet == expected,
+      "per-group exact path agrees with the coarse path")
+  }
 }
 
 object Fixtures4 {
