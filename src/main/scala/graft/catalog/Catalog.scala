@@ -121,6 +121,17 @@ trait Catalog {
   def dropNamespace(ns: Seq[String]): Unit
   def namespaceExists(ns: Seq[String]): Boolean
 
+  /** Namespace properties (`catalog/catalog.go:27-31`). */
+  def loadNamespaceProperties(ns: Seq[String]): Map[String, String]
+
+  /** Apply `removals` then `updates` atomically per the Iceberg REST
+    * contract (`catalog/catalog.go:30-31`; body shape
+    * `{"removals": [...], "updates": {...}}`). A key in both is
+    * removed-then-set, i.e. ends at the updated value. */
+  def updateNamespaceProperties(ns: Seq[String],
+      removals: Seq[String] = Nil,
+      updates: Map[String, String] = Map.empty): Unit
+
   def listTables(ns: Seq[String]): Seq[TableIdentifier]
   def createTable(id: TableIdentifier, schema: Schema,
       spec: PartitionSpec = PartitionSpec.unpartitioned,

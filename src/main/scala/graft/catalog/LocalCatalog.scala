@@ -79,7 +79,7 @@ class LocalCatalog(warehouse: String) extends Catalog {
     if (Files.isDirectory(dir))
       throw new AlreadyExistsException(s"namespace ${ns.mkString(".")} exists")
     Files.createDirectories(dir)
-    ()
+    if (properties.nonEmpty) writeNsProps(ns, properties)
   }
 
   override def dropNamespace(ns: Seq[String]): Unit = {
@@ -88,11 +88,52 @@ class LocalCatalog(warehouse: String) extends Catalog {
       throw new NoSuchNamespaceException(ns.mkString("."))
     if (listDirs(dir).nonEmpty)
       throw new IllegalStateException(s"namespace ${ns.mkString(".")} not empty")
+    Files.deleteIfExists(propsFile(ns))
     Files.delete(dir)
   }
 
   override def namespaceExists(ns: Seq[String]): Boolean =
     Files.isDirectory(nsDir(ns))
+
+  // -------------------------------------------- namespace properties
+
+  /** Stored as a dot-file JSON map so namespace walks (directory-based)
+    * never mistake it for a table or child namespace. */
+  private def propsFile(ns: Seq[String]): Path =
+    nsDir(ns).resolve(".namespace-properties.json")
+
+  private def writeNsProps(ns: Seq[String],
+      props: Map[String, String]): Unit = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .createObjectNode()
+    props.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    Files.write(propsFile(ns), node.toString.getBytes(UTF_8))
+    ()
+  }
+
+  override def loadNamespaceProperties(
+      ns: Seq[String]): Map[String, String] = {
+    if (!namespaceExists(ns))
+      throw new NoSuchNamespaceException(ns.mkString("."))
+    val f = propsFile(ns)
+    if (!Files.isRegularFile(f)) Map.empty
+    else {
+      val node = graft.spec.SchemaJson.parseTree(
+        new String(Files.readAllBytes(f), UTF_8))
+      val it = node.properties().iterator()
+      val out = Map.newBuilder[String, String]
+      while (it.hasNext) {
+        val e = it.next(); out += e.getKey -> e.getValue.asText
+      }
+      out.result()
+    }
+  }
+
+  override def updateNamespaceProperties(ns: Seq[String],
+      removals: Seq[String], updates: Map[String, String]): Unit = {
+    val cur = loadNamespaceProperties(ns) // throws on missing namespace
+    writeNsProps(ns, (cur -- removals) ++ updates)
+  }
 
   // ------------------------------------------------------------ tables
 

@@ -139,6 +139,37 @@ class RestCatalog(
       case _ => false
     }
 
+  /** GET /v1/namespaces/{ns} → `properties` (`catalog/rest.go:246-262`). */
+  override def loadNamespaceProperties(
+      ns: Seq[String]): Map[String, String] = {
+    val (code, resp) = send("GET", s"$base/namespaces/${nsPath(ns)}")
+    if (code == 404) throw new NoSuchNamespaceException(ns.mkString("."))
+    if (code != 200)
+      throw new RuntimeException(s"loadNamespaceProperties: $code $resp")
+    val node = SchemaJson.parseTree(resp)
+    Option(node.get("properties")).map { p =>
+      fieldsOf(p).map { case (k, v) => k -> v.asText }.toMap
+    }.getOrElse(Map.empty)
+  }
+
+  /** POST /v1/namespaces/{ns}/properties with
+    * `{"removals": [...], "updates": {...}}` (`catalog/rest.go:264-277`). */
+  override def updateNamespaceProperties(ns: Seq[String],
+      removals: Seq[String], updates: Map[String, String]): Unit = {
+    val body = new com.fasterxml.jackson.databind.ObjectMapper()
+      .createObjectNode()
+    val rem = body.putArray("removals")
+    removals.foreach(rem.add)
+    val ups = body.putObject("updates")
+    updates.toSeq.sortBy(_._1).foreach { case (k, v) => ups.put(k, v) }
+    val (code, resp) = send("POST",
+      s"$base/namespaces/${nsPath(ns)}/properties",
+      Some(body.toString))
+    if (code == 404) throw new NoSuchNamespaceException(ns.mkString("."))
+    if (code != 200 && code != 204)
+      throw new RuntimeException(s"updateNamespaceProperties: $code $resp")
+  }
+
   // ------------------------------------------------------------ tables
 
   override def listTables(ns: Seq[String]): Seq[TableIdentifier] = {

@@ -134,6 +134,29 @@ class LocalCatalogSpec extends AnyFunSuite {
     assert(!cat.namespaceExists(Seq("db")))
   }
 
+  test("namespace properties: create, load, update, drop cleanup") {
+    val (cat, _) = freshCatalog()
+    cat.createNamespace(Seq("np"), Map("owner" -> "graft"))
+    assert(cat.loadNamespaceProperties(Seq("np")) == Map("owner" -> "graft"))
+    // a namespace created without properties loads empty
+    cat.createNamespace(Seq("np0"))
+    assert(cat.loadNamespaceProperties(Seq("np0")).isEmpty)
+    // removals then updates; removal of an absent key is a no-op
+    cat.updateNamespaceProperties(Seq("np"),
+      removals = Seq("owner", "ghost"), updates = Map("tier" -> "gold"))
+    assert(cat.loadNamespaceProperties(Seq("np")) == Map("tier" -> "gold"))
+    // the properties dot-file is invisible to namespace/table listings
+    assert(cat.listTables(Seq("np")).isEmpty)
+    assert(cat.listNamespaces().contains(Seq("np")))
+    // and does not block namespace drop
+    cat.dropNamespace(Seq("np"))
+    assert(!cat.namespaceExists(Seq("np")))
+    intercept[NoSuchNamespaceException](
+      cat.loadNamespaceProperties(Seq("np")))
+    intercept[NoSuchNamespaceException](
+      cat.updateNamespaceProperties(Seq("ghostns"), Nil, Map("a" -> "b")))
+  }
+
   test("commit bumps version and records metadata log") {
     val (cat, _) = freshCatalog()
     cat.createNamespace(Seq("db"))

@@ -65,10 +65,45 @@ class RestCatalogSpec extends AnyFunSuite {
             while (it.hasNext) b += it.next().asText
             b.result()
           }
-          try { cat.createNamespace(names); reply(200, "{}") }
+          val props = Option(n.get("properties")).map { p =>
+            val it = p.properties().iterator()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) {
+              val e = it.next(); b += e.getKey -> e.getValue.asText
+            }
+            b.result()
+          }.getOrElse(Map.empty[String, String])
+          try { cat.createNamespace(names, props); reply(200, "{}") }
           catch { case _: AlreadyExistsException => reply(409) }
         case ("HEAD", List("namespaces", s)) =>
           reply(if (cat.namespaceExists(ns(s))) 204 else 404)
+        case ("GET", List("namespaces", s)) =>
+          try {
+            val props = cat.loadNamespaceProperties(ns(s)).toSeq.sorted
+              .map { case (k, v) => s""""$k": "$v"""" }.mkString(",")
+            val names = ns(s).map(x => s""""$x"""").mkString("[", ",", "]")
+            reply(200, s"""{"namespace": $names, "properties": {$props}}""")
+          } catch { case _: NoSuchNamespaceException => reply(404) }
+        case ("POST", List("namespaces", s, "properties")) =>
+          val n = SchemaJson.parseTree(body)
+          val removals = Option(n.get("removals")).map { r =>
+            val it = r.elements()
+            val b = Seq.newBuilder[String]
+            while (it.hasNext) b += it.next().asText
+            b.result()
+          }.getOrElse(Nil)
+          val updates = Option(n.get("updates")).map { p =>
+            val it = p.properties().iterator()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) {
+              val e = it.next(); b += e.getKey -> e.getValue.asText
+            }
+            b.result()
+          }.getOrElse(Map.empty[String, String])
+          try {
+            cat.updateNamespaceProperties(ns(s), removals, updates)
+            reply(200, """{"removed": [], "updated": [], "missing": []}""")
+          } catch { case _: NoSuchNamespaceException => reply(404) }
         case ("DELETE", List("namespaces", s)) =>
           try { cat.dropNamespace(ns(s)); reply(204) }
           catch { case _: NoSuchNamespaceException => reply(404) }
@@ -229,6 +264,27 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(ref.minSnapshotsToKeep.contains(2))
       assert(ref.maxSnapshotAgeMs.contains(86400000L))
       assert(ref.maxRefAgeMs.contains(604800000L))
+    }
+  }
+
+  test("namespace properties round-trip (catalog.go:27-31 parity)") {
+    withServer { (cat, _) =>
+      cat.createNamespace(Seq("propsns"),
+        Map("owner" -> "graft", "tier" -> "gold"))
+      assert(cat.loadNamespaceProperties(Seq("propsns")) ==
+        Map("owner" -> "graft", "tier" -> "gold"))
+      // removals apply before updates; a key in both ends updated
+      cat.updateNamespaceProperties(Seq("propsns"),
+        removals = Seq("tier", "absent"),
+        updates = Map("owner" -> "etl", "region" -> "eu"))
+      assert(cat.loadNamespaceProperties(Seq("propsns")) ==
+        Map("owner" -> "etl", "region" -> "eu"))
+      intercept[NoSuchNamespaceException] {
+        cat.loadNamespaceProperties(Seq("missing"))
+      }
+      intercept[NoSuchNamespaceException] {
+        cat.updateNamespaceProperties(Seq("missing"), Nil, Map("a" -> "b"))
+      }
     }
   }
 }
