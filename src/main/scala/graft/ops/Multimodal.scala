@@ -124,12 +124,72 @@ object Multimodal {
     }
   }
 
+  /** WAV/AIFF/AU magic sniff for the in-JDK sampled-audio reader. */
+  private def looksAudioDecodable(bytes: Array[Byte]): Boolean =
+    bytes.length > 12 && (
+      // WAV: R I F F ... W A V E
+      (bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+        bytes(8) == 'W'.toByte && bytes(9) == 'A'.toByte &&
+        bytes(10) == 'V'.toByte && bytes(11) == 'E'.toByte) ||
+      // AIFF: F O R M
+      (bytes(0) == 'F'.toByte && bytes(1) == 'O'.toByte &&
+        bytes(2) == 'R'.toByte && bytes(3) == 'M'.toByte) ||
+      // AU: . s n d
+      (bytes(0) == '.'.toByte && bytes(1) == 's'.toByte &&
+        bytes(2) == 'n'.toByte && bytes(3) == 'd'.toByte))
+
+  /** REAL decode for WAV/AIFF/AU via the in-JDK `javax.sound.sampled`
+    * (round-3 verdict #7): true sample rate and frame-count-derived
+    * duration, plus per-window RMS-energy features in the `mfcc` slot
+    * (a real MFCC needs an FFT library this container doesn't ship;
+    * windowed energy is the deterministic stand-in with the same
+    * shape). Undecodable payloads fall back to the stub. */
+  private def realDecodeAudio(id: Long,
+      bytes: Array[Byte]): Option[AudioFeatures] = {
+    if (!looksAudioDecodable(bytes)) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val durationMs =
+          if (frames >= 0 && fmt.getFrameRate > 0)
+            (frames * 1000L / fmt.getFrameRate.toLong)
+          else 0L
+        val pcm = in.readAllBytes()
+        val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8)
+        val nSamples = pcm.length / bytesPerSample
+        val nWindows = 13
+        val energy = Array.tabulate(nWindows) { w =>
+          val from = w * nSamples / nWindows
+          val until = math.max(from + 1, (w + 1) * nSamples / nWindows)
+          var acc = 0.0
+          var i = from
+          while (i < until) {
+            // first byte of each sample as a crude amplitude proxy —
+            // deterministic and endianness-stable for the feature shape
+            val v = pcm(i * bytesPerSample) / 128.0
+            acc += v * v
+            i += 1
+          }
+          math.sqrt(acc / (until - from)).toFloat
+        }
+        Some(AudioFeatures(id, fmt.getSampleRate.toInt, durationMs, energy))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Batched audio decode: real WAV/AIFF/AU via the JDK, stub for
+    * formats needing external codecs (mp3/ogg/flac). */
   def extractAudioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.modality == "audio")
       .mapPartitions(rows => rows.map(r =>
-        stubDecodeAudio(r.media_id, r.content)))
+        realDecodeAudio(r.media_id, r.content)
+          .getOrElse(stubDecodeAudio(r.media_id, r.content))))
   }
 
   /** Frame sampling: every `everyMs` milliseconds, emit a frame row.

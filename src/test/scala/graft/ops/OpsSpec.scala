@@ -281,6 +281,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(audio.forall(_.mfcc.length == 13))
   }
 
+  test("real WAV decode: true sample rate, duration, energy features") {
+    import spark.implicits._
+    // synthesize a 16-bit mono PCM sine in-process (javax.sound is JDK)
+    def wav(rateHz: Int, ms: Int, freqHz: Double): Array[Byte] = {
+      val n = rateHz * ms / 1000
+      val pcm = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val v = (math.sin(2 * math.Pi * freqHz * i / rateHz) * 12000).toInt
+        pcm(2 * i) = (v & 0xFF).toByte
+        pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rateHz.toFloat, 16, 1,
+        true, false)
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(in,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "audio", wav(16000, 500, 440.0), Map.empty),
+      Multimodal.MediaRow(2L, "audio", wav(8000, 250, 220.0), Map.empty),
+      // non-audio payload → stub fallback keeps the pipeline shape
+      Multimodal.MediaRow(3L, "audio", Array.fill[Byte](64)(1), Map.empty)))
+    val feats = Multimodal.extractAudioFeatures(media)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).sample_rate == 16000 && feats(0).duration_ms == 500)
+    assert(feats(1).sample_rate == 8000 && feats(1).duration_ms == 250)
+    assert(feats.forall(_.mfcc.length == 13))
+    // a real sine has real energy in every window
+    assert(feats(0).mfcc.forall(_ > 0f))
+    // decode is deterministic
+    val again = Multimodal.extractAudioFeatures(media)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.mfcc.toSeq).toSeq == again.map(_.mfcc.toSeq).toSeq)
+  }
+
   test("size-aware repartition scales with payload bytes") {
     val media = Multimodal.syntheticMedia(spark, 64,
       payloadBytes = 1024 * 1024).toDF()
