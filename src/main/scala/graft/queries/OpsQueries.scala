@@ -74,7 +74,35 @@ object OpsQueries {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
-  // --------------------------------------- d5 quality score (no SQL)
+  // ------------------- d5 quality score (oracle: round-3 verdict #8 —
+  // every component is plain SQL; the DuckDB form mirrors the exact
+  // operation order so IEEE doubles agree bit-for-bit)
+  val d5Sql: String =
+    """WITH scored AS (
+      |  SELECT
+      |    LEAST(LENGTH(text) / 500.0, 1.0) AS len_score,
+      |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+      |         ELSE LEN(list_filter(
+      |                string_split_regex(LOWER(TRIM(text)), '\s+'),
+      |                t -> t IN ('the','a','an','and','or','of','to','in',
+      |                           'is','it','that','for','on','with','as',
+      |                           'at','by')))
+      |              * 1.0 / LEN(string_split_regex(LOWER(TRIM(text)), '\s+'))
+      |    END AS stop_ratio,
+      |    CASE WHEN LENGTH(text) = 0 THEN 0.0
+      |         ELSE (LENGTH(text) - LENGTH(regexp_replace(text,
+      |                '[!-/:-@\[-`{-~]', '', 'g'))) * 1.0 / LENGTH(text)
+      |    END AS punct_ratio
+      |  FROM documents
+      |), sq AS (
+      |  SELECT ROUND(len_score * 0.4
+      |             + LEAST(stop_ratio * 5.0, 1.0) * 0.3
+      |             + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS q
+      |  FROM scored
+      |)
+      |SELECT FLOOR(q * 10) / 10 AS quality_bucket, COUNT(*) AS n
+      |FROM sq GROUP BY 1 ORDER BY 1""".stripMargin
+
   def d5Quality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("q", TextAnalysis.qualityScore(col("text")))
@@ -207,6 +235,7 @@ object OpsQueries {
     "d1_dedup_exact" -> d1Sql,
     "d2_text_stats" -> d2Sql,
     "d3_fingerprint" -> d3Sql,
+    "d5_quality" -> d5Sql,
     "e1_ann_bruteforce" -> e1Sql,
     "d8_token_freq" -> d8Sql,
     "e5_asof_join" -> e5Sql,
