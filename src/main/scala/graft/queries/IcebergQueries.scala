@@ -434,6 +434,23 @@ object IcebergQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** SQL over the CatalogPlugin (no per-table registration): the same
+    * MoR table as sql4, addressed as `<catalog>.<ns>.lineitem` —
+    * position deletes apply INSIDE the DSv2 reader (per-task bitmap),
+    * a different code path from sql4's plan-substitution façade. */
+  def sql5CatalogMor(s: SparkSession, dir: String): DataFrame = {
+    val (wh, ns, tbl) = MutationQueries.m2Coords(s, dir)
+    val cname = "gq5"
+    s.conf.set(s"spark.sql.catalog.$cname",
+      "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", wh)
+    s.sql(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+         |FROM $cname.$ns.$tbl
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -453,6 +470,7 @@ object IcebergQueries {
     "sql2_partition_prune" -> (sql2PartitionPrune _),
     "sql3_bucket_eq" -> (sql3BucketEq _),
     "sql4_mor_read" -> (sql4MorRead _),
+    "sql5_catalog_mor" -> (sql5CatalogMor _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -474,5 +492,6 @@ object IcebergQueries {
     "sql2_partition_prune" -> i6Sql,
     "sql3_bucket_eq" -> i7Sql,
     "sql4_mor_read" -> MutationQueries.m2Sql,
+    "sql5_catalog_mor" -> MutationQueries.m2Sql,
   )
 }

@@ -62,6 +62,14 @@ object MutationQueries {
         .withMergeOnRead(true).execute()
     }
 
+  /** (warehouse, namespace, table) of the built m2 table — for the
+    * CatalogPlugin MoR gate (sql5), which addresses it by SQL name. */
+  private[queries] def m2Coords(s: SparkSession,
+      dir: String): (String, String, String) = {
+    val t = m2Table(s, dir)
+    (warehouse, t.id.namespace.mkString("."), t.id.name)
+  }
+
   def m2DeleteMor(s: SparkSession, dir: String): DataFrame = {
     val t = m2Table(s, dir)
     Scan(t, s).toDF

@@ -24,7 +24,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.catalog.{LocalCatalog, TableIdentifier}
 import graft.io.HadoopFileIO
-import graft.spec.SchemaConverters
+import graft.spec.{FileContent, SchemaConverters}
 import graft.table.{Expr, FileScanTask, Scan, Table}
 
 /** DataSource V2 provider: `spark.read`/`spark.readStream
@@ -76,17 +76,68 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
 private[sources] class GraftConnectorTable(
     gtable: Table, sparkSchema: StructType)
-    extends ConnectorTable with SupportsRead {
+    extends ConnectorTable with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String =
     (gtable.id.namespace :+ gtable.id.name).mkString(".")
   override def schema(): StructType = sparkSchema
+  override def partitioning():
+      Array[org.apache.spark.sql.connector.expressions.Transform] =
+    GraftSparkCatalog.toTransforms(gtable.spec, gtable.schema)
+  override def properties(): JMap[String, String] =
+    gtable.metadata.properties.asJava
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(gtable, sparkSchema, options)
+
+  /** SQL write path: `INSERT INTO` appends a snapshot through the
+    * engine's partitioned writer; `INSERT OVERWRITE` (truncate) swaps
+    * the table content atomically. The V1Write bridge hands the whole
+    * micro-plan to the driver-side writer — the same code path as the
+    * programmatic API, so SQL writes get stats harvesting, sort-order,
+    * and partition fan-out for free. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(gtable, truncateFirst = false)
+}
+
+private[sources] class GraftWriteBuilder(
+    gtable: Table, truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  override def truncate():
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(gtable, truncateFirst = true)
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+              overwrite: Boolean): Unit = {
+            val t = gtable.refresh()
+            // align by NAME with casts: SQL inserts arrive in query
+            // column order/types
+            val target = graft.spec.SchemaConverters
+              .toSparkSchema(t.schema)
+            val aligned = data.select(target.fields.map(f =>
+              org.apache.spark.sql.functions.col(f.name)
+                .cast(f.dataType).as(f.name)).toSeq: _*)
+            if (truncateFirst || overwrite)
+              graft.table.Mutations.overwrite(t, data.sparkSession, aligned)
+            else graft.table.TableOps.append(t, aligned)
+            ()
+          }
+        }
+    }
 }
 
 /** Pruning-only pushdown: convertible filters drive manifest/file
@@ -173,24 +224,20 @@ private[sources] class GraftV2Scan(
   private[sources] def newScan(t: Table): Scan =
     pushed.foldLeft(Scan(t, spark))(_ filter _)
 
-  /** Batch read: the CURRENT snapshot's pruned plan. */
-  private[sources] def batchPartitions(): Array[InputPartition] = {
+  /** Batch reads plan ONCE (table pin + task list shared between
+    * planInputPartitions and createReaderFactory so the reader knows
+    * which equality-key columns it must decode). */
+  private[sources] lazy val (batchTable, batchTasks) = {
     val t = try gtable.refresh() catch { case _: Exception => gtable }
-    toPartitions(t, newScan(t).planFiles())
+    (t, newScan(t).planFiles())
   }
 
-  /** Tasks → one InputPartition per data file, with the loud MoR and
-    * rename guards (see class doc). */
-  private[sources] def toPartitions(
-      t: Table, tasks: Seq[FileScanTask]): Array[InputPartition] = {
-    val withDeletes = tasks.count(_.deleteFiles.nonEmpty)
-    if (withDeletes > 0) throw new UnsupportedOperationException(
-      s"graft source: $withDeletes file(s) carry row-level (MoR) delete " +
-        "files, which the DSv2 read path does not apply — read through " +
-        "GraftSQL / the Scan API, or compact the table first")
-    // parquet resolves columns BY NAME here: a column renamed since the
-    // file was written would silently read null. Detect via field IDs
-    // and fail loud; added-since columns null-fill, which is correct.
+  /** Parquet resolves columns BY NAME in this path: a column renamed
+    * since the file was written would silently read null. Detect via
+    * field IDs and fail loud; added-since columns null-fill, which is
+    * correct. */
+  private[sources] def guardRenames(t: Table,
+      tasks: Seq[FileScanTask]): Unit = {
     val current = t.schema
     tasks.map(_.schemaId).distinct
       .filter(_ != current.schemaId)
@@ -215,41 +262,224 @@ private[sources] class GraftV2Scan(
           }
         }
       }
-    tasks.map(t => GraftInputPartition(
-      t.file.filePath, t.file.fileSizeInBytes): InputPartition).toArray
   }
 
+  private def keyNamesOf(t: Table, ids: Seq[Int]): Seq[String] =
+    ids.flatMap(id => t.schema.field(id)).map(_.name)
+
+  /** Batch partitions CARRY their MoR delete files; the reader applies
+    * them per task (position bitmap + equality key sets — the same
+    * per-task shape as Iceberg's Spark DeleteFilter). */
+  private[sources] def batchPartitions(): Array[InputPartition] = {
+    guardRenames(batchTable, batchTasks)
+    batchTasks.map { task =>
+      val pos = task.deleteFiles
+        .filter(_.file.content == FileContent.PositionDeletes)
+        .map(d => DeleteFileInfo(d.file.filePath, d.file.fileSizeInBytes))
+      val eqs = task.deleteFiles
+        .filter(_.file.content == FileContent.EqualityDeletes)
+        .map(d => EqDeleteInfo(d.file.filePath, d.file.fileSizeInBytes,
+          keyNamesOf(batchTable, d.file.equalityIds)))
+        .filter(_.keyNames.nonEmpty)
+      GraftInputPartition(task.file.filePath, task.file.fileSizeInBytes,
+        pos, eqs): InputPartition
+    }.toArray
+  }
+
+  private[sources] def batchReaderFactory(): PartitionReaderFactory = {
+    val eqKeySets = batchTasks.flatMap(_.deleteFiles)
+      .filter(_.file.content == FileContent.EqualityDeletes)
+      .map(d => keyNamesOf(batchTable, d.file.equalityIds))
+      .filter(_.nonEmpty).distinct
+    // the data reader must decode equality-key columns even when the
+    // query projection pruned them; surviving rows are projected back
+    // down to readSchema before they leave the reader
+    val extraCols = eqKeySets.flatten.distinct
+      .filterNot(required.fieldNames.contains)
+      .filter(full.fieldNames.contains)
+    val extended = StructType(
+      required.fields ++ extraCols.map(n => full(full.fieldIndex(n))))
+    val hasPos = batchTasks.exists(_.deleteFiles
+      .exists(_.file.content == FileContent.PositionDeletes))
+    val posFunc =
+      if (hasPos)
+        Some(ParquetShim.buildReaderFunc(spark,
+          GraftReaderFactory.PosDeleteSchema,
+          GraftReaderFactory.PosDeleteSchema))
+      else None
+    val eqFuncs = eqKeySets.map { names =>
+      val keySchema = StructType(names.map(n => full(full.fieldIndex(n))))
+      names -> ParquetShim.buildReaderFunc(spark, keySchema, keySchema)
+    }.toMap
+    new GraftReaderFactory(
+      ParquetShim.buildReaderFunc(spark, full, extended),
+      extended,
+      required.fieldNames.map(extended.fieldIndex),
+      posFunc, eqFuncs)
+  }
+
+  /** Streaming factory: incremental appends carry no deletes, and the
+    * initial full-table batch REJECTS delete-carrying plans loudly
+    * (see toStreamPartitions) — so the plain reader suffices. */
   private[sources] def readerFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
-      ParquetShim.buildReaderFunc(spark, full, required))
+      ParquetShim.buildReaderFunc(spark, full, required),
+      required, required.fieldNames.indices.toArray, None, Map.empty)
+
+  private[sources] def toStreamPartitions(
+      t: Table, tasks: Seq[FileScanTask]): Array[InputPartition] = {
+    val withDeletes = tasks.count(_.deleteFiles.nonEmpty)
+    if (withDeletes > 0) throw new UnsupportedOperationException(
+      s"graft source: $withDeletes file(s) in the initial streaming " +
+        "batch carry row-level (MoR) delete files — compact the table " +
+        "first, or start with starting-offset=latest")
+    guardRenames(t, tasks)
+    tasks.map(task => GraftInputPartition(task.file.filePath,
+      task.file.fileSizeInBytes, Nil, Nil): InputPartition).toArray
+  }
 }
 
 private[sources] class GraftBatch(scan: GraftV2Scan) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     scan.batchPartitions()
   override def createReaderFactory(): PartitionReaderFactory =
-    scan.readerFactory()
+    scan.batchReaderFactory()
 }
 
-final case class GraftInputPartition(path: String, length: Long)
+final case class DeleteFileInfo(path: String, length: Long)
+final case class EqDeleteInfo(path: String, length: Long,
+    keyNames: Seq[String])
+final case class GraftInputPartition(path: String, length: Long,
+    posDeletes: Seq[DeleteFileInfo], eqDeletes: Seq[EqDeleteInfo])
     extends InputPartition
 
+/** Executor-side reader. Per task: position deletes for THIS file load
+  * into a row-index hash set (row order = file order because each task
+  * reads one whole file with no pushed parquet filters); equality
+  * deletes load their key columns into per-key-set hash sets; data rows
+  * stream through both filters and project down to the query schema. */
 private[sources] class GraftReaderFactory(
-    readFunc: PartitionedFile => Iterator[InternalRow])
+    readFunc: PartitionedFile => Iterator[InternalRow],
+    extendedSchema: StructType,
+    outputOrdinals: Array[Int],
+    posReadFunc: Option[PartitionedFile => Iterator[InternalRow]],
+    eqReadFuncs: Map[Seq[String], PartitionedFile => Iterator[InternalRow]])
     extends PartitionReaderFactory {
+
+  private def normPath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
+
+  /** Internal values → set-friendly: copies out of reused buffers and
+    * normalizes to types with value equality. */
+  private def normVal(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+    case b: Array[Byte] => b.toSeq
+    case other => other
+  }
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
+    val myPath = normPath(gp.path)
+
+    val posSet: java.util.HashSet[java.lang.Long] =
+      if (gp.posDeletes.isEmpty) null
+      else {
+        val s = new java.util.HashSet[java.lang.Long]()
+        val f = posReadFunc.getOrElse(throw new IllegalStateException(
+          "graft source: partition has position deletes but the factory " +
+            "was built without a delete reader"))
+        gp.posDeletes.foreach { d =>
+          f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
+            if (normPath(r.getUTF8String(0).toString) == myPath)
+              s.add(r.getLong(1))
+          }
+        }
+        s
+      }
+
+    val eqSets: Array[(Array[Int], Array[org.apache.spark.sql.types.DataType],
+        java.util.HashSet[Seq[Any]])] =
+      gp.eqDeletes.groupBy(_.keyNames).map { case (names, files) =>
+        val f = eqReadFuncs.getOrElse(names,
+          throw new IllegalStateException(
+            s"graft source: no delete reader for key set $names"))
+        val keyTypes = names.map(n =>
+          extendedSchema(extendedSchema.fieldIndex(n)).dataType).toArray
+        val set = new java.util.HashSet[Seq[Any]]()
+        files.foreach { d =>
+          f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
+            val key = Array.tabulate(names.length)(i =>
+              if (r.isNullAt(i)) null else normVal(r.get(i, keyTypes(i))))
+            // null keys never match (parity with the engine's anti-join)
+            if (!key.contains(null)) set.add(key.toSeq)
+          }
+        }
+        val ords = names.map(extendedSchema.fieldIndex).toArray
+        (ords, keyTypes, set)
+      }.toArray
+
     val it = readFunc(ParquetShim.partitionedFile(gp.path, gp.length))
+    val identityProjection =
+      outputOrdinals.sameElements(extendedSchema.fields.indices)
+    val extTypes = extendedSchema.fields.map(_.dataType)
+
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
+      private var rowIdx: Long = -1L
+
+      private def deleted(row: InternalRow, idx: Long): Boolean = {
+        if (posSet != null && posSet.contains(idx)) return true
+        var i = 0
+        while (i < eqSets.length) {
+          val (ords, types, set) = eqSets(i)
+          val key = Array.tabulate(ords.length) { j =>
+            if (row.isNullAt(ords(j))) null
+            else normVal(row.get(ords(j), types(j)))
+          }
+          if (!key.contains(null) && set.contains(key.toSeq)) return true
+          i += 1
+        }
+        false
+      }
+
+      override def next(): Boolean = {
+        while (it.hasNext) {
+          val row = it.next()
+          rowIdx += 1
+          if (!deleted(row, rowIdx)) {
+            cur =
+              if (identityProjection) row
+              else {
+                val vals = new Array[Any](outputOrdinals.length)
+                var i = 0
+                while (i < vals.length) {
+                  val o = outputOrdinals(i)
+                  vals(i) = if (row.isNullAt(o)) null
+                    else row.get(o, extTypes(o))
+                  i += 1
+                }
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(vals)
+              }
+            return true
+          }
+        }
+        false
+      }
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
   }
+}
+
+private[sources] object GraftReaderFactory {
+  val PosDeleteSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
 }
 
 /** Snapshot-id offset. `-1` = nothing consumed yet (the first batch
@@ -308,7 +538,7 @@ private[sources] class GraftMicroBatchStream(
         if (skipOverwrites) sc.option("incremental-skip-overwrites", "true")
         else sc
       }
-    scan.toPartitions(t, base.planFiles())
+    scan.toStreamPartitions(t, base.planFiles())
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1,0 +1,285 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{
+  NamespaceAlreadyExistsException, NoSuchNamespaceException,
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{
+  Identifier, NamespaceChange, SupportsNamespaces, Table => ConnectorTable,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{
+  Expressions, Transform => SparkTransform}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.{
+  AlreadyExistsException, Catalog, LocalCatalog, RestCatalog,
+  TableIdentifier, NoSuchTableException => GNoSuchTable,
+  NoSuchNamespaceException => GNoSuchNamespace}
+import graft.io.HadoopFileIO
+import graft.spec.{
+  PartitionSpec, SchemaConverters, Transform => GTransform}
+import graft.table.Table
+
+/** Spark `CatalogPlugin` (SURVEY "missing #2" after round 3: the SQL
+  * surface was per-table view registration): register once —
+  *
+  *   spark.sql.catalog.graft           = graft.sources.GraftSparkCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  *   (optional) .uri / .token         → REST catalog instead of local
+  *
+  * — and every table is addressable as `graft.ns.tbl`: `SELECT` (DSv2
+  * read path, with pruning-only filter pushdown), `INSERT INTO` /
+  * `INSERT OVERWRITE` (V1Write bridge onto the engine's partitioned
+  * writer + snapshot commit, so SQL writes make real Iceberg
+  * snapshots), `CREATE/DROP/ALTER TABLE`, `SHOW TABLES`,
+  * `SHOW NAMESPACES`, `CREATE NAMESPACE`, namespace properties via
+  * `ALTER NAMESPACE ... SET PROPERTIES`.
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private[sources] var catalog: Catalog = _
+  private val io = new HadoopFileIO()
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    catalog = Option(options.get("uri")) match {
+      case Some(uri) =>
+        val rest = new RestCatalog(uri, Option(options.get("token")),
+          Option(options.get("warehouse")))
+        rest.fetchConfig()
+        rest
+      case None =>
+        val wh = Option(options.get("warehouse")).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog $name: option 'warehouse' is required"))
+        new LocalCatalog(wh)
+    }
+  }
+
+  override def name(): String = catalogName
+
+  private def toId(ident: Identifier): TableIdentifier =
+    TableIdentifier(ident.namespace.toSeq, ident.name)
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    if (!catalog.namespaceExists(ns.toSeq))
+      throw new NoSuchNamespaceException(ns)
+    catalog.listTables(ns.toSeq)
+      .map(id => Identifier.of(id.namespace.toArray, id.name)).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    catalog.tableExists(toId(ident))
+
+  override def loadTable(ident: Identifier): ConnectorTable =
+    try {
+      val t = Table.load(catalog, toId(ident), io)
+      new GraftConnectorTable(t,
+        SchemaConverters.toSparkSchema(t.schema))
+    } catch {
+      case _: GNoSuchTable => throw new NoSuchTableException(ident)
+    }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[SparkTransform],
+      properties: JMap[String, String]): ConnectorTable = {
+    val gSchema = SchemaConverters.fromSparkSchema(schema)
+    val spec = GraftSparkCatalog.toSpec(partitions, gSchema)
+    // strip Spark-managed reserved keys; keep user properties
+    val reserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_TABLE_TYPE,
+      TableCatalog.PROP_IS_MANAGED_LOCATION)
+    val props = properties.asScala.toMap -- reserved
+    try Table.create(catalog, toId(ident), gSchema, spec,
+      properties = props, io = io)
+    catch {
+      case _: AlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
+    loadTable(ident)
+  }
+
+  /** Property changes commit metadata-only transactions; structural
+    * changes route to the engine's SchemaUpdate where expressible. */
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): ConnectorTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val t = Table.load(catalog, toId(ident), io)
+    val setProps = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val rmProps = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    val addCols = changes.collect {
+      case a: TableChange.AddColumn if a.fieldNames.length == 1 => a
+    }
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        (c.isInstanceOf[TableChange.AddColumn] &&
+          c.asInstanceOf[TableChange.AddColumn].fieldNames.length == 1))
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"graft: unsupported ALTER TABLE changes: " +
+          unsupported.mkString(", ") +
+          " (use the engine's SchemaUpdate API for renames/drops)")
+    var cur = t
+    if (setProps.nonEmpty || rmProps.nonEmpty) {
+      var tx = cur.newTransaction()
+      if (setProps.nonEmpty) tx = tx.setProperties(setProps)
+      if (rmProps.nonEmpty) tx = tx.removeProperties(rmProps)
+      cur = tx.commit()
+    }
+    if (addCols.nonEmpty) {
+      var up = cur.updateSchema()
+      addCols.foreach { a =>
+        val t = SchemaConverters.fromSparkSchema(new StructType()
+          .add(a.fieldNames()(0), a.dataType(), a.isNullable))
+          .fields.head.fieldType
+        up = up.addColumn(a.fieldNames()(0), t, required = !a.isNullable)
+      }
+      cur = up.commit()
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    try { catalog.dropTable(toId(ident), purge = true); true }
+    catch { case _: GNoSuchTable => false }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit =
+    try catalog.renameTable(toId(from), toId(to))
+    catch {
+      case _: GNoSuchTable => throw new NoSuchTableException(from)
+      case _: AlreadyExistsException =>
+        throw new TableAlreadyExistsException(to)
+    }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    catalog.listNamespaces().map(_.toArray).toArray
+
+  override def listNamespaces(parent: Array[String]): Array[Array[String]] = {
+    if (parent.isEmpty) return listNamespaces()
+    if (!catalog.namespaceExists(parent.toSeq))
+      throw new NoSuchNamespaceException(parent)
+    catalog.listNamespaces()
+      .filter(ns => ns.length == parent.length + 1 &&
+        ns.startsWith(parent.toSeq))
+      .map(_.toArray).toArray
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    catalog.namespaceExists(ns.toSeq)
+
+  override def loadNamespaceMetadata(
+      ns: Array[String]): JMap[String, String] =
+    try catalog.loadNamespaceProperties(ns.toSeq).asJava
+    catch { case _: GNoSuchNamespace =>
+      throw new NoSuchNamespaceException(ns)
+    }
+
+  override def createNamespace(ns: Array[String],
+      metadata: JMap[String, String]): Unit =
+    try catalog.createNamespace(ns.toSeq, metadata.asScala.toMap)
+    catch { case _: AlreadyExistsException =>
+      throw new NamespaceAlreadyExistsException(ns)
+    }
+
+  override def alterNamespace(ns: Array[String],
+      changes: NamespaceChange*): Unit = {
+    val removals = changes.collect {
+      case r: NamespaceChange.RemoveProperty => r.property
+    }
+    val updates = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value
+    }.toMap
+    try catalog.updateNamespaceProperties(ns.toSeq, removals, updates)
+    catch { case _: GNoSuchNamespace =>
+      throw new NoSuchNamespaceException(ns)
+    }
+  }
+
+  override def dropNamespace(ns: Array[String],
+      cascade: Boolean): Boolean =
+    try {
+      if (cascade)
+        catalog.listTables(ns.toSeq)
+          .foreach(id => catalog.dropTable(id, purge = true))
+      catalog.dropNamespace(ns.toSeq)
+      true
+    } catch { case _: GNoSuchNamespace => false }
+}
+
+object GraftSparkCatalog {
+
+  /** Spark partitioning transforms → engine spec (CREATE TABLE ...
+    * PARTITIONED BY (days(ts), bucket(16, id), col)). */
+  private[sources] def toSpec(transforms: Array[SparkTransform],
+      schema: graft.spec.Schema): PartitionSpec = {
+    if (transforms.isEmpty) return PartitionSpec.unpartitioned
+    val b = PartitionSpec.builder(0)
+    transforms.foreach { t =>
+      def ref(i: Int = 0): String =
+        t.references()(i).fieldNames().mkString(".")
+      def fid(name: String): Int = schema.fieldByName(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition source column $name not in schema")).id
+      t.name() match {
+        case "identity" => b.identity(fid(ref()), ref())
+        case "years" | "year" => b.year(fid(ref()), s"${ref()}_year")
+        case "months" | "month" => b.month(fid(ref()), s"${ref()}_month")
+        case "days" | "day" => b.day(fid(ref()), s"${ref()}_day")
+        case "hours" | "hour" => b.hour(fid(ref()), s"${ref()}_hour")
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            "bucket transform needs a width literal"))
+          b.bucket(fid(ref()), s"${ref()}_bucket", n)
+        case "truncate" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value().toString.toInt
+          }.getOrElse(throw new IllegalArgumentException(
+            "truncate transform needs a width literal"))
+          b.truncate(fid(ref()), s"${ref()}_trunc", n)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform: $other")
+      }
+    }
+    b.build()
+  }
+
+  /** Engine spec → Spark transforms (for `Table.partitioning()`). */
+  private[sources] def toTransforms(spec: PartitionSpec,
+      schema: graft.spec.Schema): Array[SparkTransform] =
+    spec.fields.flatMap { pf =>
+      schema.field(pf.sourceId).map { src =>
+        pf.transform match {
+          case GTransform.Identity => Expressions.identity(src.name)
+          case GTransform.Year => Expressions.years(src.name)
+          case GTransform.Month => Expressions.months(src.name)
+          case GTransform.Day => Expressions.days(src.name)
+          case GTransform.Hour => Expressions.hours(src.name)
+          case GTransform.Bucket(n) => Expressions.bucket(n, src.name)
+          case GTransform.Truncate(w) => Expressions.apply("truncate",
+            Expressions.literal(w), Expressions.column(src.name))
+          case GTransform.Void => Expressions.apply("void",
+            Expressions.column(src.name))
+        }
+      }
+    }.toArray
+}

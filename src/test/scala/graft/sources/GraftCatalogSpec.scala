@@ -1,0 +1,145 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.catalog.{LocalCatalog, TableIdentifier}
+import graft.io.HadoopFileIO
+import graft.table.{Scan, Table}
+
+/** End-to-end SQL over the `CatalogPlugin`: SELECT / INSERT / DDL on
+  * `graft.ns.tbl` names with no per-table registration. */
+class GraftCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Register a uniquely-named catalog over a fresh warehouse. */
+  private def withCatalog(tag: String)(f: (String, String) => Unit): Unit = {
+    val dir = Files.createTempDirectory(s"graft-cat-$tag-").toString
+    val name = s"g$tag"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", dir)
+    f(name, dir)
+  }
+
+  test("CREATE NAMESPACE / CREATE TABLE / INSERT / SELECT round-trip") {
+    withCatalog("crud") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"""CREATE TABLE $c.db.events (
+        |  event_id BIGINT, user_id BIGINT, value DOUBLE)
+        |""".stripMargin)
+      spark.sql(s"INSERT INTO $c.db.events VALUES (1, 10, 1.5), (2, 20, 2.5)")
+      spark.sql(s"INSERT INTO $c.db.events SELECT 3L, 30L, 3.5D")
+
+      val got = spark.sql(s"SELECT event_id, value FROM $c.db.events " +
+        "ORDER BY event_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+
+      // each INSERT committed one real snapshot through the engine
+      val t = Table.load(new LocalCatalog(dir),
+        TableIdentifier(Seq("db"), "events"), new HadoopFileIO())
+      assert(t.metadata.snapshots.size == 2)
+      assert(Scan(t, spark).toDF.count() == 3)
+
+      // SHOW surfaces
+      assert(spark.sql(s"SHOW NAMESPACES IN $c").collect()
+        .map(_.getString(0)).contains("db"))
+      assert(spark.sql(s"SHOW TABLES IN $c.db").collect()
+        .map(_.getString(1)).contains("events"))
+    }
+  }
+
+  test("CREATE TABLE PARTITIONED BY transforms map to the engine spec") {
+    withCatalog("part") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"""CREATE TABLE $c.db.logs (
+        |  id BIGINT, ts TIMESTAMP_NTZ, cat STRING)
+        |PARTITIONED BY (days(ts), bucket(4, id))""".stripMargin)
+      val t = Table.load(new LocalCatalog(dir),
+        TableIdentifier(Seq("db"), "logs"), new HadoopFileIO())
+      assert(t.spec.fields.map(_.transform.name).toSet ==
+        Set("day", "bucket[4]"))
+      spark.sql(s"INSERT INTO $c.db.logs VALUES " +
+        "(1, TIMESTAMP_NTZ'2024-01-01 00:00:00', 'a'), " +
+        "(2, TIMESTAMP_NTZ'2024-02-01 00:00:00', 'b')")
+      // partition pruning via the scan path still applies
+      assert(spark.sql(s"SELECT id FROM $c.db.logs WHERE cat = 'b'")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L))
+      // partitioning() surfaces in DESCRIBE
+      val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $c.db.logs")
+        .collect().map(_.mkString(" ")).mkString("\n")
+      assert(desc.contains("days(ts)") && desc.contains("bucket(4, id)"),
+        s"partitioning must surface in DESCRIBE:\n$desc")
+    }
+  }
+
+  test("INSERT OVERWRITE swaps content atomically") {
+    withCatalog("ow") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT OVERWRITE $c.db.t VALUES (9, 'z')")
+      val got = spark.sql(s"SELECT id, v FROM $c.db.t").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((9L, "z")))
+    }
+  }
+
+  test("SELECT parity with the Scan API and pushdown reaches the plan") {
+    withCatalog("sel") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.n (id BIGINT, grp BIGINT, x DOUBLE)")
+      spark.sql(s"INSERT INTO $c.db.n SELECT id, id % 7, id * 1.5 " +
+        "FROM range(1000)")
+      val viaSql = spark.sql(
+        s"SELECT grp, COUNT(*) AS n, SUM(x) AS sx FROM $c.db.n " +
+          "WHERE id > 500 GROUP BY grp ORDER BY grp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val t = Table.load(new LocalCatalog(dir),
+        TableIdentifier(Seq("db"), "n"), new HadoopFileIO())
+      import org.apache.spark.sql.functions._
+      val viaScan = Scan(t, spark).toDF.where(col("id") > 500)
+        .groupBy("grp").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        .orderBy("grp").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(viaSql.toSeq == viaScan.toSeq)
+    }
+  }
+
+  test("ALTER TABLE/NAMESPACE properties and ADD COLUMN") {
+    withCatalog("alter") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db WITH PROPERTIES ('team'='graft')")
+      assert(spark.sql(s"DESCRIBE NAMESPACE EXTENDED $c.db").collect()
+        .map(_.mkString(" ")).mkString.contains("team"))
+      spark.sql(s"ALTER NAMESPACE $c.db SET PROPERTIES ('tier'='gold')")
+      val cat = new LocalCatalog(dir)
+      // Spark auto-injects owner=<user>; assert ours round-tripped
+      assert((cat.loadNamespaceProperties(Seq("db")) - "owner") ==
+        Map("team" -> "graft", "tier" -> "gold"))
+
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      spark.sql(s"ALTER TABLE $c.db.t SET TBLPROPERTIES ('k'='v')")
+      assert(Table.load(cat, TableIdentifier(Seq("db"), "t"),
+        new HadoopFileIO()).metadata.properties.get("k").contains("v"))
+
+      spark.sql(s"ALTER TABLE $c.db.t ADD COLUMN note STRING")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, 'hello')")
+      val got = spark.sql(s"SELECT id, note FROM $c.db.t").collect()
+      assert(got.length == 1 && got(0).getString(1) == "hello")
+    }
+  }
+
+  test("DROP TABLE and DROP NAMESPACE") {
+    withCatalog("drop") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      spark.sql(s"DROP TABLE $c.db.t")
+      assert(spark.sql(s"SHOW TABLES IN $c.db").collect().isEmpty)
+      spark.sql(s"DROP NAMESPACE $c.db")
+      assert(!spark.sql(s"SHOW NAMESPACES IN $c").collect()
+        .map(_.getString(0)).contains("db"))
+    }
+  }
+}

@@ -69,17 +69,50 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(!plan.contains("user_id"), s"pruned column in plan:\n$plan")
   }
 
-  test("batch read fails loud on MoR delete files") {
+  test("batch read applies MoR position deletes per task") {
     val (t0, dir, name) = mkTable("b3")
     var t = TableOps.append(t0, batch(1 to 10))
-    t = t.newDelete(spark).where(Col("event_id").eqTo(3L))
+    t = t.newDelete(spark).where(Col("event_id").in(3L, 7L))
       .withMergeOnRead(true).execute()
-    // MoR position-delete committed; source must refuse, not resurrect
-    val e = intercept[Exception] {
-      reader(dir, name).load().collect()
+    val got = reader(dir, name).load()
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 10L).toSet -- Set(3L, 7L),
+      s"position deletes applied in the DSv2 reader, got $got")
+    // parity with the Scan API
+    assert(got == Scan(t, spark).toDF.select("event_id")
+      .collect().map(_.getLong(0)).toSet)
+  }
+
+  test("batch read applies MoR equality deletes, keys pruned away") {
+    val (t0, dir, name) = mkTable("b4")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 10))
+    t = Mutations.deleteByKeys(t, spark,
+      Seq(2L, 5L).toDF("event_id"))
+    // re-insert a deleted key AFTER the delete: newer sequence number,
+    // the reader must keep it (per-task attachment enforces the rule)
+    t = TableOps.append(t, batch(5 to 5))
+    // the projection does NOT include the key column — the reader must
+    // decode it anyway, filter, then project back down
+    val vals = reader(dir, name).load()
+      .select("value").collect().map(_.getDouble(0)).toSet
+    val expected = ((1 to 10).toSet - 2).map(_ * 1.0)
+    assert(vals == expected,
+      s"equality deletes + sequence rule through DSv2, got $vals")
+    // and with the key column present, same story
+    val ids = reader(dir, name).load()
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 10L).toSet - 2L)
+    // streaming still rejects a delete-carrying initial batch loudly
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = streamReader(dir, name).load()
+        .writeStream.format("memory").queryName("graft_b4")
+        .outputMode("append").start()
+      try { q.processAllAvailable(); q.awaitTermination(5000) }
+      finally if (q.isActive) q.stop()
     }
-    assert(e.getMessage != null && e.getMessage.contains("MoR"),
-      s"expected loud MoR rejection, got: ${e.getMessage}")
+    assert(e.getMessage.contains("MoR") ||
+      Option(e.getCause).exists(_.getMessage.contains("MoR")))
   }
 
   // ------------------------------------------------- micro-batch read
