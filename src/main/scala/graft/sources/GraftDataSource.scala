@@ -75,12 +75,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class GraftConnectorTable(
-    gtable: Table, sparkSchema: StructType)
+    gtable: Table, sparkSchema: StructType,
+    /** `VERSION AS OF` / `TIMESTAMP AS OF` pin: reads resolve this
+      * snapshot, writes and row-level deletes are rejected. */
+    pinnedSnapshot: Option[Long] = None)
     extends ConnectorTable with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   override def name(): String =
-    (gtable.id.namespace :+ gtable.id.name).mkString(".")
+    (gtable.id.namespace :+ gtable.id.name).mkString(".") +
+      pinnedSnapshot.map(s => s"@$s").getOrElse("")
   override def schema(): StructType = sparkSchema
   override def partitioning():
       Array[org.apache.spark.sql.connector.expressions.Transform] =
@@ -93,7 +99,7 @@ private[sources] class GraftConnectorTable(
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(gtable, sparkSchema, options)
+    new GraftScanBuilder(gtable, sparkSchema, options, pinnedSnapshot)
 
   /** SQL write path: `INSERT INTO` appends a snapshot through the
     * engine's partitioned writer; `INSERT OVERWRITE` (truncate) swaps
@@ -103,8 +109,47 @@ private[sources] class GraftConnectorTable(
     * and partition fan-out for free. */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    rejectIfPinned("write to")
     new GraftWriteBuilder(gtable, truncateFirst = false)
+  }
+
+  private def rejectIfPinned(what: String): Unit =
+    pinnedSnapshot.foreach(s => throw new UnsupportedOperationException(
+      s"graft: cannot $what a time-travel (VERSION/TIMESTAMP AS OF " +
+        s"$s) table"))
+
+  /** `DELETE FROM graft.ns.tbl WHERE ...`: filters convert EXACTLY (no
+    * pruning over-approximation — a partial predicate would delete too
+    * much) and run through the engine's copy-on-write delete with its
+    * 3VL handling and conflict retry. */
+  override def canDeleteWhere(
+      filters: Array[sources.Filter]): Boolean =
+    pinnedSnapshot.isEmpty && filters.forall(FilterToExpr.exact(_).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    rejectIfPinned("delete from")
+    val expr = filters.map(f => FilterToExpr.exact(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft: cannot express filter $f exactly")))
+      .reduceOption(_ and _).getOrElse(graft.table.AlwaysTrue)
+    graft.table.Mutations.deleteCoW(gtable.refresh(),
+      SparkSession.active, expr)
+    ()
+  }
+
+  /** `TRUNCATE TABLE graft.ns.tbl`: one atomic overwrite-with-empty
+    * snapshot (history stays; time travel still sees old data). */
+  override def truncateTable(): Boolean = {
+    rejectIfPinned("truncate")
+    val spark = SparkSession.active
+    val t = gtable.refresh()
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      SchemaConverters.toSparkSchema(t.schema))
+    graft.table.Mutations.overwrite(t, spark, empty)
+    true
+  }
 }
 
 private[sources] class GraftWriteBuilder(
@@ -146,7 +191,8 @@ private[sources] class GraftWriteBuilder(
   * the scan — partial conversion is always sound. Column pruning feeds
   * the parquet `requiredSchema` (ReadSchema in explain). */
 private[sources] class GraftScanBuilder(
-    gtable: Table, full: StructType, options: CaseInsensitiveStringMap)
+    gtable: Table, full: StructType, options: CaseInsensitiveStringMap,
+    pinnedSnapshot: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -169,7 +215,8 @@ private[sources] class GraftScanBuilder(
       requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
 
   override def build(): V2Scan =
-    new GraftV2Scan(gtable, full, required, pushedExpr, options)
+    new GraftV2Scan(gtable, full, required, pushedExpr, options,
+      pinnedSnapshot)
 }
 
 /** v1 `sources.Filter` → engine [[Expr]], for stats pruning only.
@@ -200,6 +247,27 @@ private[sources] object FilterToExpr {
     case sources.Not(c) => apply(c).map(e => Not(e).simplify)
     case _ => None
   }
+
+  /** EXACT conversion — for row-level DELETE predicates, where the
+    * pruning variant's one-sided AND over-approximation would delete
+    * rows the unconvertible side should have kept. */
+  def exact(f: sources.Filter): Option[Expr] = f match {
+    case sources.And(l, r) => for { a <- exact(l); b <- exact(r) }
+      yield a.and(b)
+    case sources.Or(l, r) => for { a <- exact(l); b <- exact(r) }
+      yield a.or(b)
+    case sources.Not(c) => exact(c).map(e => Not(e))
+    case sources.EqualNullSafe(a, null) => Some(IsNull(a))
+    case sources.EqualNullSafe(a, v) => Some(Eq(a, v))
+    case sources.AlwaysTrue() => Some(AlwaysTrue)
+    case sources.AlwaysFalse() => Some(AlwaysFalse)
+    case sources.EqualTo(_, _) | sources.GreaterThan(_, _) |
+         sources.GreaterThanOrEqual(_, _) | sources.LessThan(_, _) |
+         sources.LessThanOrEqual(_, _) | sources.In(_, _) |
+         sources.IsNull(_) | sources.IsNotNull(_) |
+         sources.StringStartsWith(_, _) => apply(f)
+    case _ => None
+  }
 }
 
 private[sources] class GraftV2Scan(
@@ -207,7 +275,8 @@ private[sources] class GraftV2Scan(
     full: StructType,
     required: StructType,
     pushed: Option[Expr],
-    options: CaseInsensitiveStringMap) extends V2Scan {
+    options: CaseInsensitiveStringMap,
+    pinnedSnapshot: Option[Long] = None) extends V2Scan {
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -221,8 +290,10 @@ private[sources] class GraftV2Scan(
 
   private def spark: SparkSession = SparkSession.active
 
-  private[sources] def newScan(t: Table): Scan =
-    pushed.foldLeft(Scan(t, spark))(_ filter _)
+  private[sources] def newScan(t: Table): Scan = {
+    val base = pinnedSnapshot.foldLeft(Scan(t, spark))(_ useSnapshot _)
+    pushed.foldLeft(base)(_ filter _)
+  }
 
   /** Batch reads plan ONCE (table pin + task list shared between
     * planInputPartitions and createReaderFactory so the reader knows

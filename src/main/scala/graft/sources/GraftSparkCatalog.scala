@@ -88,6 +88,44 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       case _: GNoSuchTable => throw new NoSuchTableException(ident)
     }
 
+  /** `VERSION AS OF <v>`: a snapshot id, or a branch/tag name resolved
+    * through the table's refs. Reads use the SNAPSHOT's schema
+    * (Iceberg's documented time-travel behavior). */
+  override def loadTable(ident: Identifier,
+      version: String): ConnectorTable =
+    try {
+      val t = Table.load(catalog, toId(ident), io)
+      val sid = version.toLongOption
+        .orElse(t.metadata.ref(version).map(_.snapshotId))
+        .getOrElse(throw new NoSuchTableException(ident))
+      pinned(ident, t, sid)
+    } catch {
+      case _: GNoSuchTable => throw new NoSuchTableException(ident)
+    }
+
+  /** `TIMESTAMP AS OF <ts>`: Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier,
+      timestampMicros: Long): ConnectorTable =
+    try {
+      val t = Table.load(catalog, toId(ident), io)
+      val sid = t.snapshotAsOf(timestampMicros / 1000L)
+        .map(_.snapshotId)
+        .getOrElse(throw new NoSuchTableException(ident))
+      pinned(ident, t, sid)
+    } catch {
+      case _: GNoSuchTable => throw new NoSuchTableException(ident)
+    }
+
+  private def pinned(ident: Identifier, t: Table,
+      sid: Long): ConnectorTable = {
+    val snap = t.snapshotById(sid).getOrElse(
+      throw new NoSuchTableException(ident))
+    val schema = snap.schemaId.flatMap(t.metadata.schemaById)
+      .getOrElse(t.schema)
+    new GraftConnectorTable(t, SchemaConverters.toSparkSchema(schema),
+      pinnedSnapshot = Some(sid))
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[SparkTransform],
       properties: JMap[String, String]): ConnectorTable = {

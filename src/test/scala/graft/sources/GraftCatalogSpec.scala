@@ -131,6 +131,65 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("VERSION AS OF / TIMESTAMP AS OF time travel through SQL") {
+    withCatalog("tt") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1), (2)")
+      val cat = new LocalCatalog(dir)
+      val t1 = Table.load(cat, TableIdentifier(Seq("db"), "t"),
+        new HadoopFileIO())
+      val snap1 = t1.currentSnapshot.get.snapshotId
+      spark.sql(s"INSERT INTO $c.db.t VALUES (3)")
+
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.t").head.getLong(0) == 3)
+      assert(spark.sql(
+        s"SELECT count(*) FROM $c.db.t VERSION AS OF $snap1")
+        .head.getLong(0) == 2)
+      // a tag resolves through refs
+      t1.refresh().newTransaction()
+        .setRef("v1", snap1, "tag").commit()
+      assert(spark.sql(
+        s"SELECT count(*) FROM $c.db.t VERSION AS OF 'v1'")
+        .head.getLong(0) == 2)
+      // timestamp after snap1, before snap2's commit... use snap1 time
+      val ts1 = t1.snapshotById(snap1).get.timestampMs
+      val tsLit = java.time.Instant.ofEpochMilli(ts1)
+        .toString.replace("T", " ").stripSuffix("Z")
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.t TIMESTAMP AS OF " +
+        s"'$tsLit'").head.getLong(0) == 2)
+      // writes to a pinned table are rejected
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $c.db.t VERSION AS OF $snap1 VALUES (9)")
+      }
+      assert(e.getMessage != null)
+    }
+  }
+
+  test("DELETE FROM and TRUNCATE TABLE through SQL") {
+    withCatalog("del") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, grp STRING)")
+      spark.sql(s"INSERT INTO $c.db.t SELECT id, " +
+        "CASE WHEN id % 2 = 0 THEN 'even' ELSE 'odd' END FROM range(10)")
+      spark.sql(s"DELETE FROM $c.db.t WHERE grp = 'odd' AND id > 3")
+      val got = spark.sql(s"SELECT id FROM $c.db.t ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(0L, 1L, 2L, 3L, 4L, 6L, 8L),
+        s"CoW delete through SQL, got $got")
+      // engine sees a real Delete snapshot
+      val t = Table.load(new LocalCatalog(dir),
+        TableIdentifier(Seq("db"), "t"), new HadoopFileIO())
+      assert(Scan(t, spark).toDF.count() == 7)
+
+      spark.sql(s"TRUNCATE TABLE $c.db.t")
+      assert(spark.sql(s"SELECT * FROM $c.db.t").collect().isEmpty)
+      // truncation is a snapshot, not erasure: time travel still works
+      val t2 = t.refresh()
+      assert(t2.metadata.snapshots.size >= 3)
+    }
+  }
+
   test("DROP TABLE and DROP NAMESPACE") {
     withCatalog("drop") { (c, _) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
