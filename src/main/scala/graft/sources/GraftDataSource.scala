@@ -46,9 +46,38 @@ import graft.table.{Expr, FileScanTask, Scan, Table}
   * delete files is rejected loudly (apply deletes via the Scan API /
   * SQL façade, or compact first) — never silently resurrected rows.
   */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")` — the connector table deliberately
+    * omits STREAMING_WRITE so Spark routes here (v1 sink), keeping the
+    * whole micro-batch on the engine's driver-orchestrated distributed
+    * write path (PartitionedWriter + snapshot commit) instead of a
+    * second executor-side writer. See [[GraftStreamSinkV1]] for the
+    * epoch-idempotence contract. */
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val table = load(opts)
+    val complete = outputMode == OutputMode.Complete()
+    if (!complete && outputMode != OutputMode.Append())
+      throw new UnsupportedOperationException(
+        "graft sink: Update output mode has no table semantics without " +
+          "key columns — use foreachBatch with Mutations.upsert")
+    val streamId = Option(opts.get("stream-id"))
+      .orElse(Option(opts.get("checkpointLocation")))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink: set option 'stream-id' (or a checkpointLocation) " +
+          "so replayed batches can be detected"))
+    new GraftStreamSinkV1(table, streamId, complete)
+  }
 
   private def load(options: CaseInsensitiveStringMap): Table = {
     def req(k: String): String = {

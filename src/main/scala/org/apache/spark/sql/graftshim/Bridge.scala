@@ -25,4 +25,19 @@ object Bridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
+
+  /** Re-plannable copy of a micro-batch DataFrame for v1 `Sink.addBatch`:
+    * the incoming frame is bound to the stream's IncrementalExecution, so
+    * building new plans over it (select/repartition — anything a writer
+    * does) is unsafe. Wrap the executed RDD in a LogicalRDD exactly as
+    * Spark's own ForeachBatchSink does, yielding a frame arbitrary batch
+    * code can consume. */
+  def materializedBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val node = org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+      classic.queryExecution.toRdd, classic, isStreaming = false)
+    org.apache.spark.sql.classic.Dataset.ofRows(classic.sparkSession, node)
+  }
 }
