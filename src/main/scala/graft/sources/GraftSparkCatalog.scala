@@ -85,8 +85,24 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       new GraftConnectorTable(t,
         SchemaConverters.toSparkSchema(t.schema))
     } catch {
-      case _: GNoSuchTable => throw new NoSuchTableException(ident)
+      case _: GNoSuchTable =>
+        metadataTable(ident).getOrElse(
+          throw new NoSuchTableException(ident))
     }
+
+  /** `graft.ns.tbl.snapshots` etc: the trailing identifier names a
+    * metadata table of `graft.ns.tbl` (Iceberg's inspection syntax).
+    * Tried only after normal resolution fails, so a real table named
+    * "snapshots" always wins. */
+  private def metadataTable(ident: Identifier): Option[ConnectorTable] =
+    if (ident.namespace.length >= 2 &&
+        MetadataTables.Names.contains(ident.name.toLowerCase)) {
+      val parent = TableIdentifier(
+        ident.namespace.init.toSeq, ident.namespace.last)
+      try Some(MetadataTables(
+        Table.load(catalog, parent, io), ident.name.toLowerCase))
+      catch { case _: GNoSuchTable => None }
+    } else None
 
   /** `VERSION AS OF <v>`: a snapshot id, or a branch/tag name resolved
     * through the table's refs. Reads use the SNAPSHOT's schema
