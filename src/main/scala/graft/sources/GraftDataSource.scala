@@ -111,7 +111,9 @@ private[sources] class GraftConnectorTable(
     extends ConnectorTable with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String =
     (gtable.id.namespace :+ gtable.id.name).mkString(".") +
@@ -147,6 +149,22 @@ private[sources] class GraftConnectorTable(
     pinnedSnapshot.foreach(s => throw new UnsupportedOperationException(
       s"graft: cannot $what a time-travel (VERSION/TIMESTAMP AS OF " +
         s"$s) table"))
+
+  /** `_file` metadata column (rows report their data file; feeds the
+    * row-level operations' runtime group filtering). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    GraftMetaColumns.Columns
+
+  /** SQL `UPDATE` / `MERGE INTO` / row-level `DELETE` — group-based
+    * copy-on-write through [[GraftRowLevelOperation]]. Exact-filter
+    * DELETEs still take the metadata path via [[deleteWhere]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    rejectIfPinned("mutate")
+    () => new GraftRowLevelOperation(gtable, info.command)
+  }
 
   /** `DELETE FROM graft.ns.tbl WHERE ...`: filters convert EXACTLY (no
     * pruning over-approximation — a partial predicate would delete too
@@ -228,6 +246,7 @@ private[sources] class GraftScanBuilder(
   private var required: StructType = full
   private var pushedExpr: Option[Expr] = None
   private var accepted: Array[sources.Filter] = Array.empty
+  private var emitFile = false
 
   override def pushFilters(
       filters: Array[sources.Filter]): Array[sources.Filter] = {
@@ -238,14 +257,17 @@ private[sources] class GraftScanBuilder(
   }
   override def pushedFilters(): Array[sources.Filter] = accepted
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // the `_file` metadata column is synthesized by the reader, not read
+    emitFile = requiredSchema.fieldNames.contains(GraftMetaColumns.FileName)
     // intersect with the table schema (Spark may append metadata cols)
     required = StructType(
       requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
+  }
 
   override def build(): V2Scan =
     new GraftV2Scan(gtable, full, required, pushedExpr, options,
-      pinnedSnapshot)
+      pinnedSnapshot, emitFile)
 }
 
 /** v1 `sources.Filter` → engine [[Expr]], for stats pruning only.
@@ -299,51 +321,22 @@ private[sources] object FilterToExpr {
   }
 }
 
-private[sources] class GraftV2Scan(
-    gtable: Table,
-    full: StructType,
-    required: StructType,
-    pushed: Option[Expr],
-    options: CaseInsensitiveStringMap,
-    pinnedSnapshot: Option[Long] = None) extends V2Scan {
-
-  override def readSchema(): StructType = required
-  override def description(): String =
-    s"graft:${(gtable.id.namespace :+ gtable.id.name).mkString(".")} " +
-      s"pushed=[${pushed.getOrElse("")}]"
-
-  override def toBatch: Batch = new GraftBatch(this)
-  override def toMicroBatchStream(
-      checkpointLocation: String): MicroBatchStream =
-    new GraftMicroBatchStream(gtable, this, options)
-
-  private def spark: SparkSession = SparkSession.active
-
-  private[sources] def newScan(t: Table): Scan = {
-    val base = pinnedSnapshot.foldLeft(Scan(t, spark))(_ useSnapshot _)
-    pushed.foldLeft(base)(_ filter _)
-  }
-
-  /** Batch reads plan ONCE (table pin + task list shared between
-    * planInputPartitions and createReaderFactory so the reader knows
-    * which equality-key columns it must decode). */
-  private[sources] lazy val (batchTable, batchTasks) = {
-    val t = try gtable.refresh() catch { case _: Exception => gtable }
-    (t, newScan(t).planFiles())
-  }
+/** Shared delete-aware batch planning, used by the plain batch scan and
+  * the row-level (COW) scan. */
+private[sources] object BatchPlanning {
 
   /** Parquet resolves columns BY NAME in this path: a column renamed
     * since the file was written would silently read null. Detect via
     * field IDs and fail loud; added-since columns null-fill, which is
     * correct. */
-  private[sources] def guardRenames(t: Table,
-      tasks: Seq[FileScanTask]): Unit = {
+  def guardRenames(t: Table, tasks: Seq[FileScanTask],
+      requiredNames: Seq[String]): Unit = {
     val current = t.schema
     tasks.map(_.schemaId).distinct
       .filter(_ != current.schemaId)
       .foreach { sid =>
         t.metadata.schemaById(sid).foreach { fileSchema =>
-          required.fieldNames.foreach { name =>
+          requiredNames.foreach { name =>
             (current.fieldByName(name), fileSchema.fieldByName(name)) match {
               case (Some(cur), None) if fileSchema.field(cur.id).isDefined =>
                 throw new UnsupportedOperationException(
@@ -370,26 +363,29 @@ private[sources] class GraftV2Scan(
   /** Batch partitions CARRY their MoR delete files; the reader applies
     * them per task (position bitmap + equality key sets — the same
     * per-task shape as Iceberg's Spark DeleteFilter). */
-  private[sources] def batchPartitions(): Array[InputPartition] = {
-    guardRenames(batchTable, batchTasks)
-    batchTasks.map { task =>
+  def partitions(t: Table, tasks: Seq[FileScanTask],
+      requiredNames: Seq[String]): Array[InputPartition] = {
+    guardRenames(t, tasks, requiredNames)
+    tasks.map { task =>
       val pos = task.deleteFiles
         .filter(_.file.content == FileContent.PositionDeletes)
         .map(d => DeleteFileInfo(d.file.filePath, d.file.fileSizeInBytes))
       val eqs = task.deleteFiles
         .filter(_.file.content == FileContent.EqualityDeletes)
         .map(d => EqDeleteInfo(d.file.filePath, d.file.fileSizeInBytes,
-          keyNamesOf(batchTable, d.file.equalityIds)))
+          keyNamesOf(t, d.file.equalityIds)))
         .filter(_.keyNames.nonEmpty)
       GraftInputPartition(task.file.filePath, task.file.fileSizeInBytes,
         pos, eqs): InputPartition
     }.toArray
   }
 
-  private[sources] def batchReaderFactory(): PartitionReaderFactory = {
-    val eqKeySets = batchTasks.flatMap(_.deleteFiles)
+  def readerFactory(spark: SparkSession, t: Table,
+      tasks: Seq[FileScanTask], full: StructType, required: StructType,
+      emitFile: Boolean): PartitionReaderFactory = {
+    val eqKeySets = tasks.flatMap(_.deleteFiles)
       .filter(_.file.content == FileContent.EqualityDeletes)
-      .map(d => keyNamesOf(batchTable, d.file.equalityIds))
+      .map(d => keyNamesOf(t, d.file.equalityIds))
       .filter(_.nonEmpty).distinct
     // the data reader must decode equality-key columns even when the
     // query projection pruned them; surviving rows are projected back
@@ -399,7 +395,7 @@ private[sources] class GraftV2Scan(
       .filter(full.fieldNames.contains)
     val extended = StructType(
       required.fields ++ extraCols.map(n => full(full.fieldIndex(n))))
-    val hasPos = batchTasks.exists(_.deleteFiles
+    val hasPos = tasks.exists(_.deleteFiles
       .exists(_.file.content == FileContent.PositionDeletes))
     val posFunc =
       if (hasPos)
@@ -415,8 +411,57 @@ private[sources] class GraftV2Scan(
       ParquetShim.buildReaderFunc(spark, full, extended),
       extended,
       required.fieldNames.map(extended.fieldIndex),
-      posFunc, eqFuncs)
+      posFunc, eqFuncs, emitFile)
   }
+}
+
+private[sources] class GraftV2Scan(
+    gtable: Table,
+    full: StructType,
+    required: StructType,
+    pushed: Option[Expr],
+    options: CaseInsensitiveStringMap,
+    pinnedSnapshot: Option[Long] = None,
+    emitFile: Boolean = false) extends V2Scan {
+
+  override def readSchema(): StructType =
+    if (emitFile) StructType(required.fields :+ GraftMetaColumns.FileField)
+    else required
+  override def description(): String =
+    s"graft:${(gtable.id.namespace :+ gtable.id.name).mkString(".")} " +
+      s"pushed=[${pushed.getOrElse("")}]"
+
+  override def toBatch: Batch = new GraftBatch(this)
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(gtable, this, options)
+
+  private def spark: SparkSession = SparkSession.active
+
+  private[sources] def newScan(t: Table): Scan = {
+    val base = pinnedSnapshot.foldLeft(Scan(t, spark))(_ useSnapshot _)
+    pushed.foldLeft(base)(_ filter _)
+  }
+
+  /** Batch reads plan ONCE (table pin + task list shared between
+    * planInputPartitions and createReaderFactory so the reader knows
+    * which equality-key columns it must decode). */
+  private[sources] lazy val (batchTable, batchTasks) = {
+    val t = try gtable.refresh() catch { case _: Exception => gtable }
+    (t, newScan(t).planFiles())
+  }
+
+  private[sources] def guardRenames(t: Table,
+      tasks: Seq[FileScanTask]): Unit =
+    BatchPlanning.guardRenames(t, tasks, required.fieldNames.toSeq)
+
+  private[sources] def batchPartitions(): Array[InputPartition] =
+    BatchPlanning.partitions(batchTable, batchTasks,
+      required.fieldNames.toSeq)
+
+  private[sources] def batchReaderFactory(): PartitionReaderFactory =
+    BatchPlanning.readerFactory(spark, batchTable, batchTasks, full,
+      required, emitFile)
 
   /** Streaming factory: incremental appends carry no deletes, and the
     * initial full-table batch REJECTS delete-carrying plans loudly
@@ -463,7 +508,10 @@ private[sources] class GraftReaderFactory(
     extendedSchema: StructType,
     outputOrdinals: Array[Int],
     posReadFunc: Option[PartitionedFile => Iterator[InternalRow]],
-    eqReadFuncs: Map[Seq[String], PartitionedFile => Iterator[InternalRow]])
+    eqReadFuncs: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
+    /** Append the task's file path as a trailing `_file` string column
+      * (Spark metadata column; drives row-level runtime group filtering). */
+    appendFilePath: Boolean = false)
     extends PartitionReaderFactory {
 
   private def normPath(p: String): String =
@@ -521,9 +569,11 @@ private[sources] class GraftReaderFactory(
       }.toArray
 
     val it = readFunc(ParquetShim.partitionedFile(gp.path, gp.length))
-    val identityProjection =
+    val identityProjection = !appendFilePath &&
       outputOrdinals.sameElements(extendedSchema.fields.indices)
     val extTypes = extendedSchema.fields.map(_.dataType)
+    val filePathValue =
+      org.apache.spark.unsafe.types.UTF8String.fromString(gp.path)
 
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
@@ -552,14 +602,17 @@ private[sources] class GraftReaderFactory(
             cur =
               if (identityProjection) row
               else {
-                val vals = new Array[Any](outputOrdinals.length)
+                val n = outputOrdinals.length
+                val vals =
+                  new Array[Any](if (appendFilePath) n + 1 else n)
                 var i = 0
-                while (i < vals.length) {
+                while (i < n) {
                   val o = outputOrdinals(i)
                   vals(i) = if (row.isNullAt(o)) null
                     else row.get(o, extTypes(o))
                   i += 1
                 }
+                if (appendFilePath) vals(n) = filePathValue
                 new org.apache.spark.sql.catalyst.expressions
                   .GenericInternalRow(vals)
               }

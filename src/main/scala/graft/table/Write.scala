@@ -77,19 +77,24 @@ object DataWriter {
     * `graft.write.nan-stats=false` — writes then skip the second pass
     * (cost: the pruner stops using Gt/Gte bounds on those columns,
     * which is the sound trade in the other direction). */
-  private[table] def nanStatsEnabled(meta: TableMetadata): Boolean =
+  private[graft] def nanStatsEnabled(meta: TableMetadata): Boolean =
     meta.properties.getOrElse("graft.write.nan-stats", "true") != "false"
 
   private[table] def nanCountsByFile(
       spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: Schema): Map[String, Map[Int, Long]] =
+    nanCountsByPaths(spark, Seq(dir), schema)
+
+  private[graft] def nanCountsByPaths(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
       schema: Schema): Map[String, Map[Int, Long]] = {
     import org.apache.spark.sql.functions.{col, isnan, sum, when}
     val fp = schema.fields.filter(f =>
       f.fieldType == FloatType || f.fieldType == DoubleType)
-    if (fp.isEmpty) return Map.empty
+    if (fp.isEmpty || paths.isEmpty) return Map.empty
     val aggs = fp.map(f =>
       sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as("n" + f.id))
-    spark.read.parquet(dir)
+    spark.read.parquet(paths: _*)
       .groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -110,7 +115,26 @@ object DataWriter {
     val statuses = fs.listStatus(dirPath)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    statuses.toSeq.map { st =>
+    harvestStatuses(conf, statuses.toSeq, schema, partition, nanCounts)
+  }
+
+  /** Harvest an EXPLICIT file list (executor-written row-level rewrites
+    * commit only the files named in their commit messages — stray files
+    * from failed/speculative task attempts must not be harvested). */
+  def harvestFiles(conf: Configuration, paths: Seq[String], schema: Schema,
+      partition: Map[String, Any] = Map.empty,
+      nanCounts: Map[String, Map[Int, Long]] = Map.empty): Seq[DataFile] =
+    harvestStatuses(conf,
+      paths.sorted.map { p =>
+        val hp = new Path(p)
+        hp.getFileSystem(conf).getFileStatus(hp)
+      }, schema, partition, nanCounts)
+
+  private def harvestStatuses(conf: Configuration,
+      statuses: Seq[org.apache.hadoop.fs.FileStatus], schema: Schema,
+      partition: Map[String, Any],
+      nanCounts: Map[String, Map[Int, Long]]): Seq[DataFile] = {
+    statuses.map { st =>
       val footer = {
         val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
         try r.getFooter finally r.close()
@@ -334,8 +358,25 @@ object PartitionedWriter {
 /** Shared Hive-style partition-directory walker: finds parquet leaf
   * dirs under `root` and decodes each `name=value` segment to the
   * partition type's RESULT types (strip the writer's `__p_` prefix). */
-private[table] object PartitionDirs {
+private[graft] object PartitionDirs {
   private val partPrefix = "__p_"
+
+  /** Decode one RELATIVE `name=value/...` segment path (the executor
+    * row-level writers name files this way so the commit can recover
+    * each file's partition tuple through the exact same parse the
+    * Hive-dir walker uses). */
+  def decodeSegments(relDir: String,
+      partitionType: StructType): Map[String, Any] =
+    relDir.split('/').filter(s => s.nonEmpty && s.contains('=')).map { seg =>
+      val idx = seg.indexOf('=')
+      val colName = seg.substring(0, idx).stripPrefix(partPrefix)
+      val raw = java.net.URLDecoder.decode(seg.substring(idx + 1), "UTF-8")
+      val typed: Any =
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else partitionType.fieldByName(colName).map(f =>
+          parseValue(raw, f.fieldType)).getOrElse(raw)
+      colName -> typed
+    }.toMap
 
   def leaves(conf: org.apache.hadoop.conf.Configuration, root: String,
       partitionType: StructType): Seq[(Path, Map[String, Any])] = {

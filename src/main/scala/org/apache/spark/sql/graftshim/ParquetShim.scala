@@ -49,4 +49,40 @@ object ParquetShim {
       locations = Array.empty,
       modificationTime = 0L,
       fileSize = length)
+
+  // ----------------------------------------------------------- writing
+
+  /** Driver-side: build the serializable parquet [[OutputWriterFactory]]
+    * Spark's own FileFormatWriter would use, plus the job configuration
+    * executors need to instantiate writers. Timestamps are forced to
+    * TIMESTAMP_MICROS (Iceberg physical semantics — same discipline as
+    * the driver-orchestrated DataWriter path). */
+  def buildWriterFactory(spark: SparkSession, dataSchema: StructType)
+      : (org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+         org.apache.spark.util.SerializableConfiguration) = {
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      spark.sessionState.newHadoopConf())
+    val fmt = new ParquetFileFormat
+    val factory = fmt.prepareWrite(spark, job,
+      Map("compression" -> "snappy"), dataSchema)
+    job.getConfiguration.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    (factory,
+      new org.apache.spark.util.SerializableConfiguration(
+        job.getConfiguration))
+  }
+
+  /** Executor-side: open one parquet [[OutputWriter]] at `path`. */
+  def newOutputWriter(
+      factory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+      conf: Configuration, path: String, dataSchema: StructType,
+      taskId: Int, attempt: Int)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{TaskAttemptID, TaskID, JobID, TaskType}
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      new Configuration(conf),
+      new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP,
+        taskId), attempt))
+    factory.newInstance(path, dataSchema, ctx)
+  }
 }
