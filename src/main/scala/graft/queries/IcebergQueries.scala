@@ -451,6 +451,116 @@ object IcebergQueries {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin)
   }
 
+  /** SQL UPDATE through the CatalogPlugin: group-based copy-on-write
+    * row-level operation with runtime group filtering — the SQL face of
+    * m3's programmatic update, so the oracle is identical. */
+  def sql6SqlUpdate(s: SparkSession, dir: String): DataFrame = {
+    val t = cache.getOrElseUpdate(s"sql6:$dir", {
+      val df = s.read.parquet(s"$dir/orders.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sql6" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      val t0 = TableOps.append(Table.create(cat,
+        TableIdentifier(ns, "orders"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io), df)
+      val cname = "gq6"
+      s.conf.set(s"spark.sql.catalog.$cname",
+        "graft.sources.GraftSparkCatalog")
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", warehouse)
+      s.sql(s"UPDATE $cname.${ns.mkString(".")}.orders " +
+        "SET o_orderpriority = '1-URGENT-BIG' " +
+        "WHERE o_totalprice > 300000.0")
+      t0.refresh()
+    })
+    Scan(t, s).toDF
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** SQL MERGE INTO through the CatalogPlugin — the SQL face of m4's
+    * programmatic upsert (same source frame, same oracle): matched rows
+    * update whole-row, unmatched rows insert. */
+  def sql7SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    val t = cache.getOrElseUpdate(s"sql7:$dir", {
+      val df = s.read.parquet(s"$dir/customer.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sql7" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      val t0 = TableOps.append(Table.create(cat,
+        TableIdentifier(ns, "customer"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io), df)
+      val cname = "gq7"
+      s.conf.set(s"spark.sql.catalog.$cname",
+        "graft.sources.GraftSparkCatalog")
+      s.conf.set(s"spark.sql.catalog.$cname.warehouse", warehouse)
+      val updates = df.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(1000.0))
+        .withColumn("c_mktsegment", lit("NEWSEG"))
+      val inserts = df.filter(col("c_custkey") < 5)
+        .withColumn("c_custkey", col("c_custkey") + lit(1000000L))
+      updates.unionByName(inserts).createOrReplaceTempView("sql7_src")
+      s.sql(s"MERGE INTO $cname.${ns.mkString(".")}.customer AS t " +
+        "USING sql7_src AS s ON t.c_custkey = s.c_custkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      t0.refresh()
+    })
+    Scan(t, s).toDF
+      .select(col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast(org.apache.spark.sql.types.DoubleType).as("c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** writeStream.format("graft") sink: graft-to-graft pipe (readStream
+    * source tails the source table; the sink commits one snapshot per
+    * micro-batch with epoch idempotence), then the DESTINATION table is
+    * scanned — the oracle is the full source content, so any dropped or
+    * doubled micro-batch breaks the hash. */
+  def i15WriteStreamSink(s: SparkSession, dir: String): DataFrame = {
+    val t = cache.getOrElseUpdate(s"i15:$dir", {
+      val df = s.read.parquet(s"$dir/lineitem.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sf15" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+        java.util.UUID.randomUUID.toString.take(8))
+      cat.createNamespace(ns)
+      var src = Table.create(cat, TableIdentifier(ns, "src"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io)
+      val dst = Table.create(cat, TableIdentifier(ns, "dst"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io)
+      src = TableOps.append(src, df.filter(col("l_linenumber") <= 3))
+      val q = s.readStream.format("graft")
+        .option("warehouse", warehouse)
+        .option("namespace", ns.mkString("."))
+        .option("table", "src").load()
+        .writeStream.format("graft")
+        .option("warehouse", warehouse)
+        .option("namespace", ns.mkString("."))
+        .option("table", "dst")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-i15-ckpt-").toString)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable() // batch 1: full source at snap1
+        src = TableOps.append(src, df.filter(col("l_linenumber") > 3))
+        q.processAllAvailable() // batch 2: the incremental append
+      } finally q.stop()
+      dst.refresh()
+    })
+    Scan(t, s).toDF
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -471,6 +581,9 @@ object IcebergQueries {
     "sql3_bucket_eq" -> (sql3BucketEq _),
     "sql4_mor_read" -> (sql4MorRead _),
     "sql5_catalog_mor" -> (sql5CatalogMor _),
+    "sql6_sql_update" -> (sql6SqlUpdate _),
+    "sql7_sql_merge" -> (sql7SqlMerge _),
+    "i15_writestream_sink" -> (i15WriteStreamSink _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +606,8 @@ object IcebergQueries {
     "sql3_bucket_eq" -> i7Sql,
     "sql4_mor_read" -> MutationQueries.m2Sql,
     "sql5_catalog_mor" -> MutationQueries.m2Sql,
+    "sql6_sql_update" -> MutationQueries.m3Sql,
+    "sql7_sql_merge" -> MutationQueries.m4Sql,
+    "i15_writestream_sink" -> i14Sql,
   )
 }
