@@ -126,7 +126,8 @@ private[sources] class GraftConnectorTable(
     gtable.metadata.properties.asJava
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -200,13 +201,33 @@ private[sources] class GraftConnectorTable(
 }
 
 private[sources] class GraftWriteBuilder(
-    gtable: Table, truncateFirst: Boolean)
+    gtable: Table, truncateFirst: Boolean,
+    overwriteExpr: Option[Expr] = None)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   override def truncate():
       org.apache.spark.sql.connector.write.WriteBuilder =
     new GraftWriteBuilder(gtable, truncateFirst = true)
+
+  /** `INSERT OVERWRITE ... PARTITION (...)` / filtered overwrite:
+    * delete-matching + append in ONE atomic overwrite snapshot via the
+    * engine's selective overwrite. Filters must convert EXACTLY — an
+    * over-approximated predicate would delete rows the unconvertible
+    * part should have kept. */
+  override def canOverwrite(
+      filters: Array[sources.Filter]): Boolean =
+    filters.forall(FilterToExpr.exact(_).isDefined)
+
+  override def overwrite(filters: Array[sources.Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val expr = filters.map(f => FilterToExpr.exact(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft: cannot express overwrite filter $f exactly")))
+      .reduceOption(_ and _).getOrElse(graft.table.AlwaysTrue)
+    new GraftWriteBuilder(gtable, truncateFirst = false, Some(expr))
+  }
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
@@ -223,9 +244,19 @@ private[sources] class GraftWriteBuilder(
             val aligned = data.select(target.fields.map(f =>
               org.apache.spark.sql.functions.col(f.name)
                 .cast(f.dataType).as(f.name)).toSeq: _*)
-            if (truncateFirst || overwrite)
-              graft.table.Mutations.overwrite(t, data.sparkSession, aligned)
-            else graft.table.TableOps.append(t, aligned)
+            overwriteExpr match {
+              case Some(graft.table.AlwaysTrue) =>
+                graft.table.Mutations.overwrite(t, data.sparkSession,
+                  aligned)
+              case Some(expr) =>
+                graft.table.Mutations.overwriteWhere(t, data.sparkSession,
+                  expr, aligned)
+              case None =>
+                if (truncateFirst || overwrite)
+                  graft.table.Mutations.overwrite(t, data.sparkSession,
+                    aligned)
+                else graft.table.TableOps.append(t, aligned)
+            }
             ()
           }
         }
@@ -365,7 +396,6 @@ private[sources] object BatchPlanning {
     * per-task shape as Iceberg's Spark DeleteFilter). */
   def partitions(t: Table, tasks: Seq[FileScanTask],
       requiredNames: Seq[String]): Array[InputPartition] = {
-    guardRenames(t, tasks, requiredNames)
     tasks.map { task =>
       val pos = task.deleteFiles
         .filter(_.file.content == FileContent.PositionDeletes)
@@ -376,7 +406,7 @@ private[sources] object BatchPlanning {
           keyNamesOf(t, d.file.equalityIds)))
         .filter(_.keyNames.nonEmpty)
       GraftInputPartition(task.file.filePath, task.file.fileSizeInBytes,
-        pos, eqs): InputPartition
+        pos, eqs, task.schemaId): InputPartition
     }.toArray
   }
 
@@ -407,11 +437,57 @@ private[sources] object BatchPlanning {
       val keySchema = StructType(names.map(n => full(full.fieldIndex(n))))
       names -> ParquetShim.buildReaderFunc(spark, keySchema, keySchema)
     }.toMap
+
+    // Field-ID remapped read per write schema: files written before a
+    // rename/widen are read with their OWN column names and types, rows
+    // then promote positionally to the current schema — the DSv2
+    // equivalent of the Scan API's per-write-schema remap, so SQL reads
+    // survive schema evolution instead of tripping a rename guard.
+    val current = t.schema
+    val defaultFunc = ParquetShim.buildReaderFunc(spark, full, extended)
+    val oldSchemaIds = tasks.map(_.schemaId).distinct
+      .filter(sid => sid != current.schemaId &&
+        t.metadata.schemaById(sid).isDefined)
+    val remapped: Map[Int, (PartitionedFile => Iterator[InternalRow],
+        Array[ReaderConv])] =
+      oldSchemaIds.map { sid =>
+        val fileSchema = t.metadata.schemaById(sid).get
+        val pairs = extended.fields.map { f =>
+          current.fieldByName(f.name)
+            .flatMap(cur => fileSchema.field(cur.id)) match {
+            case Some(ff) =>
+              val fileSpark = SchemaConverters.toSparkType(ff.fieldType)
+              (org.apache.spark.sql.types.StructField(ff.name, fileSpark,
+                f.nullable), ReaderConv.of(fileSpark, f.dataType))
+            case None => // added since this file: null-fill under current
+              (f, ReaderConv.of(f.dataType, f.dataType))
+          }
+        }
+        val fileRequired = StructType(pairs.map(_._1))
+        val convs = pairs.map(_._2)
+        val fileFull = SchemaConverters.toSparkSchema(fileSchema)
+        sid -> (ParquetShim.buildReaderFunc(spark, fileFull, fileRequired),
+          convs)
+      }.toMap
+
     new GraftReaderFactory(
-      ParquetShim.buildReaderFunc(spark, full, extended),
+      defaultFunc, remapped,
       extended,
       required.fieldNames.map(extended.fieldIndex),
       posFunc, eqFuncs, emitFile)
+  }
+}
+
+/** Positional value promotion for remapped reads. `code`: 0 identity,
+  * 1 int→long, 2 float→double. */
+private[sources] final case class ReaderConv(
+    code: Int, fileType: org.apache.spark.sql.types.DataType)
+private[sources] object ReaderConv {
+  import org.apache.spark.sql.types._
+  def of(file: DataType, cur: DataType): ReaderConv = (file, cur) match {
+    case (IntegerType, LongType) => ReaderConv(1, file)
+    case (FloatType, DoubleType) => ReaderConv(2, file)
+    case _ => ReaderConv(0, file)
   }
 }
 
@@ -468,7 +544,7 @@ private[sources] class GraftV2Scan(
     * (see toStreamPartitions) — so the plain reader suffices. */
   private[sources] def readerFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
-      ParquetShim.buildReaderFunc(spark, full, required),
+      ParquetShim.buildReaderFunc(spark, full, required), Map.empty,
       required, required.fieldNames.indices.toArray, None, Map.empty)
 
   private[sources] def toStreamPartitions(
@@ -495,7 +571,8 @@ final case class DeleteFileInfo(path: String, length: Long)
 final case class EqDeleteInfo(path: String, length: Long,
     keyNames: Seq[String])
 final case class GraftInputPartition(path: String, length: Long,
-    posDeletes: Seq[DeleteFileInfo], eqDeletes: Seq[EqDeleteInfo])
+    posDeletes: Seq[DeleteFileInfo], eqDeletes: Seq[EqDeleteInfo],
+    schemaId: Int = -1)
     extends InputPartition
 
 /** Executor-side reader. Per task: position deletes for THIS file load
@@ -505,6 +582,10 @@ final case class GraftInputPartition(path: String, length: Long,
   * stream through both filters and project down to the query schema. */
 private[sources] class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
+    /** Per-write-schema remapped readers + positional promotions for
+      * files written under an older schema id. */
+    remappedFuncs: Map[Int, (PartitionedFile => Iterator[InternalRow],
+      Array[ReaderConv])],
     extendedSchema: StructType,
     outputOrdinals: Array[Int],
     posReadFunc: Option[PartitionedFile => Iterator[InternalRow]],
@@ -568,12 +649,36 @@ private[sources] class GraftReaderFactory(
         (ords, keyTypes, set)
       }.toArray
 
-    val it = readFunc(ParquetShim.partitionedFile(gp.path, gp.length))
-    val identityProjection = !appendFilePath &&
+    val (func, convs) = remappedFuncs.get(gp.schemaId) match {
+      case Some((f, cs)) if cs.exists(_.code != 0) => (f, cs)
+      case Some((f, _)) => (f, null) // names remapped, types unchanged
+      case None => (readFunc, null)
+    }
+    val it = func(ParquetShim.partitionedFile(gp.path, gp.length))
+    val identityProjection = !appendFilePath && convs == null &&
       outputOrdinals.sameElements(extendedSchema.fields.indices)
     val extTypes = extendedSchema.fields.map(_.dataType)
     val filePathValue =
       org.apache.spark.unsafe.types.UTF8String.fromString(gp.path)
+
+    /** Promote a remapped row positionally to the current types. */
+    def promote(row: InternalRow): InternalRow = {
+      val vals = new Array[Any](convs.length)
+      var i = 0
+      while (i < vals.length) {
+        val c = convs(i)
+        vals(i) =
+          if (row.isNullAt(i)) null
+          else c.code match {
+            case 1 => row.getInt(i).toLong
+            case 2 => row.getFloat(i).toDouble
+            case _ => row.get(i, c.fileType)
+          }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(vals)
+    }
 
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
@@ -596,7 +701,8 @@ private[sources] class GraftReaderFactory(
 
       override def next(): Boolean = {
         while (it.hasNext) {
-          val row = it.next()
+          val raw = it.next()
+          val row = if (convs == null) raw else promote(raw)
           rowIdx += 1
           if (!deleted(row, rowIdx)) {
             cur =

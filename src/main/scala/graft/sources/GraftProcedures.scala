@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.util.{Iterator => JIterator}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{
+  BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan => V2Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.catalog.{Catalog, TableIdentifier}
+import graft.io.FileIO
+import graft.table.{Maintenance, Table}
+
+/** `CALL graft.system.<proc>(...)` — SQL maintenance procedures, the
+  * operational face of [[graft.table.Maintenance]] and the ref API
+  * (Iceberg exposes the same set as Spark procedures; the reference
+  * leaves maintenance entirely programmatic).
+  *
+  * All procedures take the table as `ns` + `table` string args, run
+  * driver-side (they are metadata operations; `compact` launches
+  * distributed rewrite jobs), and return a one-row result summarizing
+  * what changed.
+  */
+private[sources] object GraftProcedures {
+
+  def list: Array[Identifier] =
+    Names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  val Names: Seq[String] = Seq("expire_snapshots", "compact",
+    "rollback_to_snapshot", "set_ref", "remove_ref")
+
+  def load(catalog: Catalog, io: FileIO,
+      ident: Identifier): Option[UnboundProcedure] =
+    if (!ident.namespace.sameElements(Array("system"))) None
+    else Names.find(_ == ident.name).map(n =>
+      new GraftUnboundProcedure(n, catalog, io))
+
+  private[sources] def loadTable(catalog: Catalog, io: FileIO,
+      ns: String, tbl: String): Table =
+    Table.load(catalog, TableIdentifier(ns.split('.').toSeq, tbl), io)
+}
+
+private[sources] class GraftUnboundProcedure(
+    procName: String, catalog: Catalog, io: FileIO)
+    extends UnboundProcedure {
+
+  override def name(): String = procName
+  override def description(): String = s"graft maintenance: $procName"
+
+  override def bind(inputType: StructType): BoundProcedure =
+    new GraftBoundProcedure(procName, catalog, io)
+}
+
+private[sources] class GraftBoundProcedure(
+    procName: String, catalog: Catalog, io: FileIO)
+    extends BoundProcedure {
+
+  import GraftProcedures.loadTable
+
+  override def name(): String = procName
+  override def description(): String = s"graft maintenance: $procName"
+  override def isDeterministic: Boolean = false
+
+  private def p(n: String, t: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, t).build()
+  private def pDefault(n: String, t: DataType,
+      default: String): ProcedureParameter =
+    ProcedureParameter.in(n, t).defaultValue(default).build()
+
+  override def parameters(): Array[ProcedureParameter] = procName match {
+    case "expire_snapshots" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("older_than_ms", LongType, "9223372036854775807"),
+      pDefault("retain_last", IntegerType, "1"))
+    case "compact" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("target_file_size_bytes", LongType,
+        (128L * 1024 * 1024).toString))
+    case "rollback_to_snapshot" => Array(
+      p("ns", StringType), p("table", StringType),
+      p("snapshot_id", LongType))
+    case "set_ref" => Array(
+      p("ns", StringType), p("table", StringType),
+      p("name", StringType), p("snapshot_id", LongType),
+      pDefault("type", StringType, "'branch'"))
+    case "remove_ref" => Array(
+      p("ns", StringType), p("table", StringType),
+      p("name", StringType))
+  }
+
+  override def call(input: InternalRow): JIterator[V2Scan] = {
+    val spark = SparkSession.active
+    val ns = input.getUTF8String(0).toString
+    val tbl = input.getUTF8String(1).toString
+    val t = loadTable(catalog, io, ns, tbl)
+    val (schema, row): (StructType, Seq[Any]) = procName match {
+      case "expire_snapshots" =>
+        val olderThan = input.getLong(2)
+        val retain = input.getInt(3)
+        val before = t.metadata.snapshots.size
+        val after = Maintenance.expireSnapshots(t, olderThan, retain)
+        (new StructType().add("expired_snapshots", IntegerType),
+          Seq(before - after.metadata.snapshots.size))
+      case "compact" =>
+        val target = input.getLong(2)
+        val before = graft.table.Scan(t, spark).planFiles().size
+        val after = Maintenance.compactDataFiles(t, spark, target)
+        val now = graft.table.Scan(after, spark).planFiles().size
+        (new StructType().add("files_before", IntegerType)
+          .add("files_after", IntegerType), Seq(before, now))
+      case "rollback_to_snapshot" =>
+        val sid = input.getLong(2)
+        if (t.snapshotById(sid).isEmpty)
+          throw new IllegalArgumentException(
+            s"rollback_to_snapshot: snapshot $sid not found in $ns.$tbl")
+        t.newTransaction().setRef("main", sid).commit()
+        (new StructType().add("current_snapshot_id", LongType), Seq(sid))
+      case "set_ref" =>
+        val refName = input.getUTF8String(2).toString
+        val sid = input.getLong(3)
+        val refType = input.getUTF8String(4).toString
+        if (t.snapshotById(sid).isEmpty)
+          throw new IllegalArgumentException(
+            s"set_ref: snapshot $sid not found in $ns.$tbl")
+        t.newTransaction().setRef(refName, sid, refType = refType).commit()
+        (new StructType().add("name", StringType)
+          .add("snapshot_id", LongType), Seq(refName, sid))
+      case "remove_ref" =>
+        val refName = input.getUTF8String(2).toString
+        t.newTransaction().removeRef(refName).commit()
+        (new StructType().add("removed", StringType), Seq(refName))
+    }
+    val result: V2Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows: Array[InternalRow] = Array(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          row.map {
+            case s: String => UTF8String.fromString(s)
+            case other => other.asInstanceOf[AnyRef]
+          }.toArray[Any]))
+    }
+    Seq(result).asJava.iterator()
+  }
+}

@@ -39,7 +39,8 @@ import graft.table.Table
   * `SHOW NAMESPACES`, `CREATE NAMESPACE`, namespace properties via
   * `ALTER NAMESPACE ... SET PROPERTIES`.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private[sources] var catalog: Catalog = _
@@ -177,16 +178,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val addCols = changes.collect {
       case a: TableChange.AddColumn if a.fieldNames.length == 1 => a
     }
+    val schemaChanges = changes.collect {
+      case c: TableChange.RenameColumn if c.fieldNames.length == 1 => c
+      case c: TableChange.DeleteColumn if c.fieldNames.length == 1 => c
+      case c: TableChange.UpdateColumnType if c.fieldNames.length == 1 => c
+      case c: TableChange.UpdateColumnNullability
+          if c.fieldNames.length == 1 && c.nullable() => c
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty] ||
-        (c.isInstanceOf[TableChange.AddColumn] &&
-          c.asInstanceOf[TableChange.AddColumn].fieldNames.length == 1))
+        addCols.contains(c) || schemaChanges.contains(c))
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
         s"graft: unsupported ALTER TABLE changes: " +
           unsupported.mkString(", ") +
-          " (use the engine's SchemaUpdate API for renames/drops)")
+          " (nested columns and NOT NULL tightening are not evolvable)")
     var cur = t
     if (setProps.nonEmpty || rmProps.nonEmpty) {
       var tx = cur.newTransaction()
@@ -194,13 +201,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       if (rmProps.nonEmpty) tx = tx.removeProperties(rmProps)
       cur = tx.commit()
     }
-    if (addCols.nonEmpty) {
+    if (addCols.nonEmpty || schemaChanges.nonEmpty) {
       var up = cur.updateSchema()
       addCols.foreach { a =>
         val t = SchemaConverters.fromSparkSchema(new StructType()
           .add(a.fieldNames()(0), a.dataType(), a.isNullable))
           .fields.head.fieldType
         up = up.addColumn(a.fieldNames()(0), t, required = !a.isNullable)
+      }
+      schemaChanges.foreach {
+        case c: TableChange.RenameColumn =>
+          up = up.renameColumn(c.fieldNames()(0), c.newName())
+        case c: TableChange.DeleteColumn =>
+          up = up.dropColumn(c.fieldNames()(0))
+        case c: TableChange.UpdateColumnType =>
+          val t = SchemaConverters.fromSparkSchema(new StructType()
+            .add(c.fieldNames()(0), c.newDataType())).fields.head.fieldType
+          up = up.updateColumnType(c.fieldNames()(0), t)
+        case c: TableChange.UpdateColumnNullability =>
+          up = up.makeOptional(c.fieldNames()(0))
+        case _ => ()
       }
       cur = up.commit()
     }
@@ -274,6 +294,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       catalog.dropNamespace(ns.toSeq)
       true
     } catch { case _: GNoSuchNamespace => false }
+
+  // -------------------------------------------------------- procedures
+
+  /** `CALL <catalog>.system.<proc>(...)` — see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(catalog, io, ident).getOrElse(
+      throw new RuntimeException(
+        s"graft: no such procedure ${ident.namespace.mkString(".")}" +
+          s".${ident.name} (available: system." +
+          s"{${GraftProcedures.Names.mkString(",")}})"))
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(Array("system")))
+      GraftProcedures.list
+    else Array.empty
 }
 
 object GraftSparkCatalog {

@@ -94,7 +94,10 @@ object DataWriter {
     if (fp.isEmpty || paths.isEmpty) return Map.empty
     val aggs = fp.map(f =>
       sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as("n" + f.id))
-    spark.read.parquet(paths: _*)
+    // explicit schema: an all-rows-rewritten-away overwrite leaves an
+    // EMPTY output dir, where schema inference would throw
+    spark.read.schema(SchemaConverters.toSparkSchema(schema))
+      .parquet(paths: _*)
       .groupBy(col("_metadata.file_path").as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -1,0 +1,137 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.catalog.{LocalCatalog, TableIdentifier}
+import graft.io.HadoopFileIO
+import graft.table.Table
+
+/** INSERT OVERWRITE by filter, ALTER TABLE column evolution, and CALL
+  * procedures through the CatalogPlugin. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def withCatalog(tag: String)(f: (String, String) => Unit): Unit = {
+    val dir = Files.createTempDirectory(s"graft-ss-$tag-").toString
+    val name = s"gss$tag"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", dir)
+    f(name, dir)
+  }
+
+  private def loadT(dir: String, tbl: String): Table =
+    Table.load(new LocalCatalog(dir), TableIdentifier(Seq("db"), tbl),
+      new HadoopFileIO())
+
+  test("INSERT OVERWRITE with a static partition filter is selective") {
+    withCatalog("ovw") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, cat STRING, v DOUBLE) " +
+        "PARTITIONED BY (cat)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES " +
+        "(1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0)")
+      // replace ONLY partition a; b untouched
+      spark.sql(s"INSERT OVERWRITE $c.db.t PARTITION (cat = 'a') " +
+        "SELECT id, v FROM VALUES (10L, 10.0) AS x(id, v)")
+      val got = spark.sql(s"SELECT id, cat, v FROM $c.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((3L, "b", 3.0), (10L, "a", 10.0)),
+        s"selective overwrite, got ${got.toSeq}")
+      // one atomic overwrite snapshot
+      assert(loadT(dir, "t").metadata.snapshots.size == 2)
+    }
+  }
+
+  test("ALTER TABLE rename, drop, widen type, drop NOT NULL") {
+    withCatalog("alt") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t " +
+        "(id INT NOT NULL, v DOUBLE, dead STRING)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, 1.0, 'x')")
+      spark.sql(s"ALTER TABLE $c.db.t RENAME COLUMN v TO score")
+      spark.sql(s"ALTER TABLE $c.db.t DROP COLUMN dead")
+      spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN id TYPE BIGINT")
+      spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN id DROP NOT NULL")
+
+      val t = loadT(dir, "t")
+      assert(t.schema.fields.map(_.name).toSeq == Seq("id", "score"))
+      assert(t.schema.fieldByName("id").exists(f =>
+        f.fieldType == graft.spec.LongType && !f.required))
+      // old data reads through the evolved schema (field-id remap)
+      val got = spark.sql(s"SELECT id, score FROM $c.db.t").collect()
+      assert(got.head.getLong(0) == 1L && got.head.getDouble(1) == 1.0)
+      // and new inserts land with the new shape
+      spark.sql(s"INSERT INTO $c.db.t VALUES (CAST(2 AS BIGINT), 2.0)")
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.t")
+        .collect().head.getLong(0) == 2)
+    }
+  }
+
+  test("CALL system.rollback_to_snapshot and set_ref/remove_ref") {
+    withCatalog("roll") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1)")
+      val sid1 = loadT(dir, "t").currentSnapshot.get.snapshotId
+      spark.sql(s"INSERT INTO $c.db.t VALUES (2)")
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.t")
+        .collect().head.getLong(0) == 2)
+
+      val res = spark.sql(
+        s"CALL $c.system.rollback_to_snapshot('db', 't', $sid1)")
+        .collect()
+      assert(res.head.getLong(0) == sid1)
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.t")
+        .collect().head.getLong(0) == 1, "rolled back to snapshot 1")
+
+      spark.sql(s"CALL $c.system.set_ref('db', 't', 'v1', $sid1, 'tag')")
+      val refs = spark.sql(s"SELECT name, type FROM $c.db.t.refs")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(refs("v1") == "tag")
+      spark.sql(s"CALL $c.system.remove_ref('db', 't', 'v1')")
+      assert(!spark.sql(s"SELECT name FROM $c.db.t.refs").collect()
+        .map(_.getString(0)).contains("v1"))
+    }
+  }
+
+  test("CALL system.expire_snapshots and compact") {
+    withCatalog("mx") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      (1 to 4).foreach(i =>
+        spark.sql(s"INSERT INTO $c.db.t VALUES ($i)"))
+      assert(loadT(dir, "t").metadata.snapshots.size == 4)
+
+      val compacted = spark.sql(
+        s"CALL $c.system.compact('db', 't')").collect().head
+      assert(compacted.getInt(0) >= compacted.getInt(1),
+        s"files_before ${compacted.getInt(0)} >= after " +
+          s"${compacted.getInt(1)}")
+
+      val expired = spark.sql(
+        s"CALL $c.system.expire_snapshots('db', 't', " +
+          s"${Long.MaxValue}, 1)").collect().head.getInt(0)
+      assert(expired >= 3, s"expired $expired snapshots")
+      assert(spark.sql(s"SELECT id FROM $c.db.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L),
+        "data intact after maintenance")
+    }
+  }
+
+  test("unknown procedure errors with the available list") {
+    withCatalog("nop") { (c, _) =>
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $c.system.nope('a','b')").collect()
+      }
+      // Spark wraps the catalog's message in FAILED_TO_LOAD_ROUTINE;
+      // the available-procedures hint lives in the cause chain
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("nope"), s"got: $msgs")
+    }
+  }
+}
