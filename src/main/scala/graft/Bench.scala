@@ -33,12 +33,19 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> samples(samples.size / 2)
+      (name, samples(samples.size / 2), samples.head)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    // Min alongside median (round-5 verdict #3): the median defends
+    // against outlier iterations, the min defends against a
+    // systematically loaded machine — a contaminated run shows
+    // median >> min, which medians alone can't reveal.
+    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMin = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

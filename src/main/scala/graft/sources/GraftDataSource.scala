@@ -42,9 +42,12 @@ import graft.table.{Expr, FileScanTask, Scan, Table}
   * begin at the current snapshot instead of delivering the full table
   * as the first micro-batch.
   *
-  * The DSv2 path reads DATA files only: a plan whose tasks carry MoR
-  * delete files is rejected loudly (apply deletes via the Scan API /
-  * SQL façade, or compact first) — never silently resurrected rows.
+  * Batch AND streaming reads apply MoR position/equality deletes per
+  * task and remap files written under older schema ids, so
+  * upsert-maintained or renamed tables read (and stream from scratch)
+  * correctly. Delete-free partitions read COLUMNAR with pushed filters
+  * reaching parquet row-group skipping; a per-task delete filter or
+  * schema remap falls back to the row path.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSinkProvider {
@@ -129,9 +132,21 @@ private[sources] class GraftConnectorTable(
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER).asJava
 
+  /** Set when a row-level operation (UPDATE/MERGE/DELETE) is planned on
+    * this table instance: subsequent scans of the SAME instance — in
+    * particular the runtime group-filter subquery Spark builds over the
+    * original relation — read the operation's pinned snapshot instead
+    * of refreshing. A concurrent commit landing between the subquery's
+    * planning and the row-level scan's planning could otherwise make
+    * the matched-file set disagree with the pinned candidates and
+    * silently skip rows (the connector-table instance is per-statement,
+    * so the pin never leaks to other queries). */
+  @volatile private[sources] var mutationPin: Option[Table] = None
+
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(gtable, sparkSchema, options, pinnedSnapshot)
+    new GraftScanBuilder(gtable, sparkSchema, options, pinnedSnapshot,
+      () => mutationPin)
 
   /** SQL write path: `INSERT INTO` appends a snapshot through the
     * engine's partitioned writer; `INSERT OVERWRITE` (truncate) swaps
@@ -164,7 +179,11 @@ private[sources] class GraftConnectorTable(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     rejectIfPinned("mutate")
-    () => new GraftRowLevelOperation(gtable, info.command)
+    () => {
+      val op = new GraftRowLevelOperation(gtable, info.command)
+      mutationPin = Some(op.pinned)
+      op
+    }
   }
 
   /** `DELETE FROM graft.ns.tbl WHERE ...`: filters convert EXACTLY (no
@@ -270,13 +289,15 @@ private[sources] class GraftWriteBuilder(
   * the parquet `requiredSchema` (ReadSchema in explain). */
 private[sources] class GraftScanBuilder(
     gtable: Table, full: StructType, options: CaseInsensitiveStringMap,
-    pinnedSnapshot: Option[Long] = None)
+    pinnedSnapshot: Option[Long] = None,
+    mutationPin: () => Option[Table] = () => None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var required: StructType = full
   private var pushedExpr: Option[Expr] = None
   private var accepted: Array[sources.Filter] = Array.empty
+  private var allPushed: Array[sources.Filter] = Array.empty
   private var emitFile = false
 
   override def pushFilters(
@@ -284,6 +305,10 @@ private[sources] class GraftScanBuilder(
     val converted = filters.map(f => f -> FilterToExpr(f))
     accepted = converted.collect { case (f, Some(_)) => f }
     pushedExpr = converted.flatMap(_._2).reduceOption(_ and _)
+    // keep EVERYTHING for parquet row-group skipping — ParquetFilters
+    // converts what it can, and dropping rows early is sound because
+    // every filter is also a Catalyst residual
+    allPushed = filters
     filters // everything is residual: row semantics stay with Catalyst
   }
   override def pushedFilters(): Array[sources.Filter] = accepted
@@ -298,7 +323,7 @@ private[sources] class GraftScanBuilder(
 
   override def build(): V2Scan =
     new GraftV2Scan(gtable, full, required, pushedExpr, options,
-      pinnedSnapshot, emitFile)
+      pinnedSnapshot, emitFile, allPushed.toSeq, mutationPin)
 }
 
 /** v1 `sources.Filter` → engine [[Expr]], for stats pruning only.
@@ -356,46 +381,13 @@ private[sources] object FilterToExpr {
   * the row-level (COW) scan. */
 private[sources] object BatchPlanning {
 
-  /** Parquet resolves columns BY NAME in this path: a column renamed
-    * since the file was written would silently read null. Detect via
-    * field IDs and fail loud; added-since columns null-fill, which is
-    * correct. */
-  def guardRenames(t: Table, tasks: Seq[FileScanTask],
-      requiredNames: Seq[String]): Unit = {
-    val current = t.schema
-    tasks.map(_.schemaId).distinct
-      .filter(_ != current.schemaId)
-      .foreach { sid =>
-        t.metadata.schemaById(sid).foreach { fileSchema =>
-          requiredNames.foreach { name =>
-            (current.fieldByName(name), fileSchema.fieldByName(name)) match {
-              case (Some(cur), None) if fileSchema.field(cur.id).isDefined =>
-                throw new UnsupportedOperationException(
-                  s"graft source: column '$name' was renamed since " +
-                    s"schema $sid (field id ${cur.id}); name-based " +
-                    "parquet reads would return null — read through " +
-                    "the Scan API, which remaps by field id")
-              case (Some(cur), Some(ff)) if cur.id != ff.id =>
-                throw new UnsupportedOperationException(
-                  s"graft source: column '$name' has field id " +
-                    s"${cur.id} now but ${ff.id} in write schema $sid " +
-                    "— name-based reads would mix columns; read " +
-                    "through the Scan API")
-              case _ => ()
-            }
-          }
-        }
-      }
-  }
-
   private def keyNamesOf(t: Table, ids: Seq[Int]): Seq[String] =
     ids.flatMap(id => t.schema.field(id)).map(_.name)
 
   /** Batch partitions CARRY their MoR delete files; the reader applies
     * them per task (position bitmap + equality key sets — the same
     * per-task shape as Iceberg's Spark DeleteFilter). */
-  def partitions(t: Table, tasks: Seq[FileScanTask],
-      requiredNames: Seq[String]): Array[InputPartition] = {
+  def partitions(t: Table, tasks: Seq[FileScanTask]): Array[InputPartition] = {
     tasks.map { task =>
       val pos = task.deleteFiles
         .filter(_.file.content == FileContent.PositionDeletes)
@@ -410,9 +402,28 @@ private[sources] object BatchPlanning {
     }.toArray
   }
 
+  /** @param filters the query's pushed `sources.Filter`s, forwarded to
+    *   parquet row-group/page skipping for tasks where dropping
+    *   non-matching rows early is sound. Position-delete-carrying tasks
+    *   always read unfiltered (delete application counts file row
+    *   positions); copy-on-write scans must pass `Nil` (a rewrite keeps
+    *   non-matching rows). */
   def readerFactory(spark: SparkSession, t: Table,
       tasks: Seq[FileScanTask], full: StructType, required: StructType,
-      emitFile: Boolean): PartitionReaderFactory = {
+      emitFile: Boolean,
+      filters: Seq[sources.Filter] = Nil): PartitionReaderFactory = {
+    val current = t.schema
+    // A task whose write-schema id is unknown to the table metadata
+    // cannot be remapped — and falling back to a by-name read would
+    // silently null-fill renamed columns. Metadata retains every
+    // schema, so this is corruption: fail loud.
+    val unknownSids = tasks.map(_.schemaId).distinct
+      .filter(sid => sid != current.schemaId && sid >= 0 &&
+        t.metadata.schemaById(sid).isEmpty)
+    if (unknownSids.nonEmpty) throw new IllegalStateException(
+      s"graft source: data files were written under schema id(s) " +
+        s"${unknownSids.mkString(", ")} which table metadata does not " +
+        "record — cannot remap columns safely")
     val eqKeySets = tasks.flatMap(_.deleteFiles)
       .filter(_.file.content == FileContent.EqualityDeletes)
       .map(d => keyNamesOf(t, d.file.equalityIds))
@@ -443,8 +454,23 @@ private[sources] object BatchPlanning {
     // then promote positionally to the current schema — the DSv2
     // equivalent of the Scan API's per-write-schema remap, so SQL reads
     // survive schema evolution instead of tripping a rename guard.
-    val current = t.schema
     val defaultFunc = ParquetShim.buildReaderFunc(spark, full, extended)
+    // row-group-skipping variant for tasks where early row drop is
+    // sound (no position deletes — those count file row positions)
+    val filteredFunc =
+      if (filters.isEmpty) defaultFunc
+      else ParquetShim.buildReaderFunc(spark, full, extended, filters)
+    // columnar batches — the zero-copy handoff whole-stage codegen
+    // consumes — require EVERY task to qualify (Spark forbids mixing
+    // columnar and row partitions in one scan): delete-free,
+    // current-schema, no `_file` emission (a per-task appended column)
+    val allColumnar = tasks.forall(t => t.deleteFiles.isEmpty &&
+      (t.schemaId == current.schemaId || t.schemaId < 0))
+    val batchFunc =
+      if (emitFile || !allColumnar ||
+          !ParquetShim.supportsBatch(spark, required)) None
+      else Some(ParquetShim.buildBatchReaderFunc(spark, full, required,
+        filters))
     val oldSchemaIds = tasks.map(_.schemaId).distinct
       .filter(sid => sid != current.schemaId &&
         t.metadata.schemaById(sid).isDefined)
@@ -474,19 +500,25 @@ private[sources] object BatchPlanning {
       defaultFunc, remapped,
       extended,
       required.fieldNames.map(extended.fieldIndex),
-      posFunc, eqFuncs, emitFile)
+      posFunc, eqFuncs, emitFile, filteredFunc, batchFunc)
   }
 }
 
 /** Positional value promotion for remapped reads. `code`: 0 identity,
-  * 1 int→long, 2 float→double. */
+  * 1 int→long, 2 float→double, 3 decimal precision widening (the file's
+  * compact long-backed decimal must be re-declared at the current
+  * precision — handing a long-backed decimal(18,2) upward as
+  * decimal(20,2) would make binary-decimal accessors misread it). */
 private[sources] final case class ReaderConv(
-    code: Int, fileType: org.apache.spark.sql.types.DataType)
+    code: Int, fileType: org.apache.spark.sql.types.DataType,
+    curType: org.apache.spark.sql.types.DataType = null)
 private[sources] object ReaderConv {
   import org.apache.spark.sql.types._
   def of(file: DataType, cur: DataType): ReaderConv = (file, cur) match {
     case (IntegerType, LongType) => ReaderConv(1, file)
     case (FloatType, DoubleType) => ReaderConv(2, file)
+    case (f: DecimalType, c: DecimalType) if f != c =>
+      ReaderConv(3, file, cur)
     case _ => ReaderConv(0, file)
   }
 }
@@ -498,7 +530,16 @@ private[sources] class GraftV2Scan(
     pushed: Option[Expr],
     options: CaseInsensitiveStringMap,
     pinnedSnapshot: Option[Long] = None,
-    emitFile: Boolean = false) extends V2Scan {
+    emitFile: Boolean = false,
+    /** EVERY filter Spark pushed (not just the pruning-convertible
+      * subset) — forwarded to parquet row-group skipping, where
+      * ParquetFilters converts what it can. */
+    allFilters: Seq[sources.Filter] = Nil,
+    /** Row-level-operation snapshot pin of the owning connector table:
+      * when a mutation is being planned on this table instance, its
+      * group-filter subquery must read the operation's snapshot, not a
+      * refreshed one. */
+    mutationPin: () => Option[Table] = () => None) extends V2Scan {
 
   override def readSchema(): StructType =
     if (emitFile) StructType(required.fields :+ GraftMetaColumns.FileField)
@@ -521,42 +562,50 @@ private[sources] class GraftV2Scan(
 
   /** Batch reads plan ONCE (table pin + task list shared between
     * planInputPartitions and createReaderFactory so the reader knows
-    * which equality-key columns it must decode). */
+    * which equality-key columns it must decode). A row-level operation
+    * in flight on the same connector-table instance pins the snapshot
+    * instead of refreshing — the group-filter subquery and the rewrite
+    * must see the SAME file set. */
   private[sources] lazy val (batchTable, batchTasks) = {
-    val t = try gtable.refresh() catch { case _: Exception => gtable }
+    val t = mutationPin().getOrElse(
+      try gtable.refresh() catch { case _: Exception => gtable })
     (t, newScan(t).planFiles())
   }
 
-  private[sources] def guardRenames(t: Table,
-      tasks: Seq[FileScanTask]): Unit =
-    BatchPlanning.guardRenames(t, tasks, required.fieldNames.toSeq)
-
   private[sources] def batchPartitions(): Array[InputPartition] =
-    BatchPlanning.partitions(batchTable, batchTasks,
-      required.fieldNames.toSeq)
+    BatchPlanning.partitions(batchTable, batchTasks)
 
   private[sources] def batchReaderFactory(): PartitionReaderFactory =
     BatchPlanning.readerFactory(spark, batchTable, batchTasks, full,
-      required, emitFile)
+      required, emitFile, allFilters)
 
-  /** Streaming factory: incremental appends carry no deletes, and the
-    * initial full-table batch REJECTS delete-carrying plans loudly
-    * (see toStreamPartitions) — so the plain reader suffices. */
-  private[sources] def readerFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(
-      ParquetShim.buildReaderFunc(spark, full, required), Map.empty,
-      required, required.fieldNames.indices.toArray, None, Map.empty)
+  /** Last-planned micro-batch (table + tasks), shared between
+    * `planInputPartitions` and `createReaderFactory` exactly like the
+    * batch path — the factory must know the batch's delete-key columns
+    * and write-schema ids. Structured Streaming calls them in that
+    * order for every micro-batch. */
+  @volatile private[sources] var streamPlanned: (Table, Seq[FileScanTask]) =
+    null
+
+  /** Streaming factory: built from the last planned micro-batch via the
+    * SAME delete-aware, schema-remapping machinery as batch reads — an
+    * upsert-maintained (MoR) or renamed table streams from scratch
+    * correctly instead of being rejected. */
+  private[sources] def readerFactory(): PartitionReaderFactory = {
+    val planned = streamPlanned
+    if (planned == null)
+      new GraftReaderFactory(
+        ParquetShim.buildReaderFunc(spark, full, required), Map.empty,
+        required, required.fieldNames.indices.toArray, None, Map.empty)
+    else
+      BatchPlanning.readerFactory(spark, planned._1, planned._2, full,
+        required, emitFile = false)
+  }
 
   private[sources] def toStreamPartitions(
       t: Table, tasks: Seq[FileScanTask]): Array[InputPartition] = {
-    val withDeletes = tasks.count(_.deleteFiles.nonEmpty)
-    if (withDeletes > 0) throw new UnsupportedOperationException(
-      s"graft source: $withDeletes file(s) in the initial streaming " +
-        "batch carry row-level (MoR) delete files — compact the table " +
-        "first, or start with starting-offset=latest")
-    guardRenames(t, tasks)
-    tasks.map(task => GraftInputPartition(task.file.filePath,
-      task.file.fileSizeInBytes, Nil, Nil): InputPartition).toArray
+    streamPlanned = (t, tasks)
+    BatchPlanning.partitions(t, tasks)
   }
 }
 
@@ -592,11 +641,47 @@ private[sources] class GraftReaderFactory(
     eqReadFuncs: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
     /** Append the task's file path as a trailing `_file` string column
       * (Spark metadata column; drives row-level runtime group filtering). */
-    appendFilePath: Boolean = false)
+    appendFilePath: Boolean = false,
+    /** Row-group-skipping variant of `readFunc` (pushed filters applied
+      * by the parquet reader). Used for partitions WITHOUT position
+      * deletes — position-delete application counts file row positions,
+      * which filter-skipped rows would desynchronize. */
+    filteredReadFunc: PartitionedFile => Iterator[InternalRow] = null,
+    /** Vectorized columnar read (required schema, pushed filters) for
+      * delete-free non-remapped partitions. */
+    batchReadFunc: Option[PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends PartitionReaderFactory {
 
   private def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
+
+  private def columnarEligible(gp: GraftInputPartition): Boolean =
+    gp.posDeletes.isEmpty && gp.eqDeletes.isEmpty && !appendFilePath &&
+      !remappedFuncs.contains(gp.schemaId)
+
+  /** Factory-level columnar opt-in (Spark forbids mixed columnar/row
+    * partitions in one scan): `batchReadFunc` is only constructed when
+    * EVERY task of the scan qualifies, so this is constant-true or
+    * constant-false per scan. */
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    batchReadFunc.isDefined
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    require(columnarEligible(gp), s"non-columnar partition ${gp.path}")
+    val it = batchReadFunc.get(
+      ParquetShim.partitionedFile(gp.path, gp.length))
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { cur = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        cur
+      override def close(): Unit = ()
+    }
+  }
 
   /** Internal values → set-friendly: copies out of reused buffers and
     * normalizes to types with value equality. */
@@ -652,7 +737,12 @@ private[sources] class GraftReaderFactory(
     val (func, convs) = remappedFuncs.get(gp.schemaId) match {
       case Some((f, cs)) if cs.exists(_.code != 0) => (f, cs)
       case Some((f, _)) => (f, null) // names remapped, types unchanged
-      case None => (readFunc, null)
+      case None =>
+        // no position deletes → parquet may skip row groups on the
+        // pushed filters (eq-delete filtering is key-based, unaffected)
+        if (gp.posDeletes.isEmpty && filteredReadFunc != null)
+          (filteredReadFunc, null)
+        else (readFunc, null)
     }
     val it = func(ParquetShim.partitionedFile(gp.path, gp.length))
     val identityProjection = !appendFilePath && convs == null &&
@@ -672,6 +762,19 @@ private[sources] class GraftReaderFactory(
           else c.code match {
             case 1 => row.getInt(i).toLong
             case 2 => row.getFloat(i).toDouble
+            case 3 =>
+              // re-declare the file's decimal at the CURRENT precision:
+              // reading it out with the file's (precision, scale) is
+              // storage-correct (compact long vs binary follows the
+              // FILE type), and a fresh Decimal at the current
+              // precision is storage-correct for downstream accessors
+              val fd = c.fileType
+                .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+              val cd = c.curType
+                .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+              org.apache.spark.sql.types.Decimal(
+                row.getDecimal(i, fd.precision, fd.scale).toJavaBigDecimal,
+                cd.precision, cd.scale)
             case _ => row.get(i, c.fileType)
           }
         i += 1

@@ -76,7 +76,11 @@ private[sources] class GraftBoundProcedure(
   override def parameters(): Array[ProcedureParameter] = procName match {
     case "expire_snapshots" => Array(
       p("ns", StringType), p("table", StringType),
-      pDefault("older_than_ms", LongType, "9223372036854775807"),
+      // -1 sentinel → now - 5 days at call time (Iceberg's default
+      // retention window). A MaxValue default here would make a bare
+      // CALL expire every non-current snapshot and GC their files —
+      // scripts ported from Iceberg would destroy history by accident.
+      pDefault("older_than_ms", LongType, "-1"),
       pDefault("retain_last", IntegerType, "1"))
     case "compact" => Array(
       p("ns", StringType), p("table", StringType),
@@ -101,7 +105,10 @@ private[sources] class GraftBoundProcedure(
     val t = loadTable(catalog, io, ns, tbl)
     val (schema, row): (StructType, Seq[Any]) = procName match {
       case "expire_snapshots" =>
-        val olderThan = input.getLong(2)
+        val raw = input.getLong(2)
+        val olderThan =
+          if (raw == -1L) System.currentTimeMillis() - 5L * 24 * 3600 * 1000
+          else raw
         val retain = input.getInt(3)
         val before = t.metadata.snapshots.size
         val after = Maintenance.expireSnapshots(t, olderThan, retain)

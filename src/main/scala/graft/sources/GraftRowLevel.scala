@@ -200,12 +200,16 @@ private[sources] class GraftCowScan(
   /** No caching across `filter` — BatchScanExec replans after runtime
     * filtering. */
   override def planInputPartitions(): Array[InputPartition] =
-    BatchPlanning.partitions(op.pinned, currentTasks,
-      required.fieldNames.toSeq)
+    BatchPlanning.partitions(op.pinned, currentTasks)
 
+  /** filters = Nil is REQUIRED here: a copy-on-write rewrite reads every
+    * row of each matched file (non-matching rows are copied through) —
+    * parquet row-group skipping on the command condition would drop the
+    * rows that must be preserved. File-level pruning via `pushed`
+    * already happened in [[candidates]]. */
   override def createReaderFactory(): PartitionReaderFactory =
     BatchPlanning.readerFactory(spark, op.pinned, currentTasks, full,
-      required, emitFile)
+      required, emitFile, filters = Nil)
 }
 
 /** Serializable per-partition-field routing spec for executor writers. */

@@ -45,16 +45,23 @@ private[sources] class GraftStreamSinkV1(
 
   @volatile private var tableRef: Table = initial
 
-  /** Highest epoch this stream has committed, from snapshot summaries
-    * (newest-first so the common case — watermark in the current
-    * snapshot — reads nothing else). */
+  /** Highest epoch this stream has committed, walking ONLY the current
+    * snapshot's ancestor chain (parent-snapshot-id): after a
+    * `rollback_to_snapshot` past this stream's commits, the rolled-away
+    * snapshots still sit in the retained-snapshot list, but they are no
+    * longer this table's lineage — counting their epochs would make the
+    * sink silently drop every re-delivered batch as a replay. The common
+    * case — watermark in the current snapshot — reads nothing else. */
   private def lastEpoch(t: Table): Option[Long] = {
-    val snaps = t.metadata.snapshots.sortBy(-_.sequenceNumber)
-    snaps.iterator.flatMap(_.summary.flatMap { sm =>
-      if (sm.extra.get(StreamIdKey).contains(streamId))
-        sm.extra.get(EpochKey).map(_.toLong)
-      else None
-    }).nextOption()
+    val meta = t.metadata
+    Iterator.iterate(t.currentSnapshot)(
+      _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
+      .takeWhile(_.isDefined).flatten
+      .flatMap(_.summary.flatMap { sm =>
+        if (sm.extra.get(StreamIdKey).contains(streamId))
+          sm.extra.get(EpochKey).map(_.toLong)
+        else None
+      }).nextOption()
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit =

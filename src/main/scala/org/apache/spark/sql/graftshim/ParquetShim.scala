@@ -21,11 +21,20 @@ object ParquetShim {
     * `OPTION_RETURNING_BATCH = false` makes it yield [[InternalRow]]s
     * (vectorized decode still applies underneath; batches are unwrapped
     * row-wise), which is what a row-based DSv2 `PartitionReader`
-    * contract requires. */
+    * contract requires.
+    *
+    * `filters` reach the parquet reader's row-group/page/dictionary
+    * skipping (ParquetFilters) — pass the query's pushed filters ONLY
+    * when dropping non-matching rows is sound for the caller (Catalyst
+    * re-applies every filter as a residual above the scan, so plain
+    * reads qualify; position-delete application and copy-on-write
+    * rewrites do NOT — the former counts file row positions, the latter
+    * must keep non-matching rows). */
   def buildReaderFunc(
       spark: SparkSession,
       dataSchema: StructType,
-      requiredSchema: StructType)
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : PartitionedFile => Iterator[InternalRow] = {
     val fmt = new ParquetFileFormat
     val conf: Configuration =
@@ -35,9 +44,44 @@ object ParquetShim {
       dataSchema = dataSchema,
       partitionSchema = new StructType(),
       requiredSchema = requiredSchema,
-      filters = Nil,
+      filters = filters,
       options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
       hadoopConf = conf)
+  }
+
+  /** Whether the vectorized reader can return [[ColumnarBatch]]es for
+    * this result schema (atomic types, vectorization enabled — the same
+    * gate `FileSourceScanExec` uses). */
+  def supportsBatch(spark: SparkSession, schema: StructType): Boolean =
+    new ParquetFileFormat().supportBatch(spark, schema)
+
+  /** Columnar variant: yields [[ColumnarBatch]]es straight from the
+    * vectorized parquet reader — the zero-copy handoff whole-stage
+    * codegen consumes. Caller must have checked [[supportsBatch]]. The
+    * `FileFormat` contract types the iterator as `InternalRow` but
+    * feeds `ColumnarBatch` objects through it when
+    * `OPTION_RETURNING_BATCH = true` — the same cast Spark's own
+    * `FileScanRDD`/DSv2 glue performs. */
+  def buildBatchReaderFunc(
+      spark: SparkSession,
+      dataSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val fmt = new ParquetFileFormat
+    val conf: Configuration =
+      spark.sessionState.newHadoopConfWithOptions(Map.empty)
+    val f = fmt.buildReaderWithPartitionValues(
+      sparkSession = spark,
+      dataSchema = dataSchema,
+      partitionSchema = new StructType(),
+      requiredSchema = requiredSchema,
+      filters = filters,
+      options = Map(FileFormat.OPTION_RETURNING_BATCH -> "true"),
+      hadoopConf = conf)
+    pf => f(pf).asInstanceOf[
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]]
   }
 
   def partitionedFile(path: String, length: Long): PartitionedFile =

@@ -131,6 +131,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("decimal widening across the 18-digit boundary reads correctly") {
+    withCatalog("dec") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.m (id BIGINT, amt DECIMAL(18,2))")
+      // decimal(18,2) values land as compact longs in parquet; after
+      // widening to decimal(20,2) a naive read would surface the long
+      // storage under binary-decimal accessors → corrupted values
+      spark.sql(s"INSERT INTO $c.db.m VALUES " +
+        "(1, 123456789.25), (2, 7.50)")
+      spark.sql(s"ALTER TABLE $c.db.m ALTER COLUMN amt TYPE DECIMAL(20,2)")
+      spark.sql(s"INSERT INTO $c.db.m VALUES (3, 123456789012345678.75)")
+      val got = spark.sql(s"SELECT id, amt FROM $c.db.m ORDER BY id")
+        .collect().map(r => r.getLong(0) -> r.getDecimal(1).toPlainString)
+      assert(got.toSeq == Seq(1L -> "123456789.25", 2L -> "7.50",
+        3L -> "123456789012345678.75"),
+        s"widened decimal reads must convert old files, got ${got.toSeq}")
+      // aggregation over the mixed-file column stays exact
+      assert(spark.sql(s"SELECT sum(amt) s FROM $c.db.m").head
+        .getDecimal(0).toPlainString == "123456789135802475.50")
+    }
+  }
+
+  test("unsupported type changes are rejected loudly") {
+    withCatalog("badtype") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, d DATE, amt DECIMAL(20,2))")
+      // date→timestamp is not a safe physical promotion
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN d TYPE TIMESTAMP_NTZ")
+      }
+      // decimal narrowing / scale change is not promotable either
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN amt TYPE DECIMAL(18,2)")
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN amt TYPE DECIMAL(22,4)")
+      }
+    }
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF time travel through SQL") {
     withCatalog("tt") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")

@@ -103,16 +103,61 @@ class GraftSourceSpec extends AnyFunSuite {
     val ids = reader(dir, name).load()
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(ids == (1L to 10L).toSet - 2L)
-    // streaming still rejects a delete-carrying initial batch loudly
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val q = streamReader(dir, name).load()
-        .writeStream.format("memory").queryName("graft_b4")
-        .outputMode("append").start()
-      try { q.processAllAvailable(); q.awaitTermination(5000) }
-      finally if (q.isActive) q.stop()
-    }
-    assert(e.getMessage.contains("MoR") ||
-      Option(e.getCause).exists(_.getMessage.contains("MoR")))
+    // streaming from scratch applies the deletes too: the first
+    // micro-batch goes through the same delete-aware reader factory
+    val q = streamReader(dir, name).load()
+      .writeStream.format("memory").queryName("graft_b4")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("graft_b4")
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == (1L to 10L).toSet - 2L,
+        s"MoR deletes applied in the first micro-batch, got $streamed")
+    } finally q.stop()
+  }
+
+  test("delete-free scans are columnar; delete-carrying scans are not") {
+    val (t0, dir, name) = mkTable("col1")
+    var t = TableOps.append(t0, batch(1 to 100))
+    val plan1 = reader(dir, name).load().where("event_id > 50")
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans1 = plan1.collect { case b: BatchScanExec => b }
+    assert(scans1.nonEmpty && scans1.forall(_.supportsColumnar),
+      s"delete-free scan should be columnar:\n$plan1")
+
+    t = t.newDelete(spark).where(Col("event_id").eqTo(7L))
+      .withMergeOnRead(true).execute()
+    val df2 = reader(dir, name).load()
+    val plan2 = df2.queryExecution.executedPlan
+    val scans2 = plan2.collect { case b: BatchScanExec => b }
+    assert(scans2.forall(!_.supportsColumnar),
+      s"delete-carrying scan must take the row path:\n$plan2")
+    // and the row path still answers correctly
+    assert(df2.select("event_id").collect().map(_.getLong(0)).toSet ==
+      (1L to 100L).toSet - 7L)
+  }
+
+  test("pushed filters reach parquet row-group skipping") {
+    val (t0, dir, name) = mkTable("rg1")
+    var t = t0
+    // 10 files with disjoint event_id ranges (one row group each). The
+    // probe predicate is EqualNullSafe: NOT convertible by FilterToExpr
+    // (so the engine's manifest/file pruning stays out of the picture)
+    // but convertible by ParquetFilters — rows skipped below can only
+    // come from parquet row-group stats.
+    for (i <- 0 until 10)
+      t = TableOps.append(t, batch(i * 1000 + 1 to i * 1000 + 1000))
+    val df = reader(dir, name).load().where("event_id <=> 1500")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("event_id") == 1500L)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scan = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }.head
+    val produced = scan.metrics("numOutputRows").value
+    assert(produced <= 1000,
+      s"parquet should skip 9 of 10 row groups, scan produced $produced")
   }
 
   // ------------------------------------------------- micro-batch read
@@ -222,6 +267,52 @@ class GraftSourceSpec extends AnyFunSuite {
         .select("event_id").collect().map(_.getLong(0))
       assert(got.sorted.toSeq == (1L to 8L),
         s"overwrite skipped, append delivered once, got ${got.toSeq.sorted}")
+    } finally q.stop()
+  }
+
+  test("readStream from scratch remaps files written before a rename") {
+    val (t0, dir, name) = mkTable("s6")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 5))
+    t = t.updateSchema().renameColumn("value", "amount").commit()
+    t = TableOps.append(t, (6 to 8).map(i =>
+      (i.toLong, i.toLong % 3, i * 1.0))
+      .toDF("event_id", "user_id", "amount"))
+
+    val q = streamReader(dir, name).load()
+      .writeStream.format("memory").queryName("graft_s6")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_s6")
+        .select("event_id", "amount").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == (1 to 8).map(i => i.toLong -> i * 1.0).toMap,
+        s"field-id remap must surface pre-rename values, got $got")
+    } finally q.stop()
+  }
+
+  test("readStream from scratch over an upsert-maintained (MoR) table") {
+    val (t0, dir, name) = mkTable("s7")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 10))
+    // equality-delete 4 and 9, then re-add 9 with a new value
+    t = Mutations.deleteByKeys(t, spark, Seq(4L, 9L).toDF("event_id"))
+    t = TableOps.append(t, Seq((9L, 0L, 99.0))
+      .toDF("event_id", "user_id", "value"))
+
+    val q = streamReader(dir, name).load()
+      .writeStream.format("memory").queryName("graft_s7")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_s7")
+        .select("event_id", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val expected = ((1 to 10).toSet - 4 - 9)
+        .map(i => i.toLong -> i * 1.0).toMap + (9L -> 99.0)
+      assert(got == expected,
+        s"first micro-batch must apply MoR deletes + sequence rule, got $got")
     } finally q.stop()
   }
 
