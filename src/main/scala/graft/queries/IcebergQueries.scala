@@ -388,6 +388,52 @@ object IcebergQueries {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Stream-from-scratch over a MoR-mutated table (round-5 verdict
+    * #2's gate): position AND equality delete files land BEFORE the
+    * stream starts, so the FIRST micro-batch must apply them through
+    * the delete-aware reader factory — the case the source previously
+    * rejected with "compact first". Hash-gated: the oracle covers the
+    * exact post-delete content, so a match proves no deleted row was
+    * resurrected and no live row was dropped. */
+  def i16StreamMor(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/lineitem.parquet")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf16" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    var t = Table.create(cat, TableIdentifier(ns, "lineitem"),
+      SchemaConverters.fromSparkSchema(df.schema), io = io)
+    t = TableOps.append(t, df)
+    // position deletes (predicate) + equality deletes (key frame)
+    t = Mutations.deleteMoR(t, s, Col("l_quantity").gt(45.0))
+    t = Mutations.deleteByKeys(t, s,
+      df.select("l_orderkey").where(col("l_orderkey") % 10 === 7)
+        .distinct())
+    val qn = "graft_i16_" + java.util.UUID.randomUUID.toString.take(8)
+    val q = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns.mkString("."))
+      .option("table", "lineitem")
+      .load()
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val i16Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE NOT COALESCE(l_quantity > 45, FALSE)
+      |  AND NOT l_orderkey % 10 = 7
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ------------------------------ SQL façade gates (verdict #7): the
   // SAME engine tables queried through spark.sql — GraftRelation leaf +
   // optimizer-rule substitution, native parquet execution.
@@ -584,6 +630,7 @@ object IcebergQueries {
     "sql6_sql_update" -> (sql6SqlUpdate _),
     "sql7_sql_merge" -> (sql7SqlMerge _),
     "i15_writestream_sink" -> (i15WriteStreamSink _),
+    "i16_stream_mor" -> (i16StreamMor _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -609,5 +656,6 @@ object IcebergQueries {
     "sql6_sql_update" -> MutationQueries.m3Sql,
     "sql7_sql_merge" -> MutationQueries.m4Sql,
     "i15_writestream_sink" -> i14Sql,
+    "i16_stream_mor" -> i16Sql,
   )
 }
