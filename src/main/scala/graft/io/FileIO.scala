@@ -21,6 +21,9 @@ trait FileIO {
   def length(path: String): Long
   def deleteFiles(paths: Seq[String]): Unit = paths.foreach(delete)
   def listFiles(prefix: String): Seq[String]
+  /** Last-modified epoch millis. Default = MaxValue (unknown mtime →
+    * treat the file as brand-new, so age-gated GC never deletes it). */
+  def modificationTime(path: String): Long = Long.MaxValue
   /** Move `src` to `dst` (replacing dst). Implementations should make
     * this atomic where the store allows (posix/HDFS rename); the default
     * is copy+delete — correct but not crash-atomic. */
@@ -85,6 +88,11 @@ class HadoopFileIO(conf: Configuration = new Configuration()) extends FileIO {
   override def length(path: String): Long = {
     val p = new Path(path)
     fs(p).getFileStatus(p).getLen
+  }
+
+  override def modificationTime(path: String): Long = {
+    val p = new Path(path)
+    fs(p).getFileStatus(p).getModificationTime
   }
 
   override def rename(src: String, dst: String): Unit = {

@@ -33,7 +33,8 @@ private[sources] object GraftProcedures {
     Names.map(n => Identifier.of(Array("system"), n)).toArray
 
   val Names: Seq[String] = Seq("expire_snapshots", "compact",
-    "rollback_to_snapshot", "set_ref", "remove_ref")
+    "rollback_to_snapshot", "set_ref", "remove_ref",
+    "remove_orphan_files", "rewrite_manifests")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -96,6 +97,15 @@ private[sources] class GraftBoundProcedure(
     case "remove_ref" => Array(
       p("ns", StringType), p("table", StringType),
       p("name", StringType))
+    case "remove_orphan_files" => Array(
+      p("ns", StringType), p("table", StringType),
+      // -1 sentinel → now - 3 days at call time (Iceberg's default):
+      // never race in-flight writers by default
+      pDefault("older_than_ms", LongType, "-1"),
+      pDefault("dry_run", BooleanType, "false"))
+    case "rewrite_manifests" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("max_entries_per_manifest", IntegerType, "100000"))
   }
 
   override def call(input: InternalRow): JIterator[V2Scan] = {
@@ -142,6 +152,24 @@ private[sources] class GraftBoundProcedure(
         val refName = input.getUTF8String(2).toString
         t.newTransaction().removeRef(refName).commit()
         (new StructType().add("removed", StringType), Seq(refName))
+      case "remove_orphan_files" =>
+        val raw = input.getLong(2)
+        val olderThan =
+          if (raw == -1L) System.currentTimeMillis() - 3L * 24 * 3600 * 1000
+          else raw
+        val dryRun = input.getBoolean(3)
+        val removed = Maintenance.removeOrphanFiles(t, olderThan, dryRun)
+        (new StructType().add("orphan_files", IntegerType)
+          .add("dry_run", BooleanType), Seq(removed.size, dryRun))
+      case "rewrite_manifests" =>
+        val maxEntries = input.getInt(2)
+        val before = MetadataTables.currentManifests(t)
+          .count(_.content == graft.spec.ManifestContent.Data)
+        val after = Maintenance.rewriteManifests(t, maxEntries)
+        val now = MetadataTables.currentManifests(after)
+          .count(_.content == graft.spec.ManifestContent.Data)
+        (new StructType().add("manifests_before", IntegerType)
+          .add("manifests_after", IntegerType), Seq(before, now))
     }
     val result: V2Scan = new LocalScan {
       override def readSchema(): StructType = schema

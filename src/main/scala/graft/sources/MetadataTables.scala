@@ -36,7 +36,8 @@ import graft.table.Table
 private[sources] object MetadataTables {
 
   val Names: Set[String] =
-    Set("snapshots", "history", "refs", "manifests", "files")
+    Set("snapshots", "history", "refs", "manifests", "files",
+      "partitions")
 
   def apply(t: Table, kind: String): ConnectorTable =
     new GraftMetadataTable(t, kind)
@@ -95,12 +96,26 @@ private[sources] object MetadataTables {
     StructField("sequence_number", LongType, nullable = true),
     StructField("sort_order_id", IntegerType, nullable = true)))
 
+  val PartitionsSchema: StructType = StructType(Seq(
+    StructField("partition", MapType(StringType, StringType),
+      nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_count", IntegerType, nullable = false),
+    StructField("total_data_file_size_in_bytes", LongType,
+      nullable = false),
+    StructField("position_delete_file_count", IntegerType,
+      nullable = false),
+    StructField("equality_delete_file_count", IntegerType,
+      nullable = false)))
+
   def schemaFor(kind: String): StructType = kind match {
     case "snapshots" => SnapshotsSchema
     case "history" => HistorySchema
     case "refs" => RefsSchema
     case "manifests" => ManifestsSchema
     case "files" => FilesSchema
+    case "partitions" => PartitionsSchema
   }
 
   // ------------------------------------------------- driver-side rows
@@ -149,6 +164,54 @@ private[sources] object MetadataTables {
         mf.addedRowsCount, mf.existingRowsCount, mf.deletedRowsCount)
     }
 
+  /** Per-partition record/file counts from manifest entries (Iceberg's
+    * most-used inspection table after snapshots). Driver-aggregated —
+    * output is O(#partitions), input is the manifest set, fetched on a
+    * bounded thread pool so a thousand-manifest table reads them
+    * concurrently (each is one small Avro). The per-FILE fan-out path
+    * for unbounded output remains the `files` table. */
+  def partitionRows(t: Table): Seq[Row] = {
+    val mfs = currentManifests(t)
+    val manifests: Seq[(Int, graft.spec.Manifest)] =
+      if (mfs.isEmpty) Nil
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, mfs.size))
+        try mfs.map { mf =>
+          pool.submit(new java.util.concurrent.Callable[
+            (Int, graft.spec.Manifest)] {
+            override def call(): (Int, graft.spec.Manifest) =
+              mf.partitionSpecId ->
+                ManifestAvro.readManifest(t.io.readAllBytes(mf.manifestPath))
+          })
+        }.map(_.get())
+        finally pool.shutdown()
+      }
+    final class Agg {
+      var records = 0L; var files = 0; var bytes = 0L
+      var posDel = 0; var eqDel = 0
+    }
+    val agg = scala.collection.mutable.LinkedHashMap
+      .empty[(Int, Map[String, String]), Agg]
+    for ((specId, m) <- manifests; e <- m.liveEntries) {
+      val f = e.dataFile
+      val key = (specId, f.partition.map { case (k, v) =>
+        k -> (if (v == null) null else v.toString)
+      })
+      val a = agg.getOrElseUpdate(key, new Agg)
+      f.content match {
+        case FileContent.Data =>
+          a.records += f.recordCount; a.files += 1
+          a.bytes += f.fileSizeInBytes
+        case FileContent.PositionDeletes => a.posDel += 1
+        case FileContent.EqualityDeletes => a.eqDel += 1
+      }
+    }
+    agg.toSeq.map { case ((specId, part), a) =>
+      Row(part, specId, a.records, a.files, a.bytes, a.posDel, a.eqDel)
+    }
+  }
+
   def currentManifests(t: Table): Seq[graft.spec.ManifestFile] =
     t.currentSnapshot.toSeq.flatMap(s =>
       ManifestAvro.readManifestList(t.io.readAllBytes(s.manifestList)))
@@ -195,6 +258,7 @@ private[sources] class MetaLocalScan(t: Table, kind: String)
       case "history" => historyRows(t)
       case "refs" => refRows(t)
       case "manifests" => manifestRows(t)
+      case "partitions" => partitionRows(t)
     }
     toInternal(schemaFor(kind), r)
   }

@@ -100,6 +100,151 @@ object Maintenance {
       deletedFilePaths = candidateSet ++ retiredDeletes))
   }
 
+  /** Delete files under the table location reachable from NO retained
+    * snapshot — leftovers of crashed writes and failed commits, which
+    * snapshot expiry can never find (they were never committed). Only
+    * files older than `olderThanMs` are touched (default 3 days,
+    * Iceberg's convention) so in-flight writers are never raced, and
+    * catalog metadata (`*.json`, version hints) is always kept. Cost is
+    * one recursive listing + the metadata walk expiry already does —
+    * O(files), executor-free, run-rarely maintenance. */
+  def removeOrphanFiles(table: Table,
+      olderThanMs: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
+    val meta = table.metadata
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    val reachable = (reachableFrom(table, meta.snapshots) ++
+      meta.snapshots.map(_.manifestList)).map(norm)
+    val loc = meta.location.stripSuffix("/")
+    val all = table.io.listFiles(s"$loc/data") ++
+      table.io.listFiles(s"$loc/metadata")
+    val orphans = all.filter { p =>
+      val n = norm(p)
+      val base = n.substring(n.lastIndexOf('/') + 1)
+      // hidden files (.crc sidecars, _SUCCESS markers) belong to the
+      // filesystem layer, not the table — never ours to GC
+      !base.startsWith(".") && !base.startsWith("_") &&
+        !reachable.contains(n) && !n.endsWith(".json") &&
+        !n.contains("version-hint") &&
+        (try table.io.modificationTime(p) < olderThanMs
+         catch { case _: Exception => false })
+    }
+    if (!dryRun) orphans.foreach { p =>
+      try table.io.delete(p) catch { case _: Exception => () }
+    }
+    orphans.map(norm)
+  }
+
+  /** Compact the current snapshot's DATA manifests: many small
+    * manifests (one per commit) amplify every scan's planning phase —
+    * the manifest LIST stays one read, but each manifest is a separate
+    * fetch. Rewrites live entries into ≤ `maxEntriesPerManifest`-entry
+    * manifests grouped by (partition spec, write schema) — the schema
+    * id drives per-file column remapping at read, so merging across it
+    * would corrupt renamed-column reads. Entries keep their original
+    * sequence numbers (MoR `deleteSeq > dataSeq` semantics are
+    * sequence-based, not manifest-based); delete manifests are carried
+    * untouched. Commits one `replace` snapshot; no data file moves. */
+  def rewriteManifests(table: Table,
+      maxEntriesPerManifest: Int = 100000): Table =
+    Mutations.withConflictRetry(table)(
+      rewriteManifestsOnce(_, maxEntriesPerManifest))
+
+  private def rewriteManifestsOnce(table: Table,
+      maxEntries: Int): Table = {
+    val snap = table.currentSnapshot.getOrElse(return table)
+    val meta = table.metadata
+    val manifests = table.manifestList(snap)
+    val dataManifests = manifests.filter(_.content == ManifestContent.Data)
+    if (dataManifests.size <= 1) return table
+    val deleteManifests =
+      manifests.filter(_.content == ManifestContent.Deletes)
+
+    val snapshotId = java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(Long.MaxValue)
+    val newSeq = meta.lastSequenceNumber + 1
+    val metadataDir = meta.location.stripSuffix("/") + "/metadata"
+
+    val groups: Seq[((Int, Int), Seq[ManifestEntry])] = dataManifests
+      .map(mf => mf -> table.readManifest(mf))
+      .groupBy { case (mf, m) => (mf.partitionSpecId, m.schemaId) }
+      .map { case (k, v) => k -> v.flatMap(_._2.liveEntries) }
+      .toSeq.sortBy(_._1)
+
+    val newManifests = groups.flatMap { case ((specId, schemaId), live) =>
+      val spec = meta.specById(specId).getOrElse(meta.defaultPartitionSpec)
+      val partType = spec.partitionType(meta.currentSchema)
+      live.map(_.copy(status = EntryStatus.Existing))
+        .grouped(math.max(1, maxEntries)).map { entries =>
+          val bytes = ManifestAvro.writeManifest(schemaId, spec, partType,
+            ManifestContent.Data, entries)
+          val path = s"$metadataDir/manifest-rw-" +
+            s"${java.util.UUID.randomUUID.toString.take(8)}-$snapshotId.avro"
+          table.io.writeAllBytes(path, bytes)
+          ManifestFile(
+            manifestPath = path,
+            manifestLength = bytes.length.toLong,
+            partitionSpecId = specId,
+            content = ManifestContent.Data,
+            sequenceNumber = newSeq,
+            minSequenceNumber = entries.flatMap(_.sequenceNumber)
+              .minOption.getOrElse(newSeq),
+            addedSnapshotId = snapshotId,
+            addedFilesCount = 0,
+            existingFilesCount = entries.size,
+            deletedFilesCount = 0,
+            addedRowsCount = 0L,
+            existingRowsCount = entries.map(_.dataFile.recordCount).sum,
+            deletedRowsCount = 0L,
+            partitions = SnapshotWriter.partitionSummaries(partType,
+              entries.map(_.dataFile)))
+        }
+    }
+    if (newManifests.size >= dataManifests.size) return table
+
+    val allManifests = newManifests ++ deleteManifests
+    val listBytes = ManifestAvro.writeManifestList(allManifests)
+    val listPath = s"$metadataDir/snap-$snapshotId-" +
+      s"${java.util.UUID.randomUUID.toString.take(8)}.avro"
+    table.io.writeAllBytes(listPath, listBytes)
+
+    val dataMs = allManifests.filter(_.content == ManifestContent.Data)
+    val deleteMs = allManifests.filter(_.content == ManifestContent.Deletes)
+    val summary = Summary(Operation.Replace)
+      .withCounter(Summary.TotalRecords, dataMs.map(_.liveRowsCount).sum)
+      .withCounter(Summary.TotalDataFiles,
+        dataMs.map(m => m.addedFilesCount + m.existingFilesCount).sum.toLong)
+      .withCounter(Summary.TotalDeleteFiles,
+        deleteMs.map(m => m.addedFilesCount + m.existingFilesCount)
+          .sum.toLong)
+      .withCounter(Summary.TotalFilesSize,
+        snap.summary.map(_.counter(Summary.TotalFilesSize)).getOrElse(0L))
+      .copy(extra = Map(
+        "manifests-replaced" -> dataManifests.size.toString,
+        "manifests-created" -> newManifests.size.toString))
+    val snapshot = Snapshot(
+      snapshotId = snapshotId,
+      parentSnapshotId = Some(snap.snapshotId),
+      sequenceNumber = newSeq,
+      timestampMs = System.currentTimeMillis(),
+      manifestList = listPath,
+      summary = Some(summary),
+      schemaId = Some(meta.currentSchemaId))
+    val reqs = Seq(graft.catalog.TableRequirement.AssertRefSnapshotId(
+      "main", meta.ref("main").map(_.snapshotId)))
+    val committed =
+      try table.catalog.commitTable(table.id, reqs,
+        Seq(graft.catalog.TableUpdate.AddSnapshot(snapshot)))
+      catch {
+        // CAS loss → re-plan the whole rewrite against refreshed
+        // metadata (withConflictRetry): recommitting a manifest list
+        // built from a stale snapshot would drop the concurrent commit
+        case e: graft.catalog.CommitFailedException =>
+          throw new graft.catalog.CommitConflictException(e.getMessage)
+      }
+    new Table(table.catalog, table.id, committed, table.io)
+  }
+
   /** All storage paths reachable from a snapshot: its manifest list,
     * manifests, and every referenced data/delete file. */
   private def reachableFrom(table: Table,

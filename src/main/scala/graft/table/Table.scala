@@ -353,7 +353,7 @@ object SnapshotWriter {
   /** Per-partition-field min/max/null summaries for manifest-level
     * pruning (`spec/manifest.go:199-205`) — the reference declares the
     * structure but never fills it. */
-  private def partitionSummaries(partitionType: StructType,
+  private[table] def partitionSummaries(partitionType: StructType,
       files: Seq[DataFile]): Seq[PartitionFieldSummary] =
     partitionType.fields.map { f =>
       val values = files.map(_.partition.get(f.name).orNull)

@@ -106,6 +106,34 @@ class MetadataTablesSpec extends AnyFunSuite {
     }
   }
 
+  test("partitions table aggregates per-partition counts") {
+    withCatalog("parts") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.p (id BIGINT, cat STRING) " +
+        "PARTITIONED BY (cat)")
+      spark.sql(s"INSERT INTO $c.db.p VALUES (1,'a'),(2,'a'),(3,'b')")
+      spark.sql(s"INSERT INTO $c.db.p VALUES (4,'b'),(5,'c')")
+      val rows = spark.sql(
+        s"SELECT partition['cat'], record_count, file_count, " +
+          s"position_delete_file_count FROM $c.db.p.partitions ORDER BY 1")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      assert(rows.toSeq == Seq(("a", 2L, 1, 0), ("b", 2L, 2, 0),
+        ("c", 1L, 1, 0)), s"got ${rows.toSeq}")
+
+      // a MoR position delete shows up in the partition's delete count;
+      // record_count stays the raw manifest-entry count (Iceberg parity)
+      val t = loadT(dir, "p")
+      t.newDelete(spark).where(Col("id").eqTo(1L))
+        .withMergeOnRead(true).execute()
+      val a = spark.sql(
+        s"SELECT record_count, position_delete_file_count " +
+          s"FROM $c.db.p.partitions WHERE partition['cat'] = 'a'")
+        .collect().head
+      assert(a.getLong(0) == 2L && a.getInt(1) == 1)
+    }
+  }
+
   test("a real table named like a metadata table wins resolution") {
     withCatalog("clash") { (c, _) =>
       spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $c.db2.t2")

@@ -122,6 +122,67 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.rewrite_manifests compacts the manifest list") {
+    withCatalog("rwm") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      (1 to 5).foreach(i =>
+        spark.sql(s"INSERT INTO $c.db.t VALUES ($i)"))
+      def dataManifests(): Long = spark.sql(
+        s"SELECT count(*) FROM $c.db.t.manifests WHERE content = 0")
+        .collect().head.getLong(0)
+      assert(dataManifests() == 5, "one data manifest per append")
+
+      val res = spark.sql(
+        s"CALL $c.system.rewrite_manifests('db', 't')").collect().head
+      assert(res.getInt(0) == 5 && res.getInt(1) == 1,
+        s"5 manifests -> 1, got (${res.getInt(0)}, ${res.getInt(1)})")
+      assert(dataManifests() == 1)
+      // content identical, history intact (one extra replace snapshot)
+      assert(spark.sql(s"SELECT id FROM $c.db.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == (1L to 5L))
+      val t = loadT(dir, "t")
+      assert(t.currentSnapshot.get.summary.get.operation ==
+        graft.spec.Operation.Replace)
+      // sequence numbers preserved: a MoR delete committed BEFORE the
+      // rewrite still applies after it
+      spark.sql(s"INSERT INTO $c.db.t VALUES (6)")
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.t")
+        .collect().head.getLong(0) == 6)
+    }
+  }
+
+  test("CALL system.remove_orphan_files deletes unreferenced files only") {
+    withCatalog("orph") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1), (2)")
+      val t = loadT(dir, "t")
+      // plant an orphan (a crashed write's leftover) in the data dir
+      val orphan = t.metadata.location.stripSuffix("/") +
+        "/data/orphan-leftover.parquet"
+      t.io.writeString(orphan, "not really parquet")
+      // dry run reports but keeps it
+      val dry = spark.sql(s"CALL $c.system.remove_orphan_files(" +
+        s"'db', 't', ${System.currentTimeMillis() + 60000}, true)")
+        .collect().head
+      assert(dry.getInt(0) == 1 && t.io.exists(orphan))
+      // real run removes it; referenced files and metadata survive
+      val res = spark.sql(s"CALL $c.system.remove_orphan_files(" +
+        s"'db', 't', ${System.currentTimeMillis() + 60000}, false)")
+        .collect().head
+      assert(res.getInt(0) == 1 && !t.io.exists(orphan))
+      assert(spark.sql(s"SELECT id FROM $c.db.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      // default age gate (3 days) protects a fresh leftover
+      t.io.writeString(orphan, "fresh in-flight file")
+      val guarded = spark.sql(
+        s"CALL $c.system.remove_orphan_files('db', 't')").collect().head
+      assert(guarded.getInt(0) == 0 && t.io.exists(orphan),
+        "age gate must keep files younger than the cutoff")
+    }
+  }
+
   test("unknown procedure errors with the available list") {
     withCatalog("nop") { (c, _) =>
       val e = intercept[Exception] {
