@@ -483,8 +483,14 @@ private[sources] object BatchPlanning {
             .flatMap(cur => fileSchema.field(cur.id)) match {
             case Some(ff) =>
               val fileSpark = SchemaConverters.toSparkType(ff.fieldType)
-              (org.apache.spark.sql.types.StructField(ff.name, fileSpark,
-                f.nullable), ReaderConv.of(fileSpark, f.dataType))
+              val conv = ReaderConv.of(fileSpark, f.dataType)
+              // no positional promotion needed → request the file's
+              // NAME (rename-safe) at the CURRENT type: the only legal
+              // non-promoted difference is nested field ADDITIONS,
+              // which the parquet reader null-fills by name
+              val reqType = if (conv.code == 0) f.dataType else fileSpark
+              (org.apache.spark.sql.types.StructField(ff.name, reqType,
+                f.nullable), conv)
             case None => // added since this file: null-fill under current
               (f, ReaderConv.of(f.dataType, f.dataType))
           }

@@ -176,14 +176,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case r: TableChange.RemoveProperty => r.property
     }
     val addCols = changes.collect {
-      case a: TableChange.AddColumn if a.fieldNames.length == 1 => a
+      case a: TableChange.AddColumn => a // nested paths handled below
     }
     val schemaChanges = changes.collect {
       case c: TableChange.RenameColumn if c.fieldNames.length == 1 => c
       case c: TableChange.DeleteColumn if c.fieldNames.length == 1 => c
       case c: TableChange.UpdateColumnType if c.fieldNames.length == 1 => c
-      case c: TableChange.UpdateColumnNullability
-          if c.fieldNames.length == 1 && c.nullable() => c
+      case c: TableChange.UpdateColumnNullability if c.nullable() => c
     }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
@@ -193,7 +192,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         s"graft: unsupported ALTER TABLE changes: " +
           unsupported.mkString(", ") +
-          " (nested columns and NOT NULL tightening are not evolvable)")
+          " (nested rename/drop/type-change and NOT NULL tightening " +
+          "are not evolvable — inner parquet columns resolve by name, " +
+          "so pre-evolution files would misread)")
     var cur = t
     if (setProps.nonEmpty || rmProps.nonEmpty) {
       var tx = cur.newTransaction()
@@ -204,10 +205,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (addCols.nonEmpty || schemaChanges.nonEmpty) {
       var up = cur.updateSchema()
       addCols.foreach { a =>
+        val leaf = a.fieldNames().last
         val t = SchemaConverters.fromSparkSchema(new StructType()
-          .add(a.fieldNames()(0), a.dataType(), a.isNullable))
+          .add(leaf, a.dataType(), a.isNullable))
           .fields.head.fieldType
-        up = up.addColumn(a.fieldNames()(0), t, required = !a.isNullable)
+        if (a.fieldNames().length == 1)
+          up = up.addColumn(leaf, t, required = !a.isNullable)
+        else
+          up = up.addNestedColumn(a.fieldNames().toSeq, t,
+            required = !a.isNullable)
       }
       schemaChanges.foreach {
         case c: TableChange.RenameColumn =>
@@ -219,7 +225,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             .add(c.fieldNames()(0), c.newDataType())).fields.head.fieldType
           up = up.updateColumnType(c.fieldNames()(0), t)
         case c: TableChange.UpdateColumnNullability =>
-          up = up.makeOptional(c.fieldNames()(0))
+          if (c.fieldNames().length == 1)
+            up = up.makeOptional(c.fieldNames()(0))
+          else up = up.makeOptionalAt(c.fieldNames().toSeq)
         case _ => ()
       }
       cur = up.commit()

@@ -67,6 +67,59 @@ final class SchemaUpdate(table: Table) {
     this
   }
 
+  // ------------------------------------------------ nested evolution
+  //
+  // Only the SAFE subset: adding a field inside a struct (old files
+  // null-fill it — by-name parquet resolution cannot misread) and
+  // dropping NOT NULL on a nested field (metadata-only). Nested
+  // RENAME/DROP/type-change stay rejected: inner parquet columns
+  // resolve by NAME in both read paths, so they would need a nested
+  // field-ID remap to read pre-evolution files correctly.
+
+  /** Add a column at a dotted path, e.g. `Seq("info", "age")` adds
+    * `age` inside struct `info`. Allocates a fresh field id. */
+  def addNestedColumn(path: Seq[String], t: IcebergType,
+      required: Boolean = false): SchemaUpdate = {
+    require(path.length >= 2, "use addColumn for top-level columns")
+    nextId += 1
+    val newField = NestedField(nextId, path.last, t, required)
+    fields = mapStruct(fields, path.dropRight(1)) { siblings =>
+      require(!siblings.exists(_.name == path.last),
+        s"column ${path.mkString(".")} already exists")
+      siblings :+ newField
+    }
+    this
+  }
+
+  /** Drop NOT NULL on a nested field (widening — always safe). */
+  def makeOptionalAt(path: Seq[String]): SchemaUpdate = {
+    require(path.length >= 2, "use makeOptional for top-level columns")
+    fields = mapStruct(fields, path.dropRight(1)) { siblings =>
+      require(siblings.exists(_.name == path.last),
+        s"no column ${path.mkString(".")}")
+      siblings.map(f =>
+        if (f.name == path.last) f.copy(required = false) else f)
+    }
+    this
+  }
+
+  private def mapStruct(fs: Seq[NestedField], path: Seq[String])(
+      change: Seq[NestedField] => Seq[NestedField]): Seq[NestedField] =
+    path match {
+      case Seq() => change(fs)
+      case head +: rest =>
+        val f = fs.find(_.name == head).getOrElse(
+          throw new IllegalArgumentException(s"no column $head"))
+        f.fieldType match {
+          case StructType(children) =>
+            val updated =
+              f.copy(fieldType = StructType(mapStruct(children, rest)(change)))
+            fs.map(x => if (x.name == head) updated else x)
+          case other => throw new IllegalArgumentException(
+            s"$head is $other, not a struct — cannot evolve inside it")
+        }
+    }
+
   def commit(): Table =
     table.newTransaction()
       .addSchema(Schema(0, fields, table.schema.identifierFieldIds))

@@ -153,6 +153,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("nested ADD COLUMN evolves a struct; old rows null-fill") {
+    withCatalog("nest") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, " +
+        "info STRUCT<name: STRING>)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, named_struct('name', 'a'))")
+      spark.sql(s"ALTER TABLE $c.db.t ADD COLUMN info.age INT")
+      spark.sql(s"INSERT INTO $c.db.t VALUES " +
+        "(2, named_struct('name', 'b', 'age', 30))")
+      val got = spark.sql(
+        s"SELECT id, info.name, info.age FROM $c.db.t ORDER BY id")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2)))
+      assert(got.toSeq == Seq((1L, "a", -1), (2L, "b", 30)),
+        s"pre-evolution rows must null-fill the added field, got ${got.toSeq}")
+      // nested rename/drop stay rejected (by-name inner resolution)
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $c.db.t RENAME COLUMN info.name TO nm")
+      }
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $c.db.t DROP COLUMN info.age")
+      }
+    }
+  }
+
   test("unsupported type changes are rejected loudly") {
     withCatalog("badtype") { (c, _) =>
       spark.sql(s"CREATE NAMESPACE $c.db")

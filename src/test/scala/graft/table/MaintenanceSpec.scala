@@ -302,4 +302,68 @@ class RefExpirySpec extends AnyFunSuite {
       "ordinary refs past maxRefAgeMs are dropped")
     assert(cleaned.currentSnapshot.map(_.snapshotId).contains(sid))
   }
+
+  test("rewriteManifests preserves MoR delete application") {
+    var t = freshTable("rwm")
+    (1 to 4).foreach(b =>
+      t = TableOps.append(t, usersDf((b * 10) to (b * 10 + 4)).coalesce(1)))
+    // MoR-delete two rows, THEN rewrite manifests: delete application
+    // is sequence-number-based, so the rewritten (Existing) entries
+    // must keep their original sequence numbers for deletes to stick
+    t = Mutations.deleteMoR(t, spark, Col("id").in(11L, 22L))
+    val before = Scan(t, spark).toDF.orderBy("id").collect().toSeq
+    val dataManifests = (x: Table) => x.manifestList(x.currentSnapshot.get)
+      .count(_.content == ManifestContent.Data)
+    assert(dataManifests(t) >= 4)
+    t = Maintenance.rewriteManifests(t)
+    assert(dataManifests(t) == 1, "data manifests bin-packed into one")
+    assert(t.currentSnapshot.get.summary.get.operation == Operation.Replace)
+    val after = Scan(t, spark).toDF.orderBy("id").collect().toSeq
+    assert(after == before, "content identical; MoR deletes still apply")
+    assert(!after.exists(r => r.getLong(0) == 11L || r.getLong(0) == 22L))
+    // idempotent: a second rewrite is a no-op (already one manifest)
+    val again = Maintenance.rewriteManifests(t)
+    assert(again.currentSnapshot.get.snapshotId ==
+      t.currentSnapshot.get.snapshotId)
+  }
+
+  test("rewriteManifests groups by write schema id (remap provenance)") {
+    var t = freshTable("rwms")
+    t = TableOps.append(t, usersDf(1 to 5).coalesce(1))
+    t = TableOps.append(t, usersDf(6 to 9).coalesce(1))
+    // evolve the schema, then append under the NEW schema id
+    t = t.updateSchema().renameColumn("email", "contact").commit()
+    import spark.implicits._
+    t = TableOps.append(t, (10 to 12).map(i => (i.toLong, s"user_$i",
+      s"u$i@x.com", new java.sql.Timestamp(1704067200000L + i)))
+      .toDF("id", "name", "contact", "created_at").coalesce(1))
+    t = Maintenance.rewriteManifests(t)
+    // one manifest per write schema — merging would lose the per-file
+    // schema id that drives renamed-column remapping at read
+    val mfs = t.manifestList(t.currentSnapshot.get)
+      .filter(_.content == ManifestContent.Data)
+    assert(mfs.size == 2, s"one manifest per write schema, got ${mfs.size}")
+    val schemaIds = mfs.map(mf => t.readManifest(mf).schemaId).toSet
+    assert(schemaIds.size == 2)
+    // pre-rename rows still surface their values under the new name
+    val vals = Scan(t, spark).toDF.orderBy("id")
+      .select("contact").collect().map(_.getString(0))
+    assert(vals.length == 12 && vals.head == "u1@x.com")
+  }
+
+  test("removeOrphanFiles keeps everything reachable, removes the rest") {
+    var t = freshTable("orphan")
+    t = TableOps.append(t, usersDf(1 to 10))
+    val dataDir = t.metadata.location.stripSuffix("/") + "/data"
+    val orphan = s"$dataDir/leftover-from-crash.parquet"
+    t.io.writeString(orphan, "junk")
+    val removed = Maintenance.removeOrphanFiles(t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(removed.exists(_.endsWith("leftover-from-crash.parquet")))
+    assert(!t.io.exists(orphan))
+    assert(Scan(t, spark).toDF.count() == 10, "live data untouched")
+    // a second pass finds nothing
+    assert(Maintenance.removeOrphanFiles(t,
+      olderThanMs = System.currentTimeMillis() + 60000).isEmpty)
+  }
 }
