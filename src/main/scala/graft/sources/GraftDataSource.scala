@@ -545,7 +545,72 @@ private[sources] class GraftV2Scan(
       * when a mutation is being planned on this table instance, its
       * group-filter subquery must read the operation's snapshot, not a
       * refreshed one. */
-    mutationPin: () => Option[Table] = () => None) extends V2Scan {
+    mutationPin: () => Option[Table] = () => None) extends V2Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  /** Value equality over the scan's logical description: Spark's
+    * exchange/subquery REUSE (and with it dynamic pruning — a
+    * `DynamicPruningSubquery` whose build side can't `sameResult` the
+    * join's broadcast collapses to `true`) compares scan instances from
+    * independent plannings of the same relation. Same fix Iceberg's
+    * SparkBatchQueryScan ships. Runtime-filter state is deliberately
+    * excluded — canonicalization happens before runtime filtering. */
+  private lazy val eqKey = (
+    gtable.metadata.location,
+    gtable.metadata.currentSnapshot.map(_.snapshotId),
+    pinnedSnapshot, emitFile,
+    required.fieldNames.toSeq,
+    pushed.map(_.toString),
+    allFilters.map(_.toString))
+  override def equals(o: Any): Boolean = o match {
+    case g: GraftV2Scan => eqKey == g.eqKey
+    case _ => false
+  }
+  override def hashCode(): Int = eqKey.hashCode
+
+  /** Manifest-derived stats over the PRUNED file set — drives Spark's
+    * broadcast-join planning for catalog tables without any data I/O
+    * (the DSv2 face of the SQL façade's GraftRelation stats). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val tasks = batchTasks
+    val size = tasks.map(_.file.fileSizeInBytes).sum
+    val rows = tasks.map(_.file.recordCount).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(size, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
+
+  /** Dynamic pruning: joins against a filtered dimension hand the scan
+    * runtime predicates over the fact table's partition SOURCE columns;
+    * file-level stats + partition-value pruning then drop files before
+    * any is opened — Iceberg's runtime filtering shape. Only partition
+    * source columns are advertised (classic DPP); a runtime predicate
+    * that fails to convert prunes nothing, which is always sound. */
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val t = mutationPin().getOrElse(gtable)
+    t.spec.fields
+      .flatMap(pf => t.schema.field(pf.sourceId)).map(_.name).distinct
+      .filter(n => full.fieldNames.contains(n))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  @volatile private var runtimeExpr: Option[Expr] = None
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val expr = predicates.toSeq
+      .flatMap(p => org.apache.spark.sql.graftshim.Bridge.toV1Filter(p))
+      .flatMap(f => FilterToExpr(f))
+      .reduceOption(_ and _)
+    if (expr.isDefined) runtimeExpr = expr
+  }
 
   override def readSchema(): StructType =
     if (emitFile) StructType(required.fields :+ GraftMetaColumns.FileField)
@@ -578,11 +643,28 @@ private[sources] class GraftV2Scan(
     (t, newScan(t).planFiles())
   }
 
+  /** Post-runtime-filter task set. BatchScanExec replans partitions
+    * (and builds the reader factory) after `filter()` ran, so both
+    * entry points below resolve through here; the re-plan is memoized
+    * per runtime expression so partitions and factory agree. */
+  @volatile private var runtimeTasks: Option[(Expr, Seq[FileScanTask])] =
+    None
+  private def effectiveTasks: Seq[FileScanTask] = runtimeExpr match {
+    case None => batchTasks
+    case Some(re) => runtimeTasks match {
+      case Some((e, ts)) if e == re => ts
+      case _ =>
+        val ts = newScan(batchTable).filter(re).planFiles()
+        runtimeTasks = Some((re, ts))
+        ts
+    }
+  }
+
   private[sources] def batchPartitions(): Array[InputPartition] =
-    BatchPlanning.partitions(batchTable, batchTasks)
+    BatchPlanning.partitions(batchTable, effectiveTasks)
 
   private[sources] def batchReaderFactory(): PartitionReaderFactory =
-    BatchPlanning.readerFactory(spark, batchTable, batchTasks, full,
+    BatchPlanning.readerFactory(spark, batchTable, effectiveTasks, full,
       required, emitFile, allFilters)
 
   /** Last-planned micro-batch (table + tasks), shared between
@@ -615,7 +697,12 @@ private[sources] class GraftV2Scan(
   }
 }
 
-private[sources] class GraftBatch(scan: GraftV2Scan) extends Batch {
+/** Case class: `BatchScanExec.equals` compares `scan.toBatch` results,
+  * and `toBatch` constructs a fresh instance per call — value equality
+  * here (delegating to [[GraftV2Scan]]'s eqKey equality) is what lets
+  * exchange reuse and dynamic pruning recognize two plannings of the
+  * same scan. */
+private[sources] case class GraftBatch(scan: GraftV2Scan) extends Batch {
   override def planInputPartitions(): Array[InputPartition] =
     scan.batchPartitions()
   override def createReaderFactory(): PartitionReaderFactory =

@@ -26,6 +26,14 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** V2 connector `Predicate` → v1 `sources.Filter` (the
+    * `private[sql]` converter Spark itself uses) — lets runtime
+    * (dynamic pruning) predicates reuse the engine's v1-filter
+    * pruning path. */
+  def toV1Filter(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.internal.connector.PredicateUtils.toV1(p)
+
   /** Re-plannable copy of a micro-batch DataFrame for v1 `Sink.addBatch`:
     * the incoming frame is bound to the stream's IncrementalExecution, so
     * building new plans over it (select/repartition — anything a writer

@@ -197,6 +197,82 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest stats drive broadcast joins; DPP prunes fact files") {
+    withCatalog("dpp") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      // fact partitioned by cat (3 partitions, sized so Spark's DPP
+      // benefit heuristic fires); dim tiny
+      spark.sql(s"CREATE TABLE $c.db.fact (id BIGINT, cat STRING, " +
+        "v DOUBLE) PARTITIONED BY (cat)")
+      spark.sql(s"INSERT INTO $c.db.fact SELECT id, " +
+        "chr(97 + CAST(id % 3 AS INT)), id * 1.5 FROM range(90000)")
+      spark.sql(s"CREATE TABLE $c.db.dim (cat STRING, label STRING)")
+      spark.sql(s"INSERT INTO $c.db.dim VALUES ('a','keep'), " +
+        "('b','other'), ('c','other')")
+
+      val q =
+        s"""SELECT f.id FROM $c.db.fact f
+           |JOIN $c.db.dim d ON f.cat = d.cat
+           |WHERE d.label = 'keep'""".stripMargin
+      val df = spark.sql(q)
+      assert(df.collect().length == 30000)
+      val plan = df.queryExecution.executedPlan.toString
+      // small side broadcast WITHOUT hints: estimateStatistics works
+      assert(plan.contains("BroadcastHashJoin"),
+        s"manifest stats should make the dim broadcast:\n$plan")
+      // runtime filtering reached the fact scan: only partition 'a'
+      // files are opened (1 of 3 partitions)
+      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[BatchScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case b: BatchScanExec => Seq(b)
+        case other => other.children.flatMap(scans)
+      }
+      val factScan = scans(df.queryExecution.executedPlan)
+        .filter(_.schema.fieldNames.contains("id"))
+      assert(factScan.nonEmpty, s"no fact BatchScanExec in:\n$plan")
+      assert(factScan.head.toString.contains("dynamicpruning"),
+        s"runtime filter missing from the fact scan:\n$plan")
+      val produced = factScan.head.metrics("numOutputRows").value
+      assert(produced <= 30000,
+        s"DPP should prune non-'a' partitions, scan produced $produced")
+    }
+  }
+
+  test("CTAS and DataFrameWriterV2 land real snapshots") {
+    withCatalog("ctas") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.src (id BIGINT, v DOUBLE)")
+      spark.sql(s"INSERT INTO $c.db.src VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+
+      // CTAS: create + insert through the catalog
+      spark.sql(s"CREATE TABLE $c.db.big AS " +
+        s"SELECT id, v * 2 AS v2 FROM $c.db.src WHERE id > 1")
+      val got = spark.sql(s"SELECT id, v2 FROM $c.db.big ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == Seq((2L, 5.0), (3L, 7.0)))
+      val t = Table.load(new LocalCatalog(dir),
+        TableIdentifier(Seq("db"), "big"), new HadoopFileIO())
+      assert(t.metadata.snapshots.nonEmpty, "CTAS committed a snapshot")
+
+      // DataFrameWriterV2 append
+      import spark.implicits._
+      Seq((4L, 9.0)).toDF("id", "v2").writeTo(s"$c.db.big").append()
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.big")
+        .collect().head.getLong(0) == 3)
+
+      // RTAS replaces content
+      spark.sql(s"REPLACE TABLE $c.db.big AS " +
+        s"SELECT id FROM $c.db.src WHERE id = 1")
+      assert(spark.sql(s"SELECT id FROM $c.db.big").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L))
+    }
+  }
+
   test("VERSION AS OF / TIMESTAMP AS OF time travel through SQL") {
     withCatalog("tt") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
