@@ -937,34 +937,100 @@ private[sources] object GraftReaderFactory {
       org.apache.spark.sql.types.LongType)))
 }
 
-/** Snapshot-id offset. `-1` = nothing consumed yet (the first batch
-  * delivers the full table at the then-current snapshot). */
-final case class GraftOffset(snapshotId: Long) extends Offset {
-  override def json(): String = s"""{"snapshotId":$snapshotId}"""
+/** File-position stream offset. `snapshotId = -1` = nothing consumed
+  * yet. `pos` is the number of files consumed of `snapshotId`'s plan
+  * (`-1` = snapshot fully consumed — also what legacy `{"snapshotId"}`
+  * checkpoints decode to, so old checkpoints resume seamlessly).
+  * `initial = true` marks the anchor snapshot, whose plan is the FULL
+  * table rather than one snapshot's appends — a restart mid-initial
+  * batch must replan the same file list. Plans are path-sorted, so a
+  * position is stable across restarts. */
+final case class GraftOffset(snapshotId: Long, pos: Int = -1,
+    initial: Boolean = false) extends Offset {
+  override def json(): String =
+    s"""{"snapshotId":$snapshotId,"pos":$pos,"initial":$initial}"""
 }
 object GraftOffset {
-  private val P = """\{\s*"snapshotId"\s*:\s*(-?\d+)\s*\}""".r
+  private val P =
+    ("""\{\s*"snapshotId"\s*:\s*(-?\d+)\s*(?:,\s*"pos"\s*:\s*(-?\d+)\s*""" +
+      """,\s*"initial"\s*:\s*(true|false)\s*)?\}""").r
   def fromJson(j: String): GraftOffset = j.trim match {
-    case P(id) => GraftOffset(id.toLong)
+    case P(id, pos, init) => GraftOffset(id.toLong,
+      Option(pos).map(_.toInt).getOrElse(-1),
+      Option(init).exists(_.toBoolean))
     case other => throw new IllegalArgumentException(
       s"not a graft offset: $other")
   }
 }
 
+/** Micro-batch source with admission control: option
+  * `max-files-per-trigger` caps each micro-batch (Iceberg's
+  * `streaming-max-files-per-micro-batch`), so a stream catching up on
+  * a huge table backfills in bounded batches instead of planning the
+  * entire table into one. Offsets carry (snapshot, file position); the
+  * per-snapshot plans are path-sorted and memoized, so a restart
+  * resumes mid-snapshot deterministically. */
 private[sources] class GraftMicroBatchStream(
     initial: Table,
     scan: GraftV2Scan,
-    options: CaseInsensitiveStringMap) extends MicroBatchStream {
+    options: CaseInsensitiveStringMap) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{
+    ReadLimit, ReadMaxFiles}
 
   @volatile private var tableRef: Table = initial
   private val skipOverwrites =
     options.getBoolean("skip-overwrites", false)
   private val startLatest =
     "latest".equalsIgnoreCase(options.get("starting-offset"))
+  private val maxFilesPerTrigger =
+    Option(options.get("max-files-per-trigger")).map(_.toInt)
+
+  /** Memoized per-(snapshot, initial) plans; tiny (only snapshots the
+    * stream is actively crossing), cleared when it grows. */
+  private val plans = scala.collection.concurrent.TrieMap
+    .empty[(Long, Boolean), Seq[FileScanTask]]
 
   private def refreshed(): Table = {
     tableRef = try tableRef.refresh() catch { case _: Exception => tableRef }
     tableRef
+  }
+
+  private def planFor(t: Table, sid: Long,
+      isInitial: Boolean): Seq[FileScanTask] = {
+    if (plans.size > 8) plans.clear()
+    plans.getOrElseUpdate((sid, isInitial), {
+      val base =
+        if (isInitial) scan.newScan(t).useSnapshot(sid)
+        else t.snapshotById(sid).flatMap(_.parentSnapshotId) match {
+          case Some(p) =>
+            val sc = scan.newScan(t).appendsBetween(p, sid)
+            if (skipOverwrites)
+              sc.option("incremental-skip-overwrites", "true")
+            else sc
+          case None => // root snapshot: its appends ARE its content
+            scan.newScan(t).useSnapshot(sid)
+        }
+      base.planFiles().sortBy(_.file.filePath)
+    })
+  }
+
+  /** Ancestry ids strictly after `fromExclusive` up to `to`,
+    * oldest-first. */
+  private def chainTo(t: Table, fromExclusive: Long,
+      to: Long): Seq[Long] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Long]
+    var cur: Option[Long] = Some(to)
+    while (cur.isDefined && cur.get != fromExclusive) {
+      out.prepend(cur.get)
+      cur = t.snapshotById(cur.get).flatMap(_.parentSnapshotId)
+    }
+    if (cur.isEmpty) throw new IllegalStateException(
+      s"graft source: snapshot $fromExclusive is no ancestor of $to " +
+        "(expired or rolled back) — restart the stream from scratch")
+    out.toSeq
   }
 
   override def initialOffset(): Offset =
@@ -973,27 +1039,79 @@ private[sources] class GraftMicroBatchStream(
         .map(_.snapshotId).getOrElse(-1L))
     else GraftOffset(-1L)
 
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
   override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def reportLatestOffset(): Offset =
     GraftOffset(refreshed().currentSnapshot
       .map(_.snapshotId).getOrElse(-1L))
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val t = refreshed()
+    val so = start.asInstanceOf[GraftOffset]
+    val cur = t.currentSnapshot.map(_.snapshotId).getOrElse(return so)
+    var remaining = limit match {
+      case m: ReadMaxFiles => m.maxFiles()
+      case _ => Int.MaxValue
+    }
+    if (so.snapshotId == -1L) {
+      val size = planFor(t, cur, isInitial = true).size
+      val n = math.min(size, remaining)
+      return GraftOffset(cur, if (n == size) -1 else n, initial = true)
+    }
+    var sid = so.snapshotId
+    var pos = so.pos
+    var init = so.initial
+    if (pos >= 0) { // resume a partially-consumed snapshot
+      val plan = planFor(t, sid, init)
+      val n = math.min(plan.size - pos, remaining)
+      pos += n; remaining -= n
+      if (pos >= plan.size) pos = -1
+    }
+    while (pos == -1 && remaining > 0 && sid != cur) {
+      val nxt = chainTo(t, sid, cur).head
+      val plan = planFor(t, nxt, isInitial = false)
+      val n = math.min(plan.size, remaining)
+      sid = nxt; init = false
+      pos = if (n == plan.size) -1 else n
+      remaining -= n
+    }
+    GraftOffset(sid, pos, init)
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftOffset.fromJson(json)
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset].snapshotId
-    val e = end.asInstanceOf[GraftOffset].snapshotId
-    if (e == -1L || s == e) return Array.empty
+    val so = start.asInstanceOf[GraftOffset]
+    val eo = end.asInstanceOf[GraftOffset]
+    if (eo.snapshotId == -1L || so == eo) return Array.empty
     val t = tableRef
-    val base =
-      if (s == -1L) scan.newScan(t).useSnapshot(e) // first batch: full table
-      else {
-        val sc = scan.newScan(t).appendsBetween(s, e)
-        if (skipOverwrites) sc.option("incremental-skip-overwrites", "true")
-        else sc
-      }
-    scan.toStreamPartitions(t, base.planFiles())
+    val tasks = Seq.newBuilder[FileScanTask]
+    def upTo(plan: Seq[FileScanTask], pos: Int): Seq[FileScanTask] =
+      if (pos == -1) plan else plan.take(pos)
+    if (so.snapshotId == -1L) { // anchor: full table at eo's snapshot
+      tasks ++= upTo(planFor(t, eo.snapshotId, isInitial = true), eo.pos)
+    } else if (so.snapshotId == eo.snapshotId) {
+      val plan = planFor(t, so.snapshotId, so.initial)
+      val from = if (so.pos == -1) plan.size else so.pos
+      val to = if (eo.pos == -1) plan.size else eo.pos
+      tasks ++= plan.slice(from, to)
+    } else {
+      if (so.pos >= 0) // finish the partially-consumed start snapshot
+        tasks ++= planFor(t, so.snapshotId, so.initial).drop(so.pos)
+      val ids = chainTo(t, so.snapshotId, eo.snapshotId)
+      ids.dropRight(1).foreach(m =>
+        tasks ++= planFor(t, m, isInitial = false))
+      tasks ++= upTo(planFor(t, eo.snapshotId, isInitial = false), eo.pos)
+    }
+    scan.toStreamPartitions(t, tasks.result())
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

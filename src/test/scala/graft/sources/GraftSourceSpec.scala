@@ -316,6 +316,43 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("max-files-per-trigger paces the backfill, exactly-once") {
+    val (t0, dir, name) = mkTable("s8")
+    var t = t0
+    // 5 files (5 appends of 1 file each)
+    for (b <- 0 until 5)
+      t = TableOps.append(t, batch(b * 10 + 1 to b * 10 + 10).coalesce(1))
+    val ckpt = Files.createTempDirectory("graft-s8-ckpt-").toString
+    val out = Files.createTempDirectory("graft-s8-out-").toString
+    def run(maxFiles: Int): Long = {
+      val q = streamReader(dir, name)
+        .option("max-files-per-trigger", maxFiles.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      try { q.processAllAvailable()
+        q.recentProgress.count(_.numInputRows > 0).toLong }
+      finally q.stop()
+    }
+    val batches = run(2)
+    assert(batches >= 3,
+      s"5 files at 2/trigger need >= 3 micro-batches, got $batches")
+    val first = spark.read.parquet(out)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(first.toSeq == (1L to 50L),
+      s"paced backfill complete: ${first.length} rows")
+
+    // restart from checkpoint, two more appends: no re-delivery
+    t = TableOps.append(t, batch(51 to 60).coalesce(1))
+    t = TableOps.append(t, batch(61 to 70).coalesce(1))
+    run(1)
+    val all = spark.read.parquet(out)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == (1L to 70L),
+      s"resume + paced tail, got ${all.length} rows")
+  }
+
   test("offset json round-trip") {
     val o = GraftOffset(42L)
     assert(GraftOffset.fromJson(o.json()) == o)
