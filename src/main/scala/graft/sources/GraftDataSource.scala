@@ -547,6 +547,7 @@ private[sources] class GraftV2Scan(
       * refreshed one. */
     mutationPin: () => Option[Table] = () => None) extends V2Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   /** Value equality over the scan's logical description: Spark's
@@ -660,8 +661,82 @@ private[sources] class GraftV2Scan(
     }
   }
 
-  private[sources] def batchPartitions(): Array[InputPartition] =
-    BatchPlanning.partitions(batchTable, effectiveTasks)
+  /** Storage-partitioned joins: a per-task partition KEY extractor,
+    * defined when every partition field's transform result is a
+    * key-safe primitive (null-safe value equality in an InternalRow).
+    * The key row's values are the manifest partition tuple in spec
+    * order, converted to catalyst representations — exactly what
+    * Spark's `KeyGroupedPartitioning` groups and co-locates on, so two
+    * graft tables with the same layout join with ZERO shuffles
+    * (`spark.sql.sources.v2.bucketing.enabled=true`). */
+  private[sources] lazy val spjKeyer: Option[FileScanTask => Array[Any]] = {
+    import graft.spec._
+    val t = batchTable
+    val fields: Seq[Option[(String, IcebergType)]] = t.spec.fields.map { pf =>
+      t.schema.field(pf.sourceId).flatMap { src =>
+        val rt = graft.spec.Transform.resultType(pf.transform, src.fieldType)
+        val keySafe = rt match {
+          case BooleanType | IntType | LongType | FloatType |
+               DoubleType | StringType | DateType | TimeType |
+               TimestampType | TimestampTzType => true
+          case _ => false // bytes-valued (decimal/binary/uuid/fixed)
+        }
+        if (keySafe && pf.transform != graft.spec.Transform.Void)
+          Some((pf.name, rt)) else None
+      }
+    }
+    if (t.spec.fields.isEmpty || fields.exists(_.isEmpty)) None
+    else {
+      val prepared = fields.flatten
+      Some { task =>
+        prepared.map { case (pname, _) =>
+          task.file.partition.getOrElse(pname, null) match {
+            case null => null
+            case s: String =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            case other => other
+          }
+        }.toArray
+      }
+    }
+  }
+
+  /** Report `KeyGroupedPartitioning` over the spec's transforms when
+    * every planned task lives in the CURRENT spec (a spec-evolved
+    * table's old-layout files cannot be grouped under the new keys).
+    * Honored by Spark only when v2 bucketing is enabled; otherwise it
+    * degrades to `UnknownPartitioning`, so reporting is always safe. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val reportable = spjKeyer.isDefined && batchTasks.nonEmpty &&
+      batchTasks.forall(_.specId == batchTable.spec.specId) && !emitFile
+    if (!reportable)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(batchTasks.size)
+    else {
+      val keyer = spjKeyer.get
+      val distinct = batchTasks.map(t => keyer(t).toSeq).distinct.size
+      val keys: Array[org.apache.spark.sql.connector.expressions.Expression] =
+        GraftSparkCatalog.toTransforms(batchTable.spec, batchTable.schema)
+          .map(x => x: org.apache.spark.sql.connector.expressions.Expression)
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(keys, distinct)
+    }
+  }
+
+  private[sources] def batchPartitions(): Array[InputPartition] = {
+    val tasks = effectiveTasks
+    val parts = BatchPlanning.partitions(batchTable, tasks)
+    spjKeyer match {
+      case Some(keyer) if !emitFile &&
+          tasks.forall(_.specId == batchTable.spec.specId) =>
+        parts.zip(tasks).map { case (p, task) =>
+          GraftKeyedInputPartition(
+            p.asInstanceOf[GraftInputPartition], keyer(task)): InputPartition
+        }
+      case _ => parts
+    }
+  }
 
   private[sources] def batchReaderFactory(): PartitionReaderFactory =
     BatchPlanning.readerFactory(spark, batchTable, effectiveTasks, full,
@@ -717,6 +792,27 @@ final case class GraftInputPartition(path: String, length: Long,
     schemaId: Int = -1)
     extends InputPartition
 
+/** A file task carrying its partition-tuple KEY (catalyst values in
+  * spec-field order): Spark groups tasks with equal keys into one
+  * input split (`HasPartitionKey`), which is what makes the scan's
+  * reported `KeyGroupedPartitioning` realizable — the substrate of
+  * storage-partitioned joins. */
+final case class GraftKeyedInputPartition(p: GraftInputPartition,
+    keyValues: Array[Any])
+    extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(keyValues)
+}
+
+private[sources] object UnwrapPartition {
+  def apply(p: InputPartition): GraftInputPartition = p match {
+    case k: GraftKeyedInputPartition => k.p
+    case g: GraftInputPartition => g
+  }
+}
+
 /** Executor-side reader. Per task: position deletes for THIS file load
   * into a row-index hash set (row order = file order because each task
   * reads one whole file with no pushed parquet filters); equality
@@ -762,7 +858,7 @@ private[sources] class GraftReaderFactory(
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val gp = p.asInstanceOf[GraftInputPartition]
+    val gp = UnwrapPartition(p)
     require(columnarEligible(gp), s"non-columnar partition ${gp.path}")
     val it = batchReadFunc.get(
       ParquetShim.partitionedFile(gp.path, gp.length))
@@ -787,7 +883,7 @@ private[sources] class GraftReaderFactory(
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = p.asInstanceOf[GraftInputPartition]
+    val gp = UnwrapPartition(p)
     val myPath = normPath(gp.path)
 
     val posSet: java.util.HashSet[java.lang.Long] =

@@ -40,7 +40,8 @@ import graft.table.Table
   * `ALTER NAMESPACE ... SET PROPERTIES`.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private[sources] var catalog: Catalog = _
@@ -318,6 +319,32 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (ns.isEmpty || ns.sameElements(Array("system")))
       GraftProcedures.list
     else Array.empty
+
+  // --------------------------------------------------------- functions
+
+  /** V2 functions for the Iceberg partition transforms. Besides SQL
+    * calls (`SELECT <catalog>.system.bucket(16, id)`), these are what
+    * Spark resolves a scan's reported `KeyGroupedPartitioning` keys
+    * against — the storage-partitioned-join compatibility check
+    * compares both sides by the bound function's `canonicalName`. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty || ident.namespace.sameElements(Array("system")))
+      graft.functions.GraftV2Functions.load(ident.name).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(Array("system")))
+      graft.functions.GraftV2Functions.names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    (ident.namespace.isEmpty || ident.namespace.sameElements(Array("system"))) &&
+      graft.functions.GraftV2Functions.load(ident.name).isDefined
 }
 
 object GraftSparkCatalog {
