@@ -686,6 +686,32 @@ object IcebergQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Global aggregates through the CatalogPlugin, answered ENTIRELY
+    * from manifest statistics (complete aggregate pushdown): the plan
+    * is a one-row `graft-agg` scan with zero data-file I/O at any
+    * scale. A hash match proves the footer-harvested stats (record
+    * counts, typed bounds, NaN counts) reproduce the data-derived
+    * answer exactly. */
+  def sql9AggStats(s: SparkSession, dir: String): DataFrame = {
+    lineitemTable(s, dir) // materialize into the warehouse
+    val ns = "sf" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val cname = "gq9"
+    s.conf.set(s"spark.sql.catalog.$cname",
+      "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", warehouse)
+    s.sql(
+      s"""SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_key,
+         |  MAX(l_orderkey) AS max_key, MIN(l_quantity) AS min_qty,
+         |  MAX(l_quantity) AS max_qty
+         |FROM $cname.$ns.lineitem""".stripMargin)
+  }
+
+  val sql9Sql: String =
+    """SELECT COUNT(*) AS cnt, MIN(l_orderkey) AS min_key,
+      |  MAX(l_orderkey) AS max_key, MIN(l_quantity) AS min_qty,
+      |  MAX(l_quantity) AS max_qty
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -709,6 +735,7 @@ object IcebergQueries {
     "sql6_sql_update" -> (sql6SqlUpdate _),
     "sql7_sql_merge" -> (sql7SqlMerge _),
     "sql8_merge_delete" -> (sql8MergeDelete _),
+    "sql9_agg_stats" -> (sql9AggStats _),
     "i15_writestream_sink" -> (i15WriteStreamSink _),
     "i16_stream_mor" -> (i16StreamMor _),
     "i17_partitions_meta" -> (i17PartitionsMeta _),
@@ -737,6 +764,7 @@ object IcebergQueries {
     "sql6_sql_update" -> MutationQueries.m3Sql,
     "sql7_sql_merge" -> MutationQueries.m4Sql,
     "sql8_merge_delete" -> sql8Sql,
+    "sql9_agg_stats" -> sql9Sql,
     "i15_writestream_sink" -> i14Sql,
     "i16_stream_mor" -> i16Sql,
     "i17_partitions_meta" -> i17Sql,

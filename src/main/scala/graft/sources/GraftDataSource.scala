@@ -292,13 +292,149 @@ private[sources] class GraftScanBuilder(
     pinnedSnapshot: Option[Long] = None,
     mutationPin: () => Option[Table] = () => None)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushedExpr: Option[Expr] = None
   private var accepted: Array[sources.Filter] = Array.empty
   private var allPushed: Array[sources.Filter] = Array.empty
   private var emitFile = false
+  private var aggResult: Option[(StructType, Array[Any], String)] = None
+
+  // ------------------------------------------------ aggregate pushdown
+
+  /** Metadata-answered aggregates: a global (no GROUP BY, no WHERE)
+    * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) over a delete-free
+    * snapshot is computed ENTIRELY from manifest statistics — at 100 TB
+    * that is the difference between a catalog lookup and a full scan.
+    * The SQL face of the Scan API's metadata `count()` (A1), extended
+    * to bounds.
+    *
+    * Exactness guards (any failure → no pushdown, ordinary scan):
+    *   - any MoR delete file attached → counts and extremes unsafe;
+    *   - float/double MIN/MAX need a recorded `nan_value_counts` of 0
+    *     (NaN is excluded from parquet bounds but sorts HIGHEST in
+    *     Spark, so a NaN-carrying file makes the stats lie);
+    *   - string bounds ≥ 16 chars may be truncated by the writer →
+    *     refused (shorter bounds are verbatim);
+    *   - every contributing file must carry the needed stat (all-null
+    *     files contribute nothing to MIN/MAX and may omit bounds). */
+  private lazy val aggTasks: Option[Seq[graft.spec.DataFile]] = try {
+    val t = mutationPin().getOrElse(
+      try gtable.refresh() catch { case _: Exception => gtable })
+    val scan = pinnedSnapshot.foldLeft(
+      Scan(t, SparkSession.active))(_ useSnapshot _)
+    val tasks = scan.planFiles()
+    if (tasks.forall(_.deleteFiles.isEmpty)) Some(tasks.map(_.file))
+    else None
+  } catch { case _: Exception => None }
+
+  private def topField(name: Array[String]): Option[graft.spec.NestedField] =
+    if (name.length != 1) None
+    else gtable.schema.fields.find(_.name == name(0))
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[graft.spec.NestedField] = e match {
+    case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+      topField(f.fieldNames())
+    case _ => None
+  }
+
+  private def boundAgg(files: Seq[graft.spec.DataFile],
+      f: graft.spec.NestedField, isMin: Boolean)
+      : Option[(org.apache.spark.sql.types.DataType, Any)] = {
+    import graft.spec._
+    val ice = f.fieldType
+    val supported = ice match {
+      case BooleanType | IntType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | TimestampTzType | StringType |
+           DecimalType(_, _) => true
+      case _ => false
+    }
+    if (!supported) return None
+    def allNull(df: DataFile): Boolean =
+      df.valueCounts.get(f.id).exists(vc =>
+        df.nullValueCounts.get(f.id).contains(vc))
+    val contributing = files.filterNot(allNull)
+    val floatHazard = ice == FloatType || ice == DoubleType
+    if (floatHazard && !contributing.forall(
+        _.nanValueCounts.get(f.id).contains(0L))) return None
+    def bounds(df: DataFile): Map[Int, Array[Byte]] =
+      if (isMin) df.lowerBounds else df.upperBounds
+    if (!contributing.forall(df => bounds(df).contains(f.id))) return None
+    val vals = contributing.map(df => Bounds.deserialize(bounds(df)(f.id), ice))
+    if (vals.contains(null)) return None
+    if (ice == StringType &&
+        vals.exists(_.asInstanceOf[String].length >= 16)) return None
+    val extreme =
+      if (vals.isEmpty) null
+      else vals.reduce((a, b) =>
+        if ((Bounds.compare(a, b, ice) <= 0) == isMin) a else b)
+    val sparkType = SchemaConverters.toSparkType(ice)
+    val catalyst = extreme match {
+      case null => null
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case bd: java.math.BigDecimal =>
+        val DecimalType(p, s) = ice: @unchecked
+        org.apache.spark.sql.types.Decimal(bd, p, s)
+      case other => other
+    }
+    Some((sparkType, catalyst))
+  }
+
+  private def computeAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types.{LongType => SLongType, StructField}
+    if (agg.groupByExpressions.nonEmpty || allPushed.nonEmpty ||
+        pushedExpr.isDefined) return None
+    aggTasks.flatMap { files =>
+      val per = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar =>
+          Some(("count_star", SLongType,
+            files.map(_.recordCount).sum: Any))
+        case c: Count if !c.isDistinct => colOf(c.column).flatMap { f =>
+          val ok = files.forall(df => df.valueCounts.contains(f.id) &&
+            df.nullValueCounts.contains(f.id))
+          if (!ok) None
+          else Some((s"count_${f.name}", SLongType,
+            files.map(df =>
+              df.valueCounts(f.id) - df.nullValueCounts(f.id)).sum: Any))
+        }
+        case m: Min => colOf(m.column).flatMap(f =>
+          boundAgg(files, f, isMin = true).map { case (dt, v) =>
+            (s"min_${f.name}", dt, v) })
+        case m: Max => colOf(m.column).flatMap(f =>
+          boundAgg(files, f, isMin = false).map { case (dt, v) =>
+            (s"max_${f.name}", dt, v) })
+        case _ => None
+      }
+      if (per.exists(_.isEmpty)) None
+      else {
+        val rs = per.map(_.get)
+        Some((StructType(rs.map(r =>
+            StructField(r._1, r._2, nullable = true))),
+          rs.map(_._3).toArray,
+          agg.aggregateExpressions.mkString(", ")))
+      }
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    aggResult = computeAgg(agg)
+    aggResult.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    if (aggResult.isEmpty) aggResult = computeAgg(agg)
+    aggResult.isDefined
+  }
 
   override def pushFilters(
       filters: Array[sources.Filter]): Array[sources.Filter] = {
@@ -321,10 +457,45 @@ private[sources] class GraftScanBuilder(
       requiredSchema.fields.filter(f => full.fieldNames.contains(f.name)))
   }
 
-  override def build(): V2Scan =
-    new GraftV2Scan(gtable, full, required, pushedExpr, options,
-      pinnedSnapshot, emitFile, allPushed.toSeq, mutationPin)
+  override def build(): V2Scan = aggResult match {
+    case Some((schema, row, desc)) => new GraftAggScan(schema, row, desc)
+    case None =>
+      new GraftV2Scan(gtable, full, required, pushedExpr, options,
+        pinnedSnapshot, emitFile, allPushed.toSeq, mutationPin)
+  }
 }
+
+/** A fully-pushed-down aggregate: the answer was computed from manifest
+  * statistics at plan time, so the "scan" is one partition emitting one
+  * pre-computed row — zero file I/O regardless of table size. */
+private[sources] class GraftAggScan(schema: StructType,
+    values: Array[Any], pushedDesc: String) extends V2Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String =
+    s"graft-agg PushedAggregates: [$pushedDesc]"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftAggPartition(values))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(p: InputPartition)
+            : PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private val vals = p.asInstanceOf[GraftAggPartition].values
+            private var emitted = false
+            override def next(): Boolean =
+              if (emitted) false else { emitted = true; true }
+            override def get(): InternalRow =
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(vals)
+            override def close(): Unit = ()
+          }
+      }
+  }
+}
+
+private[sources] final case class GraftAggPartition(values: Array[Any])
+    extends InputPartition
 
 /** v1 `sources.Filter` → engine [[Expr]], for stats pruning only.
   * Literal values arrive as external JVM types (String, numbers,
