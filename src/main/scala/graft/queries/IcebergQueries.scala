@@ -168,6 +168,22 @@ object IcebergQueries {
       TableOps.append(t, df)
     })
 
+  /** orders bucketed the same way as [[lineitemBucketed]] (8 buckets on
+    * the order key) — the co-located pair for the storage-partitioned
+    * join gate. */
+  private def ordersBucketed(spark: SparkSession, sfDir: String): Table =
+    cache.getOrElseUpdate(s"ob:$sfDir", {
+      val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sfb" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      val schema = SchemaConverters.fromSparkSchema(df.schema)
+      val spec = PartitionSpecs.bucketOf(schema, "o_orderkey", "ok_bucket", 8)
+      val t = Table.create(cat, TableIdentifier(ns, "orders"), schema,
+        spec, io = io)
+      TableOps.append(t, df)
+    })
+
   def i6PartitionedMonth(s: SparkSession, dir: String): DataFrame =
     Scan(ordersMonthly(s, dir), s)
       .filter(Col("o_orderdate").gte(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
@@ -712,6 +728,40 @@ object IcebergQueries {
       |  MAX(l_quantity) AS max_qty
       |FROM lineitem""".stripMargin
 
+  /** Storage-partitioned join through the CatalogPlugin: orders and
+    * lineitem both bucket(8) on the order key, joined under
+    * `spark.sql.sources.v2.bucketing.enabled` with a MERGE hint — the
+    * scans report `KeyGroupedPartitioning`, so the join runs with no
+    * shuffle on either side (SpjSpec asserts the plan shape; this gate
+    * proves the co-located join's RESULT matches DuckDB). */
+  def sql10SpjJoin(s: SparkSession, dir: String): DataFrame = {
+    lineitemBucketed(s, dir)
+    ordersBucketed(s, dir)
+    val ns = "sfb" + dir.replaceAll("[^0-9a-zA-Z]", "_")
+    val cname = "gq10"
+    s.conf.set(s"spark.sql.catalog.$cname",
+      "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$cname.warehouse", warehouse)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.sql(
+      s"""SELECT /*+ MERGE(l) */ o.o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_qty
+         |FROM $cname.$ns.orders o
+         |JOIN $cname.$ns.lineitem l ON o.o_orderkey = l.l_orderkey
+         |GROUP BY o.o_orderstatus
+         |ORDER BY o.o_orderstatus""".stripMargin)
+  }
+
+  val sql10Sql: String =
+    """SELECT o.o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM orders o
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderstatus
+      |ORDER BY o.o_orderstatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "i1_scan_filter" -> (i1ScanFilter _),
     "i2_scan_complex_pred" -> (i2ComplexPredicate _),
@@ -736,6 +786,7 @@ object IcebergQueries {
     "sql7_sql_merge" -> (sql7SqlMerge _),
     "sql8_merge_delete" -> (sql8MergeDelete _),
     "sql9_agg_stats" -> (sql9AggStats _),
+    "sql10_spj_join" -> (sql10SpjJoin _),
     "i15_writestream_sink" -> (i15WriteStreamSink _),
     "i16_stream_mor" -> (i16StreamMor _),
     "i17_partitions_meta" -> (i17PartitionsMeta _),
@@ -765,6 +816,7 @@ object IcebergQueries {
     "sql7_sql_merge" -> MutationQueries.m4Sql,
     "sql8_merge_delete" -> sql8Sql,
     "sql9_agg_stats" -> sql9Sql,
+    "sql10_spj_join" -> sql10Sql,
     "i15_writestream_sink" -> i14Sql,
     "i16_stream_mor" -> i16Sql,
     "i17_partitions_meta" -> i17Sql,
