@@ -293,7 +293,8 @@ private[sources] class GraftScanBuilder(
     mutationPin: () => Option[Table] = () => None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushedExpr: Option[Expr] = None
@@ -436,6 +437,23 @@ private[sources] class GraftScanBuilder(
     aggResult.isDefined
   }
 
+  // ---------------------------------------------------- limit pushdown
+
+  private var limitHint: Option[Int] = None
+
+  /** `SELECT ... LIMIT n` plans only enough FILES to cover n rows
+    * (cumulative manifest record counts) instead of one task per live
+    * file — on a million-file table a LIMIT 10 launches one task.
+    * Spark only pushes a limit with no intervening Filter, and the
+    * scan truncates only when that file-count→row-count equivalence is
+    * exact (no residual filter, no MoR deletes); `isPartiallyPushed`
+    * stays true so Spark's own Limit still caps rows. */
+  override def pushLimit(limit: Int): Boolean = {
+    limitHint = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
   override def pushFilters(
       filters: Array[sources.Filter]): Array[sources.Filter] = {
     val converted = filters.map(f => f -> FilterToExpr(f))
@@ -461,7 +479,7 @@ private[sources] class GraftScanBuilder(
     case Some((schema, row, desc)) => new GraftAggScan(schema, row, desc)
     case None =>
       new GraftV2Scan(gtable, full, required, pushedExpr, options,
-        pinnedSnapshot, emitFile, allPushed.toSeq, mutationPin)
+        pinnedSnapshot, emitFile, allPushed.toSeq, mutationPin, limitHint)
   }
 }
 
@@ -716,7 +734,9 @@ private[sources] class GraftV2Scan(
       * when a mutation is being planned on this table instance, its
       * group-filter subquery must read the operation's snapshot, not a
       * refreshed one. */
-    mutationPin: () => Option[Table] = () => None) extends V2Scan
+    mutationPin: () => Option[Table] = () => None,
+    /** Pushed LIMIT: plan only enough delete-free files to cover it. */
+    limitHint: Option[Int] = None) extends V2Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
@@ -734,7 +754,8 @@ private[sources] class GraftV2Scan(
     pinnedSnapshot, emitFile,
     required.fieldNames.toSeq,
     pushed.map(_.toString),
-    allFilters.map(_.toString))
+    allFilters.map(_.toString),
+    limitHint)
   override def equals(o: Any): Boolean = o match {
     case g: GraftV2Scan => eqKey == g.eqKey
     case _ => false
@@ -812,7 +833,23 @@ private[sources] class GraftV2Scan(
   private[sources] lazy val (batchTable, batchTasks) = {
     val t = mutationPin().getOrElse(
       try gtable.refresh() catch { case _: Exception => gtable })
-    (t, newScan(t).planFiles())
+    val tasks = newScan(t).planFiles()
+    // LIMIT n with no filter: recordCount is exact per delete-free
+    // file, so files beyond the first n cumulative rows can never
+    // contribute — a LIMIT 10 on a million-file table plans one task.
+    val truncated = limitHint match {
+      case Some(n) if pushed.isEmpty && allFilters.isEmpty &&
+          tasks.forall(_.deleteFiles.isEmpty) =>
+        var acc = 0L
+        val keep = Vector.newBuilder[FileScanTask]
+        val it = tasks.iterator
+        while (acc < n && it.hasNext) {
+          val task = it.next(); keep += task; acc += task.file.recordCount
+        }
+        keep.result()
+      case _ => tasks
+    }
+    (t, truncated)
   }
 
   /** Post-runtime-filter task set. BatchScanExec replans partitions
