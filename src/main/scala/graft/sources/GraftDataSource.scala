@@ -1279,7 +1279,9 @@ private[sources] class GraftMicroBatchStream(
     scan: GraftV2Scan,
     options: CaseInsensitiveStringMap) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
-      .SupportsAdmissionControl {
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{
     ReadLimit, ReadMaxFiles}
@@ -1351,6 +1353,17 @@ private[sources] class GraftMicroBatchStream(
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
+  /** `Trigger.AvailableNow`: pin the drain target to the snapshot
+    * current at query start. Micro-batches still respect
+    * `max-files-per-trigger`, so a huge backfill drains in bounded
+    * steps and the query stops at the pinned snapshot even if writers
+    * keep committing. */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(refreshed().currentSnapshot
+      .map(_.snapshotId).getOrElse(-1L))
+
   override def reportLatestOffset(): Offset =
     GraftOffset(refreshed().currentSnapshot
       .map(_.snapshotId).getOrElse(-1L))
@@ -1358,7 +1371,9 @@ private[sources] class GraftMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val t = refreshed()
     val so = start.asInstanceOf[GraftOffset]
-    val cur = t.currentSnapshot.map(_.snapshotId).getOrElse(return so)
+    val cur = availableNowTarget.getOrElse(
+      t.currentSnapshot.map(_.snapshotId).getOrElse(-1L))
+    if (cur == -1L) return so
     var remaining = limit match {
       case m: ReadMaxFiles => m.maxFiles()
       case _ => Int.MaxValue

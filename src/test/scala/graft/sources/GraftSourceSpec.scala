@@ -353,6 +353,41 @@ class GraftSourceSpec extends AnyFunSuite {
       s"resume + paced tail, got ${all.length} rows")
   }
 
+  test("Trigger.AvailableNow drains in bounded batches, then stops") {
+    val (t0, dir, name) = mkTable("s9")
+    var t = t0
+    for (b <- 0 until 4)
+      t = TableOps.append(t, batch(b * 10 + 1 to b * 10 + 10).coalesce(1))
+    val ckpt = Files.createTempDirectory("graft-s9-ckpt-").toString
+    val out = Files.createTempDirectory("graft-s9-out-").toString
+    def drain(): Long = {
+      val q = streamReader(dir, name)
+        .option("max-files-per-trigger", "2").load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow terminates ON ITS OWN at the pinned snapshot
+      assert(q.awaitTermination(120000), "AvailableNow must self-stop")
+      q.recentProgress.count(_.numInputRows > 0).toLong
+    }
+    val batches = drain()
+    assert(batches >= 2,
+      s"4 files at 2/trigger need >= 2 micro-batches, got $batches")
+    val first = spark.read.parquet(out)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(first.toSeq == (1L to 40L))
+
+    // second run after one more append: delivers ONLY the tail
+    t = TableOps.append(t, batch(41 to 50).coalesce(1))
+    drain()
+    val all = spark.read.parquet(out)
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(all.toSeq == (1L to 50L))
+  }
+
   test("offset json round-trip") {
     val o = GraftOffset(42L)
     assert(GraftOffset.fromJson(o.json()) == o)
