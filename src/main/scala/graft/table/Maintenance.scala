@@ -100,6 +100,53 @@ object Maintenance {
       deletedFilePaths = candidateSet ++ retiredDeletes))
   }
 
+  /** Z-order rewrite (Iceberg's `rewrite_data_files(strategy =>
+    * 'sort', sort_order => 'zorder(...)')`): rewrite ALL live data into
+    * files clustered along the Morton curve of `columns`, so scans
+    * filtered on ANY of them prune files — a linear sort only serves
+    * its leading column. Unpartitioned tables range-partition the
+    * z-key globally; partitioned tables z-cluster WITHIN each
+    * partition (the partition transform stays the coarse grain).
+    * Every delete file retires with the rewrite (all data files are
+    * rewritten), committed as one `replace` snapshot. Unlike
+    * compaction this is a FULL rewrite — cost ∝ table size; run it on
+    * query-critical tables, partitions, or after heavy churn. */
+  def zorderRewrite(table: Table, spark: SparkSession,
+      columns: Seq[String],
+      targetFileSizeBytes: Long = 128L * 1024 * 1024): Table =
+    Mutations.withConflictRetry(table)(
+      zorderOnce(_, spark, columns, targetFileSizeBytes))
+
+  private def zorderOnce(table: Table, spark: SparkSession,
+      columns: Seq[String], targetFileSizeBytes: Long): Table = {
+    val tasks = Scan(table, spark).planFiles()
+    if (tasks.isEmpty) return table
+    val schema = table.schema
+    val df = Scan(table, spark).readTasks(schema, tasks)
+    val bounds = ZOrder.columnBounds(tasks, schema, columns, df)
+    val z = ZOrder.zvalue(df, schema, columns, bounds)
+    val totalBytes = tasks.map(_.file.fileSizeInBytes).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetFileSizeBytes - 1) / targetFileSizeBytes)
+    val recordsPerFile =
+      math.max(1L, tasks.map(_.file.recordCount).sum / nFiles)
+    val newFiles =
+      if (table.spec.isUnpartitioned) {
+        val clustered = df.withColumn("__z", z)
+          .repartitionByRange(nFiles.toInt, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+        DataWriter.writeDataFiles(table.metadata, clustered,
+          maxRecordsPerFile = recordsPerFile)
+      } else
+        PartitionedWriter.writeDataFiles(table.metadata, df,
+          extraSortCols = Seq("__z" -> z))
+    val deletePaths = tasks.map(_.file.filePath).toSet ++
+      tasks.flatMap(_.deleteFiles.map(_.file.filePath))
+    table.commitSnapshot(PendingSnapshot(Operation.Replace,
+      addedDataFiles = newFiles, deletedFilePaths = deletePaths))
+  }
+
   /** Delete files under the table location reachable from NO retained
     * snapshot — leftovers of crashed writes and failed commits, which
     * snapshot expiry can never find (they were never committed). Only

@@ -259,24 +259,43 @@ class Scan private (
           }
       })
 
-    val tasks = Seq.newBuilder[FileScanTask]
-    dataManifests.filter(manifestSurvives).foreach { mf =>
-      val manifest = table.readManifest(mf)
-      val mfSpec = table.metadata.specById(mf.partitionSpecId)
-      manifest.liveEntries.foreach { e =>
-        val survives = pred.forall(p =>
-          Pruning.fileMightMatch(p, e.dataFile, schema) &&
-            mfSpec.forall(sp =>
-              Pruning.partitionTupleMightMatch(p, e.dataFile, sp, schema)))
-        if (survives) {
-          val seq = e.sequenceNumber.getOrElse(0L)
-          tasks += FileScanTask(e.dataFile, seq, mf.partitionSpecId,
-            applicableDeletes(mf.partitionSpecId, e.dataFile.partition, seq),
-            manifest.schemaId)
-        }
+    // Entry-level planning: below the threshold, read+prune manifests
+    // on the driver; above it, fan the reads out to EXECUTORS (Iceberg's
+    // distributed planning). At 100 TB a table holds thousands of
+    // manifests — a serial driver loop over them is the planning
+    // bottleneck, while each executor task ships back only the pruned
+    // (DataFile, seq, specId, schemaId) survivors. Delete attachment
+    // stays driver-side: the delete index is already in hand and
+    // memoized per (specId, partition, seq).
+    val surviving = dataManifests.filter(manifestSurvives)
+    val planThreshold = options.get("distributed-plan-threshold")
+      .map(_.toInt).getOrElse(Scan.DistributedPlanThreshold)
+
+    val pruned: Seq[(DataFile, Long, Int, Int)] =
+      if (surviving.size < planThreshold)
+        surviving.flatMap(mf => Scan.pruneManifest(table.readManifest(mf),
+          mf.partitionSpecId, pred, schema,
+          table.metadata.specById(mf.partitionSpecId)))
+      else {
+        val specById = table.metadata.partitionSpecs
+          .map(s => (s.specId, s)).toMap
+        val predL = pred; val schemaL = schema // don't capture `this`
+        val inputs = surviving.map(mf => (mf.manifestPath, mf.partitionSpecId))
+        val slices = math.max(1, math.min(inputs.size,
+          spark.sparkContext.defaultParallelism * 2))
+        spark.sparkContext.parallelize(inputs, slices)
+          .flatMap { case (path, specId) =>
+            val manifest = graft.avro.ManifestAvro.readManifest(
+              new graft.io.HadoopFileIO().readAllBytes(path))
+            Scan.pruneManifest(manifest, specId, predL, schemaL,
+              specById.get(specId))
+          }.collect().toSeq
       }
+
+    pruned.map { case (df, seq, specId, schemaId) =>
+      FileScanTask(df, seq, specId,
+        applicableDeletes(specId, df.partition, seq), schemaId)
     }
-    tasks.result()
   }
 
   /** Metadata-only count (`table/scan.go:234-250`): exact when no row
@@ -530,6 +549,30 @@ object Scan {
     * not grow with partition count; see readTasks). Overridable per
     * scan via `option("max-eq-delete-groups", n)`. */
   val MaxEqDeleteGroups = 8
+
+  /** Surviving data manifests at/above which planFiles reads them on
+    * executors instead of serially on the driver (Iceberg's
+    * distributed planning). Overridable per scan via
+    * `option("distributed-plan-threshold", n)`. */
+  val DistributedPlanThreshold = 64
+
+  /** Read-side pruning of one manifest's live entries — a pure
+    * function of shipped values so it can run inside an executor task
+    * (no Table/SparkSession capture). Returns
+    * (dataFile, dataSequenceNumber, partitionSpecId, schemaId). */
+  private[table] def pruneManifest(manifest: graft.spec.Manifest,
+      specId: Int, pred: Option[Expr], schema: Schema,
+      spec: Option[PartitionSpec]): Seq[(DataFile, Long, Int, Int)] =
+    manifest.liveEntries.flatMap { e =>
+      val survives = pred.forall(p =>
+        Pruning.fileMightMatch(p, e.dataFile, schema) &&
+          spec.forall(sp =>
+            Pruning.partitionTupleMightMatch(p, e.dataFile, sp, schema)))
+      if (survives)
+        Some((e.dataFile, e.sequenceNumber.getOrElse(0L), specId,
+          manifest.schemaId))
+      else None
+    }
 
   def apply(table: Table, spark: SparkSession): Scan = new Scan(table, spark)
 }

@@ -286,7 +286,12 @@ object PartitionedWriter {
 
   private val partPrefix = "__p_"
 
-  def writeDataFiles(meta: TableMetadata, df: DataFrame): Seq[DataFile] = {
+  def writeDataFiles(meta: TableMetadata, df: DataFrame,
+      /** transient cluster keys (name → expr): sorted by AFTER the
+        * partition dirs but BEFORE the declared sort order, dropped
+        * before the bytes hit parquet — z-order rewrites ride here. */
+      extraSortCols: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      : Seq[DataFile] = {
     val spec = meta.defaultPartitionSpec
     if (spec.isUnpartitioned) return DataWriter.writeDataFiles(meta, df)
     val spark = df.sparkSession
@@ -302,6 +307,7 @@ object PartitionedWriter {
     }
     var df2 = df
     partCols.foreach { case (n, c) => df2 = df2.withColumn(n, c) }
+    extraSortCols.foreach { case (n, c) => df2 = df2.withColumn(n, c) }
     val names = partCols.map(_._1)
     // co-locate each partition tuple in one task before the dir split
     df2 = df2.repartition(names.map(col): _*)
@@ -310,7 +316,11 @@ object PartitionedWriter {
     // partition columns FIRST: FileFormatWriter requires ordering by the
     // partition columns and re-sorts (unstably) if it isn't satisfied,
     // which would destroy the declared sort order within files
-    df2 = df2.sortWithinPartitions(names.map(col) ++ sortCols: _*)
+    df2 = df2.sortWithinPartitions(names.map(col) ++
+      extraSortCols.map(p => col(p._1)) ++ sortCols: _*)
+    // drop AFTER the sort: a projection keeps intra-partition order and
+    // the partition-column ordering stays satisfied, so no re-sort
+    if (extraSortCols.nonEmpty) df2 = df2.drop(extraSortCols.map(_._1): _*)
 
     val key = "spark.sql.parquet.outputTimestampType"
     val prev = spark.conf.getOption(key)

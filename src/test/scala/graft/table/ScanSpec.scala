@@ -423,6 +423,57 @@ class NaNStatsSpec extends AnyFunSuite {
   }
 }
 
+class DistributedPlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def freshTable(name: String): Table = {
+    val dir = Files.createTempDirectory("graft-dp-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    Table.create(cat, TableIdentifier(Seq("db"), name),
+      Fixtures4.usersSchema, io = new HadoopFileIO())
+  }
+
+  private def usersDf(ids: Range): DataFrame = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"user_$i",
+        if (i % 2 == 1) null else s"u$i@x.com",
+        new java.sql.Timestamp(1704067200000L + i * 1000L)))
+      .toDF("id", "name", "email", "created_at")
+  }
+
+  test("distributed manifest planning agrees with the driver path") {
+    var t = freshTable("distplan")
+    // 5 appends → 5 data manifests; plus a MoR delete for attachment
+    for (k <- 0 until 5)
+      t = TableOps.append(t, usersDf(k * 10 + 1 to k * 10 + 10).coalesce(1))
+    t = Mutations.deleteMoR(t, spark, Col("id").eqTo(7L))
+
+    def canon(tasks: Seq[FileScanTask]) = tasks
+      .map(ts => (ts.file.filePath, ts.sequenceNumber, ts.specId,
+        ts.schemaId, ts.deleteFiles.map(_.file.filePath).sorted))
+      .sortBy(_._1)
+
+    val driver = Scan(t, spark)
+      .option("distributed-plan-threshold", "1000").planFiles()
+    val dist = Scan(t, spark)
+      .option("distributed-plan-threshold", "1").planFiles()
+    assert(canon(dist) == canon(driver),
+      "executor-parallel planning must yield identical tasks")
+
+    // pruning happens inside the executor tasks too
+    val distPruned = Scan(t, spark)
+      .option("distributed-plan-threshold", "1")
+      .filter(Col("id").between(21L, 29L)).planFiles()
+    assert(distPruned.size == 1,
+      s"bounds pruning must survive fan-out, got ${distPruned.size} files")
+    // and the scan still reads correctly through the distributed plan
+    val got = Scan(t, spark).option("distributed-plan-threshold", "1")
+      .toDF.select("id").collect().map(_.getLong(0)).toSet
+    assert(got == (1 to 50).map(_.toLong).toSet - 7L)
+  }
+}
+
 object Fixtures4 {
   val usersSchema: Schema = Schema(0, Seq(
     NestedField(1, "id", LongType, required = true),
