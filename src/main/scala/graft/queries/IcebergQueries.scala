@@ -476,6 +476,55 @@ object IcebergQueries {
       |  COUNT(*) AS record_count
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Changelog / CDC reads (Iceberg's incremental changelog scan —
+    * the mutation-aware completion of i12's append-only incremental):
+    * append, append, MoR equality-delete, append; the changelog over
+    * the whole range must emit exactly the inserted rows of the two
+    * later appends plus DELETE rows for every then-visible row the
+    * equality delete killed — all derived from manifest diffs, never
+    * a full-table diff. */
+  private def lineitemChangelogTable(spark: SparkSession,
+      sfDir: String): Table =
+    cache.getOrElseUpdate(s"li18:$sfDir", {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sf18" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      var t = Table.create(cat, TableIdentifier(ns, "lineitem"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io)
+      t = TableOps.append(t, df.filter(col("l_linenumber") <= 2))
+      t = TableOps.append(t,
+        df.filter(col("l_linenumber").isin(3, 4)))
+      t = Mutations.deleteByKeys(t, spark,
+        df.filter(col("l_orderkey") % 13 === 0)
+          .select("l_orderkey").distinct())
+      TableOps.append(t, df.filter(col("l_linenumber") >= 5))
+    })
+
+  def i18Changelog(s: SparkSession, dir: String): DataFrame = {
+    val t = lineitemChangelogTable(s, dir)
+    var root = t.currentSnapshot.get
+    while (root.parentSnapshotId.isDefined)
+      root = t.snapshotById(root.parentSnapshotId.get).get
+    Changelog.between(t, s, root.snapshotId,
+      t.currentSnapshot.get.snapshotId)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col(Changelog.ChangeType), col(Changelog.ChangeOrdinal))
+  }
+
+  val i18Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  'INSERT' AS _change_type, 0 AS _change_ordinal
+      |FROM lineitem WHERE l_linenumber IN (3, 4)
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, l_quantity,
+      |  'DELETE', 1
+      |FROM lineitem WHERE l_linenumber <= 4 AND l_orderkey % 13 = 0
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, l_quantity,
+      |  'INSERT', 2
+      |FROM lineitem WHERE l_linenumber >= 5""".stripMargin
+
   // ------------------------------ SQL façade gates (verdict #7): the
   // SAME engine tables queried through spark.sql — GraftRelation leaf +
   // optimizer-rule substitution, native parquet execution.
@@ -790,6 +839,7 @@ object IcebergQueries {
     "i15_writestream_sink" -> (i15WriteStreamSink _),
     "i16_stream_mor" -> (i16StreamMor _),
     "i17_partitions_meta" -> (i17PartitionsMeta _),
+    "i18_changelog" -> (i18Changelog _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -820,5 +870,6 @@ object IcebergQueries {
     "i15_writestream_sink" -> i14Sql,
     "i16_stream_mor" -> i16Sql,
     "i17_partitions_meta" -> i17Sql,
+    "i18_changelog" -> i18Sql,
   )
 }

@@ -34,7 +34,8 @@ private[sources] object GraftProcedures {
 
   val Names: Seq[String] = Seq("expire_snapshots", "compact",
     "rollback_to_snapshot", "set_ref", "remove_ref",
-    "remove_orphan_files", "rewrite_manifests")
+    "remove_orphan_files", "rewrite_manifests", "create_changelog_view",
+    "rewrite_data_files")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -106,6 +107,26 @@ private[sources] class GraftBoundProcedure(
     case "rewrite_manifests" => Array(
       p("ns", StringType), p("table", StringType),
       pDefault("max_entries_per_manifest", IntegerType, "100000"))
+    case "create_changelog_view" => Array(
+      p("ns", StringType), p("table", StringType),
+      p("from_snapshot_id", LongType),
+      // -1 sentinel → the current snapshot
+      pDefault("to_snapshot_id", LongType, "-1"),
+      // '' sentinel → "<table>_changes"
+      pDefault("view_name", StringType, "''"),
+      pDefault("net_changes", BooleanType, "false"),
+      // CoW rewrite churn (identical DELETE+INSERT pairs) dropped by
+      // default, matching Iceberg's create_changelog_view
+      pDefault("remove_carryovers", BooleanType, "true"),
+      // 'c1,c2' → pair same-commit DELETE/INSERT on these keys into
+      // UPDATE_BEFORE / UPDATE_AFTER (compute_updates)
+      pDefault("identifier_columns", StringType, "''"))
+    case "rewrite_data_files" => Array(
+      p("ns", StringType), p("table", StringType),
+      // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
+      pDefault("zorder_by", StringType, "''"),
+      pDefault("target_file_size_bytes", LongType,
+        (128L * 1024 * 1024).toString))
   }
 
   override def call(input: InternalRow): JIterator[V2Scan] = {
@@ -170,6 +191,47 @@ private[sources] class GraftBoundProcedure(
           .count(_.content == graft.spec.ManifestContent.Data)
         (new StructType().add("manifests_before", IntegerType)
           .add("manifests_after", IntegerType), Seq(before, now))
+      case "create_changelog_view" =>
+        // Iceberg's create_changelog_view: register the CDC rows of
+        // (from, to] as a temp view for plain-SQL consumption
+        val from = input.getLong(2)
+        val toRaw = input.getLong(3)
+        val to =
+          if (toRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+            throw new IllegalArgumentException(
+              s"create_changelog_view: $ns.$tbl has no snapshots"))
+          else toRaw
+        val nameRaw = input.getUTF8String(4).toString
+        val viewName = if (nameRaw.isEmpty) s"${tbl}_changes" else nameRaw
+        val net = input.getBoolean(5)
+        val dropCarryovers = input.getBoolean(6)
+        val idCols = input.getUTF8String(7).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        var df = graft.table.Changelog.between(t, spark, from, to)
+        if (net) df = graft.table.Changelog.netChanges(df)
+        else {
+          if (dropCarryovers)
+            df = graft.table.Changelog.removeCarryovers(df)
+          if (idCols.nonEmpty)
+            df = graft.table.Changelog.withUpdates(df, idCols)
+        }
+        df.createOrReplaceTempView(viewName)
+        (new StructType().add("view_name", StringType)
+          .add("from_snapshot_id", LongType).add("to_snapshot_id", LongType),
+          Seq(viewName, from, to))
+      case "rewrite_data_files" =>
+        val zorderBy = input.getUTF8String(2).toString
+        val target = input.getLong(3)
+        val before = graft.table.Scan(t, spark).planFiles().size
+        val after =
+          if (zorderBy.isEmpty) Maintenance.compactDataFiles(t, spark, target)
+          else Maintenance.zorderRewrite(t, spark,
+            zorderBy.split(',').map(_.trim).filter(_.nonEmpty).toSeq, target)
+        val now = graft.table.Scan(after, spark).planFiles().size
+        (new StructType().add("files_before", IntegerType)
+          .add("files_after", IntegerType)
+          .add("strategy", StringType),
+          Seq(before, now, if (zorderBy.isEmpty) "binpack" else "zorder"))
     }
     val result: V2Scan = new LocalScan {
       override def readSchema(): StructType = schema

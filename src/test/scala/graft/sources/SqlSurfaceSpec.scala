@@ -183,6 +183,56 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.create_changelog_view registers a CDC view") {
+    withCatalog("cdc") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, 'a'), (2, 'b')")
+      val s0 = loadT(dir, "t").currentSnapshot.get.snapshotId
+      spark.sql(s"INSERT INTO $c.db.t VALUES (3, 'c')")
+      spark.sql(s"DELETE FROM $c.db.t WHERE id = 1")
+      val res = spark.sql(
+        s"CALL $c.system.create_changelog_view('db', 't', ${s0}L)")
+        .collect().head
+      assert(res.getString(0) == "t_changes")
+      val rows = spark.sql(
+        "SELECT id, v, _change_type, _change_ordinal FROM t_changes")
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          r.getString(2), r.getInt(3))).toSet
+      assert(rows.contains((3L, "c", "INSERT", 0)))
+      assert(rows.contains((1L, "a", "DELETE", 1)), s"got $rows")
+      // net form collapses any CoW rewrite churn (DELETE+INSERT of
+      // surviving rows) down to the two real changes
+      spark.sql(s"CALL $c.system.create_changelog_view(" +
+        s"'db', 't', ${s0}L, -1L, 'net_view', true)")
+      val net = spark.sql(
+        "SELECT id, _change_type FROM net_view").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(net == Set((3L, "INSERT"), (1L, "DELETE")), s"net=$net")
+    }
+  }
+
+  test("CALL system.rewrite_data_files: binpack and zorder strategies") {
+    withCatalog("rdf") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, x BIGINT, y BIGINT)")
+      for (k <- 0 until 4)
+        spark.sql(s"INSERT INTO $c.db.t VALUES " +
+          (0 until 25).map(i => s"(${k * 25 + i}, ${i % 5}, ${i / 5})")
+            .mkString(", "))
+      val packed = spark.sql(
+        s"CALL $c.system.rewrite_data_files('db', 't')").collect().head
+      assert(packed.getString(2) == "binpack")
+      assert(packed.getInt(1) <= packed.getInt(0),
+        s"binpack must not grow the file count: $packed")
+      val zed = spark.sql(s"CALL $c.system.rewrite_data_files(" +
+        "'db', 't', 'x,y')").collect().head
+      assert(zed.getString(2) == "zorder")
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.t")
+        .collect().head.getLong(0) == 100)
+    }
+  }
+
   test("unknown procedure errors with the available list") {
     withCatalog("nop") { (c, _) =>
       val e = intercept[Exception] {
