@@ -139,8 +139,13 @@ object Maintenance {
         DataWriter.writeDataFiles(table.metadata, clustered,
           maxRecordsPerFile = recordsPerFile)
       } else
+        // maxRecordsPerFile keeps targetFileSizeBytes meaningful on
+        // partitioned tables: without it each partition tuple collapses
+        // to ONE (possibly huge) file and the intra-partition z-sort
+        // yields no file-level pruning — the feature's whole point.
         PartitionedWriter.writeDataFiles(table.metadata, df,
-          extraSortCols = Seq("__z" -> z))
+          extraSortCols = Seq("__z" -> z),
+          maxRecordsPerFile = recordsPerFile)
     val deletePaths = tasks.map(_.file.filePath).toSet ++
       tasks.flatMap(_.deleteFiles.map(_.file.filePath))
     table.commitSnapshot(PendingSnapshot(Operation.Replace,

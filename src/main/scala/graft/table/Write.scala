@@ -290,10 +290,16 @@ object PartitionedWriter {
       /** transient cluster keys (name → expr): sorted by AFTER the
         * partition dirs but BEFORE the declared sort order, dropped
         * before the bytes hit parquet — z-order rewrites ride here. */
-      extraSortCols: Seq[(String, org.apache.spark.sql.Column)] = Nil)
+      extraSortCols: Seq[(String, org.apache.spark.sql.Column)] = Nil,
+      /** >0 splits each partition's output into files of at most this
+        * many rows (file-size control); 0 = one file per partition
+        * tuple per task. Sequential split of already-sorted data, so
+        * each chunk keeps a contiguous (tight) sort/z-key range. */
+      maxRecordsPerFile: Long = 0L)
       : Seq[DataFile] = {
     val spec = meta.defaultPartitionSpec
-    if (spec.isUnpartitioned) return DataWriter.writeDataFiles(meta, df)
+    if (spec.isUnpartitioned)
+      return DataWriter.writeDataFiles(meta, df, maxRecordsPerFile)
     val spark = df.sparkSession
     val schema = meta.currentSchema
 
@@ -327,8 +333,12 @@ object PartitionedWriter {
     spark.conf.set(key, "TIMESTAMP_MICROS")
     val dir = meta.location.stripSuffix("/") + "/data/" +
       java.util.UUID.randomUUID().toString
-    try df2.write.option("compression", "snappy")
-      .partitionBy(names: _*).parquet(dir)
+    try {
+      var w = df2.write.option("compression", "snappy")
+      if (maxRecordsPerFile > 0)
+        w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+      w.partitionBy(names: _*).parquet(dir)
+    }
     finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)

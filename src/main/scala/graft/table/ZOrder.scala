@@ -32,12 +32,18 @@ object ZOrder {
     require(colNames.nonEmpty && colNames.size <= MaxColumns,
       s"zorder takes 1..$MaxColumns columns, got ${colNames.size}")
     val k = colNames.size
+    // Keep every interleaved bit below position 63: with 4 columns a full
+    // 16 bits/col would place the 4th column's MSB on the long's SIGN bit,
+    // inverting the Morton curve's coarsest split of that column. Use the
+    // TOP effBits of each quantized value (truncation preserves order).
+    val effBits = if (k * Bits > 63) 63 / k else Bits
     val spread = colNames.zipWithIndex.map { case (name, i) =>
       val f = schema.fieldByName(name).getOrElse(
         throw new IllegalArgumentException(s"zorder column $name not found"))
-      val q = quantize(col(name), f.fieldType, bounds.get(name))
-      // spread the 16 bits of q to positions b*k + i of the z key
-      (0 until Bits).map { b =>
+      val q16 = quantize(col(name), f.fieldType, bounds.get(name))
+      val q = if (effBits == Bits) q16 else shiftright(q16, Bits - effBits)
+      // spread the effBits bits of q to positions b*k + i of the z key
+      (0 until effBits).map { b =>
         shiftleft(shiftright(q, b).bitwiseAND(lit(1L)), b * k + i)
       }.reduce(_ bitwiseOR _)
     }
