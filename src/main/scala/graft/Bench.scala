@@ -5,11 +5,14 @@ import org.apache.spark.sql.SparkSession
   * prints exactly one JSON line for the driver's BENCH_r{N}.json.
   *
   * The artifact is self-defending against machine-load contamination
-  * (round-6 verdict #1): it records /proc/loadavg around every query, emits
-  * the raw per-query sample arrays, and sets "contaminated": true when the
-  * box was demonstrably busy (load1 high for a 32-CPU box) or when the
-  * median/min ratio diverges across most queries — either signal means the
-  * numbers measure the machine, not the engine.
+  * (round-6 verdict #1, tightened round 8 after the round-7 flag failed to
+  * fire on a demonstrably contaminated run): the primary detector is an
+  * ABSOLUTE floor — `BENCH_FLOOR.json` holds judge-verified idle per-query
+  * minimums at sf0.1, and the run is flagged contaminated when its total_min
+  * exceeds 3x the floor total or >=2 queries exceed 5x their per-query
+  * floor. Relative heuristics (loadavg, median/min divergence) remain as
+  * corroboration only, with thresholds derived from the configured CPU
+  * count rather than a hardcoded 32.
   */
 object Bench {
   /** 1-minute load average from /proc/loadavg; -1 when unreadable (non-Linux). */
@@ -19,11 +22,64 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
-  private def fmt(d: Double): String = f"$d%.4f"
+  /** Locale-independent: the artifact must be valid JSON on comma-decimal
+    * locales too (ADVICE r7 #1). */
+  def fmt(d: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+
+  /** Parses a flat {"name":number,...} JSON object (the shape of
+    * BENCH_FLOOR.json). Tolerant of whitespace; ignores non-numeric values. */
+  def parseFlatJson(text: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*(-?[0-9]+(?:\.[0-9]+)?)""".r
+      .findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
+  def loadFloor(path: String): Map[String, Double] =
+    try {
+      val src = scala.io.Source.fromFile(path)
+      try parseFlatJson(src.mkString) finally src.close()
+    } catch { case _: Throwable => Map.empty }
+
+  /** Contamination verdict, pure and unit-testable (round-7 verdict #1:
+    * the heuristic must be replay-tested against the r7 false-clean run).
+    *
+    * Primary (absolute, floor-based): a contaminated machine cannot beat
+    * physics — per-query minimums blow past the judge-verified idle floor.
+    * Fires when total_min > 3x floor total, or >=2 queries exceed 5x their
+    * per-query floor. Only applies when the floor file matches the run's
+    * scale factor (floors are sf0.1 numbers).
+    *
+    * Corroboration (relative): sustained load for the configured CPU count
+    * (loadBefore > cpus/4, or more than half the samples > cpus/2 — note
+    * per-query load1 includes the bench's own Spark load, ADVICE r7 #2),
+    * or median/min > 3x on most queries. These alone also flag, so the
+    * detector still works when no floor file is present.
+    */
+  def contaminationVerdict(
+      perQueryMin: Map[String, Double],
+      totalMin: Double,
+      floor: Map[String, Double],
+      floorApplies: Boolean,
+      loadBefore: Double,
+      loads: Seq[Double],
+      medMinRatios: Seq[Double],
+      cpus: Int): Boolean = {
+    val floorTotal = floor.getOrElse("total_min", -1.0)
+    val overTotal = floorApplies && floorTotal > 0 && totalMin > 3.0 * floorTotal
+    val overPerQuery = floorApplies && perQueryMin.count { case (q, mn) =>
+      floor.get(q).exists(f => f > 0 && mn > 5.0 * f)
+    } >= 2
+    val highLoad = loadBefore > cpus / 4.0 ||
+      loads.count(_ > cpus / 2.0) > loads.size / 2
+    val divergent =
+      medMinRatios.nonEmpty && medMinRatios.count(_ > 3.0) > medMinRatios.size / 2
+    overTotal || overPerQuery || highLoad || divergent
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,47 +102,64 @@ object Bench {
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val samples = (1 to iters).map { _ =>
+      // A failing query must surface as an error, not a (fast) time-to-throw
+      // sample (round-7 verdict #2): failed iterations are excluded from the
+      // samples and the first failure class is recorded per query.
+      var err: String = null
+      val samples = (1 to iters).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            if (err == null) err = e.getClass.getName
+            None
+        }
       }
       val load = load1()
       val sorted = samples.sorted
-      (name, sorted(sorted.size / 2), sorted.head, samples, load)
+      val med = if (sorted.nonEmpty) sorted(sorted.size / 2) else -1.0
+      val mn = if (sorted.nonEmpty) sorted.head else -1.0
+      (name, med, mn, samples, load, Option(err))
     }
     val loadAfter = load1()
-    val qs = results.map { case (k, med, _, _, _) => "\"" + k + "\":" + fmt(med) }
+    val ok = results.filter(_._4.nonEmpty)
+    val qs = ok.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     // Min alongside median (round-5 verdict #3): the median defends
     // against outlier iterations, the min defends against a
     // systematically loaded machine — a contaminated run shows
     // median >> min, which medians alone can't reveal.
-    val qsMin = results.map { case (k, _, mn, _, _) => "\"" + k + "\":" + fmt(mn) }
+    val qsMin = ok.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + fmt(mn) }
       .mkString("{", ",", "}")
-    val qsSamples = results.map { case (k, _, _, ss, _) =>
+    val qsSamples = ok.map { case (k, _, _, ss, _, _) =>
       "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val qsLoad = results.map { case (k, _, _, _, ld) => "\"" + k + "\":" + fmt(ld) }
+    val qsLoad = results.map { case (k, _, _, _, ld, _) => "\"" + k + "\":" + fmt(ld) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val totalMin = results.map(_._3).sum
-    // Contamination heuristics: (a) sustained external load on this 32-CPU
-    // box — load1 > 8 before we even start, or while running queries that
-    // themselves rarely push load1 past the low single digits at sf0.1;
-    // (b) median/min > 3x on most queries, which only happens when a
-    // persistent external consumer steals cores mid-run.
+    val qsErr = results.collect { case (k, _, _, _, _, Some(e)) =>
+      "\"" + k + "\":\"" + e + "\""
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val totalMin = ok.map(_._3).sum
+    val floorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FLOOR", "BENCH_FLOOR.json")
+    val floor = loadFloor(floorPath)
+    // The committed floors are sf0.1 idle minimums; at any other scale
+    // factor the absolute comparison is meaningless and only the relative
+    // heuristics apply.
+    val floorApplies = sfDir.endsWith("sf0.1") || sfDir.endsWith("sf0.1/")
     val loads = (loadBefore +: results.map(_._5)) :+ loadAfter
-    val highLoad = loadBefore > 8.0 || loads.count(_ > 16.0) >= loads.size / 2
-    val divergent = {
-      val ratios = results.collect { case (_, med, mn, _, _) if mn > 0.01 => med / mn }
-      ratios.nonEmpty && ratios.count(_ > 3.0) > ratios.size / 2
-    }
-    val contaminated = highLoad || divergent
+    val ratios = ok.collect { case (_, med, mn, _, _, _) if mn > 0.01 => med / mn }
+    val contaminated = contaminationVerdict(
+      ok.map(r => r._1 -> r._3).toMap, totalMin, floor, floorApplies,
+      loadBefore, loads, ratios, cpus)
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"total_min":${fmt(totalMin)},"iters":$iters,""" +
-      s""""samples":$qsSamples,"loadavg":{"before":${fmt(loadBefore)},"after":${fmt(loadAfter)},"per_query":$qsLoad},""" +
+      s""""samples":$qsSamples,"errors":$qsErr,""" +
+      s""""loadavg":{"before":${fmt(loadBefore)},"after":${fmt(loadAfter)},"per_query":$qsLoad},""" +
+      s""""floor_file":"${if (floor.nonEmpty) floorPath else ""}","floor_applied":${floor.nonEmpty && floorApplies},""" +
       s""""contaminated":$contaminated,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 verdict #1: the contamination heuristic must be replay-tested
+  * against the recorded BENCH_r07 run (contaminated, but self-reported
+  * clean) and against the judge's idle re-run (clean). */
+class BenchSpec extends AnyFunSuite {
+
+  private val floor = Map(
+    "total_min" -> 5.67,
+    "q1_pricing_summary" -> 0.26, "q2_filter_project" -> 0.18,
+    "q3_topk_orders" -> 0.13, "q4_segment_revenue" -> 0.67,
+    "q5_nation_revenue" -> 0.83, "q6_forecast_revenue" -> 0.24,
+    "q9_window_rank" -> 0.37, "q13_events_hourly" -> 0.26,
+    "d1_dedup_exact" -> 0.33, "d6_minhash_dedup" -> 1.87,
+    "e1_ann_bruteforce" -> 0.42)
+
+  // Per-query minimums recorded by the contaminated round-7 driver run
+  // (BENCH_r07.json): q6 20.9 s vs 0.24 s idle, q9 2.46 s vs 0.37 s, etc.
+  private val r7Min = Map(
+    "q1_pricing_summary" -> 0.33, "q2_filter_project" -> 0.23,
+    "q3_topk_orders" -> 0.19, "q4_segment_revenue" -> 2.18,
+    "q5_nation_revenue" -> 1.49, "q6_forecast_revenue" -> 20.9,
+    "q9_window_rank" -> 2.46, "q13_events_hourly" -> 1.12,
+    "d1_dedup_exact" -> 2.07, "d6_minhash_dedup" -> 8.64,
+    "e1_ann_bruteforce" -> 1.05)
+
+  // Judge-verified idle re-run minimums (VERDICT r7 performance table).
+  private val idleMin = Map(
+    "q1_pricing_summary" -> 0.26, "q2_filter_project" -> 0.20,
+    "q3_topk_orders" -> 0.14, "q4_segment_revenue" -> 0.67,
+    "q5_nation_revenue" -> 0.83, "q6_forecast_revenue" -> 0.24,
+    "q9_window_rank" -> 0.44, "q13_events_hourly" -> 0.26,
+    "d1_dedup_exact" -> 0.34, "d6_minhash_dedup" -> 1.87,
+    "e1_ann_bruteforce" -> 0.42)
+
+  test("r7's contaminated run is flagged (sustained load defeated the old heuristics)") {
+    // r7's load1 stayed 1-3 the whole run and median≈min on the slow
+    // queries (q6 med/min = 1.05) — both round-7 heuristics missed it.
+    // The absolute floor must catch it regardless.
+    val totalMin = r7Min.values.sum // ≈ 40.7 s vs 5.67 s floor
+    val ratios = Seq(1.1, 1.05, 1.1, 5.8, 4.9, 1.05, 14.1, 1.5, 1.3, 4.0, 2.1)
+    assert(Bench.contaminationVerdict(
+      r7Min, totalMin, floor, floorApplies = true,
+      loadBefore = 1.5, loads = Seq(1.5, 2.0, 3.0, 2.5, 1.8), medMinRatios = ratios,
+      cpus = 32))
+  }
+
+  test("two queries over 5x floor flags even when the total stays under 3x") {
+    val mins = idleMin + ("q6_forecast_revenue" -> 1.5) + ("q9_window_rank" -> 2.0)
+    val totalMin = mins.values.sum // ≈ 8.8 s < 3x floor total
+    assert(Bench.contaminationVerdict(
+      mins, totalMin, floor, floorApplies = true,
+      loadBefore = 0.5, loads = Seq(0.5, 1.0), medMinRatios = Seq(1.1, 1.2),
+      cpus = 32))
+  }
+
+  test("the idle judge re-run is NOT flagged") {
+    val totalMin = idleMin.values.sum // 5.67-6.2 s
+    assert(!Bench.contaminationVerdict(
+      idleMin, totalMin, floor, floorApplies = true,
+      loadBefore = 0.2, loads = Seq(0.2, 1.1, 2.3, 1.9), medMinRatios = Seq(1.1, 1.15, 1.2, 1.05),
+      cpus = 32))
+  }
+
+  test("one slow query alone does not flag (noise tolerance)") {
+    val mins = idleMin + ("q6_forecast_revenue" -> 1.5) // 6.25x its floor
+    assert(!Bench.contaminationVerdict(
+      mins, mins.values.sum, floor, floorApplies = true,
+      loadBefore = 0.3, loads = Seq(0.3, 1.0), medMinRatios = Seq(1.1, 1.3),
+      cpus = 32))
+  }
+
+  test("relative heuristics still fire without a floor file") {
+    // Pre-existing external load: loadBefore over cpus/4.
+    assert(Bench.contaminationVerdict(
+      idleMin, idleMin.values.sum, floor = Map.empty, floorApplies = false,
+      loadBefore = 12.0, loads = Seq(12.0, 14.0), medMinRatios = Seq(1.1),
+      cpus = 32))
+    // Divergent median/min on most queries.
+    assert(Bench.contaminationVerdict(
+      idleMin, idleMin.values.sum, floor = Map.empty, floorApplies = false,
+      loadBefore = 0.5, loads = Seq(0.5, 1.0), medMinRatios = Seq(4.0, 5.0, 3.5, 1.1),
+      cpus = 32))
+  }
+
+  test("floor does not apply at other scale factors") {
+    // Same r7 numbers but declared as a non-sf0.1 run: the absolute floor
+    // must not fire (a clean sf1 run is legitimately slower than the
+    // sf0.1 floor); load/divergence here are clean too.
+    assert(!Bench.contaminationVerdict(
+      r7Min, r7Min.values.sum, floor, floorApplies = false,
+      loadBefore = 0.5, loads = Seq(0.5, 1.0), medMinRatios = Seq(1.1, 1.2),
+      cpus = 32))
+  }
+
+  test("load thresholds scale with the configured cpu count") {
+    // loadBefore 3.0 is benign on 32 cpus but pre-existing saturation on 8.
+    assert(!Bench.contaminationVerdict(
+      idleMin, idleMin.values.sum, floor, floorApplies = true,
+      loadBefore = 3.0, loads = Seq(3.0), medMinRatios = Seq(1.1), cpus = 32))
+    assert(Bench.contaminationVerdict(
+      idleMin, idleMin.values.sum, floor, floorApplies = true,
+      loadBefore = 3.0, loads = Seq(3.0), medMinRatios = Seq(1.1), cpus = 8))
+  }
+
+  test("fmt is locale-independent") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.fmt(1.2345) == "1.2345")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("parseFlatJson reads the committed BENCH_FLOOR.json") {
+    val parsed = Bench.loadFloor("BENCH_FLOOR.json")
+    assert(parsed.get("total_min").contains(5.67))
+    assert(parsed.get("q6_forecast_revenue").contains(0.24))
+    assert(parsed.size == 12)
+  }
+}
