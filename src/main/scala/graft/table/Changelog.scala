@@ -127,8 +127,19 @@ object Changelog {
     require(identifierCols.nonEmpty, "identifier columns required")
     import org.apache.spark.sql.expressions.Window
     val grain = (identifierCols.map(col) :+ col(ChangeOrdinal)).toList
+    // Pairing must be deterministic: with multiple changes to one key in
+    // one commit, ordering the per-side row_number by the identifier
+    // columns (constant within the partition) leaves BEFORE/AFTER value
+    // assignment to shuffle order. Order by the NON-identifier data
+    // columns — a total order on row content, stable across runs (exact
+    // duplicates are interchangeable, so ties there are harmless).
+    val nonId = changes.columns
+      .filterNot(Set(ChangeType, ChangeOrdinal, CommitSnapshotId))
+      .filterNot(identifierCols.contains)
+    val sideOrder = if (nonId.nonEmpty) nonId.toSeq.map(col)
+      else identifierCols.map(col)
     val side = Window.partitionBy((grain :+ col(ChangeType)): _*)
-      .orderBy(identifierCols.map(col): _*)
+      .orderBy(sideOrder: _*)
     val whole = Window.partitionBy(grain: _*)
     val paired = least(
       sum(when(col(ChangeType) === Insert, 1L).otherwise(0L)).over(whole),

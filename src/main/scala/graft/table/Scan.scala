@@ -283,10 +283,19 @@ class Scan private (
         val inputs = surviving.map(mf => (mf.manifestPath, mf.partitionSpecId))
         val slices = math.max(1, math.min(inputs.size,
           spark.sparkContext.defaultParallelism * 2))
+        // Executor-side manifest reads must see the session's
+        // spark.hadoop.* settings (credentials, endpoints) — a default
+        // Configuration() silently diverges from the driver path on any
+        // non-default filesystem, which is exactly where this branch
+        // activates (>=64 manifests). Ship the driver conf.
+        val confBc = spark.sparkContext.broadcast(
+          new org.apache.spark.util.SerializableConfiguration(
+            spark.sparkContext.hadoopConfiguration))
         spark.sparkContext.parallelize(inputs, slices)
           .flatMap { case (path, specId) =>
             val manifest = graft.avro.ManifestAvro.readManifest(
-              new graft.io.HadoopFileIO().readAllBytes(path))
+              new graft.io.HadoopFileIO(confBc.value.value)
+                .readAllBytes(path))
             Scan.pruneManifest(manifest, specId, predL, schemaL,
               specById.get(specId))
           }.collect().toSeq

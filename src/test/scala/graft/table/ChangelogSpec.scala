@@ -176,6 +176,33 @@ class ChangelogSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("withUpdates pairs deterministically with multiple changes per key") {
+    import spark.implicits._
+    // Two DELETEs + one INSERT for the same key in one commit: exactly
+    // one DELETE pairs into UPDATE_BEFORE. Which one must not depend on
+    // shuffle order — the window now orders by the non-identifier
+    // columns, so the smaller row value ("a1") always pairs.
+    def changes(rows: Seq[(Long, String, String)]) =
+      rows.toDF("id", "name", Changelog.ChangeType)
+        .withColumn(Changelog.ChangeOrdinal, lit(0))
+        .withColumn(Changelog.CommitSnapshotId, lit(1L))
+    val rows = Seq(
+      (1L, "a2", Changelog.Delete),
+      (1L, "a1", Changelog.Delete),
+      (1L, "b9", Changelog.Insert))
+    def run(df: DataFrame) =
+      Changelog.withUpdates(df, Seq("id"))
+        .select("name", Changelog.ChangeType).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    val out1 = run(changes(rows).repartition(4))
+    val out2 = run(changes(rows.reverse).repartition(7))
+    assert(out1 == out2, s"pairing must be stable: $out1 vs $out2")
+    assert(out1 == Set(
+      ("a1", Changelog.UpdateBefore),
+      ("b9", Changelog.UpdateAfter),
+      ("a2", Changelog.Delete)), s"got $out1")
+  }
+
   test("from == to yields empty; non-ancestor from is loud") {
     var t = freshTable("edges")
     t = TableOps.append(t, usersDf(1 to 3))

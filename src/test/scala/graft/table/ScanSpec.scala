@@ -472,6 +472,66 @@ class DistributedPlanSpec extends AnyFunSuite {
       .toDF.select("id").collect().map(_.getLong(0)).toSet
     assert(got == (1 to 50).map(_.toLong).toSet - 7L)
   }
+
+  test("executor-side planning sees the session's spark.hadoop.* configuration") {
+    var t = freshTable("distconf")
+    for (k <- 0 until 3)
+      t = TableOps.append(t, usersDf(k * 10 + 1 to k * 10 + 10).coalesce(1))
+
+    def canon(tasks: Seq[FileScanTask]) = tasks
+      .map(ts => (ts.file.filePath, ts.sequenceNumber, ts.specId,
+        ts.schemaId)).sortBy(_._1)
+    val expected = canon(Scan(t, spark)
+      .option("distributed-plan-threshold", "1000").planFiles())
+
+    // Rewrite the manifest list so every manifest path uses a scheme that
+    // resolves ONLY through keys set on sparkContext.hadoopConfiguration
+    // (what spark.hadoop.* settings land on). A `new Configuration()`
+    // built inside the executor closure has no fs.graftmkr.impl and no
+    // marker key, so planning would fail — this test passing proves the
+    // driver conf is actually shipped to the executor-side reads.
+    val io = new HadoopFileIO()
+    val mlPath = t.metadata.currentSnapshot.get.manifestList
+    val entries = graft.avro.ManifestAvro.readManifestList(
+      io.readAllBytes(mlPath))
+    val rewritten = entries.map(e => e.copy(
+      manifestPath = "graftmkr://" + e.manifestPath.stripPrefix("file:")))
+    io.writeAllBytes(mlPath,
+      graft.avro.ManifestAvro.writeManifestList(rewritten), overwrite = true)
+
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftmkr.impl", classOf[MarkerFileSystem].getName)
+    // Keep marker-fs instances out of the JVM-wide FileSystem cache: a
+    // cached instance would let a conf-less executor closure piggyback on
+    // one created with the good conf, masking the regression under test.
+    hc.set("fs.graftmkr.impl.disable.cache", "true")
+    hc.set("graft.test.marker", "r8")
+    try {
+      val dist = Scan(t, spark)
+        .option("distributed-plan-threshold", "1").planFiles()
+      assert(canon(dist) == expected,
+        "distributed planning through the marker scheme must match the " +
+          "driver plan taken before the rewrite")
+    } finally {
+      hc.unset("fs.graftmkr.impl")
+      hc.unset("fs.graftmkr.impl.disable.cache")
+      hc.unset("graft.test.marker")
+    }
+  }
+}
+
+/** Resolvable only when the session's Hadoop configuration reaches the
+  * file-system lookup; asserts the marker key rode along. */
+class MarkerFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "graftmkr"
+  override def getUri: java.net.URI = java.net.URI.create("graftmkr:///")
+  override def initialize(uri: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    if (conf.get("graft.test.marker") != "r8")
+      throw new java.io.IOException(
+        "session Hadoop conf (graft.test.marker) missing at FS init")
+    super.initialize(uri, conf)
+  }
 }
 
 object Fixtures4 {

@@ -90,6 +90,84 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ids == (0L until 512L).toSet - 100L)
   }
 
+  test("4-column zorder keeps every column prunable (effBits sign-bit guard)") {
+    // 4 columns force effBits = 63/4 = 15: without the truncation, the
+    // 4th column's MSB lands on bit 63 (b*k+i = 15*4+3) and flips the
+    // sign of the Morton key, inverting its coarsest split. An 8^4 grid
+    // exercises the path; each axis filter must still prune.
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", LongType, required = true),
+      NestedField(2, "a", LongType, required = false),
+      NestedField(3, "b", LongType, required = false),
+      NestedField(4, "c", LongType, required = false),
+      NestedField(5, "d", LongType, required = false)))
+    var t = freshTable("grid4", schema)
+    import spark.implicits._
+    val df = scala.util.Random.shuffle((0L until 4096L).toList)
+      .map(i => (i, i % 8, (i / 8) % 8, (i / 64) % 8, i / 512))
+      .toDF("id", "a", "b", "c", "d")
+    t = TableOps.append(t, df.coalesce(1))
+    val bytes = Scan(t, spark).planFiles().map(_.file.fileSizeInBytes).sum
+    t = Maintenance.zorderRewrite(t, spark, Seq("a", "b", "c", "d"),
+      targetFileSizeBytes = math.max(1L, bytes / 16))
+    val total = Scan(t, spark).planFiles().size
+    assert(total >= 8, s"rewrite must split into many files, got $total")
+    for (cn <- Seq("a", "b", "c", "d")) {
+      val pruned = Scan(t, spark)
+        .filter(Col(cn).between(0L, 1L)).planFiles().size
+      assert(pruned <= total / 2,
+        s"$cn-filter must prune files: kept $pruned of $total")
+    }
+    // sign-bit inversion would scramble which rows co-locate; the data
+    // itself must survive regardless
+    val ids = Scan(t, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == (0L until 4096L).toSet)
+  }
+
+  test("partitioned zorder splits each partition at the target size " +
+      "with tight per-file ranges") {
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", LongType, required = true),
+      NestedField(2, "cat", StringType, required = false),
+      NestedField(3, "x", LongType, required = false),
+      NestedField(4, "y", LongType, required = false)))
+    val spec = PartitionSpec.builder(0).identity(2, "cat").build()
+    var t = freshTable("psplit", schema, spec)
+    import spark.implicits._
+    val df = scala.util.Random.shuffle((0L until 2048L).toList)
+      .map(i => (i, if (i % 2 == 0) "a" else "b", i % 32, (i / 32) % 32))
+      .toDF("id", "cat", "x", "y")
+    t = TableOps.append(t, df)
+    val bytes = Scan(t, spark).planFiles().map(_.file.fileSizeInBytes).sum
+    t = Maintenance.zorderRewrite(t, spark, Seq("x", "y"),
+      targetFileSizeBytes = math.max(1L, bytes / 8))
+
+    val tasks = Scan(t, spark).planFiles()
+    val byPart = tasks.groupBy(_.file.partition("cat"))
+    assert(byPart.keySet == Set("a", "b"))
+    byPart.foreach { case (cat, fs) =>
+      assert(fs.size > 1,
+        s"partition $cat must split into multiple files, got ${fs.size}")
+    }
+    // maxRecordsPerFile actually bounded the files (no giant catch-all)
+    val maxRecs = tasks.map(_.file.recordCount).max
+    assert(maxRecs <= 2048 / 8 * 2,
+      s"per-file record count must respect the target split, got $maxRecs")
+    // intra-partition z-sort gives tight per-file ranges: an x-filter
+    // must prune files WITHIN partitions, not just across them (with
+    // ~5 z-chunks per partition the per-file x-bounds are wide, so the
+    // bar is "some intra-partition pruning", not a fixed ratio)
+    val total = tasks.size
+    val pruned = Scan(t, spark)
+      .filter(Col("x").between(0L, 1L)).planFiles().size
+    assert(pruned <= total - 2,
+      s"x-filter must prune within partitions: kept $pruned of $total")
+    val ids = Scan(t, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == (0L until 2048L).toSet)
+  }
+
   test("string and timestamp columns quantize without error") {
     val schema = Schema(0, Seq(
       NestedField(1, "id", LongType, required = true),
