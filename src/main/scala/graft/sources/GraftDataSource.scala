@@ -2,6 +2,7 @@ package graft.sources
 
 import java.util.{Map => JMap, Set => JSet}
 
+import scala.collection.immutable.ArraySeq
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
@@ -573,6 +574,54 @@ private[sources] object BatchPlanning {
   private def keyNamesOf(t: Table, ids: Seq[Int]): Seq[String] =
     ids.flatMap(id => t.schema.field(id)).map(_.name)
 
+  /** The Spark type to REQUEST from a pre-evolution file so the values
+    * come back POSITIONALLY aligned with the current type `qt`: struct
+    * pairs rebuild by inner field id — file names, current order,
+    * dropped inner fields omitted, added ones null-filled (requesting
+    * the current name, absent in the file). Non-struct pairs request
+    * the current type (array/map element evolution is not expressible
+    * by SchemaUpdate). */
+  private[sources] def requestType(qt: graft.spec.IcebergType,
+      ft: graft.spec.IcebergType)
+      : org.apache.spark.sql.types.DataType =
+    (qt, ft) match {
+      case (graft.spec.StructType(qfs), graft.spec.StructType(ffs)) =>
+        StructType(qfs.map { qf =>
+          ffs.find(_.id == qf.id) match {
+            case Some(ff) => org.apache.spark.sql.types.StructField(
+              ff.name, requestType(qf.fieldType, ff.fieldType),
+              nullable = !qf.required)
+            case None => org.apache.spark.sql.types.StructField(
+              qf.name, SchemaConverters.toSparkType(qf.fieldType),
+              nullable = true)
+          }
+        })
+      case _ => SchemaConverters.toSparkType(qt)
+    }
+
+  /** Whether a file read requested as `req` yields values positionally
+    * valid under the current type `cur` — same shape, same leaf types;
+    * names and nullability flags are irrelevant to positional access.
+    * False exactly when a leaf carries a type promotion (those need
+    * [[ReaderConv]] on the row path). */
+  private[sources] def positionallyCompatible(
+      req: org.apache.spark.sql.types.DataType,
+      cur: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    (req, cur) match {
+      case (a: StructType, b: StructType) =>
+        a.length == b.length && a.fields.zip(b.fields).forall {
+          case (x, y) => positionallyCompatible(x.dataType, y.dataType)
+        }
+      case (a: ArrayType, b: ArrayType) =>
+        positionallyCompatible(a.elementType, b.elementType)
+      case (a: MapType, b: MapType) =>
+        positionallyCompatible(a.keyType, b.keyType) &&
+          positionallyCompatible(a.valueType, b.valueType)
+      case (a, b) => a == b
+    }
+  }
+
   /** Batch partitions CARRY their MoR delete files; the reader applies
     * them per task (position bitmap + equality key sets — the same
     * per-task shape as Iceberg's Spark DeleteFilter). */
@@ -600,7 +649,9 @@ private[sources] object BatchPlanning {
   def readerFactory(spark: SparkSession, t: Table,
       tasks: Seq[FileScanTask], full: StructType, required: StructType,
       emitFile: Boolean,
-      filters: Seq[sources.Filter] = Nil): PartitionReaderFactory = {
+      filters: Seq[sources.Filter] = Nil,
+      eqSetMaxBytes: Long =
+        GraftReaderFactory.DefaultEqSetMaxBytes): PartitionReaderFactory = {
     val current = t.schema
     // A task whose write-schema id is unknown to the table metadata
     // cannot be remapped — and falling back to a by-name read would
@@ -651,15 +702,70 @@ private[sources] object BatchPlanning {
       else ParquetShim.buildReaderFunc(spark, full, extended, filters)
     // columnar batches — the zero-copy handoff whole-stage codegen
     // consumes — require EVERY task to qualify (Spark forbids mixing
-    // columnar and row partitions in one scan): delete-free,
-    // current-schema, no `_file` emission (a per-task appended column)
-    val allColumnar = tasks.forall(t => t.deleteFiles.isEmpty &&
-      (t.schemaId == current.schemaId || t.schemaId < 0))
+    // columnar and row partitions in one scan). Qualification is wider
+    // than "delete-free current-schema" (one stray file must not drop
+    // the ENTIRE scan to the row path):
+    //  - rename-only schema evolution reads the file by its OWN column
+    //    names (same Spark types, `required`'s order) — the batch is
+    //    positionally valid under the current schema;
+    //  - position deletes apply as a zero-copy selection vector over
+    //    the batch ([[ColumnarDeletes]]).
+    // Equality deletes, `_file` emission, and type-promoting evolution
+    // stay on the row path.
+    val batchRemapSchemas: Map[Int, StructType] =
+      tasks.map(_.schemaId).distinct
+        .filter(sid => sid != current.schemaId && sid >= 0 &&
+          t.metadata.schemaById(sid).isDefined)
+        .flatMap { sid =>
+          val fileSchema = t.metadata.schemaById(sid).get
+          val mapped = required.fields.map { f =>
+            current.fieldByName(f.name).map(cur =>
+              (cur, fileSchema.field(cur.id))) match {
+              case Some((cur, Some(ff))) =>
+                val req = requestType(cur.fieldType, ff.fieldType)
+                // leaf type promotions need the row path's ReaderConv;
+                // renames (top-level or nested) and nested add/drop are
+                // positionally clean in batches
+                if (positionallyCompatible(req, f.dataType))
+                  Some(org.apache.spark.sql.types.StructField(
+                    ff.name, req, f.nullable))
+                else None
+              case _ => Some(f) // added since file: null-filled by name
+            }
+          }
+          if (mapped.forall(_.isDefined))
+            Some(sid -> StructType(mapped.map(_.get)))
+          else None
+        }.toMap
+    def taskColumnar(task: FileScanTask): Boolean =
+      task.deleteFiles.forall(
+        _.file.content == FileContent.PositionDeletes) &&
+        (task.schemaId == current.schemaId || task.schemaId < 0 ||
+          batchRemapSchemas.contains(task.schemaId))
+    val batchEnabled = !emitFile && tasks.forall(taskColumnar) &&
+      ParquetShim.supportsBatch(spark, required)
     val batchFunc =
-      if (emitFile || !allColumnar ||
-          !ParquetShim.supportsBatch(spark, required)) None
+      if (!batchEnabled) None
       else Some(ParquetShim.buildBatchReaderFunc(spark, full, required,
         filters))
+    // position-delete tasks must read WITHOUT pushed filters: parquet
+    // row-group/page skipping would desynchronize file row positions
+    val batchFuncUnfiltered =
+      if (!batchEnabled || !tasks.exists(_.deleteFiles.nonEmpty)) None
+      else if (filters.isEmpty) batchFunc
+      else Some(ParquetShim.buildBatchReaderFunc(spark, full, required,
+        Nil))
+    // rename-only evolved files batch-read by the FILE's names; pushed
+    // filters carry CURRENT names, so they are not forwarded there
+    val batchRemapFuncs: Map[Int, PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] =
+      if (!batchEnabled) Map.empty
+      else batchRemapSchemas.map { case (sid, fileReq) =>
+        val fileFull =
+          SchemaConverters.toSparkSchema(t.metadata.schemaById(sid).get)
+        sid -> ParquetShim.buildBatchReaderFunc(spark, fileFull, fileReq,
+          Nil)
+      }
     val oldSchemaIds = tasks.map(_.schemaId).distinct
       .filter(sid => sid != current.schemaId &&
         t.metadata.schemaById(sid).isDefined)
@@ -668,19 +774,23 @@ private[sources] object BatchPlanning {
       oldSchemaIds.map { sid =>
         val fileSchema = t.metadata.schemaById(sid).get
         val pairs = extended.fields.map { f =>
-          current.fieldByName(f.name)
-            .flatMap(cur => fileSchema.field(cur.id)) match {
-            case Some(ff) =>
+          current.fieldByName(f.name).map(cur =>
+            (cur, fileSchema.field(cur.id))) match {
+            case Some((cur, Some(ff))) =>
               val fileSpark = SchemaConverters.toSparkType(ff.fieldType)
               val conv = ReaderConv.of(fileSpark, f.dataType)
               // no positional promotion needed → request the file's
-              // NAME (rename-safe) at the CURRENT type: the only legal
-              // non-promoted difference is nested field ADDITIONS,
-              // which the parquet reader null-fills by name
-              val reqType = if (conv.code == 0) f.dataType else fileSpark
+              // OWN names in the CURRENT structure (recursively, by
+              // inner field id): top-level and nested renames read the
+              // real column, nested drops are omitted, additions
+              // null-fill by (absent) name. Rows come back positionally
+              // valid under the current type.
+              val reqType =
+                if (conv.code == 0) requestType(cur.fieldType, ff.fieldType)
+                else fileSpark
               (org.apache.spark.sql.types.StructField(ff.name, reqType,
                 f.nullable), conv)
-            case None => // added since this file: null-fill under current
+            case _ => // added since this file: null-fill under current
               (f, ReaderConv.of(f.dataType, f.dataType))
           }
         }
@@ -695,7 +805,8 @@ private[sources] object BatchPlanning {
       defaultFunc, remapped,
       extended,
       required.fieldNames.map(extended.fieldIndex),
-      posFunc, eqFuncs, emitFile, filteredFunc, batchFunc)
+      posFunc, eqFuncs, emitFile, filteredFunc, batchFunc, eqSetMaxBytes,
+      batchFuncUnfiltered, batchRemapFuncs)
   }
 }
 
@@ -948,7 +1059,10 @@ private[sources] class GraftV2Scan(
 
   private[sources] def batchReaderFactory(): PartitionReaderFactory =
     BatchPlanning.readerFactory(spark, batchTable, effectiveTasks, full,
-      required, emitFile, allFilters)
+      required, emitFile, allFilters,
+      eqSetMaxBytes = Option(options.get("eq-delete-set-max-bytes"))
+        .map(_.toLong)
+        .getOrElse(GraftReaderFactory.DefaultEqSetMaxBytes))
 
   /** Last-planned micro-batch (table + tasks), shared between
     * `planInputPartitions` and `createReaderFactory` exactly like the
@@ -1047,37 +1161,95 @@ private[sources] class GraftReaderFactory(
     /** Vectorized columnar read (required schema, pushed filters) for
       * delete-free non-remapped partitions. */
     batchReadFunc: Option[PartitionedFile =>
-      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
+    /** Above this summed-bytes threshold a task's equality-delete files
+      * are applied MEMORY-BOUNDED: the retained key set bounds by the
+      * task's own data file, not the delete files. */
+    eqSetMaxBytes: Long = GraftReaderFactory.DefaultEqSetMaxBytes,
+    /** Filter-free columnar read for position-delete tasks (row-group
+      * skipping would desynchronize file row positions). */
+    batchReadFuncUnfiltered: Option[PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
+    /** Columnar readers per OLD schema id for rename-only evolution:
+      * read by the file's names, batch positionally valid under the
+      * current schema. */
+    batchRemapFuncs: Map[Int, PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = Map.empty)
     extends PartitionReaderFactory {
 
   private def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
   private def columnarEligible(gp: GraftInputPartition): Boolean =
-    gp.posDeletes.isEmpty && gp.eqDeletes.isEmpty && !appendFilePath &&
-      !remappedFuncs.contains(gp.schemaId)
+    gp.eqDeletes.isEmpty && !appendFilePath &&
+      (gp.posDeletes.isEmpty || posReadFunc.isDefined) &&
+      (!remappedFuncs.contains(gp.schemaId) ||
+        batchRemapFuncs.contains(gp.schemaId))
 
   /** Factory-level columnar opt-in (Spark forbids mixed columnar/row
-    * partitions in one scan): `batchReadFunc` is only constructed when
+    * partitions in one scan): the batch funcs are only constructed when
     * EVERY task of the scan qualifies, so this is constant-true or
     * constant-false per scan. */
   override def supportColumnarReads(p: InputPartition): Boolean =
     batchReadFunc.isDefined
 
+  /** Row positions of `gp.path` removed by the task's position-delete
+    * files; null when the task carries none. */
+  private def buildPosSet(gp: GraftInputPartition)
+      : java.util.HashSet[java.lang.Long] =
+    if (gp.posDeletes.isEmpty) null
+    else {
+      val myPath = normPath(gp.path)
+      val s = new java.util.HashSet[java.lang.Long]()
+      val f = posReadFunc.getOrElse(throw new IllegalStateException(
+        "graft source: partition has position deletes but the factory " +
+          "was built without a delete reader"))
+      gp.posDeletes.foreach { d =>
+        f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
+          if (normPath(r.getUTF8String(0).toString) == myPath)
+            s.add(r.getLong(1))
+        }
+      }
+      s
+    }
+
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val gp = UnwrapPartition(p)
     require(columnarEligible(gp), s"non-columnar partition ${gp.path}")
-    val it = batchReadFunc.get(
-      ParquetShim.partitionedFile(gp.path, gp.length))
-    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
-      override def next(): Boolean =
-        if (it.hasNext) { cur = it.next(); true } else false
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        cur
-      override def close(): Unit = ()
-    }
+    val func = batchRemapFuncs.get(gp.schemaId).orElse(
+      if (gp.posDeletes.nonEmpty) batchReadFuncUnfiltered
+      else batchReadFunc).getOrElse(throw new IllegalStateException(
+        s"graft source: no columnar reader for ${gp.path}"))
+    val posSet = buildPosSet(gp)
+    val it = func(ParquetShim.partitionedFile(gp.path, gp.length))
+    if (posSet == null || posSet.isEmpty)
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+        override def next(): Boolean =
+          if (it.hasNext) { cur = it.next(); true } else false
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+          cur
+        override def close(): Unit = ()
+      }
+    else
+      new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+        private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
+        private var rowsSeen = 0L // file position of the next batch
+        override def next(): Boolean = {
+          while (it.hasNext) {
+            val b = it.next()
+            val start = rowsSeen
+            rowsSeen += b.numRows()
+            val filtered = ColumnarDeletes.filterBatch(b, start, posSet)
+            if (filtered.numRows() > 0) { cur = filtered; return true }
+          }
+          false
+        }
+        override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+          cur
+        override def close(): Unit = ()
+      }
   }
 
   /** Internal values → set-friendly: copies out of reused buffers and
@@ -1092,23 +1264,8 @@ private[sources] class GraftReaderFactory(
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val gp = UnwrapPartition(p)
-    val myPath = normPath(gp.path)
 
-    val posSet: java.util.HashSet[java.lang.Long] =
-      if (gp.posDeletes.isEmpty) null
-      else {
-        val s = new java.util.HashSet[java.lang.Long]()
-        val f = posReadFunc.getOrElse(throw new IllegalStateException(
-          "graft source: partition has position deletes but the factory " +
-            "was built without a delete reader"))
-        gp.posDeletes.foreach { d =>
-          f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
-            if (normPath(r.getUTF8String(0).toString) == myPath)
-              s.add(r.getLong(1))
-          }
-        }
-        s
-      }
+    val posSet: java.util.HashSet[java.lang.Long] = buildPosSet(gp)
 
     val eqSets: Array[(Array[Int], Array[org.apache.spark.sql.types.DataType],
         java.util.HashSet[Seq[Any]])] =
@@ -1118,13 +1275,44 @@ private[sources] class GraftReaderFactory(
             s"graft source: no delete reader for key set $names"))
         val keyTypes = names.map(n =>
           extendedSchema(extendedSchema.fieldIndex(n)).dataType).toArray
+        def keyOf(r: InternalRow): Seq[Any] = {
+          val key = Array.tabulate(names.length)(i =>
+            if (r.isNullAt(i)) null else normVal(r.get(i, keyTypes(i))))
+          // null keys never match (parity with the engine's anti-join)
+          if (key.contains(null)) null else ArraySeq.unsafeWrapArray(key)
+        }
         val set = new java.util.HashSet[Seq[Any]]()
-        files.foreach { d =>
-          f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
-            val key = Array.tabulate(names.length)(i =>
-              if (r.isNullAt(i)) null else normVal(r.get(i, keyTypes(i))))
-            // null keys never match (parity with the engine's anti-join)
-            if (!key.contains(null)) set.add(key.toSeq)
+        val summedBytes = files.map(_.length).sum
+        if (summedBytes > eqSetMaxBytes &&
+            !remappedFuncs.contains(gp.schemaId)) {
+          // Memory-bounded application: a multi-GB delete file must not
+          // materialize as a per-task heap set. Read THIS data file's
+          // key columns first (column-pruned parquet read — the same
+          // reader the delete files use works because projection is
+          // by name), then STREAM each delete file and retain only keys
+          // that occur in this task — the kept set bounds by the task's
+          // file size, not the delete files, the same smaller-side
+          // bound the engine Scan path's anti-join enjoys. Skipped for
+          // schema-remapped tasks (key columns there need the file's
+          // old names); those keep the eager set.
+          val present = new java.util.HashSet[Seq[Any]]()
+          f(ParquetShim.partitionedFile(gp.path, gp.length)).foreach { r =>
+            val k = keyOf(r)
+            if (k != null) present.add(k)
+          }
+          files.foreach { d =>
+            f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
+              val k = keyOf(r)
+              if (k != null && present.contains(k)) set.add(k)
+            }
+          }
+          GraftReaderFactory.boundedEqApplications.incrementAndGet()
+        } else {
+          files.foreach { d =>
+            f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
+              val k = keyOf(r)
+              if (k != null) set.add(k)
+            }
           }
         }
         val ords = names.map(extendedSchema.fieldIndex).toArray
@@ -1239,6 +1427,17 @@ private[sources] object GraftReaderFactory {
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType)))
+
+  /** Eager per-task equality-delete key sets cap out here (matches the
+    * Scan path's broadcast-side intuition); above it the reader switches
+    * to the data-side-bounded application. Overridable per read via
+    * option `eq-delete-set-max-bytes`. */
+  val DefaultEqSetMaxBytes: Long = 64L * 1024 * 1024
+
+  /** Telemetry: how many (task, key-set) applications took the bounded
+    * path. Monotonic per JVM; tests read it to assert routing. */
+  val boundedEqApplications =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** File-position stream offset. `snapshotId = -1` = nothing consumed

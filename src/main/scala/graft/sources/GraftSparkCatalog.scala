@@ -180,8 +180,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case a: TableChange.AddColumn => a // nested paths handled below
     }
     val schemaChanges = changes.collect {
-      case c: TableChange.RenameColumn if c.fieldNames.length == 1 => c
-      case c: TableChange.DeleteColumn if c.fieldNames.length == 1 => c
+      case c: TableChange.RenameColumn => c
+      case c: TableChange.DeleteColumn => c
       case c: TableChange.UpdateColumnType if c.fieldNames.length == 1 => c
       case c: TableChange.UpdateColumnNullability if c.nullable() => c
     }
@@ -193,9 +193,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         s"graft: unsupported ALTER TABLE changes: " +
           unsupported.mkString(", ") +
-          " (nested rename/drop/type-change and NOT NULL tightening " +
-          "are not evolvable — inner parquet columns resolve by name, " +
-          "so pre-evolution files would misread)")
+          " (nested type-change and NOT NULL tightening are not " +
+          "evolvable — pre-evolution files would misread)")
     var cur = t
     if (setProps.nonEmpty || rmProps.nonEmpty) {
       var tx = cur.newTransaction()
@@ -217,10 +216,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
             required = !a.isNullable)
       }
       schemaChanges.foreach {
-        case c: TableChange.RenameColumn =>
+        case c: TableChange.RenameColumn if c.fieldNames().length == 1 =>
           up = up.renameColumn(c.fieldNames()(0), c.newName())
-        case c: TableChange.DeleteColumn =>
+        case c: TableChange.RenameColumn =>
+          up = up.renameColumnAt(c.fieldNames().toSeq, c.newName())
+        case c: TableChange.DeleteColumn if c.fieldNames().length == 1 =>
           up = up.dropColumn(c.fieldNames()(0))
+        case c: TableChange.DeleteColumn =>
+          up = up.dropColumnAt(c.fieldNames().toSeq)
         case c: TableChange.UpdateColumnType =>
           val t = SchemaConverters.fromSparkSchema(new StructType()
             .add(c.fieldNames()(0), c.newDataType())).fields.head.fieldType

@@ -433,12 +433,14 @@ class Scan private (
     // field-ID remap (SURVEY M6 "reads remap by field ID"): each query
     // column resolves the file column carrying the same ID —
     // rename-safe; added columns null-fill; dropped columns vanish.
+    // Struct columns remap RECURSIVELY by inner field id (nested
+    // rename/add/drop — a positional cast cannot express add/drop,
+    // whose arities differ).
     if (fileSchemaId != schema.schemaId) {
       val projected = schema.fields.map { qf =>
         fileSchema.field(qf.id) match {
           case Some(ff) =>
-            col(ff.name)
-              .cast(graft.spec.SchemaConverters.toSparkType(qf.fieldType))
+            Scan.remapExpr(col(ff.name), qf.fieldType, ff.fieldType)
               .as(qf.name)
           case None =>
             lit(null)
@@ -558,6 +560,36 @@ object Scan {
     * not grow with partition count; see readTasks). Overridable per
     * scan via `option("max-eq-delete-groups", n)`. */
   val MaxEqDeleteGroups = 8
+
+  /** Remap a column read under the file's schema (`ft`) to the query
+    * schema's type (`qt`) BY FIELD ID. Struct pairs rebuild
+    * recursively — inner renames take the query name, inner drops
+    * vanish, inner adds null-fill — with the parent's null-ness
+    * preserved (a struct() of nulls is not a null struct). Non-struct
+    * pairs cast (covers type promotion; positional struct casts inside
+    * array/map elements still handle pure renames there). */
+  private[table] def remapExpr(parent: org.apache.spark.sql.Column,
+      qt: IcebergType, ft: IcebergType): org.apache.spark.sql.Column = {
+    val sparkQt = graft.spec.SchemaConverters.toSparkType(qt)
+    (qt, ft) match {
+      case _ if qt == ft => parent
+      case (StructType(qfs), StructType(ffs)) =>
+        val inner = qfs.map { qf2 =>
+          ffs.find(_.id == qf2.id) match {
+            case Some(ff2) =>
+              remapExpr(parent.getField(ff2.name),
+                qf2.fieldType, ff2.fieldType).as(qf2.name)
+            case None =>
+              lit(null)
+                .cast(graft.spec.SchemaConverters.toSparkType(qf2.fieldType))
+                .as(qf2.name)
+          }
+        }
+        when(parent.isNull, lit(null).cast(sparkQt))
+          .otherwise(org.apache.spark.sql.functions.struct(inner: _*))
+      case _ => parent.cast(sparkQt)
+    }
+  }
 
   /** Surviving data manifests at/above which planFiles reads them on
     * executors instead of serially on the driver (Iceberg's

@@ -69,12 +69,15 @@ final class SchemaUpdate(table: Table) {
 
   // ------------------------------------------------ nested evolution
   //
-  // Only the SAFE subset: adding a field inside a struct (old files
-  // null-fill it — by-name parquet resolution cannot misread) and
-  // dropping NOT NULL on a nested field (metadata-only). Nested
-  // RENAME/DROP/type-change stay rejected: inner parquet columns
-  // resolve by NAME in both read paths, so they would need a nested
-  // field-ID remap to read pre-evolution files correctly.
+  // Adding a field inside a struct (old files null-fill it), dropping
+  // NOT NULL on a nested field (metadata-only), and nested RENAME/DROP:
+  // field ids are preserved, and both read paths remap nested columns
+  // recursively BY ID (the Scan path builds a by-id projection, the
+  // DSv2 path requests the file's own inner names in the current
+  // schema's order), so pre-evolution files read correctly. Nested
+  // type-changes stay rejected. Paths descend STRUCTS only — evolution
+  // inside array/map element types is not expressible here and stays
+  // rejected by mapStruct.
 
   /** Add a column at a dotted path, e.g. `Seq("info", "age")` adds
     * `age` inside struct `info`. Allocates a fresh field id. */
@@ -87,6 +90,41 @@ final class SchemaUpdate(table: Table) {
       require(!siblings.exists(_.name == path.last),
         s"column ${path.mkString(".")} already exists")
       siblings :+ newField
+    }
+    this
+  }
+
+  /** Rename a field at a dotted path, e.g. `Seq("info", "age")` renames
+    * `age` inside struct `info`. The field id is preserved, so reads of
+    * pre-rename files remap by id. */
+  def renameColumnAt(path: Seq[String], newName: String): SchemaUpdate = {
+    require(path.length >= 2, "use renameColumn for top-level columns")
+    fields = mapStruct(fields, path.dropRight(1)) { siblings =>
+      require(siblings.exists(_.name == path.last),
+        s"no column ${path.mkString(".")}")
+      require(!siblings.exists(_.name == newName),
+        s"column ${(path.dropRight(1) :+ newName).mkString(".")} exists")
+      siblings.map(f =>
+        if (f.name == path.last) f.copy(name = newName) else f)
+    }
+    this
+  }
+
+  /** Drop a field at a dotted path. Pre-drop files project the field
+    * away on read (by-id remap). */
+  def dropColumnAt(path: Seq[String]): SchemaUpdate = {
+    require(path.length >= 2, "use dropColumn for top-level columns")
+    val specs = table.metadata.partitionSpecs
+    fields = mapStruct(fields, path.dropRight(1)) { siblings =>
+      val field = siblings.find(_.name == path.last).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column ${path.mkString(".")}"))
+      val referencing =
+        specs.flatMap(_.fields).filter(_.sourceId == field.id)
+      require(referencing.isEmpty,
+        s"cannot drop ${path.mkString(".")}: referenced by partition " +
+          s"field(s) ${referencing.map(_.name).mkString(", ")}")
+      siblings.filterNot(_.name == path.last)
     }
     this
   }

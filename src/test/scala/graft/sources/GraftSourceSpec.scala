@@ -117,7 +117,34 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("delete-free scans are columnar; delete-carrying scans are not") {
+  test("over-threshold equality deletes take the memory-bounded path") {
+    val (t0, dir, name) = mkTable("b4big")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 200))
+    // a delete file well over a 1-byte threshold: many keys, most of
+    // which hit no data row (the realistic multi-GB shape — global
+    // delete files carry keys for MANY data files)
+    t = Mutations.deleteByKeys(t, spark,
+      ((2L to 5L) ++ (1000L to 1400L)).toDF("event_id"))
+    val before = GraftReaderFactory.boundedEqApplications.get()
+    val ids = reader(dir, name).option("eq-delete-set-max-bytes", "1")
+      .load()
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 200L).toSet -- (2L to 5L),
+      "bounded path must apply the same deletes")
+    assert(GraftReaderFactory.boundedEqApplications.get() > before,
+      "reader must route through the bounded application")
+    // default threshold (64 MB): tiny delete files stay on the eager path
+    val before2 = GraftReaderFactory.boundedEqApplications.get()
+    val ids2 = reader(dir, name).load()
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids)
+    assert(GraftReaderFactory.boundedEqApplications.get() == before2,
+      "under-threshold deletes must keep the eager per-task set")
+  }
+
+  test("delete-free AND position-delete scans are columnar; " +
+      "equality-delete scans are not") {
     val (t0, dir, name) = mkTable("col1")
     var t = TableOps.append(t0, batch(1 to 100))
     val plan1 = reader(dir, name).load().where("event_id > 50")
@@ -127,16 +154,59 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(scans1.nonEmpty && scans1.forall(_.supportsColumnar),
       s"delete-free scan should be columnar:\n$plan1")
 
+    // MoR position delete: applied as a selection vector over the
+    // batches — the scan must STAY columnar and still drop the row
     t = t.newDelete(spark).where(Col("event_id").eqTo(7L))
       .withMergeOnRead(true).execute()
     val df2 = reader(dir, name).load()
     val plan2 = df2.queryExecution.executedPlan
     val scans2 = plan2.collect { case b: BatchScanExec => b }
-    assert(scans2.forall(!_.supportsColumnar),
-      s"delete-carrying scan must take the row path:\n$plan2")
-    // and the row path still answers correctly
+    assert(scans2.nonEmpty && scans2.forall(_.supportsColumnar),
+      s"position-delete scan must stay columnar:\n$plan2")
     assert(df2.select("event_id").collect().map(_.getLong(0)).toSet ==
       (1L to 100L).toSet - 7L)
+    // filtered read over the same MoR table: pushed parquet filters
+    // must not desynchronize delete positions (filter-free batch read
+    // for delete-carrying tasks)
+    val filtered = reader(dir, name).load().where("event_id <= 10")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(filtered == (1L to 10L).toSet - 7L)
+
+    // equality delete: key lookups need row materialization → row path
+    import spark.implicits._
+    val t3 = Mutations.deleteByKeys(t, spark, Seq(9L).toDF("event_id"))
+    val df3 = reader(dir, name).load()
+    val plan3 = df3.queryExecution.executedPlan
+    val scans3 = plan3.collect { case b: BatchScanExec => b }
+    assert(scans3.forall(!_.supportsColumnar),
+      s"equality-delete scan must take the row path:\n$plan3")
+    assert(df3.select("event_id").collect().map(_.getLong(0)).toSet ==
+      (1L to 100L).toSet - 7L - 9L)
+  }
+
+  test("rename-only schema evolution keeps the scan columnar") {
+    val (t0, dir, name) = mkTable("col2")
+    var t = TableOps.append(t0, batch(1 to 50))
+    // rename a column AFTER the first file was written: the old file
+    // must be batch-read by its OLD name, positionally valid under the
+    // current schema
+    t = t.updateSchema().renameColumn("value", "amount").commit()
+    t = TableOps.append(t, {
+      import spark.implicits._
+      (51 to 80).map(i => (i.toLong, i.toLong % 3, i * 1.0))
+        .toDF("event_id", "user_id", "amount")
+    })
+    val df = reader(dir, name).load()
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      s"rename-only evolved scan must stay columnar:\n" +
+        df.queryExecution.executedPlan)
+    val got = df.select("event_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == (1 to 80).map(i => (i.toLong, i * 1.0)).toSet,
+      "old-name files must read correctly under the new name")
   }
 
   test("pushed filters reach parquet row-group skipping") {
