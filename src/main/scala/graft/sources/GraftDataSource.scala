@@ -575,52 +575,61 @@ private[sources] object BatchPlanning {
     ids.flatMap(id => t.schema.field(id)).map(_.name)
 
   /** The Spark type to REQUEST from a pre-evolution file so the values
-    * come back POSITIONALLY aligned with the current type `qt`: struct
-    * pairs rebuild by inner field id — file names, current order,
-    * dropped inner fields omitted, added ones null-filled (requesting
-    * the current name, absent in the file). Non-struct pairs request
-    * the current type (array/map element evolution is not expressible
-    * by SchemaUpdate). */
-  private[sources] def requestType(qt: graft.spec.IcebergType,
-      ft: graft.spec.IcebergType)
+    * come back POSITIONALLY aligned with the PRUNED read type `pruned`
+    * (Spark's nested schema pruning may have dropped inner struct
+    * fields from the current type — the request must mirror exactly
+    * the pruned shape or inner ordinals misalign): struct requests
+    * rebuild from the PRUNED fields, each mapped by current name →
+    * field id → file field — file names, pruned order, inner fields
+    * added since the file null-filled by requesting the current name
+    * (absent in the file). Non-struct requests pass `pruned` through:
+    * array/map element evolution is not expressible by SchemaUpdate,
+    * so inside them file names equal current names and a by-name
+    * pruned request is already correct. */
+  private[sources] def requestType(
+      pruned: org.apache.spark.sql.types.DataType,
+      qt: graft.spec.IcebergType, ft: graft.spec.IcebergType)
       : org.apache.spark.sql.types.DataType =
-    (qt, ft) match {
-      case (graft.spec.StructType(qfs), graft.spec.StructType(ffs)) =>
-        StructType(qfs.map { qf =>
-          ffs.find(_.id == qf.id) match {
-            case Some(ff) => org.apache.spark.sql.types.StructField(
-              ff.name, requestType(qf.fieldType, ff.fieldType),
-              nullable = !qf.required)
-            case None => org.apache.spark.sql.types.StructField(
-              qf.name, SchemaConverters.toSparkType(qf.fieldType),
-              nullable = true)
+    (pruned, qt, ft) match {
+      case (ps: StructType,
+          graft.spec.StructType(qfs), graft.spec.StructType(ffs)) =>
+        StructType(ps.fields.map { pf =>
+          qfs.find(_.name == pf.name) match {
+            case Some(qf) => ffs.find(_.id == qf.id) match {
+              case Some(ff) => org.apache.spark.sql.types.StructField(
+                ff.name, requestType(pf.dataType, qf.fieldType, ff.fieldType),
+                pf.nullable)
+              case None => // added since this file: null-fill by name
+                org.apache.spark.sql.types.StructField(
+                  qf.name, pf.dataType, nullable = true)
+            }
+            case None => pf // not in current metadata (defensive)
           }
         })
-      case _ => SchemaConverters.toSparkType(qt)
+      case _ => pruned
     }
 
-  /** Whether a file read requested as `req` yields values positionally
-    * valid under the current type `cur` — same shape, same leaf types;
-    * names and nullability flags are irrelevant to positional access.
-    * False exactly when a leaf carries a type promotion (those need
-    * [[ReaderConv]] on the row path). */
-  private[sources] def positionallyCompatible(
-      req: org.apache.spark.sql.types.DataType,
-      cur: org.apache.spark.sql.types.DataType): Boolean = {
-    import org.apache.spark.sql.types.{ArrayType, MapType}
-    (req, cur) match {
-      case (a: StructType, b: StructType) =>
-        a.length == b.length && a.fields.zip(b.fields).forall {
-          case (x, y) => positionallyCompatible(x.dataType, y.dataType)
+  /** Whether reading a file written as `ft` under the pruned current
+    * request carries NO leaf type promotion — promotions (int→long,
+    * float→double, decimal widening) need the row path's [[ReaderConv]]
+    * and must stay off the columnar remap. Compares the FILE leaf type
+    * against the current one (recursing through struct fields by id),
+    * so it actually fires on promoted files. */
+  private[sources] def promotionFree(
+      pruned: org.apache.spark.sql.types.DataType,
+      qt: graft.spec.IcebergType, ft: graft.spec.IcebergType): Boolean =
+    (pruned, qt, ft) match {
+      case (ps: StructType,
+          graft.spec.StructType(qfs), graft.spec.StructType(ffs)) =>
+        ps.fields.forall { pf =>
+          qfs.find(_.name == pf.name).forall { qf =>
+            ffs.find(_.id == qf.id).forall(ff =>
+              promotionFree(pf.dataType, qf.fieldType, ff.fieldType))
+          }
         }
-      case (a: ArrayType, b: ArrayType) =>
-        positionallyCompatible(a.elementType, b.elementType)
-      case (a: MapType, b: MapType) =>
-        positionallyCompatible(a.keyType, b.keyType) &&
-          positionallyCompatible(a.valueType, b.valueType)
-      case (a, b) => a == b
+      case _ =>
+        SchemaConverters.toSparkType(ft) == SchemaConverters.toSparkType(qt)
     }
-  }
 
   /** Batch partitions CARRY their MoR delete files; the reader applies
     * them per task (position bitmap + equality key sets — the same
@@ -722,13 +731,14 @@ private[sources] object BatchPlanning {
             current.fieldByName(f.name).map(cur =>
               (cur, fileSchema.field(cur.id))) match {
               case Some((cur, Some(ff))) =>
-                val req = requestType(cur.fieldType, ff.fieldType)
                 // leaf type promotions need the row path's ReaderConv;
                 // renames (top-level or nested) and nested add/drop are
                 // positionally clean in batches
-                if (positionallyCompatible(req, f.dataType))
+                if (promotionFree(f.dataType, cur.fieldType, ff.fieldType))
                   Some(org.apache.spark.sql.types.StructField(
-                    ff.name, req, f.nullable))
+                    ff.name,
+                    requestType(f.dataType, cur.fieldType, ff.fieldType),
+                    f.nullable))
                 else None
               case _ => Some(f) // added since file: null-filled by name
             }
@@ -786,7 +796,8 @@ private[sources] object BatchPlanning {
               // null-fill by (absent) name. Rows come back positionally
               // valid under the current type.
               val reqType =
-                if (conv.code == 0) requestType(cur.fieldType, ff.fieldType)
+                if (conv.code == 0)
+                  requestType(f.dataType, cur.fieldType, ff.fieldType)
                 else fileSpark
               (org.apache.spark.sql.types.StructField(ff.name, reqType,
                 f.nullable), conv)
@@ -1061,7 +1072,15 @@ private[sources] class GraftV2Scan(
     BatchPlanning.readerFactory(spark, batchTable, effectiveTasks, full,
       required, emitFile, allFilters,
       eqSetMaxBytes = Option(options.get("eq-delete-set-max-bytes"))
-        .map(_.toLong)
+        .map { v =>
+          try v.trim.toLong
+          catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                "graft source: option 'eq-delete-set-max-bytes' must be " +
+                  s"a byte count (long), got '$v'")
+          }
+        }
         .getOrElse(GraftReaderFactory.DefaultEqSetMaxBytes))
 
   /** Last-planned micro-batch (table + tasks), shared between

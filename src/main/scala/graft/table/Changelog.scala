@@ -136,6 +136,8 @@ object Changelog {
     val nonId = changes.columns
       .filterNot(Set(ChangeType, ChangeOrdinal, CommitSnapshotId))
       .filterNot(identifierCols.contains)
+      .filter(n => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(changes.schema(n).dataType)) // maps can't ORDER BY
     val sideOrder = if (nonId.nonEmpty) nonId.toSeq.map(col)
       else identifierCols.map(col)
     val side = Window.partitionBy((grain :+ col(ChangeType)): _*)

@@ -169,13 +169,21 @@ class GraftCatalogSpec extends AnyFunSuite {
           if (r.isNullAt(2)) -1 else r.getInt(2)))
       assert(got.toSeq == Seq((1L, "a", -1), (2L, "b", 30)),
         s"pre-evolution rows must null-fill the added field, got ${got.toSeq}")
-      // nested rename/drop stay rejected (by-name inner resolution)
-      intercept[Exception] {
-        spark.sql(s"ALTER TABLE $c.db.t RENAME COLUMN info.name TO nm")
-      }
-      intercept[Exception] {
-        spark.sql(s"ALTER TABLE $c.db.t DROP COLUMN info.age")
-      }
+      // nested RENAME: field ids preserved, pre-rename files must read
+      // back under the new inner name
+      spark.sql(s"ALTER TABLE $c.db.t RENAME COLUMN info.name TO nm")
+      val renamed = spark.sql(
+        s"SELECT id, info.nm FROM $c.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(renamed.toSeq == Seq((1L, "a"), (2L, "b")),
+        s"pre-rename files must read under the new inner name, got " +
+          renamed.toSeq.toString)
+      // nested DROP: the field disappears from every generation
+      spark.sql(s"ALTER TABLE $c.db.t DROP COLUMN info.age")
+      val cols = spark.table(s"$c.db.t").select("info.*").columns.toSeq
+      assert(cols == Seq("nm"), s"dropped nested field still visible: $cols")
+      assert(spark.sql(s"SELECT info.nm FROM $c.db.t").collect()
+        .map(_.getString(0)).toSet == Set("a", "b"))
     }
   }
 

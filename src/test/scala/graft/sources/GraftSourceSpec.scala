@@ -209,6 +209,90 @@ class GraftSourceSpec extends AnyFunSuite {
       "old-name files must read correctly under the new name")
   }
 
+  test("nested pruning over remapped pre-evolution files reads the " +
+      "right inner field") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val dir = Files.createTempDirectory("graft-src-nestprune-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val s = Schema(0, Seq(
+      NestedField(1, "id", LongType, required = true),
+      NestedField(2, "s", graft.spec.StructType(Seq(
+        NestedField(3, "a", LongType, required = false),
+        NestedField(4, "b", LongType, required = false))),
+        required = false)))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "np"), s,
+      io = new HadoopFileIO())
+    t = TableOps.append(t, spark.range(1, 21).select(
+      col("id"),
+      struct((col("id") * 10).as("a"), (col("id") * 100).as("b")).as("s")))
+    // any schema change moves the old file onto the per-write-schema
+    // remap path
+    t = t.updateSchema().renameColumn("id", "rid").commit()
+    // the query selects ONLY the SECOND inner field: Spark's nested
+    // schema pruning makes the read schema struct<b>, and the file
+    // request must mirror that pruned shape — a request built from the
+    // full current struct would hand back a's values under b's ordinal
+    val got = reader(dir, "np").load().select("rid", "s.b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (1L to 20L).map(i => (i, i * 100)).toSet,
+      s"pruned inner-field read over a remapped file, got $got")
+    // nested rename: the pre-rename file resolves the inner field by id
+    t = t.updateSchema().renameColumnAt(Seq("s", "a"), "x").commit()
+    val got2 = reader(dir, "np").load().select("rid", "s.x").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == (1L to 20L).map(i => (i, i * 10)).toSet,
+      s"pruned renamed-inner-field read, got $got2")
+    // and the unpruned struct still reads consistently
+    val full = reader(dir, "np").load().select("rid", "s.x", "s.b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(full == (1L to 20L).map(i => (i, i * 10, i * 100)).toSet)
+  }
+
+  test("type-promoted files stay off the columnar remap path") {
+    val dir = Files.createTempDirectory("graft-src-promo-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val s = Schema(0, Seq(
+      NestedField(1, "k", IntType, required = true),
+      NestedField(2, "v", DoubleType, required = true)))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "promo2"), s,
+      io = new HadoopFileIO())
+    import spark.implicits._
+    t = TableOps.append(t, (1 to 10).map(i => (i, i * 1.0)).toDF("k", "v"))
+    t = t.updateSchema().updateColumnType("k", LongType).commit()
+    t = TableOps.append(t,
+      (11 to 20).map(i => (i.toLong, i * 1.0)).toDF("k", "v"))
+    val df = reader(dir, "promo2").load()
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+    assert(scans.forall(!_.supportsColumnar),
+      "promoted files need ReaderConv — the scan must take the row " +
+        s"path:\n${df.queryExecution.executedPlan}")
+    assert(df.select("k").collect().map(_.getLong(0)).toSet ==
+      (1L to 20L).toSet,
+      "int-written files must read as long under the promoted schema")
+  }
+
+  test("malformed eq-delete-set-max-bytes names the option") {
+    val (t0, dir, name) = mkTable("optparse")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 10))
+    t = Mutations.deleteByKeys(t, spark, Seq(2L).toDF("event_id"))
+    val e = intercept[Exception] {
+      reader(dir, name).option("eq-delete-set-max-bytes", "lots")
+        .load().collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("eq-delete-set-max-bytes") &&
+      msgs.contains("lots"),
+      s"parse failure must name the option and value, got: $msgs")
+  }
+
   test("pushed filters reach parquet row-group skipping") {
     val (t0, dir, name) = mkTable("rg1")
     var t = t0

@@ -176,6 +176,22 @@ class ChangelogSpec extends AnyFunSuite {
       s"got $out")
   }
 
+  test("withUpdates tolerates unorderable (map) data columns") {
+    import spark.implicits._
+    // a MapType column cannot appear in ORDER BY — the pairing window
+    // must skip it instead of throwing AnalysisException
+    val df = Seq(
+      (1L, Map("a" -> 1), "x1", Changelog.Delete),
+      (1L, Map("a" -> 2), "x2", Changelog.Insert))
+      .toDF("id", "m", "name", Changelog.ChangeType)
+      .withColumn(Changelog.ChangeOrdinal, lit(0))
+      .withColumn(Changelog.CommitSnapshotId, lit(1L))
+    val out = Changelog.withUpdates(df, Seq("id"))
+      .select(Changelog.ChangeType).collect().map(_.getString(0)).toSet
+    assert(out == Set(Changelog.UpdateBefore, Changelog.UpdateAfter),
+      s"map-typed table must still pair, got $out")
+  }
+
   test("withUpdates pairs deterministically with multiple changes per key") {
     import spark.implicits._
     // Two DELETEs + one INSERT for the same key in one commit: exactly
