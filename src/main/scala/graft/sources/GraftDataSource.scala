@@ -574,6 +574,19 @@ private[sources] object BatchPlanning {
   private def keyNamesOf(t: Table, ids: Seq[Int]): Seq[String] =
     ids.flatMap(id => t.schema.field(id)).map(_.name)
 
+  /** A field name guaranteed ABSENT from the file's fields, so a
+    * parquet by-name projection null-fills it. Null-filling an added
+    * field by its CURRENT name is wrong when a rename freed that name
+    * and the file still physically carries a column under it (older
+    * field id) — the request would surface the old column's values. */
+  private def absentName(base: String,
+      fileFields: Seq[graft.spec.NestedField]): String = {
+    val taken = fileFields.map(_.name).toSet
+    if (!taken.contains(base)) base
+    else Iterator.from(0).map(i => s"__graft_null_fill_${i}__$base")
+      .find(!taken.contains(_)).get
+  }
+
   /** The Spark type to REQUEST from a pre-evolution file so the values
     * come back POSITIONALLY aligned with the PRUNED read type `pruned`
     * (Spark's nested schema pruning may have dropped inner struct
@@ -581,8 +594,8 @@ private[sources] object BatchPlanning {
     * the pruned shape or inner ordinals misalign): struct requests
     * rebuild from the PRUNED fields, each mapped by current name →
     * field id → file field — file names, pruned order, inner fields
-    * added since the file null-filled by requesting the current name
-    * (absent in the file). Non-struct requests pass `pruned` through:
+    * added since the file null-filled by requesting a name guaranteed
+    * absent from the file. Non-struct requests pass `pruned` through:
     * array/map element evolution is not expressible by SchemaUpdate,
     * so inside them file names equal current names and a by-name
     * pruned request is already correct. */
@@ -599,11 +612,15 @@ private[sources] object BatchPlanning {
               case Some(ff) => org.apache.spark.sql.types.StructField(
                 ff.name, requestType(pf.dataType, qf.fieldType, ff.fieldType),
                 pf.nullable)
-              case None => // added since this file: null-fill by name
+              case None => // added since this file: null-fill by a
+                // name the file does not carry (see [[absentName]])
                 org.apache.spark.sql.types.StructField(
-                  qf.name, pf.dataType, nullable = true)
+                  absentName(qf.name, ffs), pf.dataType, nullable = true)
             }
-            case None => pf // not in current metadata (defensive)
+            case None => throw new IllegalStateException(
+              s"graft source: pruned field '${pf.name}' is absent from " +
+                "the table's current schema — cannot align the request " +
+                "for a pre-evolution file")
           }
         })
       case _ => pruned
@@ -740,7 +757,11 @@ private[sources] object BatchPlanning {
                     requestType(f.dataType, cur.fieldType, ff.fieldType),
                     f.nullable))
                 else None
-              case _ => Some(f) // added since file: null-filled by name
+              case _ => // added since file: null-fill via a name the
+                // file does not carry (see [[absentName]])
+                Some(org.apache.spark.sql.types.StructField(
+                  absentName(f.name, fileSchema.fields),
+                  f.dataType, nullable = true))
             }
           }
           if (mapped.forall(_.isDefined))
@@ -801,8 +822,12 @@ private[sources] object BatchPlanning {
                 else fileSpark
               (org.apache.spark.sql.types.StructField(ff.name, reqType,
                 f.nullable), conv)
-            case _ => // added since this file: null-fill under current
-              (f, ReaderConv.of(f.dataType, f.dataType))
+            case _ => // added since this file: null-fill by a name the
+              // file does not carry (see [[absentName]])
+              (org.apache.spark.sql.types.StructField(
+                absentName(f.name, fileSchema.fields),
+                f.dataType, nullable = true),
+                ReaderConv.of(f.dataType, f.dataType))
           }
         }
         val fileRequired = StructType(pairs.map(_._1))
@@ -812,12 +837,45 @@ private[sources] object BatchPlanning {
           convs)
       }.toMap
 
+    // Memory-bounded equality-delete support for pre-evolution files:
+    // the bounded path's pre-pass reads the DATA file's key columns,
+    // which there live under their OLD names/types — so each
+    // (write-schema, key-set) pair gets a reader requesting the FILE
+    // names plus positional promotions up to the current key types.
+    // None = some key column post-dates the file entirely (added
+    // later): every data row's key is null there, null keys never
+    // match, the delete set for such a task is empty.
+    val eqRemapKeyFuncs: Map[(Int, Seq[String]),
+        Option[(PartitionedFile => Iterator[InternalRow],
+          Array[ReaderConv])]] =
+      (for { sid <- oldSchemaIds; names <- eqKeySets } yield {
+        val fileSchema = t.metadata.schemaById(sid).get
+        val resolved = names.map(n =>
+          current.fieldByName(n).flatMap(cur =>
+            fileSchema.field(cur.id).map(ff => (cur, ff))))
+        val entry =
+          if (resolved.contains(None)) None
+          else {
+            val pairs = resolved.flatten.map { case (cur, ff) =>
+              val fileSpark = SchemaConverters.toSparkType(ff.fieldType)
+              val curSpark = SchemaConverters.toSparkType(cur.fieldType)
+              (org.apache.spark.sql.types.StructField(ff.name, fileSpark,
+                nullable = true), ReaderConv.of(fileSpark, curSpark))
+            }
+            val fileFull = SchemaConverters.toSparkSchema(fileSchema)
+            Some((ParquetShim.buildReaderFunc(spark, fileFull,
+              StructType(pairs.map(_._1).toArray)),
+              pairs.map(_._2).toArray))
+          }
+        (sid, names) -> entry
+      }).toMap
+
     new GraftReaderFactory(
       defaultFunc, remapped,
       extended,
       required.fieldNames.map(extended.fieldIndex),
       posFunc, eqFuncs, emitFile, filteredFunc, batchFunc, eqSetMaxBytes,
-      batchFuncUnfiltered, batchRemapFuncs)
+      batchFuncUnfiltered, batchRemapFuncs, eqRemapKeyFuncs)
   }
 }
 
@@ -1073,13 +1131,18 @@ private[sources] class GraftV2Scan(
       required, emitFile, allFilters,
       eqSetMaxBytes = Option(options.get("eq-delete-set-max-bytes"))
         .map { v =>
-          try v.trim.toLong
-          catch {
-            case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                "graft source: option 'eq-delete-set-max-bytes' must be " +
-                  s"a byte count (long), got '$v'")
-          }
+          val parsed =
+            try v.trim.toLong
+            catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  "graft source: option 'eq-delete-set-max-bytes' must be " +
+                    s"a byte count (long), got '$v'")
+            }
+          if (parsed <= 0) throw new IllegalArgumentException(
+            "graft source: option 'eq-delete-set-max-bytes' must be " +
+              s"a positive byte count, got '$v'")
+          parsed
         }
         .getOrElse(GraftReaderFactory.DefaultEqSetMaxBytes))
 
@@ -1193,7 +1256,15 @@ private[sources] class GraftReaderFactory(
       * read by the file's names, batch positionally valid under the
       * current schema. */
     batchRemapFuncs: Map[Int, PartitionedFile =>
-      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = Map.empty)
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = Map.empty,
+    /** Data-file KEY-column readers per (old schema id, eq-key names)
+      * for the memory-bounded equality-delete pre-pass on remapped
+      * tasks: request by the FILE's names, promote positionally to the
+      * current key types. A `None` value records that a key column
+      * post-dates that schema (all keys null there → nothing matches). */
+    eqRemapKeyFuncs: Map[(Int, Seq[String]),
+      Option[(PartitionedFile => Iterator[InternalRow],
+        Array[ReaderConv])]] = Map.empty)
     extends PartitionReaderFactory {
 
   private def normPath(p: String): String =
@@ -1302,21 +1373,47 @@ private[sources] class GraftReaderFactory(
         }
         val set = new java.util.HashSet[Seq[Any]]()
         val summedBytes = files.map(_.length).sum
-        if (summedBytes > eqSetMaxBytes &&
-            !remappedFuncs.contains(gp.schemaId)) {
+        // The reader for THIS data file's key columns: current-schema
+        // tasks reuse the delete-file reader (projection is by name);
+        // schema-remapped tasks use the per-write-schema key reader
+        // (the file's OLD names + positional promotion to the current
+        // key types). None = a key column post-dates the file — all
+        // its keys are null there, null keys never match, so no delete
+        // with this key set can touch this task at all.
+        val dataKeyReader: Option[(PartitionedFile => Iterator[InternalRow],
+            Array[ReaderConv])] =
+          if (!remappedFuncs.contains(gp.schemaId)) Some((f, null))
+          else eqRemapKeyFuncs.getOrElse((gp.schemaId, names), None)
+        def fileKeyOf(r: InternalRow, kcs: Array[ReaderConv]): Seq[Any] =
+          if (kcs == null) keyOf(r)
+          else {
+            val key = Array.tabulate(names.length) { i =>
+              if (r.isNullAt(i)) null
+              else kcs(i).code match {
+                case 1 => java.lang.Long.valueOf(r.getInt(i).toLong)
+                case 2 => java.lang.Double.valueOf(r.getFloat(i).toDouble)
+                case _ => normVal(r.get(i, kcs(i).fileType))
+              }
+            }
+            if (key.contains(null)) null
+            else ArraySeq.unsafeWrapArray(key)
+          }
+        if (dataKeyReader.isEmpty) {
+          // remapped task missing a key column entirely: the empty set
+          // is exact — skip reading the delete files altogether
+          ()
+        } else if (summedBytes > eqSetMaxBytes) {
           // Memory-bounded application: a multi-GB delete file must not
           // materialize as a per-task heap set. Read THIS data file's
-          // key columns first (column-pruned parquet read — the same
-          // reader the delete files use works because projection is
-          // by name), then STREAM each delete file and retain only keys
-          // that occur in this task — the kept set bounds by the task's
-          // file size, not the delete files, the same smaller-side
-          // bound the engine Scan path's anti-join enjoys. Skipped for
-          // schema-remapped tasks (key columns there need the file's
-          // old names); those keep the eager set.
+          // key columns first (column-pruned parquet read), then STREAM
+          // each delete file and retain only keys that occur in this
+          // task — the kept set bounds by the task's file size, not the
+          // delete files, the same smaller-side bound the engine Scan
+          // path's anti-join enjoys.
+          val (df, kcs) = dataKeyReader.get
           val present = new java.util.HashSet[Seq[Any]]()
-          f(ParquetShim.partitionedFile(gp.path, gp.length)).foreach { r =>
-            val k = keyOf(r)
+          df(ParquetShim.partitionedFile(gp.path, gp.length)).foreach { r =>
+            val k = fileKeyOf(r, kcs)
             if (k != null) present.add(k)
           }
           files.foreach { d =>

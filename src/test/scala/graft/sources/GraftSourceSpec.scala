@@ -143,6 +143,137 @@ class GraftSourceSpec extends AnyFunSuite {
       "under-threshold deletes must keep the eager per-task set")
   }
 
+  test("over-threshold equality deletes stay bounded on " +
+      "schema-remapped tasks") {
+    val (t0, dir, name) = mkTable("b4remap")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 200))
+    // rename the key column AFTER the first file: that file reads
+    // through the per-write-schema remap, where the key column lives
+    // under its OLD name — the bounded pre-pass must still find it
+    t = t.updateSchema().renameColumn("event_id", "eid").commit()
+    t = Mutations.deleteByKeys(t, spark,
+      ((2L to 5L) ++ (1000L to 1400L)).toDF("eid"))
+    val before = GraftReaderFactory.boundedEqApplications.get()
+    val ids = reader(dir, name).option("eq-delete-set-max-bytes", "1")
+      .load().select("eid").collect().map(_.getLong(0)).toSet
+    assert(ids == (1L to 200L).toSet -- (2L to 5L),
+      "bounded path on a remapped task must apply the same deletes")
+    assert(GraftReaderFactory.boundedEqApplications.get() > before,
+      "remapped tasks must route through the bounded application")
+    // parity with the eager path (default 64 MB threshold)
+    val eager = reader(dir, name).load()
+      .select("eid").collect().map(_.getLong(0)).toSet
+    assert(eager == ids, "bounded and eager paths must agree")
+  }
+
+  test("bounded equality deletes promote int-written keys under a " +
+      "long current schema") {
+    val dir = Files.createTempDirectory("graft-src-b4promo-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val s = Schema(0, Seq(
+      NestedField(1, "k", IntType, required = true),
+      NestedField(2, "v", DoubleType, required = true)))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "b4promo"), s,
+      io = new HadoopFileIO())
+    import spark.implicits._
+    t = TableOps.append(t, (1 to 50).map(i => (i, i * 1.0)).toDF("k", "v"))
+    t = t.updateSchema().updateColumnType("k", LongType).commit()
+    t = Mutations.deleteByKeys(t, spark,
+      ((2L to 4L) ++ (500L to 900L)).toDF("k"))
+    val before = GraftReaderFactory.boundedEqApplications.get()
+    val got = spark.read.format("graft")
+      .option("warehouse", dir).option("namespace", "db")
+      .option("table", "b4promo")
+      .option("eq-delete-set-max-bytes", "1")
+      .load().select("k").collect().map(_.getLong(0)).toSet
+    assert(got == (1L to 50L).toSet -- (2L to 4L),
+      s"int-written keys must match long delete keys, got $got")
+    assert(GraftReaderFactory.boundedEqApplications.get() > before,
+      "promoted-key task must route through the bounded application")
+  }
+
+  test("equality deletes keyed on a column newer than the file leave " +
+      "old rows untouched") {
+    val (t0, dir, name) = mkTable("b4newkey")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 10))
+    t = t.updateSchema().addColumn("tag", LongType).commit()
+    t = TableOps.append(t, (11 to 20).map(i =>
+      (i.toLong, i.toLong % 3, i * 1.0, i.toLong))
+      .toDF("event_id", "user_id", "value", "tag"))
+    t = Mutations.deleteByKeys(t, spark,
+      ((12L to 13L) ++ (100L to 400L)).toDF("tag"))
+    // old rows have a NULL tag — null keys never match, so only the
+    // new file loses rows; bounded and eager paths must agree
+    for (opts <- Seq(Map.empty[String, String],
+        Map("eq-delete-set-max-bytes" -> "1"))) {
+      val ids = reader(dir, name).options(opts).load()
+        .select("event_id").collect().map(_.getLong(0)).toSet
+      assert(ids == (1L to 20L).toSet -- Set(12L, 13L),
+        s"opts=$opts: old rows must survive a newer-column key, got $ids")
+    }
+  }
+
+  test("a field added under a renamed-away name null-fills instead of " +
+      "reading the file's old physical column") {
+    val (t0, dir, name) = mkTable("reuse1")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 10))
+    // free the name, then reuse it for a NEW column: the pre-rename
+    // file still physically carries a column named "value" (old id)
+    t = t.updateSchema().renameColumn("value", "amount").commit()
+    t = t.updateSchema().addColumn("value", DoubleType).commit()
+    def readAll() = reader(dir, name).load()
+      .select("event_id", "amount", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    // columnar/batch remap path (no deletes)
+    assert(readAll() == (1 to 10).map(i => (i.toLong, i * 1.0, -1.0)).toSet,
+      "new 'value' must null-fill on pre-rename files (batch path)")
+    // row remap path (an equality delete forces it)
+    t = Mutations.deleteByKeys(t, spark, Seq(3L).toDF("event_id"))
+    assert(readAll() == (1 to 10).filter(_ != 3)
+      .map(i => (i.toLong, i * 1.0, -1.0)).toSet,
+      "new 'value' must null-fill on pre-rename files (row path)")
+  }
+
+  test("requestType fails loud on a pruned field unknown to the " +
+      "current schema") {
+    val pruned = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ghost",
+        org.apache.spark.sql.types.LongType)))
+    val cur = StructType(Seq(
+      NestedField(1, "a", LongType, required = false)))
+    val file = StructType(Seq(
+      NestedField(1, "a", LongType, required = false)))
+    val e = intercept[IllegalStateException] {
+      BatchPlanning.requestType(pruned, cur, file)
+    }
+    assert(e.getMessage.contains("ghost"),
+      s"must name the unknown field, got: ${e.getMessage}")
+  }
+
+  test("non-positive eq-delete-set-max-bytes is rejected") {
+    val (t0, dir, name) = mkTable("optparse2")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 10))
+    t = Mutations.deleteByKeys(t, spark, Seq(2L).toDF("event_id"))
+    for (bad <- Seq("0", "-5")) {
+      val e = intercept[Exception] {
+        reader(dir, name).option("eq-delete-set-max-bytes", bad)
+          .load().collect()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("eq-delete-set-max-bytes") &&
+        msgs.contains("positive"), s"value '$bad' must be rejected " +
+        s"with a descriptive message, got: $msgs")
+    }
+  }
+
   test("delete-free AND position-delete scans are columnar; " +
       "equality-delete scans are not") {
     val (t0, dir, name) = mkTable("col1")
@@ -268,7 +399,7 @@ class GraftSourceSpec extends AnyFunSuite {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val scans = df.queryExecution.executedPlan
       .collect { case b: BatchScanExec => b }
-    assert(scans.forall(!_.supportsColumnar),
+    assert(scans.nonEmpty && scans.forall(!_.supportsColumnar),
       "promoted files need ReaderConv — the scan must take the row " +
         s"path:\n${df.queryExecution.executedPlan}")
     assert(df.select("k").collect().map(_.getLong(0)).toSet ==
