@@ -56,6 +56,15 @@ object Bench {
     * or median/min > 3x on most queries. These alone also flag, so the
     * detector still works when no floor file is present.
     */
+  /** Per-query load-outlier flag (round-9 verdict #4): a query whose
+    * median diverges >10x from its own min was hit by machine load even
+    * when the run-level verdict stays clean — BENCH_r08's e1 (median
+    * 34.1 s vs min 1.58 s, 21x) escaped `divergent`, which needs MOST
+    * queries off, and the floor rules, which only check mins. Sub-10ms
+    * mins are excluded as noise-prone, matching the med/min ratio guard. */
+  def suspectQueries(medMin: Seq[(String, Double, Double)]): Seq[String] =
+    medMin.collect { case (k, med, mn) if mn > 0.01 && med > 10.0 * mn => k }
+
   def contaminationVerdict(
       perQueryMin: Map[String, Double],
       totalMin: Double,
@@ -64,7 +73,11 @@ object Bench {
       loadBefore: Double,
       loads: Seq[Double],
       medMinRatios: Seq[Double],
-      cpus: Int): Boolean = {
+      cpus: Int,
+      /** Count of per-query med/min>10x outliers ([[suspectQueries]]):
+        * one is tolerated (annotated in the artifact), two or more mean
+        * the machine was loaded for a real fraction of the run. */
+      suspectCount: Int = 0): Boolean = {
     val floorTotal = floor.getOrElse("total_min", -1.0)
     val overTotal = floorApplies && floorTotal > 0 && totalMin > 3.0 * floorTotal
     val overPerQuery = floorApplies && perQueryMin.count { case (q, mn) =>
@@ -74,7 +87,7 @@ object Bench {
       loads.count(_ > cpus / 2.0) > loads.size / 2
     val divergent =
       medMinRatios.nonEmpty && medMinRatios.count(_ > 3.0) > medMinRatios.size / 2
-    overTotal || overPerQuery || highLoad || divergent
+    overTotal || overPerQuery || highLoad || divergent || suspectCount >= 2
   }
 
   def main(args: Array[String]): Unit = {
@@ -151,13 +164,15 @@ object Bench {
     val floorApplies = sfDir.endsWith("sf0.1") || sfDir.endsWith("sf0.1/")
     val loads = (loadBefore +: results.map(_._5)) :+ loadAfter
     val ratios = ok.collect { case (_, med, mn, _, _, _) if mn > 0.01 => med / mn }
+    val suspects = suspectQueries(ok.map(r => (r._1, r._2, r._3)))
     val contaminated = contaminationVerdict(
       ok.map(r => r._1 -> r._3).toMap, totalMin, floor, floorApplies,
-      loadBefore, loads, ratios, cpus)
+      loadBefore, loads, ratios, cpus, suspects.size)
+    val qsSuspect = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"total_min":${fmt(totalMin)},"iters":$iters,""" +
-      s""""samples":$qsSamples,"errors":$qsErr,""" +
+      s""""samples":$qsSamples,"errors":$qsErr,"suspects":$qsSuspect,""" +
       s""""loadavg":{"before":${fmt(loadBefore)},"after":${fmt(loadAfter)},"per_query":$qsLoad},""" +
       s""""floor_file":"${if (floor.nonEmpty) floorPath else ""}","floor_applied":${floor.nonEmpty && floorApplies},""" +
       s""""contaminated":$contaminated,"sf":"$sfDir"}""")

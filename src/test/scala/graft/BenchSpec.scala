@@ -105,6 +105,57 @@ class BenchSpec extends AnyFunSuite {
       loadBefore = 3.0, loads = Seq(3.0), medMinRatios = Seq(1.1), cpus = 8))
   }
 
+  // (query, median, min) replayed from the driver-committed BENCH_r08:
+  // e1's median was 21x its own min (machine load mid-run) yet the
+  // run-level verdict reported clean — round-9 verdict #2.
+  private val r8MedMin = Seq(
+    ("q1_pricing_summary", 0.2668, 0.233),
+    ("q2_filter_project", 0.3016, 0.2666),
+    ("q3_topk_orders", 0.1422, 0.1373),
+    ("q4_segment_revenue", 0.5091, 0.50),
+    ("q5_nation_revenue", 0.9367, 0.6758),
+    ("q6_forecast_revenue", 0.1391, 0.1263),
+    ("q9_window_rank", 0.3577, 0.3102),
+    ("q13_events_hourly", 0.216, 0.1995),
+    ("d1_dedup_exact", 0.3738, 0.3328),
+    ("d6_minhash_dedup", 2.8862, 1.9986),
+    ("e1_ann_bruteforce", 34.0717, 1.584))
+
+  // Replayed from the clean BENCH_r09 run.
+  private val r9MedMin = Seq(
+    ("q1_pricing_summary", 0.1836, 0.1782),
+    ("q2_filter_project", 0.1599, 0.1361),
+    ("q3_topk_orders", 0.1307, 0.1205),
+    ("q4_segment_revenue", 0.4410, 0.4168),
+    ("q5_nation_revenue", 0.5166, 0.4861),
+    ("q6_forecast_revenue", 0.0991, 0.0966),
+    ("q9_window_rank", 0.2211, 0.2139),
+    ("q13_events_hourly", 0.1243, 0.1205),
+    ("d1_dedup_exact", 0.1804, 0.1707),
+    ("d6_minhash_dedup", 1.7241, 1.2504),
+    ("e1_ann_bruteforce", 0.2998, 0.2948))
+
+  test("r8's e1 outlier is flagged suspect; r9's queries are not") {
+    assert(Bench.suspectQueries(r8MedMin) == Seq("e1_ann_bruteforce"))
+    assert(Bench.suspectQueries(r9MedMin).isEmpty)
+  }
+
+  test("a single suspect does not flag the run; two suspects do") {
+    assert(!Bench.contaminationVerdict(
+      idleMin, idleMin.values.sum, floor, floorApplies = true,
+      loadBefore = 0.3, loads = Seq(0.3, 1.0), medMinRatios = Seq(1.1, 1.2),
+      cpus = 32, suspectCount = 1))
+    assert(Bench.contaminationVerdict(
+      idleMin, idleMin.values.sum, floor, floorApplies = true,
+      loadBefore = 0.3, loads = Seq(0.3, 1.0), medMinRatios = Seq(1.1, 1.2),
+      cpus = 32, suspectCount = 2))
+  }
+
+  test("sub-10ms mins are excluded from the suspect flag (noise)") {
+    assert(Bench.suspectQueries(
+      Seq(("tiny", 0.09, 0.005), ("real", 2.0, 0.1))).== (Seq("real")))
+  }
+
   test("fmt is locale-independent") {
     val prev = java.util.Locale.getDefault
     try {
