@@ -525,6 +525,82 @@ object IcebergQueries {
       |  'INSERT', 2
       |FROM lineitem WHERE l_linenumber >= 5""".stripMargin
 
+  /** Nested schema evolution + Spark nested-schema pruning, end-to-end
+    * through the DSv2 source against the DuckDB oracle (round-9 verdict
+    * #2: the last two rounds both found bugs in exactly this remap —
+    * `requestType`'s pruned-shape alignment — so it gets a hash gate,
+    * not just unit tests). The table nests s = {a, b, n} over lineitem,
+    * then evolves: inner RENAME a→qty, inner ADD c, top-level
+    * PROMOTION ln int→long; pre- and post-evolution files coexist. */
+  private def nestedEvolvedTable(spark: SparkSession, sfDir: String): Table =
+    cache.getOrElseUpdate(s"li19:$sfDir", {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val pre = df.filter(col("l_linenumber") <= 3).select(
+        col("l_orderkey"),
+        col("l_linenumber").as("ln"),
+        struct(col("l_quantity").as("a"), col("l_extendedprice").as("b"),
+          col("l_linenumber").as("n")).as("s"))
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sf19" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      var t = Table.create(cat, TableIdentifier(ns, "lineitem_nested"),
+        SchemaConverters.fromSparkSchema(pre.schema), io = io)
+      t = TableOps.append(t, pre)
+      t = t.updateSchema()
+        .renameColumnAt(Seq("s", "a"), "qty")
+        .addNestedColumn(Seq("s", "c"), graft.spec.DoubleType)
+        .updateColumnType("ln", graft.spec.LongType)
+        .commit()
+      val post = df.filter(col("l_linenumber") > 3).select(
+        col("l_orderkey"),
+        col("l_linenumber").cast("long").as("ln"),
+        struct(col("l_quantity").as("qty"), col("l_extendedprice").as("b"),
+          col("l_linenumber").as("n"),
+          (col("l_extendedprice") * 2).as("c")).as("s"))
+      TableOps.append(t, post)
+    })
+
+  private def nestedReader(s: SparkSession, dir: String) = {
+    nestedEvolvedTable(s, dir)
+    s.read.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", "sf19" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      .option("table", "lineitem_nested")
+      .load()
+  }
+
+  /** Pruned inner subset (qty, c — Spark's nested pruning drops b and
+    * n) PLUS the promoted top-level ln: pre-evolution tasks take the
+    * row remap path with a ReaderConv, and a misaligned inner ordinal
+    * or a null-fill resolved to the wrong physical column breaks the
+    * hash. */
+  def i19NestedEvolution(s: SparkSession, dir: String): DataFrame =
+    nestedReader(s, dir)
+      .select(col("l_orderkey"), col("ln"),
+        col("s.qty").as("qty"), col("s.c").as("c"))
+      .orderBy("l_orderkey", "ln")
+
+  val i19Sql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  l_quantity AS qty,
+      |  CASE WHEN l_linenumber > 3 THEN l_extendedprice * 2 END AS c
+      |FROM lineitem ORDER BY l_orderkey, ln""".stripMargin
+
+  /** The same table WITHOUT the promoted column in the projection:
+    * every task is promotion-free for the required set, so the scan
+    * keeps columnar eligibility through the per-write-schema batch
+    * remap — the other half of the requestType code path. */
+  def i19NestedColumnar(s: SparkSession, dir: String): DataFrame =
+    nestedReader(s, dir)
+      .select(col("l_orderkey"),
+        col("s.qty").as("qty"), col("s.c").as("c"))
+      .orderBy("l_orderkey", "qty")
+
+  val i19bSql: String =
+    """SELECT l_orderkey, l_quantity AS qty,
+      |  CASE WHEN l_linenumber > 3 THEN l_extendedprice * 2 END AS c
+      |FROM lineitem ORDER BY l_orderkey, qty""".stripMargin
+
   // ------------------------------ SQL façade gates (verdict #7): the
   // SAME engine tables queried through spark.sql — GraftRelation leaf +
   // optimizer-rule substitution, native parquet execution.
@@ -840,6 +916,8 @@ object IcebergQueries {
     "i16_stream_mor" -> (i16StreamMor _),
     "i17_partitions_meta" -> (i17PartitionsMeta _),
     "i18_changelog" -> (i18Changelog _),
+    "i19_nested_evolution" -> (i19NestedEvolution _),
+    "i19_nested_columnar" -> (i19NestedColumnar _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -871,5 +949,7 @@ object IcebergQueries {
     "i16_stream_mor" -> i16Sql,
     "i17_partitions_meta" -> i17Sql,
     "i18_changelog" -> i18Sql,
+    "i19_nested_evolution" -> i19Sql,
+    "i19_nested_columnar" -> i19bSql,
   )
 }
