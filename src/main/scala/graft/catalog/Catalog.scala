@@ -56,7 +56,10 @@ object TableRequirement {
   * (`catalog/catalog.go:205-280`). */
 sealed trait TableUpdate
 object TableUpdate {
-  final case class AddSnapshot(snapshot: Snapshot) extends TableUpdate
+  /** Adds the snapshot and advances `branch` to it (main by default —
+    * the reference's only behavior; non-main is the WAP write path). */
+  final case class AddSnapshot(snapshot: Snapshot,
+      branch: String = "main") extends TableUpdate
   final case class SetSnapshotRef(refName: String, snapshotId: Long,
       refType: String,
       minSnapshotsToKeep: Option[Int] = None,
@@ -77,7 +80,7 @@ object TableUpdate {
   final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
 
   def apply(m: TableMetadata, u: TableUpdate): TableMetadata = u match {
-    case AddSnapshot(s) => m.withSnapshot(s)
+    case AddSnapshot(s, b) => m.withSnapshot(s, b)
     case SetSnapshotRef(name, id, tpe, minKeep, maxSnapAge, maxRefAge) =>
       val base = m.copy(refs = m.refs +
         (name -> SnapshotRef(id, tpe, minKeep, maxSnapAge, maxRefAge)))

@@ -267,8 +267,13 @@ class RestCatalog(
 
   /** Update JSON per `catalog/catalog.go:205-280`. */
   private def updateJson(u: TableUpdate): String = u match {
-    case TableUpdate.AddSnapshot(s) =>
-      s"""{"action": "add-snapshot", "snapshot": ${snapshotJson(s)}}"""
+    case TableUpdate.AddSnapshot(s, branch) =>
+      // `branch` is an extension field our server pairs with the spec's
+      // separate set-snapshot-ref action; "main" keeps the wire shape
+      // identical to the reference's auto-main commit.
+      val branchField =
+        if (branch == "main") "" else s""", "branch": "$branch""""
+      s"""{"action": "add-snapshot", "snapshot": ${snapshotJson(s)}$branchField}"""
     case TableUpdate.SetSnapshotRef(name, sid, tpe, minKeep, maxSnapAge,
         maxRefAge) =>
       val knobs = Seq(

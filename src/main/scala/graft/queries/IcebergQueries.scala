@@ -601,6 +601,58 @@ object IcebergQueries {
       |  CASE WHEN l_linenumber > 3 THEN l_extendedprice * 2 END AS c
       |FROM lineitem ORDER BY l_orderkey, qty""".stripMargin
 
+  /** Write-audit-publish end-to-end (round-9 verdict #3): append half
+    * of lineitem to main, the rest to an `audit` branch, then
+    * fast-forward-publish via `setRef("main", branchHead)`. The result
+    * encodes all three phases — main-before (must still be the first
+    * half: branch isolation), branch (full), main-after (full) — so
+    * the hash breaks if a branch commit leaks into main or the publish
+    * loses rows. */
+  def i20BranchWap(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/lineitem.parquet")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf20" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    var t = Table.create(cat, TableIdentifier(ns, "lineitem"),
+      SchemaConverters.fromSparkSchema(df.schema), io = io)
+    t = TableOps.append(t, df.filter(col("l_linenumber") <= 3))
+    var audit = t.forBranch("audit")
+    audit = TableOps.append(audit, df.filter(col("l_linenumber") > 3))
+    def agg(tbl: Table, phase: String): DataFrame =
+      Scan(tbl, s).toDF
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("sum_qty"))
+        .withColumn("phase", lit(phase))
+        .select("phase", "l_returnflag", "n", "sum_qty")
+    // Scan plans files at construction from the handle's immutable
+    // metadata, so each phase's plan pins that phase's snapshot.
+    val mainBefore = agg(t.refresh(), "1_main_before")
+    val branch = agg(audit, "2_branch")
+    val published = t.refresh().newTransaction()
+      .setRef("main", audit.currentSnapshot.get.snapshotId).commit()
+    val mainAfter = agg(published, "3_main_after")
+    mainBefore.unionAll(branch).unionAll(mainAfter)
+      .orderBy("phase", "l_returnflag")
+  }
+
+  val i20Sql: String =
+    """SELECT '1_main_before' AS phase, l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE l_linenumber <= 3 GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT '2_branch', l_returnflag, COUNT(*),
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM lineitem GROUP BY l_returnflag
+      |UNION ALL
+      |SELECT '3_main_after', l_returnflag, COUNT(*),
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY phase, l_returnflag""".stripMargin
+
   // ------------------------------ SQL façade gates (verdict #7): the
   // SAME engine tables queried through spark.sql — GraftRelation leaf +
   // optimizer-rule substitution, native parquet execution.
@@ -918,6 +970,7 @@ object IcebergQueries {
     "i18_changelog" -> (i18Changelog _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
+    "i20_branch_wap" -> (i20BranchWap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -951,5 +1004,6 @@ object IcebergQueries {
     "i18_changelog" -> i18Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
+    "i20_branch_wap" -> i20Sql,
   )
 }

@@ -70,14 +70,23 @@ final case class TableMetadata(
       lastColumnId = math.max(lastColumnId, s2.highestFieldId))
   }
 
-  def withSnapshot(snap: Snapshot): TableMetadata = copy(
-    snapshots = snapshots :+ snap,
-    currentSnapshotId = Some(snap.snapshotId),
-    lastSequenceNumber = math.max(lastSequenceNumber, snap.sequenceNumber),
-    snapshotLog = snapshotLog :+
-      SnapshotLogEntry(snap.snapshotId, snap.timestampMs),
-    lastUpdatedMs = snap.timestampMs,
-    refs = refs + ("main" -> SnapshotRef(snap.snapshotId, "branch")))
+  /** Adds the snapshot and advances `branch` to it. Only `main` moves
+    * `currentSnapshotId` and the snapshot log (both follow main, as in
+    * Iceberg); other branches move their ref alone, so main's content
+    * is untouched until a fast-forward publish. */
+  def withSnapshot(snap: Snapshot, branch: String = "main"): TableMetadata = {
+    val base = copy(
+      snapshots = snapshots :+ snap,
+      lastSequenceNumber = math.max(lastSequenceNumber, snap.sequenceNumber),
+      lastUpdatedMs = snap.timestampMs,
+      refs = refs + (branch -> SnapshotRef(snap.snapshotId, "branch")))
+    if (branch == "main")
+      base.copy(
+        currentSnapshotId = Some(snap.snapshotId),
+        snapshotLog = snapshotLog :+
+          SnapshotLogEntry(snap.snapshotId, snap.timestampMs))
+    else base
+  }
 
   def removeSnapshots(ids: Set[Long]): TableMetadata = copy(
     snapshots = snapshots.filterNot(s => ids.contains(s.snapshotId)),

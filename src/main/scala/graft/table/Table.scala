@@ -14,7 +14,15 @@ class Table(
     val catalog: Catalog,
     val id: TableIdentifier,
     val metadata: TableMetadata,
-    val io: FileIO) {
+    val io: FileIO,
+    /** The branch data commits advance (write-audit-publish — the
+      * reference's commit path always advances main,
+      * `table/table.go:179-183`). A non-main handle is positioned at
+      * the branch head: scans read it and commit parents chain from it,
+      * while `main` and the snapshot log (which follows main) stay
+      * untouched until a fast-forward publish via
+      * `Transaction.setRef("main", branchHead)`. */
+    val writeBranch: String = "main") {
 
   def schema: Schema = metadata.currentSchema
   def spec: PartitionSpec = metadata.defaultPartitionSpec
@@ -23,7 +31,17 @@ class Table(
   def history: Seq[SnapshotLogEntry] = metadata.snapshotLog
 
   def refresh(): Table =
-    new Table(catalog, id, catalog.loadTable(id), io)
+    new Table(catalog, id,
+      Table.positioned(catalog.loadTable(id), writeBranch), io, writeBranch)
+
+  /** A handle positioned ON a branch (WAP): scans read the branch head
+    * and data commits advance the branch ref only. A branch that does
+    * not exist yet branches off this handle's CURRENT state — the
+    * first commit's parent is the current snapshot, and the commit
+    * creates the ref. Publish with
+    * `newTransaction().setRef("main", branchHead).commit()`. */
+  def forBranch(name: String): Table =
+    new Table(catalog, id, Table.positioned(metadata, name), io, name)
 
   /** Time travel (`table/table.go:93-121`). */
   def snapshotById(sid: Long): Option[Snapshot] = metadata.snapshotById(sid)
@@ -68,18 +86,23 @@ class Table(
     var attempt = 0
     var meta = metadata
     while (true) {
+      // `meta` is positioned at the target branch head, so the parent
+      // chain, carried-forward manifests, and rebase validation all
+      // follow the branch, not main.
       val snap = SnapshotWriter.write(meta, io, pending)
       val reqs = Seq(TableRequirement.AssertRefSnapshotId(
-        "main", meta.ref("main").map(_.snapshotId)))
-      val ups = Seq(TableUpdate.AddSnapshot(snap))
+        writeBranch, meta.ref(writeBranch).map(_.snapshotId)))
+      val ups = Seq(TableUpdate.AddSnapshot(snap, writeBranch))
       try {
         val committed = catalog.commitTable(id, reqs, ups)
-        return new Table(catalog, id, committed, io)
+        return new Table(catalog, id,
+          Table.positioned(committed, writeBranch), io, writeBranch)
       } catch {
         case e: CommitFailedException if attempt < retries =>
           attempt += 1
           Thread.sleep(Table.RetryBackoffMs * attempt)
-          meta = catalog.loadTable(id) // refresh + rebase on fresh metadata
+          // refresh + rebase on fresh metadata, repositioned on branch
+          meta = Table.positioned(catalog.loadTable(id), writeBranch)
           validateRebase(pending, meta)
       }
     }
@@ -120,6 +143,18 @@ object Table {
   /** Defaults from the reference config (`config.go:93-94`). */
   val MaxRetries = 3
   val RetryBackoffMs = 100L
+
+  /** Metadata positioned at a branch head: `currentSnapshot` (and with
+    * it scans, commit parents, and rebase checks) resolves to the
+    * branch. A missing branch leaves the metadata as-is — the branch
+    * then forks from the current state on its first commit. */
+  private[table] def positioned(m: TableMetadata,
+      branch: String): TableMetadata =
+    if (branch == "main") m
+    else m.ref(branch) match {
+      case Some(r) => m.copy(currentSnapshotId = Some(r.snapshotId))
+      case None => m
+    }
 
   def load(catalog: Catalog, id: TableIdentifier, io: FileIO): Table =
     new Table(catalog, id, catalog.loadTable(id), io)
@@ -421,7 +456,9 @@ class Transaction(table: Table) {
         "main", base.ref("main").map(_.snapshotId)) +: extraReqs.result()
       try {
         val committed = table.catalog.commitTable(table.id, reqs, ups)
-        return new Table(table.catalog, table.id, committed, table.io)
+        return new Table(table.catalog, table.id,
+          Table.positioned(committed, table.writeBranch), table.io,
+          table.writeBranch)
       } catch {
         case _: CommitFailedException if attempt < Table.MaxRetries =>
           attempt += 1

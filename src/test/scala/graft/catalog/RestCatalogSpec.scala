@@ -165,7 +165,8 @@ class RestCatalogSpec extends AnyFunSuite {
               u.get("action").asText match {
                 case "add-snapshot" =>
                   b += TableUpdate.AddSnapshot(
-                    MetadataJson.parseSnapshot(u.get("snapshot")))
+                    MetadataJson.parseSnapshot(u.get("snapshot")),
+                    Option(u.get("branch")).map(_.asText).getOrElse("main"))
                 case "set-properties" =>
                   val props = Map.newBuilder[String, String]
                   val fit = u.get("updates").properties().iterator()
