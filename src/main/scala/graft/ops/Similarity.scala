@@ -98,7 +98,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 2, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      maxFitRows: Long = 100000L): DataFrame = {
+      maxFitRows: Long = 100000L,
+      /** Known corpus row count (e.g. the engine's metadata-only count,
+        * SURVEY A1) — sizing the KMeans fit sample from it skips a
+        * full counting pre-pass over the corpus, one wasted scan at
+        * 100 TB. Only used to pick the sampling fraction, so a stale
+        * hint degrades sample size, never correctness. */
+      rowCountHint: Option[Long] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -110,7 +116,7 @@ object Similarity {
     // fit on a bounded deterministic sample: centroid quality needs only
     // a sketch of the distribution, and a full-corpus fit at 100 TB
     // would iterate the whole table once per KMeans round
-    val corpusRows = c.count()
+    val corpusRows = rowCountHint.getOrElse(c.count())
     val fitSet =
       if (corpusRows <= maxFitRows) c
       else c.sample(withReplacement = false,

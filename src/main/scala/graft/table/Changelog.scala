@@ -133,12 +133,28 @@ object Changelog {
     // assignment to shuffle order. Order by the NON-identifier data
     // columns — a total order on row content, stable across runs (exact
     // duplicates are interchangeable, so ties there are harmless).
+    // Unorderable (map-typed) columns can't appear in ORDER BY; dropping
+    // them would silently reintroduce nondeterminism for rows differing
+    // ONLY in a map, so they order by a deterministic surrogate instead:
+    // xxhash64 over canonical JSON, entries key-sorted for top-level
+    // maps so physically re-ordered but equal maps still tie.
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType => SqlStructType}
     val nonId = changes.columns
       .filterNot(Set(ChangeType, ChangeOrdinal, CommitSnapshotId))
       .filterNot(identifierCols.contains)
-      .filter(n => org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .isOrderable(changes.schema(n).dataType)) // maps can't ORDER BY
-    val sideOrder = if (nonId.nonEmpty) nonId.toSeq.map(col)
+    val sideOrderCols = nonId.toSeq.map { n =>
+      val dt = changes.schema(n).dataType
+      if (RowOrdering.isOrderable(dt)) col(n)
+      else dt match {
+        case m: MapType if RowOrdering.isOrderable(ArrayType(
+            new SqlStructType().add("key", m.keyType)
+              .add("value", m.valueType))) =>
+          xxhash64(to_json(array_sort(map_entries(col(n)))))
+        case _ => xxhash64(to_json(struct(col(n))))
+      }
+    }
+    val sideOrder = if (sideOrderCols.nonEmpty) sideOrderCols
       else identifierCols.map(col)
     val side = Window.partitionBy((grain :+ col(ChangeType)): _*)
       .orderBy(sideOrder: _*)

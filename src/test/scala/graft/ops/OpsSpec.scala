@@ -211,6 +211,27 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = exact.intersect(approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"IVF recall $recall")
   }
+
+  test("IVF row-count hint skips the counting pre-pass, same results") {
+    val df = clustered
+    val qs = df.filter(col("vec_id") < 4)
+    val sc = spark.sparkContext
+    def run(group: String, hint: Option[Long]) = {
+      sc.setJobGroup(group, group)
+      val got = Similarity.ivfTopK(df, qs, k = 5, nCentroids = 4,
+        nprobe = 2, rowCountHint = hint)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      sc.clearJobGroup()
+      (got, sc.statusTracker.getJobIdsForGroup(group).length)
+    }
+    val n = df.count()
+    val (noHint, jobsNoHint) = run("ivf_nohint", None)
+    val (hinted, jobsHinted) = run("ivf_hint", Some(n))
+    assert(hinted == noHint, "hint must not change results")
+    assert(jobsHinted < jobsNoHint,
+      s"hinted run must skip the count job ($jobsHinted vs $jobsNoHint)")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

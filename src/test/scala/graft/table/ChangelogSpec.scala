@@ -192,6 +192,33 @@ class ChangelogSpec extends AnyFunSuite {
       s"map-typed table must still pair, got $out")
   }
 
+  test("rows differing ONLY in a map column still pair deterministically") {
+    import spark.implicits._
+    // all orderable columns equal across the sides — the tiebreaker
+    // must fall back to the map surrogate (xxhash64 of key-sorted
+    // entries), not silently to shuffle order
+    def changes(rows: Seq[(Long, Map[String, Int], String)]) =
+      rows.toDF("id", "m", Changelog.ChangeType)
+        .withColumn(Changelog.ChangeOrdinal, lit(0))
+        .withColumn(Changelog.CommitSnapshotId, lit(1L))
+    val rows = Seq(
+      (1L, Map("a" -> 2), Changelog.Delete),
+      (1L, Map("a" -> 1), Changelog.Delete),
+      (1L, Map("b" -> 9), Changelog.Insert))
+    def run(df: DataFrame) =
+      Changelog.withUpdates(df, Seq("id"))
+        .select("m", Changelog.ChangeType).collect()
+        .map(r => (r.getAs[scala.collection.Map[String, Int]]("m").toMap,
+          r.getString(1))).toSet
+    val out1 = run(changes(rows).repartition(4))
+    val out2 = run(changes(rows.reverse).repartition(7))
+    assert(out1 == out2,
+      s"map-only difference must pair deterministically: $out1 vs $out2")
+    assert(out1.count(_._2 == Changelog.UpdateBefore) == 1 &&
+      out1.count(_._2 == Changelog.UpdateAfter) == 1 &&
+      out1.count(_._2 == Changelog.Delete) == 1, s"got $out1")
+  }
+
   test("withUpdates pairs deterministically with multiple changes per key") {
     import spark.implicits._
     // Two DELETEs + one INSERT for the same key in one commit: exactly
