@@ -51,9 +51,40 @@ import graft.table.{Expr, FileScanTask, Scan, Table}
   * schema remap falls back to the row path.
   */
 class GraftDataSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "graft"
+
+  /** `df.write.format("graft").save()` — the V1 bridge DataFrameWriter
+    * uses for providers whose connector table only declares
+    * V1_BATCH_WRITE. Append adds one snapshot, Overwrite swaps table
+    * content atomically; both run the engine's partitioned writer and
+    * honor `option("branch", ...)` (write-audit-publish). */
+  override def createRelation(
+      ctx: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val opts = new CaseInsensitiveStringMap(parameters.asJava)
+    val t = load(opts)
+    mode match {
+      case SaveMode.Append => graft.table.TableOps.append(t, data)
+      case SaveMode.Overwrite =>
+        graft.table.Mutations.overwrite(t, data.sparkSession, data)
+      case SaveMode.Ignore => () // the table exists (load succeeded)
+      case SaveMode.ErrorIfExists =>
+        throw new IllegalArgumentException(
+          s"graft source: table ${t.id} already exists " +
+            "(mode ErrorIfExists); use Append or Overwrite")
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext = ctx
+      override def schema: StructType = data.schema
+    }
+  }
 
   /** `writeStream.format("graft")` — the connector table deliberately
     * omits STREAMING_WRITE so Spark routes here (v1 sink), keeping the
@@ -92,9 +123,26 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       v
     }
     val cat = new LocalCatalog(req("warehouse"))
-    Table.load(cat,
+    val t = Table.load(cat,
       TableIdentifier(req("namespace").split('.').toSeq, req("table")),
       new HadoopFileIO())
+    // option("branch", name): reads resolve the branch head and writes
+    // (batch or streaming sink) advance the branch ref only — the DSv2
+    // face of the write-audit-publish path. The branch must already
+    // exist (create it via forBranch / CALL set_ref): a read of a
+    // missing branch silently serving main's content would defeat the
+    // audit, so fail loud instead (an empty table is exempt — there is
+    // no content to leak and the first write creates the ref).
+    Option(options.get("branch")).filter(_.nonEmpty) match {
+      case Some(b) =>
+        if (t.metadata.ref(b).isEmpty && t.currentSnapshot.isDefined)
+          throw new IllegalArgumentException(
+            s"graft source: branch '$b' does not exist; create it by " +
+              "writing to it via the Table API (forBranch) or CALL " +
+              "set_ref, then retry")
+        t.forBranch(b)
+      case None => t
+    }
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -35,7 +35,7 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] = Seq("expire_snapshots", "compact",
     "rollback_to_snapshot", "set_ref", "remove_ref",
     "remove_orphan_files", "rewrite_manifests", "create_changelog_view",
-    "rewrite_data_files")
+    "rewrite_data_files", "fast_forward")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -98,6 +98,9 @@ private[sources] class GraftBoundProcedure(
     case "remove_ref" => Array(
       p("ns", StringType), p("table", StringType),
       p("name", StringType))
+    case "fast_forward" => Array(
+      p("ns", StringType), p("table", StringType),
+      p("branch", StringType), p("to", StringType))
     case "remove_orphan_files" => Array(
       p("ns", StringType), p("table", StringType),
       // -1 sentinel → now - 3 days at call time (Iceberg's default):
@@ -173,6 +176,30 @@ private[sources] class GraftBoundProcedure(
         val refName = input.getUTF8String(2).toString
         t.newTransaction().removeRef(refName).commit()
         (new StructType().add("removed", StringType), Seq(refName))
+      case "fast_forward" =>
+        // publish step of write-audit-publish: move `branch` (usually
+        // main) to `to`'s head, but ONLY if that is a true fast-forward
+        // — the current head must be an ancestor of the target, or the
+        // move would silently drop committed history (Iceberg's
+        // system.fast_forward contract).
+        val branch = input.getUTF8String(2).toString
+        val to = input.getUTF8String(3).toString
+        val toHead = t.metadata.ref(to).map(_.snapshotId).getOrElse(
+          throw new IllegalArgumentException(
+            s"fast_forward: ref '$to' not found in $ns.$tbl"))
+        val fromHead = t.metadata.ref(branch).map(_.snapshotId)
+        val ancestors = Iterator.iterate(t.snapshotById(toHead))(
+          _.flatMap(_.parentSnapshotId).flatMap(t.snapshotById))
+          .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+        fromHead.filterNot(ancestors.contains).foreach(h =>
+          throw new IllegalArgumentException(
+            s"fast_forward: $branch head $h is not an ancestor of " +
+              s"'$to' head $toHead — not a fast-forward"))
+        t.newTransaction().setRef(branch, toHead).commit()
+        (new StructType().add("branch", StringType)
+          .add("previous_snapshot_id", LongType)
+          .add("current_snapshot_id", LongType),
+          Seq(branch, fromHead.getOrElse(-1L), toHead))
       case "remove_orphan_files" =>
         val raw = input.getLong(2)
         val olderThan =

@@ -255,6 +255,34 @@ class GraftSourceSpec extends AnyFunSuite {
       s"must name the unknown field, got: ${e.getMessage}")
   }
 
+  test("branch option reads and writes the branch; main stays put") {
+    val (t0, dir, name) = mkTable("wapdsv2")
+    var t = TableOps.append(t0, batch(1 to 10))
+    // create the branch via the Table API, then extend it via DSv2
+    var b = t.forBranch("audit")
+    b = TableOps.append(b, batch(11 to 15))
+    batch(16 to 20).write.format("graft")
+      .option("warehouse", dir).option("namespace", "db")
+      .option("table", name).option("branch", "audit")
+      .mode("append").save()
+    val onBranch = reader(dir, name).option("branch", "audit").load()
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(onBranch == (1L to 20L).toSet,
+      s"branch read must see API + DSv2 branch writes, got $onBranch")
+    val onMain = reader(dir, name).load()
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(onMain == (1L to 10L).toSet, "main untouched by branch writes")
+    // a missing branch must fail loud, not silently serve main
+    val e = intercept[Exception] {
+      reader(dir, name).option("branch", "nope").load().collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("nope") && msgs.contains("does not exist"),
+      s"missing branch must be rejected, got: $msgs")
+  }
+
   test("non-positive eq-delete-set-max-bytes is rejected") {
     val (t0, dir, name) = mkTable("optparse2")
     import spark.implicits._

@@ -98,6 +98,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.fast_forward publishes a branch; refuses divergence") {
+    withCatalog("ffw") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1)")
+      // branch off main and add audited rows via the Table API
+      var b = loadT(dir, "t").forBranch("audit")
+      import spark.implicits._
+      b = graft.table.TableOps.append(b, Seq(2L, 3L).toDF("id"))
+      // main is still the pre-branch content
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.t")
+        .collect().head.getLong(0) == 1)
+      val res = spark.sql(
+        s"CALL $c.system.fast_forward('db', 't', 'main', 'audit')")
+        .collect().head
+      assert(res.getString(0) == "main" &&
+        res.getLong(2) == b.currentSnapshot.get.snapshotId)
+      assert(spark.sql(s"SELECT sum(id) FROM $c.db.t")
+        .collect().head.getLong(0) == 6, "published main serves 1+2+3")
+      // diverge: a fresh main commit makes main no ancestor of audit
+      spark.sql(s"INSERT INTO $c.db.t VALUES (100)")
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $c.system.fast_forward('db', 't', 'main', 'audit')")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("not a fast-forward"),
+        s"diverged publish must fail loud, got: $msgs")
+    }
+  }
+
   test("CALL system.expire_snapshots and compact") {
     withCatalog("mx") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
