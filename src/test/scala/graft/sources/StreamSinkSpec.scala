@@ -45,6 +45,34 @@ class StreamSinkSpec extends AnyFunSuite {
       .option("checkpointLocation",
         Files.createTempDirectory(s"graft-sink-ckpt-$name-").toString)
 
+  test("branch option: micro-batches land on the branch, main untouched") {
+    import spark.implicits._
+    val (_, dir) = mkTable("wbr")
+    val input = MemoryStream[(Long, Long, Double)]
+    // empty table: the first branch micro-batch creates the ref
+    val q = sinkWriter(
+      input.toDF().toDF("event_id", "user_id", "value"), dir, "wbr")
+      .option("branch", "audit")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 1L, 1.0), (2L, 2L, 2.0))
+      q.processAllAvailable()
+      // a main append BETWEEN micro-batches must not leak either way
+      graft.table.TableOps.append(loadTable(dir, "wbr"),
+        Seq((100L, 1L, 1.0)).toDF("event_id", "user_id", "value"))
+      input.addData((3L, 0L, 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = loadTable(dir, "wbr")
+    val onBranch = Scan(t.forBranch("audit"), spark).toDF
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(onBranch == Set(1L, 2L, 3L),
+      s"branch must hold exactly the streamed rows, got $onBranch")
+    val onMain = Scan(t, spark).toDF
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(onMain == Set(100L), s"main must hold only its append, got $onMain")
+  }
+
   test("writeStream append lands one snapshot per micro-batch") {
     import spark.implicits._
     val (_, dir) = mkTable("w1")

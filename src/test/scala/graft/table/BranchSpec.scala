@@ -113,6 +113,36 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(b.refresh()) == (1L to 9L).toSet)
   }
 
+  test("changelog spans branch lineage from the fork point") {
+    var t = freshTable("wap7")
+    t = TableOps.append(t, df(1 to 3))
+    val fork = t.currentSnapshot.get.snapshotId
+    var b = t.forBranch("audit")
+    b = TableOps.append(b, df(4 to 6))
+    b = TableOps.append(b, df(7 to 9))
+    val changes = Changelog.between(b, spark, fork,
+      b.currentSnapshot.get.snapshotId)
+      .select("id", Changelog.ChangeType).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == (4L to 9L).map((_, Changelog.Insert)).toSet,
+      s"branch commits must appear as changelog INSERTs, got $changes")
+  }
+
+  test("snapshot expiry keeps a live branch readable") {
+    var t = freshTable("wap8")
+    t = TableOps.append(t, df(1 to 3))
+    var b = t.forBranch("audit")
+    b = TableOps.append(b, df(4 to 6))
+    t = TableOps.append(t.refresh(), df(10 to 12))
+    // expire everything age-eligible: the branch ref must pin its head
+    // (and with it every data file its manifest list references)
+    val cleaned = Maintenance.expireSnapshots(t.refresh(),
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(ids(cleaned.forBranch("audit")) == (1L to 6L).toSet,
+      "ref-pinned branch head must stay fully readable after expiry")
+    assert(ids(cleaned) == ((1L to 3L) ++ (10L to 12L)).toSet)
+  }
+
   test("reads by ref name resolve the branch (VERSION AS OF parity)") {
     var t = freshTable("wap6")
     t = TableOps.append(t, df(1 to 5))
