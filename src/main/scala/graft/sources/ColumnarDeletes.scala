@@ -68,6 +68,43 @@ private[sources] object ColumnarDeletes {
       i += 1
     }
     if (kept == n) return batch
+    remap(batch, map, kept)
+  }
+
+  /** `batch` with the rows failing `keep` dropped (zero-copy mapped
+    * view; the original batch when every row survives). Drives the
+    * columnar equality-delete filter: the predicate reads key columns
+    * row-wise, but everything downstream keeps the columnar handoff. */
+  def filterBatchRows(batch: ColumnarBatch,
+      keep: Int => Boolean): ColumnarBatch = {
+    val n = batch.numRows()
+    var kept = 0
+    val map = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (keep(i)) { map(kept) = i; kept += 1 }
+      i += 1
+    }
+    if (kept == n) return batch
+    remap(batch, map, kept)
+  }
+
+  /** Zero-copy column projection: the same batch exposing only
+    * `ordinals`, in order. Used to drop equality-key columns the batch
+    * had to decode but the query did not project. */
+  def projectColumns(batch: ColumnarBatch,
+      ordinals: Array[Int]): ColumnarBatch = {
+    val cols = new Array[ColumnVector](ordinals.length)
+    var c = 0
+    while (c < cols.length) {
+      cols(c) = batch.column(ordinals(c))
+      c += 1
+    }
+    new ColumnarBatch(cols, batch.numRows())
+  }
+
+  private def remap(batch: ColumnarBatch, map: Array[Int],
+      kept: Int): ColumnarBatch = {
     val cols = new Array[ColumnVector](batch.numCols())
     var c = 0
     while (c < cols.length) {

@@ -783,9 +783,13 @@ private[sources] object BatchPlanning {
     //    names (same Spark types, `required`'s order) — the batch is
     //    positionally valid under the current schema;
     //  - position deletes apply as a zero-copy selection vector over
-    //    the batch ([[ColumnarDeletes]]).
-    // Equality deletes, `_file` emission, and type-promoting evolution
-    // stay on the row path.
+    //    the batch ([[ColumnarDeletes]]);
+    //  - equality deletes key-filter the batch through the same
+    //    selection-vector machinery (reading the extended schema and
+    //    projecting back down), so upsert-maintained tables stay
+    //    columnar too.
+    // `_file` emission, type-promoting evolution, and equality deletes
+    // on schema-remapped files stay on the row path.
     val batchRemapSchemas: Map[Int, StructType] =
       tasks.map(_.schemaId).distinct
         .filter(sid => sid != current.schemaId && sid >= 0 &&
@@ -816,13 +820,24 @@ private[sources] object BatchPlanning {
             Some(sid -> StructType(mapped.map(_.get)))
           else None
         }.toMap
-    def taskColumnar(task: FileScanTask): Boolean =
-      task.deleteFiles.forall(
-        _.file.content == FileContent.PositionDeletes) &&
-        (task.schemaId == current.schemaId || task.schemaId < 0 ||
-          batchRemapSchemas.contains(task.schemaId))
+    def taskColumnar(task: FileScanTask): Boolean = {
+      val remapNeeded =
+        task.schemaId != current.schemaId && task.schemaId >= 0
+      val hasEqT = task.deleteFiles.exists(
+        _.file.content == FileContent.EqualityDeletes)
+      task.deleteFiles.forall(d =>
+        d.file.content == FileContent.PositionDeletes ||
+          d.file.content == FileContent.EqualityDeletes) &&
+      // equality keys on a pre-evolution file live under old names;
+      // that combination keeps the row path
+      (!hasEqT || !remapNeeded) &&
+      (!remapNeeded || batchRemapSchemas.contains(task.schemaId))
+    }
+    val anyEq = tasks.exists(_.deleteFiles.exists(
+      _.file.content == FileContent.EqualityDeletes))
     val batchEnabled = !emitFile && tasks.forall(taskColumnar) &&
-      ParquetShim.supportsBatch(spark, required)
+      ParquetShim.supportsBatch(spark, required) &&
+      (!anyEq || ParquetShim.supportsBatch(spark, extended))
     val batchFunc =
       if (!batchEnabled) None
       else Some(ParquetShim.buildBatchReaderFunc(spark, full, required,
@@ -833,6 +848,19 @@ private[sources] object BatchPlanning {
       if (!batchEnabled || !tasks.exists(_.deleteFiles.nonEmpty)) None
       else if (filters.isEmpty) batchFunc
       else Some(ParquetShim.buildBatchReaderFunc(spark, full, required,
+        Nil))
+    // equality-delete tasks batch-read the EXTENDED schema so pruned
+    // key columns are decodable; pushed filters stay legal (key
+    // filtering is content-based, not position-based) except when the
+    // task ALSO carries position deletes
+    val batchExtFunc =
+      if (!batchEnabled || !anyEq) None
+      else Some(ParquetShim.buildBatchReaderFunc(spark, full, extended,
+        filters))
+    val batchExtFuncUnfiltered =
+      if (!batchEnabled || !anyEq) None
+      else if (filters.isEmpty) batchExtFunc
+      else Some(ParquetShim.buildBatchReaderFunc(spark, full, extended,
         Nil))
     // rename-only evolved files batch-read by the FILE's names; pushed
     // filters carry CURRENT names, so they are not forwarded there
@@ -923,7 +951,8 @@ private[sources] object BatchPlanning {
       extended,
       required.fieldNames.map(extended.fieldIndex),
       posFunc, eqFuncs, emitFile, filteredFunc, batchFunc, eqSetMaxBytes,
-      batchFuncUnfiltered, batchRemapFuncs, eqRemapKeyFuncs)
+      batchFuncUnfiltered, batchRemapFuncs, eqRemapKeyFuncs,
+      batchExtFunc, batchExtFuncUnfiltered)
   }
 }
 
@@ -1312,14 +1341,26 @@ private[sources] class GraftReaderFactory(
       * post-dates that schema (all keys null there → nothing matches). */
     eqRemapKeyFuncs: Map[(Int, Seq[String]),
       Option[(PartitionedFile => Iterator[InternalRow],
-        Array[ReaderConv])]] = Map.empty)
+        Array[ReaderConv])]] = Map.empty,
+    /** Columnar readers over the EXTENDED schema (required + decoded
+      * equality-key columns) for equality-delete tasks: rows are
+      * key-filtered through a zero-copy selection vector, the batch is
+      * then projected back down to `required` — so MoR tables keep the
+      * whole-stage-codegen columnar handoff. Filtered and
+      * filter-free (position-delete-safe) variants. */
+    batchExtReadFunc: Option[PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
+    batchExtReadFuncUnfiltered: Option[PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
     extends PartitionReaderFactory {
 
   private def normPath(p: String): String =
     p.replaceFirst("^file:/+", "/")
 
   private def columnarEligible(gp: GraftInputPartition): Boolean =
-    gp.eqDeletes.isEmpty && !appendFilePath &&
+    !appendFilePath &&
+      (gp.eqDeletes.isEmpty || (batchExtReadFunc.isDefined &&
+        !remappedFuncs.contains(gp.schemaId))) &&
       (gp.posDeletes.isEmpty || posReadFunc.isDefined) &&
       (!remappedFuncs.contains(gp.schemaId) ||
         batchRemapFuncs.contains(gp.schemaId))
@@ -1355,13 +1396,28 @@ private[sources] class GraftReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val gp = UnwrapPartition(p)
     require(columnarEligible(gp), s"non-columnar partition ${gp.path}")
-    val func = batchRemapFuncs.get(gp.schemaId).orElse(
-      if (gp.posDeletes.nonEmpty) batchReadFuncUnfiltered
-      else batchReadFunc).getOrElse(throw new IllegalStateException(
-        s"graft source: no columnar reader for ${gp.path}"))
+    val hasEq = gp.eqDeletes.nonEmpty
+    // equality-delete tasks read the EXTENDED schema (key columns
+    // decoded even when the projection pruned them) and project back
+    // down after filtering; others read `required` directly
+    val func =
+      if (hasEq)
+        (if (gp.posDeletes.nonEmpty) batchExtReadFuncUnfiltered
+         else batchExtReadFunc).getOrElse(throw new IllegalStateException(
+          s"graft source: no extended columnar reader for ${gp.path}"))
+      else batchRemapFuncs.get(gp.schemaId).orElse(
+        if (gp.posDeletes.nonEmpty) batchReadFuncUnfiltered
+        else batchReadFunc).getOrElse(throw new IllegalStateException(
+          s"graft source: no columnar reader for ${gp.path}"))
     val posSet = buildPosSet(gp)
+    val eqSets = if (hasEq) buildEqSets(gp) else Array.empty[(Array[Int],
+      Array[org.apache.spark.sql.types.DataType],
+      java.util.HashSet[Seq[Any]])]
+    val needProject = hasEq &&
+      !outputOrdinals.sameElements(extendedSchema.fields.indices)
     val it = func(ParquetShim.partitionedFile(gp.path, gp.length))
-    if (posSet == null || posSet.isEmpty)
+    if ((posSet == null || posSet.isEmpty) && eqSets.forall(_._3.isEmpty) &&
+        !needProject)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
         override def next(): Boolean =
@@ -1374,13 +1430,46 @@ private[sources] class GraftReaderFactory(
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
         private var rowsSeen = 0L // file position of the next batch
+
+        private def eqKeep(
+            b: org.apache.spark.sql.vectorized.ColumnarBatch)(
+            rowId: Int): Boolean = {
+          val row = b.getRow(rowId)
+          var i = 0
+          while (i < eqSets.length) {
+            val (ords, types, set) = eqSets(i)
+            if (!set.isEmpty) {
+              val key = Array.tabulate(ords.length) { j =>
+                if (row.isNullAt(ords(j))) null
+                else normVal(row.get(ords(j), types(j)))
+              }
+              // null keys never match (engine anti-join parity)
+              if (!key.contains(null) && set.contains(key.toSeq))
+                return false
+            }
+            i += 1
+          }
+          true
+        }
+
         override def next(): Boolean = {
           while (it.hasNext) {
             val b = it.next()
             val start = rowsSeen
             rowsSeen += b.numRows()
-            val filtered = ColumnarDeletes.filterBatch(b, start, posSet)
-            if (filtered.numRows() > 0) { cur = filtered; return true }
+            var filtered =
+              if (posSet == null || posSet.isEmpty) b
+              else ColumnarDeletes.filterBatch(b, start, posSet)
+            if (eqSets.exists(!_._3.isEmpty))
+              filtered = ColumnarDeletes.filterBatchRows(
+                filtered, eqKeep(filtered))
+            if (filtered.numRows() > 0) {
+              cur =
+                if (needProject)
+                  ColumnarDeletes.projectColumns(filtered, outputOrdinals)
+                else filtered
+              return true
+            }
           }
           false
         }
@@ -1399,15 +1488,13 @@ private[sources] class GraftReaderFactory(
     case other => other
   }
 
-  override def createReader(
-      p: InputPartition): PartitionReader[InternalRow] = {
-    val gp = UnwrapPartition(p)
-
-    val posSet: java.util.HashSet[java.lang.Long] = buildPosSet(gp)
-
-    val eqSets: Array[(Array[Int], Array[org.apache.spark.sql.types.DataType],
+  /** Per-key-set equality-delete state for this task: (extended-schema
+    * ordinals, key types, deleted keys). Shared by the row reader and
+    * the columnar key filter. */
+  private def buildEqSets(gp: GraftInputPartition)
+      : Array[(Array[Int], Array[org.apache.spark.sql.types.DataType],
         java.util.HashSet[Seq[Any]])] =
-      gp.eqDeletes.groupBy(_.keyNames).map { case (names, files) =>
+    gp.eqDeletes.groupBy(_.keyNames).map { case (names, files) =>
         val f = eqReadFuncs.getOrElse(names,
           throw new IllegalStateException(
             s"graft source: no delete reader for key set $names"))
@@ -1482,6 +1569,13 @@ private[sources] class GraftReaderFactory(
         val ords = names.map(extendedSchema.fieldIndex).toArray
         (ords, keyTypes, set)
       }.toArray
+
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = UnwrapPartition(p)
+
+    val posSet: java.util.HashSet[java.lang.Long] = buildPosSet(gp)
+    val eqSets = buildEqSets(gp)
 
     val (func, convs) = remappedFuncs.get(gp.schemaId) match {
       case Some((f, cs)) if cs.exists(_.code != 0) => (f, cs)

@@ -302,8 +302,8 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
-  test("delete-free AND position-delete scans are columnar; " +
-      "equality-delete scans are not") {
+  test("delete-free, position-delete AND equality-delete scans " +
+      "are columnar") {
     val (t0, dir, name) = mkTable("col1")
     var t = TableOps.append(t0, batch(1 to 100))
     val plan1 = reader(dir, name).load().where("event_id > 50")
@@ -331,16 +331,23 @@ class GraftSourceSpec extends AnyFunSuite {
       .select("event_id").collect().map(_.getLong(0)).toSet
     assert(filtered == (1L to 10L).toSet - 7L)
 
-    // equality delete: key lookups need row materialization → row path
+    // equality delete: keys filter the batch through a selection
+    // vector (extended read, projected back down) — STILL columnar
     import spark.implicits._
     val t3 = Mutations.deleteByKeys(t, spark, Seq(9L).toDF("event_id"))
     val df3 = reader(dir, name).load()
     val plan3 = df3.queryExecution.executedPlan
     val scans3 = plan3.collect { case b: BatchScanExec => b }
-    assert(scans3.forall(!_.supportsColumnar),
-      s"equality-delete scan must take the row path:\n$plan3")
+    assert(scans3.nonEmpty && scans3.forall(_.supportsColumnar),
+      s"equality-delete scan must stay columnar:\n$plan3")
     assert(df3.select("event_id").collect().map(_.getLong(0)).toSet ==
       (1L to 100L).toSet - 7L - 9L)
+    // and with the key column PRUNED from the projection: the batch
+    // decodes it anyway, filters, then projects it away zero-copy
+    val vals3 = reader(dir, name).load()
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(vals3 == ((1 to 100).toSet - 7 - 9).map(_ * 1.0),
+      "pruned-key equality-delete read must still filter correctly")
   }
 
   test("rename-only schema evolution keeps the scan columnar") {
