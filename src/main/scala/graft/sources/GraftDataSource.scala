@@ -1299,6 +1299,53 @@ private[sources] object UnwrapPartition {
   * reads one whole file with no pushed parquet filters); equality
   * deletes load their key columns into per-key-set hash sets; data rows
   * stream through both filters and project down to the query schema. */
+/** Row-survival predicate over equality-delete key sets, shared by the
+  * row and columnar readers and specialized for the dominant upsert
+  * shape — a single LONG key column — so the per-row hot path is one
+  * primitive-hash probe instead of an allocated, boxed key array. */
+private[sources] final class EqFilter(
+    eqSets: Array[(Array[Int], Array[org.apache.spark.sql.types.DataType],
+      java.util.HashSet[Seq[Any]])],
+    normVal: Any => Any) {
+
+  private val (fast, generic) = eqSets.filter(!_._3.isEmpty).partition {
+    case (ords, types, _) => ords.length == 1 &&
+      types(0) == org.apache.spark.sql.types.LongType
+  }
+  private val fastOrds: Array[Int] = fast.map(_._1(0))
+  private val fastSets: Array[java.util.HashSet[java.lang.Long]] =
+    fast.map { case (_, _, s) =>
+      val ls = new java.util.HashSet[java.lang.Long](s.size * 2)
+      s.forEach(k => ls.add(k.head.asInstanceOf[java.lang.Long]))
+      ls
+    }
+
+  def isEmpty: Boolean = fastOrds.length == 0 && generic.length == 0
+
+  /** True when the row survives every equality-delete set. */
+  def keep(row: InternalRow): Boolean = {
+    var i = 0
+    while (i < fastOrds.length) {
+      if (!row.isNullAt(fastOrds(i)) &&
+          fastSets(i).contains(row.getLong(fastOrds(i)))) return false
+      i += 1
+    }
+    i = 0
+    while (i < generic.length) {
+      val (ords, types, set) = generic(i)
+      val key = Array.tabulate(ords.length) { j =>
+        if (row.isNullAt(ords(j))) null
+        else normVal(row.get(ords(j), types(j)))
+      }
+      // null keys never match (engine anti-join parity)
+      if (!key.contains(null) &&
+          set.contains(ArraySeq.unsafeWrapArray(key))) return false
+      i += 1
+    }
+    true
+  }
+}
+
 private[sources] class GraftReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
     /** Per-write-schema remapped readers + positional promotions for
@@ -1410,13 +1457,12 @@ private[sources] class GraftReaderFactory(
         else batchReadFunc).getOrElse(throw new IllegalStateException(
           s"graft source: no columnar reader for ${gp.path}"))
     val posSet = buildPosSet(gp)
-    val eqSets = if (hasEq) buildEqSets(gp) else Array.empty[(Array[Int],
-      Array[org.apache.spark.sql.types.DataType],
-      java.util.HashSet[Seq[Any]])]
+    val eqFilter = new EqFilter(
+      if (hasEq) buildEqSets(gp) else Array.empty, normVal)
     val needProject = hasEq &&
       !outputOrdinals.sameElements(extendedSchema.fields.indices)
     val it = func(ParquetShim.partitionedFile(gp.path, gp.length))
-    if ((posSet == null || posSet.isEmpty) && eqSets.forall(_._3.isEmpty) &&
+    if ((posSet == null || posSet.isEmpty) && eqFilter.isEmpty &&
         !needProject)
       new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
         private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
@@ -1431,27 +1477,6 @@ private[sources] class GraftReaderFactory(
         private var cur: org.apache.spark.sql.vectorized.ColumnarBatch = _
         private var rowsSeen = 0L // file position of the next batch
 
-        private def eqKeep(
-            b: org.apache.spark.sql.vectorized.ColumnarBatch)(
-            rowId: Int): Boolean = {
-          val row = b.getRow(rowId)
-          var i = 0
-          while (i < eqSets.length) {
-            val (ords, types, set) = eqSets(i)
-            if (!set.isEmpty) {
-              val key = Array.tabulate(ords.length) { j =>
-                if (row.isNullAt(ords(j))) null
-                else normVal(row.get(ords(j), types(j)))
-              }
-              // null keys never match (engine anti-join parity)
-              if (!key.contains(null) && set.contains(key.toSeq))
-                return false
-            }
-            i += 1
-          }
-          true
-        }
-
         override def next(): Boolean = {
           while (it.hasNext) {
             val b = it.next()
@@ -1460,9 +1485,11 @@ private[sources] class GraftReaderFactory(
             var filtered =
               if (posSet == null || posSet.isEmpty) b
               else ColumnarDeletes.filterBatch(b, start, posSet)
-            if (eqSets.exists(!_._3.isEmpty))
+            if (!eqFilter.isEmpty) {
+              val fb = filtered
               filtered = ColumnarDeletes.filterBatchRows(
-                filtered, eqKeep(filtered))
+                fb, i => eqFilter.keep(fb.getRow(i)))
+            }
             if (filtered.numRows() > 0) {
               cur =
                 if (needProject)
@@ -1575,7 +1602,7 @@ private[sources] class GraftReaderFactory(
     val gp = UnwrapPartition(p)
 
     val posSet: java.util.HashSet[java.lang.Long] = buildPosSet(gp)
-    val eqSets = buildEqSets(gp)
+    val eqFilter = new EqFilter(buildEqSets(gp), normVal)
 
     val (func, convs) = remappedFuncs.get(gp.schemaId) match {
       case Some((f, cs)) if cs.exists(_.code != 0) => (f, cs)
@@ -1630,20 +1657,8 @@ private[sources] class GraftReaderFactory(
       private var cur: InternalRow = _
       private var rowIdx: Long = -1L
 
-      private def deleted(row: InternalRow, idx: Long): Boolean = {
-        if (posSet != null && posSet.contains(idx)) return true
-        var i = 0
-        while (i < eqSets.length) {
-          val (ords, types, set) = eqSets(i)
-          val key = Array.tabulate(ords.length) { j =>
-            if (row.isNullAt(ords(j))) null
-            else normVal(row.get(ords(j), types(j)))
-          }
-          if (!key.contains(null) && set.contains(key.toSeq)) return true
-          i += 1
-        }
-        false
-      }
+      private def deleted(row: InternalRow, idx: Long): Boolean =
+        (posSet != null && posSet.contains(idx)) || !eqFilter.keep(row)
 
       override def next(): Boolean = {
         while (it.hasNext) {
