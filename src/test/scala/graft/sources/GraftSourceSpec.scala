@@ -414,6 +414,46 @@ class GraftSourceSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .toSet
     assert(full == (1L to 20L).map(i => (i, i * 10, i * 100)).toSet)
+    // the nested remap read stays COLUMNAR (no promotion, no deletes)
+    val plannp = reader(dir, "np").load().select("rid", "s.b")
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scansnp = plannp.collect { case b: BatchScanExec => b }
+    assert(scansnp.nonEmpty && scansnp.forall(_.supportsColumnar),
+      s"nested remap read should keep the batch path:\n$plannp")
+  }
+
+  test("EqFilter single-long fast path agrees with the generic path") {
+    import org.apache.spark.sql.types.{LongType => SLong, StringType => SStr}
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    def set(keys: Seq[Any]*): java.util.HashSet[Seq[Any]] = {
+      val s = new java.util.HashSet[Seq[Any]]()
+      keys.foreach(s.add)
+      s
+    }
+    val norm: Any => Any = {
+      case u: UTF8String => u.toString
+      case o => o
+    }
+    // single long key: takes the fast path
+    val fastF = new EqFilter(Array(
+      (Array(0), Array[org.apache.spark.sql.types.DataType](SLong),
+        set(Seq(5L), Seq(7L)))), norm)
+    // same semantics via a 2-column generic set (long, string)
+    val genF = new EqFilter(Array(
+      (Array(0, 1), Array[org.apache.spark.sql.types.DataType](SLong, SStr),
+        set(Seq(5L, "a"), Seq(7L, "b")))), norm)
+    def row(id: java.lang.Long, s: String) = new GenericInternalRow(
+      Array[Any](id, if (s == null) null else UTF8String.fromString(s)))
+    assert(!fastF.keep(row(5L, "x")) && !fastF.keep(row(7L, null)))
+    assert(fastF.keep(row(6L, "x")) && fastF.keep(row(null, "x")),
+      "null keys never match")
+    assert(!genF.keep(row(5L, "a")) && genF.keep(row(5L, "b")))
+    assert(genF.keep(row(5L, null)), "partial-null composite key never matches")
+    assert(new EqFilter(Array(
+      (Array(0), Array[org.apache.spark.sql.types.DataType](SLong),
+        set())), norm).isEmpty, "empty sets filter nothing")
   }
 
   test("type-promoted files stay off the columnar remap path") {
