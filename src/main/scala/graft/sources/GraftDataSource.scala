@@ -70,6 +70,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     import org.apache.spark.sql.SaveMode
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
     val t = load(opts)
+    pinOf(t, opts).foreach(sid => throw new UnsupportedOperationException(
+      s"graft source: cannot write to a snapshot-pinned table (@$sid)"))
     mode match {
       case SaveMode.Append => graft.table.TableOps.append(t, data)
       case SaveMode.Overwrite =>
@@ -101,6 +103,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     import org.apache.spark.sql.streaming.OutputMode
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
     val table = load(opts)
+    pinOf(table, opts).foreach(sid =>
+      throw new UnsupportedOperationException(
+        s"graft source: cannot stream into a snapshot-pinned table " +
+          s"(@$sid)"))
     val complete = outputMode == OutputMode.Complete()
     if (!complete && outputMode != OutputMode.Append())
       throw new UnsupportedOperationException(
@@ -145,13 +151,64 @@ class GraftDataSource extends TableProvider with DataSourceRegister
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SchemaConverters.toSparkSchema(load(options).schema)
+  /** Read-pin options (Iceberg reader parity): `snapshot-id`,
+    * `as-of-timestamp` (epoch millis), `tag`. Mutually exclusive with
+    * each other and with `branch`. Pinned reads serve the SNAPSHOT's
+    * schema (the catalog's VERSION/TIMESTAMP AS OF behavior) and
+    * reject writes and streaming. */
+  private def pinOf(t: Table,
+      options: CaseInsensitiveStringMap): Option[Long] = {
+    def long(k: String): Option[Long] =
+      Option(options.get(k)).map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"graft source: option '$k' must be a long, got '$v'")
+        }
+      }
+    val sid = long("snapshot-id")
+    val asOf = long("as-of-timestamp")
+    val tag = Option(options.get("tag")).filter(_.nonEmpty)
+    val branch = Option(options.get("branch")).filter(_.nonEmpty)
+    val named = Seq(sid.map(_ => "snapshot-id"),
+      asOf.map(_ => "as-of-timestamp"), tag.map(_ => "tag"),
+      branch.map(_ => "branch")).flatten
+    if (named.size > 1) throw new IllegalArgumentException(
+      s"graft source: options ${named.mkString(", ")} are mutually " +
+        "exclusive")
+    sid.map { id =>
+      if (t.snapshotById(id).isEmpty) throw new IllegalArgumentException(
+        s"graft source: snapshot $id not found in ${t.id}")
+      id
+    }.orElse(asOf.map(ts => t.snapshotAsOf(ts).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft source: no snapshot at or before timestamp $ts " +
+          s"in ${t.id}")).snapshotId))
+      .orElse(tag.map(n => t.metadata.ref(n).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft source: ref '$n' not found in ${t.id}")).snapshotId))
+  }
+
+  private def pinnedSchema(t: Table, sid: Long): graft.spec.Schema =
+    t.snapshotById(sid).flatMap(_.schemaId)
+      .flatMap(t.metadata.schemaById).getOrElse(t.schema)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val t = load(options)
+    SchemaConverters.toSparkSchema(
+      pinOf(t, options).map(pinnedSchema(t, _)).getOrElse(t.schema))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): ConnectorTable = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new GraftConnectorTable(load(opts), schema)
+    val t = load(opts)
+    pinOf(t, opts) match {
+      case Some(sid) => new GraftConnectorTable(t,
+        SchemaConverters.toSparkSchema(pinnedSchema(t, sid)), Some(sid))
+      case None => new GraftConnectorTable(t, schema)
+    }
   }
 }
 

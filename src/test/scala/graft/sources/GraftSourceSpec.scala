@@ -283,6 +283,42 @@ class GraftSourceSpec extends AnyFunSuite {
       s"missing branch must be rejected, got: $msgs")
   }
 
+  test("snapshot-id / as-of-timestamp / tag options pin the reader") {
+    val (t0, dir, name) = mkTable("pin1")
+    var t = TableOps.append(t0, batch(1 to 5))
+    val sid1 = t.currentSnapshot.get.snapshotId
+    val ts1 = t.currentSnapshot.get.timestampMs
+    t = t.newTransaction().setRef("v1", sid1, "tag").commit()
+    Thread.sleep(5) // second snapshot must get a later timestamp
+    t = TableOps.append(t, batch(6 to 10))
+    def got(opts: (String, String)*): Set[Long] =
+      opts.foldLeft(reader(dir, name)) { case (r, (k, v)) =>
+        r.option(k, v) }.load()
+        .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(got() == (1L to 10L).toSet)
+    assert(got("snapshot-id" -> sid1.toString) == (1L to 5L).toSet)
+    assert(got("as-of-timestamp" -> ts1.toString) == (1L to 5L).toSet)
+    assert(got("tag" -> "v1") == (1L to 5L).toSet)
+    // pin options are mutually exclusive (and exclusive with branch)
+    val e = intercept[Exception] {
+      got("snapshot-id" -> sid1.toString, "tag" -> "v1")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(m => Option(m.getMessage).exists(
+        _.contains("mutually exclusive"))))
+    // a pinned table rejects writes through the V1 save bridge
+    import spark.implicits._
+    val we = intercept[Exception] {
+      batch(11 to 12).write.format("graft")
+        .option("warehouse", dir).option("namespace", "db")
+        .option("table", name).option("snapshot-id", sid1.toString)
+        .mode("append").save()
+    }
+    assert(Iterator.iterate(we: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(m => Option(m.getMessage).exists(
+        _.contains("snapshot-pinned"))))
+  }
+
   test("non-positive eq-delete-set-max-bytes is rejected") {
     val (t0, dir, name) = mkTable("optparse2")
     import spark.implicits._
