@@ -187,6 +187,9 @@ private[sources] class GraftBoundProcedure(
         val toHead = t.metadata.ref(to).map(_.snapshotId).getOrElse(
           throw new IllegalArgumentException(
             s"fast_forward: ref '$to' not found in $ns.$tbl"))
+        t.metadata.ref(branch).filter(_.refType == "tag").foreach(_ =>
+          throw new IllegalArgumentException(
+            s"fast_forward: ref '$branch' is a tag — tags are immutable"))
         val fromHead = t.metadata.ref(branch).map(_.snapshotId)
         val ancestors = Iterator.iterate(t.snapshotById(toHead))(
           _.flatMap(_.parentSnapshotId).flatMap(t.snapshotById))

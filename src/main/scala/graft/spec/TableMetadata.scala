@@ -75,6 +75,11 @@ final case class TableMetadata(
     * Iceberg); other branches move their ref alone, so main's content
     * is untouched until a fast-forward publish. */
   def withSnapshot(snap: Snapshot, branch: String = "main"): TableMetadata = {
+    // tags are immutable pointers; last-line defense for every commit
+    // path (local CAS and REST server side)
+    refs.get(branch).filter(_.refType == "tag").foreach(_ =>
+      throw new IllegalStateException(
+        s"cannot commit to ref '$branch': it is a tag (immutable)"))
     val base = copy(
       snapshots = snapshots :+ snap,
       lastSequenceNumber = math.max(lastSequenceNumber, snap.sequenceNumber),

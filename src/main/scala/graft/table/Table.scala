@@ -40,8 +40,15 @@ class Table(
     * first commit's parent is the current snapshot, and the commit
     * creates the ref. Publish with
     * `newTransaction().setRef("main", branchHead).commit()`. */
-  def forBranch(name: String): Table =
+  def forBranch(name: String): Table = {
+    // tags are immutable pointers: committing through one would both
+    // move it and silently rewrite its type to "branch"
+    metadata.ref(name).filter(_.refType == "tag").foreach(_ =>
+      throw new IllegalArgumentException(
+        s"graft: ref '$name' is a tag — tags are immutable; " +
+          "write to a branch instead"))
     new Table(catalog, id, Table.positioned(metadata, name), io, name)
+  }
 
   /** Time travel (`table/table.go:93-121`). */
   def snapshotById(sid: Long): Option[Snapshot] = metadata.snapshotById(sid)

@@ -113,6 +113,52 @@ class BranchSpec extends AnyFunSuite {
     assert(ids(b.refresh()) == (1L to 9L).toSet)
   }
 
+  test("tags are immutable: forBranch on a tag is rejected") {
+    var t = freshTable("wap10")
+    t = TableOps.append(t, df(1 to 3))
+    t = t.newTransaction()
+      .setRef("v1", t.currentSnapshot.get.snapshotId, "tag").commit()
+    val e = intercept[IllegalArgumentException] { t.forBranch("v1") }
+    assert(e.getMessage.contains("tag"))
+    // and the metadata-level last line of defense
+    val e2 = intercept[IllegalStateException] {
+      t.metadata.withSnapshot(t.currentSnapshot.get, "v1")
+    }
+    assert(e2.getMessage.contains("immutable"))
+  }
+
+  test("parallel appends to one branch all land via CAS retry") {
+    var t = freshTable("wap11")
+    t = TableOps.append(t, df(1 to 5))
+    var b = t.forBranch("audit")
+    b = TableOps.append(b, df(6 to 9)) // create the ref up front
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val futs = (0 until 4).map { i =>
+      Future {
+        val rows = df((100 + i * 10) to (100 + i * 10 + 4))
+        var done = false
+        while (!done) {
+          // commitSnapshot retries internally; under 4-way contention it
+          // can still exhaust its budget — the caller re-plans, exactly
+          // like a real writer would
+          try { TableOps.append(b.refresh(), rows); done = true }
+          catch { case _: graft.catalog.CommitFailedException => }
+        }
+      }
+    }
+    Await.result(Future.sequence(futs), 120.seconds)
+    pool.shutdown()
+    val expected = (1L to 9L).toSet ++
+      (0 until 4).flatMap(i => (100L + i * 10) to (100L + i * 10 + 4))
+    assert(ids(b.refresh()) == expected,
+      "every contending branch append must land exactly once")
+    assert(ids(t.refresh()) == (1L to 5L).toSet, "main untouched")
+  }
+
   test("changelog spans branch lineage from the fork point") {
     var t = freshTable("wap7")
     t = TableOps.append(t, df(1 to 3))
