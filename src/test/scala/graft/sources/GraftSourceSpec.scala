@@ -283,6 +283,31 @@ class GraftSourceSpec extends AnyFunSuite {
       s"missing branch must be rejected, got: $msgs")
   }
 
+  test("readStream with the branch option tails the branch only") {
+    val (t0, dir, name) = mkTable("rsbr")
+    var t = TableOps.append(t0, batch(1 to 5))
+    var b = t.forBranch("audit")
+    b = TableOps.append(b, batch(6 to 9))
+    // main advances too; the branch stream must never see it
+    TableOps.append(t.refresh(), batch(100 to 101))
+    val q = streamReader(dir, name).option("branch", "audit").load()
+      .writeStream.format("memory").queryName("graft_rsbr")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("graft_rsbr").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == (1L to 9L).toSet,
+        s"backfill must be the branch content only, got $got")
+      TableOps.append(b.refresh(), batch(10 to 12))
+      q.processAllAvailable()
+      val got2 = spark.table("graft_rsbr").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got2 == (1L to 12L).toSet,
+        s"new branch commits arrive in the next micro-batch, got $got2")
+    } finally q.stop()
+  }
+
   test("snapshot-id / as-of-timestamp / tag options pin the reader") {
     val (t0, dir, name) = mkTable("pin1")
     var t = TableOps.append(t0, batch(1 to 5))
