@@ -348,11 +348,18 @@ object Maintenance {
     }
     // every live ref pins its snapshot; branches also pin their newest
     // minSnapshotsToKeep ancestors (walked over parent-snapshot-id)
+    // PLUS any ancestor still inside the ref's own maxSnapshotAgeMs
+    // window — the per-branch history-retention knob (Iceberg's
+    // branch-level snapshot age), independent of the global cutoff
     val refPinned = liveRefs.values.flatMap { r =>
       val keepN = r.minSnapshotsToKeep.getOrElse(1)
-      Iterator.iterate(meta.snapshotById(r.snapshotId))(
+      val chain = Iterator.iterate(meta.snapshotById(r.snapshotId))(
         _.flatMap(_.parentSnapshotId).flatMap(meta.snapshotById))
-        .takeWhile(_.isDefined).take(keepN).flatten.map(_.snapshotId)
+        .takeWhile(_.isDefined).flatten.toSeq
+      chain.zipWithIndex.collect {
+        case (s, i) if i < keepN || r.maxSnapshotAgeMs.exists(age =>
+          nowMs - s.timestampMs <= age) => s.snapshotId
+      }
     }.toSet
 
     val retained = ordered.takeRight(math.max(retainLast, 1))

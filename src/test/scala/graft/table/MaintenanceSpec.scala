@@ -27,6 +27,31 @@ class MaintenanceSpec extends AnyFunSuite {
       .toDF("id", "name", "email", "created_at")
   }
 
+  test("branch maxSnapshotAgeMs pins young ancestors beyond " +
+      "minSnapshotsToKeep") {
+    var t = freshTable("brage")
+    (1 to 4).foreach(i => t = TableOps.append(t, usersDf(i to i)))
+    val all = t.metadata.snapshots.map(_.snapshotId).toSet
+    val head = t.currentSnapshot.get.snapshotId
+    val now = System.currentTimeMillis()
+    // a generous per-branch age window pins the WHOLE ancestry even
+    // though the global cutoff would expire everything but the head
+    t = t.newTransaction().setRef("b", head,
+      maxSnapshotAgeMs = Some(3600L * 1000)).commit()
+    val kept = Maintenance.expireSnapshots(t, olderThanMs = now + 60000,
+      nowMs = now)
+    assert(kept.metadata.snapshots.map(_.snapshotId).toSet == all,
+      "ancestors inside the branch age window must survive")
+    // a zero window pins only the head (minSnapshotsToKeep default 1):
+    // the global cutoff now removes the older ancestors
+    var t2 = kept.newTransaction().setRef("b", head,
+      maxSnapshotAgeMs = Some(0L)).commit()
+    t2 = Maintenance.expireSnapshots(t2, olderThanMs = now + 60000,
+      nowMs = now + 10)
+    assert(t2.metadata.snapshots.map(_.snapshotId).toSet == Set(head),
+      s"aged-out ancestors must expire, kept ${t2.metadata.snapshots.size}")
+  }
+
   test("compaction bin-packs many files into few, content-preserving") {
     var t = freshTable("compact")
     (1 to 6).foreach { b =>
