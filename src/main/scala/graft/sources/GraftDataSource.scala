@@ -676,8 +676,9 @@ private[sources] object FilterToExpr {
   * the row-level (COW) scan. */
 private[sources] object BatchPlanning {
 
-  private def keyNamesOf(t: Table, ids: Seq[Int]): Seq[String] =
-    ids.flatMap(id => t.schema.field(id)).map(_.name)
+  private def keyNamesOf(schema: graft.spec.Schema,
+      ids: Seq[Int]): Seq[String] =
+    ids.flatMap(id => schema.field(id)).map(_.name)
 
   /** A field name guaranteed ABSENT from the file's fields, so a
     * parquet by-name projection null-fills it. Null-filling an added
@@ -756,7 +757,10 @@ private[sources] object BatchPlanning {
   /** Batch partitions CARRY their MoR delete files; the reader applies
     * them per task (position bitmap + equality key sets — the same
     * per-task shape as Iceberg's Spark DeleteFilter). */
-  def partitions(t: Table, tasks: Seq[FileScanTask]): Array[InputPartition] = {
+  def partitions(t: Table, tasks: Seq[FileScanTask],
+      querySchema: Option[graft.spec.Schema] = None)
+      : Array[InputPartition] = {
+    val resolution = querySchema.getOrElse(t.schema)
     tasks.map { task =>
       val pos = task.deleteFiles
         .filter(_.file.content == FileContent.PositionDeletes)
@@ -764,7 +768,7 @@ private[sources] object BatchPlanning {
       val eqs = task.deleteFiles
         .filter(_.file.content == FileContent.EqualityDeletes)
         .map(d => EqDeleteInfo(d.file.filePath, d.file.fileSizeInBytes,
-          keyNamesOf(t, d.file.equalityIds)))
+          keyNamesOf(resolution, d.file.equalityIds)))
         .filter(_.keyNames.nonEmpty)
       GraftInputPartition(task.file.filePath, task.file.fileSizeInBytes,
         pos, eqs, task.schemaId): InputPartition
@@ -782,8 +786,15 @@ private[sources] object BatchPlanning {
       emitFile: Boolean,
       filters: Seq[sources.Filter] = Nil,
       eqSetMaxBytes: Long =
-        GraftReaderFactory.DefaultEqSetMaxBytes): PartitionReaderFactory = {
-    val current = t.schema
+        GraftReaderFactory.DefaultEqSetMaxBytes,
+      /** The schema the `full`/`required` NAMES were resolved from —
+        * the PINNED snapshot's schema for time-travel scans (a column
+        * renamed or dropped after the pin must still resolve to its
+        * field id under the pinned names, not null-fill against the
+        * current schema). None = current table schema. */
+      querySchema: Option[graft.spec.Schema] = None)
+      : PartitionReaderFactory = {
+    val current = querySchema.getOrElse(t.schema)
     // A task whose write-schema id is unknown to the table metadata
     // cannot be remapped — and falling back to a by-name read would
     // silently null-fill renamed columns. Metadata retains every
@@ -797,7 +808,7 @@ private[sources] object BatchPlanning {
         "record — cannot remap columns safely")
     val eqKeySets = tasks.flatMap(_.deleteFiles)
       .filter(_.file.content == FileContent.EqualityDeletes)
-      .map(d => keyNamesOf(t, d.file.equalityIds))
+      .map(d => keyNamesOf(current, d.file.equalityIds))
       .filter(_.nonEmpty).distinct
     // the data reader must decode equality-key columns even when the
     // query projection pruned them; surviving rows are projected back
@@ -1138,6 +1149,14 @@ private[sources] class GraftV2Scan(
     pushed.foldLeft(base)(_ filter _)
   }
 
+  /** For pinned (VERSION/TIMESTAMP AS OF) scans, `full`/`required`
+    * carry the PINNED snapshot's column names — resolution inside
+    * [[BatchPlanning]] must go through that schema, not the current
+    * one, or a post-pin rename/drop silently null-fills. */
+  private def querySchemaOf(t: Table): Option[graft.spec.Schema] =
+    pinnedSnapshot.flatMap(sid => t.snapshotById(sid).flatMap(_.schemaId)
+      .flatMap(t.metadata.schemaById))
+
   /** Batch reads plan ONCE (table pin + task list shared between
     * planInputPartitions and createReaderFactory so the reader knows
     * which equality-key columns it must decode). A row-level operation
@@ -1248,7 +1267,8 @@ private[sources] class GraftV2Scan(
 
   private[sources] def batchPartitions(): Array[InputPartition] = {
     val tasks = effectiveTasks
-    val parts = BatchPlanning.partitions(batchTable, tasks)
+    val parts =
+      BatchPlanning.partitions(batchTable, tasks, querySchemaOf(batchTable))
     spjKeyer match {
       case Some(keyer) if !emitFile &&
           tasks.forall(_.specId == batchTable.spec.specId) =>
@@ -1278,7 +1298,8 @@ private[sources] class GraftV2Scan(
               s"a positive byte count, got '$v'")
           parsed
         }
-        .getOrElse(GraftReaderFactory.DefaultEqSetMaxBytes))
+        .getOrElse(GraftReaderFactory.DefaultEqSetMaxBytes),
+      querySchema = querySchemaOf(batchTable))
 
   /** Last-planned micro-batch (table + tasks), shared between
     * `planInputPartitions` and `createReaderFactory` exactly like the
@@ -1300,13 +1321,14 @@ private[sources] class GraftV2Scan(
         required, required.fieldNames.indices.toArray, None, Map.empty)
     else
       BatchPlanning.readerFactory(spark, planned._1, planned._2, full,
-        required, emitFile = false)
+        required, emitFile = false,
+        querySchema = querySchemaOf(planned._1))
   }
 
   private[sources] def toStreamPartitions(
       t: Table, tasks: Seq[FileScanTask]): Array[InputPartition] = {
     streamPlanned = (t, tasks)
-    BatchPlanning.partitions(t, tasks)
+    BatchPlanning.partitions(t, tasks, querySchemaOf(t))
   }
 }
 

@@ -344,6 +344,39 @@ class GraftSourceSpec extends AnyFunSuite {
         _.contains("snapshot-pinned"))))
   }
 
+  test("pinned reads resolve names through the PINNED schema after " +
+      "a rename — including a rename that frees the name for reuse") {
+    val (t0, dir, name) = mkTable("pin2")
+    var t = TableOps.append(t0, batch(1 to 5))
+    val sid1 = t.currentSnapshot.get.snapshotId
+    // post-pin evolution: value -> score, then a NEW column takes the
+    // freed name "value" (different field id). A pinned read of
+    // "value" must surface the ORIGINAL column's data (field id 3),
+    // not null-fill against the current schema (where "value" is the
+    // new, post-pin column).
+    t = t.updateSchema().renameColumn("value", "score").commit()
+    t = t.updateSchema().addColumn("value", StringType).commit()
+    import spark.implicits._
+    t = TableOps.append(t,
+      (6 to 8).map(i => (i.toLong, i.toLong % 3, i * 1.0, s"s$i"))
+        .toDF("event_id", "user_id", "score", "value"))
+
+    val pinnedDf = reader(dir, name)
+      .option("snapshot-id", sid1.toString).load()
+    assert(pinnedDf.columns.toSeq ==
+      Seq("event_id", "user_id", "value"),
+      "pinned read serves the snapshot's schema")
+    val rows = pinnedDf.select("event_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows == (1 to 5).map(i => i.toLong -> i * 1.0).toMap,
+      s"renamed-then-reused column must resolve by field id, got $rows")
+    // projection of just the renamed column goes through the same
+    // resolution (column pruning path)
+    val vals = pinnedDf.select("value").collect()
+      .map(_.getDouble(0)).toSet
+    assert(vals == (1 to 5).map(_ * 1.0).toSet)
+  }
+
   test("non-positive eq-delete-set-max-bytes is rejected") {
     val (t0, dir, name) = mkTable("optparse2")
     import spark.implicits._
