@@ -56,14 +56,30 @@ object Bench {
     * or median/min > 3x on most queries. These alone also flag, so the
     * detector still works when no floor file is present.
     */
-  /** Per-query load-outlier flag (round-9 verdict #4): a query whose
-    * median diverges >10x from its own min was hit by machine load even
-    * when the run-level verdict stays clean — BENCH_r08's e1 (median
-    * 34.1 s vs min 1.58 s, 21x) escaped `divergent`, which needs MOST
-    * queries off, and the floor rules, which only check mins. Sub-10ms
-    * mins are excluded as noise-prone, matching the med/min ratio guard. */
+  /** Per-query load-outlier flag (round-9 verdict #4, threshold
+    * tightened round 11): a query whose median diverges >3x from its
+    * own min was hit by machine load even when the run-level verdict
+    * stays clean — BENCH_r08's e1 (median 34.1 s vs min 1.58 s, 21x)
+    * escaped the run heuristics, and BENCH_r10's d6 (median 4.92 s vs
+    * min 1.61 s, 3.06x, loadavg 2.35→4.14) escaped the original 10x
+    * bar. Sub-10ms mins are excluded as noise-prone, matching the
+    * med/min ratio guard. */
   def suspectQueries(medMin: Seq[(String, Double, Double)]): Seq[String] =
-    medMin.collect { case (k, med, mn) if mn > 0.01 && med > 10.0 * mn => k }
+    medMin.collect { case (k, med, mn) if mn > 0.01 && med > 3.0 * mn => k }
+
+  /** Load-corroborated re-measure trigger (round-10 verdict #2): a
+    * per-query 1-minute loadavg jumping past 1.5x the run-start
+    * baseline means the machine got busier mid-run — re-measure that
+    * query before committing its median. The baseline is floored at
+    * 1.0 because the bench's own Spark load inflates load1 even on an
+    * idle machine (ADVICE r7 #2); these flags trigger re-measurement
+    * only, never the contamination verdict (that stays with the
+    * med/min suspects, which measure actual sample corruption). */
+  def loadSuspects(perQueryLoad: Seq[(String, Double)],
+      loadBefore: Double): Seq[String] = {
+    val threshold = 1.5 * math.max(loadBefore, 1.0)
+    perQueryLoad.collect { case (k, ld) if ld > threshold => k }
+  }
 
   def contaminationVerdict(
       perQueryMin: Map[String, Double],
@@ -136,8 +152,47 @@ object Bench {
       val mn = if (sorted.nonEmpty) sorted.head else -1.0
       (name, med, mn, samples, load, Option(err))
     }
+    // Re-measure pass (round-10 verdict #2): queries whose first-pass
+    // median diverged >3x from their min, or whose per-query loadavg
+    // jumped past 1.5x the run-start baseline, get a fresh set of
+    // samples; the published median is replaced when the re-run is
+    // faster. A 3-6x mid-run load spike must not publish a corrupted
+    // median (BENCH_r10's d6: committed 4.92 s for a ~1.6 s query).
+    val requeryIters =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_REQUERY_ITERS", "3").toInt
+    val firstSuspects = suspectQueries(
+      results.filter(_._4.nonEmpty).map(r => (r._1, r._2, r._3))) ++
+      loadSuspects(results.map(r => (r._1, r._5)), loadBefore)
+    val requeried = firstSuspects.distinct
+      .filter(n => results.exists(r => r._1 == n && r._4.nonEmpty))
+    val results2 = results.map {
+      case r @ (name, med, mn, samples, load, err) =>
+        if (!requeried.contains(name) || samples.isEmpty) r
+        else {
+          val fn = SparkEntry.queries(name)
+          val fresh = (1 to requeryIters).flatMap { _ =>
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).count()
+              Some((System.nanoTime() - t0) / 1e9)
+            } catch { case _: Throwable => None }
+          }
+          if (fresh.isEmpty) r
+          else {
+            val fs = fresh.sorted
+            val fmed = fs(fs.size / 2)
+            // keep the better (less load-corrupted) measurement; the
+            // full sample list stays in the artifact for transparency
+            if (fmed < med)
+              (name, fmed, math.min(mn, fs.head), samples ++ fresh,
+                load, err)
+            else (name, med, math.min(mn, fs.head), samples ++ fresh,
+              load, err)
+          }
+        }
+    }
     val loadAfter = load1()
-    val ok = results.filter(_._4.nonEmpty)
+    val ok = results2.filter(_._4.nonEmpty)
     val qs = ok.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + fmt(med) }
       .mkString("{", ",", "}")
     // Min alongside median (round-5 verdict #3): the median defends
@@ -149,9 +204,9 @@ object Bench {
     val qsSamples = ok.map { case (k, _, _, ss, _, _) =>
       "\"" + k + "\":" + ss.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val qsLoad = results.map { case (k, _, _, _, ld, _) => "\"" + k + "\":" + fmt(ld) }
+    val qsLoad = results2.map { case (k, _, _, _, ld, _) => "\"" + k + "\":" + fmt(ld) }
       .mkString("{", ",", "}")
-    val qsErr = results.collect { case (k, _, _, _, _, Some(e)) =>
+    val qsErr = results2.collect { case (k, _, _, _, _, Some(e)) =>
       "\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
@@ -173,6 +228,7 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,""" +
       s""""queries_min":$qsMin,"total_min":${fmt(totalMin)},"iters":$iters,""" +
       s""""samples":$qsSamples,"errors":$qsErr,"suspects":$qsSuspect,""" +
+      s""""requeried":${requeried.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""loadavg":{"before":${fmt(loadBefore)},"after":${fmt(loadAfter)},"per_query":$qsLoad},""" +
       s""""floor_file":"${if (floor.nonEmpty) floorPath else ""}","floor_applied":${floor.nonEmpty && floorApplies},""" +
       s""""contaminated":$contaminated,"sf":"$sfDir"}""")

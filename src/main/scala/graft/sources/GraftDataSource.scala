@@ -768,7 +768,7 @@ private[sources] object BatchPlanning {
       val eqs = task.deleteFiles
         .filter(_.file.content == FileContent.EqualityDeletes)
         .map(d => EqDeleteInfo(d.file.filePath, d.file.fileSizeInBytes,
-          keyNamesOf(resolution, d.file.equalityIds)))
+          keyNamesOf(resolution, d.file.equalityIds), d.schemaId))
         .filter(_.keyNames.nonEmpty)
       GraftInputPartition(task.file.filePath, task.file.fileSizeInBytes,
         pos, eqs, task.schemaId): InputPartition
@@ -826,10 +826,47 @@ private[sources] object BatchPlanning {
           GraftReaderFactory.PosDeleteSchema,
           GraftReaderFactory.PosDeleteSchema))
       else None
-    val eqFuncs = eqKeySets.map { names =>
-      val keySchema = StructType(names.map(n => full(full.fieldIndex(n))))
-      names -> ParquetShim.buildReaderFunc(spark, keySchema, keySchema)
-    }.toMap
+    // (delete write-schema id, key names) → reader of key columns by
+    // the names/types of THAT schema, with positional promotion up to
+    // the current key types. A delete file written before a key rename
+    // or promotion stores the OLD column — reading by current name
+    // would null-fill and silently resurrect its deleted rows. The
+    // current schema id is always included: it doubles as the
+    // data-file key reader for the memory-bounded pre-pass.
+    val eqDeleteSids = tasks.flatMap(_.deleteFiles)
+      .filter(_.file.content == FileContent.EqualityDeletes)
+      .map(_.schemaId).distinct
+    val eqFuncs: Map[(Int, Seq[String]),
+        (PartitionedFile => Iterator[InternalRow], Array[ReaderConv])] =
+      (for {
+        dsid <- (eqDeleteSids :+ current.schemaId).distinct
+        names <- eqKeySets
+      } yield {
+        val delSchema =
+          if (dsid >= 0 && dsid != current.schemaId)
+            t.metadata.schemaById(dsid).getOrElse(
+              throw new IllegalStateException(
+                s"graft source: equality-delete files were written " +
+                  s"under schema id $dsid which table metadata does " +
+                  "not record — cannot resolve their key columns"))
+          else current
+        val pairs = names.map { n =>
+          val cur = current.fieldByName(n).get
+          val ff = delSchema.field(cur.id).getOrElse(
+            throw new IllegalStateException(
+              s"graft source: equality-delete key '$n' (field id " +
+                s"${cur.id}) is missing from the delete file's write " +
+                s"schema (id $dsid)"))
+          val fileSpark = SchemaConverters.toSparkType(ff.fieldType)
+          val curSpark = full(full.fieldIndex(n)).dataType
+          (org.apache.spark.sql.types.StructField(ff.name, fileSpark,
+            nullable = true), ReaderConv.of(fileSpark, curSpark))
+        }
+        val keySchema = StructType(pairs.map(_._1))
+        val convs0 = pairs.map(_._2).toArray
+        (dsid, names) -> (ParquetShim.buildReaderFunc(spark, keySchema,
+          keySchema), if (convs0.forall(_.code == 0)) null else convs0)
+      }).toMap
 
     // Field-ID remapped read per write schema: files written before a
     // rename/widen are read with their OWN column names and types, rows
@@ -856,38 +893,58 @@ private[sources] object BatchPlanning {
     //    selection-vector machinery (reading the extended schema and
     //    projecting back down), so upsert-maintained tables stay
     //    columnar too.
-    // `_file` emission, type-promoting evolution, and equality deletes
-    // on schema-remapped files stay on the row path.
+    // `_file` emission and type-promoting evolution stay on the row
+    // path; rename-only evolution (with or without equality deletes)
+    // stays columnar via per-write-schema remapped batch readers.
+    val remappableSids = tasks.map(_.schemaId).distinct
+      .filter(sid => sid != current.schemaId && sid >= 0 &&
+        t.metadata.schemaById(sid).isDefined)
+    // Map a target (current-name) projection onto a pre-evolution
+    // file's own names, None when any leaf needs a type promotion
+    // (those keep the row path's ReaderConv).
+    def remapOnto(target: StructType,
+        fileSchema: graft.spec.Schema): Option[StructType] = {
+      val mapped = target.fields.map { f =>
+        current.fieldByName(f.name).map(cur =>
+          (cur, fileSchema.field(cur.id))) match {
+          case Some((cur, Some(ff))) =>
+            // leaf type promotions need the row path's ReaderConv;
+            // renames (top-level or nested) and nested add/drop are
+            // positionally clean in batches
+            if (promotionFree(f.dataType, cur.fieldType, ff.fieldType))
+              Some(org.apache.spark.sql.types.StructField(
+                ff.name,
+                requestType(f.dataType, cur.fieldType, ff.fieldType),
+                f.nullable))
+            else None
+          case _ => // added since file: null-fill via a name the
+            // file does not carry (see [[absentName]])
+            Some(org.apache.spark.sql.types.StructField(
+              absentName(f.name, fileSchema.fields),
+              f.dataType, nullable = true))
+        }
+      }
+      if (mapped.forall(_.isDefined))
+        Some(StructType(mapped.map(_.get)))
+      else None
+    }
     val batchRemapSchemas: Map[Int, StructType] =
-      tasks.map(_.schemaId).distinct
-        .filter(sid => sid != current.schemaId && sid >= 0 &&
-          t.metadata.schemaById(sid).isDefined)
-        .flatMap { sid =>
-          val fileSchema = t.metadata.schemaById(sid).get
-          val mapped = required.fields.map { f =>
-            current.fieldByName(f.name).map(cur =>
-              (cur, fileSchema.field(cur.id))) match {
-              case Some((cur, Some(ff))) =>
-                // leaf type promotions need the row path's ReaderConv;
-                // renames (top-level or nested) and nested add/drop are
-                // positionally clean in batches
-                if (promotionFree(f.dataType, cur.fieldType, ff.fieldType))
-                  Some(org.apache.spark.sql.types.StructField(
-                    ff.name,
-                    requestType(f.dataType, cur.fieldType, ff.fieldType),
-                    f.nullable))
-                else None
-              case _ => // added since file: null-fill via a name the
-                // file does not carry (see [[absentName]])
-                Some(org.apache.spark.sql.types.StructField(
-                  absentName(f.name, fileSchema.fields),
-                  f.dataType, nullable = true))
-            }
-          }
-          if (mapped.forall(_.isDefined))
-            Some(sid -> StructType(mapped.map(_.get)))
-          else None
-        }.toMap
+      remappableSids.flatMap(sid =>
+        remapOnto(required, t.metadata.schemaById(sid).get)
+          .map(sid -> _)).toMap
+    val anyEq = tasks.exists(_.deleteFiles.exists(
+      _.file.content == FileContent.EqualityDeletes))
+    // Extended-schema (required + decoded equality-key columns) remap
+    // per write schema: an eq-delete task on a pre-evolution file
+    // batch-reads its OWN names, the selection-vector key filter then
+    // runs over the positionally-valid batch — upsert-maintained
+    // tables keep codegen across renames. A key column that post-dates
+    // the file null-fills (null keys never match — exact).
+    val batchRemapExtSchemas: Map[Int, StructType] =
+      if (!anyEq) Map.empty
+      else remappableSids.flatMap(sid =>
+        remapOnto(extended, t.metadata.schemaById(sid).get)
+          .map(sid -> _)).toMap
     def taskColumnar(task: FileScanTask): Boolean = {
       val remapNeeded =
         task.schemaId != current.schemaId && task.schemaId >= 0
@@ -896,13 +953,10 @@ private[sources] object BatchPlanning {
       task.deleteFiles.forall(d =>
         d.file.content == FileContent.PositionDeletes ||
           d.file.content == FileContent.EqualityDeletes) &&
-      // equality keys on a pre-evolution file live under old names;
-      // that combination keeps the row path
-      (!hasEqT || !remapNeeded) &&
+      (!hasEqT || !remapNeeded ||
+        batchRemapExtSchemas.contains(task.schemaId)) &&
       (!remapNeeded || batchRemapSchemas.contains(task.schemaId))
     }
-    val anyEq = tasks.exists(_.deleteFiles.exists(
-      _.file.content == FileContent.EqualityDeletes))
     val batchEnabled = !emitFile && tasks.forall(taskColumnar) &&
       ParquetShim.supportsBatch(spark, required) &&
       (!anyEq || ParquetShim.supportsBatch(spark, extended))
@@ -939,6 +993,16 @@ private[sources] object BatchPlanning {
         val fileFull =
           SchemaConverters.toSparkSchema(t.metadata.schemaById(sid).get)
         sid -> ParquetShim.buildBatchReaderFunc(spark, fileFull, fileReq,
+          Nil)
+      }
+    // extended-schema variant for eq-delete tasks on remapped files
+    val batchRemapExtFuncs: Map[Int, PartitionedFile =>
+        Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] =
+      if (!batchEnabled || !anyEq) Map.empty
+      else batchRemapExtSchemas.map { case (sid, fileExt) =>
+        val fileFull =
+          SchemaConverters.toSparkSchema(t.metadata.schemaById(sid).get)
+        sid -> ParquetShim.buildBatchReaderFunc(spark, fileFull, fileExt,
           Nil)
       }
     val oldSchemaIds = tasks.map(_.schemaId).distinct
@@ -1020,7 +1084,8 @@ private[sources] object BatchPlanning {
       required.fieldNames.map(extended.fieldIndex),
       posFunc, eqFuncs, emitFile, filteredFunc, batchFunc, eqSetMaxBytes,
       batchFuncUnfiltered, batchRemapFuncs, eqRemapKeyFuncs,
-      batchExtFunc, batchExtFuncUnfiltered)
+      batchExtFunc, batchExtFuncUnfiltered, batchRemapExtFuncs,
+      current.schemaId)
   }
 }
 
@@ -1346,7 +1411,11 @@ private[sources] case class GraftBatch(scan: GraftV2Scan) extends Batch {
 
 final case class DeleteFileInfo(path: String, length: Long)
 final case class EqDeleteInfo(path: String, length: Long,
-    keyNames: Seq[String])
+    keyNames: Seq[String],
+    /** Schema id the delete file was written under: its key columns
+      * are stored under THAT schema's names/types, so a post-delete
+      * rename or promotion must resolve by field id through it. */
+    schemaId: Int = -1)
 final case class GraftInputPartition(path: String, length: Long,
     posDeletes: Seq[DeleteFileInfo], eqDeletes: Seq[EqDeleteInfo],
     schemaId: Int = -1)
@@ -1434,7 +1503,13 @@ private[sources] class GraftReaderFactory(
     extendedSchema: StructType,
     outputOrdinals: Array[Int],
     posReadFunc: Option[PartitionedFile => Iterator[InternalRow]],
-    eqReadFuncs: Map[Seq[String], PartitionedFile => Iterator[InternalRow]],
+    /** Keyed by (write-schema id, key names): reads that schema's key
+      * column names/types with positional promotion (`null` convs =
+      * identity) up to the current key types. The CURRENT schema id's
+      * entry doubles as the data-file key reader for the
+      * memory-bounded pre-pass on non-remapped tasks. */
+    eqReadFuncs: Map[(Int, Seq[String]),
+      (PartitionedFile => Iterator[InternalRow], Array[ReaderConv])],
     /** Append the task's file path as a trailing `_file` string column
       * (Spark metadata column; drives row-level runtime group filtering). */
     appendFilePath: Boolean = false,
@@ -1477,7 +1552,18 @@ private[sources] class GraftReaderFactory(
     batchExtReadFunc: Option[PartitionedFile =>
       Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
     batchExtReadFuncUnfiltered: Option[PartitionedFile =>
-      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None)
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = None,
+    /** Extended-schema columnar readers per OLD schema id: eq-delete
+      * tasks on rename-only-evolved files batch-read by the file's
+      * names (keys included), stay positionally valid under the
+      * current extended schema, and key-filter through the same
+      * selection-vector machinery as current-schema tasks. */
+    batchRemapExtFuncs: Map[Int, PartitionedFile =>
+      Iterator[org.apache.spark.sql.vectorized.ColumnarBatch]] = Map.empty,
+    /** The query-resolution schema's id: selects the `eqReadFuncs`
+      * entry used for the data-file key pre-pass on non-remapped
+      * tasks. */
+    currentSchemaId: Int = -1)
     extends PartitionReaderFactory {
 
   private def normPath(p: String): String =
@@ -1485,8 +1571,10 @@ private[sources] class GraftReaderFactory(
 
   private def columnarEligible(gp: GraftInputPartition): Boolean =
     !appendFilePath &&
-      (gp.eqDeletes.isEmpty || (batchExtReadFunc.isDefined &&
-        !remappedFuncs.contains(gp.schemaId))) &&
+      (gp.eqDeletes.isEmpty ||
+        batchRemapExtFuncs.contains(gp.schemaId) ||
+        (batchExtReadFunc.isDefined &&
+          !remappedFuncs.contains(gp.schemaId))) &&
       (gp.posDeletes.isEmpty || posReadFunc.isDefined) &&
       (!remappedFuncs.contains(gp.schemaId) ||
         batchRemapFuncs.contains(gp.schemaId))
@@ -1528,8 +1616,12 @@ private[sources] class GraftReaderFactory(
     // down after filtering; others read `required` directly
     val func =
       if (hasEq)
-        (if (gp.posDeletes.nonEmpty) batchExtReadFuncUnfiltered
-         else batchExtReadFunc).getOrElse(throw new IllegalStateException(
+        // remapped files read their own names (filter-free — pushed
+        // filters carry current names); others the current extended
+        // schema, filter-free when position deletes count positions
+        batchRemapExtFuncs.get(gp.schemaId).orElse(
+          if (gp.posDeletes.nonEmpty) batchExtReadFuncUnfiltered
+          else batchExtReadFunc).getOrElse(throw new IllegalStateException(
           s"graft source: no extended columnar reader for ${gp.path}"))
       else batchRemapFuncs.get(gp.schemaId).orElse(
         if (gp.posDeletes.nonEmpty) batchReadFuncUnfiltered
@@ -1601,44 +1693,42 @@ private[sources] class GraftReaderFactory(
       : Array[(Array[Int], Array[org.apache.spark.sql.types.DataType],
         java.util.HashSet[Seq[Any]])] =
     gp.eqDeletes.groupBy(_.keyNames).map { case (names, files) =>
-        val f = eqReadFuncs.getOrElse(names,
-          throw new IllegalStateException(
-            s"graft source: no delete reader for key set $names"))
         val keyTypes = names.map(n =>
           extendedSchema(extendedSchema.fieldIndex(n)).dataType).toArray
-        def keyOf(r: InternalRow): Seq[Any] = {
-          val key = Array.tabulate(names.length)(i =>
-            if (r.isNullAt(i)) null else normVal(r.get(i, keyTypes(i))))
-          // null keys never match (parity with the engine's anti-join)
+        // reader for key columns written under `dsid`'s names/types
+        def readerFor(dsid: Int) = eqReadFuncs.getOrElse((dsid, names),
+          throw new IllegalStateException(
+            s"graft source: no delete reader for key set $names under " +
+              s"write schema $dsid"))
+        // Key of a row read under write-schema convs (`null` =
+        // current types). Null keys never match (parity with the
+        // engine's anti-join).
+        def keyOf(r: InternalRow, kcs: Array[ReaderConv]): Seq[Any] = {
+          val key = Array.tabulate(names.length) { i =>
+            if (r.isNullAt(i)) null
+            else if (kcs == null) normVal(r.get(i, keyTypes(i)))
+            else kcs(i).code match {
+              case 1 => java.lang.Long.valueOf(r.getInt(i).toLong)
+              case 2 => java.lang.Double.valueOf(r.getFloat(i).toDouble)
+              case _ => normVal(r.get(i, kcs(i).fileType))
+            }
+          }
           if (key.contains(null)) null else ArraySeq.unsafeWrapArray(key)
         }
         val set = new java.util.HashSet[Seq[Any]]()
         val summedBytes = files.map(_.length).sum
         // The reader for THIS data file's key columns: current-schema
-        // tasks reuse the delete-file reader (projection is by name);
-        // schema-remapped tasks use the per-write-schema key reader
-        // (the file's OLD names + positional promotion to the current
-        // key types). None = a key column post-dates the file — all
-        // its keys are null there, null keys never match, so no delete
-        // with this key set can touch this task at all.
+        // tasks use the current schema's key reader (projection is by
+        // name); schema-remapped tasks use the per-write-schema key
+        // reader (the file's OLD names + positional promotion to the
+        // current key types). None = a key column post-dates the file —
+        // all its keys are null there, null keys never match, so no
+        // delete with this key set can touch this task at all.
         val dataKeyReader: Option[(PartitionedFile => Iterator[InternalRow],
             Array[ReaderConv])] =
-          if (!remappedFuncs.contains(gp.schemaId)) Some((f, null))
+          if (!remappedFuncs.contains(gp.schemaId))
+            Some(readerFor(currentSchemaId))
           else eqRemapKeyFuncs.getOrElse((gp.schemaId, names), None)
-        def fileKeyOf(r: InternalRow, kcs: Array[ReaderConv]): Seq[Any] =
-          if (kcs == null) keyOf(r)
-          else {
-            val key = Array.tabulate(names.length) { i =>
-              if (r.isNullAt(i)) null
-              else kcs(i).code match {
-                case 1 => java.lang.Long.valueOf(r.getInt(i).toLong)
-                case 2 => java.lang.Double.valueOf(r.getFloat(i).toDouble)
-                case _ => normVal(r.get(i, kcs(i).fileType))
-              }
-            }
-            if (key.contains(null)) null
-            else ArraySeq.unsafeWrapArray(key)
-          }
         if (dataKeyReader.isEmpty) {
           // remapped task missing a key column entirely: the empty set
           // is exact — skip reading the delete files altogether
@@ -1654,20 +1744,22 @@ private[sources] class GraftReaderFactory(
           val (df, kcs) = dataKeyReader.get
           val present = new java.util.HashSet[Seq[Any]]()
           df(ParquetShim.partitionedFile(gp.path, gp.length)).foreach { r =>
-            val k = fileKeyOf(r, kcs)
+            val k = keyOf(r, kcs)
             if (k != null) present.add(k)
           }
           files.foreach { d =>
+            val (f, kcs2) = readerFor(d.schemaId)
             f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
-              val k = keyOf(r)
+              val k = keyOf(r, kcs2)
               if (k != null && present.contains(k)) set.add(k)
             }
           }
           GraftReaderFactory.boundedEqApplications.incrementAndGet()
         } else {
           files.foreach { d =>
+            val (f, kcs2) = readerFor(d.schemaId)
             f(ParquetShim.partitionedFile(d.path, d.length)).foreach { r =>
-              val k = keyOf(r)
+              val k = keyOf(r, kcs2)
               if (k != null) set.add(k)
             }
           }

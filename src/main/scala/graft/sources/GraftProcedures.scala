@@ -198,7 +198,15 @@ private[sources] class GraftBoundProcedure(
           throw new IllegalArgumentException(
             s"fast_forward: $branch head $h is not an ancestor of " +
               s"'$to' head $toHead — not a fast-forward"))
-        t.newTransaction().setRef(branch, toHead).commit()
+        // Pin the branch at the validated head: Transaction.commit
+        // re-asserts against RELOADED metadata on retry, so without
+        // this requirement a concurrent commit to `branch` between
+        // validation and commit would be retried past and silently
+        // clobbered — dropping committed history.
+        t.newTransaction()
+          .require(graft.catalog.TableRequirement.AssertRefSnapshotId(
+            branch, fromHead))
+          .setRef(branch, toHead).commit()
         (new StructType().add("branch", StringType)
           .add("previous_snapshot_id", LongType)
           .add("current_snapshot_id", LongType),
@@ -209,9 +217,12 @@ private[sources] class GraftBoundProcedure(
           if (raw == -1L) System.currentTimeMillis() - 3L * 24 * 3600 * 1000
           else raw
         val dryRun = input.getBoolean(3)
-        val removed = Maintenance.removeOrphanFiles(t, olderThan, dryRun)
+        val report = Maintenance.removeOrphanFiles(t, olderThan, dryRun)
         (new StructType().add("orphan_files", IntegerType)
-          .add("dry_run", BooleanType), Seq(removed.size, dryRun))
+          .add("failed_deletes", IntegerType)
+          .add("dry_run", BooleanType),
+          Seq(report.deleted.size + report.failed.size,
+            report.failed.size, dryRun))
       case "rewrite_manifests" =>
         val maxEntries = input.getInt(2)
         val before = MetadataTables.currentManifests(t)

@@ -11,7 +11,21 @@ import graft.spec._
   * these are the operations that keep scan planning O(live files) and
   * storage bounded; both are metadata-driven — no full-table listing.
   */
-object Maintenance {
+/** Outcome of a file-GC pass: what was deleted and what COULD not be
+  * (permissions, transient FS errors). Failed paths stay orphaned and
+  * will be retried by the next pass — best-effort is right, invisible
+  * is not: at scale, persistent failures silently accumulate
+  * unreclaimed storage unless surfaced. */
+final case class GcReport(deleted: Seq[String], failed: Seq[String])
+
+object Maintenance extends org.apache.spark.internal.Logging {
+
+  /** Paths the LAST expireSnapshots call failed to delete (orphaned
+    * until a later pass or removeOrphanFiles reclaims them); expiry
+    * itself still commits. Observable telemetry for operators and
+    * tests — the commit-then-delete ordering means failures can never
+    * dangle references, only leak storage. */
+  @volatile var lastExpireFailedDeletes: Seq[String] = Nil
 
   /** Incremental bin-pack compaction: rewrite ONLY the files worth
     * rewriting — files under `smallFileThresholdBytes` (default 3/4 of
@@ -162,7 +176,7 @@ object Maintenance {
     * O(files), executor-free, run-rarely maintenance. */
   def removeOrphanFiles(table: Table,
       olderThanMs: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000,
-      dryRun: Boolean = false): Seq[String] = {
+      dryRun: Boolean = false): GcReport = {
     val meta = table.metadata
     def norm(p: String): String = p.replaceFirst("^file:/+", "/")
     val reachable = (reachableFrom(table, meta.snapshots) ++
@@ -181,10 +195,19 @@ object Maintenance {
         (try table.io.modificationTime(p) < olderThanMs
          catch { case _: Exception => false })
     }
-    if (!dryRun) orphans.foreach { p =>
-      try table.io.delete(p) catch { case _: Exception => () }
+    if (dryRun) GcReport(orphans.map(norm), Nil)
+    else {
+      val (deleted, failed) = orphans.partition { p =>
+        try { table.io.delete(p); true }
+        catch { case e: Exception =>
+          logWarning(s"graft: orphan-file GC failed to delete $p " +
+            s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            "it stays orphaned for the next pass")
+          false
+        }
+      }
+      GcReport(deleted.map(norm), failed.map(norm))
     }
-    orphans.map(norm)
   }
 
   /** Compact the current snapshot's DATA manifests: many small
@@ -330,6 +353,7 @@ object Maintenance {
     * refs the API (Transaction.setRef) explicitly supports. */
   def expireSnapshots(table: Table, olderThanMs: Long,
       retainLast: Int = 1, nowMs: Long = System.currentTimeMillis()): Table = {
+    lastExpireFailedDeletes = Nil
     val meta = table.metadata
     val current = table.currentSnapshot.map(_.snapshotId).toSet
     val ordered = meta.snapshots.sortBy(_.timestampMs)
@@ -383,10 +407,20 @@ object Maintenance {
       .removeSnapshots(expired.map(_.snapshotId))
     staleRefs.keys.foreach(n => tx = tx.removeRef(n))
     val committed = tx.commit()
-    orphans.foreach { p =>
-      try committed.io.delete(p)
-      catch { case _: Exception => () } // best-effort GC
+    // best-effort GC, but never invisible: failures are logged, kept
+    // in [[lastExpireFailedDeletes]], and stay reclaimable by a later
+    // removeOrphanFiles pass (the commit above already dropped every
+    // reference, so nothing dangles)
+    val failed = orphans.toSeq.filter { p =>
+      try { committed.io.delete(p); false }
+      catch { case e: Exception =>
+        logWarning(s"graft: snapshot expiry failed to delete $p " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+          "it stays orphaned for the next GC pass")
+        true
+      }
     }
+    lastExpireFailedDeletes = failed
     committed
   }
 }

@@ -15,7 +15,13 @@ import graft.spec._
 final case class DeleteFileRef(
     file: DataFile,
     sequenceNumber: Long,
-    specId: Int)
+    specId: Int,
+    /** Schema id the delete MANIFEST was written under: an
+      * equality-delete file stores its key columns under the NAMES of
+      * that schema, so a key column renamed after the delete was
+      * written must resolve by field id through it — reading by
+      * current name would null-fill and silently resurrect rows. */
+    schemaId: Int = -1)
 
 /** One unit of scan work (`table/scan.go:193-199`) — a data file plus
   * the delete files that apply to it under MoR sequence rules, and the
@@ -221,8 +227,10 @@ class Scan private (
       manifests.partition(_.content == ManifestContent.Deletes)
 
     val deleteEntries = deleteManifests
-      .flatMap(mf => table.readManifest(mf).liveEntries
-        .map(e => (mf.partitionSpecId, e)))
+      .flatMap { mf =>
+        val m = table.readManifest(mf)
+        m.liveEntries.map(e => (mf.partitionSpecId, m.schemaId, e))
+      }
 
     // Partition-scoped delete index (the shape of Iceberg's
     // DeleteFileIndex, which keys by (specId, partition)): empty-tuple
@@ -234,9 +242,9 @@ class Scan private (
     // so planning is O(#files + #combos × #deletes-in-scope), not
     // O(#files × #deletes).
     val (scopedDeletes, globalDeletes) =
-      deleteEntries.partition(_._2.dataFile.partition.nonEmpty)
+      deleteEntries.partition(_._3.dataFile.partition.nonEmpty)
     val scopedIndex = scopedDeletes.groupBy {
-      case (sid, e) => (sid, e.dataFile.partition)
+      case (sid, _, e) => (sid, e.dataFile.partition)
     }
     val attachMemo = collection.mutable.Map
       .empty[(Int, Map[String, Any], Long), Seq[DeleteFileRef]]
@@ -247,15 +255,16 @@ class Scan private (
         // MoR applicability: position deletes with deleteSeq >= dataSeq,
         // equality deletes with deleteSeq > dataSeq (Iceberg spec rule)
         (globalDeletes ++ scopedIndex.getOrElse((specId, partition), Nil))
-          .filter { case (_, d) =>
+          .filter { case (_, _, d) =>
             val dSeq = d.sequenceNumber.getOrElse(0L)
             d.dataFile.content match {
               case FileContent.PositionDeletes => dSeq >= seq
               case FileContent.EqualityDeletes => dSeq > seq
               case _ => false
             }
-          }.map { case (sid, d) =>
-            DeleteFileRef(d.dataFile, d.sequenceNumber.getOrElse(0L), sid)
+          }.map { case (sid, schemaId, d) =>
+            DeleteFileRef(d.dataFile, d.sequenceNumber.getOrElse(0L), sid,
+              schemaId)
           }
       })
 
@@ -372,7 +381,7 @@ class Scan private (
 
     def eqSetOf(t: FileScanTask) = t.deleteFiles
       .filter(_.file.content == FileContent.EqualityDeletes)
-      .map(d => (d.file.filePath, d.file.equalityIds)).toSet
+      .map(d => (d.file.filePath, d.file.equalityIds, d.schemaId)).toSet
 
     val parts = tasks.groupBy(_.schemaId).toSeq
       .flatMap { case (fileSchemaId, schemaTasks) =>
@@ -486,18 +495,58 @@ class Scan private (
     eqApply(df).drop("__dseq")
   }
 
+  /** Key columns of an equality-delete group, resolved BY FIELD ID
+    * through the delete files' write schema: (query field, file field)
+    * pairs. A key renamed or type-promoted after the deletes were
+    * written still applies — reading by current name would miss the
+    * stored column. */
+  private def eqKeyPairs(schema: Schema, fieldIds: Seq[Int],
+      deleteSchemaId: Int): Seq[(NestedField, NestedField)] = {
+    val delSchema =
+      if (deleteSchemaId >= 0)
+        table.metadata.schemaById(deleteSchemaId).getOrElse(schema)
+      else schema
+    fieldIds.flatMap(id => schema.field(id)).map { qf =>
+      val ff = delSchema.field(qf.id).getOrElse(
+        throw new IllegalStateException(
+          s"graft: equality-delete key (field id ${qf.id}) is missing " +
+            s"from the delete file's write schema (id $deleteSchemaId)"))
+      (qf, ff)
+    }
+  }
+
+  /** Read an equality-delete group's key columns, surfaced under
+    * CURRENT names and types. */
+  private def eqKeyDf(schema: Schema, pairs: Seq[(NestedField, NestedField)],
+      paths: Seq[String], withMeta: Boolean): DataFrame = {
+    import graft.spec.SchemaConverters.toSparkType
+    val fileKeySchema = org.apache.spark.sql.types.StructType(pairs.map {
+      case (_, ff) => org.apache.spark.sql.types.StructField(
+        ff.name, toSparkType(ff.fieldType), nullable = true)
+    })
+    val raw = spark.read.schema(fileKeySchema).parquet(paths: _*)
+    val keyCols = pairs.map { case (qf, ff) =>
+      col(ff.name).cast(toSparkType(qf.fieldType)).as(qf.name)
+    }
+    if (withMeta)
+      raw.select(keyCols :+
+        col("_metadata.file_path").as("__meta_file_path"): _*)
+    else raw.select(keyCols: _*)
+  }
+
   /** Exact per-group equality application: the group's tasks all share
     * `eqSet`, so a plain anti-join per key-set is exact. */
   private def exactEqApply(schema: Schema,
-      eqSet: Set[(String, Seq[Int])])(df0: DataFrame): DataFrame = {
+      eqSet: Set[(String, Seq[Int], Int)])(df0: DataFrame): DataFrame = {
     var df = df0
-    eqSet.groupBy(_._2).foreach { case (fieldIds, files) =>
-      val keyCols = fieldIds.flatMap(id => schema.field(id)).map(_.name)
-      if (keyCols.nonEmpty) {
-        val delDf = spark.read.parquet(files.map(_._1).toSeq: _*)
-          .select(keyCols.map(col): _*).distinct()
-        df = df.join(delDf, keyCols.toSeq, "left_anti")
-      }
+    eqSet.groupBy(e => (e._2, e._3)).foreach {
+      case ((fieldIds, deleteSchemaId), files) =>
+        val pairs = eqKeyPairs(schema, fieldIds, deleteSchemaId)
+        if (pairs.nonEmpty) {
+          val delDf = eqKeyDf(schema, pairs, files.map(_._1).toSeq,
+            withMeta = false).distinct()
+          df = df.join(delDf, pairs.map(_._1.name), "left_anti")
+        }
     }
     df
   }
@@ -515,29 +564,32 @@ class Scan private (
       dirtyTasks: Seq[FileScanTask])(df0: DataFrame): DataFrame = {
     val refs = dirtyTasks.flatMap(_.deleteFiles)
       .filter(_.file.content == FileContent.EqualityDeletes)
-      .map(d => (d.file.filePath, d.file.equalityIds, d.sequenceNumber))
+      .map(d => (d.file.filePath, d.file.equalityIds, d.sequenceNumber,
+        d.schemaId))
       .distinct
     var df = df0
-    refs.groupBy(_._2).foreach { case (fieldIds, fileRefs) =>
-      val keyCols = fieldIds.flatMap(id => schema.field(id)).map(_.name)
-      if (keyCols.nonEmpty) {
-        val delPaths = fileRefs.map(_._1).distinct
-        val delLookup = spark.createDataFrame(
-          fileRefs.map(r =>
-            org.apache.spark.sql.Row(normPath(r._1), r._3)).asJava,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("__dlp",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("__delseq",
-              org.apache.spark.sql.types.LongType))))
-        val delDf = spark.read.parquet(delPaths: _*)
-          .withColumn("__dnp", normPathCol(col("_metadata.file_path")))
-          .join(broadcast(delLookup), col("__dnp") === col("__dlp"))
-          .select(keyCols.map(col) :+ col("__delseq"): _*)
-        val cond = keyCols.map(k => df(k) === delDf(k))
-          .reduce(_ && _) && delDf("__delseq") > df("__dseq")
-        df = df.join(delDf, cond, "left_anti")
-      }
+    refs.groupBy(r => (r._2, r._4)).foreach {
+      case ((fieldIds, deleteSchemaId), fileRefs) =>
+        val pairs = eqKeyPairs(schema, fieldIds, deleteSchemaId)
+        if (pairs.nonEmpty) {
+          val keyCols = pairs.map(_._1.name)
+          val delPaths = fileRefs.map(_._1).distinct
+          val delLookup = spark.createDataFrame(
+            fileRefs.map(r =>
+              org.apache.spark.sql.Row(normPath(r._1), r._3)).asJava,
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("__dlp",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("__delseq",
+                org.apache.spark.sql.types.LongType))))
+          val delDf = eqKeyDf(schema, pairs, delPaths, withMeta = true)
+            .withColumn("__dnp", normPathCol(col("__meta_file_path")))
+            .join(broadcast(delLookup), col("__dnp") === col("__dlp"))
+            .select(keyCols.map(col) :+ col("__delseq"): _*)
+          val cond = keyCols.map(k => df(k) === delDf(k))
+            .reduce(_ && _) && delDf("__delseq") > df("__dseq")
+          df = df.join(delDf, cond, "left_anti")
+        }
     }
     df
   }

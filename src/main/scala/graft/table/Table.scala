@@ -22,7 +22,14 @@ class Table(
       * while `main` and the snapshot log (which follows main) stay
       * untouched until a fast-forward publish via
       * `Transaction.setRef("main", branchHead)`. */
-    val writeBranch: String = "main") {
+    val writeBranch: String = "main",
+    /** Whether `writeBranch`'s ref existed when this handle was
+      * created. A handle whose branch EXISTED but has since been
+      * removed (concurrent `remove_ref`, stale-ref expiry) must fail
+      * loud on refresh/commit instead of silently repositioning on
+      * main — only a never-yet-created branch may fork from the
+      * current state on its first commit. */
+    private val branchRefSeen: Boolean = false) {
 
   def schema: Schema = metadata.currentSchema
   def spec: PartitionSpec = metadata.defaultPartitionSpec
@@ -30,9 +37,26 @@ class Table(
   def currentSnapshot: Option[Snapshot] = metadata.currentSnapshot
   def history: Seq[SnapshotLogEntry] = metadata.snapshotLog
 
-  def refresh(): Table =
-    new Table(catalog, id,
-      Table.positioned(catalog.loadTable(id), writeBranch), io, writeBranch)
+  def refresh(): Table = {
+    val m = positionedChecked(catalog.loadTable(id))
+    new Table(catalog, id, m, io, writeBranch, branchStillSeen(m))
+  }
+
+  /** Positioned at the branch head, failing loud when a
+    * previously-seen branch ref has vanished. */
+  private def positionedChecked(m: TableMetadata): TableMetadata = {
+    if (branchRefSeen && writeBranch != "main" &&
+        m.ref(writeBranch).isEmpty)
+      throw new IllegalStateException(
+        s"graft: branch '$writeBranch' existed when this handle was " +
+          "created but has been removed — refusing to silently " +
+          "reposition on main (re-create the branch or load a fresh " +
+          "handle)")
+    Table.positioned(m, writeBranch)
+  }
+
+  private[table] def branchStillSeen(m: TableMetadata): Boolean =
+    writeBranch != "main" && m.ref(writeBranch).isDefined
 
   /** A handle positioned ON a branch (WAP): scans read the branch head
     * and data commits advance the branch ref only. A branch that does
@@ -47,7 +71,8 @@ class Table(
       throw new IllegalArgumentException(
         s"graft: ref '$name' is a tag — tags are immutable; " +
           "write to a branch instead"))
-    new Table(catalog, id, Table.positioned(metadata, name), io, name)
+    new Table(catalog, id, Table.positioned(metadata, name), io, name,
+      metadata.ref(name).isDefined)
   }
 
   /** Time travel (`table/table.go:93-121`). */
@@ -102,14 +127,17 @@ class Table(
       val ups = Seq(TableUpdate.AddSnapshot(snap, writeBranch))
       try {
         val committed = catalog.commitTable(id, reqs, ups)
-        return new Table(catalog, id,
-          Table.positioned(committed, writeBranch), io, writeBranch)
+        val positioned = Table.positioned(committed, writeBranch)
+        return new Table(catalog, id, positioned, io, writeBranch,
+          branchStillSeen(committed))
       } catch {
         case e: CommitFailedException if attempt < retries =>
           attempt += 1
           Thread.sleep(Table.RetryBackoffMs * attempt)
           // refresh + rebase on fresh metadata, repositioned on branch
-          meta = Table.positioned(catalog.loadTable(id), writeBranch)
+          // (failing loud when a previously-seen branch ref vanished
+          // concurrently — retrying would silently fork off main)
+          meta = positionedChecked(catalog.loadTable(id))
           validateRebase(pending, meta)
       }
     }
@@ -465,7 +493,7 @@ class Transaction(table: Table) {
         val committed = table.catalog.commitTable(table.id, reqs, ups)
         return new Table(table.catalog, table.id,
           Table.positioned(committed, table.writeBranch), table.io,
-          table.writeBranch)
+          table.writeBranch, table.branchStillSeen(committed))
       } catch {
         case _: CommitFailedException if attempt < Table.MaxRetries =>
           attempt += 1

@@ -140,6 +140,44 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.suspectQueries(r9MedMin).isEmpty)
   }
 
+  // Replayed from the driver-committed BENCH_r10: d6's samples were
+  // [1.92, 1.61, 7.94, 9.50, 4.92] — med/min 3.06x with loadavg
+  // climbing 2.35→4.14 across its iterations — yet the 10x threshold
+  // published a 4.92 s median for a ~1.6 s query (round-10 verdict
+  // "what's wrong" #1).
+  private val r10MedMin = Seq(
+    ("q1_pricing_summary", 0.2412, 0.2238),
+    ("q2_filter_project", 0.1800, 0.1718),
+    ("q3_topk_orders", 0.1286, 0.1137),
+    ("q4_segment_revenue", 0.4900, 0.4704),
+    ("q5_nation_revenue", 0.5519, 0.5006),
+    ("q6_forecast_revenue", 0.1014, 0.0978),
+    ("q9_window_rank", 0.2312, 0.2262),
+    ("q13_events_hourly", 0.1263, 0.1203),
+    ("d1_dedup_exact", 0.1811, 0.1701),
+    ("d6_minhash_dedup", 4.9205, 1.6103),
+    ("e1_ann_bruteforce", 0.3206, 0.3014))
+
+  test("r10's d6 3.06x outlier is flagged for re-measurement; r9 untouched") {
+    assert(Bench.suspectQueries(r10MedMin) == Seq("d6_minhash_dedup"))
+    assert(Bench.suspectQueries(r9MedMin).isEmpty)
+  }
+
+  test("per-query loadavg jump past 1.5x the run-start baseline flags " +
+      "for re-measurement") {
+    // r10: loadBefore 2.35, d6's per-query load 4.14 > 1.5 x 2.35
+    assert(Bench.loadSuspects(
+      Seq(("d6_minhash_dedup", 4.14), ("q1_pricing_summary", 2.6)),
+      loadBefore = 2.35) == Seq("d6_minhash_dedup"))
+    // the baseline floors at 1.0: the bench's own Spark load pushing
+    // load1 to 1.4 on an idle machine must not flag everything
+    assert(Bench.loadSuspects(
+      Seq(("q1_pricing_summary", 1.4)), loadBefore = 0.1).isEmpty)
+    assert(Bench.loadSuspects(
+      Seq(("q1_pricing_summary", 1.6)), loadBefore = 0.1) ==
+      Seq("q1_pricing_summary"))
+  }
+
   test("a single suspect does not flag the run; two suspects do") {
     assert(!Bench.contaminationVerdict(
       idleMin, idleMin.values.sum, floor, floorApplies = true,

@@ -377,6 +377,68 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(vals == (1 to 5).map(_ * 1.0).toSet)
   }
 
+  test("equality deletes on schema-remapped files stay columnar") {
+    val (t0, dir, name) = mkTable("coleq1")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 50))
+    // rename AFTER the first file: its tasks need the per-write-schema
+    // remap. Then upsert-style equality deletes land on those remapped
+    // tasks — the combination that used to drop the whole scan to the
+    // row path.
+    t = t.updateSchema().renameColumn("value", "amount").commit()
+    t = Mutations.deleteByKeys(t, spark, Seq(2L, 7L).toDF("event_id"))
+    val df = reader(dir, name).load()
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val scans = df.queryExecution.executedPlan
+      .collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      s"eq-deletes on remapped files must stay columnar:\n" +
+        df.queryExecution.executedPlan)
+    val got = df.select("event_id", "amount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val expected = (1 to 50).filterNot(Set(2, 7))
+      .map(i => (i.toLong, i * 1.0)).toSet
+    assert(got == expected, "columnar eq-delete on remapped task")
+    // parity with the row path (force it via _file metadata emission,
+    // which keeps the row reader)
+    val rowGot = df.select(df("event_id"), df("amount"),
+      df.metadataColumn("_file")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(rowGot == expected, "row-path parity for remapped eq-deletes")
+    // projection pruning the key column still applies the deletes
+    val amounts = reader(dir, name).load().select("amount")
+      .collect().map(_.getDouble(0)).toSet
+    assert(amounts == (1 to 50).filterNot(Set(2, 7)).map(_ * 1.0).toSet)
+  }
+
+  test("equality-delete files written BEFORE a key rename still apply " +
+      "(keys resolve by field id through the delete's write schema)") {
+    val (t0, dir, name) = mkTable("coleq2")
+    import spark.implicits._
+    var t = TableOps.append(t0, batch(1 to 10))
+    // delete file stores its key column under the CURRENT name
+    // "event_id"...
+    t = Mutations.deleteByKeys(t, spark, Seq(2L, 5L).toDF("event_id"))
+    // ...then the key column is renamed: a by-current-name read of the
+    // delete file would null-fill and resurrect rows 2 and 5
+    t = t.updateSchema().renameColumn("event_id", "id").commit()
+    val expected = (1L to 10L).toSet -- Set(2L, 5L)
+    // DSv2 path
+    val ids = reader(dir, name).load()
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == expected,
+      s"DSv2 must resolve delete keys by field id, got $ids")
+    // Scan API path
+    val viaScan = Scan(t.refresh(), spark).toDF
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(viaScan == expected,
+      s"Scan API must resolve delete keys by field id, got $viaScan")
+    // pruned projection (key column not selected) through DSv2
+    val vals = reader(dir, name).load()
+      .select("value").collect().map(_.getDouble(0)).toSet
+    assert(vals == ((1 to 10).toSet -- Set(2, 5)).map(_ * 1.0))
+  }
+
   test("non-positive eq-delete-set-max-bytes is rejected") {
     val (t0, dir, name) = mkTable("optparse2")
     import spark.implicits._

@@ -382,13 +382,53 @@ class RefExpirySpec extends AnyFunSuite {
     val dataDir = t.metadata.location.stripSuffix("/") + "/data"
     val orphan = s"$dataDir/leftover-from-crash.parquet"
     t.io.writeString(orphan, "junk")
-    val removed = Maintenance.removeOrphanFiles(t,
+    val report = Maintenance.removeOrphanFiles(t,
       olderThanMs = System.currentTimeMillis() + 60000)
-    assert(removed.exists(_.endsWith("leftover-from-crash.parquet")))
+    assert(report.deleted.exists(_.endsWith("leftover-from-crash.parquet")))
+    assert(report.failed.isEmpty)
     assert(!t.io.exists(orphan))
     assert(Scan(t, spark).toDF.count() == 10, "live data untouched")
     // a second pass finds nothing
-    assert(Maintenance.removeOrphanFiles(t,
-      olderThanMs = System.currentTimeMillis() + 60000).isEmpty)
+    val second = Maintenance.removeOrphanFiles(t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(second.deleted.isEmpty && second.failed.isEmpty)
+  }
+
+  test("GC failures are surfaced, and expiry still commits") {
+    var t = freshTable("gcfail")
+    t = TableOps.append(t, usersDf(1 to 5))
+    t = TableOps.append(t.refresh(), usersDf(6 to 10))
+    // an undeletable path: a data FILE that is actually a non-empty
+    // directory — HadoopFileIO.delete(recursive=false) fails on it
+    val dataDir = t.metadata.location.stripSuffix("/") + "/data"
+    val stubborn = s"$dataDir/stubborn-orphan.parquet"
+    t.io.writeString(s"$stubborn/child", "junk")
+    val report = Maintenance.removeOrphanFiles(t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(report.failed.exists(_.endsWith("stubborn-orphan.parquet")),
+      s"undeletable orphan must be reported, got $report")
+
+    // expiry with an undeletable expired data file: the metadata
+    // commit must land, the failure must be observable
+    val firstDataFiles = Scan(t, spark).planFiles().map(_.file.filePath)
+    val expireCutoff = System.currentTimeMillis() + 60000
+    // replace first-append content so its files become expirable
+    t = Mutations.overwriteAll(t.refresh(), usersDf(1 to 10))
+    Thread.sleep(5)
+    val before = t.refresh()
+    // make one of the now-unreachable first-generation files
+    // undeletable by swapping it for a non-empty directory
+    val victim = firstDataFiles.head.replaceFirst("^file:/+", "/")
+    new java.io.File(victim).delete()
+    t.io.writeString(s"$victim/child", "junk")
+    val expired = Maintenance.expireSnapshots(before,
+      olderThanMs = expireCutoff, retainLast = 1)
+    assert(expired.metadata.snapshots.size <
+      before.metadata.snapshots.size, "expiry must still commit")
+    assert(Maintenance.lastExpireFailedDeletes
+      .exists(_.replaceFirst("^file:/+", "/") == victim),
+      s"failed delete must be surfaced, got " +
+        s"${Maintenance.lastExpireFailedDeletes}")
+    assert(Scan(expired, spark).toDF.count() == 10, "data intact")
   }
 }
