@@ -56,10 +56,12 @@ object TableRequirement {
   * (`catalog/catalog.go:205-280`). */
 sealed trait TableUpdate
 object TableUpdate {
-  /** Adds the snapshot and advances `branch` to it (main by default —
-    * the reference's only behavior; non-main is the WAP write path). */
-  final case class AddSnapshot(snapshot: Snapshot,
-      branch: String = "main") extends TableUpdate
+  /** Spec `add-snapshot`: records the snapshot without moving any ref.
+    * A data commit pairs it with a [[SetSnapshotRef]] for the target
+    * branch — the Iceberg REST spec's vocabulary (reference
+    * `catalog/catalog.go:205-280`), so commits serialize losslessly to
+    * any compliant server. */
+  final case class AddSnapshot(snapshot: Snapshot) extends TableUpdate
   final case class SetSnapshotRef(refName: String, snapshotId: Long,
       refType: String,
       minSnapshotsToKeep: Option[Int] = None,
@@ -80,11 +82,29 @@ object TableUpdate {
   final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
 
   def apply(m: TableMetadata, u: TableUpdate): TableMetadata = u match {
-    case AddSnapshot(s, b) => m.withSnapshot(s, b)
+    case AddSnapshot(s) => m.addSnapshotOnly(s)
     case SetSnapshotRef(name, id, tpe, minKeep, maxSnapAge, maxRefAge) =>
+      // last-line defense for every commit path (local CAS and REST
+      // server side): a data commit emits type "branch", so advancing
+      // an existing TAG this way is a misdirected write, not a retarget
+      // (retargeting a tag stays possible via an explicit "tag" update)
+      if (tpe == "branch" &&
+          m.refs.get(name).exists(_.refType == "tag"))
+        throw new IllegalStateException(
+          s"cannot commit to ref '$name': it is a tag (immutable)")
       val base = m.copy(refs = m.refs +
         (name -> SnapshotRef(id, tpe, minKeep, maxSnapAge, maxRefAge)))
-      if (name == "main") base.copy(currentSnapshotId = Some(id)) else base
+      if (name == "main")
+        base.copy(
+          currentSnapshotId = Some(id),
+          // the snapshot log follows main (Iceberg semantics); skip
+          // idempotent re-sets so history carries no duplicate entries
+          snapshotLog =
+            if (m.currentSnapshotId.contains(id)) m.snapshotLog
+            else m.snapshotLog :+ SnapshotLogEntry(id,
+              m.snapshotById(id).map(_.timestampMs)
+                .getOrElse(m.lastUpdatedMs)))
+      else base
     case RemoveSnapshots(ids) => m.removeSnapshots(ids.toSet)
     case RemoveSnapshotRef(name) => m.copy(refs = m.refs - name)
     case AddSchema(s, setCurrent) => m.addSchema(s, setCurrent)

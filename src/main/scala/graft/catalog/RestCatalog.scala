@@ -21,6 +21,11 @@ class RestCatalog(
     baseUri: String,
     token: Option[String] = None,
     warehouse: Option[String] = None,
+    /** OAuth2 client credential (`"client_id:client_secret"`, or a bare
+      * client id as the reference sends — `catalog/rest.go:455-476`).
+      * When set and no static `token` is given, a bearer token is
+      * fetched from `/v1/oauth/tokens` and refreshed on expiry. */
+    credential: Option[String] = None,
     timeout: Duration = Duration.ofSeconds(30)) extends Catalog {
 
   private val http = HttpClient.newBuilder()
@@ -28,6 +33,58 @@ class RestCatalog(
   private val root = baseUri.stripSuffix("/")
   private val mapper = SchemaJson.parseTree("{}") // warm jackson
   private var prefix: String = ""
+
+  // ------------------------------------------------------------ oauth
+
+  @volatile private var bearer: Option[String] = token
+  @volatile private var bearerExpiresAtMs: Long = Long.MaxValue
+
+  /** POST `client_credentials` to `/v1/oauth/tokens` (reference
+    * FetchToken, `catalog/rest.go:455-476`) and cache the bearer with
+    * its expiry. A `id:secret` credential sends both fields (Iceberg
+    * REST convention); a bare id matches the reference's single-field
+    * form. */
+  def fetchToken(): String = {
+    val cred = credential.getOrElse(throw new IllegalStateException(
+      "fetchToken requires a client credential"))
+    val (cid, secret) = cred.indexOf(':') match {
+      case -1 => (cred, None)
+      case i => (cred.substring(0, i), Some(cred.substring(i + 1)))
+    }
+    val form = s"grant_type=client_credentials&client_id=${enc(cid)}" +
+      secret.map(s => s"&client_secret=${enc(s)}").getOrElse("") +
+      "&scope=catalog"
+    val req = HttpRequest.newBuilder(URI.create(s"$root/v1/oauth/tokens"))
+      .timeout(timeout)
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form))
+      .build()
+    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw new RuntimeException(
+        s"oauth token fetch failed ${resp.statusCode()}: ${resp.body()}")
+    val n = SchemaJson.parseTree(resp.body())
+    val tok = Option(n.get("access_token")).map(_.asText).getOrElse(
+      throw new RuntimeException(s"no access_token in: ${resp.body()}"))
+    val ttlMs = Option(n.get("expires_in")).map(_.asLong * 1000L)
+    bearer = Some(tok)
+    // refresh 30 s early so in-flight requests never carry a token that
+    // expires mid-call; no expires_in → token never expires client-side
+    bearerExpiresAtMs = ttlMs
+      .map(t => System.currentTimeMillis() + math.max(0L, t - 30000L))
+      .getOrElse(Long.MaxValue)
+    tok
+  }
+
+  /** Current bearer: the static token if configured, else the cached
+    * OAuth token (fetched/refreshed on demand). */
+  private def currentBearer: Option[String] =
+    if (token.isDefined) token
+    else if (credential.isDefined) {
+      if (bearer.isEmpty || System.currentTimeMillis() >= bearerExpiresAtMs)
+        fetchToken()
+      bearer
+    } else None
 
   /** `/v1/config` (`catalog/rest.go` GetConfig): may supply a route
     * prefix and defaults. Call before first use; safe to skip. */
@@ -48,6 +105,19 @@ class RestCatalog(
   private def base = s"$root/v1$prefix"
   private def enc(s: String) =
     java.net.URLEncoder.encode(s, UTF_8)
+
+  /** JSON string literal with escaping — names, locations, and property
+    * values are user-controlled and must never break the request body. */
+  private def jstr(s: String): String = {
+    val sb = new StringBuilder(s.length + 2).append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
   private def nsPath(ns: Seq[String]) = ns.mkString("%1F") // unit sep per spec
 
   // ------------------------------------------------------------- http
@@ -57,7 +127,7 @@ class RestCatalog(
     var b = HttpRequest.newBuilder(URI.create(uri))
       .timeout(timeout)
       .header("Content-Type", "application/json")
-    token.foreach(t => b = b.header("Authorization", s"Bearer $t"))
+    currentBearer.foreach(t => b = b.header("Authorization", s"Bearer $t"))
     b = method match {
       case "GET" => b.GET()
       case "DELETE" => b.DELETE()
@@ -254,7 +324,7 @@ class RestCatalog(
       s"""{"type": "assert-table-uuid", "uuid": "$u"}"""
     case TableRequirement.AssertRefSnapshotId(ref, sid) =>
       val sidJson = sid.map(_.toString).getOrElse("null")
-      s"""{"type": "assert-ref-snapshot-id", "ref": "$ref", "snapshot-id": $sidJson}"""
+      s"""{"type": "assert-ref-snapshot-id", "ref": ${jstr(ref)}, "snapshot-id": $sidJson}"""
     case TableRequirement.AssertCurrentSchemaId(i) =>
       s"""{"type": "assert-current-schema-id", "current-schema-id": $i}"""
     case TableRequirement.AssertLastAssignedFieldId(i) =>
@@ -267,13 +337,13 @@ class RestCatalog(
 
   /** Update JSON per `catalog/catalog.go:205-280`. */
   private def updateJson(u: TableUpdate): String = u match {
-    case TableUpdate.AddSnapshot(s, branch) =>
-      // `branch` is an extension field our server pairs with the spec's
-      // separate set-snapshot-ref action; "main" keeps the wire shape
-      // identical to the reference's auto-main commit.
-      val branchField =
-        if (branch == "main") "" else s""", "branch": "$branch""""
-      s"""{"action": "add-snapshot", "snapshot": ${snapshotJson(s)}$branchField}"""
+    case TableUpdate.AddSnapshot(s) =>
+      // spec vocabulary only: add-snapshot records the snapshot; the
+      // commit path pairs it with a set-snapshot-ref for the target
+      // branch (reference `catalog/catalog.go:252-260`), so a
+      // spec-compliant server that ignores unknown fields still moves
+      // the ref — no silent write loss on branch (WAP) commits.
+      s"""{"action": "add-snapshot", "snapshot": ${snapshotJson(s)}}"""
     case TableUpdate.SetSnapshotRef(name, sid, tpe, minKeep, maxSnapAge,
         maxRefAge) =>
       val knobs = Seq(
@@ -281,12 +351,12 @@ class RestCatalog(
         maxSnapAge.map(v => s""""max-snapshot-age-ms": $v"""),
         maxRefAge.map(v => s""""max-ref-age-ms": $v""")).flatten
       val extra = if (knobs.isEmpty) "" else knobs.mkString(", ", ", ", "")
-      s"""{"action": "set-snapshot-ref", "ref-name": "$name",
-         |"snapshot-id": $sid, "type": "$tpe"$extra}""".stripMargin
+      s"""{"action": "set-snapshot-ref", "ref-name": ${jstr(name)},
+         |"snapshot-id": $sid, "type": ${jstr(tpe)}$extra}""".stripMargin
     case TableUpdate.RemoveSnapshots(ids) =>
       s"""{"action": "remove-snapshots", "snapshot-ids": [${ids.mkString(",")}]}"""
     case TableUpdate.RemoveSnapshotRef(name) =>
-      s"""{"action": "remove-snapshot-ref", "ref-name": "$name"}"""
+      s"""{"action": "remove-snapshot-ref", "ref-name": ${jstr(name)}}"""
     case TableUpdate.AddSchema(s, _) =>
       s"""{"action": "add-schema", "schema": ${s.toJson}}"""
     case TableUpdate.SetCurrentSchema(i) =>
@@ -298,13 +368,13 @@ class RestCatalog(
     case TableUpdate.AddSortOrder(_) | TableUpdate.SetDefaultSortOrder(_) =>
       s"""{"action": "set-default-sort-order", "sort-order-id": 0}"""
     case TableUpdate.SetLocation(l) =>
-      s"""{"action": "set-location", "location": "$l"}"""
+      s"""{"action": "set-location", "location": ${jstr(l)}}"""
     case TableUpdate.SetProperties(m) =>
-      val kvs = m.map { case (k, v) => s""""$k": "$v"""" }.mkString(",")
+      val kvs = m.map { case (k, v) => s"${jstr(k)}: ${jstr(v)}" }.mkString(",")
       s"""{"action": "set-properties", "updates": {$kvs}}"""
     case TableUpdate.RemoveProperties(ks) =>
       s"""{"action": "remove-properties",
-         |"removals": [${ks.map(k => s""""$k"""").mkString(",")}]}""".stripMargin
+         |"removals": [${ks.map(jstr).mkString(",")}]}""".stripMargin
   }
 
   private def snapshotJson(s: Snapshot): String = {

@@ -168,8 +168,12 @@ object Dedup {
         .withColumnRenamed("__sh", "__sh_a"), "id_a")
       .join(sh.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__sh", "__sh_b"), "id_b")
-      .where(jaccard(col("__sh_a"), col("__sh_b")) >= threshold)
-      .select("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .where(col("jaccard") >= threshold)
+      // exact Jaccard rides along: integer set sizes divided in double,
+      // so the value is bit-reproducible by any engine (oracle-gated in
+      // d6b_jaccard_verify); graph callers just drop the column
+      .select("id_a", "id_b", "jaccard")
     materializeAndRelease(edges, sh)
   }
 

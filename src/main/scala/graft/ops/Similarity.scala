@@ -55,12 +55,22 @@ object Similarity {
 
   /** Random-hyperplane LSH signature: one sign bit per plane packed
     * into a long. Same-signature vectors are cosine-close with high
-    * probability. */
-  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column = {
+    * probability.
+    *
+    * `component` supplies the hyperplane entry for (plane, dim) —
+    * defaults to the xxhash64-derived pseudo-random plane. The
+    * dot/sign/pack machinery is identical for any generator, which is
+    * what lets e2b_bucket_determinism gate this exact code path against
+    * a DuckDB oracle using an integer-LCG generator both engines can
+    * compute bit-identically (xxhash64 itself has no DuckDB analog). */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long,
+      component: Option[(Column, Column) => Column] = None): Column = {
+    val comp = component.getOrElse(
+      (p: Column, i: Column) => planeComponent(p, i, seed))
     val bits = (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (v, i) => v.cast("double") * planeComponent(lit(p), i, seed)),
+          (v, i) => v.cast("double") * comp(lit(p), i)),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }

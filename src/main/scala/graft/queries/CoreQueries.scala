@@ -22,13 +22,23 @@ object CoreQueries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read ns-as-long and floor-convert to the engine's
-    * native µs (Iceberg timestamps are µs too — SURVEY §1.2). */
+  /** events.parquet's `ts` physical type varies by generator version:
+    * TIMESTAMP(NANOS) (rejected by Spark's vectorized reader — read
+    * ns-as-long and floor to the engine's native µs, SURVEY §1.2) or
+    * TIMESTAMP(MICROS), which reads natively. Handle both so the same
+    * query code runs against either vintage of the testdata. */
   private[queries] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = s.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType => // nanos surfaced as long by the legacy flag
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        // normalize NTZ → session-tz timestamp so downstream schemas
+        // (and the driver's oracle parquet dump) match the ns-vintage
+        // path exactly; sessions run UTC, so this is metadata-only
+        df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   private def dec(c: Column, scale: Int = 2): Column =

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOf, Dedup, Similarity, TextAnalysis}
@@ -215,6 +215,92 @@ object OpsQueries {
       |  ON p.user_id = e.user_id AND p.ts >= e.ts
       |ORDER BY p.user_id, p.event_id""".stripMargin
 
+  // ------------------------------ d6b exact-Jaccard verify (oracle)
+  /** Hash-gated companion for the MinHash family (the d6 pipeline is
+    * seed-dependent, so it can only be rows-checked). A planted corpus
+    * — every document plus a 3-token-suffixed near-duplicate — runs
+    * the REAL pipeline: LSH banding → candidate pairs → exact-Jaccard
+    * verify. The emitted edges (ids AND Jaccard values) must equal
+    * DuckDB's all-pairs exact Jaccard at the same threshold: precision
+    * is enforced by the exact verify stage; recall holds because every
+    * qualifying pair has J ≥ 0.8, where the 16-band/4-row collision
+    * probability is 1 − (1 − 0.8⁴)¹⁶ ≈ 0.9998 per pair — and the
+    * corpus and seeds are fixed, so the outcome is deterministic. */
+  def d6bJaccardVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+    Dedup.minhashEdges(planted, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+  }
+
+  val d6bSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         text || ' zz0 zz1 zz2' AS text FROM documents
+      |), toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |                 ' ') AS tk
+      |  FROM planted
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh
+      |  FROM toks
+      |)
+      |SELECT id_a, id_b, jaccard FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.sh, b.sh))::DOUBLE
+      |      / len(list_distinct(a.sh || b.sh)) AS jaccard
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |) WHERE jaccard >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // -------------------- e2b hyperplane bucket determinism (oracle)
+  private val E2bPlanes = 12
+
+  /** Integer-LCG hyperplane entry for (plane, dim): BIGINT arithmetic
+    * mapped to [-1000, 1000] — exactly computable by any engine, unlike
+    * the production xxhash64 plane. */
+  private def lcgComponent(p: Column, i: Column): Column =
+    (pmod(lit(1103515245L) * (lit(42L) + p.cast("long") * lit(1000L)
+        + i.cast("long")) + lit(12345L),
+      lit(2001L)) - lit(1000L)).cast("double")
+
+  /** Hash-gated companion for the ANN-LSH family: the exact
+    * dot/sign/pack bucketing code path of [[Similarity.lshTopK]], run
+    * with LCG hyperplanes both engines compute bit-identically (the
+    * in-order double fold makes the dot product reproducible). Gates
+    * that LSH bucket assignment is deterministic and engine-portable —
+    * the property the e2 recall unit assumes. */
+  def e2bBucketDeterminism(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    emb.select(col("vec_id"),
+        Similarity.hyperplaneSignature(col("embedding"), E2bPlanes, 0L,
+          Some(lcgComponent _)).as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  val e2bSql: String = {
+    def plane(p: Int): String =
+      s"""(CASE WHEN list_reduce(list_transform(
+         |    generate_series(1, len(embedding)),
+         |    i -> embedding[i]::DOUBLE *
+         |      (((1103515245 * (42 + $p * 1000 + (i - 1)) + 12345)
+         |        % 2001) - 1000)),
+         |  (acc, x) -> acc + x) >= 0
+         |  THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)""".stripMargin
+    s"""SELECT vec_id,
+       |${(0 until E2bPlanes).map(plane).mkString(" +\n")} AS bucket
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -229,6 +315,8 @@ object OpsQueries {
     "e4_embedding_dedup" -> (e4EmbeddingDedup _),
     "d8_token_freq" -> (d8TokenFreq _),
     "e5_asof_join" -> (e5AsOfJoin _),
+    "d6b_jaccard_verify" -> (d6bJaccardVerify _),
+    "e2b_bucket_determinism" -> (e2bBucketDeterminism _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +327,7 @@ object OpsQueries {
     "e1_ann_bruteforce" -> e1Sql,
     "d8_token_freq" -> d8Sql,
     "e5_asof_join" -> e5Sql,
+    "d6b_jaccard_verify" -> d6bSql,
+    "e2b_bucket_determinism" -> e2bSql,
   )
 }

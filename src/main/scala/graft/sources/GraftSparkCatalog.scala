@@ -53,7 +53,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     catalog = Option(options.get("uri")) match {
       case Some(uri) =>
         val rest = new RestCatalog(uri, Option(options.get("token")),
-          Option(options.get("warehouse")))
+          Option(options.get("warehouse")),
+          Option(options.get("credential")))
         rest.fetchConfig()
         rest
       case None =>

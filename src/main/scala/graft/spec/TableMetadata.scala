@@ -70,6 +70,16 @@ final case class TableMetadata(
       lastColumnId = math.max(lastColumnId, s2.highestFieldId))
   }
 
+  /** Spec `add-snapshot`: records the snapshot WITHOUT moving any ref.
+    * Ref movement is a separate `set-snapshot-ref` update — the exact
+    * vocabulary of the Iceberg REST spec and the reference's update
+    * enum (`catalog/catalog.go:205-280`), so a commit serialized over
+    * REST is meaningful to any spec-compliant server. */
+  def addSnapshotOnly(snap: Snapshot): TableMetadata = copy(
+    snapshots = snapshots :+ snap,
+    lastSequenceNumber = math.max(lastSequenceNumber, snap.sequenceNumber),
+    lastUpdatedMs = snap.timestampMs)
+
   /** Adds the snapshot and advances `branch` to it. Only `main` moves
     * `currentSnapshotId` and the snapshot log (both follow main, as in
     * Iceberg); other branches move their ref alone, so main's content

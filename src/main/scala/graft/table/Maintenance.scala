@@ -308,8 +308,13 @@ object Maintenance extends org.apache.spark.internal.Logging {
     val reqs = Seq(graft.catalog.TableRequirement.AssertRefSnapshotId(
       "main", meta.ref("main").map(_.snapshotId)))
     val committed =
-      try table.catalog.commitTable(table.id, reqs,
-        Seq(graft.catalog.TableUpdate.AddSnapshot(snapshot)))
+      try table.catalog.commitTable(table.id, reqs, Seq(
+        graft.catalog.TableUpdate.AddSnapshot(snapshot),
+        graft.catalog.TableUpdate.SetSnapshotRef(
+          "main", snapshotId, "branch",
+          meta.ref("main").flatMap(_.minSnapshotsToKeep),
+          meta.ref("main").flatMap(_.maxSnapshotAgeMs),
+          meta.ref("main").flatMap(_.maxRefAgeMs))))
       catch {
         // CAS loss → re-plan the whole rewrite against refreshed
         // metadata (withConflictRetry): recommitting a manifest list

@@ -124,7 +124,17 @@ class Table(
       val snap = SnapshotWriter.write(meta, io, pending)
       val reqs = Seq(TableRequirement.AssertRefSnapshotId(
         writeBranch, meta.ref(writeBranch).map(_.snapshotId)))
-      val ups = Seq(TableUpdate.AddSnapshot(snap, writeBranch))
+      // spec vocabulary: add-snapshot (no ref movement) + a
+      // set-snapshot-ref advancing the target branch, carrying the
+      // ref's existing retention knobs forward (a data commit must not
+      // wipe branch retention config)
+      val prevRef = meta.ref(writeBranch)
+      val ups = Seq(
+        TableUpdate.AddSnapshot(snap),
+        TableUpdate.SetSnapshotRef(writeBranch, snap.snapshotId, "branch",
+          prevRef.flatMap(_.minSnapshotsToKeep),
+          prevRef.flatMap(_.maxSnapshotAgeMs),
+          prevRef.flatMap(_.maxRefAgeMs)))
       try {
         val committed = catalog.commitTable(id, reqs, ups)
         val positioned = Table.positioned(committed, writeBranch)

@@ -164,9 +164,11 @@ class RestCatalogSpec extends AnyFunSuite {
               val u = it.next()
               u.get("action").asText match {
                 case "add-snapshot" =>
+                  // spec-faithful: unknown fields (if any) are ignored,
+                  // and add-snapshot moves NO ref — the client must pair
+                  // it with set-snapshot-ref or the write is lost
                   b += TableUpdate.AddSnapshot(
-                    MetadataJson.parseSnapshot(u.get("snapshot")),
-                    Option(u.get("branch")).map(_.asText).getOrElse("main"))
+                    MetadataJson.parseSnapshot(u.get("snapshot")))
                 case "set-properties" =>
                   val props = Map.newBuilder[String, String]
                   val fit = u.get("updates").properties().iterator()
@@ -243,7 +245,8 @@ class RestCatalogSpec extends AnyFunSuite {
         Some(0))
       val meta = cat.commitTable(id,
         Seq(TableRequirement.AssertRefSnapshotId("main", None)),
-        Seq(TableUpdate.AddSnapshot(snap)))
+        Seq(TableUpdate.AddSnapshot(snap),
+          TableUpdate.SetSnapshotRef("main", 7L, "branch")))
       assert(meta.currentSnapshotId.contains(7L))
       assert(meta.snapshotById(7L).flatMap(_.summary)
         .map(_.counter(Summary.AddedRecords)).contains(5L))
@@ -266,6 +269,101 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(ref.maxSnapshotAgeMs.contains(86400000L))
       assert(ref.maxRefAgeMs.contains(604800000L))
     }
+  }
+
+  test("branch (WAP) commit uses spec vocabulary: the ref moves on a " +
+      "server that ignores unknown fields, main stays put") {
+    withServer { (cat, _) =>
+      cat.createNamespace(Seq("db"))
+      val id = TableIdentifier(Seq("db"), "t")
+      cat.createTable(id, schema)
+      // seed main at snapshot 1
+      val s1 = Snapshot(1L, None, 1L, 1000L, "file:///ml1.avro",
+        Some(Summary(Operation.Append)), Some(0))
+      cat.commitTable(id,
+        Seq(TableRequirement.AssertRefSnapshotId("main", None)),
+        Seq(TableUpdate.AddSnapshot(s1),
+          TableUpdate.SetSnapshotRef("main", 1L, "branch")))
+      // branch commit: the exact update pair Table.commitSnapshot emits.
+      // The loopback server parses ONLY spec actions (any extension
+      // field would be dropped), so this passing proves no silent
+      // write loss against a spec-compliant catalog.
+      val s2 = Snapshot(2L, Some(1L), 2L, 2000L, "file:///ml2.avro",
+        Some(Summary(Operation.Append)), Some(0))
+      val meta = cat.commitTable(id,
+        Seq(TableRequirement.AssertRefSnapshotId("audit", None)),
+        Seq(TableUpdate.AddSnapshot(s2),
+          TableUpdate.SetSnapshotRef("audit", 2L, "branch")))
+      assert(meta.ref("audit").map(_.snapshotId).contains(2L),
+        "branch ref must move")
+      assert(meta.currentSnapshotId.contains(1L), "main must not move")
+      assert(meta.ref("main").map(_.snapshotId).contains(1L))
+      // hostile ref name: JSON escaping must keep the body parseable
+      // and the name intact through the wire round-trip
+      val evil = "q\"uote\\back\n"
+      val meta2 = cat.commitTable(id, Nil,
+        Seq(TableUpdate.SetSnapshotRef(evil, 2L, "tag")))
+      assert(meta2.ref(evil).map(_.snapshotId).contains(2L),
+        s"escaped ref name must round-trip, got refs ${meta2.refs.keySet}")
+      // add-snapshot ALONE must not move any ref (spec semantics)
+      val s3 = Snapshot(3L, Some(1L), 3L, 3000L, "file:///ml3.avro",
+        Some(Summary(Operation.Append)), Some(0))
+      val meta3 = cat.commitTable(id, Nil,
+        Seq(TableUpdate.AddSnapshot(s3)))
+      assert(meta3.currentSnapshotId.contains(1L))
+      assert(meta3.snapshotById(3L).isDefined)
+    }
+  }
+
+  test("OAuth2 client_credentials: token fetched, attached, refreshed " +
+      "on expiry (rest.go:455-476 parity)") {
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lastForm = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { (ex: HttpExchange) =>
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      def reply(code: Int, s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      }
+      ex.getRequestURI.getPath match {
+        case "/v1/oauth/tokens" =>
+          lastForm.set(body)
+          val n = fetches.incrementAndGet()
+          // expires_in=1s is inside the client's 30s refresh margin, so
+          // every subsequent call must re-fetch
+          reply(200, s"""{"access_token": "tok-$n", "token_type": "bearer",
+            |"expires_in": 1}""".stripMargin)
+        case "/v1/config" =>
+          val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          if (!auth.exists(a => a.startsWith("Bearer tok-")))
+            reply(401, "no/bad token")
+          else reply(200, """{"defaults": {}, "overrides": {}}""")
+        case "/v1/namespaces" =>
+          val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+          if (!auth.exists(a => a.startsWith("Bearer tok-")))
+            reply(401, "no/bad token")
+          else reply(200, """{"namespaces": []}""")
+        case p => reply(404, s"no route: $p")
+      }
+    })
+    server.start()
+    try {
+      val cat = new RestCatalog(
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+        token = None, warehouse = None, credential = Some("cid:csecret"))
+      cat.fetchConfig()
+      assert(fetches.get() == 1, "config call must trigger a token fetch")
+      assert(lastForm.get() ==
+        "grant_type=client_credentials&client_id=cid" +
+          "&client_secret=csecret&scope=catalog",
+        s"unexpected form body: ${lastForm.get()}")
+      assert(cat.listNamespaces().isEmpty)
+      assert(fetches.get() >= 2,
+        "expired token must be refreshed before the next call")
+    } finally server.stop(0)
   }
 
   test("namespace properties round-trip (catalog.go:27-31 parity)") {

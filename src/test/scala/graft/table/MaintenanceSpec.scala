@@ -398,37 +398,72 @@ class RefExpirySpec extends AnyFunSuite {
     var t = freshTable("gcfail")
     t = TableOps.append(t, usersDf(1 to 5))
     t = TableOps.append(t.refresh(), usersDf(6 to 10))
-    // an undeletable path: a data FILE that is actually a non-empty
-    // directory — HadoopFileIO.delete(recursive=false) fails on it
+
+    // Failure injection: an IO that refuses to delete chosen paths —
+    // the deterministic analog of an object store returning 403/500.
+    // (Posix tricks — chmod-555 parents, file-as-directory — can't
+    // force a delete failure here: tests run as root, and listFiles
+    // is recursive so a planted directory's CHILD becomes the orphan.)
+    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    class VetoDeleteIO(inner: graft.io.FileIO, veto: String => Boolean)
+        extends graft.io.FileIO {
+      def open(path: String) = inner.open(path)
+      def openRange(path: String, offset: Long, length: Long) =
+        inner.openRange(path, offset, length)
+      def create(path: String, overwrite: Boolean) =
+        inner.create(path, overwrite)
+      def delete(path: String): Unit =
+        if (veto(path)) throw new java.io.IOException(
+          s"injected delete failure: $path")
+        else inner.delete(path)
+      def exists(path: String) = inner.exists(path)
+      def length(path: String) = inner.length(path)
+      def listFiles(prefix: String) = inner.listFiles(prefix)
+      override def modificationTime(path: String) =
+        inner.modificationTime(path)
+      override def rename(src: String, dst: String) =
+        inner.rename(src, dst)
+    }
+    def withVeto(base: Table, veto: String => Boolean): Table =
+      new Table(base.catalog, base.id, base.refresh().metadata,
+        new VetoDeleteIO(base.io, veto))
+
+    // orphan half: the GC must report (not swallow, not abort on) a
+    // file it cannot delete, and still delete the rest
     val dataDir = t.metadata.location.stripSuffix("/") + "/data"
     val stubborn = s"$dataDir/stubborn-orphan.parquet"
-    t.io.writeString(s"$stubborn/child", "junk")
-    val report = Maintenance.removeOrphanFiles(t,
+    val disposable = s"$dataDir/plain-orphan.parquet"
+    t.io.writeString(stubborn, "junk")
+    t.io.writeString(disposable, "junk")
+    val report = Maintenance.removeOrphanFiles(
+      withVeto(t, _.endsWith("stubborn-orphan.parquet")),
       olderThanMs = System.currentTimeMillis() + 60000)
     assert(report.failed.exists(_.endsWith("stubborn-orphan.parquet")),
       s"undeletable orphan must be reported, got $report")
+    assert(report.deleted.exists(_.endsWith("plain-orphan.parquet")),
+      "one failure must not abort the rest of the GC pass")
+    assert(t.io.exists(stubborn), "a failed delete leaves the file")
+    assert(!t.io.exists(disposable))
+    t.io.delete(stubborn) // clean up for the expiry half
 
     // expiry with an undeletable expired data file: the metadata
     // commit must land, the failure must be observable
     val firstDataFiles = Scan(t, spark).planFiles().map(_.file.filePath)
     val expireCutoff = System.currentTimeMillis() + 60000
     // replace first-append content so its files become expirable
-    t = Mutations.overwriteAll(t.refresh(), usersDf(1 to 10))
+    t = Mutations.overwrite(t.refresh(), spark, usersDf(1 to 10))
     Thread.sleep(5)
-    val before = t.refresh()
-    // make one of the now-unreachable first-generation files
-    // undeletable by swapping it for a non-empty directory
-    val victim = firstDataFiles.head.replaceFirst("^file:/+", "/")
-    new java.io.File(victim).delete()
-    t.io.writeString(s"$victim/child", "junk")
+    val victim = norm(firstDataFiles.head)
+    val before = withVeto(t, p => norm(p) == victim)
     val expired = Maintenance.expireSnapshots(before,
       olderThanMs = expireCutoff, retainLast = 1)
     assert(expired.metadata.snapshots.size <
       before.metadata.snapshots.size, "expiry must still commit")
-    assert(Maintenance.lastExpireFailedDeletes
-      .exists(_.replaceFirst("^file:/+", "/") == victim),
+    assert(Maintenance.lastExpireFailedDeletes.exists(norm(_) == victim),
       s"failed delete must be surfaced, got " +
         s"${Maintenance.lastExpireFailedDeletes}")
+    assert(new java.io.File(victim).exists(),
+      "the file expiry failed to delete must survive for the next pass")
     assert(Scan(expired, spark).toDF.count() == 10, "data intact")
   }
 }
