@@ -550,12 +550,15 @@ object IcebergQueries {
         .renameColumnAt(Seq("s", "a"), "qty")
         .addNestedColumn(Seq("s", "c"), graft.spec.DoubleType)
         .updateColumnType("ln", graft.spec.LongType)
+        // inner-leaf promotion: pre-evolution files keep int32
+        // physicals for s.n that the by-id remap must widen at read
+        .updateColumnTypeAt(Seq("s", "n"), graft.spec.LongType)
         .commit()
       val post = df.filter(col("l_linenumber") > 3).select(
         col("l_orderkey"),
         col("l_linenumber").cast("long").as("ln"),
         struct(col("l_quantity").as("qty"), col("l_extendedprice").as("b"),
-          col("l_linenumber").as("n"),
+          col("l_linenumber").cast("long").as("n"),
           (col("l_extendedprice") * 2).as("c")).as("s"))
       TableOps.append(t, post)
     })
@@ -600,6 +603,20 @@ object IcebergQueries {
     """SELECT l_orderkey, l_quantity AS qty,
       |  CASE WHEN l_linenumber > 3 THEN l_extendedprice * 2 END AS c
       |FROM lineitem ORDER BY l_orderkey, qty""".stripMargin
+
+  /** Inner-leaf type promotion (s.n int→long): pre-promotion files
+    * store int32 physicals that both remap paths must WIDEN — a remap
+    * that only realigns ordinals (or null-fills on a type mismatch)
+    * breaks this hash. */
+  def i19NestedPromotion(s: SparkSession, dir: String): DataFrame =
+    nestedReader(s, dir)
+      .select(col("l_orderkey"), col("ln"), col("s.n").as("n"))
+      .orderBy("l_orderkey", "ln")
+
+  val i19cSql: String =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  CAST(l_linenumber AS BIGINT) AS n
+      |FROM lineitem ORDER BY l_orderkey, ln""".stripMargin
 
   /** Write-audit-publish end-to-end (round-9 verdict #3): append half
     * of lineitem to main, the rest to an `audit` branch, then
@@ -970,6 +987,7 @@ object IcebergQueries {
     "i18_changelog" -> (i18Changelog _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
+    "i19_nested_promotion" -> (i19NestedPromotion _),
     "i20_branch_wap" -> (i20BranchWap _),
   )
 
@@ -1004,6 +1022,7 @@ object IcebergQueries {
     "i18_changelog" -> i18Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
+    "i19_nested_promotion" -> i19cSql,
     "i20_branch_wap" -> i20Sql,
   )
 }

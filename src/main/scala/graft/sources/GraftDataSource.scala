@@ -69,16 +69,38 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       : org.apache.spark.sql.sources.BaseRelation = {
     import org.apache.spark.sql.SaveMode
     val opts = new CaseInsensitiveStringMap(parameters.asJava)
-    val t = load(opts)
+    // DataFrameWriter semantics on a MISSING table: every mode creates
+    // it from the DataFrame schema (ErrorIfExists only errors when the
+    // table already exists; Ignore only no-ops then). Without this,
+    // ErrorIfExists could never succeed and Ignore threw instead of
+    // no-opping.
+    var created = false
+    val t = try load(opts) catch {
+      case _: graft.catalog.NoSuchTableException =>
+        if (Option(opts.get("branch")).exists(_.nonEmpty))
+          throw new IllegalArgumentException(
+            "graft source: cannot create a table via save() with a " +
+              "'branch' option — create the table first, then branch")
+        val cat = new LocalCatalog(opts.get("warehouse"))
+        val id = TableIdentifier(
+          opts.get("namespace").split('.').toSeq, opts.get("table"))
+        created = true
+        Table.create(cat, id,
+          graft.spec.SchemaConverters.fromSparkSchema(data.schema),
+          io = new HadoopFileIO())
+    }
     pinOf(t, opts).foreach(sid => throw new UnsupportedOperationException(
       s"graft source: cannot write to a snapshot-pinned table (@$sid)"))
     mode match {
       case SaveMode.Append => graft.table.TableOps.append(t, data)
       case SaveMode.Overwrite =>
         graft.table.Mutations.overwrite(t, data.sparkSession, data)
-      case SaveMode.Ignore => () // the table exists (load succeeded)
+      case SaveMode.Ignore =>
+        // no-op ONLY when the table pre-existed; a fresh create writes
+        if (created) graft.table.TableOps.append(t, data)
       case SaveMode.ErrorIfExists =>
-        throw new IllegalArgumentException(
+        if (created) graft.table.TableOps.append(t, data)
+        else throw new IllegalArgumentException(
           s"graft source: table ${t.id} already exists " +
             "(mode ErrorIfExists); use Append or Overwrite")
     }
@@ -200,16 +222,51 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       pinOf(t, options).map(pinnedSchema(t, _)).getOrElse(t.schema))
   }
 
+  /** The write path hands us the query's schema directly instead of
+    * calling [[inferSchema]] — required for `save()` to reach
+    * [[createRelation]] (which can CREATE the table) when the table
+    * does not exist yet. Reads without a user schema still infer. */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): ConnectorTable = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val t = load(opts)
+    val t = try load(opts) catch {
+      case e: graft.catalog.NoSuchTableException =>
+        // a missing table can still be the TARGET of save(): surface a
+        // V1_BATCH_WRITE-only stub so DataFrameWriter falls back to
+        // createRelation (create-from-DataFrame-schema); any read of
+        // the stub fails loud with the original error
+        return new GraftMissingTable(opts, schema, e)
+    }
     pinOf(t, opts) match {
       case Some(sid) => new GraftConnectorTable(t,
         SchemaConverters.toSparkSchema(pinnedSchema(t, sid)), Some(sid))
       case None => new GraftConnectorTable(t, schema)
     }
   }
+}
+
+/** Placeholder for a not-yet-existing save() target: declares only the
+  * V1 write capability so `DataFrameWriter.save` routes to
+  * [[GraftDataSource.createRelation]], which performs the actual
+  * create + write. Every other use fails with the original
+  * table-not-found error. */
+private[sources] class GraftMissingTable(
+    opts: CaseInsensitiveStringMap, sparkSchema: StructType,
+    notFound: graft.catalog.NoSuchTableException)
+    extends ConnectorTable
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  override def name(): String =
+    s"${opts.get("namespace")}.${opts.get("table")} (missing)"
+  override def schema(): StructType = sparkSchema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    throw notFound
 }
 
 private[sources] class GraftConnectorTable(

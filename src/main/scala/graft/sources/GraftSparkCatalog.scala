@@ -183,7 +183,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     val schemaChanges = changes.collect {
       case c: TableChange.RenameColumn => c
       case c: TableChange.DeleteColumn => c
-      case c: TableChange.UpdateColumnType if c.fieldNames.length == 1 => c
+      case c: TableChange.UpdateColumnType => c
       case c: TableChange.UpdateColumnNullability if c.nullable() => c
     }
     val unsupported = changes.filterNot(c =>
@@ -194,8 +194,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         s"graft: unsupported ALTER TABLE changes: " +
           unsupported.mkString(", ") +
-          " (nested type-change and NOT NULL tightening are not " +
-          "evolvable — pre-evolution files would misread)")
+          " (NOT NULL tightening is not evolvable — pre-evolution " +
+          "files would misread)")
     var cur = t
     if (setProps.nonEmpty || rmProps.nonEmpty) {
       var tx = cur.newTransaction()
@@ -227,8 +227,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
           up = up.dropColumnAt(c.fieldNames().toSeq)
         case c: TableChange.UpdateColumnType =>
           val t = SchemaConverters.fromSparkSchema(new StructType()
-            .add(c.fieldNames()(0), c.newDataType())).fields.head.fieldType
-          up = up.updateColumnType(c.fieldNames()(0), t)
+            .add(c.fieldNames().last, c.newDataType())).fields.head.fieldType
+          if (c.fieldNames().length == 1)
+            up = up.updateColumnType(c.fieldNames()(0), t)
+          else up = up.updateColumnTypeAt(c.fieldNames().toSeq, t)
         case c: TableChange.UpdateColumnNullability =>
           if (c.fieldNames().length == 1)
             up = up.makeOptional(c.fieldNames()(0))

@@ -2,7 +2,7 @@ package graft.table
 
 import scala.collection.immutable.ArraySeq
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.spec._
@@ -118,6 +118,30 @@ object Changelog {
         col(ChangeType) :+ col(ChangeOrdinal) :+ col(CommitSnapshotId)): _*)
   }
 
+  /** Canonical form for the order surrogate: maps become key-sorted
+    * entry arrays AT EVERY NESTING LEVEL (top-level, inside structs,
+    * arrays, and other maps' values), so physically reordered but
+    * equal values hash identically. After the rewrite every map has
+    * become an array of structs, so the whole value is orderable and
+    * `array_sort`'s struct comparison is well-defined. */
+  private[table] def canonicalized(
+      c: Column, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType,
+      StructType => SqlStructType}
+    dt match {
+      case m: MapType =>
+        array_sort(transform(map_entries(c), e => struct(
+          canonicalized(e.getField("key"), m.keyType).as("key"),
+          canonicalized(e.getField("value"), m.valueType).as("value"))))
+      case a: ArrayType =>
+        transform(c, x => canonicalized(x, a.elementType))
+      case s: SqlStructType =>
+        struct(s.fields.toSeq.map(f =>
+          canonicalized(c.getField(f.name), f.dataType).as(f.name)): _*)
+      case _ => c
+    }
+  }
+
   /** Pair same-commit DELETE + INSERT rows sharing `identifierCols`
     * into UPDATE_BEFORE / UPDATE_AFTER (Iceberg's `compute_updates`).
     * Unpaired rows keep their original change type; run
@@ -139,20 +163,13 @@ object Changelog {
     // xxhash64 over canonical JSON, entries key-sorted for top-level
     // maps so physically re-ordered but equal maps still tie.
     import org.apache.spark.sql.catalyst.expressions.RowOrdering
-    import org.apache.spark.sql.types.{ArrayType, MapType, StructType => SqlStructType}
     val nonId = changes.columns
       .filterNot(Set(ChangeType, ChangeOrdinal, CommitSnapshotId))
       .filterNot(identifierCols.contains)
     val sideOrderCols = nonId.toSeq.map { n =>
       val dt = changes.schema(n).dataType
       if (RowOrdering.isOrderable(dt)) col(n)
-      else dt match {
-        case m: MapType if RowOrdering.isOrderable(ArrayType(
-            new SqlStructType().add("key", m.keyType)
-              .add("value", m.valueType))) =>
-          xxhash64(to_json(array_sort(map_entries(col(n)))))
-        case _ => xxhash64(to_json(struct(col(n))))
-      }
+      else xxhash64(to_json(struct(canonicalized(col(n), dt))))
     }
     val sideOrder = if (sideOrderCols.nonEmpty) sideOrderCols
       else identifierCols.map(col)

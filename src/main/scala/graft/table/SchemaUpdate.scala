@@ -75,9 +75,11 @@ final class SchemaUpdate(table: Table) {
   // recursively BY ID (the Scan path builds a by-id projection, the
   // DSv2 path requests the file's own inner names in the current
   // schema's order), so pre-evolution files read correctly. Nested
-  // type-changes stay rejected. Paths descend STRUCTS only — evolution
-  // inside array/map element types is not expressible here and stays
-  // rejected by mapStruct.
+  // type PROMOTION (updateColumnTypeAt) rides the same by-id remap:
+  // the scan casts the file's narrower physical type up to the current
+  // leaf type. Paths descend STRUCTS only — evolution inside array/map
+  // element types is not expressible here and stays rejected by
+  // mapStruct.
 
   /** Add a column at a dotted path, e.g. `Seq("info", "age")` adds
     * `age` inside struct `info`. Allocates a fresh field id. */
@@ -130,6 +132,24 @@ final class SchemaUpdate(table: Table) {
   }
 
   /** Drop NOT NULL on a nested field (widening — always safe). */
+  /** Type promotion at a dotted path — same rules as
+    * [[updateColumnType]] (int→long, float→double, decimal widening).
+    * The field id is preserved, so pre-promotion files read through
+    * the by-id remap, which widens the narrower physical leaf. */
+  def updateColumnTypeAt(path: Seq[String], t: IcebergType): SchemaUpdate = {
+    require(path.length >= 2, "use updateColumnType for top-level columns")
+    fields = mapStruct(fields, path.dropRight(1)) { siblings =>
+      val f = siblings.find(_.name == path.last).getOrElse(
+        throw new IllegalArgumentException(
+          s"no column ${path.mkString(".")}"))
+      require(isPromotable(f.fieldType, t),
+        s"cannot promote ${f.fieldType} to $t at ${path.mkString(".")}")
+      siblings.map(x =>
+        if (x.name == path.last) x.copy(fieldType = t) else x)
+    }
+    this
+  }
+
   def makeOptionalAt(path: Seq[String]): SchemaUpdate = {
     require(path.length >= 2, "use makeOptional for top-level columns")
     fields = mapStruct(fields, path.dropRight(1)) { siblings =>

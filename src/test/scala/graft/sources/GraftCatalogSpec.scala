@@ -187,6 +187,35 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("nested ALTER COLUMN TYPE widens an inner leaf; old files read") {
+    withCatalog("nestwide") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, " +
+        "s STRUCT<n: INT, amt: DECIMAL(18,2)>)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES " +
+        "(1, named_struct('n', 7, 'amt', 12.50))")
+      // int → bigint and decimal(18,2) → decimal(20,2), both INSIDE
+      // the struct: pre-promotion files keep the narrow physicals
+      spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN s.n TYPE BIGINT")
+      spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN s.amt TYPE DECIMAL(20,2)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES " +
+        "(2, named_struct('n', CAST(123456789012 AS BIGINT), " +
+        "'amt', CAST(123456789012345678.75 AS DECIMAL(20,2))))")
+      val got = spark.sql(
+        s"SELECT id, s.n, s.amt FROM $c.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDecimal(2).toPlainString))
+      assert(got.toSeq == Seq((1L, 7L, "12.50"),
+        (2L, 123456789012L, "123456789012345678.75")),
+        s"widened inner leaves must read across generations, got " +
+          got.toSeq.toString)
+      // narrowing an inner leaf stays rejected
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN s.n TYPE INT")
+      }
+    }
+  }
+
   test("unsupported type changes are rejected loudly") {
     withCatalog("badtype") { (c, _) =>
       spark.sql(s"CREATE NAMESPACE $c.db")

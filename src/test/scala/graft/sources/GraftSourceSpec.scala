@@ -904,6 +904,50 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(all.toSeq == (1L to 50L))
   }
 
+  test("save() creates a missing table (DataFrameWriter semantics, " +
+      "all four SaveModes)") {
+    val dir = Files.createTempDirectory("graft-src-create-").toString
+    new LocalCatalog(dir).createNamespace(Seq("db"))
+    def write(name: String, mode: String, ids: Range) =
+      batch(ids).write.format("graft")
+        .option("warehouse", dir).option("namespace", "db")
+        .option("table", name).mode(mode).save()
+    def ids(name: String): Set[Long] =
+      reader(dir, name).load().select("event_id")
+        .collect().map(_.getLong(0)).toSet
+
+    // every mode creates a missing table and writes the batch
+    for ((mode, nm) <- Seq("append" -> "c_app", "overwrite" -> "c_ovr",
+        "ignore" -> "c_ign", "errorifexists" -> "c_eie")) {
+      write(nm, mode, 1 to 5)
+      assert(ids(nm) == (1L to 5L).toSet, s"mode $mode must create+write")
+    }
+    // on the now-existing table: ignore no-ops, errorifexists throws
+    write("c_ign", "ignore", 6 to 9)
+    assert(ids("c_ign") == (1L to 5L).toSet, "ignore must no-op")
+    intercept[IllegalArgumentException] {
+      write("c_eie", "errorifexists", 6 to 9)
+    }
+    // append extends, overwrite replaces
+    write("c_app", "append", 6 to 9)
+    assert(ids("c_app") == (1L to 9L).toSet)
+    write("c_ovr", "overwrite", 6 to 9)
+    assert(ids("c_ovr") == (6L to 9L).toSet)
+    // created schema round-trips with field ids assigned
+    val t = Table.load(new LocalCatalog(dir),
+      TableIdentifier(Seq("db"), "c_app"), new HadoopFileIO())
+    assert(t.schema.fields.map(_.name) ==
+      Seq("event_id", "user_id", "value"))
+    // create + branch option in one save() is ambiguous — rejected
+    val e = intercept[Exception] {
+      batch(1 to 3).write.format("graft")
+        .option("warehouse", dir).option("namespace", "db")
+        .option("table", "c_br").option("branch", "b")
+        .mode("append").save()
+    }
+    assert(e.getMessage.contains("branch"))
+  }
+
   test("offset json round-trip") {
     val o = GraftOffset(42L)
     assert(GraftOffset.fromJson(o.json()) == o)

@@ -219,6 +219,55 @@ class ChangelogSpec extends AnyFunSuite {
       out1.count(_._2 == Changelog.Delete) == 1, s"got $out1")
   }
 
+  test("NESTED maps reordered-but-equal get one surrogate; distinct " +
+      "nested maps pair deterministically") {
+    import spark.implicits._
+    // surrogate equality: a map nested inside a struct, physically
+    // reordered, must canonicalize to the same hash at every level
+    val dt = org.apache.spark.sql.types.StructType.fromDDL(
+      "p STRUCT<tags: MAP<STRING, MAP<STRING, INT>>>").head.dataType
+    def hashOf(m: String): Long =
+      spark.sql(s"SELECT named_struct('tags', $m) AS p")
+        .select(xxhash64(to_json(struct(
+          Changelog.canonicalized(col("p"), dt)))).as("h"))
+        .head.getLong(0)
+    val fwd = hashOf(
+      "map('x', map('a', 1, 'b', 2), 'y', map('c', 3))")
+    val rev = hashOf(
+      "map('y', map('c', 3), 'x', map('b', 2, 'a', 1))")
+    val other = hashOf(
+      "map('x', map('a', 1, 'b', 99), 'y', map('c', 3))")
+    assert(fwd == rev,
+      "physically reordered equal nested maps must hash identically")
+    assert(fwd != other, "distinct nested maps must (generically) differ")
+
+    // end-to-end: rows whose ONLY difference is a nested map pair the
+    // same way regardless of physical entry order and shuffle layout
+    def changes(rows: Seq[(Long, Map[String, Map[String, Int]], String)]) =
+      rows.toDF("id", "m", Changelog.ChangeType)
+        .withColumn(Changelog.ChangeOrdinal, lit(0))
+        .withColumn(Changelog.CommitSnapshotId, lit(1L))
+    val rows = Seq(
+      (1L, Map("k" -> Map("a" -> 1, "b" -> 2)), Changelog.Delete),
+      (1L, Map("k" -> Map("a" -> 1, "b" -> 3)), Changelog.Delete),
+      (1L, Map("k" -> Map("z" -> 9)), Changelog.Insert))
+    def run(df: DataFrame) =
+      Changelog.withUpdates(df, Seq("id"))
+        .select("m", Changelog.ChangeType).collect()
+        .map(r => (r.getAs[scala.collection.Map[String,
+          scala.collection.Map[String, Int]]]("m")
+          .map { case (k, v) => k -> v.toMap }.toMap,
+          r.getString(1))).toSet
+    val out1 = run(changes(rows).repartition(4))
+    val out2 = run(changes(rows.reverse).repartition(7))
+    assert(out1 == out2,
+      s"nested-map-only difference must pair deterministically: " +
+        s"$out1 vs $out2")
+    assert(out1.count(_._2 == Changelog.UpdateBefore) == 1 &&
+      out1.count(_._2 == Changelog.UpdateAfter) == 1 &&
+      out1.count(_._2 == Changelog.Delete) == 1, s"got $out1")
+  }
+
   test("withUpdates pairs deterministically with multiple changes per key") {
     import spark.implicits._
     // Two DELETEs + one INSERT for the same key in one commit: exactly
