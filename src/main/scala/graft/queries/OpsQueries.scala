@@ -67,12 +67,51 @@ object OpsQueries {
       |    AS n_unique
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
-  // ----------------------------------------- d4 language ID (no SQL)
+  // ------------------------------------------- d4 language ID (oracle)
   def d4LangId(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .withColumn("lang_pred", TextAnalysis.langId(col("text")))
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
+
+  /** DuckDB replica of [[TextAnalysis.langId]]: marker containment
+    * sums per language, argmax with ties going to the lexicographically
+    * first language (the CASE order below), `unknown` on zero — integer
+    * arithmetic end to end, so the hash gate is exact. */
+  val d4Sql: String = {
+    val profiles = Seq(
+      "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht ", " das "),
+      "en" -> Seq(" the ", " and ", " of ", " is ", " not ", " that "),
+      "es" -> Seq(" el ", " la ", " que ", " de ", " y ", " los "),
+      "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
+      "zh" -> Seq("的", "是", "了", "在", "和", "不"))
+    val scoreCols = profiles.map { case (lang, ms) =>
+      ms.map(m => s"(CASE WHEN contains(p, '$m') THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", s") AS s_$lang")
+    }.mkString(",\n    ")
+    val gmax = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
+    val argmax = profiles.map { case (lang, _) =>
+      s"WHEN s_$lang = m THEN '$lang'"
+    }.mkString("\n      ")
+    s"""WITH padded AS (
+       |  SELECT lang,
+       |    ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' '
+       |      AS p
+       |  FROM documents
+       |), scored AS (
+       |  SELECT lang,
+       |    $scoreCols
+       |  FROM padded
+       |), best AS (
+       |  SELECT lang, $gmax AS m, * FROM scored
+       |)
+       |SELECT lang,
+       |  CASE WHEN m = 0 THEN 'unknown'
+       |      $argmax
+       |  END AS lang_pred,
+       |  COUNT(*) AS n
+       |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
 
   // ------------------- d5 quality score (oracle: round-3 verdict #8 —
   // every component is plain SQL; the DuckDB form mirrors the exact
@@ -321,6 +360,7 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql,
+    "d4_lang_id" -> d4Sql,
     "d2_text_stats" -> d2Sql,
     "d3_fingerprint" -> d3Sql,
     "d5_quality" -> d5Sql,
