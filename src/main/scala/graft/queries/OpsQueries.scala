@@ -301,6 +301,76 @@ object OpsQueries {
       |) WHERE jaccard >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------- d7b simhash exact-verify (oracle)
+  /** Hash-gated companion for SimHash: documents plus exact copies run
+    * fingerprint → 16-bit-chunk banding → hamming-0 → an exact
+    * distinct-token-set verify. Recall is structural, not
+    * probabilistic: equal token sets give equal fingerprints, equal
+    * fingerprints share every chunk, so no qualifying pair can be
+    * missed; the exact verify removes 64-bit collisions. The result —
+    * all pairs with identical distinct-token sets — is what the DuckDB
+    * oracle computes directly. */
+  def d7bSimhashVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val edges = Dedup.simhashEdges(planted, maxHamming = 0)
+    val keyed = planted.select(col("doc_id"),
+      array_sort(array_distinct(
+        split(TextAnalysis.normalized(col("text")), " "))).as("__k"))
+    edges
+      .join(keyed.select(col("doc_id").as("id_a"), col("__k").as("__ka")),
+        "id_a")
+      .join(keyed.select(col("doc_id").as("id_b"), col("__k").as("__kb")),
+        "id_b")
+      .where(col("__ka") === col("__kb"))
+      .select("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
+  val d7bSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |), keyed AS (
+      |  SELECT doc_id, md5(array_to_string(list_sort(list_distinct(
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |                 ' '))), ' ')) AS k
+      |  FROM planted
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM keyed a JOIN keyed b ON a.k = b.k AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------------- e4b embedding-dedup exact-verify (oracle)
+  /** Hash-gated companion for embedding near-dedup: embeddings plus
+    * exact copies run the REAL pipeline — hyperplane-LSH bucket
+    * self-join, then exact-cosine verify at 0.999. Identical vectors
+    * get identical signatures (recall 1 by construction, independent of
+    * the hash family), and distinct random 64-d vectors sit far below
+    * the threshold, so the emitted pairs equal DuckDB's all-pairs
+    * exact-cosine filter. */
+  def e4bEmbeddingDedupVerify(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val planted = emb.unionByName(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    Dedup.embeddingEdges(planted, planes = 16, threshold = 0.999)
+      .orderBy("id_a", "id_b")
+  }
+
+  val e4bSql: String =
+    """WITH planted AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                             CAST(b.embedding AS DOUBLE[])) >= 0.999
+      |ORDER BY id_a, id_b""".stripMargin
+
   // -------------------- e2b hyperplane bucket determinism (oracle)
   private val E2bPlanes = 12
 
@@ -356,6 +426,8 @@ object OpsQueries {
     "e5_asof_join" -> (e5AsOfJoin _),
     "d6b_jaccard_verify" -> (d6bJaccardVerify _),
     "e2b_bucket_determinism" -> (e2bBucketDeterminism _),
+    "d7b_simhash_verify" -> (d7bSimhashVerify _),
+    "e4b_embedding_dedup_verify" -> (e4bEmbeddingDedupVerify _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -369,5 +441,7 @@ object OpsQueries {
     "e5_asof_join" -> e5Sql,
     "d6b_jaccard_verify" -> d6bSql,
     "e2b_bucket_determinism" -> e2bSql,
+    "d7b_simhash_verify" -> d7bSql,
+    "e4b_embedding_dedup_verify" -> e4bSql,
   )
 }
