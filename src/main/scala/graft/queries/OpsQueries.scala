@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Dedup, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Dedup, Packing, Similarity, TextAnalysis}
 
 /** LLM-pipeline operators over the documents/embeddings testdata, each
   * under the driver gate. SQL-expressible ops carry DuckDB oracles;
@@ -410,6 +410,62 @@ object OpsQueries {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  // ------------------------------------ d9 sequence packing (oracle)
+  /** Context-window packing over the documents table: shards of 100
+    * ids pack greedily into 512-token bins. Row-level gate — every
+    * (shard, id, tokens, bin) must match DuckDB's recursive-CTE replay
+    * of the same greedy recurrence. */
+  def d9SeqPack(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      floor(col("doc_id") / 100).cast("long").as("shard"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    Packing.packGreedy(docs, "doc_id", "tokens", "shard", capacity = 512)
+      .orderBy("shard", "id")
+  }
+
+  val d9Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, doc_id // 100 AS shard,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+      |  FROM documents
+      |), ordered AS (
+      |  SELECT shard, doc_id, tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |  FROM toks
+      |), packed AS (
+      |  SELECT shard, rn, doc_id, tokens,
+      |    CAST(0 AS BIGINT) AS bin, CAST(tokens AS BIGINT) AS acc
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.tokens,
+      |    CASE WHEN p.acc + o.tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.acc + o.tokens > 512 THEN o.tokens
+      |         ELSE p.acc + o.tokens END
+      |  FROM packed p JOIN ordered o
+      |    ON o.shard = p.shard AND o.rn = p.rn + 1
+      |)
+      |SELECT shard, doc_id AS id, CAST(tokens AS BIGINT) AS tokens, bin
+      |FROM packed ORDER BY shard, id""".stripMargin
+
+  // ------------------------------ d10 stratified sampling (oracle)
+  /** Per-language quota sample via the portable md5 order — the
+    * corpus-mixing primitive (e.g. balance languages before
+    * training). */
+  def d10StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Packing.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", quota = 30)
+      .orderBy("lang", "doc_id")
+
+  val d10Sql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents
+      |) WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -428,6 +484,8 @@ object OpsQueries {
     "e2b_bucket_determinism" -> (e2bBucketDeterminism _),
     "d7b_simhash_verify" -> (d7bSimhashVerify _),
     "e4b_embedding_dedup_verify" -> (e4bEmbeddingDedupVerify _),
+    "d9_seq_pack" -> (d9SeqPack _),
+    "d10_stratified_sample" -> (d10StratifiedSample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -443,5 +501,7 @@ object OpsQueries {
     "e2b_bucket_determinism" -> e2bSql,
     "d7b_simhash_verify" -> d7bSql,
     "e4b_embedding_dedup_verify" -> e4bSql,
+    "d9_seq_pack" -> d9Sql,
+    "d10_stratified_sample" -> d10Sql,
   )
 }

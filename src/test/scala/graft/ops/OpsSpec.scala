@@ -400,3 +400,56 @@ class AsOfSpec extends org.scalatest.funsuite.AnyFunSuite {
       (3L, "t4", None)))       // no quote at or before 50
   }
 }
+
+class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("greedy packing fills bins in id order, resets on overflow") {
+    // shard 0: 300+200 fit (500<=512), +100 overflows -> bin 1;
+    // then an OVERSIZED doc (600>512) takes its own bin; next restarts
+    val df = Seq(
+      (0L, 1L, 300L), (0L, 2L, 200L), (0L, 3L, 100L),
+      (0L, 4L, 600L), (0L, 5L, 10L),
+      (1L, 6L, 512L), (1L, 7L, 1L)).toDF("shard", "doc_id", "tokens")
+    val got = Packing.packGreedy(df, "doc_id", "tokens", "shard", 512)
+      .orderBy("shard", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L), (0L, 2L, 0L), (0L, 3L, 1L),
+      (0L, 4L, 2L), (0L, 5L, 3L),
+      (1L, 6L, 0L), (1L, 7L, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("packing is shard-parallel: shards never share a bin sequence") {
+    val df = (0L until 400L).map(i => (i % 8, i, 100L))
+      .toDF("shard", "doc_id", "tokens")
+    val out = Packing.packGreedy(df, "doc_id", "tokens", "shard", 512)
+    // 50 docs x 100 tokens per shard, 5 per 512-bin -> bins 0..9
+    val perShard = out.groupBy("shard")
+      .agg(max("bin").as("mx"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(perShard.length == 8)
+    assert(perShard.forall { case (_, mx, n) => mx == 9L && n == 50L },
+      s"got ${perShard.toSeq}")
+    // bin capacity is respected everywhere
+    val over = out.groupBy("shard", "bin")
+      .agg(sum("tokens").as("s")).where(col("s") > 512).count()
+    assert(over == 0)
+  }
+
+  test("stratified sample: exact quota, deterministic, portable order") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    def run() = Packing.stratifiedSample(df, "lang", "doc_id", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s1 = run(); val s2 = run()
+    assert(s1 == s2, "sample must be deterministic")
+    assert(s1.count(_._2 == "a") == 10 && s1.count(_._2 == "b") == 10)
+    // small strata are returned whole
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "lang")
+    assert(Packing.stratifiedSample(tiny, "lang", "doc_id", 10)
+      .count() == 2)
+  }
+}
