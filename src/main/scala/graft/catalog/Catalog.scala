@@ -98,12 +98,22 @@ object TableUpdate {
         base.copy(
           currentSnapshotId = Some(id),
           // the snapshot log follows main (Iceberg semantics); skip
-          // idempotent re-sets so history carries no duplicate entries
+          // idempotent re-sets so history carries no duplicate entries.
+          // Entry time: the snapshot's own timestamp for a fresh commit
+          // (add-snapshot just advanced lastUpdatedMs to it), but never
+          // EARLIER than the log head — a rollback to an old snapshot
+          // logs at the rollback's own time, keeping the history
+          // chronologically sorted (what as-of-timestamp resolution
+          // and spec-compliant readers assume).
           snapshotLog =
             if (m.currentSnapshotId.contains(id)) m.snapshotLog
             else m.snapshotLog :+ SnapshotLogEntry(id,
-              m.snapshotById(id).map(_.timestampMs)
-                .getOrElse(m.lastUpdatedMs)))
+              Seq(
+                m.snapshotById(id).map(_.timestampMs)
+                  .getOrElse(m.lastUpdatedMs),
+                m.lastUpdatedMs,
+                m.snapshotLog.lastOption.map(_.timestampMs)
+                  .getOrElse(Long.MinValue)).max))
       else base
     case RemoveSnapshots(ids) => m.removeSnapshots(ids.toSet)
     case RemoveSnapshotRef(name) => m.copy(refs = m.refs - name)

@@ -71,13 +71,17 @@ object TextAnalysis {
   /** Character n-gram language ID over stopword/char profiles.
     * Deterministic heuristic: scores each candidate language by hits of
     * its most-frequent function words; ties break lexicographically. */
+  /** Marker profiles for [[langId]] — shared with the d4 DuckDB oracle
+    * so the engine expression and the SQL replica can never drift. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht ", " das "),
+    "en" -> Seq(" the ", " and ", " of ", " is ", " not ", " that "),
+    "es" -> Seq(" el ", " la ", " que ", " de ", " y ", " los "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
+    "zh" -> Seq("的", "是", "了", "在", "和", "不"))
+
   def langId(text: Column): Column = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht ", " das "),
-      "en" -> Seq(" the ", " and ", " of ", " is ", " not ", " that "),
-      "es" -> Seq(" el ", " la ", " que ", " de ", " y ", " los "),
-      "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
-      "zh" -> Seq("的", "是", "了", "在", "和", "不"))
+    val profiles = langProfiles
     val padded = concat(lit(" "), normalized(text), lit(" "))
     val scored = profiles.map { case (lang, markers) =>
       val score = markers.map(m =>

@@ -79,12 +79,7 @@ object OpsQueries {
     * first language (the CASE order below), `unknown` on zero — integer
     * arithmetic end to end, so the hash gate is exact. */
   val d4Sql: String = {
-    val profiles = Seq(
-      "de" -> Seq(" der ", " die ", " und ", " ist ", " nicht ", " das "),
-      "en" -> Seq(" the ", " and ", " of ", " is ", " not ", " that "),
-      "es" -> Seq(" el ", " la ", " que ", " de ", " y ", " los "),
-      "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
-      "zh" -> Seq("的", "是", "了", "在", "和", "不"))
+    val profiles = TextAnalysis.langProfiles
     val scoreCols = profiles.map { case (lang, ms) =>
       ms.map(m => s"(CASE WHEN contains(p, '$m') THEN 1 ELSE 0 END)")
         .mkString("(", " + ", s") AS s_$lang")

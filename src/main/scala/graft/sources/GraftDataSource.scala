@@ -239,10 +239,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         // the stub fails loud with the original error
         return new GraftMissingTable(opts, schema, e)
     }
+    // supportsExternalMetadata lets Spark hand us a USER-specified
+    // schema here; silently accepting unknown names would null-fill a
+    // typo'd column into every row. A subset/reordering of real columns
+    // is legitimate (manual pruning) — unknown names are not.
+    def checkKnown(against: graft.spec.Schema): Unit = {
+      val known = against.fields.map(_.name.toLowerCase).toSet
+      val unknown = schema.fieldNames.filterNot(n =>
+        known.contains(n.toLowerCase))
+      if (unknown.nonEmpty) throw new IllegalArgumentException(
+        s"graft source: schema names ${unknown.mkString(", ")} not in " +
+          s"table ${t.id} (columns: ${against.fields.map(_.name)
+            .mkString(", ")})")
+    }
     pinOf(t, opts) match {
       case Some(sid) => new GraftConnectorTable(t,
         SchemaConverters.toSparkSchema(pinnedSchema(t, sid)), Some(sid))
-      case None => new GraftConnectorTable(t, schema)
+      case None =>
+        checkKnown(t.schema)
+        new GraftConnectorTable(t, schema)
     }
   }
 }

@@ -136,8 +136,12 @@ object Changelog {
       case a: ArrayType =>
         transform(c, x => canonicalized(x, a.elementType))
       case s: SqlStructType =>
-        struct(s.fields.toSeq.map(f =>
-          canonicalized(c.getField(f.name), f.dataType).as(f.name)): _*)
+        // struct(getField...) of a NULL parent would build a NON-null
+        // struct of nulls, collapsing NULL and all-null-fields into one
+        // surrogate — keep null null so the two stay distinguishable
+        when(c.isNull, lit(null)).otherwise(
+          struct(s.fields.toSeq.map(f =>
+            canonicalized(c.getField(f.name), f.dataType).as(f.name)): _*))
       case _ => c
     }
   }

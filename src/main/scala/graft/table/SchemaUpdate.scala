@@ -131,7 +131,6 @@ final class SchemaUpdate(table: Table) {
     this
   }
 
-  /** Drop NOT NULL on a nested field (widening — always safe). */
   /** Type promotion at a dotted path — same rules as
     * [[updateColumnType]] (int→long, float→double, decimal widening).
     * The field id is preserved, so pre-promotion files read through
@@ -150,6 +149,7 @@ final class SchemaUpdate(table: Table) {
     this
   }
 
+  /** Drop NOT NULL on a nested field (widening — always safe). */
   def makeOptionalAt(path: Seq[String]): SchemaUpdate = {
     require(path.length >= 2, "use makeOptional for top-level columns")
     fields = mapStruct(fields, path.dropRight(1)) { siblings =>

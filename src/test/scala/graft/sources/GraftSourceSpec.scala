@@ -948,6 +948,30 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("branch"))
   }
 
+  test("user-specified read schema: subset allowed, unknown names loud") {
+    val (t0, dir, name) = mkTable("uschema")
+    TableOps.append(t0, batch(1 to 5))
+    // subset of real columns = manual pruning, fine
+    val subset = spark.read.format("graft")
+      .schema("event_id BIGINT, value DOUBLE")
+      .option("warehouse", dir).option("namespace", "db")
+      .option("table", name).load()
+    assert(subset.columns.toSeq == Seq("event_id", "value"))
+    assert(subset.count() == 5)
+    // a typo'd column must fail loud, not silently null-fill
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .schema("event_id BIGINT, bogus STRING")
+        .option("warehouse", dir).option("namespace", "db")
+        .option("table", name).load().collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("bogus"),
+      s"unknown user-schema column must be named in the error: $msgs")
+  }
+
   test("offset json round-trip") {
     val o = GraftOffset(42L)
     assert(GraftOffset.fromJson(o.json()) == o)
