@@ -46,6 +46,29 @@ object Streams {
       .groupBy(window(col(tsCol), window_), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
+  /** Streaming ingest dedup: drop documents whose fingerprint already
+    * exists in `corpus` (the historical table, pinned at stream start)
+    * or appeared earlier in this stream.
+    *
+    * Spark-first composition, no custom state code: in-stream dedup is
+    * `dropDuplicates` over the fingerprint (keyed state store — state
+    * grows with DISTINCT documents, not stream length), and corpus
+    * dedup is a stream-static LEFT ANTI join on the digest. Only
+    * 128-bit digests ever shuffle or sit in state — never document
+    * text — so the state store and the join stay small at 100 TB
+    * corpus scale. Documents arriving after the stream started are
+    * deduped by the in-stream half; re-pin the corpus by restarting
+    * the query (checkpointed offsets make that cheap). */
+  def dedupIngest(stream: DataFrame, corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val fp = graft.ops.TextAnalysis.fingerprint(col(textCol))
+    val corpusFps = corpus.select(fp.as("__fp")).distinct()
+    stream.withColumn("__fp", fp)
+      .dropDuplicates("__fp")
+      .join(corpusFps, Seq("__fp"), "left_anti")
+      .drop("__fp")
+  }
+
   /** Session state for the stateful-op example. */
   final case class UserSession(userId: Long, nEvents: Long,
       totalValue: Double, lastTs: Long)

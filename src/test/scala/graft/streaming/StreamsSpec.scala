@@ -236,4 +236,31 @@ class StreamsSpec extends AnyFunSuite {
       assert(latest(11L) == (1L, 5.0))
     } finally q.stop()
   }
+
+  test("dedupIngest drops corpus matches and in-stream repeats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "already seen doc"), (101L, "another old one"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = Streams.dedupIngest(
+      input.toDF().toDF("doc_id", "text"), corpus)
+    val q = out.writeStream.format("memory").queryName("dedup_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "already seen doc"),   // in corpus -> dropped
+        (2L, "fresh doc"),          // new -> kept
+        (3L, "fresh doc"),          // same batch repeat -> dropped
+        (4L, "  Already   SEEN doc ")) // normalization-equal -> dropped
+      q.processAllAvailable()
+      input.addData(
+        (5L, "fresh doc"),          // cross-batch repeat -> dropped
+        (6L, "genuinely new"))      // kept
+      q.processAllAvailable()
+      val kept = spark.table("dedup_ingest")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 6L), s"got $kept")
+    } finally q.stop()
+  }
 }
