@@ -296,4 +296,30 @@ class SnapshotCommitSpec extends AnyFunSuite {
     assert(t.schema.fieldByName("age").isDefined)
     assert(t.metadata.lastColumnId == 5)
   }
+
+  test("rollback keeps the snapshot log chronological (no back-dating)") {
+    var t = freshTable()
+    t = t.commitSnapshot(PendingSnapshot(Operation.Append,
+      addedDataFiles = Seq(dataFile("file:///d/f1.parquet", 10, 1, 10))))
+    val s1 = t.currentSnapshot.get.snapshotId
+    Thread.sleep(5)
+    t = t.commitSnapshot(PendingSnapshot(Operation.Append,
+      addedDataFiles = Seq(dataFile("file:///d/f2.parquet", 20, 11, 30))))
+    val s2 = t.currentSnapshot.get.snapshotId
+    // rollback: main moves BACK to s1 — the log must gain an entry at
+    // the rollback's own position in time, not re-stamp s1's original
+    // timestamp (which would break as-of-timestamp resolution and any
+    // reader that requires a sorted history)
+    t = t.newTransaction().setRef("main", s1).commit()
+    val log = t.metadata.snapshotLog
+    assert(log.map(_.snapshotId) == Seq(s1, s2, s1),
+      s"rollback must append, got ${log.map(_.snapshotId)}")
+    assert(log.sliding(2).forall(p =>
+      p.head.timestampMs <= p.last.timestampMs),
+      s"log must stay non-decreasing, got ${log.map(_.timestampMs)}")
+    assert(t.currentSnapshot.map(_.snapshotId).contains(s1))
+    // idempotent re-set: no duplicate entry
+    t = t.newTransaction().setRef("main", s1).commit()
+    assert(t.metadata.snapshotLog.size == 3)
+  }
 }
