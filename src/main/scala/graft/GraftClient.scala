@@ -15,6 +15,11 @@ final case class GraftConfig(
     catalogUri: String = "",
     warehouse: String = "",
     token: Option[String] = None,
+    /** OAuth2 client credential (`config.go` WithCredential): used to
+      * fetch a bearer from `/v1/oauth/tokens` when no static token. */
+    credential: Option[String] = None,
+    /** OAuth2 scope (`config.go` WithScope). */
+    oauthScope: String = "catalog",
     /** CoW rewrites vs MoR delete files (`config.go:33-44`). */
     writeMode: String = GraftConfig.CopyOnWrite,
     targetFileSizeBytes: Long = 512L * 1024 * 1024, // config.go:92
@@ -45,7 +50,8 @@ class GraftClient(val config: GraftConfig,
   val catalog: Catalog = config.catalogType match {
     case "local" => new LocalCatalog(config.warehouse)
     case "rest" => new RestCatalog(config.catalogUri, config.token,
-      Option(config.warehouse).filter(_.nonEmpty))
+      Option(config.warehouse).filter(_.nonEmpty),
+      config.credential, oauthScope = config.oauthScope)
     case other =>
       throw new IllegalArgumentException(s"unknown catalog type: $other")
   }

@@ -26,6 +26,8 @@ class RestCatalog(
       * When set and no static `token` is given, a bearer token is
       * fetched from `/v1/oauth/tokens` and refreshed on expiry. */
     credential: Option[String] = None,
+    /** OAuth2 scope requested with the token (`config.go` WithScope). */
+    oauthScope: String = "catalog",
     timeout: Duration = Duration.ofSeconds(30)) extends Catalog {
 
   private val http = HttpClient.newBuilder()
@@ -53,7 +55,7 @@ class RestCatalog(
     }
     val form = s"grant_type=client_credentials&client_id=${enc(cid)}" +
       secret.map(s => s"&client_secret=${enc(s)}").getOrElse("") +
-      "&scope=catalog"
+      s"&scope=${enc(oauthScope)}"
     val req = HttpRequest.newBuilder(URI.create(s"$root/v1/oauth/tokens"))
       .timeout(timeout)
       .header("Content-Type", "application/x-www-form-urlencoded")
