@@ -94,27 +94,30 @@ object TableUpdate {
           s"cannot commit to ref '$name': it is a tag (immutable)")
       val base = m.copy(refs = m.refs +
         (name -> SnapshotRef(id, tpe, minKeep, maxSnapAge, maxRefAge)))
-      if (name == "main")
-        base.copy(
-          currentSnapshotId = Some(id),
-          // the snapshot log follows main (Iceberg semantics); skip
-          // idempotent re-sets so history carries no duplicate entries.
-          // Entry time: the snapshot's own timestamp for a fresh commit
-          // (add-snapshot just advanced lastUpdatedMs to it), but never
-          // EARLIER than the log head — a rollback to an old snapshot
-          // logs at the rollback's own time, keeping the history
-          // chronologically sorted (what as-of-timestamp resolution
-          // and spec-compliant readers assume).
-          snapshotLog =
-            if (m.currentSnapshotId.contains(id)) m.snapshotLog
-            else m.snapshotLog :+ SnapshotLogEntry(id,
-              Seq(
-                m.snapshotById(id).map(_.timestampMs)
-                  .getOrElse(m.lastUpdatedMs),
-                m.lastUpdatedMs,
-                m.snapshotLog.lastOption.map(_.timestampMs)
-                  .getOrElse(Long.MinValue)).max))
-      else base
+      if (name == "main") {
+        if (m.currentSnapshotId.contains(id)) base // idempotent re-set
+        else {
+          // The snapshot log records WHEN each snapshot became current
+          // (Iceberg semantics — as-of-timestamp resolves through it).
+          // A fresh data commit (add-snapshot in the same update batch
+          // just advanced lastUpdatedMs to the snapshot's own time)
+          // logs at the snapshot's timestamp; a RETARGET of main to an
+          // older snapshot (rollback) logs at the rollback's own time —
+          // re-stamping the old timestamp would mis-date history and
+          // make as-of reads between the commits resolve wrongly.
+          // Clamped to the log head so clock skew can never unsort it.
+          val snapTs = m.snapshotById(id).map(_.timestampMs)
+          val fresh = snapTs.contains(m.lastUpdatedMs)
+          val entryTs = Seq(
+            if (fresh) m.lastUpdatedMs else System.currentTimeMillis(),
+            m.snapshotLog.lastOption.map(_.timestampMs)
+              .getOrElse(Long.MinValue)).max
+          base.copy(
+            currentSnapshotId = Some(id),
+            lastUpdatedMs = math.max(m.lastUpdatedMs, entryTs),
+            snapshotLog = m.snapshotLog :+ SnapshotLogEntry(id, entryTs))
+        }
+      } else base
     case RemoveSnapshots(ids) => m.removeSnapshots(ids.toSet)
     case RemoveSnapshotRef(name) => m.copy(refs = m.refs - name)
     case AddSchema(s, setCurrent) => m.addSchema(s, setCurrent)

@@ -68,9 +68,6 @@ object TextAnalysis {
     * cheap joins; not portable to other engines (rows-only checks). */
   def fingerprint64(text: Column): Column = xxhash64(normalized(text))
 
-  /** Character n-gram language ID over stopword/char profiles.
-    * Deterministic heuristic: scores each candidate language by hits of
-    * its most-frequent function words; ties break lexicographically. */
   /** Marker profiles for [[langId]] — shared with the d4 DuckDB oracle
     * so the engine expression and the SQL replica can never drift. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(
@@ -80,6 +77,9 @@ object TextAnalysis {
     "fr" -> Seq(" le ", " la ", " et ", " les ", " des ", " est "),
     "zh" -> Seq("的", "是", "了", "在", "和", "不"))
 
+  /** Character n-gram language ID over stopword/char profiles.
+    * Deterministic heuristic: scores each candidate language by hits of
+    * its most-frequent function words; ties break lexicographically. */
   def langId(text: Column): Column = {
     val profiles = langProfiles
     val padded = concat(lit(" "), normalized(text), lit(" "))

@@ -239,25 +239,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister
         // the stub fails loud with the original error
         return new GraftMissingTable(opts, schema, e)
     }
-    // supportsExternalMetadata lets Spark hand us a USER-specified
-    // schema here; silently accepting unknown names would null-fill a
-    // typo'd column into every row. A subset/reordering of real columns
-    // is legitimate (manual pruning) — unknown names are not.
-    def checkKnown(against: graft.spec.Schema): Unit = {
-      val known = against.fields.map(_.name.toLowerCase).toSet
-      val unknown = schema.fieldNames.filterNot(n =>
-        known.contains(n.toLowerCase))
-      if (unknown.nonEmpty) throw new IllegalArgumentException(
-        s"graft source: schema names ${unknown.mkString(", ")} not in " +
-          s"table ${t.id} (columns: ${against.fields.map(_.name)
-            .mkString(", ")})")
-    }
     pinOf(t, opts) match {
-      case Some(sid) => new GraftConnectorTable(t,
-        SchemaConverters.toSparkSchema(pinnedSchema(t, sid)), Some(sid))
-      case None =>
-        checkKnown(t.schema)
-        new GraftConnectorTable(t, schema)
+      case Some(sid) =>
+        // honor a user-specified schema on PINNED reads too: resolve
+        // the requested names against the pinned snapshot's schema
+        // (pinned types win — the user schema only selects/orders)
+        val full = SchemaConverters.toSparkSchema(pinnedSchema(t, sid))
+        val byLower = full.fields.map(f => f.name.toLowerCase -> f).toMap
+        val projected = StructType(schema.fields.map(f =>
+          byLower.getOrElse(f.name.toLowerCase, f)))
+        new GraftConnectorTable(t, projected, Some(sid))
+      case None => new GraftConnectorTable(t, schema)
     }
   }
 }
@@ -322,9 +314,26 @@ private[sources] class GraftConnectorTable(
   @volatile private[sources] var mutationPin: Option[Table] = None
 
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // User-specified schemas (supportsExternalMetadata) reach READS
+    // here: a typo'd name would silently null-fill into every row, so
+    // fail loud. A subset/reordering of real columns is legitimate
+    // manual pruning. Writes never pass this point (V1 bridge), so
+    // SaveMode semantics on mismatched frames are unaffected.
+    val resolution = pinnedSnapshot
+      .flatMap(sid => gtable.snapshotById(sid).flatMap(_.schemaId)
+        .flatMap(gtable.metadata.schemaById))
+      .getOrElse(gtable.schema)
+    val known = resolution.fields.map(_.name.toLowerCase).toSet
+    val unknown = sparkSchema.fieldNames.filterNot(n =>
+      known.contains(n.toLowerCase))
+    if (unknown.nonEmpty) throw new IllegalArgumentException(
+      s"graft source: schema names ${unknown.mkString(", ")} not in " +
+        s"table ${gtable.id} (columns: ${resolution.fields.map(_.name)
+          .mkString(", ")})")
     new GraftScanBuilder(gtable, sparkSchema, options, pinnedSnapshot,
       () => mutationPin)
+  }
 
   /** SQL write path: `INSERT INTO` appends a snapshot through the
     * engine's partitioned writer; `INSERT OVERWRITE` (truncate) swaps

@@ -54,7 +54,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       case Some(uri) =>
         val rest = new RestCatalog(uri, Option(options.get("token")),
           Option(options.get("warehouse")),
-          Option(options.get("credential")))
+          Option(options.get("credential")),
+          oauthScope =
+            Option(options.get("oauth-scope")).getOrElse("catalog"))
         rest.fetchConfig()
         rest
       case None =>

@@ -47,26 +47,33 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
   /** Streaming ingest dedup: drop documents whose fingerprint already
-    * exists in `corpus` (the historical table, pinned at stream start)
-    * or appeared earlier in this stream.
+    * exists in `corpus` (the historical table, digests materialized at
+    * stream start) or appeared earlier in this stream.
     *
-    * Spark-first composition, no custom state code: in-stream dedup is
-    * `dropDuplicates` over the fingerprint (keyed state store — state
-    * grows with DISTINCT documents, not stream length), and corpus
-    * dedup is a stream-static LEFT ANTI join on the digest. Only
-    * 128-bit digests ever shuffle or sit in state — never document
-    * text — so the state store and the join stay small at 100 TB
-    * corpus scale. Documents arriving after the stream started are
-    * deduped by the in-stream half; re-pin the corpus by restarting
-    * the query (checkpointed offsets make that cheap). */
+    * Spark-first composition, no custom state code, ordered for scale:
+    *  - the corpus digest set is computed ONCE and `persist`ed
+    *    (memory-and-disk) — a stream-static join re-executes its static
+    *    side every micro-batch, and without the persist that would be a
+    *    full corpus scan + distinct per batch;
+    *  - the LEFT ANTI join against the corpus runs BEFORE the in-stream
+    *    `dropDuplicates`, so corpus-duplicates (the bulk of a re-crawl)
+    *    never enter the streaming state store — state holds only
+    *    fingerprints of genuinely new documents;
+    *  - only 16-byte digests ever shuffle, persist, or sit in state —
+    *    never document text.
+    * The persisted digest set is released by the ContextCleaner when
+    * the returned plan is garbage-collected (stream stopped). */
   def dedupIngest(stream: DataFrame, corpus: DataFrame,
       textCol: String = "text"): DataFrame = {
     val fp = graft.ops.TextAnalysis.fingerprint(col(textCol))
-    val corpusFps = corpus.select(fp.as("__fp")).distinct()
-    stream.withColumn("__fp", fp)
-      .dropDuplicates("__fp")
-      .join(corpusFps, Seq("__fp"), "left_anti")
-      .drop("__fp")
+    // collision-proof working column: never clobber a user column
+    val fpCol = Iterator.from(0).map(i => s"__graft_fp$i")
+      .find(n => !stream.columns.contains(n)).get
+    val corpusFps = corpus.select(fp.as(fpCol)).distinct().persist()
+    stream.withColumn(fpCol, fp)
+      .join(corpusFps, Seq(fpCol), "left_anti")
+      .dropDuplicates(fpCol)
+      .drop(fpCol)
   }
 
   /** Session state for the stateful-op example. */

@@ -970,6 +970,24 @@ class GraftSourceSpec extends AnyFunSuite {
       .mkString(" | ")
     assert(msgs.contains("bogus"),
       s"unknown user-schema column must be named in the error: $msgs")
+    // pinned (time-travel) reads honor the same contract: subset
+    // pruned, unknown names loud
+    val sid = Table.load(new LocalCatalog(dir),
+      TableIdentifier(Seq("db"), name), new HadoopFileIO())
+      .currentSnapshot.get.snapshotId
+    val pinnedSubset = spark.read.format("graft")
+      .schema("value DOUBLE")
+      .option("warehouse", dir).option("namespace", "db")
+      .option("table", name).option("snapshot-id", sid.toString).load()
+    assert(pinnedSubset.columns.toSeq == Seq("value"))
+    assert(pinnedSubset.count() == 5)
+    intercept[Exception] {
+      spark.read.format("graft")
+        .schema("value DOUBLE, nope STRING")
+        .option("warehouse", dir).option("namespace", "db")
+        .option("table", name).option("snapshot-id", sid.toString)
+        .load().collect()
+    }
   }
 
   test("offset json round-trip") {
