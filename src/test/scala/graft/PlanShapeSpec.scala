@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec,
+  ShuffleExchangeExec}
+
+/** Plan-SHAPE regression guards: the correctness gate can't see a
+  * query that silently gained a shuffle or lost a broadcast — these
+  * assert the structural properties the 100 TB design depends on.
+  * AQE is disabled around planning so the static plan is inspected
+  * (AQE only ever REMOVES exchanges at runtime, so a static bound is
+  * a safe upper bound). */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def staticPlan(name: String): SparkPlan = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+  private def shuffles(p: SparkPlan): Int =
+    p.collect { case e: ShuffleExchangeExec => e }.size
+  private def broadcasts(p: SparkPlan): Int =
+    p.collect { case e: BroadcastExchangeExec => e }.size
+
+  test("d10 stratified sample: one stratum shuffle + the final sort") {
+    val p = staticPlan("d10_stratified_sample")
+    assert(shuffles(p) <= 2,
+      s"stratified sampling must not gain shuffles, got ${shuffles(p)}:\n$p")
+  }
+
+  test("d2 text stats: per-row pipeline, only the output sort shuffles") {
+    val p = staticPlan("d2_text_stats")
+    assert(shuffles(p) <= 1,
+      s"per-row stats must not shuffle data, got ${shuffles(p)}:\n$p")
+  }
+
+  test("e1 brute-force ANN: query side broadcast, corpus never " +
+      "pre-shuffled") {
+    val p = staticPlan("e1_ann_bruteforce")
+    assert(broadcasts(p) >= 1,
+      s"the query set must broadcast (corpus scans once):\n$p")
+    // window top-k + output sort are the only legitimate shuffles
+    assert(shuffles(p) <= 2,
+      s"the corpus must not shuffle before scoring, got ${shuffles(p)}:\n$p")
+  }
+
+  test("q1 pricing summary: one partial-agg shuffle + output sort") {
+    val p = staticPlan("q1_pricing_summary")
+    assert(shuffles(p) <= 2,
+      s"q1 must keep map-side partial aggregation, got ${shuffles(p)}:\n$p")
+    // partial aggregation must be present (map-side combine before the
+    // exchange) — its loss would ship every row at 100 TB
+    assert(p.toString.contains("partial"),
+      s"q1 lost map-side partial aggregation:\n$p")
+  }
+}
