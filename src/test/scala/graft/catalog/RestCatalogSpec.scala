@@ -32,6 +32,10 @@ class RestCatalogSpec extends AnyFunSuite {
 
   // ------------------------------------------------- mini REST server
 
+  /** Last commit request body, for wire-format assertions. */
+  private val lastCommitBody =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   private def handle(ex: HttpExchange, cat: LocalCatalog): Unit = {
     def reply(code: Int, body: String = ""): Unit = {
       val bytes = body.getBytes(UTF_8)
@@ -140,6 +144,7 @@ class RestCatalogSpec extends AnyFunSuite {
           cat.renameTable(id(n.get("source")), id(n.get("destination")))
           reply(204)
         case ("POST", List("namespaces", s, "tables", t)) =>
+          lastCommitBody.set(body)
           val n = SchemaJson.parseTree(body)
           val reqs = {
             val it = n.get("requirements").elements()
@@ -298,6 +303,18 @@ class RestCatalogSpec extends AnyFunSuite {
         "branch ref must move")
       assert(meta.currentSnapshotId.contains(1L), "main must not move")
       assert(meta.ref("main").map(_.snapshotId).contains(1L))
+      // WIRE assertion: the commit body is pure spec vocabulary — the
+      // add-snapshot action carries no extension field, and the branch
+      // move is an explicit set-snapshot-ref
+      val wire = lastCommitBody.get()
+      assert(wire.contains("\"action\": \"add-snapshot\"") &&
+        wire.contains("\"action\": \"set-snapshot-ref\"") &&
+        wire.contains("\"ref-name\": \"audit\""),
+        s"commit must pair add-snapshot with set-snapshot-ref: $wire")
+      // ("branch" as a ref TYPE value is spec; "branch": as a KEY was
+      // the legacy extension field)
+      assert(!wire.contains("\"branch\":"),
+        s"no nonstandard 'branch' field on the wire: $wire")
       // hostile ref name: JSON escaping must keep the body parseable
       // and the name intact through the wire round-trip
       val evil = "q\"uote\\back\n"
