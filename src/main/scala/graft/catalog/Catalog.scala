@@ -81,7 +81,23 @@ object TableUpdate {
       extends TableUpdate
   final case class RemoveProperties(removals: Seq[String]) extends TableUpdate
 
-  def apply(m: TableMetadata, u: TableUpdate): TableMetadata = u match {
+  /** Apply a commit's updates in order. Threads the set of snapshot
+    * ids ADDED IN THIS BATCH so `set-snapshot-ref` can tell a fresh
+    * data commit (log entry at the snapshot's own time) from a
+    * retarget of a pre-existing snapshot — rollback or WAP
+    * fast-forward publish — which logs at the retarget's own time. */
+  def applyAll(m: TableMetadata, updates: Seq[TableUpdate]): TableMetadata = {
+    val batchAdded = updates.collect {
+      case AddSnapshot(s) => s.snapshotId
+    }.toSet
+    updates.foldLeft(m)((acc, u) => apply(acc, u, batchAdded))
+  }
+
+  def apply(m: TableMetadata, u: TableUpdate): TableMetadata =
+    apply(m, u, Set.empty)
+
+  private def apply(m: TableMetadata, u: TableUpdate,
+      batchAdded: Set[Long]): TableMetadata = u match {
     case AddSnapshot(s) => m.addSnapshotOnly(s)
     case SetSnapshotRef(name, id, tpe, minKeep, maxSnapAge, maxRefAge) =>
       // last-line defense for every commit path (local CAS and REST
@@ -99,17 +115,20 @@ object TableUpdate {
         else {
           // The snapshot log records WHEN each snapshot became current
           // (Iceberg semantics — as-of-timestamp resolves through it).
-          // A fresh data commit (add-snapshot in the same update batch
-          // just advanced lastUpdatedMs to the snapshot's own time)
-          // logs at the snapshot's timestamp; a RETARGET of main to an
-          // older snapshot (rollback) logs at the rollback's own time —
-          // re-stamping the old timestamp would mis-date history and
-          // make as-of reads between the commits resolve wrongly.
-          // Clamped to the log head so clock skew can never unsort it.
-          val snapTs = m.snapshotById(id).map(_.timestampMs)
-          val fresh = snapTs.contains(m.lastUpdatedMs)
+          // A fresh data commit (the snapshot was ADDED in this same
+          // update batch) logs at the snapshot's own timestamp; a
+          // RETARGET of a pre-existing snapshot — rollback, or a WAP
+          // fast-forward publish of a branch head — logs at the
+          // retarget's own time: re-stamping the old timestamp would
+          // claim main contained the snapshot during a window it did
+          // not, mis-resolving as-of reads. Clamped to the log head so
+          // clock skew can never unsort the history.
+          val fresh = batchAdded.contains(id)
           val entryTs = Seq(
-            if (fresh) m.lastUpdatedMs else System.currentTimeMillis(),
+            if (fresh)
+              m.snapshotById(id).map(_.timestampMs)
+                .getOrElse(m.lastUpdatedMs)
+            else System.currentTimeMillis(),
             m.snapshotLog.lastOption.map(_.timestampMs)
               .getOrElse(Long.MinValue)).max
           base.copy(

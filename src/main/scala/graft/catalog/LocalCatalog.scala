@@ -245,7 +245,7 @@ class LocalCatalog(warehouse: String) extends Catalog {
     }
 
     val prevFile = versionFile(id, version)
-    val updated0 = updates.foldLeft(current)(TableUpdate.apply)
+    val updated0 = TableUpdate.applyAll(current, updates)
     val updated = updated0.copy(
       metadataLog = updated0.metadataLog :+ MetadataLogEntry(
         current.lastUpdatedMs, "file://" + prevFile.toString))

@@ -213,8 +213,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   }
 
   private def pinnedSchema(t: Table, sid: Long): graft.spec.Schema =
-    t.snapshotById(sid).flatMap(_.schemaId)
-      .flatMap(t.metadata.schemaById).getOrElse(t.schema)
+    t.metadata.schemaForSnapshot(sid)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val t = load(options)
@@ -321,8 +320,7 @@ private[sources] class GraftConnectorTable(
     // manual pruning. Writes never pass this point (V1 bridge), so
     // SaveMode semantics on mismatched frames are unaffected.
     val resolution = pinnedSnapshot
-      .flatMap(sid => gtable.snapshotById(sid).flatMap(_.schemaId)
-        .flatMap(gtable.metadata.schemaById))
+      .map(gtable.metadata.schemaForSnapshot)
       .getOrElse(gtable.schema)
     val known = resolution.fields.map(_.name.toLowerCase).toSet
     val unknown = sparkSchema.fieldNames.filterNot(n =>

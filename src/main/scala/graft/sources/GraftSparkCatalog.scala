@@ -139,11 +139,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   private def pinned(ident: Identifier, t: Table,
       sid: Long): ConnectorTable = {
-    val snap = t.snapshotById(sid).getOrElse(
-      throw new NoSuchTableException(ident))
-    val schema = snap.schemaId.flatMap(t.metadata.schemaById)
-      .getOrElse(t.schema)
-    new GraftConnectorTable(t, SchemaConverters.toSparkSchema(schema),
+    if (t.snapshotById(sid).isEmpty) throw new NoSuchTableException(ident)
+    new GraftConnectorTable(t,
+      SchemaConverters.toSparkSchema(t.metadata.schemaForSnapshot(sid)),
       pinnedSnapshot = Some(sid))
   }
 

@@ -31,6 +31,14 @@ final case class TableMetadata(
 
   def schemaById(id: Int): Option[Schema] = schemas.find(_.schemaId == id)
 
+  /** The schema a snapshot was committed under (its recorded
+    * schema-id), falling back to the current schema for pre-schema-id
+    * metadata. THE resolution rule for pinned/time-travel reads —
+    * every caller must share it or projection and validation drift. */
+  def schemaForSnapshot(snapshotId: Long): Schema =
+    snapshotById(snapshotId).flatMap(_.schemaId).flatMap(schemaById)
+      .getOrElse(currentSchema)
+
   def defaultPartitionSpec: PartitionSpec =
     partitionSpecs.find(_.specId == defaultSpecId)
       .getOrElse(PartitionSpec.unpartitioned)

@@ -51,25 +51,28 @@ object Streams {
     * stream start) or appeared earlier in this stream.
     *
     * Spark-first composition, no custom state code, ordered for scale:
-    *  - the corpus digest set is computed ONCE and `persist`ed
-    *    (memory-and-disk) — a stream-static join re-executes its static
-    *    side every micro-batch, and without the persist that would be a
-    *    full corpus scan + distinct per batch;
+    *  - the corpus digest set is materialized ONCE, eagerly, via
+    *    `localCheckpoint` — a stream-static join re-executes its static
+    *    side every micro-batch, and without the materialization that
+    *    would be a full corpus scan + distinct per batch. (Not
+    *    `persist`: CacheManager holds caches strongly until an explicit
+    *    unpersist, so repeated stream restarts would leak a digest set
+    *    per restart; checkpoint blocks are reclaimed by the
+    *    ContextCleaner once the returned plan is garbage-collected.)
     *  - the LEFT ANTI join against the corpus runs BEFORE the in-stream
     *    `dropDuplicates`, so corpus-duplicates (the bulk of a re-crawl)
     *    never enter the streaming state store — state holds only
     *    fingerprints of genuinely new documents;
-    *  - only 16-byte digests ever shuffle, persist, or sit in state —
-    *    never document text.
-    * The persisted digest set is released by the ContextCleaner when
-    * the returned plan is garbage-collected (stream stopped). */
+    *  - only 16-byte digests ever shuffle, checkpoint, or sit in
+    *    state — never document text. */
   def dedupIngest(stream: DataFrame, corpus: DataFrame,
       textCol: String = "text"): DataFrame = {
     val fp = graft.ops.TextAnalysis.fingerprint(col(textCol))
     // collision-proof working column: never clobber a user column
     val fpCol = Iterator.from(0).map(i => s"__graft_fp$i")
       .find(n => !stream.columns.contains(n)).get
-    val corpusFps = corpus.select(fp.as(fpCol)).distinct().persist()
+    val corpusFps = corpus.select(fp.as(fpCol)).distinct()
+      .localCheckpoint(true)
     stream.withColumn(fpCol, fp)
       .join(corpusFps, Seq(fpCol), "left_anti")
       .dropDuplicates(fpCol)

@@ -297,6 +297,28 @@ object PartitionedWriter {
         * each chunk keeps a contiguous (tight) sort/z-key range. */
       maxRecordsPerFile: Long = 0L)
       : Seq[DataFile] = {
+    // Fail loud on frames that don't fit the table: an unknown column
+    // (typo) would land in the parquet bytes and silently null-fill
+    // the real column at read; a missing REQUIRED column would
+    // null-fill a NOT NULL field. Missing OPTIONAL columns are fine
+    // (Iceberg semantics: readers null-fill by field id).
+    locally {
+      val known = meta.currentSchema.fields.map(_.name.toLowerCase).toSet
+      val have = df.columns.map(_.toLowerCase).toSet
+      val unknown = df.columns.filterNot(c => known.contains(c.toLowerCase))
+      val missingReq = meta.currentSchema.fields
+        .filter(f => f.required && !have.contains(f.name.toLowerCase))
+      if (unknown.nonEmpty || missingReq.nonEmpty)
+        throw new IllegalArgumentException(
+          s"graft: DataFrame does not fit table schema — " +
+            (if (unknown.nonEmpty)
+              s"unknown columns: ${unknown.mkString(", ")}; " else "") +
+            (if (missingReq.nonEmpty)
+              s"missing required columns: ${missingReq.map(_.name)
+                .mkString(", ")}; " else "") +
+            s"table columns: ${meta.currentSchema.fields.map(_.name)
+              .mkString(", ")}")
+    }
     val spec = meta.defaultPartitionSpec
     if (spec.isUnpartitioned)
       return DataWriter.writeDataFiles(meta, df, maxRecordsPerFile)

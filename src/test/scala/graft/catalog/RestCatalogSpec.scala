@@ -303,18 +303,20 @@ class RestCatalogSpec extends AnyFunSuite {
         "branch ref must move")
       assert(meta.currentSnapshotId.contains(1L), "main must not move")
       assert(meta.ref("main").map(_.snapshotId).contains(1L))
-      // WIRE assertion: the commit body is pure spec vocabulary — the
-      // add-snapshot action carries no extension field, and the branch
-      // move is an explicit set-snapshot-ref
-      val wire = lastCommitBody.get()
-      assert(wire.contains("\"action\": \"add-snapshot\"") &&
-        wire.contains("\"action\": \"set-snapshot-ref\"") &&
-        wire.contains("\"ref-name\": \"audit\""),
-        s"commit must pair add-snapshot with set-snapshot-ref: $wire")
-      // ("branch" as a ref TYPE value is spec; "branch": as a KEY was
-      // the legacy extension field)
-      assert(!wire.contains("\"branch\":"),
-        s"no nonstandard 'branch' field on the wire: $wire")
+      // WIRE assertion (parsed, not whitespace-sensitive): the commit
+      // body is pure spec vocabulary — add-snapshot carries no
+      // extension field, and the branch move is an explicit
+      // set-snapshot-ref
+      val ups = SchemaJson.parseTree(lastCommitBody.get()).get("updates")
+      val actions = (0 until ups.size)
+        .map(i => ups.get(i).get("action").asText)
+      assert(actions == Seq("add-snapshot", "set-snapshot-ref"),
+        s"commit must pair add-snapshot with set-snapshot-ref: $actions")
+      val addSnap = ups.get(0)
+      assert(addSnap.get("branch") == null,
+        s"no nonstandard 'branch' field on add-snapshot: $addSnap")
+      assert(ups.get(1).get("ref-name").asText == "audit")
+      assert(ups.get(1).get("type").asText == "branch")
       // hostile ref name: JSON escaping must keep the body parseable
       // and the name intact through the wire round-trip
       val evil = "q\"uote\\back\n"
