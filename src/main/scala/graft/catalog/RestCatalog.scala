@@ -40,6 +40,7 @@ class RestCatalog(
 
   @volatile private var bearer: Option[String] = token
   @volatile private var bearerExpiresAtMs: Long = Long.MaxValue
+  private val tokenLock = new Object
 
   /** POST `client_credentials` to `/v1/oauth/tokens` (reference
     * FetchToken, `catalog/rest.go:455-476`) and cache the bearer with
@@ -79,12 +80,18 @@ class RestCatalog(
   }
 
   /** Current bearer: the static token if configured, else the cached
-    * OAuth token (fetched/refreshed on demand). */
+    * OAuth token (fetched/refreshed on demand). Refresh is
+    * double-check-locked so concurrent driver threads crossing the
+    * expiry line issue one fetch, not a stampede. */
   private def currentBearer: Option[String] =
     if (token.isDefined) token
     else if (credential.isDefined) {
       if (bearer.isEmpty || System.currentTimeMillis() >= bearerExpiresAtMs)
-        fetchToken()
+        tokenLock.synchronized {
+          if (bearer.isEmpty ||
+              System.currentTimeMillis() >= bearerExpiresAtMs)
+            fetchToken()
+        }
       bearer
     } else None
 
@@ -143,7 +150,15 @@ class RestCatalog(
       body: Option[String] = None): (Int, String) = {
     val resp = http.send(request(method, uri, body),
       HttpResponse.BodyHandlers.ofString())
-    (resp.statusCode(), resp.body())
+    if (resp.statusCode() == 401 && token.isEmpty && credential.isDefined) {
+      // server-side revocation before client-side expiry: invalidate the
+      // cached bearer and retry exactly once with a fresh token (the
+      // rebuilt request re-resolves currentBearer, which refetches)
+      tokenLock.synchronized { bearerExpiresAtMs = 0L }
+      val retry = http.send(request(method, uri, body),
+        HttpResponse.BodyHandlers.ofString())
+      (retry.statusCode(), retry.body())
+    } else (resp.statusCode(), resp.body())
   }
 
   private def expect(method: String, uri: String, body: Option[String],
@@ -367,8 +382,10 @@ class RestCatalog(
       s"""{"action": "add-spec", "spec": ${specJson(s)}}"""
     case TableUpdate.SetDefaultSpec(i) =>
       s"""{"action": "set-default-spec", "spec-id": $i}"""
-    case TableUpdate.AddSortOrder(_) | TableUpdate.SetDefaultSortOrder(_) =>
-      s"""{"action": "set-default-sort-order", "sort-order-id": 0}"""
+    case TableUpdate.AddSortOrder(o) =>
+      s"""{"action": "add-sort-order", "sort-order": ${sortOrderJson(o)}}"""
+    case TableUpdate.SetDefaultSortOrder(i) =>
+      s"""{"action": "set-default-sort-order", "sort-order-id": $i}"""
     case TableUpdate.SetLocation(l) =>
       s"""{"action": "set-location", "location": ${jstr(l)}}"""
     case TableUpdate.SetProperties(m) =>
@@ -387,6 +404,21 @@ class RestCatalog(
       .copy(snapshots = Seq(s))
     val n = SchemaJson.parseTree(MetadataJson.write(m))
     n.get("snapshots").get(0).toString
+  }
+
+  /** Sort order per the spec's `sort-orders` shape (reference
+    * `spec/metadata.go:16-52`): order id plus (transform, source-id,
+    * direction, null-order) per field — the same fields
+    * `MetadataJson.sortOrderNode` persists locally, so a REST server
+    * round-trips exactly what the local catalog applies. */
+  private def sortOrderJson(o: SortOrder): String = {
+    val fields = o.fields.map { f =>
+      s"""{"transform": ${jstr(f.transform.name)},
+         |"source-id": ${f.sourceId},
+         |"direction": "${f.direction.name}",
+         |"null-order": "${f.nullOrder.name}"}""".stripMargin
+    }.mkString(",")
+    s"""{"order-id": ${o.orderId}, "fields": [$fields]}"""
   }
 
   private def specJson(s: PartitionSpec): String = {

@@ -104,7 +104,10 @@ object Similarity {
 
   /** ANN via IVF (inverted file): KMeans centroids (Spark ML, fixed
     * seed), corpus partitioned by nearest centroid, queries probe the
-    * `nprobe` nearest centroids, exact cosine re-rank inside. */
+    * `nprobe` nearest centroids, exact cosine re-rank inside. The
+    * assignment/probe/re-rank stages live in [[ivfTopKWithCentroids]]
+    * so a caller with known centroids (and the e3b correctness gate)
+    * exercises the identical code path without the fit. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nprobe: Int = 2, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id",
@@ -133,22 +136,67 @@ object Similarity {
         // oversample slightly so the sampled count stays >= nCentroids
         math.min(1.0, maxFitRows.toDouble * 1.1 / corpusRows), seed)
     val model = km.fit(fitSet)
-    val assigned = model.transform(c).select("nid", "__cv", "__cell")
+    ivfTopKWithCentroids(corpus, queries,
+      model.clusterCenters.map(_.toArray).toSeq, k, nprobe, vecCol, idCol)
+  }
 
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray) }.toSeq
-      .toDF("__cell", "__centroid")
+  /** Squared Euclidean distance from a float-array column to a fixed
+    * centroid — in-order double fold, deterministic across engines. */
+  private def dist2(vec: Column, centroid: Array[Double]): Column =
+    aggregate(
+      zip_with(vec, typedlit(centroid.toSeq), (x, c) => {
+        val d = x.cast("double") - c
+        d * d
+      }),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** IVF assignment → probe → re-rank with explicit centroids (the
+    * post-fit stages of [[ivfTopK]], shared verbatim with it).
+    *
+    * Scale design: assignment is a per-row `least(struct(dist², cell))`
+    * argmin — pure codegen'd expressions, no shuffle of the corpus
+    * (unlike a window/groupBy argmin, which would reshuffle 100 TB by
+    * row id). Probing is likewise a per-row sorted-array slice on the
+    * (small) query side. The expression tree is O(nCentroids · dim) per
+    * row — the same work KMeans' own predict does — and stays
+    * codegen-friendly for the ≤ a-few-hundred-centroid lists an IVF
+    * this shape uses; a million-centroid index would shard the list
+    * first. Candidate matching broadcasts the probed (qid, cell) pairs,
+    * so the corpus is scanned exactly once.
+    *
+    * Ties: assignment prefers the lowest cell id at equal distance
+    * (struct ordering); probe order is cosine desc, cell asc; the final
+    * rank breaks score ties by neighbor id asc. All three are total
+    * orders, so the output is deterministic for fixed centroids — what
+    * lets e3b hash-gate this path against a DuckDB oracle. */
+  def ivfTopKWithCentroids(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[Array[Double]], k: Int, nprobe: Int = 2,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(centroids.nonEmpty, "ivf needs at least one centroid")
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+    val cellStructs = centroids.zipWithIndex.map { case (ctr, cell) =>
+      struct(dist2(col("__cv"), ctr).as("d"), lit(cell).as("c"))
+    }
+    val assigned = c.withColumn("__cell",
+      (if (cellStructs.size == 1) cellStructs.head
+       else least(cellStructs: _*)).getField("c"))
 
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
-    val qCells = q.crossJoin(broadcast(centroids))
-      .withColumn("__cscore", cosine(col("__qv"), col("__centroid")))
-    val wq = Window.partitionBy("qid")
-      .orderBy(col("__cscore").desc, col("__cell").asc)
-    val probed = qCells.withColumn("__cr", row_number().over(wq))
-      .where(col("__cr") <= nprobe)
-      .select("qid", "__qv", "__cell")
+    val cosStructs = centroids.zipWithIndex.map { case (ctr, cell) =>
+      struct(cosine(col("__qv"), typedlit(ctr.toSeq)).as("s"),
+        lit(cell).as("c"))
+    }
+    // top-nprobe centroids by cosine desc, cell asc — a per-row sort of
+    // an nCentroids-long array, no window/shuffle
+    val byScoreDesc = (l: Column, r: Column) =>
+      when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .otherwise(l.getField("c") - r.getField("c"))
+    val probed = q
+      .withColumn("__pc", explode(slice(
+        array_sort(array(cosStructs: _*), byScoreDesc),
+        1, math.min(nprobe, centroids.size))))
+      .select(col("qid"), col("__qv"), col("__pc.c").as("__cell"))
 
     val scored = assigned.join(broadcast(probed), Seq("__cell"))
       .where(col("qid") =!= col("nid"))

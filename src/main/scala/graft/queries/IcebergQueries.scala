@@ -896,6 +896,72 @@ object IcebergQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Streaming ingest dedup gate ([[graft.streaming.Streams.dedupIngest]]
+    * was unit-only until now). A planted "re-crawl" stream lands in a
+    * graft table in two appends and is tailed through the graft source
+    * into the real corpus-anti-join + cross-batch `dropDuplicates`
+    * pipeline. Wave 1: exact corpus copies (the anti-join must drop all
+    * of them BEFORE state), fresh texts, and an in-batch duplicate of
+    * every fresh text (one survivor per fingerprint). Wave 2: a replay
+    * of wave 1's fresh texts (the state store must drop them) plus a
+    * second fresh wave. Output = the surviving fingerprint set, which
+    * DuckDB reproduces as the distinct planted fingerprints anti-joined
+    * against the corpus — row-identity-free, so the gate is untouched
+    * by which duplicate row `dropDuplicates` happens to keep. */
+  def i21IngestDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") < 50).select("doc_id", "text")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf21" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    var t = Table.create(cat, TableIdentifier(ns, "crawl"),
+      SchemaConverters.fromSparkSchema(base.schema), io = io)
+    def wave(idOffset: Long, suffix: String) = base.select(
+      (col("doc_id") + idOffset).as("doc_id"),
+      (if (suffix.isEmpty) col("text")
+       else concat(col("text"), lit(suffix))).as("text"))
+    t = TableOps.append(t, wave(2000000L, "") // exact corpus re-crawl
+      .unionByName(wave(3000000L, " zzq1"))   // fresh
+      .unionByName(wave(4000000L, " zzq1")))  // in-batch duplicate
+    val qn = "graft_i21_" + java.util.UUID.randomUUID.toString.take(8)
+    val stream = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns.mkString("."))
+      .option("table", "crawl")
+      .load()
+    val q = graft.streaming.Streams.dedupIngest(stream, docs)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: wave 1
+      TableOps.append(t, wave(5000000L, " zzq1") // cross-batch replay
+        .unionByName(wave(6000000L, " zzq2")))   // second fresh wave
+      q.processAllAvailable() // batch 2
+    } finally q.stop()
+    s.table(qn)
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("fp")
+  }
+
+  val i21Sql: String =
+    """WITH corpus AS (
+      |  SELECT DISTINCT
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents
+      |), w1 AS (
+      |  SELECT DISTINCT md5(lower(trim(
+      |    regexp_replace(text || ' zzq1', '\s+', ' ', 'g')))) AS fp
+      |  FROM documents WHERE doc_id < 50
+      |), w2 AS (
+      |  SELECT DISTINCT md5(lower(trim(
+      |    regexp_replace(text || ' zzq2', '\s+', ' ', 'g')))) AS fp
+      |  FROM documents WHERE doc_id < 50
+      |)
+      |SELECT fp FROM (SELECT fp FROM w1 UNION SELECT fp FROM w2)
+      |WHERE fp NOT IN (SELECT fp FROM corpus)
+      |ORDER BY fp""".stripMargin
+
   /** Global aggregates through the CatalogPlugin, answered ENTIRELY
     * from manifest statistics (complete aggregate pushdown): the plan
     * is a one-row `graft-agg` scan with zero data-file I/O at any
@@ -989,6 +1055,7 @@ object IcebergQueries {
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
     "i20_branch_wap" -> (i20BranchWap _),
+    "i21_ingest_dedup" -> (i21IngestDedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1024,5 +1091,6 @@ object IcebergQueries {
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,
     "i20_branch_wap" -> i20Sql,
+    "i21_ingest_dedup" -> i21Sql,
   )
 }

@@ -405,6 +405,186 @@ object OpsQueries {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  // ----------------------- e3b IVF planted-centroid verify (oracle)
+  private val E3bCells = 8
+  private val E3bNprobe = 3
+
+  /** Integer-LCG centroid entry for (cell, dim): the e2b portable-
+    * randomness trick with a different stride base (77), so the planted
+    * centroids are not the e2b hyperplanes. The integer is scaled to
+    * [-1, 1] (the embeddings' own range — otherwise every corpus row's
+    * Euclidean argmin would collapse into the smallest-norm cell and
+    * the gate would be trivial); integer arithmetic then one IEEE
+    * division by 1000 is bit-exact in Scala, Spark, and DuckDB. */
+  private def e3bCentroid(cell: Int, dim: Int): Double =
+    (((1103515245L * (77L + cell.toLong * 1000L + dim.toLong) + 12345L)
+      % 2001L) - 1000L).toDouble / 1000.0
+
+  /** Hash-gated companion for IVF ANN (e3 itself is seed-dependent via
+    * the KMeans fit, so it can only be rows-checked). Fixed LCG
+    * centroids bypass the fit and feed
+    * [[Similarity.ivfTopKWithCentroids]] — the REAL assignment →
+    * nprobe-probe → exact-re-rank path that [[Similarity.ivfTopK]]
+    * itself calls — against DuckDB computing the same argmin-distance
+    * cell, cosine probe ranking, and re-rank in SQL. Every step is an
+    * in-order double fold over exact inputs (float→double casts and
+    * small-integer centroids are exact), so cell assignment and both
+    * rankings agree bit-for-bit; rank-only output keeps the hash
+    * insensitive to float formatting (e1 pattern). */
+  def e3bIvfPlantedVerify(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    // bounded driver-side probe: one row, to size the centroid vectors
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    val centroids = (0 until E3bCells).map(cell =>
+      Array.tabulate(dim)(d => e3bCentroid(cell, d)))
+    Similarity.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 3),
+        centroids, k = 5, nprobe = E3bNprobe)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val e3bSql: String = {
+    // centroid entry for (cell, dim i-1) — `cell` may be a literal or a
+    // column captured by the enclosing lambda
+    def f(cell: String): String =
+      s"(CAST((((1103515245 * (77 + $cell * 1000 + (i - 1)) + 12345) % 2001) - 1000) AS DOUBLE) / 1000)"
+    val distCols = (0 until E3bCells).map { cl =>
+      s"""list_reduce(list_transform(generate_series(1, len(cv)),
+         |      i -> (cv[i] - ${f(cl.toString)}) * (cv[i] - ${f(cl.toString)})),
+         |    (acc, x) -> acc + x) AS d$cl""".stripMargin
+    }.mkString(",\n    ")
+    val dls = (0 until E3bCells).map(cl => s"d$cl").mkString(", ")
+    val argmin = (0 until E3bCells)
+      .map(cl => s"WHEN d$cl = m THEN $cl").mkString(" ")
+    def cos(a: String, b: String): String =
+      s"""(CASE WHEN sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
+         |        (acc, x) -> acc + x)) = 0
+         |      OR sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
+         |        (acc, x) -> acc + x)) = 0
+         |  THEN 0.0
+         |  ELSE list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $b[i]),
+         |        (acc, x) -> acc + x)
+         |    / (sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
+         |        (acc, x) -> acc + x))
+         |     * sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
+         |        (acc, x) -> acc + x)))
+         |  END)""".stripMargin
+    s"""WITH corpus AS (
+       |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id < 3
+       |), cells AS (
+       |  SELECT cell, list_transform(
+       |    generate_series(1, (SELECT max(len(embedding)) FROM embeddings)),
+       |    i -> CAST(${f("cell")} AS DOUBLE)) AS ctr
+       |  FROM (SELECT unnest(generate_series(0, ${E3bCells - 1})) AS cell)
+       |), dists AS (
+       |  SELECT nid, cv,
+       |    $distCols
+       |  FROM corpus
+       |), assigned AS (
+       |  SELECT nid, cv, CASE $argmin END AS cell
+       |  FROM (SELECT *, LEAST($dls) AS m FROM dists)
+       |), probes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cos("q.qv", "c.ctr")} DESC, c.cell ASC) AS cr
+       |    FROM q CROSS JOIN cells c
+       |  ) WHERE cr <= $E3bNprobe
+       |)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT p.qid, a.nid,
+       |    ROW_NUMBER() OVER (PARTITION BY p.qid
+       |      ORDER BY ${cos("p.qv", "a.cv")} DESC, a.nid ASC) AS rank
+       |  FROM probes p JOIN assigned a
+       |    ON a.cell = p.cell AND a.nid <> p.qid
+       |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  // --------------------- ccb connected-components verify (oracle)
+  /** Planted doc-id graph: chains of 10 (ids < 200, `k → k+1` except
+    * across decade boundaries), 5-cliques (ids 200–299, all pairs
+    * within `id / 5` groups), everything else singleton. Path-shaped
+    * chains exercise pointer doubling; cliques exercise min-label
+    * fan-in; singletons exercise the anti-join rejoin. Both endpoints
+    * are joined against the table so the graph adapts to any vintage's
+    * doc count. */
+  private def ccbEdges(docs: DataFrame): DataFrame = {
+    val d = docs.select("doc_id")
+    val chain = d.as("a").join(d.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1)
+      .where(col("a.doc_id") < 200 && pmod(col("a.doc_id"), lit(10)) =!= 9)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    val clique = d.as("a").join(d.as("b"),
+        floor(col("a.doc_id") / 5) === floor(col("b.doc_id") / 5) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .where(col("a.doc_id") >= 200 && col("a.doc_id") < 300)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    chain.unionByName(clique)
+  }
+
+  /** Hash-gated companion for connected components (unit-only until
+    * now — the one ops stage with no driver gate). The planted graph
+    * runs through BOTH regimes of [[Dedup.connectedComponents]] — the
+    * driver union-find (default threshold) and the distributed
+    * pointer-doubling loop (forced via `driverMaxEdges = 10`) — and
+    * each must equal DuckDB's recursive-CTE reachability closure with
+    * min-label components. Exact integer labels, so the gate is a full
+    * hash match. */
+  def ccbComponentsVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val edges = ccbEdges(docs)
+    val ids = docs.select(col("doc_id"))
+    val dist = Dedup.connectedComponents(edges, ids, driverMaxEdges = 10)
+      .withColumn("regime", lit("distributed"))
+    val drv = Dedup.connectedComponents(edges, ids)
+      .withColumn("regime", lit("driver"))
+    dist.unionByName(drv)
+      .select("regime", "id", "component")
+      .orderBy("regime", "id")
+  }
+
+  val ccbSql: String = {
+    def body(regime: String) =
+      s"""SELECT '$regime' AS regime, d.doc_id AS id,
+         |  COALESCE(c.component, d.doc_id) AS component
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+    s"""WITH RECURSIVE edges AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id < 200 AND a.doc_id % 10 <> 9
+       |  UNION ALL
+       |  SELECT a.doc_id, b.doc_id
+       |  FROM documents a JOIN documents b
+       |    ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+       |  WHERE a.doc_id >= 200 AND a.doc_id < 300
+       |), sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM edges
+       |  UNION ALL
+       |  SELECT id_b AS src, id_a AS dst FROM edges
+       |), walk AS (
+       |  SELECT src AS id, dst AS reach FROM sym
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+       |), comp AS (
+       |  SELECT id, LEAST(id, MIN(reach)) AS component
+       |  FROM walk GROUP BY id
+       |)
+       |SELECT * FROM (
+       |  ${body("distributed")}
+       |  UNION ALL
+       |  ${body("driver")}
+       |) ORDER BY regime, id""".stripMargin
+  }
+
   // ------------------------------------ d9 sequence packing (oracle)
   /** Context-window packing over the documents table: shards of 100
     * ids pack greedily into 512-token bins. Row-level gate — every
@@ -479,6 +659,8 @@ object OpsQueries {
     "e2b_bucket_determinism" -> (e2bBucketDeterminism _),
     "d7b_simhash_verify" -> (d7bSimhashVerify _),
     "e4b_embedding_dedup_verify" -> (e4bEmbeddingDedupVerify _),
+    "e3b_ivf_planted_verify" -> (e3bIvfPlantedVerify _),
+    "ccb_components_verify" -> (ccbComponentsVerify _),
     "d9_seq_pack" -> (d9SeqPack _),
     "d10_stratified_sample" -> (d10StratifiedSample _),
   )
@@ -496,6 +678,8 @@ object OpsQueries {
     "e2b_bucket_determinism" -> e2bSql,
     "d7b_simhash_verify" -> d7bSql,
     "e4b_embedding_dedup_verify" -> e4bSql,
+    "e3b_ivf_planted_verify" -> e3bSql,
+    "ccb_components_verify" -> ccbSql,
     "d9_seq_pack" -> d9Sql,
     "d10_stratified_sample" -> d10Sql,
   )

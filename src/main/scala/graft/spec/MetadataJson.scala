@@ -212,7 +212,9 @@ object MetadataJson {
       name = n.get("name").asText,
       transform = Transform.parse(n.get("transform").asText))
 
-  private def parseSortOrder(n: JsonNode): SortOrder = SortOrder(
+  /** Public: the REST layer ships sort orders as bare JSON objects
+    * (`add-sort-order` updates). */
+  def parseSortOrder(n: JsonNode): SortOrder = SortOrder(
     orderId = optNode(n, "order-id").map(_.asInt).getOrElse(0),
     fields = optNode(n, "fields").map(a => elems(a).map(f => SortField(
       sourceId = f.get("source-id").asInt,

@@ -191,6 +191,14 @@ class RestCatalogSpec extends AnyFunSuite {
                     optInt("min-snapshots-to-keep"),
                     optLong("max-snapshot-age-ms"),
                     optLong("max-ref-age-ms"))
+                case "add-sort-order" =>
+                  // spec-faithful: the order definition must ride in the
+                  // "sort-order" field or the server records nothing
+                  b += TableUpdate.AddSortOrder(
+                    MetadataJson.parseSortOrder(u.get("sort-order")))
+                case "set-default-sort-order" =>
+                  b += TableUpdate.SetDefaultSortOrder(
+                    u.get("sort-order-id").asInt)
                 case _ => ()
               }
             }
@@ -334,6 +342,42 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("sort order round-trips the wire: add-sort-order carries the " +
+      "full definition, set-default-sort-order the real id") {
+    withServer { (cat, _) =>
+      cat.createNamespace(Seq("db"))
+      val id = TableIdentifier(Seq("db"), "t")
+      cat.createTable(id, schema)
+      val order = SortOrder(1, Seq(
+        SortField(1, Transform.Identity, SortDirection.Desc,
+          NullOrder.NullsLast),
+        SortField(2, Transform.Truncate(4), SortDirection.Asc,
+          NullOrder.NullsFirst)))
+      val meta = cat.commitTable(id, Nil,
+        Seq(TableUpdate.AddSortOrder(order),
+          TableUpdate.SetDefaultSortOrder(1)))
+      // the server parsed ONLY spec vocabulary — the declared order must
+      // be applied, not flattened to unsorted
+      assert(meta.defaultSortOrderId == 1,
+        s"default order id must be 1, got ${meta.defaultSortOrderId}")
+      assert(meta.defaultSortOrder == order,
+        s"order must round-trip intact, got ${meta.defaultSortOrder}")
+      // WIRE assertions: real fields and the real id on the body
+      val ups = SchemaJson.parseTree(lastCommitBody.get()).get("updates")
+      val actions = (0 until ups.size)
+        .map(i => ups.get(i).get("action").asText)
+      assert(actions == Seq("add-sort-order", "set-default-sort-order"),
+        s"actions: $actions")
+      val so = ups.get(0).get("sort-order")
+      assert(so.get("order-id").asInt == 1)
+      assert(so.get("fields").size == 2)
+      assert(so.get("fields").get(0).get("direction").asText == "desc")
+      assert(so.get("fields").get(0).get("null-order").asText == "nulls-last")
+      assert(so.get("fields").get(1).get("transform").asText == "truncate[4]")
+      assert(ups.get(1).get("sort-order-id").asInt == 1)
+    }
+  }
+
   test("OAuth2 client_credentials: token fetched, attached, refreshed " +
       "on expiry (rest.go:455-476 parity)") {
     val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -382,6 +426,49 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(cat.listNamespaces().isEmpty)
       assert(fetches.get() >= 2,
         "expired token must be refreshed before the next call")
+    } finally server.stop(0)
+  }
+
+  test("server-side token revocation: 401 invalidates the cached " +
+      "bearer and the request retries once with a fresh token") {
+    val fetches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val revoked = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { (ex: HttpExchange) =>
+      def reply(code: Int, s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      }
+      ex.getRequestURI.getPath match {
+        case "/v1/oauth/tokens" =>
+          val n = fetches.incrementAndGet()
+          // long-lived tokens: the client will NOT refresh on its own
+          reply(200, s"""{"access_token": "tok-$n", "token_type": "bearer",
+            |"expires_in": 3600}""".stripMargin)
+        case "/v1/namespaces" =>
+          val auth = Option(ex.getRequestHeaders.getFirst("Authorization"))
+            .getOrElse("")
+          if (auth == s"Bearer ${revoked.get()}") reply(401, "revoked")
+          else if (auth.startsWith("Bearer tok-"))
+            reply(200, """{"namespaces": []}""")
+          else reply(401, "no token")
+        case p => reply(404, s"no route: $p")
+      }
+    })
+    server.start()
+    try {
+      val cat = new RestCatalog(
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+        token = None, warehouse = None, credential = Some("cid"))
+      assert(cat.listNamespaces().isEmpty)
+      assert(fetches.get() == 1)
+      // revoke tok-1 server-side, well before its client-side expiry
+      revoked.set("tok-1")
+      assert(cat.listNamespaces().isEmpty,
+        "revoked token must refresh + retry, not fail")
+      assert(fetches.get() == 2, "exactly one re-fetch on 401")
     } finally server.stop(0)
   }
 

@@ -212,6 +212,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 
+  test("IVF with planted centroids at cluster centers matches brute force") {
+    // centroids = the true cluster directions, nprobe=1: every query's
+    // candidates are exactly its own cluster, where all its true
+    // neighbors live — so the shared assignment/probe/re-rank path
+    // (ivfTopKWithCentroids, the stage ivfTopK delegates to and e3b
+    // hash-gates) must reproduce brute force exactly
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    val df = clustered
+    val qs = df.filter(col("vec_id") < 4)
+    val exact = Similarity.bruteForceTopK(df, qs, k = 5)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val ivf = Similarity.ivfTopKWithCentroids(df, qs,
+        centers.toSeq.map(_.map(_.toDouble)), k = 5, nprobe = 1)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == exact, s"ivf=$ivf exact=$exact")
+  }
+
   test("IVF row-count hint skips the counting pre-pass, same results") {
     val df = clustered
     val qs = df.filter(col("vec_id") < 4)
