@@ -188,12 +188,30 @@ class RestCatalog(
 
   // ------------------------------------------------------- namespaces
 
-  override def listNamespaces(): Seq[Seq[String]] = {
-    val n = getJson(s"$base/namespaces")
-    Option(n.get("namespaces")).map { arr =>
-      elems(arr).map(e => elems(e).map(_.asText).toSeq).toSeq
-    }.getOrElse(Nil)
+  /** Follow `next-page-token` until the server stops returning one —
+    * the REST spec's list pagination (large real catalogs page their
+    * listings; a server that doesn't paginate simply omits the token
+    * and the loop runs once). */
+  private def paged[A](uri: String, parse: JsonNode => Seq[A]): Seq[A] = {
+    val out = Seq.newBuilder[A]
+    var token: Option[String] = None
+    var done = false
+    while (!done) {
+      val q = token.map(t => s"?pageToken=${enc(t)}").getOrElse("")
+      val n = getJson(uri + q)
+      out ++= parse(n)
+      token = Option(n.get("next-page-token")).filterNot(_.isNull)
+        .map(_.asText).filter(_.nonEmpty)
+      done = token.isEmpty
+    }
+    out.result()
   }
+
+  override def listNamespaces(): Seq[Seq[String]] =
+    paged(s"$base/namespaces", n =>
+      Option(n.get("namespaces")).map { arr =>
+        elems(arr).map(e => elems(e).map(_.asText).toSeq).toSeq
+      }.getOrElse(Nil))
 
   private def elems(n: JsonNode): Iterator[JsonNode] = {
     val it = n.elements()
@@ -259,16 +277,15 @@ class RestCatalog(
 
   // ------------------------------------------------------------ tables
 
-  override def listTables(ns: Seq[String]): Seq[TableIdentifier] = {
-    val n = getJson(s"$base/namespaces/${nsPath(ns)}/tables")
-    Option(n.get("identifiers")).map { arr =>
-      elems(arr).map { e =>
-        TableIdentifier(
-          elems(e.get("namespace")).map(_.asText).toSeq,
-          e.get("name").asText)
-      }.toSeq
-    }.getOrElse(Nil)
-  }
+  override def listTables(ns: Seq[String]): Seq[TableIdentifier] =
+    paged(s"$base/namespaces/${nsPath(ns)}/tables", n =>
+      Option(n.get("identifiers")).map { arr =>
+        elems(arr).map { e =>
+          TableIdentifier(
+            elems(e.get("namespace")).map(_.asText).toSeq,
+            e.get("name").asText)
+        }.toSeq
+      }.getOrElse(Nil))
 
   override def createTable(id: TableIdentifier, schema: Schema,
       spec: PartitionSpec, sortOrder: SortOrder,

@@ -151,10 +151,17 @@ object Dedup {
 
   /** Verified near-duplicate edges: LSH candidates filtered by true
     * Jaccard over shingle sets. EAGER like [[minhashCandidates]] — the
-    * verified edge list is even smaller than the candidate set. */
+    * verified edge list is even smaller than the candidate set.
+    *
+    * `emitJaccard = false` drops the exact-Jaccard column from the
+    * OUTPUT (graph callers like [[minhashDedup]] never read it, and the
+    * materialized edge list is then two ids narrower); the verify
+    * filter always computes it. When emitted, the value is an integer
+    * set-size division in double — bit-reproducible by any engine
+    * (oracle-gated in d6b_jaccard_verify). */
   def minhashEdges(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, emitJaccard: Boolean = true): DataFrame = {
     val cands = minhashCandidates(df, textCol, idCol, numHashes, bands)
     // cached for the same stage-isolation reason as the banded frame
     // (both verify joins read it; keeps the shingle expression out of
@@ -170,11 +177,10 @@ object Dedup {
         .withColumnRenamed("__sh", "__sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .where(col("jaccard") >= threshold)
-      // exact Jaccard rides along: integer set sizes divided in double,
-      // so the value is bit-reproducible by any engine (oracle-gated in
-      // d6b_jaccard_verify); graph callers just drop the column
-      .select("id_a", "id_b", "jaccard")
-    materializeAndRelease(edges, sh)
+    val out =
+      if (emitJaccard) edges.select("id_a", "id_b", "jaccard")
+      else edges.select("id_a", "id_b")
+    materializeAndRelease(out, sh)
   }
 
   /** Connected components over a near-dup edge list. Returns
@@ -340,7 +346,8 @@ object Dedup {
   def minhashDedup(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val edges = minhashEdges(df, textCol, idCol, numHashes, bands, threshold)
+    val edges = minhashEdges(df, textCol, idCol, numHashes, bands, threshold,
+      emitJaccard = false) // graph caller: ids only
     val comps = connectedComponents(edges, df.select(col(idCol)))
     val w = Window.partitionBy("component").orderBy(col("id").asc)
     val keep = comps.withColumn("__rn", row_number().over(w))

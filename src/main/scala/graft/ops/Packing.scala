@@ -66,10 +66,13 @@ object Packing {
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
       quota: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // collision-free working column — never clobber a user column
+    val rk = Iterator.from(0).map(i => s"__graft_rk$i")
+      .find(n => !df.columns.contains(n)).get
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= quota)
-      .drop("__rk")
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= quota)
+      .drop(rk)
   }
 }

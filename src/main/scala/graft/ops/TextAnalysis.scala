@@ -10,6 +10,34 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  // ---------------------------------------------------- PII scrubbing
+  //
+  // Patterns are deliberately in the regex subset where Java's engine
+  // and RE2 (DuckDB) agree — character classes, bounded repetition,
+  // ASCII word boundaries; no backreferences or lookaround — so the
+  // redaction is engine-portable and d11's oracle can hash-gate it.
+  /** Email addresses (conservative: local@domain.tld). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  /** NANP-style phone numbers: 3-3-4 digit groups with -/. separators. */
+  val PhoneRe = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+  /** Dotted-quad IPv4 literals. */
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact PII with typed placeholders — the standard scrub pass a
+    * training corpus takes before tokenization. Emails first (their
+    * digit runs could otherwise be chewed up by the phone/IP passes),
+    * then phones, then IPs; per-row codegen, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Count of non-overlapping matches of `re` in the ORIGINAL text. */
+  def piiCount(text: Column, re: String): Column =
+    regexp_count(text, lit(re)).cast("long")
+
   /** Whitespace token count, robust to empty/blank strings. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))

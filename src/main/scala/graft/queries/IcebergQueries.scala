@@ -896,6 +896,90 @@ object IcebergQueries {
       .orderBy("l_returnflag")
   }
 
+  /** Evolution INSIDE a list element type (`tags.element.*` — the
+    * SchemaUpdate walker's `element` path step): the table nests
+    * tags = list<struct<a, b, n:int>> over lineitem (two elements per
+    * row), then renames tags.element.a→qty, ADDS tags.element.c, and
+    * PROMOTES tags.element.n int→long; pre- and post-evolution files
+    * coexist. Pre-evolution files must read with renamed leaves
+    * resolved by id, added leaves null-filled PER ELEMENT, and int32
+    * element physicals widened to long. */
+  private def listEvolvedTable(spark: SparkSession, sfDir: String): Table =
+    cache.getOrElseUpdate(s"li22:$sfDir", {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def elem(qty: org.apache.spark.sql.Column, long: Boolean,
+          withC: Boolean) = {
+        val n = if (long) col("l_linenumber").cast("long")
+          else col("l_linenumber")
+        val base = Seq(qty.as(if (withC) "qty" else "a"),
+          col("l_extendedprice").as("b"), n.as("n"))
+        struct((if (withC)
+          base :+ (col("l_extendedprice") * 2).as("c") else base): _*)
+      }
+      val pre = df.filter(col("l_linenumber") <= 3).select(
+        col("l_orderkey"), col("l_linenumber").as("ln"),
+        array(elem(col("l_quantity"), long = false, withC = false),
+          elem(col("l_quantity") + 1, long = false, withC = false))
+          .as("tags"))
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sf22" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      var t = Table.create(cat, TableIdentifier(ns, "lineitem_tags"),
+        SchemaConverters.fromSparkSchema(pre.schema), io = io)
+      t = TableOps.append(t, pre)
+      t = t.updateSchema()
+        .renameColumnAt(Seq("tags", "element", "a"), "qty")
+        .addNestedColumn(Seq("tags", "element", "c"), graft.spec.DoubleType)
+        .updateColumnTypeAt(Seq("tags", "element", "n"),
+          graft.spec.LongType)
+        .commit()
+      val post = df.filter(col("l_linenumber") > 3).select(
+        col("l_orderkey"), col("l_linenumber").as("ln"),
+        array(elem(col("l_quantity"), long = true, withC = true),
+          elem(col("l_quantity") + 1, long = true, withC = true))
+          .as("tags"))
+      TableOps.append(t, post)
+    })
+
+  private def flattenTags(tagged: DataFrame): DataFrame =
+    tagged
+      .select(col("l_orderkey"), col("ln"),
+        posexplode(col("tags")).as(Seq("pos", "tag")))
+      .select(col("l_orderkey"), col("ln"), col("pos"),
+        col("tag.qty").as("qty"), col("tag.c").as("c"),
+        col("tag.n").as("n"))
+      .orderBy("l_orderkey", "ln", "pos")
+
+  /** DSv2 read of the list-evolved table (requestType/promotionFree
+    * recursion through ArrayType). */
+  def i22ListEvolution(s: SparkSession, dir: String): DataFrame = {
+    listEvolvedTable(s, dir)
+    flattenTags(s.read.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", "sf22" + dir.replaceAll("[^0-9a-zA-Z]", "_"))
+      .option("table", "lineitem_tags")
+      .load())
+  }
+
+  /** The same content through the Scan API's remapExpr (the
+    * transform()-based element remap) — the other read path. */
+  def i22ListEvolutionScan(s: SparkSession, dir: String): DataFrame =
+    flattenTags(Scan(listEvolvedTable(s, dir), s).toDF)
+
+  val i22Sql: String = {
+    def half(pos: Int, qty: String) =
+      s"""SELECT l_orderkey, l_linenumber AS ln, $pos AS pos,
+         |  $qty AS qty,
+         |  CASE WHEN l_linenumber > 3 THEN l_extendedprice * 2 END AS c,
+         |  CAST(l_linenumber AS BIGINT) AS n
+         |FROM lineitem""".stripMargin
+    s"""SELECT * FROM (
+       |  ${half(0, "l_quantity")}
+       |  UNION ALL
+       |  ${half(1, "l_quantity + 1")}
+       |) ORDER BY l_orderkey, ln, pos""".stripMargin
+  }
+
   /** Streaming ingest dedup gate ([[graft.streaming.Streams.dedupIngest]]
     * was unit-only until now). A planted "re-crawl" stream lands in a
     * graft table in two appends and is tailed through the graft source
@@ -1056,6 +1140,8 @@ object IcebergQueries {
     "i19_nested_promotion" -> (i19NestedPromotion _),
     "i20_branch_wap" -> (i20BranchWap _),
     "i21_ingest_dedup" -> (i21IngestDedup _),
+    "i22_list_evolution" -> (i22ListEvolution _),
+    "i22_list_evolution_scan" -> (i22ListEvolutionScan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1092,5 +1178,7 @@ object IcebergQueries {
     "i19_nested_promotion" -> i19cSql,
     "i20_branch_wap" -> i20Sql,
     "i21_ingest_dedup" -> i21Sql,
+    "i22_list_evolution" -> i22Sql,
+    "i22_list_evolution_scan" -> i22Sql,
   )
 }

@@ -251,22 +251,26 @@ object OpsQueries {
 
   // ------------------------------ d6b exact-Jaccard verify (oracle)
   /** Hash-gated companion for the MinHash family (the d6 pipeline is
-    * seed-dependent, so it can only be rows-checked). A planted corpus
-    * — every document plus a 3-token-suffixed near-duplicate — runs
-    * the REAL pipeline: LSH banding → candidate pairs → exact-Jaccard
-    * verify. The emitted edges (ids AND Jaccard values) must equal
-    * DuckDB's all-pairs exact Jaccard at the same threshold: precision
-    * is enforced by the exact verify stage; recall holds because every
-    * qualifying pair has J ≥ 0.8, where the 16-band/4-row collision
-    * probability is 1 − (1 − 0.8⁴)¹⁶ ≈ 0.9998 per pair — and the
-    * corpus and seeds are fixed, so the outcome is deterministic. */
+    * seed-dependent, so it can only be rows-checked). Every document
+    * plus an EXACT copy runs the REAL pipeline — LSH banding →
+    * candidate pairs → exact-Jaccard verify — and the emitted planted
+    * edges (ids AND Jaccard values) must equal DuckDB's restricted
+    * all-pairs exact Jaccard. Both sides keep only the planted pair
+    * space (`id_b = id_a + 1000000`), where recall is STRUCTURAL:
+    * identical texts give identical shingle sets, identical minhash
+    * signatures, and therefore share every band — no banding-miss
+    * probability rides on the gate, so a testdata vintage can never
+    * flip it via a naturally-occurring pair that sits just above the
+    * threshold (those have ≈2·10⁻⁴ miss probability per pair and are
+    * excluded from BOTH sides). Near-dup (J < 1) recall behavior stays
+    * covered by d6's rows gate and the recall units. */
   def d6bJaccardVerify(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select("doc_id", "text")
     val planted = docs.unionByName(docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
     Dedup.minhashEdges(planted, "text", "doc_id",
         numHashes = 64, bands = 16, threshold = 0.8)
+      .where(col("id_b") === col("id_a") + 1000000L)
       .orderBy("id_a", "id_b")
   }
 
@@ -274,8 +278,7 @@ object OpsQueries {
     """WITH planted AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 1000000 AS doc_id,
-      |         text || ' zz0 zz1 zz2' AS text FROM documents
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
       |), toks AS (
       |  SELECT doc_id,
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
@@ -292,7 +295,7 @@ object OpsQueries {
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_intersect(a.sh, b.sh))::DOUBLE
       |      / len(list_distinct(a.sh || b.sh)) AS jaccard
-      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
       |) WHERE jaccard >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
@@ -341,16 +344,19 @@ object OpsQueries {
   // ------------------- e4b embedding-dedup exact-verify (oracle)
   /** Hash-gated companion for embedding near-dedup: embeddings plus
     * exact copies run the REAL pipeline — hyperplane-LSH bucket
-    * self-join, then exact-cosine verify at 0.999. Identical vectors
-    * get identical signatures (recall 1 by construction, independent of
-    * the hash family), and distinct random 64-d vectors sit far below
-    * the threshold, so the emitted pairs equal DuckDB's all-pairs
-    * exact-cosine filter. */
+    * self-join, then exact-cosine verify at 0.999. Both sides keep
+    * only the planted pair space (`id_b = id_a + 1000000`), where
+    * recall is structural: identical vectors get identical signatures
+    * regardless of the hash family. A naturally near-parallel vector
+    * pair in some future testdata vintage (whose bucket collision IS
+    * probabilistic) therefore can't flip the gate — it is excluded
+    * from both sides. */
   def e4bEmbeddingDedupVerify(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
     val planted = emb.unionByName(emb.select(
       (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
     Dedup.embeddingEdges(planted, planes = 16, threshold = 0.999)
+      .where(col("id_b") === col("id_a") + 1000000L)
       .orderBy("id_a", "id_b")
   }
 
@@ -361,7 +367,7 @@ object OpsQueries {
       |  SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
       |)
       |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      |FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+      |FROM planted a JOIN planted b ON b.vec_id = a.vec_id + 1000000
       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                             CAST(b.embedding AS DOUBLE[])) >= 0.999
       |ORDER BY id_a, id_b""".stripMargin
@@ -641,6 +647,59 @@ object OpsQueries {
       |  FROM documents
       |) WHERE rk <= 30 ORDER BY lang, doc_id""".stripMargin
 
+  // ------------------------------------ d11 PII redaction (oracle)
+  /** PII scrub gate: every document gets a planted contact trailer
+    * (email + phone + IPv4 derived from its id), then the REAL
+    * [[TextAnalysis.redactPii]]/[[TextAnalysis.piiCount]] pass runs and
+    * the per-doc match counts and redacted-text digest must equal
+    * DuckDB running the same RE2-safe patterns. Counts are on the
+    * original text; redaction order (email → phone → IP) is fixed, so
+    * both engines transform identically even where the lorem corpus
+    * happens to contain accidental matches. */
+  def d11PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-867-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"), lit(".7"))
+        .as("text"))
+    planted.select(col("doc_id"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.EmailRe)
+          .as("n_email"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.PhoneRe)
+          .as("n_phone"),
+        TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Re)
+          .as("n_ip"),
+        md5(TextAnalysis.redactPii(col("text"))).as("red_fp"))
+      .orderBy("doc_id")
+  }
+
+  val d11Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\d{3}[-.]\\d{3}[-.]\\d{4}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com or 555-867-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+       |      AS text
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(text, '$email')) AS n_email,
+       |  len(regexp_extract_all(text, '$phone')) AS n_phone,
+       |  len(regexp_extract_all(text, '$ip')) AS n_ip,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$email', '<EMAIL>', 'g'),
+       |    '$phone', '<PHONE>', 'g'),
+       |    '$ip', '<IP>', 'g')) AS red_fp
+       |FROM planted ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -663,6 +722,7 @@ object OpsQueries {
     "ccb_components_verify" -> (ccbComponentsVerify _),
     "d9_seq_pack" -> (d9SeqPack _),
     "d10_stratified_sample" -> (d10StratifiedSample _),
+    "d11_pii_redact" -> (d11PiiRedact _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -682,5 +742,6 @@ object OpsQueries {
     "ccb_components_verify" -> ccbSql,
     "d9_seq_pack" -> d9Sql,
     "d10_stratified_sample" -> d10Sql,
+    "d11_pii_redact" -> d11Sql,
   )
 }

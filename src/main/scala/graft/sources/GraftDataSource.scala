@@ -257,18 +257,24 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   * V1 write capability so `DataFrameWriter.save` routes to
   * [[GraftDataSource.createRelation]], which performs the actual
   * create + write. Every other use fails with the original
-  * table-not-found error. */
+  * table-not-found error — including reads: BATCH_READ is advertised
+  * (a user-specified schema makes Spark reach getTable with a read in
+  * mind) precisely so the scan builder can throw `notFound` instead of
+  * Spark's generic "table does not support reads" capability error. */
 private[sources] class GraftMissingTable(
     opts: CaseInsensitiveStringMap, sparkSchema: StructType,
     notFound: graft.catalog.NoSuchTableException)
-    extends ConnectorTable
+    extends ConnectorTable with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String =
     s"${opts.get("namespace")}.${opts.get("table")} (missing)"
   override def schema(): StructType = sparkSchema
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.V1_BATCH_WRITE,
+    Set(TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_READ,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    throw notFound
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -780,10 +786,13 @@ private[sources] object BatchPlanning {
     * rebuild from the PRUNED fields, each mapped by current name →
     * field id → file field — file names, pruned order, inner fields
     * added since the file null-filled by requesting a name guaranteed
-    * absent from the file. Non-struct requests pass `pruned` through:
-    * array/map element evolution is not expressible by SchemaUpdate,
-    * so inside them file names equal current names and a by-name
-    * pruned request is already correct. */
+    * absent from the file. List elements and map entries recurse (the
+    * parquet reader clips nested requests by name through repeated
+    * levels exactly as it does through groups), so evolution inside
+    * `list<struct>` / `map<k, struct>` aligns too. Primitive leaves
+    * pass `pruned` through — requesting the CURRENT (possibly wider)
+    * leaf type under the file's name makes the reader widen promoted
+    * physicals in place. */
   private[sources] def requestType(
       pruned: org.apache.spark.sql.types.DataType,
       qt: graft.spec.IcebergType, ft: graft.spec.IcebergType)
@@ -808,6 +817,14 @@ private[sources] object BatchPlanning {
                 "for a pre-evolution file")
           }
         })
+      case (pa: org.apache.spark.sql.types.ArrayType,
+          graft.spec.ListType(_, qe, _), graft.spec.ListType(_, fe, _)) =>
+        pa.copy(elementType = requestType(pa.elementType, qe, fe))
+      case (pm: org.apache.spark.sql.types.MapType,
+          graft.spec.MapType(_, qk, _, qv, _),
+          graft.spec.MapType(_, fk, _, fv, _)) =>
+        pm.copy(keyType = requestType(pm.keyType, qk, fk),
+          valueType = requestType(pm.valueType, qv, fv))
       case _ => pruned
     }
 
@@ -829,6 +846,16 @@ private[sources] object BatchPlanning {
               promotionFree(pf.dataType, qf.fieldType, ff.fieldType))
           }
         }
+      case (pa: org.apache.spark.sql.types.ArrayType,
+          graft.spec.ListType(_, qe, _), graft.spec.ListType(_, fe, _)) =>
+        // recurse so rename/add/drop INSIDE a list element (whose Spark
+        // types differ only by inner names) keeps columnar eligibility
+        promotionFree(pa.elementType, qe, fe)
+      case (pm: org.apache.spark.sql.types.MapType,
+          graft.spec.MapType(_, qk, _, qv, _),
+          graft.spec.MapType(_, fk, _, fv, _)) =>
+        promotionFree(pm.keyType, qk, fk) &&
+          promotionFree(pm.valueType, qv, fv)
       case _ =>
         SchemaConverters.toSparkType(ft) == SchemaConverters.toSparkType(qt)
     }

@@ -86,7 +86,9 @@ final case class TableMetadata(
   def addSnapshotOnly(snap: Snapshot): TableMetadata = copy(
     snapshots = snapshots :+ snap,
     lastSequenceNumber = math.max(lastSequenceNumber, snap.sequenceNumber),
-    lastUpdatedMs = snap.timestampMs)
+    // clamp like the ref-update path: a writer with a skewed-behind
+    // clock must not move the table's last-updated time backwards
+    lastUpdatedMs = math.max(lastUpdatedMs, snap.timestampMs))
 
   /** Adds the snapshot and advances `branch` to it. Only `main` moves
     * `currentSnapshotId` and the snapshot log (both follow main, as in

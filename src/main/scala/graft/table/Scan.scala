@@ -617,9 +617,13 @@ object Scan {
     * schema's type (`qt`) BY FIELD ID. Struct pairs rebuild
     * recursively — inner renames take the query name, inner drops
     * vanish, inner adds null-fill — with the parent's null-ness
-    * preserved (a struct() of nulls is not a null struct). Non-struct
-    * pairs cast (covers type promotion; positional struct casts inside
-    * array/map elements still handle pure renames there). */
+    * preserved (a struct() of nulls is not a null struct). List
+    * elements and map values recurse through `transform` /
+    * `map_from_arrays` (all codegen'd built-ins), so evolution INSIDE
+    * `list<struct>` / `map<k, struct>` — add/drop/rename/promote on an
+    * element leaf — remaps too; map keys only ever cast (they are
+    * frozen by [[SchemaUpdate]]). Non-struct pairs cast (covers type
+    * promotion). */
   private[table] def remapExpr(parent: org.apache.spark.sql.Column,
       qt: IcebergType, ft: IcebergType): org.apache.spark.sql.Column = {
     val sparkQt = graft.spec.SchemaConverters.toSparkType(qt)
@@ -639,6 +643,20 @@ object Scan {
         }
         when(parent.isNull, lit(null).cast(sparkQt))
           .otherwise(org.apache.spark.sql.functions.struct(inner: _*))
+      case (ListType(_, qe, _), ListType(_, fe, _)) =>
+        // transform() yields null on null input, preserving list
+        // null-ness without an explicit guard
+        org.apache.spark.sql.functions.transform(parent,
+          x => remapExpr(x, qe, fe))
+      case (MapType(_, qk, _, qv, _), MapType(_, fk, _, fv, _)) =>
+        when(parent.isNull, lit(null).cast(sparkQt))
+          .otherwise(org.apache.spark.sql.functions.map_from_arrays(
+            org.apache.spark.sql.functions.transform(
+              org.apache.spark.sql.functions.map_keys(parent),
+              k => remapExpr(k, qk, fk)),
+            org.apache.spark.sql.functions.transform(
+              org.apache.spark.sql.functions.map_values(parent),
+              v => remapExpr(v, qv, fv))))
       case _ => parent.cast(sparkQt)
     }
   }

@@ -77,9 +77,10 @@ final class SchemaUpdate(table: Table) {
   // schema's order), so pre-evolution files read correctly. Nested
   // type PROMOTION (updateColumnTypeAt) rides the same by-id remap:
   // the scan casts the file's narrower physical type up to the current
-  // leaf type. Paths descend STRUCTS only — evolution inside array/map
-  // element types is not expressible here and stays rejected by
-  // mapStruct.
+  // leaf type. Paths descend structs by child NAME and step into list
+  // elements / map values via the spec's canonical `element` / `value`
+  // segments (`tags.element.name` evolves a `list<struct>` leaf); map
+  // KEYS are equality identities and stay frozen.
 
   /** Add a column at a dotted path, e.g. `Seq("info", "age")` adds
     * `age` inside struct `info`. Allocates a fresh field id. */
@@ -168,14 +169,34 @@ final class SchemaUpdate(table: Table) {
       case head +: rest =>
         val f = fs.find(_.name == head).getOrElse(
           throw new IllegalArgumentException(s"no column $head"))
-        f.fieldType match {
-          case StructType(children) =>
-            val updated =
-              f.copy(fieldType = StructType(mapStruct(children, rest)(change)))
-            fs.map(x => if (x.name == head) updated else x)
-          case other => throw new IllegalArgumentException(
-            s"$head is $other, not a struct — cannot evolve inside it")
-        }
+        val updated = f.copy(fieldType = mapTypeAt(f.fieldType, head,
+          rest)(change))
+        fs.map(x => if (x.name == head) updated else x)
+    }
+
+  /** Walk one field's TYPE toward the target struct: structs consume
+    * the next segment as a child name (via [[mapStruct]]); `element` /
+    * `value` step into a list element or map value, so chains like
+    * `tags.element.name` or `attrs.value.element.x` resolve. Map keys
+    * are deliberately unreachable: key bytes are the map's equality
+    * identity in every file, so evolving them would corrupt lookups in
+    * pre-evolution files. */
+  private def mapTypeAt(t: IcebergType, at: String, path: Seq[String])(
+      change: Seq[NestedField] => Seq[NestedField]): IcebergType =
+    (t, path) match {
+      case (StructType(children), _) =>
+        StructType(mapStruct(children, path)(change))
+      case (lt: ListType, "element" +: rest) =>
+        lt.copy(element =
+          mapTypeAt(lt.element, s"$at.element", rest)(change))
+      case (mt: MapType, "value" +: rest) =>
+        mt.copy(value = mapTypeAt(mt.value, s"$at.value", rest)(change))
+      case (_: MapType, "key" +: _) =>
+        throw new IllegalArgumentException(
+          s"cannot evolve inside $at.key: map keys are the map's " +
+            "equality identity and are frozen")
+      case (other, _) => throw new IllegalArgumentException(
+        s"$at is $other, not a struct — cannot evolve inside it")
     }
 
   def commit(): Table =

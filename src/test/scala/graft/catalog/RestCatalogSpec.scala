@@ -472,6 +472,51 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("list pagination follows next-page-token to the last page") {
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    val tables = (1 to 5).map(i => s"t$i")
+    server.createContext("/", { (ex: HttpExchange) =>
+      def reply(code: Int, s: String): Unit = {
+        val b = s.getBytes(UTF_8)
+        ex.sendResponseHeaders(code, if (b.isEmpty) -1 else b.length)
+        if (b.nonEmpty) ex.getResponseBody.write(b)
+        ex.close()
+      }
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val page = q.split("&").collectFirst {
+        case p if p.startsWith("pageToken=") => p.stripPrefix("pageToken=")
+      }.map(_.toInt).getOrElse(0)
+      ex.getRequestURI.getPath match {
+        case "/v1/namespaces/db/tables" =>
+          // two tables per page, three pages
+          val slice = tables.slice(page * 2, page * 2 + 2)
+          val ids = slice.map(t =>
+            s"""{"namespace": ["db"], "name": "$t"}""")
+            .mkString("[", ",", "]")
+          val next =
+            if ((page + 1) * 2 < tables.length)
+              s""", "next-page-token": "${page + 1}""""
+            else ""
+          reply(200, s"""{"identifiers": $ids$next}""")
+        case "/v1/namespaces" =>
+          // one namespace per page, two pages
+          val all = Seq("""["db"]""", """["db2"]""")
+          val next = if (page == 0) s""", "next-page-token": "1"""" else ""
+          reply(200, s"""{"namespaces": [${all(page)}]$next}""")
+        case p => reply(404, s"no route: $p")
+      }
+    })
+    server.start()
+    try {
+      val cat = new RestCatalog(
+        s"http://127.0.0.1:${server.getAddress.getPort}",
+        token = Some("tok"))
+      assert(cat.listTables(Seq("db")).map(_.name) == tables,
+        "all three pages must be drained in order")
+      assert(cat.listNamespaces() == Seq(Seq("db"), Seq("db2")))
+    } finally server.stop(0)
+  }
+
   test("namespace properties round-trip (catalog.go:27-31 parity)") {
     withServer { (cat, _) =>
       cat.createNamespace(Seq("propsns"),

@@ -63,6 +63,31 @@ class DedupSpec extends AnyFunSuite {
     (5L, "  The Quick  Brown fox jumps over the lazy dog again today")) // ws/case dup of 1
     .toDF("doc_id", "text")
 
+  test("PII redaction replaces emails, phones, IPs with placeholders") {
+    val df = Seq(
+      ("mail me at bob.smith+x@corp.example.org today",
+        "mail me at <EMAIL> today"),
+      ("call 555-867-5309 or 555.123.4567 now",
+        "call <PHONE> or <PHONE> now"),
+      ("host 192.168.0.1 and 10.0.42.7 up",
+        "host <IP> and <IP> up"),
+      ("clean text, no pii at all", "clean text, no pii at all"),
+      // short digit groups must not trip the 3-3-4 phone pattern
+      ("reach a@b.co via 1-2-3", "reach <EMAIL> via 1-2-3"))
+      .toDF("text", "expected")
+    val got = df.select(TextAnalysis.redactPii(col("text")).as("r"),
+      col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}' want '${r.getString(1)}'"))
+    val counts = df.select(
+      TextAnalysis.piiCount(col("text"), TextAnalysis.EmailRe),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.PhoneRe),
+      TextAnalysis.piiCount(col("text"), TextAnalysis.Ipv4Re))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(counts.toSeq == Seq((1L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 2L),
+      (0L, 0L, 0L), (1L, 0L, 0L)), s"counts: ${counts.toSeq}")
+  }
+
   test("exact dedup keeps min id per normalized text") {
     val kept = Dedup.exact(docs).select("doc_id")
       .collect().map(_.getLong(0)).toSet

@@ -216,6 +216,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER inside list elements and map values; map keys frozen") {
+    withCatalog("nestlist") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, " +
+        "tags ARRAY<STRUCT<name: STRING, n: INT>>, " +
+        "attrs MAP<STRING, STRUCT<v: INT>>)")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, " +
+        "array(named_struct('name', 'a', 'n', 7)), " +
+        "map('k1', named_struct('v', 5)))")
+      // rename + add + promote INSIDE the list element; pre-evolution
+      // files must read renamed-by-id, null-fill per element, and
+      // widen the int32 element physicals
+      spark.sql(s"ALTER TABLE $c.db.t RENAME COLUMN tags.element.name TO nm")
+      spark.sql(s"ALTER TABLE $c.db.t ADD COLUMN tags.element.score DOUBLE")
+      spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN tags.element.n TYPE BIGINT")
+      // and inside the map VALUE struct
+      spark.sql(s"ALTER TABLE $c.db.t ALTER COLUMN attrs.value.v TYPE BIGINT")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (2, " +
+        "array(named_struct('nm', 'b', 'n', CAST(123456789012 AS BIGINT), " +
+        "'score', 1.5)), " +
+        "map('k2', named_struct('v', CAST(223456789012 AS BIGINT))))")
+      val got = spark.sql(
+        s"SELECT id, tags[0].nm, tags[0].n, tags[0].score, " +
+          s"map_values(attrs)[0].v FROM $c.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3), r.getLong(4)))
+      assert(got.toSeq == Seq((1L, "a", 7L, -1.0, 5L),
+        (2L, "b", 123456789012L, 1.5, 223456789012L)),
+        s"list-element / map-value evolution must read across " +
+          s"generations, got ${got.toSeq}")
+      // map KEYS are the map's equality identity — evolution refused
+      intercept[Exception] {
+        spark.sql(s"ALTER TABLE $c.db.t ADD COLUMN attrs.key.extra INT")
+      }
+    }
+  }
+
   test("unsupported type changes are rejected loudly") {
     withCatalog("badtype") { (c, _) =>
       spark.sql(s"CREATE NAMESPACE $c.db")

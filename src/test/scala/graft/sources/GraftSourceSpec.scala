@@ -948,6 +948,26 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("branch"))
   }
 
+  test("reading a missing table with a user schema fails with " +
+      "table-not-found, not a capability error") {
+    val dir = Files.createTempDirectory("graft-src-miss-").toString
+    new LocalCatalog(dir).createNamespace(Seq("db"))
+    // a user-specified schema skips inferSchema, so Spark reaches the
+    // missing-table placeholder with a READ — the original not-found
+    // must surface, not "table does not support reads"
+    val e = intercept[Exception] {
+      spark.read.format("graft")
+        .schema("event_id BIGINT")
+        .option("warehouse", dir).option("namespace", "db")
+        .option("table", "nope").load().collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(
+      _.isInstanceOf[graft.catalog.NoSuchTableException]),
+      s"expected NoSuchTableException in the cause chain, got: $e")
+  }
+
   test("user-specified read schema: subset allowed, unknown names loud") {
     val (t0, dir, name) = mkTable("uschema")
     TableOps.append(t0, batch(1 to 5))

@@ -108,4 +108,46 @@ class EvolutionSpec extends AnyFunSuite {
     assert(contacts == (1 to 5).map(i => s"u$i@x.com").toSet)
     assert(df.where(col("score").isNotNull).count() == 3)
   }
+
+  test("SchemaUpdate walks list elements and map values; keys frozen") {
+    val dir = Files.createTempDirectory("graft-evo-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    // list<list<struct>> exercises chained `element` steps; the map
+    // value struct exercises `value`
+    val schema = Schema(0, Seq(
+      NestedField(1, "id", LongType, required = true),
+      NestedField(2, "grid", ListType(3,
+        ListType(4, StructType(Seq(
+          NestedField(5, "x", IntType, required = false))),
+          elementRequired = true),
+        elementRequired = true), required = false),
+      NestedField(6, "m", MapType(7, StringType, 8, StructType(Seq(
+        NestedField(9, "v", IntType, required = false))),
+        valueRequired = true), required = false)))
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "walker"),
+      schema, io = new HadoopFileIO())
+    t = t.updateSchema()
+      .renameColumnAt(Seq("grid", "element", "element", "x"), "y")
+      .updateColumnTypeAt(Seq("grid", "element", "element", "y"), LongType)
+      .addNestedColumn(Seq("m", "value", "w"), DoubleType)
+      .commit()
+    val grid = t.schema.fieldByName("grid").get.fieldType
+      .asInstanceOf[ListType].element.asInstanceOf[ListType]
+      .element.asInstanceOf[StructType]
+    assert(grid.fields.map(f => (f.id, f.name, f.fieldType)) ==
+      Seq((5, "y", LongType)), s"leaf must rename+promote in place: $grid")
+    val mval = t.schema.fieldByName("m").get.fieldType
+      .asInstanceOf[MapType].value.asInstanceOf[StructType]
+    assert(mval.fields.map(_.name) == Seq("v", "w"))
+    assert(mval.fields.last.id == 10, // past highestFieldId incl. nested
+      s"added map-value field must take a fresh id, got ${mval.fields.last}")
+    // map keys are frozen; non-struct paths rejected
+    intercept[IllegalArgumentException] {
+      t.updateSchema().addNestedColumn(Seq("m", "key", "extra"), IntType)
+    }
+    intercept[IllegalArgumentException] {
+      t.updateSchema().renameColumnAt(Seq("id", "element", "x"), "y")
+    }
+  }
 }
