@@ -423,10 +423,12 @@ object Dedup {
   def embeddingEdges(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", planes: Int = 16,
       threshold: Double = 0.95, seed: Long = 42L): DataFrame = {
-    // cached: both self-join sides read it — signature computed once
-    // per vector, and the planes-wide expression stays in its own
-    // codegen stage instead of fusing into the join
+    // cached: both self-join sides read it — signature AND norm
+    // computed once per vector, and the planes-wide expression stays in
+    // its own codegen stage instead of fusing into the join; the hoisted
+    // norm keeps the verify stage at one dot product per candidate pair
     val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", Similarity.l2norm(col("__v")))
       .withColumn("__sig",
         Similarity.hyperplaneSignature(col("__v"), planes, seed))
       .cache()
@@ -434,7 +436,8 @@ object Dedup {
     val b = sig.as("b")
     val edges = a.join(b, col("a.__sig") === col("b.__sig") &&
         col("a.__id") < col("b.__id"))
-      .where(Similarity.cosine(col("a.__v"), col("b.__v")) >= threshold)
+      .where(Similarity.cosineWithNorms(col("a.__v"), col("b.__v"),
+        col("a.__n"), col("b.__n")) >= threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
     materializeAndRelease(edges, sig)
   }

@@ -17,17 +17,29 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns, computed in
-    * double via an in-order fold (deterministic across engines). */
-  def cosine(a: Column, b: Column): Column = {
+  /** L2 norm of a float-array column — the in-order double fold every
+    * cosine here uses, exposed so pair loops can hoist it per ROW. */
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Cosine with caller-supplied norms — bit-identical arithmetic to
+    * [[cosine]] (same dot fold, same zero guard, same `na * nb`
+    * division order), but the norms can be projected once per corpus /
+    * query row instead of recomputed for every candidate PAIR. In a
+    * top-k scan that turns 3·dim multiplies per pair into dim per pair
+    * plus dim per row — the norms drop out of the O(pairs) term. */
+  def cosineWithNorms(a: Column, b: Column, na: Column,
+      nb: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0),
-      (acc, v) => acc + v.cast("double") * v.cast("double")))
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
+
+  /** Cosine similarity between two float-array columns, computed in
+    * double via an in-order fold (deterministic across engines). */
+  def cosine(a: Column, b: Column): Column =
+    cosineWithNorms(a, b, l2norm(a), l2norm(b))
 
   /** Exact top-k neighbors of each query vector (brute force — the
     * correctness baseline). Queries are broadcast; the corpus is
@@ -35,10 +47,13 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("qid") =!= col("nid"))
-      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("score", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -84,17 +99,20 @@ object Similarity {
       planes: Int = 12, multiProbe: Int = 1, seed: Long = 42L,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
+      .withColumn("__cn", l2norm(col("__cv")))
       .withColumn("__bucket", hyperplaneSignature(col("__cv"), planes, seed))
     val probes = (0 until planes).map(b => lit(1L << b))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
       .withColumn("__sig", hyperplaneSignature(col("__qv"), planes, seed))
       .withColumn("__probe",
         explode(array((lit(0L) +: (if (multiProbe > 0) probes else Nil)): _*)))
       .withColumn("__bucket", col("__sig").bitwiseXOR(col("__probe")))
-      .select("qid", "__qv", "__bucket")
+      .select("qid", "__qv", "__qn", "__bucket")
     val scored = c.join(broadcast(q), Seq("__bucket"))
       .where(col("qid") =!= col("nid"))
-      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("score", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid").asc)
     scored.select("qid", "nid", "score").distinct()
@@ -177,11 +195,13 @@ object Similarity {
     val cellStructs = centroids.zipWithIndex.map { case (ctr, cell) =>
       struct(dist2(col("__cv"), ctr).as("d"), lit(cell).as("c"))
     }
-    val assigned = c.withColumn("__cell",
-      (if (cellStructs.size == 1) cellStructs.head
-       else least(cellStructs: _*)).getField("c"))
+    val assigned = c.withColumn("__cn", l2norm(col("__cv")))
+      .withColumn("__cell",
+        (if (cellStructs.size == 1) cellStructs.head
+         else least(cellStructs: _*)).getField("c"))
 
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
+      .withColumn("__qn", l2norm(col("__qv")))
     val cosStructs = centroids.zipWithIndex.map { case (ctr, cell) =>
       struct(cosine(col("__qv"), typedlit(ctr.toSeq)).as("s"),
         lit(cell).as("c"))
@@ -196,11 +216,13 @@ object Similarity {
       .withColumn("__pc", explode(slice(
         array_sort(array(cosStructs: _*), byScoreDesc),
         1, math.min(nprobe, centroids.size))))
-      .select(col("qid"), col("__qv"), col("__pc.c").as("__cell"))
+      .select(col("qid"), col("__qv"), col("__qn"),
+        col("__pc.c").as("__cell"))
 
     val scored = assigned.join(broadcast(probed), Seq("__cell"))
       .where(col("qid") =!= col("nid"))
-      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("score", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid").asc)
     scored.select("qid", "nid", "score").distinct()
