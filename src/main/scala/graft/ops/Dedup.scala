@@ -54,13 +54,26 @@ object Dedup {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesOfTokens(split(TextAnalysis.normalized(text), " "), n)
 
-  /** MinHash signature: k independent hash functions simulated as
-    * xxhash64(shingle, seed_k); signature[k] = min over shingles.
-    * Pure built-ins — stays in codegen, no UDF. */
+  /** Per-seed re-hash of a base hash — the one-strong-hash + k cheap
+    * re-mixes MinHash family: the shingle STRING is hashed once
+    * (xxhash64), each of the k "hash functions" then re-hashes the
+    * fixed-width (long, seed) pair. Hashing 12 fixed bytes per seed
+    * replaces hashing the ~20-char shingle k times — the signature
+    * stage's dominant cost. (A wrapping affine mix would be cheaper
+    * still, but long multiply throws under ANSI mode, which is the
+    * Spark 4 session default.) */
+  private def mixHash(base: Column, k: Int): Column =
+    xxhash64(base, lit(k))
+
+  /** MinHash signature: base-hash each shingle once, k re-mixes, min
+    * per seed. No distinct pass — a duplicate shingle cannot change a
+    * min, and de-duplicating ~150-element string arrays is O(n²)
+    * comparisons per document for nothing. Pure built-ins — stays in
+    * codegen, no UDF. */
   def minhashSignature(text: Column, numHashes: Int): Column = {
-    val sh = array_distinct(shingles(text))
+    val base = transform(shingles(text), s => xxhash64(s))
     val hashes = (0 until numHashes).map { k =>
-      array_min(transform(sh, s => xxhash64(s, lit(k))))
+      array_min(transform(base, h => mixHash(h, k)))
     }
     array(hashes: _*)
   }
@@ -81,10 +94,15 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int): DataFrame = {
     val exploded = tokenized(df, textCol, idCol)
+      // no array_distinct: duplicates cannot change a min (see
+      // [[minhashSignature]]), and the distinct pass is O(n²) per doc
       .select(col("__id"),
-        explode(array_distinct(shinglesOfTokens(col("__toks")))).as("__s"))
+        explode(shinglesOfTokens(col("__toks"))).as("__s"))
+      // one string hash per (doc, shingle); the k per-seed values are
+      // cheap fixed-width re-mixes of it (see [[mixHash]])
+      .select(col("__id"), xxhash64(col("__s")).as("__h"))
     val aggs = (0 until numHashes).map(k =>
-      min(xxhash64(col("__s"), lit(k))).as(s"__h$k"))
+      min(mixHash(col("__h"), k)).as(s"__h$k"))
     exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*)
       .select(col("__id"),
         array((0 until numHashes).map(k => col(s"__h$k")): _*).as("__sig"))
