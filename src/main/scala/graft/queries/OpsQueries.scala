@@ -440,7 +440,10 @@ object OpsQueries {
   def e3bIvfPlantedVerify(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     // bounded driver-side probe: one row, to size the centroid vectors
-    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
+    // (empty-table fallback keeps the query well-formed — output is
+    // empty either way, and the oracle mirrors that)
+    val dim = emb.select(size(col("embedding")).as("d")).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(8)
     val centroids = (0 until E3bCells).map(cell =>
       Array.tabulate(dim)(d => e3bCentroid(cell, d)))
     Similarity.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 3),
