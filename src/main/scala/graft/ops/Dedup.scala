@@ -175,8 +175,10 @@ object Dedup {
     * OUTPUT (graph callers like [[minhashDedup]] never read it, and the
     * materialized edge list is then two ids narrower); the verify
     * filter always computes it. When emitted, the value is an integer
-    * set-size division in double — bit-reproducible by any engine
-    * (oracle-gated in d6b_jaccard_verify). */
+    * set-size division in double — bit-reproducible by any engine:
+    * d6c_jaccard_arith hash-gates the non-trivial quotients of the
+    * same shingle/jaccard columns, d6b_jaccard_verify gates this
+    * pipeline end-to-end on planted exact pairs. */
   def minhashEdges(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, emitJaccard: Boolean = true): DataFrame = {

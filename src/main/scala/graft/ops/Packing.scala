@@ -67,8 +67,7 @@ object Packing {
       quota: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // collision-free working column — never clobber a user column
-    val rk = Iterator.from(0).map(i => s"__graft_rk$i")
-      .find(n => !df.columns.contains(n)).get
+    val rk = graft.util.Names.fresh(df.columns)(i => s"__graft_rk$i")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn(rk, row_number().over(w))

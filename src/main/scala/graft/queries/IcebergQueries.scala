@@ -1042,8 +1042,8 @@ object IcebergQueries {
       |    regexp_replace(text || ' zzq2', '\s+', ' ', 'g')))) AS fp
       |  FROM documents WHERE doc_id < 50
       |)
-      |SELECT fp FROM (SELECT fp FROM w1 UNION SELECT fp FROM w2)
-      |WHERE fp NOT IN (SELECT fp FROM corpus)
+      |SELECT fp FROM (SELECT fp FROM w1 UNION SELECT fp FROM w2) u
+      |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = u.fp)
       |ORDER BY fp""".stripMargin
 
   /** Global aggregates through the CatalogPlugin, answered ENTIRELY

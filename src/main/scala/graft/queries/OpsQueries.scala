@@ -299,6 +299,51 @@ object OpsQueries {
       |) WHERE jaccard >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------- d6c exact-Jaccard arithmetic (oracle)
+  /** Non-trivial exact-Jaccard gate: each document paired with its
+    * 3-token-suffixed near-copy BY ID (no LSH anywhere in the loop, so
+    * no banding-miss probability can flip the gate), scored with the
+    * REAL shingle/Jaccard columns ([[Dedup.shingles]] /
+    * [[Dedup.jaccard]] — the verify stage of minhashEdges). Quotients
+    * span (0, 1]; integer set sizes divided in double are bit-exact in
+    * both engines. Complements d6b, whose structural-recall
+    * restriction leaves it comparing only the trivial 1.0 quotient. */
+  def d6cJaccardArith(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_distinct(Dedup.shingles(col("text"))).as("__a"),
+        array_distinct(Dedup.shingles(
+          concat(col("text"), lit(" zz0 zz1 zz2")))).as("__b"))
+      .select(col("doc_id"),
+        Dedup.jaccard(col("__a"), col("__b")).as("jaccard"))
+      .orderBy("doc_id")
+
+  val d6cSql: String = {
+    def shingleExpr(tk: String): String =
+      s"""CASE WHEN len($tk) < 3 THEN [array_to_string($tk, ' ')]
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(1, len($tk) - 2),
+         |      i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2])) END"""
+        .stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text,
+       |      '\\s+', ' ', 'g'))), ' ') AS tk,
+       |    string_split(lower(trim(regexp_replace(text || ' zz0 zz1 zz2',
+       |      '\\s+', ' ', 'g'))), ' ') AS tk2
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    ${shingleExpr("tk")} AS a,
+       |    ${shingleExpr("tk2")} AS b
+       |  FROM toks
+       |)
+       |SELECT doc_id,
+       |  len(list_intersect(a, b))::DOUBLE / len(list_distinct(a || b))
+       |    AS jaccard
+       |FROM sh ORDER BY doc_id""".stripMargin
+  }
+
   // ------------------------------- d7b simhash exact-verify (oracle)
   /** Hash-gated companion for SimHash: documents plus exact copies run
     * fingerprint → 16-bit-chunk banding → hamming-0 → an exact
@@ -438,12 +483,16 @@ object OpsQueries {
     * rankings agree bit-for-bit; rank-only output keeps the hash
     * insensitive to float formatting (e1 pattern). */
   def e3bIvfPlantedVerify(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings")
-    // bounded driver-side probe: one row, to size the centroid vectors
-    // (empty-table fallback keeps the query well-formed — output is
-    // empty either way, and the oracle mirrors that)
-    val dim = emb.select(size(col("embedding")).as("d")).head(1)
-      .headOption.map(_.getInt(0)).getOrElse(8)
+    val emb0 = t(s, dir, "embeddings")
+    // size centroids by the MAX embedding length (the same aggregate the
+    // oracle computes) and keep only max-length rows on BOTH sides: a
+    // ragged-dimension vintage would otherwise null-pad zip_with on the
+    // Spark side while DuckDB loops to each row's own length — silent
+    // gate divergence with no hint that dimensionality was the cause
+    val dim = emb0.agg(max(size(col("embedding"))).as("d")).head(1)
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0)))
+      .getOrElse(8)
+    val emb = emb0.where(size(col("embedding")) === dim)
     val centroids = (0 until E3bCells).map(cell =>
       Array.tabulate(dim)(d => e3bCentroid(cell, d)))
     Similarity.ivfTopKWithCentroids(emb, emb.filter(col("vec_id") < 3),
@@ -483,15 +532,18 @@ object OpsQueries {
          |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
          |        (acc, x) -> acc + x)))
          |  END)""".stripMargin
-    s"""WITH corpus AS (
+    s"""WITH dim AS (
+       |  SELECT max(len(embedding)) AS d FROM embeddings
+       |), corpus AS (
        |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
-       |  FROM embeddings
+       |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
        |), q AS (
        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-       |  FROM embeddings WHERE vec_id < 3
+       |  FROM embeddings
+       |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
        |), cells AS (
        |  SELECT cell, list_transform(
-       |    generate_series(1, (SELECT max(len(embedding)) FROM embeddings)),
+       |    generate_series(1, (SELECT d FROM dim)),
        |    i -> CAST(${f("cell")} AS DOUBLE)) AS ctr
        |  FROM (SELECT unnest(generate_series(0, ${E3bCells - 1})) AS cell)
        |), dists AS (
@@ -718,6 +770,7 @@ object OpsQueries {
     "d8_token_freq" -> (d8TokenFreq _),
     "e5_asof_join" -> (e5AsOfJoin _),
     "d6b_jaccard_verify" -> (d6bJaccardVerify _),
+    "d6c_jaccard_arith" -> (d6cJaccardArith _),
     "e2b_bucket_determinism" -> (e2bBucketDeterminism _),
     "d7b_simhash_verify" -> (d7bSimhashVerify _),
     "e4b_embedding_dedup_verify" -> (e4bEmbeddingDedupVerify _),
@@ -738,6 +791,7 @@ object OpsQueries {
     "d8_token_freq" -> d8Sql,
     "e5_asof_join" -> e5Sql,
     "d6b_jaccard_verify" -> d6bSql,
+    "d6c_jaccard_arith" -> d6cSql,
     "e2b_bucket_determinism" -> e2bSql,
     "d7b_simhash_verify" -> d7bSql,
     "e4b_embedding_dedup_verify" -> e4bSql,

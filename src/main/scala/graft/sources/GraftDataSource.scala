@@ -257,9 +257,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   * V1 write capability so `DataFrameWriter.save` routes to
   * [[GraftDataSource.createRelation]], which performs the actual
   * create + write. Every other use fails with the original
-  * table-not-found error — including reads: BATCH_READ is advertised
-  * (a user-specified schema makes Spark reach getTable with a read in
-  * mind) precisely so the scan builder can throw `notFound` instead of
+  * table-not-found error — including reads: BATCH_READ and
+  * MICRO_BATCH_READ are advertised (a user-specified schema makes
+  * Spark reach getTable with a read in mind, batch or streaming)
+  * precisely so the scan builder can throw `notFound` instead of
   * Spark's generic "table does not support reads" capability error. */
 private[sources] class GraftMissingTable(
     opts: CaseInsensitiveStringMap, sparkSchema: StructType,
@@ -271,6 +272,7 @@ private[sources] class GraftMissingTable(
   override def schema(): StructType = sparkSchema
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.V1_BATCH_WRITE, TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : org.apache.spark.sql.connector.read.ScanBuilder =
@@ -769,13 +771,14 @@ private[sources] object BatchPlanning {
     * parquet by-name projection null-fills it. Null-filling an added
     * field by its CURRENT name is wrong when a rename freed that name
     * and the file still physically carries a column under it (older
-    * field id) — the request would surface the old column's values. */
+    * field id) — the request would surface the old column's values.
+    * Collision checks are case-insensitive, matching Spark's default
+    * name resolution. */
   private def absentName(base: String,
       fileFields: Seq[graft.spec.NestedField]): String = {
-    val taken = fileFields.map(_.name).toSet
-    if (!taken.contains(base)) base
-    else Iterator.from(0).map(i => s"__graft_null_fill_${i}__$base")
-      .find(!taken.contains(_)).get
+    val taken = fileFields.map(_.name)
+    if (!taken.exists(_.equalsIgnoreCase(base))) base
+    else graft.util.Names.fresh(taken)(i => s"__graft_null_fill_${i}__$base")
   }
 
   /** The Spark type to REQUEST from a pre-evolution file so the values

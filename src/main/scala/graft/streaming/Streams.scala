@@ -69,8 +69,7 @@ object Streams {
       textCol: String = "text"): DataFrame = {
     val fp = graft.ops.TextAnalysis.fingerprint(col(textCol))
     // collision-proof working column: never clobber a user column
-    val fpCol = Iterator.from(0).map(i => s"__graft_fp$i")
-      .find(n => !stream.columns.contains(n)).get
+    val fpCol = graft.util.Names.fresh(stream.columns)(i => s"__graft_fp$i")
     val corpusFps = corpus.select(fp.as(fpCol)).distinct()
       .localCheckpoint(true)
     stream.withColumn(fpCol, fp)

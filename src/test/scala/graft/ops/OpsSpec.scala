@@ -193,16 +193,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(2) == -1.0)
   }
 
-  /** Deterministic clustered vectors: 4 clusters of 25, dim 16. */
-  private def clustered: DataFrame = {
+  /** Deterministic clustered vectors: 4 clusters of 25, dim 16 —
+    * returned WITH their true centers so tests that plant centroids
+    * never re-derive the RNG draw sequence. */
+  private def clusteredWithCenters: (DataFrame, Array[Array[Float]]) = {
     val rnd = new scala.util.Random(7)
     val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
-    (0 until 100).map { i =>
+    val df = (0 until 100).map { i =>
       val c = centers(i % 4)
       val v = c.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
       (i.toLong, v.toSeq)
     }.toDF("vec_id", "embedding")
+    (df, centers)
   }
+
+  private def clustered: DataFrame = clusteredWithCenters._1
 
   test("brute force top-k finds same-cluster neighbors") {
     val df = clustered
@@ -243,9 +248,7 @@ class SimilaritySpec extends AnyFunSuite {
     // neighbors live — so the shared assignment/probe/re-rank path
     // (ivfTopKWithCentroids, the stage ivfTopK delegates to and e3b
     // hash-gates) must reproduce brute force exactly
-    val rnd = new scala.util.Random(7)
-    val centers = Array.fill(4)(Array.fill(16)(rnd.nextFloat() * 2 - 1))
-    val df = clustered
+    val (df, centers) = clusteredWithCenters
     val qs = df.filter(col("vec_id") < 4)
     val exact = Similarity.bruteForceTopK(df, qs, k = 5)
       .select("qid", "nid", "rank").collect()
