@@ -74,4 +74,45 @@ object Packing {
       .where(col(rk) <= quota)
       .drop(rk)
   }
+
+  /** Temperature-style corpus rebalancing: each stratum's quota is
+    * `ceil(n^(1/temperature))` of its own row count, rows chosen by the
+    * same portable md5 order as [[stratifiedSample]] — big sources are
+    * downweighted sub-linearly instead of clipped to a flat quota (the
+    * multi-source mixing rule LLM pretraining uses; temperature 1 keeps
+    * everything).
+    *
+    * Scale design: the per-stratum counts are a partial-agg rollup
+    * (stratum cardinality, not data volume) broadcast back onto the
+    * data, which then takes ONE shuffle on the stratum key. Unlike
+    * [[stratifiedSample]]'s literal quota, a column-valued quota can't
+    * ride WindowGroupLimit's map-side pruning — every stratum row is
+    * ranked before the filter — but ranking is a streaming pass over
+    * the sorted partition, so the extra cost is the rank itself, not a
+    * second shuffle.
+    *
+    * Determinism: `temperature = 2` computes quotas with `sqrt` (an
+    * exact, correctly-rounded IEEE op every engine agrees on — what the
+    * d14 gate uses); other temperatures go through `pow`, which is
+    * 1-ulp-accurate rather than exact, so quotas at pathological
+    * boundaries could differ across engines by one row (rows-only
+    * confidence there). */
+  def temperatureSample(df: DataFrame, stratumCol: String, idCol: String,
+      temperature: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(temperature >= 1.0, "temperature must be >= 1")
+    val rk = graft.util.Names.fresh(df.columns)(i => s"__graft_rk$i")
+    val qt = graft.util.Names.fresh(df.columns :+ rk)(i => s"__graft_q$i")
+    val nCol = count(lit(1)).cast("double")
+    val quota = ceil(
+      if (temperature == 2.0) sqrt(nCol)
+      else pow(nCol, lit(1.0 / temperature))).cast("long")
+    val quotas = df.groupBy(col(stratumCol)).agg(quota.as(qt))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn(rk, row_number().over(w))
+      .where(col(rk) <= col(qt))
+      .drop(rk, qt)
+  }
 }

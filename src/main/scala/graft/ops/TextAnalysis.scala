@@ -84,6 +84,51 @@ object TextAnalysis {
     round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
   }
 
+  // ------------------------------------------- repetition signals
+  //
+  // Within-document repetition metrics in the Gopher/C4 filtering
+  // family: heavily repetitive documents (boilerplate, scraper loops,
+  // keyword stuffing) are the single biggest class of low-quality text
+  // a web corpus carries. All three are pure array expressions over
+  // the token list — per-row codegen, no shuffle, no UDF; cost is
+  // O(tokens) for the ratios and O(distinct·tokens) for the top-token
+  // scan (bounded: web documents are a few KB; a pipeline feeding
+  // book-length texts would pre-chunk, as tokenizers do anyway).
+
+  private def toks(text: Column): Column =
+    split(normalized(text), " ")
+
+  /** Fraction of tokens that are distinct (1.0 = no repetition; empty
+    * docs report 1.0 — nothing repeats). */
+  def distinctTokenRatio(text: Column): Column =
+    when(tokenCount(text) === 0, lit(1.0))
+      .otherwise(size(array_distinct(toks(text))).cast("double") /
+        size(toks(text)))
+
+  /** Fraction of the document occupied by its single most frequent
+    * token (Gopher's "top word" signal; 0.0 for empty docs). */
+  def topTokenFraction(text: Column): Column = {
+    val ts = toks(text)
+    val counts = transform(array_distinct(ts),
+      t => size(filter(ts, x => x === t)))
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(array_max(counts).cast("double") / size(ts))
+  }
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier
+    * n-gram (`1 - distinct/total`; 0.0 when fewer than `n` tokens —
+    * nothing to repeat). Duplicate 2-grams catch looped phrases that
+    * token-level ratios miss. */
+  def dupNgramFraction(text: Column, n: Int = 2): Column = {
+    val ts = toks(text)
+    val grams = transform(
+      sequence(lit(0), size(ts) - n),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+    when(tokenCount(text) < n, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") /
+        size(grams))
+  }
+
   /** Canonical whitespace-normalized lowercase form. */
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Dedup, Packing, Similarity, TextAnalysis}
+import graft.ops.{AsOf, Contamination, Dedup, Packing, Sessionize,
+  Similarity, TextAnalysis}
 
 /** LLM-pipeline operators over the documents/embeddings testdata, each
   * under the driver gate. SQL-expressible ops carry DuckDB oracles;
@@ -755,6 +756,173 @@ object OpsQueries {
        |FROM planted ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------------------------ e6 sessionization (oracle)
+  /** Gap-based sessions over the events table (30-minute inactivity
+    * boundary), rolled up per (user, session). Exact integer
+    * microsecond arithmetic end to end — full hash gate against DuckDB
+    * running the identical lag → running-sum recurrence. */
+  def e6Sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.sessions(CoreQueries.events(s, dir), "user_id", "ts",
+        "event_id", gap = lit(30L * 60L * 1000000L))
+      .orderBy("user_id", "session_idx")
+
+  val e6Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |), b AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM o
+      |), sess AS (
+      |  SELECT user_id, us,
+      |    CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+      |      AS BIGINT) AS session_idx
+      |  FROM b
+      |)
+      |SELECT user_id, session_idx, COUNT(*) AS n_events,
+      |  MIN(us) AS start_us, MAX(us) AS end_us,
+      |  MAX(us) - MIN(us) AS span_us
+      |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------- d12 repetition signals (oracle)
+  /** Gopher-style within-doc repetition metrics — distinct-token
+    * ratio, top-token fraction, duplicate-2-gram fraction. Integer set
+    * sizes divided in double, round 6 — full hash gate. */
+  def d12Repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        round(TextAnalysis.distinctTokenRatio(col("text")), 6)
+          .as("distinct_ratio"),
+        round(TextAnalysis.topTokenFraction(col("text")), 6)
+          .as("top_token_frac"),
+        round(TextAnalysis.dupNgramFraction(col("text"), 2), 6)
+          .as("dup_2gram_frac"))
+      .orderBy("doc_id")
+
+  val d12Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |                 ' ') AS tk,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN n = 0 THEN 1.0
+      |       ELSE round(len(list_distinct(tk)) * 1.0 / len(tk), 6)
+      |  END AS distinct_ratio,
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE round(list_aggregate(list_transform(list_distinct(tk),
+      |              t -> len(list_filter(tk, x -> x = t))), 'max')
+      |            * 1.0 / len(tk), 6)
+      |  END AS top_token_frac,
+      |  CASE WHEN n < 2 THEN 0.0
+      |       ELSE round(1.0 - len(list_distinct(list_transform(
+      |              generate_series(1, len(tk) - 1),
+      |              i -> tk[i] || ' ' || tk[i+1])))
+      |            * 1.0 / (len(tk) - 1), 6)
+      |  END AS dup_2gram_frac
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  // ------------------------------ d13 contamination check (oracle)
+  /** Benchmark decontamination: every document scored for 3-gram
+    * overlap against a planted "benchmark" subset (doc_id % 20 = 0).
+    * The explode → gram-join → count shape is the real 100 TB
+    * decontamination pass; exact strings and integer counts — full
+    * hash gate. */
+  def d13Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val bench = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+    Contamination.overlap(docs, bench).orderBy("doc_id")
+  }
+
+  val d13Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |                 ' ') AS tk
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS sh
+      |  FROM toks
+      |), bench AS (
+      |  SELECT DISTINCT unnest(sh) AS gram FROM sh WHERE doc_id % 20 = 0
+      |), grams AS (
+      |  SELECT doc_id, unnest(sh) AS gram FROM sh
+      |), hits AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_hit
+      |  FROM grams g JOIN bench b ON g.gram = b.gram GROUP BY 1
+      |)
+      |SELECT s.doc_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+      |  CAST(len(s.sh) AS BIGINT) AS n_grams,
+      |  round(COALESCE(h.n_hit, 0) * 1.0 / len(s.sh), 6) AS overlap_frac,
+      |  CAST(CASE WHEN round(COALESCE(h.n_hit, 0) * 1.0 / len(s.sh), 6)
+      |    >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+      |FROM sh s LEFT JOIN hits h ON h.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------- d14 temperature sampling (oracle)
+  /** Temperature-2 corpus rebalancing: per-source `ceil(sqrt(n))`
+    * quotas via the portable md5 order — the multi-source mixing rule
+    * (big sources downweighted sub-linearly). sqrt/ceil are exact IEEE
+    * ops — full hash gate. */
+  def d14TemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Packing.temperatureSample(
+        t(s, dir, "documents").select("doc_id", "source"),
+        "source", "doc_id")
+      .orderBy("source", "doc_id")
+
+  val d14Sql: String =
+    """WITH q AS (
+      |  SELECT source, CAST(ceil(sqrt(COUNT(*) * 1.0)) AS BIGINT) AS quota
+      |  FROM documents GROUP BY 1
+      |), r AS (
+      |  SELECT source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT r.source, r.doc_id FROM r JOIN q USING (source)
+      |WHERE r.rk <= q.quota
+      |ORDER BY source, doc_id""".stripMargin
+
+  // --------------------------- d15 percentile profile (oracle)
+  /** Per-language token-count percentiles (p50/p90/p99) — the corpus
+    * length-distribution profile a curriculum/packing step reads.
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` share the
+    * same linear-interpolation definition over exact integer inputs;
+    * round 6 absorbs any final-ulp divergence. */
+  def d15LengthPercentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n"))
+      .groupBy("lang")
+      .agg(round(percentile(col("n"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("n"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("n"), lit(0.99)), 6).as("p99"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  val d15Sql: String =
+    """SELECT lang,
+      |  round(quantile_cont(n, 0.5), 6) AS p50,
+      |  round(quantile_cont(n, 0.9), 6) AS p90,
+      |  round(quantile_cont(n, 0.99), 6) AS p99,
+      |  COUNT(*) AS n_docs
+      |FROM (
+      |  SELECT lang,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |  FROM documents)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -779,6 +947,11 @@ object OpsQueries {
     "d9_seq_pack" -> (d9SeqPack _),
     "d10_stratified_sample" -> (d10StratifiedSample _),
     "d11_pii_redact" -> (d11PiiRedact _),
+    "e6_sessionize" -> (e6Sessionize _),
+    "d12_repetition" -> (d12Repetition _),
+    "d13_contamination" -> (d13Contamination _),
+    "d14_temperature_sample" -> (d14TemperatureSample _),
+    "d15_length_percentiles" -> (d15LengthPercentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -800,5 +973,10 @@ object OpsQueries {
     "d9_seq_pack" -> d9Sql,
     "d10_stratified_sample" -> d10Sql,
     "d11_pii_redact" -> d11Sql,
+    "e6_sessionize" -> e6Sql,
+    "d12_repetition" -> d12Sql,
+    "d13_contamination" -> d13Sql,
+    "d14_temperature_sample" -> d14Sql,
+    "d15_length_percentiles" -> d15Sql,
   )
 }

@@ -500,4 +500,141 @@ class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Packing.stratifiedSample(tiny, "lang", "doc_id", 10)
       .count() == 2)
   }
+
+  test("temperature sample: ceil(sqrt(n)) per stratum, deterministic") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 109L).map(i => (i, "small"))).toDF("doc_id", "source")
+    def run() = Packing.temperatureSample(df, "source", "doc_id")
+      .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("source")))).toSet
+    val s1 = run(); val s2 = run()
+    assert(s1 == s2, "sample must be deterministic")
+    assert(s1.count(_._2 == "big") == 10)   // ceil(sqrt(100))
+    assert(s1.count(_._2 == "small") == 3)  // ceil(sqrt(9))
+    // never clobbers user columns named like the working ones
+    val clash = df.withColumn("__graft_rk0", lit("keep"))
+    val out = Packing.temperatureSample(clash, "source", "doc_id")
+    assert(out.columns.contains("__graft_rk0"))
+    assert(out.select("__graft_rk0").head.getString(0) == "keep")
+  }
+}
+
+class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev = Seq(
+    // user 1: two sessions (gap of 2h between event 3 and 4)
+    (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 1L),
+    (1L, java.sql.Timestamp.valueOf("2026-01-01 10:10:00"), 2L),
+    (1L, java.sql.Timestamp.valueOf("2026-01-01 10:20:00"), 3L),
+    (1L, java.sql.Timestamp.valueOf("2026-01-01 12:20:00"), 4L),
+    // user 2: one session, equal timestamps broken by event id
+    (2L, java.sql.Timestamp.valueOf("2026-01-01 09:00:00"), 5L),
+    (2L, java.sql.Timestamp.valueOf("2026-01-01 09:00:00"), 6L)
+  ).toDF("user_id", "ts", "event_id")
+
+  test("gap splits sessions; exact-gap boundary stays in-session") {
+    val out = Sessionize.withSessionIdx(ev, "user_id", "ts", "event_id",
+        gap = lit(30L * 60L * 1000000L))
+      .select("user_id", "event_id", "session_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out((1L, 1L)) == 0L && out((1L, 2L)) == 0L &&
+      out((1L, 3L)) == 0L)
+    assert(out((1L, 4L)) == 1L, "2h gap starts a new session")
+    assert(out((2L, 5L)) == 0L && out((2L, 6L)) == 0L)
+    // a gap of EXACTLY 30 min does not split (strict >)
+    val edge = Seq(
+      (9L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), 1L),
+      (9L, java.sql.Timestamp.valueOf("2026-01-01 00:30:00"), 2L)
+    ).toDF("user_id", "ts", "event_id")
+    val e = Sessionize.withSessionIdx(edge, "user_id", "ts", "event_id",
+      gap = lit(30L * 60L * 1000000L))
+    assert(e.select("session_idx").collect().map(_.getLong(0)).toSet ==
+      Set(0L))
+  }
+
+  test("session rollup counts and spans") {
+    val out = Sessionize.sessions(ev, "user_id", "ts", "event_id",
+        gap = lit(30L * 60L * 1000000L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(r.fieldIndex("span_us")))).toMap
+    assert(out((1L, 0L)) == ((3L, 20L * 60L * 1000000L)))
+    assert(out((1L, 1L)) == ((1L, 0L)))
+    assert(out((2L, 0L)) == ((2L, 0L)))
+  }
+
+  test("one shuffle: both window passes share a single Exchange") {
+    val plan = Sessionize.sessions(ev, "user_id", "ts", "event_id",
+        gap = lit(1800000000L))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+}
+
+class ContaminationSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("overlap fractions: full, partial, zero; zero-hit docs kept") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),        // = bench doc
+      (2L, "alpha beta gamma zeta eta theta"),       // partial overlap
+      (3L, "totally unrelated words live here now")  // zero overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val out = Contamination.overlap(corpus, bench)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out(1L) == ((3L, 3L, 1L)), "identical doc fully contaminated")
+    // doc 2 shares only the 'alpha beta gamma' shingle
+    assert(out(2L)._1 == 1L && out(2L)._3 == 0L)
+    assert(out(3L) == ((0L, 4L, 0L)), "zero-hit doc still reported")
+  }
+
+  test("short docs (< n tokens) fall back to whole-text gram") {
+    val corpus = Seq((1L, "hi there"), (2L, "bye")).toDF("doc_id", "text")
+    val bench = Seq((9L, "hi there")).toDF("doc_id", "text")
+    val out = Contamination.overlap(corpus, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L && out(2L) == 0L)
+  }
+}
+
+class RepetitionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("repetition signals on plain, looped, and empty text") {
+    val df = Seq(
+      (1L, "all words here are unique tokens"),
+      (2L, "spam spam spam spam"),
+      (3L, "buy now buy now buy now"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.distinctTokenRatio(col("text")).as("dr"),
+        TextAnalysis.topTokenFraction(col("text")).as("tf"),
+        TextAnalysis.dupNgramFraction(col("text"), 2).as("d2"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1.0, 1.0 / 6.0, 0.0)))
+    // the engine (and the d12 oracle) compute 1 - distinct/total, which
+    // differs from 2.0/3.0 in the final ulp
+    assert(out(2L) == ((0.25, 1.0, 1.0 - 1.0 / 3.0)))
+    // 'buy now' x3: 2/6 distinct tokens, top token 3/6,
+    // 2-grams: [buy now, now buy, buy now, now buy, buy now] -> 2/5 uniq
+    assert(out(3L)._1 == 2.0 / 6.0 && out(3L)._2 == 0.5 &&
+      out(3L)._3 == 1.0 - 2.0 / 5.0)
+    // round-6 presentation (what d12 emits) is stable across engines
+    val rounded = df.where(col("doc_id") === 2L)
+      .select(round(TextAnalysis.dupNgramFraction(col("text"), 2), 6))
+      .head.getDouble(0)
+    assert(rounded == 0.666667)
+    assert(out(4L) == ((1.0, 0.0, 0.0)))
+  }
 }
