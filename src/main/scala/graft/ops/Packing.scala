@@ -75,6 +75,51 @@ object Packing {
       .drop(rk)
   }
 
+  /** Sliding-window document chunking: split each document into
+    * token-window chunks of `chunkSize` with `overlap` tokens carried
+    * between consecutive chunks (the step before embedding or packing
+    * — long documents must be cut to the model's context, and the
+    * overlap keeps boundary sentences visible to both sides).
+    *
+    * Chunk starts advance by `stride = chunkSize - overlap`; the last
+    * chunk may be shorter; a document with at most `chunkSize` tokens
+    * yields exactly one chunk; an empty document yields none. Emits
+    * (id, chunk_idx, n_tokens, chunk_text).
+    *
+    * Scale design: pure per-row array expressions (tokenize once,
+    * `transform` over the chunk-start sequence, one `explode`) — no
+    * shuffle, no UDF; output row count is input tokens / stride. The
+    * chunk count per row is integer arithmetic, so the operator is
+    * engine-portable and d16 hash-gates it end to end. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    // raw whitespace tokens (no case folding — chunk text must be
+    // faithful to the source document)
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = when(length(trim(col(textCol))) === 0, lit(0L))
+      .otherwise(size(toks).cast("long"))
+    // exact integer ceil((n - chunkSize) / stride) + 1, floor-safe for
+    // positives; doubles are exact far beyond any real token count
+    val nChunks = when(n === 0, lit(0L))
+      .when(n <= chunkSize, lit(1L))
+      .otherwise(floor((n - chunkSize + stride - 1).cast("double") /
+        stride).cast("long") + 1L)
+    df.select(col(idCol), toks.as("__toks"), nChunks.as("__nc"))
+      .where(col("__nc") > 0)
+      .select(col(idCol),
+        explode(sequence(lit(0L), col("__nc") - 1L)).as("chunk_idx"),
+        col("__toks"))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__toks"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(chunkSize)).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
+
   /** Temperature-style corpus rebalancing: each stratum's quota is
     * `ceil(n^(1/temperature))` of its own row count, rows chosen by the
     * same portable md5 order as [[stratifiedSample]] — big sources are

@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Contamination, Dedup, Packing, Sessionize,
-  Similarity, TextAnalysis}
+import graft.ops.{AsOf, Contamination, Dedup, Packing, RangeJoin,
+  Sessionize, Similarity, TextAnalysis}
 
 /** LLM-pipeline operators over the documents/embeddings testdata, each
   * under the driver gate. SQL-expressible ops carry DuckDB oracles;
@@ -894,6 +894,78 @@ object OpsQueries {
       |WHERE r.rk <= q.quota
       |ORDER BY source, doc_id""".stripMargin
 
+  // -------------------------------------- e7 range join (oracle)
+  /** Binned range join gate: purchases (points) matched into 6-hour
+    * post-error windows per user — "which purchases happened within
+    * six hours of an error". The engine's equi-join-on-bins plan vs
+    * DuckDB's plain inequality join; integer µs arithmetic, so the
+    * gate is a full hash match. binWidth = 2 h < the 6 h window, so
+    * the gate exercises the multi-bin explode (each interval covers
+    * 4 bins) AND the pairs-meet-once property. */
+  def e7RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = CoreQueries.events(s, dir)
+    val hourUs = 3600L * 1000000L
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("pt"))
+    val windows = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_event_id"),
+        unix_micros(col("ts")).as("w_start"),
+        (unix_micros(col("ts")) + 6L * hourUs).as("w_end"))
+    RangeJoin.pointInInterval(purchases, windows, Seq("user_id"),
+        "pt", "w_start", "w_end", binWidth = 2L * hourUs,
+        rightPrefix = "r_")
+      .select(col("user_id"), col("event_id"),
+        col("r_err_event_id").as("err_event_id"))
+      .orderBy("user_id", "event_id", "err_event_id")
+  }
+
+  val e7Sql: String =
+    """SELECT p.user_id, p.event_id, e.event_id AS err_event_id
+      |FROM (SELECT user_id, event_id, epoch_us(ts) AS pt FROM events
+      |      WHERE event_type = 'purchase') p
+      |JOIN (SELECT user_id, event_id, epoch_us(ts) AS ws FROM events
+      |      WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      | AND p.pt >= e.ws AND p.pt <= e.ws + 21600000000
+      |ORDER BY p.user_id, p.event_id, err_event_id""".stripMargin
+
+  // ------------------------------- d16 document chunking (oracle)
+  /** Sliding-window chunking gate: 64-token chunks, 16-token overlap
+    * (stride 48). Chunk text is digested (md5) so the gate compares
+    * exact chunk CONTENT, not just counts; integer chunk arithmetic —
+    * full hash match. */
+  def d16Chunking(s: SparkSession, dir: String): DataFrame =
+    Packing.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_fp"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val d16Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |  FROM documents
+      |), counted AS (
+      |  SELECT doc_id, tk,
+      |    CASE WHEN n = 0 THEN 0
+      |         WHEN n <= 64 THEN 1
+      |         ELSE (n - 64 + 47) // 48 + 1 END AS nc
+      |  FROM toks
+      |), chunks AS (
+      |  SELECT doc_id, unnest(generate_series(0, nc - 1)) AS chunk_idx, tk
+      |  FROM counted WHERE nc > 0
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64))
+      |    AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(
+      |    list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' '))
+      |    AS chunk_fp
+      |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
   // --------------------------- d15 percentile profile (oracle)
   /** Per-language token-count percentiles (p50/p90/p99) — the corpus
     * length-distribution profile a curriculum/packing step reads.
@@ -948,6 +1020,8 @@ object OpsQueries {
     "d10_stratified_sample" -> (d10StratifiedSample _),
     "d11_pii_redact" -> (d11PiiRedact _),
     "e6_sessionize" -> (e6Sessionize _),
+    "e7_range_join" -> (e7RangeJoin _),
+    "d16_chunking" -> (d16Chunking _),
     "d12_repetition" -> (d12Repetition _),
     "d13_contamination" -> (d13Contamination _),
     "d14_temperature_sample" -> (d14TemperatureSample _),
@@ -974,6 +1048,8 @@ object OpsQueries {
     "d10_stratified_sample" -> d10Sql,
     "d11_pii_redact" -> d11Sql,
     "e6_sessionize" -> e6Sql,
+    "e7_range_join" -> e7Sql,
+    "d16_chunking" -> d16Sql,
     "d12_repetition" -> d12Sql,
     "d13_contamination" -> d13Sql,
     "d14_temperature_sample" -> d14Sql,

@@ -49,6 +49,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must not shuffle before scoring, got ${shuffles(p)}:\n$p")
   }
 
+  test("e6 sessionization: both windows + rollup share ONE user-key " +
+      "shuffle (plus the output sort)") {
+    val p = staticPlan("e6_sessionize")
+    assert(shuffles(p) <= 2,
+      s"sessionization must reuse the user-key Exchange, got ${shuffles(p)}:\n$p")
+  }
+
+  test("d14 temperature sample: quota rollup broadcast, one data shuffle") {
+    val p = staticPlan("d14_temperature_sample")
+    assert(broadcasts(p) >= 1,
+      s"per-stratum quotas must broadcast, not shuffle-join:\n$p")
+    // quota agg + stratum window + output sort; the DATA may shuffle at
+    // most twice (agg input reuses the scan, window is the real one)
+    assert(shuffles(p) <= 3,
+      s"temperature sampling gained a shuffle, got ${shuffles(p)}:\n$p")
+  }
+
+  test("d13 contamination: gram join, never a cartesian product") {
+    val p = staticPlan("d13_contamination")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"contamination must join on the gram key:\n$p")
+  }
+
   test("q1 pricing summary: one partial-agg shuffle + output sort") {
     val p = staticPlan("q1_pricing_summary")
     assert(shuffles(p) <= 2,

@@ -501,6 +501,29 @@ class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
       .count() == 2)
   }
 
+  test("chunking: stride math, overlap carry, short/empty docs") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // <= chunkSize
+      (3L, "")                                        // no chunks
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(df, "doc_id", "text",
+        chunkSize = 4, overlap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // doc 1: stride 2 -> ceil((10-4)/2)+1 = 4 chunks
+    assert(out.keys.count(_._1 == 1L) == 4)
+    assert(out((1L, 0L)) == ((4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) == ((4L, "t3 t4 t5 t6")), "overlap of 2 carried")
+    assert(out((1L, 3L)) == ((4L, "t7 t8 t9 t10")))
+    assert(out((2L, 0L)) == ((3L, "a b c")), "short doc = one chunk")
+    assert(!out.keys.exists(_._1 == 3L), "empty doc yields no chunks")
+    // every token index is covered by some chunk
+    val covered = out.collect { case ((1L, _), (_, txt)) =>
+      txt.split(" ").toSet }.flatten.toSet
+    assert(covered == (1 to 10).map(i => s"t$i").toSet)
+  }
+
   test("temperature sample: ceil(sqrt(n)) per stratum, deterministic") {
     val df = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 109L).map(i => (i, "small"))).toDF("doc_id", "source")
@@ -572,6 +595,48 @@ class SessionizeSpec extends org.scalatest.funsuite.AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r
       .findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+}
+
+class RangeJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("containment semantics: inclusive bounds, key isolation, " +
+      "multi-bin intervals, degenerate intervals dropped") {
+    val points = Seq(
+      (1L, 10L, 100L), (1L, 11L, 150L), (1L, 12L, 250L),
+      (2L, 20L, 100L)
+    ).toDF("k", "pid", "pt")
+    val intervals = Seq(
+      (1L, 900L, 100L, 150L),  // catches 10 (>= start) and 11 (<= end)
+      (1L, 901L, 140L, 260L),  // spans 3 bins at width 50: 11, 12
+      (2L, 902L, 200L, 300L),  // other key: catches nothing
+      (1L, 903L, 500L, 400L)   // start > end: dropped
+    ).toDF("k", "iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+        "pt", "s", "e", binWidth = 50L, rightPrefix = "r_")
+      .select("pid", "r_iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 900L), (11L, 900L), (11L, 901L), (12L, 901L)))
+  }
+
+  test("pairs meet exactly once (no dup from multi-bin explode)") {
+    val points = Seq((1L, 1L, 125L)).toDF("k", "pid", "pt")
+    val intervals = Seq((1L, 9L, 0L, 1000L)).toDF("k", "iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "pt", "s", "e", binWidth = 10L)
+    assert(out.count() == 1L, "21-bin interval must match the point once")
+  }
+
+  test("plans as an equi-join, not a nested loop") {
+    val points = Seq((1L, 1L, 125L)).toDF("k", "pid", "pt")
+    val intervals = Seq((1L, 9L, 0L, 1000L)).toDF("k", "iid", "s", "e")
+    val plan = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "pt", "s", "e", binWidth = 10L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must bin into an equi-join:\n$plan")
   }
 }
 
