@@ -75,6 +75,45 @@ object Packing {
       .drop(rk)
   }
 
+  /** Deterministic global training order: every row gets a contiguous
+    * 0-based `order_idx` in the engine-portable `md5(id)` shuffle
+    * order — reproducible corpus shuffling, the property a resumable
+    * training run needs (epoch N's order must be recomputable by any
+    * engine, any cluster size).
+    *
+    * Scale design: a single GLOBAL `row_number` would sort the corpus
+    * into ONE partition — the canonical driver-bottleneck mistake.
+    * Instead, two-level numbering: rows bucket by their digest's first
+    * byte (256 buckets), each bucket numbers its rows independently
+    * (one shuffle, 256-way parallel), and each bucket's global offset
+    * is the running sum of bucket COUNTS — a 256-row aggregate
+    * broadcast back. `global_idx = offset(bucket) + rank - 1`. The
+    * md5 order sorts digest-first, so bucket-major numbering equals
+    * the global order exactly. */
+  def globalOrderIndex(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dig = graft.util.Names.fresh(df.columns)(i => s"__graft_md5$i")
+    val bkt = graft.util.Names.fresh(df.columns :+ dig)(i => s"__graft_b$i")
+    val rk = graft.util.Names.fresh(df.columns ++ Seq(dig, bkt))(
+      i => s"__graft_rk$i")
+    val off = graft.util.Names.fresh(df.columns ++ Seq(dig, bkt, rk))(
+      i => s"__graft_off$i")
+    val keyed = df
+      .withColumn(dig, md5(col(idCol).cast("string")))
+      .withColumn(bkt, substring(col(dig), 1, 2))
+    val offsets = keyed.groupBy(col(bkt))
+      .agg(count(lit(1)).as(off))
+      .withColumn(off,
+        coalesce(sum(col(off)).over(
+          Window.orderBy(col(bkt))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val w = Window.partitionBy(col(bkt)).orderBy(col(dig), col(idCol))
+    keyed.withColumn(rk, row_number().over(w))
+      .join(broadcast(offsets), Seq(bkt))
+      .withColumn("order_idx", col(off) + col(rk) - 1L)
+      .drop(dig, bkt, rk, off)
+  }
+
   /** Sliding-window document chunking: split each document into
     * token-window chunks of `chunkSize` with `overlap` tokens carried
     * between consecutive chunks (the step before embedding or packing

@@ -1046,6 +1046,54 @@ object IcebergQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = u.fp)
       |ORDER BY fp""".stripMargin
 
+  /** Watermarked windowed-aggregation gate
+    * ([[graft.streaming.Streams.windowedRollup]] was unit-only until
+    * now — the i21 pattern applied to the window/watermark machinery).
+    * The events table lands in a graft table, streams back out through
+    * the graft source, and rolls up per (1-hour tumbling window,
+    * event_type) with a watermark. Values are cast to DECIMAL(18,2)
+    * BEFORE the stream so the streamed sum is exact and
+    * order-independent (a double sum's value depends on micro-batch
+    * arrival order — unhashable); tumbling 1-hour windows align to
+    * epoch hours, so DuckDB reproduces the window key as
+    * `date_trunc('hour', ts)`. Complete output mode drains every
+    * window regardless of where the watermark stops. */
+  def i23WindowedRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = CoreQueries.events(s, dir)
+      .select(col("ts"), col("event_type"),
+        col("value").cast("decimal(18,2)").as("value"))
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf23" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    val t = Table.create(cat, TableIdentifier(ns, "evs"),
+      SchemaConverters.fromSparkSchema(ev.schema), io = io)
+    TableOps.append(t, ev)
+    val qn = "graft_i23_" + java.util.UUID.randomUUID.toString.take(8)
+    val stream = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns.mkString("."))
+      .option("table", "evs")
+      .load()
+    val q = graft.streaming.Streams.windowedRollup(stream,
+        window_ = "1 hour", watermark = "10 minutes")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qn)
+      .select(col("event_type"),
+        unix_micros(col("window.start")).as("hour_us"),
+        col("n"),
+        col("total_value").cast("double").as("total_value"))
+      .orderBy("event_type", "hour_us")
+  }
+
+  val i23Sql: String =
+    """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Global aggregates through the CatalogPlugin, answered ENTIRELY
     * from manifest statistics (complete aggregate pushdown): the plan
     * is a one-row `graft-agg` scan with zero data-file I/O at any
@@ -1140,6 +1188,7 @@ object IcebergQueries {
     "i19_nested_promotion" -> (i19NestedPromotion _),
     "i20_branch_wap" -> (i20BranchWap _),
     "i21_ingest_dedup" -> (i21IngestDedup _),
+    "i23_windowed_rollup" -> (i23WindowedRollup _),
     "i22_list_evolution" -> (i22ListEvolution _),
     "i22_list_evolution_scan" -> (i22ListEvolutionScan _),
   )
@@ -1178,6 +1227,7 @@ object IcebergQueries {
     "i19_nested_promotion" -> i19cSql,
     "i20_branch_wap" -> i20Sql,
     "i21_ingest_dedup" -> i21Sql,
+    "i23_windowed_rollup" -> i23Sql,
     "i22_list_evolution" -> i22Sql,
     "i22_list_evolution_scan" -> i22Sql,
   )

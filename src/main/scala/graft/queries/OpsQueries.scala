@@ -966,6 +966,24 @@ object OpsQueries {
       |    AS chunk_fp
       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // --------------------------- d17 global shuffle order (oracle)
+  /** Reproducible-training-order gate: contiguous global index in the
+    * portable md5 shuffle order, computed with the two-level
+    * (bucket-parallel) numbering — vs DuckDB's direct global
+    * ROW_NUMBER. A hash match proves bucket-major numbering equals the
+    * true global order. */
+  def d17GlobalOrder(s: SparkSession, dir: String): DataFrame =
+    Packing.globalOrderIndex(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "order_idx")
+      .orderBy("order_idx")
+
+  val d17Sql: String =
+    """SELECT doc_id, lang,
+      |  ROW_NUMBER() OVER (ORDER BY md5(doc_id::VARCHAR), doc_id) - 1
+      |    AS order_idx
+      |FROM documents ORDER BY order_idx""".stripMargin
+
   // --------------------------- d15 percentile profile (oracle)
   /** Per-language token-count percentiles (p50/p90/p99) — the corpus
     * length-distribution profile a curriculum/packing step reads.
@@ -1022,6 +1040,7 @@ object OpsQueries {
     "e6_sessionize" -> (e6Sessionize _),
     "e7_range_join" -> (e7RangeJoin _),
     "d16_chunking" -> (d16Chunking _),
+    "d17_global_order" -> (d17GlobalOrder _),
     "d12_repetition" -> (d12Repetition _),
     "d13_contamination" -> (d13Contamination _),
     "d14_temperature_sample" -> (d14TemperatureSample _),
@@ -1050,6 +1069,7 @@ object OpsQueries {
     "e6_sessionize" -> e6Sql,
     "e7_range_join" -> e7Sql,
     "d16_chunking" -> d16Sql,
+    "d17_global_order" -> d17Sql,
     "d12_repetition" -> d12Sql,
     "d13_contamination" -> d13Sql,
     "d14_temperature_sample" -> d14Sql,

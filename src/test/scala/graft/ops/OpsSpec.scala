@@ -501,6 +501,28 @@ class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
       .count() == 2)
   }
 
+  test("global order index: contiguous, gapless, equals the single-" +
+      "window order, never a one-partition global sort") {
+    val df = (1L to 500L).map(i => (i, s"v$i")).toDF("doc_id", "payload")
+    val out = Packing.globalOrderIndex(df, "doc_id")
+    val got = out.collect()
+      .map(r => r.getLong(r.fieldIndex("order_idx")) ->
+        r.getLong(r.fieldIndex("doc_id")))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 500L),
+      "indices must be contiguous and gapless")
+    // equals the naive single-window order
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("i",
+        row_number().over(Window.orderBy(md5(col("doc_id").cast("string")),
+          col("doc_id"))) - 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("i")))
+      .toMap
+    got.foreach { case (idx, id) => assert(naive(id) == idx.toInt) }
+    // payload survives
+    assert(out.columns.toSet == Set("doc_id", "payload", "order_idx"))
+  }
+
   test("chunking: stride math, overlap carry, short/empty docs") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
