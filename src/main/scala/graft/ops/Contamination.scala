@@ -26,22 +26,34 @@ object Contamination {
   /** Per-document overlap against `bench`: distinct grams hit,
     * distinct grams total, overlap fraction (round 6), and a 0/1
     * `contaminated` flag at `threshold`. Documents with zero overlap
-    * are kept (left join) — the common case, and the one a filter
-    * downstream needs to see. */
+    * are kept — the common case, and the one a filter downstream
+    * needs to see.
+    *
+    * ONE pass over the corpus text: tokenize/shingle once into a bound
+    * column (the `Dedup.scala:35-39` HOF pitfall — a raw-text shingle
+    * subtree would re-run the normalize+split regex per gram), explode,
+    * LEFT-join the benchmark gram set with a hit marker, and fold both
+    * `n_grams` (count of all grams) and `n_hit` (count of marked ones)
+    * out of the same grouped pass. Shingle arrays always have ≥ 1
+    * element (short docs collapse to one whole-text gram), so the
+    * explode never drops a document. */
   def overlap(corpus: DataFrame, bench: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val grams = (df: DataFrame) => df.select(col(idCol).as("__id"),
-      explode(array_distinct(Dedup.shingles(col(textCol), n)))
-        .as("__gram"))
-    val benchGrams = grams(bench).select("__gram").distinct()
-    val hits = grams(corpus).join(benchGrams, "__gram")
-      .groupBy("__id").agg(count(lit(1)).as("n_hit"))
-    val totals = corpus.select(col(idCol).as("__id"),
-      size(array_distinct(Dedup.shingles(col(textCol), n)))
-        .cast("long").as("n_grams"))
-    totals.join(hits, Seq("__id"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+    val shingled = (df: DataFrame) => df.select(col(idCol).as("__id"),
+        split(graft.ops.TextAnalysis.normalized(col(textCol)), " ")
+          .as("__toks"))
+      .select(col("__id"),
+        array_distinct(Dedup.shinglesOfTokens(col("__toks"), n))
+          .as("__grams"))
+    val benchGrams = shingled(bench)
+      .select(explode(col("__grams")).as("__gram")).distinct()
+      .withColumn("__hit", lit(1L))
+    shingled(corpus)
+      .select(col("__id"), explode(col("__grams")).as("__gram"))
+      .join(benchGrams, Seq("__gram"), "left")
+      .groupBy("__id")
+      .agg(count(lit(1)).as("n_grams"), count(col("__hit")).as("n_hit"))
       .withColumn("overlap_frac",
         round(col("n_hit").cast("double") / col("n_grams"), 6))
       .withColumn("contaminated",

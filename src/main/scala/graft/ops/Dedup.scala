@@ -38,10 +38,11 @@ object Dedup {
     * the normalize+split regex once per reference per row — measured
     * ~2x on the d6 verify stage. */
   def shinglesOfTokens(toks: Column, n: Int = 3): Column =
+    // gram construction shared with TextAnalysis.ngrams (d12/d13 use
+    // the same definition); the short-doc fallback — the whole text as
+    // ONE shingle, so tiny documents still dedup — is dedup-specific
     when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(TextAnalysis.ngrams(toks, n))
 
   /** (id, token array) projection — the stage boundary that makes the
     * token split evaluate exactly once per document. */

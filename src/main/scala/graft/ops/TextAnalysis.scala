@@ -98,36 +98,66 @@ object TextAnalysis {
   private def toks(text: Column): Column =
     split(normalized(text), " ")
 
+  /** Word n-grams of a TOKEN-ARRAY column (empty when the array is
+    * shorter than `n`) — the single gram-construction primitive shared
+    * with [[Dedup.shinglesOfTokens]] so the d6/d12/d13 definitions can
+    * never drift. */
+  def ngrams(ts: Column, n: Int): Column =
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+
+  // The *OfTokens forms take an already-projected token-array COLUMN.
+  // Spark's higher-order functions are CodegenFallback and re-evaluate
+  // non-attribute subtrees once per lambda element (the measured
+  // pitfall documented at Dedup.scala:35-39) — so a caller computing
+  // several metrics must tokenize ONCE into a bound attribute (see
+  // d12Repetition) rather than passing `split(...)` expressions here.
+  // The text-based wrappers below stay for one-off use, where the
+  // tokenize-per-reference cost is paid a bounded number of times.
+
+  /** Fraction of tokens that are distinct over a token-array column
+    * (1.0 = no repetition; empty arrays report 1.0). */
+  def distinctTokenRatioOfTokens(ts: Column): Column =
+    when(size(ts) === 0, lit(1.0))
+      .otherwise(size(array_distinct(ts)).cast("double") / size(ts))
+
   /** Fraction of tokens that are distinct (1.0 = no repetition; empty
     * docs report 1.0 — nothing repeats). */
   def distinctTokenRatio(text: Column): Column =
     when(tokenCount(text) === 0, lit(1.0))
-      .otherwise(size(array_distinct(toks(text))).cast("double") /
-        size(toks(text)))
+      .otherwise(distinctTokenRatioOfTokens(toks(text)))
 
-  /** Fraction of the document occupied by its single most frequent
-    * token (Gopher's "top word" signal; 0.0 for empty docs). */
-  def topTokenFraction(text: Column): Column = {
-    val ts = toks(text)
+  /** Top-token fraction over a token-array column (0.0 for empty). */
+  def topTokenFractionOfTokens(ts: Column): Column = {
     val counts = transform(array_distinct(ts),
       t => size(filter(ts, x => x === t)))
-    when(tokenCount(text) === 0, lit(0.0))
+    when(size(ts) === 0, lit(0.0))
       .otherwise(array_max(counts).cast("double") / size(ts))
   }
 
-  /** Fraction of n-gram occurrences that are repeats of an earlier
-    * n-gram (`1 - distinct/total`; 0.0 when fewer than `n` tokens —
-    * nothing to repeat). Duplicate 2-grams catch looped phrases that
-    * token-level ratios miss. */
-  def dupNgramFraction(text: Column, n: Int = 2): Column = {
-    val ts = toks(text)
-    val grams = transform(
-      sequence(lit(0), size(ts) - n),
-      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
-    when(tokenCount(text) < n, lit(0.0))
+  /** Fraction of the document occupied by its single most frequent
+    * token (Gopher's "top word" signal; 0.0 for empty docs). */
+  def topTokenFraction(text: Column): Column =
+    when(tokenCount(text) === 0, lit(0.0))
+      .otherwise(topTokenFractionOfTokens(toks(text)))
+
+  /** Duplicate-n-gram fraction over a token-array column (0.0 when
+    * fewer than `n` tokens — nothing to repeat). */
+  def dupNgramFractionOfTokens(ts: Column, n: Int): Column = {
+    val grams = ngrams(ts, n)
+    when(size(ts) < n, lit(0.0))
       .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") /
         size(grams))
   }
+
+  /** Fraction of n-gram occurrences that are repeats of an earlier
+    * n-gram (`1 - distinct/total`). Duplicate 2-grams catch looped
+    * phrases that token-level ratios miss. */
+  def dupNgramFraction(text: Column, n: Int = 2): Column =
+    when(tokenCount(text) < n, lit(0.0))
+      .otherwise(dupNgramFractionOfTokens(toks(text), n))
 
   /** Canonical whitespace-normalized lowercase form. */
   def normalized(text: Column): Column =

@@ -792,14 +792,27 @@ object OpsQueries {
   // --------------------------------- d12 repetition signals (oracle)
   /** Gopher-style within-doc repetition metrics — distinct-token
     * ratio, top-token fraction, duplicate-2-gram fraction. Integer set
-    * sizes divided in double, round 6 — full hash gate. */
+    * sizes divided in double, round 6 — full hash gate.
+    *
+    * Tokenizes ONCE into a bound column and feeds the `*OfTokens`
+    * metric forms: higher-order functions re-evaluate non-attribute
+    * subtrees per lambda element (`Dedup.scala:35-39`), so passing the
+    * raw text column would re-run the normalize+split regex once per
+    * token per metric. */
   def d12Repetition(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents").select(col("doc_id"),
-        round(TextAnalysis.distinctTokenRatio(col("text")), 6)
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        split(TextAnalysis.normalized(col("text")), " ").as("__toks"),
+        TextAnalysis.tokenCount(col("text")).as("__n"))
+      .select(col("doc_id"),
+        round(when(col("__n") === 0, lit(1.0)).otherwise(
+          TextAnalysis.distinctTokenRatioOfTokens(col("__toks"))), 6)
           .as("distinct_ratio"),
-        round(TextAnalysis.topTokenFraction(col("text")), 6)
+        round(when(col("__n") === 0, lit(0.0)).otherwise(
+          TextAnalysis.topTokenFractionOfTokens(col("__toks"))), 6)
           .as("top_token_frac"),
-        round(TextAnalysis.dupNgramFraction(col("text"), 2), 6)
+        round(when(col("__n") < 2, lit(0.0)).otherwise(
+          TextAnalysis.dupNgramFractionOfTokens(col("__toks"), 2)), 6)
           .as("dup_2gram_frac"))
       .orderBy("doc_id")
 
