@@ -662,6 +662,91 @@ class RangeJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Fixed-seed randomized parity: the binned composition must equal the
+  * naive theta-join on arbitrary data — the property the bin math
+  * (floor division, inclusive bounds, multi-bin explode) must uphold
+  * for EVERY binWidth, not just the widths the example tests pick. */
+class RangeJoinPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("binned join equals naive theta-join across bin widths") {
+    val rnd = new scala.util.Random(42)
+    val points = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "pid", "pt")
+    val intervals = (1 to 80).map { i =>
+      val s = rnd.nextInt(1000) - 20
+      (rnd.nextInt(5).toLong, (1000 + i).toLong, s.toLong,
+        (s + rnd.nextInt(120)).toLong)
+    }.toDF("k", "iid", "s", "e")
+    val naive = points.join(intervals, Seq("k"))
+      .where(col("pt") >= col("s") && col("pt") <= col("e"))
+      .select("pid", "iid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bw <- Seq(1L, 7L, 64L, 500L, 5000L)) {
+      val binned = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+          "pt", "s", "e", binWidth = bw, rightPrefix = "r_")
+        .select("pid", "r_iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(binned == naive, s"parity broken at binWidth=$bw")
+    }
+  }
+
+  test("negative-domain points bin correctly (floor, not truncate)") {
+    val points = Seq((1L, 1L, -5L), (1L, 2L, -95L)).toDF("k", "pid", "pt")
+    val intervals = Seq((1L, 9L, -100L, -1L)).toDF("k", "iid", "s", "e")
+    val out = RangeJoin.pointInInterval(points, intervals, Seq("k"),
+      "pt", "s", "e", binWidth = 10L)
+    assert(out.count() == 2,
+      "both negative points fall inside [-100, -1]")
+  }
+}
+
+/** Fixed-seed randomized invariants for chunking: full coverage, exact
+  * overlap between neighbors, correct chunk count — for arbitrary
+  * (docLen, chunkSize, overlap) combinations. */
+class ChunkingPropertySpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("coverage, overlap, and count invariants hold on random shapes") {
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 12).map { i =>
+      val cs = 2 + rnd.nextInt(40)
+      val ov = rnd.nextInt(cs)
+      val len = 1 + rnd.nextInt(200)
+      (i.toLong, cs, ov, len)
+    }
+    for ((id, cs, ov, len) <- cases) {
+      val txt = (1 to len).map(j => s"w$j").mkString(" ")
+      val df = Seq((id, txt)).toDF("doc_id", "text")
+      val chunks = Packing.chunkByTokens(df, "doc_id", "text", cs, ov)
+        .orderBy("chunk_idx")
+        .collect().map(r => (r.getLong(1), r.getString(3)))
+      val stride = cs - ov
+      val expected =
+        if (len <= cs) 1 else ((len - cs + stride - 1) / stride) + 1
+      assert(chunks.length == expected,
+        s"len=$len cs=$cs ov=$ov: ${chunks.length} chunks != $expected")
+      // every token appears in some chunk, in order
+      val all = chunks.flatMap(_._2.split(" "))
+      assert(all.toSet == (1 to len).map(j => s"w$j").toSet,
+        s"len=$len cs=$cs ov=$ov: coverage broken")
+      // consecutive chunks share exactly `overlap` tokens (except a
+      // shorter last chunk, which may truncate the window)
+      chunks.sliding(2).foreach {
+        case Array((_, a), (_, b)) =>
+          val at = a.split(" "); val bt = b.split(" ")
+          if (bt.length == cs)
+            assert(at.takeRight(ov).sameElements(bt.take(ov)),
+              s"len=$len cs=$cs ov=$ov: overlap carry broken")
+        case _ =>
+      }
+    }
+  }
+}
+
 class ContaminationSpec extends org.scalatest.funsuite.AnyFunSuite {
   private lazy val spark = graft.SparkTestSession.spark
   import spark.implicits._
