@@ -61,4 +61,51 @@ object Contamination {
       .select(col("__id").as(idCol), col("n_hit"), col("n_grams"),
         col("overlap_frac"), col("contaminated"))
   }
+
+  /** Corpus-GLOBAL duplicate n-gram profile — the repeated-substring
+    * signal of exact-substring dedup (long n-grams recurring across
+    * documents mark boilerplate/templates worth cutting before
+    * training). For each document: total n-gram instances, instances
+    * whose gram occurs in >= `minDf` DISTINCT documents, and the
+    * duplicated fraction.
+    *
+    * Scale design — three key-partitioned shuffles, none carrying text
+    * beyond the gram itself:
+    *   1. explode → groupBy (doc, gram) with map-side partial count —
+    *      per-doc repeats collapse before the shuffle;
+    *   2. groupBy gram over the already-distinct (doc, gram) pairs →
+    *      document frequency (count, not countDistinct — distinctness
+    *      is structural after step 1);
+    *   3. join DF back on gram and fold per doc. The gram-key join
+    *      self-balances under AQE (a viral gram is ONE hot key; skew
+    *      split applies); no all-pairs product anywhere.
+    * Documents shorter than n tokens have zero n-grams and report
+    * (0, 0, 0.0) via the left join — a filter downstream must see
+    * them, not lose them.
+    *
+    * Integer counts + one round-6 division — hash-gated end to end
+    * (d18). */
+  def corpusDupNgrams(corpus: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 5, minDf: Int = 2): DataFrame = {
+    val grams = corpus.select(col(idCol).as("__id"),
+        split(TextAnalysis.normalized(col(textCol)), " ").as("__toks"))
+      .select(col("__id"),
+        explode(TextAnalysis.ngrams(col("__toks"), n)).as("__gram"))
+      .groupBy("__id", "__gram").agg(count(lit(1)).as("__c"))
+    val dfreq = grams.groupBy("__gram")
+      .agg(count(lit(1)).as("__df"))
+    val perDoc = grams.join(dfreq, Seq("__gram"))
+      .groupBy("__id")
+      .agg(sum(col("__c")).as("n_grams"),
+        sum(when(col("__df") >= minDf, col("__c")).otherwise(0L))
+          .as("n_dup"))
+    corpus.select(col(idCol).as("__id"))
+      .join(perDoc, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_grams") === 0, lit(0.0)).otherwise(
+          round(col("n_dup").cast("double") / col("n_grams"), 6)))
+  }
 }

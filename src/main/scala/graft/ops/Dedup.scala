@@ -439,6 +439,68 @@ object Dedup {
       .select("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic dedup with explicit centroids: assign
+    * every vector to its nearest centroid (per-row codegen argmin —
+    * [[Similarity.nearestCell]], no corpus shuffle), then within each
+    * cell drop any vector whose cosine to a LOWER-id cell-mate reaches
+    * `threshold`. Returns the kept rows as (id, cell).
+    *
+    * The cluster-then-compare shape is the published algorithm's whole
+    * point at scale: pairwise cosine runs only WITHIN a cell, so the
+    * self-join shuffles by cell id and the pair count is bounded by the
+    * largest cluster, never corpus². The keep rule (survive unless a
+    * smaller id in your cell is this similar) is deterministic and
+    * non-transitive — exactly what the e8 gate's DuckDB NOT-EXISTS
+    * oracle replays. Norms are hoisted per row so the pair loop pays
+    * one dot product per candidate ([[Similarity.cosineWithNorms]]).
+    *
+    * Production fit path: [[semanticDedupFit]] (KMeans centroids, same
+    * downstream code). */
+  def semanticDedup(df: DataFrame, centroids: Seq[Array[Double]],
+      threshold: Double, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    // cached: both self-join sides read it — the centroid argmin and
+    // the norm evaluate once per vector, in their own codegen stage
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__n", Similarity.l2norm(col("__v")))
+      .withColumn("__cell", Similarity.nearestCell(col("__v"), centroids))
+      .cache()
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.__cell") === col("b.__cell") &&
+          col("a.__id") < col("b.__id"))
+      .where(Similarity.cosineWithNorms(col("a.__v"), col("b.__v"),
+        col("a.__n"), col("b.__n")) >= threshold)
+      .select(col("b.__id").as("__id")).distinct()
+    val kept = assigned.join(dropped, Seq("__id"), "left_anti")
+      .select(col("__id").as("id"), col("__cell").as("cell"))
+    materializeAndRelease(kept, assigned)
+  }
+
+  /** [[semanticDedup]] with KMeans-fitted centroids (bounded
+    * deterministic sample, the [[Similarity.ivfTopK]] fit posture) —
+    * the production path when no codebook exists yet. Seed-dependent
+    * via the fit, so gates run [[semanticDedup]] with planted
+    * centroids instead (same downstream code path). */
+  def semanticDedupFit(df: DataFrame, k: Int, threshold: Double,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      seed: Long = 42L, maxFitRows: Long = 100000L,
+      rowCountHint: Option[Long] = None): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.select(col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__features", array_to_vector(col("__cv")))
+    val rows = rowCountHint.getOrElse(feats.count())
+    val fitSet =
+      if (rows <= maxFitRows) feats
+      else feats.sample(withReplacement = false,
+        math.min(1.0, maxFitRows.toDouble * 1.1 / rows), seed)
+    val km = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+    val model = km.fit(fitSet)
+    semanticDedup(df, model.clusterCenters.map(_.toArray).toSeq,
+      threshold, vecCol, idCol)
+  }
+
   /** Embedding near-dup edges: cosine >= threshold, candidates via
     * random-hyperplane LSH (see [[Similarity.hyperplaneSignature]]). */
   def embeddingEdges(df: DataFrame, vecCol: String = "embedding",

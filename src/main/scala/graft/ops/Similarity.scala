@@ -168,6 +168,23 @@ object Similarity {
       }),
       lit(0.0), (acc, t) => acc + t)
 
+  /** Nearest-centroid cell id for a vector column: a per-row
+    * `least(struct(dist², cell))` argmin — pure codegen'd expressions,
+    * NO shuffle of the corpus (a window/groupBy argmin would reshuffle
+    * 100 TB by row id). Ties prefer the lowest cell id (struct
+    * ordering), so assignment is a total function of the inputs —
+    * deterministic across engines for fixed centroids. Shared by the
+    * IVF probe path ([[ivfTopKWithCentroids]]) and semantic dedup
+    * ([[Dedup.semanticDedup]]). */
+  def nearestCell(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val cellStructs = centroids.zipWithIndex.map { case (ctr, cell) =>
+      struct(dist2(vec, ctr).as("d"), lit(cell).as("c"))
+    }
+    (if (cellStructs.size == 1) cellStructs.head
+     else least(cellStructs: _*)).getField("c")
+  }
+
   /** IVF assignment → probe → re-rank with explicit centroids (the
     * post-fit stages of [[ivfTopK]], shared verbatim with it).
     *
@@ -192,13 +209,8 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(centroids.nonEmpty, "ivf needs at least one centroid")
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("__cv"))
-    val cellStructs = centroids.zipWithIndex.map { case (ctr, cell) =>
-      struct(dist2(col("__cv"), ctr).as("d"), lit(cell).as("c"))
-    }
     val assigned = c.withColumn("__cn", l2norm(col("__cv")))
-      .withColumn("__cell",
-        (if (cellStructs.size == 1) cellStructs.head
-         else least(cellStructs: _*)).getField("c"))
+      .withColumn("__cell", nearestCell(col("__cv"), centroids))
 
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
@@ -228,5 +240,48 @@ object Similarity {
     scored.select("qid", "nid", "score").distinct()
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Scalar int8 quantization of an embedding column — the 4x storage
+    * shrink an embedding store applies before indexing (per-vector
+    * min/max affine codes, the FAISS `SQ8` scheme). Returns one row per
+    * vector: the uint8 code array, the dequantization params, and the
+    * reconstruction MSE.
+    *
+    * Per-row arithmetic only — no shuffle, no UDF, stays in codegen
+    * except the HOF lambdas (which bind only attributes, so nothing
+    * re-evaluates per element — the `Dedup.scala:35-39` pitfall).
+    * Determinism: codes use `floor(x + 0.5)` (not `round`, whose
+    * half-even/half-up convention differs across engines); every
+    * operation is an in-order IEEE double op, so codes AND the MSE fold
+    * are bit-reproducible by any engine — what lets e9 hash-gate this
+    * against DuckDB. Degenerate vectors (max = min) code to all-zeros
+    * with scale 0 and reconstruct exactly. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val v = col("__v")
+    val withRange = df
+      .select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      // empty vectors: array_min/max are null — params degrade to 0
+      .withColumn("__lo", coalesce(array_min(v), lit(0.0)))
+      .withColumn("__scale",
+        coalesce((array_max(v) - col("__lo")) / lit(255.0), lit(0.0)))
+    val code = (x: Column) =>
+      when(col("__scale") === 0.0, lit(0L)).otherwise(
+        least(greatest(
+          floor((x - col("__lo")) / col("__scale") + 0.5), lit(0.0)),
+          lit(255.0)).cast("long"))
+    val codes = transform(v, x => code(x))
+    val err = (x: Column) => {
+      val d = x - (col("__lo") + code(x).cast("double") * col("__scale"))
+      d * d
+    }
+    withRange.select(col(idCol),
+      codes.as("codes"),
+      col("__lo").as("lo"),
+      col("__scale").as("scale"),
+      when(size(v) === 0, lit(0.0)).otherwise(
+        aggregate(v, lit(0.0), (acc, x) => acc + err(x)) / size(v))
+        .as("mse"))
   }
 }

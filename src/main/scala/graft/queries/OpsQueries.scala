@@ -1026,6 +1026,210 @@ object OpsQueries {
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ----------------------- e8 semantic dedup, planted codebook (oracle)
+  private val E8Cells = 8
+  private val E8Threshold = 0.95
+
+  /** Integer-LCG centroid entry for (cell, dim) — the e3b portable-
+    * randomness trick with stride base 131, so the e8 codebook differs
+    * from both the e2b hyperplanes (42) and the e3b centroids (77).
+    * Scaled to [-1, 1], the embeddings' own range. */
+  private def e8Centroid(cell: Int, dim: Int): Double =
+    (((1103515245L * (131L + cell.toLong * 1000L + dim.toLong) + 12345L)
+      % 2001L) - 1000L).toDouble / 1000.0
+
+  /** SemDeDup gate ([[Dedup.semanticDedup]] — cluster-then-prune
+    * semantic dedup): embeddings plus exact copies (id + 1000000) run
+    * the REAL assignment → within-cell cosine → keep-lowest-id path
+    * with planted LCG centroids (the production KMeans fit is
+    * seed-dependent; [[Dedup.semanticDedupFit]] shares this exact
+    * downstream code). Every copy must drop (its original is a
+    * lower-id cell-mate at cosine exactly 1); any naturally-similar
+    * pair prunes identically in both engines because assignment and
+    * cosine are in-order double folds DuckDB replays bit-identically
+    * (e3b argmin + NOT-EXISTS prune). Output = kept (id, cell) —
+    * integers, full hash gate. */
+  def e8SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb0 = t(s, dir, "embeddings")
+    // max-dim guard: same reasoning as e3b — a ragged vintage would
+    // null-pad zip_with on the Spark side while DuckDB loops per-row
+    val dim = emb0.agg(max(size(col("embedding"))).as("d")).head(1)
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0)))
+      .getOrElse(8)
+    val emb = emb0.where(size(col("embedding")) === dim)
+      .select("vec_id", "embedding")
+    val planted = emb.unionByName(emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val centroids = (0 until E8Cells).map(cell =>
+      Array.tabulate(dim)(d => e8Centroid(cell, d)))
+    Dedup.semanticDedup(planted, centroids, E8Threshold)
+      .orderBy("id")
+  }
+
+  val e8Sql: String = {
+    def f(cell: String): String =
+      s"(CAST((((1103515245 * (131 + $cell * 1000 + (i - 1)) + 12345) % 2001) - 1000) AS DOUBLE) / 1000)"
+    val distCols = (0 until E8Cells).map { cl =>
+      s"""list_reduce(list_transform(generate_series(1, len(v)),
+         |      i -> (v[i] - ${f(cl.toString)}) * (v[i] - ${f(cl.toString)})),
+         |    (acc, x) -> acc + x) AS d$cl""".stripMargin
+    }.mkString(",\n    ")
+    val dls = (0 until E8Cells).map(cl => s"d$cl").mkString(", ")
+    val argmin = (0 until E8Cells)
+      .map(cl => s"WHEN d$cl = m THEN $cl").mkString(" ")
+    def cos(a: String, b: String): String =
+      s"""(CASE WHEN sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
+         |        (acc, x) -> acc + x)) = 0
+         |      OR sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
+         |        (acc, x) -> acc + x)) = 0
+         |  THEN 0.0
+         |  ELSE list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $b[i]),
+         |        (acc, x) -> acc + x)
+         |    / (sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
+         |        (acc, x) -> acc + x))
+         |     * sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
+         |        (acc, x) -> acc + x)))
+         |  END)""".stripMargin
+    s"""WITH dim AS (
+       |  SELECT max(len(embedding)) AS d FROM embeddings
+       |), planted AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
+       |), dists AS (
+       |  SELECT id, v,
+       |    $distCols
+       |  FROM planted
+       |), assigned AS (
+       |  SELECT id, v, CASE $argmin END AS cell
+       |  FROM (SELECT *, LEAST($dls) AS m FROM dists)
+       |)
+       |SELECT a.id, a.cell FROM assigned a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM assigned b
+       |  WHERE b.cell = a.cell AND b.id < a.id
+       |    AND ${cos("a.v", "b.v")} >= $E8Threshold)
+       |ORDER BY a.id""".stripMargin
+  }
+
+  // ------------------------------ e9 int8 quantization (oracle)
+  /** Scalar-quantization gate ([[Similarity.quantizeInt8]]): per-vector
+    * affine int8 codes, dequant params, reconstruction MSE. Codes are
+    * digested (md5 over the comma-joined code list) so the gate
+    * compares exact CODE CONTENT without array-formatting hazards;
+    * floor(x + 0.5) on both sides dodges the engines' differing
+    * round() conventions; lo/scale/mse are in-order IEEE folds —
+    * bit-identical, emitted round-6. */
+  def e9QuantizeInt8(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      .select(col("vec_id"),
+        md5(array_join(col("codes").cast("array<string>"), ","))
+          .as("code_fp"),
+        round(col("lo"), 6).as("lo_r"),
+        round(col("scale"), 6).as("scale_r"),
+        round(col("mse"), 6).as("mse_r"))
+      .orderBy("vec_id")
+
+  val e9Sql: String = {
+    val code = "CAST(LEAST(GREATEST(floor((x - lo) / scale + 0.5), 0.0), 255.0) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    COALESCE(list_min(CAST(embedding AS DOUBLE[])), 0.0) AS lo,
+       |    COALESCE((list_max(CAST(embedding AS DOUBLE[]))
+       |      - list_min(CAST(embedding AS DOUBLE[]))) / 255.0, 0.0) AS scale
+       |  FROM embeddings
+       |), coded AS (
+       |  SELECT vec_id, v, lo, scale,
+       |    CASE WHEN scale = 0
+       |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(v, x -> $code) END AS codes
+       |  FROM base
+       |)
+       |SELECT vec_id,
+       |  md5(array_to_string(codes, ',')) AS code_fp,
+       |  round(lo, 6) AS lo_r,
+       |  round(scale, 6) AS scale_r,
+       |  round(CASE WHEN len(v) = 0 THEN 0.0 ELSE
+       |    list_reduce(list_transform(generate_series(1, len(v)),
+       |      i -> (v[i] - (lo + CASE WHEN scale = 0 THEN 0.0
+       |              ELSE CAST(LEAST(GREATEST(
+       |                floor((v[i] - lo) / scale + 0.5), 0.0), 255.0)
+       |                AS DOUBLE) END * scale))
+       |         * (v[i] - (lo + CASE WHEN scale = 0 THEN 0.0
+       |              ELSE CAST(LEAST(GREATEST(
+       |                floor((v[i] - lo) / scale + 0.5), 0.0), 255.0)
+       |                AS DOUBLE) END * scale))),
+       |      (acc, x) -> acc + x) / len(v) END, 6) AS mse_r
+       |FROM coded ORDER BY vec_id""".stripMargin
+  }
+
+  // -------------------- d18 corpus-global duplicate n-grams (oracle)
+  /** Exact-substring-dedup signal ([[Contamination.corpusDupNgrams]]):
+    * per document, the fraction of its 5-gram instances whose gram
+    * occurs in >= 2 distinct documents corpus-wide. Distinct from d13
+    * (overlap vs a planted benchmark subset) — this is the
+    * corpus-global repeated-boilerplate profile. Integer counts plus
+    * one round-6 division — full hash gate. */
+  def d18DupNgrams(s: SparkSession, dir: String): DataFrame =
+    Contamination.corpusDupNgrams(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  val d18Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |                 ' ') AS tk
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(tk) - 4),
+      |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+      |      || tk[i+3] || ' ' || tk[i+4])) AS gram
+      |  FROM toks WHERE len(tk) >= 5
+      |), gc AS (
+      |  SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY 1, 2
+      |), dfreq AS (
+      |  SELECT gram, COUNT(*) AS df FROM gc GROUP BY 1
+      |), per AS (
+      |  SELECT gc.doc_id, SUM(c) AS n_grams,
+      |    SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) AS n_dup
+      |  FROM gc JOIN dfreq USING (gram) GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  CAST(COALESCE(per.n_grams, 0) AS BIGINT) AS n_grams,
+      |  CAST(COALESCE(per.n_dup, 0) AS BIGINT) AS n_dup,
+      |  CASE WHEN COALESCE(per.n_grams, 0) = 0 THEN 0.0
+      |       ELSE round(per.n_dup * 1.0 / per.n_grams, 6) END AS dup_frac
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------ d19 BPE-ish token counts (oracle)
+  /** Tokenizer-cost profile: whitespace tokens vs BPE-ish pieces
+    * (word runs + standalone punctuation — the pre-tokenization split
+    * every BPE vocabulary builds on). [[TextAnalysis.bpeishTokenCount]]
+    * was unit-only until now. */
+  def d19BpeTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
+  val d19Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -1058,6 +1262,10 @@ object OpsQueries {
     "d13_contamination" -> (d13Contamination _),
     "d14_temperature_sample" -> (d14TemperatureSample _),
     "d15_length_percentiles" -> (d15LengthPercentiles _),
+    "e8_semantic_dedup" -> (e8SemanticDedup _),
+    "e9_quantize_int8" -> (e9QuantizeInt8 _),
+    "d18_dup_ngrams" -> (d18DupNgrams _),
+    "d19_bpe_tokens" -> (d19BpeTokens _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1087,5 +1295,9 @@ object OpsQueries {
     "d13_contamination" -> d13Sql,
     "d14_temperature_sample" -> d14Sql,
     "d15_length_percentiles" -> d15Sql,
+    "e8_semantic_dedup" -> e8Sql,
+    "e9_quantize_int8" -> e9Sql,
+    "d18_dup_ngrams" -> d18Sql,
+    "d19_bpe_tokens" -> d19Sql,
   )
 }

@@ -810,3 +810,138 @@ class RepetitionSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(out(4L) == ((1.0, 0.0, 0.0)))
   }
 }
+
+class SemanticDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  // two well-separated cells on the unit circle
+  private val centroids = Seq(Array(1.0, 0.0), Array(-1.0, 0.0))
+
+  test("keep rule: lowest id survives, near-dups in its cell drop, " +
+      "far vectors and other-cell vectors stay") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),     // cell 0, kept (lowest)
+      (2L, Seq(0.999f, 0.04f)),  // cell 0, cos(1,2) ~ 1 -> dropped
+      (3L, Seq(0.2f, 0.98f)),    // cell 0 (closer to +x), far from 1 -> kept
+      (4L, Seq(-1.0f, 0.0f)),    // cell 1: same direction as nothing there
+      (5L, Seq(-0.999f, -0.04f)) // cell 1, near-dup of 4 -> dropped
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedup(df, centroids, threshold = 0.98)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept.keySet == Set(1L, 3L, 4L))
+    assert(kept(1L) == 0 && kept(3L) == 0 && kept(4L) == 1)
+  }
+
+  test("non-transitive: b drops via a, c survives if only near b") {
+    // a--b similar, b--c similar, a--c not: c is NOT dropped (its only
+    // lower-id near-dup is b, but the rule tests existence of ANY
+    // lower-id cell-mate over threshold, and cos(a,c) < t, cos(b,c) >= t
+    // -> c drops because b is lower-id and still in the same CELL
+    // (dropping is by id order, not by survivorship) — assert exactly
+    // that documented semantics
+    val a = Seq(1.0f, 0.0f)
+    val b = Seq(math.cos(0.2).toFloat, math.sin(0.2).toFloat)
+    val c = Seq(math.cos(0.4).toFloat, math.sin(0.4).toFloat)
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("vec_id", "embedding")
+    // cos(a,b)=cos(0.2)~0.980, cos(b,c)~0.980, cos(a,c)=cos(0.4)~0.921
+    val kept = Dedup.semanticDedup(df, centroids, threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), s"got $kept")
+  }
+
+  test("fitted-codebook path drops planted exact copies") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    }
+    val withCopies = base ++ base.map { case (id, v) => (id + 1000L, v) }
+    val df = withCopies.toDF("vec_id", "embedding")
+    val kept = Dedup.semanticDedupFit(df, k = 4, threshold = 0.9999)
+      .collect().map(_.getLong(0)).toSet
+    // every copy has its original (lower id, identical vector -> same
+    // cell whatever the fit produced) at cosine 1
+    assert((0 until 40).forall(i => kept(i.toLong)))
+    assert((0 until 40).forall(i => !kept(i + 1000L)), s"copies kept: " +
+      kept.filter(_ >= 1000L).toSeq.sorted.take(5).toString)
+  }
+}
+
+class QuantizeSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("codes in [0,255], endpoints exact, mse within scale^2/4") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 4 - 2))).toDF(
+      "vec_id", "embedding")
+    val rows = Similarity.quantizeInt8(df).collect()
+    rows.foreach { r =>
+      val codes = r.getSeq[Long](1)
+      val scale = r.getDouble(3)
+      val mse = r.getDouble(4)
+      assert(codes.forall(c => c >= 0L && c <= 255L))
+      assert(codes.contains(0L), "min element must code to 0")
+      assert(codes.contains(255L), "max element must code to 255")
+      assert(mse <= scale * scale / 4.0 * 1.0001,
+        s"mse $mse vs bound ${scale * scale / 4.0}")
+    }
+  }
+
+  test("constant and empty vectors: zero scale, zero error") {
+    val df = Seq(
+      (1L, Seq(0.5f, 0.5f, 0.5f)),
+      (2L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L)._1 == Seq(0L, 0L, 0L))
+    assert(got(1L)._2 == 0.0 && got(1L)._3 == 0.0)
+    assert(got(2L)._1.isEmpty && got(2L)._3 == 0.0)
+  }
+
+  test("dequantized values reconstruct within half a step") {
+    val df = Seq((1L, Seq(-1.0f, -0.25f, 0.1f, 0.9f))).toDF(
+      "vec_id", "embedding")
+    val r = Similarity.quantizeInt8(df).head
+    val codes = r.getSeq[Long](1)
+    val lo = r.getDouble(2); val scale = r.getDouble(3)
+    val orig = Seq(-1.0, -0.25, 0.1, 0.9)
+    codes.zip(orig).foreach { case (c, x) =>
+      assert(math.abs(lo + c * scale - x) <= scale / 2 + 1e-7)
+    }
+  }
+}
+
+class DupNgramsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("cross-doc grams flag, within-doc repeats don't, short docs " +
+      "report zero") {
+    val boiler = "please subscribe to our newsletter today"  // 6 tokens
+    val df = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta $boiler"),
+      (2L, s"one two three four five six seven $boiler"),
+      // 10 tokens = 6 grams, every gram unique to this doc, but the
+      // SAME gram repeats within the doc via the doubled phrase
+      (3L, "red green blue cyan red green blue cyan red green"),
+      (4L, "too short here")
+    ).toDF("doc_id", "text")
+    val got = Contamination.corpusDupNgrams(df).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // docs 1, 2: boiler contributes 2 shared 5-grams ("please subscribe
+    // to our newsletter", "subscribe to our newsletter today"); the
+    // seam grams mix doc-specific prefixes and stay unique.
+    // doc 1: 12 tokens -> 8 grams; doc 2: 13 tokens -> 9 grams
+    assert(got(1L)._1 == 8L && got(1L)._2 == 2L)
+    assert(got(2L)._1 == 9L && got(2L)._2 == 2L)
+    assert(got(1L)._3 == 0.25 && got(2L)._3 == 0.222222)
+    // doc 3: "red green blue cyan red" appears TWICE in the one doc —
+    // instances repeat, but document frequency is 1, so nothing flags
+    assert(got(3L) == ((6L, 0L, 0.0)))
+    assert(got(4L) == ((0L, 0L, 0.0)))
+  }
+}
