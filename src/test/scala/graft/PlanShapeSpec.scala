@@ -72,6 +72,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"contamination must join on the gram key:\n$p")
   }
 
+  test("d13 contamination: the tokenizer split never lands inside a " +
+      "scan-side Filter (the InferFiltersFromGenerate re-eval trap)") {
+    // regression guard for the 8x d13 fix: an inferred size(grams) > 0
+    // filter over an ALIASED gram column gets the whole shingle tree
+    // (inline tokenizer inside the HOF lambda) substituted and pushed
+    // to the scan, where it re-evaluates per gram element
+    val p = staticPlan("d13_contamination")
+    val badFilter = p.collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("regexp_replace") => f
+    }
+    assert(badFilter.isEmpty,
+      s"shingle expression leaked into a Filter:\n${badFilter.headOption}")
+  }
+
+  test("e8 semantic dedup: cell self-join + anti-join only, no " +
+      "cartesian pairing") {
+    val p = staticPlan("e8_semantic_dedup")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"semantic dedup must pair within cells via the cell key:\n$p")
+  }
+
+  test("d18 dup-ngrams: gram-key joins with map-side partial counts") {
+    val p = staticPlan("d18_dup_ngrams")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"dup-ngram profiling must join on the gram key:\n$p")
+    assert(p.toString.contains("partial"),
+      s"d18 lost map-side partial aggregation:\n$p")
+  }
+
+  test("e9 quantization: pure per-row pipeline — only the output sort " +
+      "may exchange") {
+    val p = staticPlan("e9_quantize_int8")
+    assert(shuffles(p) <= 1,
+      s"quantization must not shuffle data, got ${shuffles(p)}:\n$p")
+  }
+
   test("q1 pricing summary: one partial-agg shuffle + output sort") {
     val p = staticPlan("q1_pricing_summary")
     assert(shuffles(p) <= 2,
