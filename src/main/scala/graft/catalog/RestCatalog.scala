@@ -194,26 +194,26 @@ class RestCatalog(
     * and the loop runs once). */
   private def paged[A](uri: String, parse: JsonNode => Seq[A]): Seq[A] = {
     val out = Seq.newBuilder[A]
-    var token: Option[String] = None
+    var pageToken: Option[String] = None
     var pages = 0
     var done = false
     while (!done) {
-      val q = token.map(t => s"?pageToken=${enc(t)}").getOrElse("")
+      val q = pageToken.map(t => s"?pageToken=${enc(t)}").getOrElse("")
       val n = getJson(uri + q)
       out ++= parse(n)
       val next = Option(n.get("next-page-token")).filterNot(_.isNull)
         .map(_.asText).filter(_.nonEmpty)
       // fail loud, never hang: a server re-issuing the same token (or
       // paging without end) would otherwise spin this loop forever
-      if (next.isDefined && next == token)
+      if (next.isDefined && next == pageToken)
         throw new RuntimeException(
           s"REST pagination did not advance at $uri (token ${next.get})")
       pages += 1
       if (next.isDefined && pages >= 10000)
         throw new RuntimeException(
           s"REST pagination exceeded 10000 pages at $uri")
-      token = next
-      done = token.isEmpty
+      pageToken = next
+      done = pageToken.isEmpty
     }
     out.result()
   }

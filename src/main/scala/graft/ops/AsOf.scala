@@ -22,6 +22,13 @@ object AsOf {
       tsCol: String, rightPrefix: String = "right_"): DataFrame = {
     val rightPayloadCols = right.columns.filterNot(c =>
       keyCols.contains(c)).toSeq
+    // prefixed right columns must not shadow left output columns —
+    // duplicate names would make every downstream reference ambiguous
+    val clash = rightPayloadCols.filterNot(_ == tsCol)
+      .map(c => s"$rightPrefix$c").filter(left.columns.contains)
+    require(clash.isEmpty,
+      s"prefixed right column(s) ${clash.mkString(", ")} collide with " +
+        s"left columns; pick a different rightPrefix")
     // one unioned stream: right rows carry their payload as a struct,
     // left rows carry null payload plus a marker
     val rTagged = right.select(

@@ -47,8 +47,12 @@ object Contamination {
     // Dedup.scala:35-39 re-eval pitfall) into a Filter at the scan —
     // measured 8x on the d13 bench (3.8 s -> 0.5 s at sf0.1). The rule
     // skips non-attribute generator inputs, so fusing sidesteps it.
+    // NULL text ≡ empty text (one whole-text "" gram), so a document
+    // with a missing body stays in the output — shingles(NULL) would be
+    // NULL and explode would silently drop the document otherwise
     val shingled = (df: DataFrame) => df.select(col(idCol).as("__id"),
-        split(graft.ops.TextAnalysis.normalized(col(textCol)), " ")
+        split(graft.ops.TextAnalysis.normalized(
+          coalesce(col(textCol), lit(""))), " ")
           .as("__toks"))
       .select(col("__id"),
         explode(array_distinct(Dedup.shinglesOfTokens(col("__toks"), n)))

@@ -98,8 +98,13 @@ object Packing {
       i => s"__graft_rk$i")
     val off = graft.util.Names.fresh(df.columns ++ Seq(dig, bkt, rk))(
       i => s"__graft_off$i")
+    // a NULL id has no digest, so no place in a REPRODUCIBLE order (and
+    // ties among several NULLs would be nondeterministic) — fail loud
+    // instead of silently dropping the row at the bucket join
     val keyed = df
-      .withColumn(dig, md5(col(idCol).cast("string")))
+      .withColumn(dig, when(col(idCol).isNull,
+          raise_error(lit("globalOrderIndex requires non-null ids")))
+        .otherwise(md5(col(idCol).cast("string"))))
       .withColumn(bkt, substring(col(dig), 1, 2))
     val offsets = keyed.groupBy(col(bkt))
       .agg(count(lit(1)).as(off))
@@ -166,14 +171,16 @@ object Packing {
     * multi-source mixing rule LLM pretraining uses; temperature 1 keeps
     * everything).
     *
-    * Scale design: the per-stratum counts are a partial-agg rollup
-    * (stratum cardinality, not data volume) broadcast back onto the
-    * data, which then takes ONE shuffle on the stratum key. Unlike
-    * [[stratifiedSample]]'s literal quota, a column-valued quota can't
-    * ride WindowGroupLimit's map-side pruning — every stratum row is
-    * ranked before the filter — but ranking is a streaming pass over
-    * the sorted partition, so the extra cost is the rank itself, not a
-    * second shuffle.
+    * Scale design: the per-stratum count rides the SAME stratum-key
+    * window partitioning as the rank — one shuffle total, no
+    * aggregate/join side-trip (and, unlike an inner equi-join on the
+    * stratum, a NULL stratum — rows with a missing source label — is a
+    * partition like any other and samples instead of vanishing).
+    * Unlike [[stratifiedSample]]'s literal quota, a column-valued
+    * quota can't ride WindowGroupLimit's map-side pruning — every
+    * stratum row is ranked before the filter — but ranking is a
+    * streaming pass over the sorted partition, so the extra cost is
+    * the rank itself, not a second shuffle.
     *
     * Determinism: `temperature = 2` computes quotas with `sqrt` (an
     * exact, correctly-rounded IEEE op every engine agrees on — what the
@@ -187,15 +194,15 @@ object Packing {
     require(temperature >= 1.0, "temperature must be >= 1")
     val rk = graft.util.Names.fresh(df.columns)(i => s"__graft_rk$i")
     val qt = graft.util.Names.fresh(df.columns :+ rk)(i => s"__graft_q$i")
-    val nCol = count(lit(1)).cast("double")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val nCol = count(lit(1))
+      .over(Window.partitionBy(col(stratumCol))).cast("double")
     val quota = ceil(
       if (temperature == 2.0) sqrt(nCol)
       else pow(nCol, lit(1.0 / temperature))).cast("long")
-    val quotas = df.groupBy(col(stratumCol)).agg(quota.as(qt))
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
-    df.join(broadcast(quotas), Seq(stratumCol))
-      .withColumn(rk, row_number().over(w))
+    df.withColumn(rk, row_number().over(w))
+      .withColumn(qt, quota)
       .where(col(rk) <= col(qt))
       .drop(rk, qt)
   }

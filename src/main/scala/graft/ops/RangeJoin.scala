@@ -40,6 +40,17 @@ object RangeJoin {
       rightPrefix: String = "right_"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     val ivPayload = intervals.columns.filterNot(keyCols.contains).toSeq
+    // the bounds must survive as prefixed payload (the residual filter
+    // reads them), and prefixed names must not shadow point columns —
+    // both would otherwise surface as a confusing missing-column or
+    // AMBIGUOUS_REFERENCE failure deep in the join
+    require(ivPayload.contains(startCol) && ivPayload.contains(endCol),
+      s"keyCols must not include $startCol/$endCol")
+    val clash = ivPayload.map(c => s"$rightPrefix$c")
+      .filter(points.columns.contains)
+    require(clash.isEmpty,
+      s"prefixed interval column(s) ${clash.mkString(", ")} collide " +
+        s"with point columns; pick a different rightPrefix")
     // collision-free bin column — never clobber a user column
     val bin = graft.util.Names.fresh(
       points.columns ++ ivPayload.map(c => s"$rightPrefix$c"))(

@@ -237,7 +237,11 @@ object Similarity {
         col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid").asc)
-    scored.select("qid", "nid", "score").distinct()
+    // no distinct(): each corpus vector lives in exactly ONE cell and a
+    // query probes a slice of DISTINCT cells, so a (qid, nid) pair can
+    // meet only once — unlike lshTopK's multi-probe, which can hit the
+    // same bucket through several flipped bits and must dedup
+    scored.select("qid", "nid", "score")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

@@ -457,20 +457,74 @@ object OpsQueries {
        |FROM embeddings ORDER BY vec_id""".stripMargin
   }
 
+  /** Shared DuckDB SQL builders for the planted-centroid oracle family
+    * (e3b, e8): the LCG centroid term, per-cell squared-distance
+    * columns + LEAST/argmin CASE, and the in-order-fold cosine. ONE
+    * definition, parameterized by stride base / cell count / column
+    * name, so a fix to the shared arithmetic can never drift the two
+    * gates' oracles apart. */
+  private object PlantedSql {
+    /** Centroid entry for (cell, dim i-1) — `cell` may be a literal or
+      * a column captured by the enclosing lambda. */
+    def centroid(stride: Int, cell: String): String =
+      s"(CAST((((1103515245 * ($stride + $cell * 1000 + (i - 1)) + 12345) % 2001) - 1000) AS DOUBLE) / 1000)"
+
+    /** One `dN` squared-distance column per cell over vector column
+      * `vec` (in-order double fold — [[Similarity]]'s dist2 shape). */
+    def distCols(stride: Int, cells: Int, vec: String): String =
+      (0 until cells).map { cl =>
+        s"""list_reduce(list_transform(generate_series(1, len($vec)),
+           |      i -> ($vec[i] - ${centroid(stride, cl.toString)}) * ($vec[i] - ${centroid(stride, cl.toString)})),
+           |    (acc, x) -> acc + x) AS d$cl""".stripMargin
+      }.mkString(",\n    ")
+
+    def leastList(cells: Int): String =
+      (0 until cells).map(cl => s"d$cl").mkString(", ")
+
+    def argminCase(cells: Int): String =
+      (0 until cells).map(cl => s"WHEN d$cl = m THEN $cl").mkString(" ")
+
+    /** In-order-fold cosine with the zero-norm guard — the exact SQL
+      * replay of [[Similarity.cosineWithNorms]]. */
+    def cos(a: String, b: String): String =
+      s"""(CASE WHEN sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
+         |        (acc, x) -> acc + x)) = 0
+         |      OR sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
+         |        (acc, x) -> acc + x)) = 0
+         |  THEN 0.0
+         |  ELSE list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $b[i]),
+         |        (acc, x) -> acc + x)
+         |    / (sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
+         |        (acc, x) -> acc + x))
+         |     * sqrt(list_reduce(list_transform(
+         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
+         |        (acc, x) -> acc + x)))
+         |  END)""".stripMargin
+  }
+
   // ----------------------- e3b IVF planted-centroid verify (oracle)
   private val E3bCells = 8
   private val E3bNprobe = 3
 
   /** Integer-LCG centroid entry for (cell, dim): the e2b portable-
-    * randomness trick with a different stride base (77), so the planted
-    * centroids are not the e2b hyperplanes. The integer is scaled to
-    * [-1, 1] (the embeddings' own range — otherwise every corpus row's
-    * Euclidean argmin would collapse into the smallest-norm cell and
-    * the gate would be trivial); integer arithmetic then one IEEE
-    * division by 1000 is bit-exact in Scala, Spark, and DuckDB. */
+    * randomness trick, stride-base-parameterized so each gate plants a
+    * DIFFERENT codebook (77 = e3b, 131 = e8 — neither the e2b
+    * hyperplanes). The integer is scaled to [-1, 1] (the embeddings'
+    * own range — otherwise every corpus row's Euclidean argmin would
+    * collapse into the smallest-norm cell and the gate would be
+    * trivial); integer arithmetic then one IEEE division by 1000 is
+    * bit-exact in Scala, Spark, and DuckDB — the Scala twin of
+    * [[PlantedSql.centroid]]. */
+  private def plantedCentroid(stride: Int, cell: Int, dim: Int): Double =
+    (((1103515245L * (stride.toLong + cell.toLong * 1000L + dim.toLong)
+      + 12345L) % 2001L) - 1000L).toDouble / 1000.0
+
   private def e3bCentroid(cell: Int, dim: Int): Double =
-    (((1103515245L * (77L + cell.toLong * 1000L + dim.toLong) + 12345L)
-      % 2001L) - 1000L).toDouble / 1000.0
+    plantedCentroid(77, cell, dim)
 
   /** Hash-gated companion for IVF ANN (e3 itself is seed-dependent via
     * the KMeans fit, so it can only be rows-checked). Fixed LCG
@@ -503,36 +557,11 @@ object OpsQueries {
   }
 
   val e3bSql: String = {
-    // centroid entry for (cell, dim i-1) — `cell` may be a literal or a
-    // column captured by the enclosing lambda
-    def f(cell: String): String =
-      s"(CAST((((1103515245 * (77 + $cell * 1000 + (i - 1)) + 12345) % 2001) - 1000) AS DOUBLE) / 1000)"
-    val distCols = (0 until E3bCells).map { cl =>
-      s"""list_reduce(list_transform(generate_series(1, len(cv)),
-         |      i -> (cv[i] - ${f(cl.toString)}) * (cv[i] - ${f(cl.toString)})),
-         |    (acc, x) -> acc + x) AS d$cl""".stripMargin
-    }.mkString(",\n    ")
-    val dls = (0 until E3bCells).map(cl => s"d$cl").mkString(", ")
-    val argmin = (0 until E3bCells)
-      .map(cl => s"WHEN d$cl = m THEN $cl").mkString(" ")
-    def cos(a: String, b: String): String =
-      s"""(CASE WHEN sqrt(list_reduce(list_transform(
-         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
-         |        (acc, x) -> acc + x)) = 0
-         |      OR sqrt(list_reduce(list_transform(
-         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
-         |        (acc, x) -> acc + x)) = 0
-         |  THEN 0.0
-         |  ELSE list_reduce(list_transform(
-         |        generate_series(1, len($a)), i -> $a[i] * $b[i]),
-         |        (acc, x) -> acc + x)
-         |    / (sqrt(list_reduce(list_transform(
-         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
-         |        (acc, x) -> acc + x))
-         |     * sqrt(list_reduce(list_transform(
-         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
-         |        (acc, x) -> acc + x)))
-         |  END)""".stripMargin
+    import PlantedSql.cos
+    def f(cell: String): String = PlantedSql.centroid(77, cell)
+    val distCols = PlantedSql.distCols(77, E3bCells, "cv")
+    val dls = PlantedSql.leastList(E3bCells)
+    val argmin = PlantedSql.argminCase(E3bCells)
     s"""WITH dim AS (
        |  SELECT max(len(embedding)) AS d FROM embeddings
        |), corpus AS (
@@ -857,7 +886,8 @@ object OpsQueries {
   val d13Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |    string_split(lower(trim(regexp_replace(COALESCE(text, ''),
+      |                 '\s+', ' ', 'g'))),
       |                 ' ') AS tk
       |  FROM documents
       |), sh AS (
@@ -894,18 +924,14 @@ object OpsQueries {
       .orderBy("source", "doc_id")
 
   val d14Sql: String =
-    """WITH q AS (
-      |  SELECT source, CAST(ceil(sqrt(COUNT(*) * 1.0)) AS BIGINT) AS quota
-      |  FROM documents GROUP BY 1
-      |), r AS (
+    """SELECT source, doc_id FROM (
       |  SELECT source, doc_id,
       |    ROW_NUMBER() OVER (PARTITION BY source
-      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk,
+      |    CAST(ceil(sqrt(COUNT(*) OVER (PARTITION BY source) * 1.0))
+      |      AS BIGINT) AS quota
       |  FROM documents
-      |)
-      |SELECT r.source, r.doc_id FROM r JOIN q USING (source)
-      |WHERE r.rk <= q.quota
-      |ORDER BY source, doc_id""".stripMargin
+      |) WHERE rk <= quota ORDER BY source, doc_id""".stripMargin
 
   // -------------------------------------- e7 range join (oracle)
   /** Binned range join gate: purchases (points) matched into 6-hour
@@ -1030,13 +1056,10 @@ object OpsQueries {
   private val E8Cells = 8
   private val E8Threshold = 0.95
 
-  /** Integer-LCG centroid entry for (cell, dim) — the e3b portable-
-    * randomness trick with stride base 131, so the e8 codebook differs
-    * from both the e2b hyperplanes (42) and the e3b centroids (77).
-    * Scaled to [-1, 1], the embeddings' own range. */
+  /** e8's planted codebook: [[plantedCentroid]] at stride base 131 —
+    * distinct from both the e2b hyperplanes (42) and e3b (77). */
   private def e8Centroid(cell: Int, dim: Int): Double =
-    (((1103515245L * (131L + cell.toLong * 1000L + dim.toLong) + 12345L)
-      % 2001L) - 1000L).toDouble / 1000.0
+    plantedCentroid(131, cell, dim)
 
   /** SemDeDup gate ([[Dedup.semanticDedup]] — cluster-then-prune
     * semantic dedup): embeddings plus exact copies (id + 1000000) run
@@ -1067,34 +1090,10 @@ object OpsQueries {
   }
 
   val e8Sql: String = {
-    def f(cell: String): String =
-      s"(CAST((((1103515245 * (131 + $cell * 1000 + (i - 1)) + 12345) % 2001) - 1000) AS DOUBLE) / 1000)"
-    val distCols = (0 until E8Cells).map { cl =>
-      s"""list_reduce(list_transform(generate_series(1, len(v)),
-         |      i -> (v[i] - ${f(cl.toString)}) * (v[i] - ${f(cl.toString)})),
-         |    (acc, x) -> acc + x) AS d$cl""".stripMargin
-    }.mkString(",\n    ")
-    val dls = (0 until E8Cells).map(cl => s"d$cl").mkString(", ")
-    val argmin = (0 until E8Cells)
-      .map(cl => s"WHEN d$cl = m THEN $cl").mkString(" ")
-    def cos(a: String, b: String): String =
-      s"""(CASE WHEN sqrt(list_reduce(list_transform(
-         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
-         |        (acc, x) -> acc + x)) = 0
-         |      OR sqrt(list_reduce(list_transform(
-         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
-         |        (acc, x) -> acc + x)) = 0
-         |  THEN 0.0
-         |  ELSE list_reduce(list_transform(
-         |        generate_series(1, len($a)), i -> $a[i] * $b[i]),
-         |        (acc, x) -> acc + x)
-         |    / (sqrt(list_reduce(list_transform(
-         |        generate_series(1, len($a)), i -> $a[i] * $a[i]),
-         |        (acc, x) -> acc + x))
-         |     * sqrt(list_reduce(list_transform(
-         |        generate_series(1, len($b)), i -> $b[i] * $b[i]),
-         |        (acc, x) -> acc + x)))
-         |  END)""".stripMargin
+    import PlantedSql.cos
+    val distCols = PlantedSql.distCols(131, E8Cells, "v")
+    val dls = PlantedSql.leastList(E8Cells)
+    val argmin = PlantedSql.argminCase(E8Cells)
     s"""WITH dim AS (
        |  SELECT max(len(embedding)) AS d FROM embeddings
        |), planted AS (

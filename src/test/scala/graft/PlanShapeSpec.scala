@@ -56,13 +56,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sessionization must reuse the user-key Exchange, got ${shuffles(p)}:\n$p")
   }
 
-  test("d14 temperature sample: quota rollup broadcast, one data shuffle") {
+  test("d14 temperature sample: count and rank share ONE stratum " +
+      "shuffle (plus the output sort)") {
     val p = staticPlan("d14_temperature_sample")
-    assert(broadcasts(p) >= 1,
-      s"per-stratum quotas must broadcast, not shuffle-join:\n$p")
-    // quota agg + stratum window + output sort; the DATA may shuffle at
-    // most twice (agg input reuses the scan, window is the real one)
-    assert(shuffles(p) <= 3,
+    // per-stratum count rides the same window partitioning as the
+    // rank — no aggregate/join side-trip, no broadcast needed
+    assert(shuffles(p) <= 2,
       s"temperature sampling gained a shuffle, got ${shuffles(p)}:\n$p")
   }
 

@@ -945,3 +945,66 @@ class DupNgramsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(4L) == ((0L, 0L, 0.0)))
   }
 }
+
+class ReviewHardeningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("temperatureSample: a NULL stratum samples instead of vanishing") {
+    val df = (Seq((1L, Option("a")), (2L, Option("a")), (3L, Option("a")),
+      (4L, Option("a"))) ++
+      Seq((10L, Option.empty[String]), (11L, Option.empty[String]),
+        (12L, Option.empty[String]), (13L, Option.empty[String])))
+      .toDF("doc_id", "source")
+    val kept = Packing.temperatureSample(df, "source", "doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+    // quota = ceil(sqrt(4)) = 2 for BOTH strata, including NULL
+    assert(kept.count(_._2.contains("a")) == 2)
+    assert(kept.count(_._2.isEmpty) == 2,
+      s"NULL-stratum rows must be sampled, not dropped: ${kept.toSeq}")
+  }
+
+  test("contamination overlap: NULL-text documents stay in the output") {
+    val corpus = Seq((1L, Option("alpha beta gamma delta")),
+      (2L, Option.empty[String])).toDF("doc_id", "text")
+    val bench = Seq((9L, Option("alpha beta gamma delta")))
+      .toDF("doc_id", "text")
+    val got = Contamination.overlap(corpus, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L), s"every doc must be kept: $got")
+    assert(got(2L) == ((0L, 1L))) // one whole-"text" gram, zero hits
+  }
+
+  test("globalOrderIndex fails loud on a NULL id") {
+    val df = Seq(Option(1L), Option(2L), Option.empty[Long]).toDF("doc_id")
+    val e = intercept[Exception] {
+      Packing.globalOrderIndex(df, "doc_id").collect()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("range join and as-of join reject colliding prefixed names") {
+    val pts = Seq((1L, 5L, "x")).toDF("k", "pt", "right_s")
+    val ivs = Seq((1L, 0L, 10L)).toDF("k", "s", "e")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs, Seq("k"), "pt", "s", "e",
+        binWidth = 4L)
+    }
+    assert(e1.getMessage.contains("right_s"))
+    val left = Seq((1L, 5L, "x")).toDF("k", "ts", "right_v")
+    val right = Seq((1L, 3L, "y")).toDF("k", "ts", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.asOfJoin(left, right, Seq("k"), "ts")
+    }
+    assert(e2.getMessage.contains("right_v"))
+  }
+
+  test("range join rejects keyCols that swallow the bounds") {
+    val pts = Seq((1L, 5L)).toDF("s", "pt")
+    val ivs = Seq((1L, 0L, 10L)).toDF("s", "x", "e")
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(pts, ivs, Seq("s"), "pt", "s", "e",
+        binWidth = 4L)
+    }
+  }
+}
