@@ -28,5 +28,6 @@ object SparkEntry {
     "q4_segment_revenue", "q5_nation_revenue", "q6_forecast_revenue",
     "q9_window_rank", "q13_events_hourly",
     "d1_dedup_exact", "d6_minhash_dedup", "e1_ann_bruteforce",
-    "e6_sessionize", "d13_contamination")
+    "e6_sessionize", "d13_contamination", "e8_semantic_dedup",
+    "d18_dup_ngrams")
 }

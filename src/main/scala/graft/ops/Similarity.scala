@@ -17,22 +17,25 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** L2 norm of a float-array column — the in-order double fold every
-    * cosine here uses, exposed so pair loops can hoist it per ROW. */
+  /** L2 norm of a float-array column — `sqrt` of the self-dot, via the
+    * codegen'd [[graft.functions.VectorKernels]] kernel (bit-identical
+    * to the in-order `acc + x²` fold every oracle replays). Exposed so
+    * pair loops can hoist it per ROW. */
   def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    sqrt(graft.functions.VectorFunctions.vecDot(v, v))
 
   /** Cosine with caller-supplied norms — bit-identical arithmetic to
-    * [[cosine]] (same dot fold, same zero guard, same `na * nb`
-    * division order), but the norms can be projected once per corpus /
-    * query row instead of recomputed for every candidate PAIR. In a
-    * top-k scan that turns 3·dim multiplies per pair into dim per pair
-    * plus dim per row — the norms drop out of the O(pairs) term. */
+    * [[cosine]] (same in-order dot fold, same zero guard, same
+    * `na * nb` division order), but the norms can be projected once per
+    * corpus / query row instead of recomputed for every candidate PAIR.
+    * In a top-k scan that turns 3·dim multiplies per pair into dim per
+    * pair plus dim per row — the norms drop out of the O(pairs) term.
+    * The dot itself is the codegen'd kernel: the HOF fold it replaces
+    * evaluates as a boxed closure per element (~30 µs per 64-dim pair),
+    * which dominated every candidate-pair loop. */
   def cosineWithNorms(a: Column, b: Column, na: Column,
       nb: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val dot = graft.functions.VectorFunctions.vecDot(a, b)
     when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(dot / (na * nb))
   }
 
@@ -159,14 +162,11 @@ object Similarity {
   }
 
   /** Squared Euclidean distance from a float-array column to a fixed
-    * centroid — in-order double fold, deterministic across engines. */
+    * centroid — the codegen'd in-order `(x - c)²` fold
+    * ([[graft.functions.VectorKernels]]), deterministic across
+    * engines. */
   private def dist2(vec: Column, centroid: Array[Double]): Column =
-    aggregate(
-      zip_with(vec, typedlit(centroid.toSeq), (x, c) => {
-        val d = x.cast("double") - c
-        d * d
-      }),
-      lit(0.0), (acc, t) => acc + t)
+    graft.functions.VectorFunctions.vecSqDist(vec, typedlit(centroid.toSeq))
 
   /** Nearest-centroid cell id for a vector column: a per-row
     * `least(struct(dist², cell))` argmin — pure codegen'd expressions,
