@@ -20,7 +20,11 @@ object Packing {
     * documents in ascending `idCol` order fill bins of `capacity`
     * tokens; a document that would overflow the open bin starts the
     * next one (an oversized document occupies a bin alone — callers
-    * should pre-filter or split those). Emits (shard, id, tokens, bin).
+    * should pre-filter or split those). Emits (shard, id, tokens, bin,
+    * bin_offset) — the offset is the document's starting token position
+    * WITHIN its bin, which is what the training loader needs to build
+    * position ids and the block-diagonal attention mask over a packed
+    * context window.
     *
     * Deterministic: bin assignment depends only on (shard, id order,
     * token counts). Greedy-sequential is the industry-standard packing
@@ -49,13 +53,14 @@ object Packing {
         var bin = 0L
         var acc = 0L
         docs.iterator.zipWithIndex.map { case ((_, id, tokens), i) =>
-          if (i == 0) acc = tokens
-          else if (acc + tokens > capacity) { bin += 1; acc = tokens }
-          else acc += tokens
-          (shard, id, tokens, bin)
+          val offset =
+            if (i == 0) { acc = tokens; 0L }
+            else if (acc + tokens > capacity) { bin += 1; acc = tokens; 0L }
+            else { val o = acc; acc += tokens; o }
+          (shard, id, tokens, bin, offset)
         }
       }
-    packed.toDF("shard", "id", "tokens", "bin")
+    packed.toDF("shard", "id", "tokens", "bin", "bin_offset")
   }
 
   /** Deterministic stratified sample: up to `quota` rows per stratum,

@@ -679,8 +679,11 @@ object OpsQueries {
   // ------------------------------------ d9 sequence packing (oracle)
   /** Context-window packing over the documents table: shards of 100
     * ids pack greedily into 512-token bins. Row-level gate — every
-    * (shard, id, tokens, bin) must match DuckDB's recursive-CTE replay
-    * of the same greedy recurrence. */
+    * (shard, id, tokens, bin, bin_offset) must match DuckDB's
+    * recursive-CTE replay of the same greedy recurrence (the offset —
+    * the doc's start position within its bin, what position-id /
+    * attention-mask construction reads — falls out of the replay as
+    * `acc - tokens`). */
   def d9SeqPack(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"),
       floor(col("doc_id") / 100).cast("long").as("shard"),
@@ -711,7 +714,8 @@ object OpsQueries {
       |  FROM packed p JOIN ordered o
       |    ON o.shard = p.shard AND o.rn = p.rn + 1
       |)
-      |SELECT shard, doc_id AS id, CAST(tokens AS BIGINT) AS tokens, bin
+      |SELECT shard, doc_id AS id, CAST(tokens AS BIGINT) AS tokens, bin,
+      |  acc - tokens AS bin_offset
       |FROM packed ORDER BY shard, id""".stripMargin
 
   // ------------------------------ d10 stratified sampling (oracle)

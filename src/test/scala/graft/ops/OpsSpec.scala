@@ -468,6 +468,13 @@ class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
       (0L, 1L, 0L), (0L, 2L, 0L), (0L, 3L, 1L),
       (0L, 4L, 2L), (0L, 5L, 3L),
       (1L, 6L, 0L), (1L, 7L, 1L)), s"got ${got.toSeq}")
+    // in-bin offsets: doc 2 starts after doc 1's 300 tokens; every
+    // bin-opening doc starts at 0
+    val offs = Packing.packGreedy(df, "doc_id", "tokens", "shard", 512)
+      .orderBy("shard", "id")
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(offs == Map(1L -> 0L, 2L -> 300L, 3L -> 0L, 4L -> 0L,
+      5L -> 0L, 6L -> 0L, 7L -> 0L), s"offsets $offs")
   }
 
   test("packing is shard-parallel: shards never share a bin sequence") {
