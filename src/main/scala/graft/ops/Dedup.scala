@@ -363,16 +363,36 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dedup end to end: keep the minimum id per
-    * verified duplicate cluster. */
+    * verified duplicate cluster.
+    *
+    * EXACT duplicates are collapsed to one representative (min id per
+    * normalized-text fingerprint) BEFORE the LSH stage. This is not an
+    * approximation — identical texts have identical signatures, so
+    * every group member shares every bucket with its representative
+    * and lands in the representative's component with Jaccard exactly
+    * 1; the kept set (min id per component) is provably unchanged. It
+    * is a SCALE requirement: a B-copy boilerplate group (B can reach
+    * millions at 100 TB) would otherwise emit B² candidate pairs from
+    * each of its shared buckets — the one quadratic blowup LSH banding
+    * cannot protect against on its own. After the collapse, B copies
+    * cost one digest-window pass and contribute ONE row to the pair
+    * stage; the kept representative per component is the component
+    * label itself (min doc id = min rep id, since each rep is already
+    * the minimum of its copy group). */
   def minhashDedup(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val edges = minhashEdges(df, textCol, idCol, numHashes, bands, threshold,
-      emitJaccard = false) // graph caller: ids only
-    val comps = connectedComponents(edges, df.select(col(idCol)))
-    val w = Window.partitionBy("component").orderBy(col("id").asc)
-    val keep = comps.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1).select(col("id").as("__keep"))
+    val repIds = df
+      .select(col(idCol).as("__id"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .groupBy("__fp").agg(min(col("__id")).as("__rid"))
+      .select(col("__rid"))
+    val reps = df.join(repIds, df(idCol) === col("__rid"), "left_semi")
+    val edges = minhashEdges(reps, textCol, idCol, numHashes, bands,
+      threshold, emitJaccard = false) // graph caller: ids only
+    val comps = connectedComponents(edges, reps.select(col(idCol)))
+    // min id per component IS the component label — no second window
+    val keep = comps.select(col("component").as("__keep")).distinct()
     df.join(keep, df(idCol) === col("__keep"), "left_semi")
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOf, Contamination, Dedup, Packing, RangeJoin,
-  Sessionize, Similarity, TextAnalysis}
+  Sessionize, Similarity, Skew, TextAnalysis}
 
 /** LLM-pipeline operators over the documents/embeddings testdata, each
   * under the driver gate. SQL-expressible ops carry DuckDB oracles;
@@ -1233,6 +1233,74 @@ object OpsQueries {
       |    '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------- e10 quantized ANN composition (oracle)
+  /** End-to-end int8 ANN: quantize → dequantize → exact top-k over the
+    * RECONSTRUCTED vectors ([[Similarity.quantizeInt8]] composed into
+    * [[Similarity.bruteForceTopK]]) — gates that the code path a
+    * quantized vector store actually serves (codes, not floats)
+    * preserves neighbor ranking deterministically. Every step is the
+    * same bit-exact arithmetic e9/e1 gate individually; this gate pins
+    * the COMPOSITION. Rank-only output (e1 pattern). */
+  def e10QuantizedAnn(s: SparkSession, dir: String): DataFrame = {
+    val q = Similarity.quantizeInt8(t(s, dir, "embeddings"))
+    val recon = q.select(col("vec_id"),
+      transform(col("codes"),
+        c => col("lo") + c.cast("double") * col("scale")).as("embedding"))
+    Similarity.bruteForceTopK(recon, recon.filter(col("vec_id") < 3), k = 5)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val e10Sql: String = {
+    val code = "CAST(LEAST(GREATEST(floor((x - lo) / scale + 0.5), 0.0), 255.0) AS BIGINT)"
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    COALESCE(list_min(CAST(embedding AS DOUBLE[])), 0.0) AS lo,
+       |    COALESCE((list_max(CAST(embedding AS DOUBLE[]))
+       |      - list_min(CAST(embedding AS DOUBLE[]))) / 255.0, 0.0) AS scale
+       |  FROM embeddings
+       |), recon AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scale = 0 THEN list_transform(v, x -> lo + 0.0 * scale)
+       |    ELSE list_transform(v, x -> lo + CAST($code AS DOUBLE) * scale)
+       |    END AS rv
+       |  FROM base
+       |)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${PlantedSql.cos("q.rv", "e.rv")} DESC,
+       |               e.vec_id ASC) AS rank
+       |  FROM recon q, recon e
+       |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) sub
+       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  // ------------------------------------ d20 salted join (oracle)
+  /** Salted-join parity gate ([[Skew.saltedJoin]] was unit-only):
+    * lineitem salt-joined to part on the part key, rolled up per
+    * brand, must equal DuckDB's plain join — the salt must be
+    * invisible in the RESULT (its whole contract). Decimal-cast sums
+    * keep the rollup order-independent and exact. */
+  def d20SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("p_partkey"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+    val part = t(s, dir, "part").select("p_partkey", "p_brand")
+    Skew.saltedJoin(li, part, "p_partkey", saltFactor = 4)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("qty")).cast("double").as("total_qty"))
+      .orderBy("p_brand")
+  }
+
+  val d20Sql: String =
+    """SELECT p.p_brand, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_qty
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -1269,6 +1337,8 @@ object OpsQueries {
     "e9_quantize_int8" -> (e9QuantizeInt8 _),
     "d18_dup_ngrams" -> (d18DupNgrams _),
     "d19_bpe_tokens" -> (d19BpeTokens _),
+    "e10_quantized_ann" -> (e10QuantizedAnn _),
+    "d20_salted_join" -> (d20SaltedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1302,5 +1372,7 @@ object OpsQueries {
     "e9_quantize_int8" -> e9Sql,
     "d18_dup_ngrams" -> d18Sql,
     "d19_bpe_tokens" -> d19Sql,
+    "e10_quantized_ann" -> e10Sql,
+    "d20_salted_join" -> d20Sql,
   )
 }

@@ -1015,3 +1015,33 @@ class ReviewHardeningSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class MinhashCollapseSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("exact-copy groups collapse before LSH, kept set unchanged") {
+    // 30 exact copies of one text + a near-dup + an unrelated doc:
+    // the pair stage must see ONE representative of the copy group
+    // (the quadratic-bucket guard), and the kept set must be exactly
+    // {min copy id, unrelated} — the near-dup clusters with the copies
+    val copyText = "the quick brown fox jumps over the lazy dog today"
+    val docs = ((1L to 30L).map(i => (i, copyText)) ++ Seq(
+      (40L, "the quick brown fox jumps over the lazy cat today"),
+      (50L, "completely different content about spark engines here")))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minhashDedup(docs, numHashes = 32, bands = 16,
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 50L), s"got $kept")
+  }
+
+  test("copy of the MINIMUM id still keeps exactly one row") {
+    val docs = Seq((7L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta"),
+      (9L, "unrelated words entirely disjoint token stream"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.minhashDedup(docs, numHashes = 32, bands = 16,
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 9L), s"got $kept")
+  }
+}
