@@ -146,4 +146,23 @@ object VectorFunctions {
 
   def vecSqDist(a: Column, b: Column): Column =
     Bridge.column(SqDistExpr(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Register `vec_dot(a, b)` / `vec_sqdist(a, b)` for SQL use (the
+    * iceberg_bucket registration pattern). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => {
+        require(exprs.size == 2, "vec_dot(a, b)")
+        DotProductExpr(exprs.head, exprs(1))
+      },
+      "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_sqdist",
+      exprs => {
+        require(exprs.size == 2, "vec_sqdist(a, b)")
+        SqDistExpr(exprs.head, exprs(1))
+      },
+      "scala_udf")
+  }
 }

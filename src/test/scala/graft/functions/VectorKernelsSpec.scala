@@ -71,6 +71,15 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(got(4L).contains(0.0))
   }
 
+  test("SQL registration: vec_dot / vec_sqdist usable from spark.sql") {
+    VectorFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |       vec_sqdist(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS s
+        |""".stripMargin).head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 8.0)
+  }
+
   test("kernel runs inside WholeStageCodegen (not interpreted fallback)") {
     // spark.range, not a literal Seq: ConvertToLocalRelation would fold
     // a literal frame into a LocalTableScan with no codegen stage at all
