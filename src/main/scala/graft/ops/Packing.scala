@@ -63,6 +63,32 @@ object Packing {
     packed.toDF("shard", "id", "tokens", "bin", "bin_offset")
   }
 
+  /** Materialize packed context windows: join [[packGreedy]]'s
+    * assignments back to the document text and emit ONE row per
+    * (shard, bin) — doc count, token total, and the documents'
+    * concatenated text in id order (single-space separated), the blob
+    * a training shard-writer serializes.
+    *
+    * Scale design: one join on the id key, one (shard, bin) hash-agg;
+    * the per-bin sort happens INSIDE the aggregated struct array
+    * (`array_sort` over ≤ bin-capacity elements — per-row, not a
+    * shuffle). Bin text size is bounded by `capacity` tokens, so rows
+    * stay small no matter the corpus. Deterministic for unique ids —
+    * the d21 gate digests every bin's exact text. */
+  def materializePacked(docs: DataFrame, assignments: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val joined = assignments.join(
+      docs.select(col(idCol).as("id"), col(textCol).as("__text")), "id")
+    joined.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        array_sort(collect_list(struct(col("id").as("i"),
+          col("__text").as("t")))).as("__parts"))
+      .withColumn("packed_text",
+        array_join(transform(col("__parts"), p => p.getField("t")), " "))
+      .drop("__parts")
+  }
+
   /** Deterministic stratified sample: up to `quota` rows per stratum,
     * chosen by a pseudo-random but engine-portable order —
     * `md5(id)` (any engine computes the same digest), with the id as

@@ -718,6 +718,52 @@ object OpsQueries {
       |  acc - tokens AS bin_offset
       |FROM packed ORDER BY shard, id""".stripMargin
 
+  // ------------------------- d21 packed-text materialization (oracle)
+  /** The d9 packing materialized into actual training blobs: one row
+    * per (shard, bin) with the bin's exact concatenated text digested
+    * — the shard-writer's output, gated end to end (assignment replay
+    * via the same recursive CTE, then ordered string_agg). */
+  def d21PackedText(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val sized = docs.select(col("doc_id"),
+      floor(col("doc_id") / 100).cast("long").as("shard"),
+      TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val assignments = Packing.packGreedy(sized, "doc_id", "tokens",
+      "shard", capacity = 512)
+    Packing.materializePacked(docs, assignments)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        md5(col("packed_text")).as("packed_fp"))
+      .orderBy("shard", "bin")
+  }
+
+  val d21Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, doc_id // 100 AS shard,
+      |    CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+      |  FROM documents
+      |), ordered AS (
+      |  SELECT shard, doc_id, tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      |  FROM toks
+      |), packed AS (
+      |  SELECT shard, rn, doc_id, tokens,
+      |    CAST(0 AS BIGINT) AS bin, CAST(tokens AS BIGINT) AS acc
+      |  FROM ordered WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.shard, o.rn, o.doc_id, o.tokens,
+      |    CASE WHEN p.acc + o.tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.acc + o.tokens > 512 THEN o.tokens
+      |         ELSE p.acc + o.tokens END
+      |  FROM packed p JOIN ordered o
+      |    ON o.shard = p.shard AND o.rn = p.rn + 1
+      |)
+      |SELECT p.shard, p.bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(p.tokens) AS BIGINT) AS n_tokens,
+      |  md5(string_agg(d.text, ' ' ORDER BY p.doc_id)) AS packed_fp
+      |FROM packed p JOIN documents d ON d.doc_id = p.doc_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------ d10 stratified sampling (oracle)
   /** Per-language quota sample via the portable md5 order — the
     * corpus-mixing primitive (e.g. balance languages before
@@ -1339,6 +1385,7 @@ object OpsQueries {
     "d19_bpe_tokens" -> (d19BpeTokens _),
     "e10_quantized_ann" -> (e10QuantizedAnn _),
     "d20_salted_join" -> (d20SaltedJoin _),
+    "d21_packed_text" -> (d21PackedText _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1374,5 +1421,6 @@ object OpsQueries {
     "d19_bpe_tokens" -> d19Sql,
     "e10_quantized_ann" -> e10Sql,
     "d20_salted_join" -> d20Sql,
+    "d21_packed_text" -> d21Sql,
   )
 }

@@ -1045,3 +1045,24 @@ class MinhashCollapseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept == Set(3L, 9L), s"got $kept")
   }
 }
+
+class MaterializePackedSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("bins concatenate their docs in id order with counts and totals") {
+    val docs = Seq((1L, "aa bb cc"), (2L, "dd ee"), (3L, "ff gg hh ii"),
+      (10L, "zz")).toDF("doc_id", "text")
+    val sized = docs.select(col("doc_id"),
+      lit(0L).as("shard"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("tokens"))
+    // capacity 5: [1(3), 2(2)] fill bin 0; 3(4) -> bin 1; 10(1) joins 3
+    val asg = Packing.packGreedy(sized, "doc_id", "tokens", "shard", 5)
+    val out = Packing.materializePacked(docs, asg)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 5L, "aa bb cc dd ee"),
+      (1L, 2L, 5L, "ff gg hh ii zz")), s"got ${out.toSeq}")
+  }
+}
