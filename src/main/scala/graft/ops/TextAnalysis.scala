@@ -49,6 +49,16 @@ object TextAnalysis {
     size(regexp_extract_all(text, lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
       .cast("long")
 
+  /** Adjacent character pairs within a word — the statistic one BPE
+    * merge-training iteration counts corpus-wide (the most frequent
+    * pair becomes the next merge rule). Words shorter than 2 chars
+    * contribute nothing. Pure built-ins; the caller explodes. */
+  def charPairs(word: Column): Column =
+    when(length(word) < 2, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), length(word) - 2),
+        i => word.substr(i + 1, lit(2))))
+
   /** Mean token length in characters (0 for empty docs). */
   def meanTokenLength(text: Column): Column = {
     val n = tokenCount(text)

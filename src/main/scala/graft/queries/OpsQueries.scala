@@ -718,6 +718,35 @@ object OpsQueries {
       |  acc - tokens AS bin_offset
       |FROM packed ORDER BY shard, id""".stripMargin
 
+  // ------------------------- d22 BPE pair frequencies (oracle)
+  /** One BPE merge-training iteration's statistic: corpus-wide
+    * adjacent-character-pair counts within words, top 20 — the pair a
+    * tokenizer trainer would merge next. Explode words → per-word pair
+    * arrays ([[TextAnalysis.charPairs]]) → partial hash-agg; exact
+    * strings and integer counts, full hash gate (the d8 shape one
+    * level below tokens). */
+  def d22BpePairs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(split(TextAnalysis.normalized(col("text")), " "))
+        .as("__w"))
+      .select(explode(TextAnalysis.charPairs(col("__w"))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  val d22Sql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(
+      |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS w
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+      |    i -> substring(w, i, 2))) AS pair
+      |  FROM words WHERE length(w) >= 2
+      |)
+      |SELECT pair, COUNT(*) AS n FROM pairs
+      |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   // ------------------------- d21 packed-text materialization (oracle)
   /** The d9 packing materialized into actual training blobs: one row
     * per (shard, bin) with the bin's exact concatenated text digested
@@ -1386,6 +1415,7 @@ object OpsQueries {
     "e10_quantized_ann" -> (e10QuantizedAnn _),
     "d20_salted_join" -> (d20SaltedJoin _),
     "d21_packed_text" -> (d21PackedText _),
+    "d22_bpe_pairs" -> (d22BpePairs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1422,5 +1452,6 @@ object OpsQueries {
     "e10_quantized_ann" -> e10Sql,
     "d20_salted_join" -> d20Sql,
     "d21_packed_text" -> d21Sql,
+    "d22_bpe_pairs" -> d22Sql,
   )
 }

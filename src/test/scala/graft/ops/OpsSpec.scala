@@ -1066,3 +1066,17 @@ class MaterializePackedSpec extends org.scalatest.funsuite.AnyFunSuite {
       (1L, 2L, 5L, "ff gg hh ii zz")), s"got ${out.toSeq}")
   }
 }
+
+class CharPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("charPairs: adjacent 2-grams, short words empty") {
+    val df = Seq("abcd", "ab", "a", "").toDF("w")
+    val got = df.select(TextAnalysis.charPairs(col("w")).as("p"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq("ab", "bc", "cd"))
+    assert(got(1) == Seq("ab"))
+    assert(got(2).isEmpty && got(3).isEmpty)
+  }
+}
