@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Contamination, Dedup, Packing, RangeJoin,
+import graft.ops.{AsOf, Contamination, Dedup, Funnel, Packing, RangeJoin,
   Sessionize, Similarity, Skew, TextAnalysis}
 
 /** LLM-pipeline operators over the documents/embeddings testdata, each
@@ -718,6 +718,49 @@ object OpsQueries {
       |  acc - tokens AS bin_offset
       |FROM packed ORDER BY shard, id""".stripMargin
 
+  // ------------------------------ e11 funnel analysis (oracle)
+  /** First-touch funnel signup → view → click → purchase over the
+    * events table ([[Funnel.firstTouch]]): per user, the first time
+    * each step completed at-or-after the previous step's first
+    * completion. DuckDB replays the identical prior-state fold as a
+    * recursive CTE over (user, event-rank); integer µs — full hash. */
+  def e11Funnel(s: SparkSession, dir: String): DataFrame =
+    Funnel.firstTouch(CoreQueries.events(s, dir), "user_id", "ts",
+        "event_id", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("user_id")
+
+  val e11Sql: String = {
+    val steps = Seq("signup", "view", "click", "purchase")
+    def cond(j: Int): String =
+      if (j == 0) s"e.event_type = '${steps(0)}'"
+      else s"e.event_type = '${steps(j)}' AND w.t${j - 1} IS NOT NULL AND e.us >= w.t${j - 1}"
+    val initCols = steps.indices.map(j =>
+      if (j == 0) s"CASE WHEN event_type = '${steps(0)}' THEN us END AS t0"
+      else s"CAST(NULL AS BIGINT) AS t$j").mkString(",\n    ")
+    val stepCols = steps.indices.map(j =>
+      s"COALESCE(w.t$j, CASE WHEN ${cond(j)} THEN e.us END) AS t$j")
+      .mkString(",\n    ")
+    val outCols = steps.indices.map(j => s"t$j AS s${j}_us").mkString(", ")
+    s"""WITH RECURSIVE e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, event_type,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id) AS cnt
+       |  FROM events
+       |), walk AS (
+       |  SELECT user_id, rn, cnt,
+       |    $initCols
+       |  FROM e WHERE rn = 1
+       |  UNION ALL
+       |  SELECT e.user_id, e.rn, e.cnt,
+       |    $stepCols
+       |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1
+       |)
+       |SELECT user_id, $outCols
+       |FROM walk WHERE rn = cnt ORDER BY user_id""".stripMargin
+  }
+
   // ------------------------- d22 BPE pair frequencies (oracle)
   /** One BPE merge-training iteration's statistic: corpus-wide
     * adjacent-character-pair counts within words, top 20 — the pair a
@@ -1416,6 +1459,7 @@ object OpsQueries {
     "d20_salted_join" -> (d20SaltedJoin _),
     "d21_packed_text" -> (d21PackedText _),
     "d22_bpe_pairs" -> (d22BpePairs _),
+    "e11_funnel" -> (e11Funnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1453,5 +1497,6 @@ object OpsQueries {
     "d20_salted_join" -> d20Sql,
     "d21_packed_text" -> d21Sql,
     "d22_bpe_pairs" -> d22Sql,
+    "e11_funnel" -> e11Sql,
   )
 }

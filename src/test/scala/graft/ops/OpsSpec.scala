@@ -1080,3 +1080,49 @@ class CharPairsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(2).isEmpty && got(3).isEmpty)
   }
 }
+
+class FunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "us", "event_id", "ty")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_id"), col("ty"))
+
+  private def run(df: org.apache.spark.sql.DataFrame) =
+    Funnel.firstTouch(df, "user_id", "ts", "event_id", "ty",
+        Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> (0 to 2).map(j =>
+        if (r.isNullAt(j + 1)) None else Some(r.getLong(j + 1)))).toMap
+
+  test("steps complete in order; out-of-order events don't count") {
+    val df = ev(
+      (1L, 100L, 1L, "b"),  // b BEFORE a: must not count
+      (1L, 200L, 2L, "a"),
+      (1L, 300L, 3L, "b"),
+      (1L, 400L, 4L, "c"),
+      (2L, 100L, 5L, "a"),  // stalls after a
+      (2L, 200L, 6L, "c"))
+    val got = run(df)
+    assert(got(1L) == Seq(Some(200L), Some(300L), Some(400L)))
+    assert(got(2L) == Seq(Some(100L), None, None))
+  }
+
+  test("an event advances at most one step; equal-ts uses event-id order") {
+    // a and b at the SAME timestamp: b's event-id sorts after a, and b
+    // evaluates against the state where a is already set (prior state
+    // of the NEXT fold step), so ts >= t1 admits it
+    val df = ev((1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"))
+    assert(run(df)(1L) == Seq(Some(100L), Some(100L), None))
+    // reversed ids: b folds first (unmatched), then a — funnel at a only
+    val df2 = ev((2L, 100L, 2L, "a"), (2L, 100L, 1L, "b"))
+    assert(run(df2)(2L) == Seq(Some(100L), None, None))
+  }
+
+  test("first touch wins: later repeats never move the time") {
+    val df = ev((1L, 100L, 1L, "a"), (1L, 200L, 2L, "a"),
+      (1L, 300L, 3L, "b"), (1L, 400L, 4L, "b"))
+    assert(run(df)(1L) == Seq(Some(100L), Some(300L), None))
+  }
+}
