@@ -59,4 +59,32 @@ object Funnel {
         steps.indices.map(j =>
           col("__st").getField(s"t$j").as(s"s${j}_us")): _*)
   }
+
+  private val WeekUs = 7L * 86400L * 1000000L
+
+  /** Weekly retention cohorts: users grouped by the week of their
+    * FIRST event; one output row per (cohort week, weeks since) with
+    * the distinct-user count still active that week — the classic
+    * retention triangle.
+    *
+    * Scale design: two aggregations on the user key share one shuffle
+    * shape (first-event rollup; distinct user-weeks), then a user-key
+    * join and a small (cohort, offset) rollup. Weeks are
+    * `date_trunc('week', …)` (Monday-start in both Spark and DuckDB),
+    * so the offset arithmetic is exact integer microseconds — e12
+    * hash-gates the whole triangle. */
+  def weeklyRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("__cw"))
+    val active = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__w"))
+      .distinct()
+    active.join(first, userCol)
+      .select(col(userCol), unix_micros(col("__cw")).as("cohort_us"),
+        ((unix_micros(col("__w")) - unix_micros(col("__cw")))
+          / lit(WeekUs)).cast("long").as("weeks_since"))
+      .groupBy("cohort_us", "weeks_since")
+      .agg(countDistinct(col(userCol)).as("n_users"))
+  }
 }

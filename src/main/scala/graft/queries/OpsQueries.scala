@@ -761,6 +761,30 @@ object OpsQueries {
        |FROM walk WHERE rn = cnt ORDER BY user_id""".stripMargin
   }
 
+  // ------------------------------ e12 retention cohorts (oracle)
+  /** Weekly retention triangle over the events table
+    * ([[Funnel.weeklyRetention]]): cohort = week of first event,
+    * distinct users active per (cohort, weeks-since). Monday-start
+    * `date_trunc('week')` in both engines; exact integer µs offsets —
+    * full hash. */
+  def e12Retention(s: SparkSession, dir: String): DataFrame =
+    Funnel.weeklyRetention(CoreQueries.events(s, dir), "user_id", "ts")
+      .orderBy("cohort_us", "weeks_since")
+
+  val e12Sql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+      |  FROM events GROUP BY 1
+      |), a AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+      |)
+      |SELECT epoch_us(f.cw) AS cohort_us,
+      |  (epoch_us(a.w) - epoch_us(f.cw)) // CAST(604800000000 AS BIGINT)
+      |    AS weeks_since,
+      |  COUNT(DISTINCT a.user_id) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------- d22 BPE pair frequencies (oracle)
   /** One BPE merge-training iteration's statistic: corpus-wide
     * adjacent-character-pair counts within words, top 20 — the pair a
@@ -1460,6 +1484,7 @@ object OpsQueries {
     "d21_packed_text" -> (d21PackedText _),
     "d22_bpe_pairs" -> (d22BpePairs _),
     "e11_funnel" -> (e11Funnel _),
+    "e12_retention" -> (e12Retention _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1498,5 +1523,6 @@ object OpsQueries {
     "d21_packed_text" -> d21Sql,
     "d22_bpe_pairs" -> d22Sql,
     "e11_funnel" -> e11Sql,
+    "e12_retention" -> e12Sql,
   )
 }

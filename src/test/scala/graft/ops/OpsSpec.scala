@@ -1126,3 +1126,28 @@ class FunnelSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(run(df)(1L) == Seq(Some(100L), Some(300L), None))
   }
 }
+
+class RetentionSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+
+  test("weekly retention triangle: cohorts by first-event week") {
+    // Mon 2024-01-01 and Mon 2024-01-08 are week starts
+    val wk = 7L * 86400L * 1000000L
+    val w0 = 1704067200000000L // 2024-01-01T00:00Z (a Monday)
+    val df = Seq(
+      (1L, w0 + 1000L),      // cohort w0
+      (1L, w0 + wk + 5L),    // active week 1
+      (1L, w0 + 3 * wk),     // active week 3
+      (2L, w0 + 2L * 86400L * 1000000L), // cohort w0 (Wednesday)
+      (2L, w0 + wk + 999L),  // active week 1
+      (3L, w0 + wk + 7L)     // cohort w1 only
+    ).toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+    val got = Funnel.weeklyRetention(df, "user_id", "ts")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      (w0, 0L) -> 2L, (w0, 1L) -> 2L, (w0, 3L) -> 1L,
+      (w0 + wk, 0L) -> 1L), s"got $got")
+  }
+}
