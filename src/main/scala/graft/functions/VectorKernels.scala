@@ -28,20 +28,38 @@ import org.apache.spark.sql.types._
   * null, and `acc + null` poisons the fold).
   */
 object VectorKernels {
-  /** In-order dot product; `aFloat`/`bFloat` select the element reader
-    * (float arrays widen per element, exactly like `x.cast("double")`).
-    * Boxed return: null signals length mismatch or a null element. */
-  def dot(a: ArrayData, aFloat: Boolean, b: ArrayData,
-      bFloat: Boolean): java.lang.Double = {
+  // element-reader codes (the HOF folds accepted any numeric element
+  // via cast("double") — the kernels must not narrow that surface)
+  final val FloatElem = 0
+  final val DoubleElem = 1
+  final val IntElem = 2
+  final val LongElem = 3
+  final val ShortElem = 4
+  final val ByteElem = 5
+
+  @inline private def read(a: ArrayData, i: Int, t: Int): Double =
+    t match {
+      case FloatElem => a.getFloat(i).toDouble
+      case DoubleElem => a.getDouble(i)
+      case IntElem => a.getInt(i).toDouble
+      case LongElem => a.getLong(i).toDouble
+      case ShortElem => a.getShort(i).toDouble
+      case _ => a.getByte(i).toDouble
+    }
+
+  /** In-order dot product; `aType`/`bType` select the element reader
+    * (narrower types widen per element, exactly like `x.cast("double")`
+    * in the fold this replaces). Boxed return: null signals length
+    * mismatch or a null element. */
+  def dot(a: ArrayData, aType: Int, b: ArrayData,
+      bType: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      acc += x * y
+      acc += read(a, i, aType) * read(b, i, bType)
       i += 1
     }
     java.lang.Double.valueOf(acc)
@@ -49,17 +67,15 @@ object VectorKernels {
 
   /** In-order squared Euclidean distance — `acc += (x - y)^2`. Same
     * null/mismatch contract as [[dot]]. */
-  def sqDist(a: ArrayData, aFloat: Boolean, b: ArrayData,
-      bFloat: Boolean): java.lang.Double = {
+  def sqDist(a: ArrayData, aType: Int, b: ArrayData,
+      bType: Int): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      val d = x - y
+      val d = read(a, i, aType) - read(b, i, bType)
       acc += d * d
       i += 1
     }
@@ -73,28 +89,32 @@ abstract class VectorKernelExpr extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  protected def isFloat(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  /** Element-reader code for [[VectorKernels]]; -1 = unsupported. */
+  protected def elemCode(e: Expression): Int = e.dataType match {
+    case ArrayType(FloatType, _) => VectorKernels.FloatElem
+    case ArrayType(DoubleType, _) => VectorKernels.DoubleElem
+    case ArrayType(IntegerType, _) => VectorKernels.IntElem
+    case ArrayType(LongType, _) => VectorKernels.LongElem
+    case ArrayType(ShortType, _) => VectorKernels.ShortElem
+    case ArrayType(ByteType, _) => VectorKernels.ByteElem
+    case _ => -1
   }
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemCode(left) >= 0 && elemCode(right) >= 0)
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName needs array<float|double> inputs, got " +
-        s"${left.dataType} and ${right.dataType}")
-  }
+      s"$prettyName needs arrays of fixed-width numeric elements " +
+        s"(float/double/int/long/short/byte — cast decimals to " +
+        s"array<double> first), got ${left.dataType} and ${right.dataType}")
 
   /** Static kernel method name in [[VectorKernels]]. */
   protected def kernel: String
 
   private def call(a: ArrayData, b: ArrayData): java.lang.Double =
-    if (kernel == "dot") VectorKernels.dot(a, isFloat(left), b, isFloat(right))
-    else VectorKernels.sqDist(a, isFloat(left), b, isFloat(right))
+    if (kernel == "dot")
+      VectorKernels.dot(a, elemCode(left), b, elemCode(right))
+    else VectorKernels.sqDist(a, elemCode(left), b, elemCode(right))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     call(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -106,7 +126,7 @@ abstract class VectorKernelExpr extends BinaryExpression {
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
          |java.lang.Double $r =
-         |  $util.$kernel($a, ${isFloat(left)}, $b, ${isFloat(right)});
+         |  $util.$kernel($a, ${elemCode(left)}, $b, ${elemCode(right)});
          |if ($r == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $r.doubleValue(); }
        """.stripMargin

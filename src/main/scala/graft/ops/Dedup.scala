@@ -378,16 +378,21 @@ object Dedup {
     * cost one digest-window pass and contribute ONE row to the pair
     * stage; the kept representative per component is the component
     * label itself (min doc id = min rep id, since each rep is already
-    * the minimum of its copy group). */
+    * the minimum of its copy group).
+    *
+    * NULL-text documents are EXCLUDED from the collapse (a NULL
+    * fingerprint groups all of them, but they produce no shingles and
+    * so never reach any component — the equivalence proof above holds
+    * only for actual identical texts). They pass through as their own
+    * representatives and are all kept, exactly as before the
+    * collapse. */
   def minhashDedup(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val repIds = df
-      .select(col(idCol).as("__id"),
-        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-      .groupBy("__fp").agg(min(col("__id")).as("__rid"))
-      .select(col("__rid"))
-    val reps = df.join(repIds, df(idCol) === col("__rid"), "left_semi")
+    // exact() IS the collapse (min id per normalized-text fingerprint,
+    // one fingerprint-keyed window) — reuse it rather than restate it
+    val reps = exact(df.where(col(textCol).isNotNull), textCol, idCol)
+      .unionByName(df.where(col(textCol).isNull))
     val edges = minhashEdges(reps, textCol, idCol, numHashes, bands,
       threshold, emitJaccard = false) // graph caller: ids only
     val comps = connectedComponents(edges, reps.select(col(idCol)))

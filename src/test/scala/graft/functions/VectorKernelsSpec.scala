@@ -71,6 +71,15 @@ class VectorKernelsSpec extends AnyFunSuite {
     assert(got(4L).contains(0.0))
   }
 
+
+  test("integer-element arrays widen per element like the old cast fold") {
+    val df = Seq((Seq(1, 2, 3), Seq(2L, 3L, 4L))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.vecDot(col("a"), col("b")).as("d"),
+      VectorFunctions.vecSqDist(col("a"), col("b")).as("s")).head
+    assert(r.getDouble(0) == 20.0 && r.getDouble(1) == 3.0)
+  }
+
   test("SQL registration: vec_dot / vec_sqdist usable from spark.sql") {
     VectorFunctions.register(spark)
     val r = spark.sql(

@@ -1035,6 +1035,17 @@ class MinhashCollapseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept == Set(1L, 50L), s"got $kept")
   }
 
+
+  test("NULL-text docs are never collapsed by minhashDedup") {
+    val docs = Seq((1L, Option("alpha beta gamma delta epsilon zeta")),
+      (2L, Option.empty[String]), (3L, Option.empty[String]),
+      (4L, Option.empty[String])).toDF("doc_id", "text")
+    val kept = Dedup.minhashDedup(docs, numHashes = 32, bands = 16,
+      threshold = 0.5).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L),
+      s"null-text docs must all survive near-dedup: $kept")
+  }
+
   test("copy of the MINIMUM id still keeps exactly one row") {
     val docs = Seq((7L, "alpha beta gamma delta epsilon zeta eta"),
       (3L, "alpha beta gamma delta epsilon zeta eta"),
