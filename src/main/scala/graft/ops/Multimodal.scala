@@ -48,7 +48,10 @@ object Multimodal {
   private def stubDecodeImage(id: Long, bytes: Array[Byte],
       dim: Int): ImageFeatures = {
     val h = java.util.Arrays.hashCode(bytes)
-    val rnd = new scala.util.Random(h.toLong ^ id)
+    // seed from the CONTENT only (like a real decoder): byte-identical
+    // payloads must produce identical features whatever their id —
+    // the property image near-dedup relies on
+    val rnd = new scala.util.Random(h.toLong)
     ImageFeatures(
       media_id = id,
       width = 64 + math.abs(h % 1920),
@@ -122,6 +125,23 @@ object Multimodal {
       rows.map(r => realDecodeImage(r.media_id, r.content, embeddingDim)
         .getOrElse(stubDecodeImage(r.media_id, r.content, embeddingDim)))
     }
+  }
+
+  /** Image near-duplicate edges: decode → grid-mean embedding →
+    * hyperplane-LSH bucketing → exact-cosine verify — the multimodal
+    * twin of text near-dedup, composed from [[decodeImages]] and
+    * [[Dedup.embeddingEdges]] (bucketed, never all-pairs). Identical
+    * payloads decode to identical embeddings, so exact copies are
+    * guaranteed edges; near-dups (resizes, small edits) cluster by the
+    * cosine threshold. With the decode stubbed for exotic codecs the
+    * stub's deterministic features still make byte-identical payloads
+    * dedup correctly. */
+  def imageNearDupEdges(media: Dataset[MediaRow],
+      embeddingDim: Int = 64, planes: Int = 16,
+      threshold: Double = 0.98): DataFrame = {
+    val feats = decodeImages(media, embeddingDim)
+    Dedup.embeddingEdges(feats.toDF(), vecCol = "embedding",
+      idCol = "media_id", planes = planes, threshold = threshold)
   }
 
   /** WAV/AIFF/AU magic sniff for the in-JDK sampled-audio reader. */

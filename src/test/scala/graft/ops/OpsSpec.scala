@@ -299,6 +299,24 @@ class MultimodalSpec extends AnyFunSuite {
       again.sortBy(_.media_id).map(_.embedding.toSeq).toSeq)
   }
 
+
+  test("image near-dup edges: byte-identical payloads pair, distinct don't") {
+    import spark.implicits._
+    val base = Multimodal.syntheticMedia(spark, 12).collect()
+      .filter(_.modality == "image")
+    // plant an exact byte copy of each image under id + 1000
+    val planted = (base ++ base.map(m =>
+      m.copy(media_id = m.media_id + 1000L))).toSeq.toDS()
+    val edges = Multimodal.imageNearDupEdges(planted)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.foreach { m =>
+      assert(edges.contains((m.media_id, m.media_id + 1000L)),
+        s"copy pair for ${m.media_id} missing: $edges")
+    }
+    // no cross-image pairs: distinct random payloads are not near-dups
+    assert(edges.size == base.length, s"unexpected extra edges: $edges")
+  }
+
   test("real PNG decode: true dimensions, channels, deterministic embedding") {
     import spark.implicits._
     // render two real PNGs in-process (javax.imageio is in the JDK)
