@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus — BM25 top-k, the lexical
+  * side of training-data selection (mining domain-relevant documents
+  * by keyword probe, DSIR-style targeted subset extraction, eval-set
+  * neighborhood pulls).
+  *
+  * Two deliberate determinism choices, both following conventions the
+  * e9/e10 quantization gates established:
+  *   - the idf is the RATIONAL variant `(N - df + 0.5) / (df + 0.5)`
+  *     (no logarithm): `ln` is not required correctly rounded by IEEE
+  *     754, so classical BM25 idf is not reproducible bit-for-bit
+  *     across engines. The rational form is strictly monotone
+  *     decreasing in `df` like the log form, so per-term ORDERING —
+  *     what retrieval consumes — is preserved; +, −, ×, ÷ are all
+  *     correctly rounded, so the score is bit-identical everywhere.
+  *   - per-term scores are scaled to integers with `floor(s·10⁹ + ½)`
+  *     BEFORE the per-document sum: a double sum's value depends on
+  *     partial-aggregation order, an integer sum does not.
+  *
+  * Scale shape (the 100 TB story): the corpus is scanned once into
+  * postings `(doc, term, tf, dl)` via one map-side-combining
+  * aggregation; corpus stats (N, avgdl) are a single-row aggregate;
+  * document frequencies reduce to vocabulary size. The query side is
+  * small by definition, so query terms (with idf attached) BROADCAST
+  * to the postings scan — the corpus is never shuffled for scoring;
+  * only matched postings (docs containing a query term) move, keyed by
+  * `(query, doc)`. Top-k runs as a per-query window that Spark
+  * executes with a partial WindowGroupLimit before the final rank.
+  */
+object Retrieval {
+
+  /** Score scale for the integer per-term scores (10⁹). */
+  val ScoreScale = 1.0e9
+
+  private def toks(text: Column): Column =
+    split(TextAnalysis.normalized(text), " ")
+
+  /** Postings list: one row per distinct `(idCol, term)` with the term
+    * frequency and the document length in tokens. */
+  def postings(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(toks(col(textCol))).as("term"),
+        size(toks(col(textCol))).cast("long").as("dl"))
+      .groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k: for every query row, the `k` highest-scoring
+    * documents. Returns `(qIdCol, rank, idCol, score_scaled)` with
+    * rank 1..k (ties broken by ascending document id) and
+    * `score_scaled` = Σ_terms floor(score_t · 10⁹ + ½) as an exact
+    * long. Queries are tokenized with the same normalization as
+    * documents; repeated query terms count once (standard bag-of-words
+    * probe). Documents sharing no term with a query are absent. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      textCol: String = "text", idCol: String = "doc_id",
+      qIdCol: String = "query_id", qTextCol: String = "query",
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val post = postings(docs, textCol, idCol)
+    // single-row corpus stats; joined in via a 1-row broadcast
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(size(toks(col(textCol))).cast("long")).as("total_dl"))
+      .select(col("n_docs"),
+        (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val df_ = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val qterms = queries.select(col(qIdCol),
+        explode(array_distinct(toks(col(qTextCol)))).as("term"))
+    // idf attached to the (small) query-term set, then broadcast:
+    // the corpus-sized postings never shuffle for the score join
+    val qidf = qterms.join(df_, "term").crossJoin(broadcast(stats))
+      .select(col(qIdCol), col("term"),
+        ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    val perTerm = post.join(broadcast(qidf), "term")
+      .select(col(qIdCol), col(idCol), floor(
+        col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) *
+              (col("dl").cast("double") / col("avgdl"))))
+          * ScoreScale + 0.5).cast("long").as("s"))
+    val scored = perTerm.groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("s")).as("score_scaled"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("score_scaled").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("score_scaled"))
+  }
+}

@@ -3,8 +3,9 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Contamination, Dedup, Funnel, Packing, RangeJoin,
-  Sessionize, Similarity, Skew, TextAnalysis}
+import graft.ops.{AsOf, Contamination, Dedup, Funnel, LangModel, LineDedup,
+  Packing, RangeJoin, Retrieval, Sessionize, Similarity, Skew, Splits,
+  TextAnalysis}
 
 /** LLM-pipeline operators over the documents/embeddings testdata, each
   * under the driver gate. SQL-expressible ops carry DuckDB oracles;
@@ -1443,6 +1444,204 @@ object OpsQueries {
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------ d23 line-level dedup (oracle)
+  /** Corpus line-dedup gate ([[LineDedup.dedupLines]] — the
+    * CCNet-style boilerplate strip). Planted multi-line corpus: each
+    * document (ids < 500) gets four lines — its own text (naturally
+    * duplicated texts in the corpus must be stripped everywhere), a
+    * boilerplate banner shared by every doc (always stripped), a
+    * per-doc unique body line (always kept), and a 1-in-7 shared
+    * cookie line (stripped for the 7-multiples, kept as a unique tail
+    * elsewhere). Output = rebuilt text + kept/removed counts per doc —
+    * exact strings and integers, full hash gate. */
+  def d23LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 500)
+    val planted = docs.select(col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        lit("subscribe to our newsletter for updates"),
+        concat(lit("doc body "), col("doc_id")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("cookie policy accepted"))
+          .otherwise(concat(lit("tail "), col("doc_id")))).as("text"))
+    LineDedup.dedupLines(planted, "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val d23Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || chr(10) || 'subscribe to our newsletter for updates'
+      |      || chr(10) || 'doc body ' || doc_id || chr(10)
+      |      || CASE WHEN doc_id % 7 = 0 THEN 'cookie policy accepted'
+      |              ELSE 'tail ' || doc_id END AS text
+      |  FROM documents WHERE doc_id < 500
+      |), ls AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted
+      |), lines AS (
+      |  SELECT doc_id, pos, ls[pos] AS line
+      |  FROM ls, UNNEST(generate_series(1, len(ls))) AS t(pos)
+      |), fp AS (
+      |  SELECT doc_id, pos, line,
+      |    md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) AS f,
+      |    length(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) AS ln
+      |  FROM lines
+      |), banned AS (
+      |  SELECT f FROM fp WHERE ln >= 1 GROUP BY f HAVING COUNT(*) > 1
+      |), marked AS (
+      |  SELECT doc_id, pos, line, f IN (SELECT f FROM banned) AS b FROM fp
+      |)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(line, chr(10) ORDER BY pos)
+      |    FILTER (WHERE NOT b), '') AS text,
+      |  COUNT(*) FILTER (WHERE NOT b) AS n_lines_kept,
+      |  COUNT(*) FILTER (WHERE b) AS n_lines_removed
+      |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------- d24 bigram LM surprise (oracle)
+  /** Corpus-LM quality scoring gate ([[LangModel.bigramSurprise]] —
+    * the KenLM-perplexity-filter shape with integer-exact surprise).
+    * Full table through train + score; every per-doc count and the
+    * scaled surprise sum are exact integers, so the gate is a full
+    * hash match (the one double is a fixed-order division rounded to
+    * 6). */
+  def d24BigramSurprise(s: SparkSession, dir: String): DataFrame =
+    LangModel.bigramSurprise(t(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  val d24Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+      |                 ' ') AS tk
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+      |  WHERE len(tk) >= 2
+      |), counts AS (
+      |  SELECT g, COUNT(*) AS c FROM bg GROUP BY g
+      |), perdoc AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |    SUM(CASE WHEN c.c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+      |    SUM(${LangModel.Scale} // c.c) AS surprise_scaled
+      |  FROM bg b JOIN counts c ON b.g = c.g GROUP BY b.doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_bigrams, 0) AS n_bigrams,
+      |  CAST(COALESCE(p.n_hapax, 0) AS BIGINT) AS n_hapax,
+      |  CAST(COALESCE(p.surprise_scaled, 0) AS BIGINT) AS surprise_scaled,
+      |  CASE WHEN p.n_bigrams IS NULL THEN 0.0
+      |       ELSE round(CAST(p.surprise_scaled AS DOUBLE) / p.n_bigrams
+      |            / ${LangModel.Scale}.0, 6) END AS mean_surprise
+      |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------- e13 BM25 retrieval (oracle)
+  /** BM25 keyword-retrieval gate ([[Retrieval.bm25TopK]]). Probe
+    * queries are the first four tokens of documents 0–4; every
+    * arithmetic step is either integer, a correctly-rounded IEEE
+    * +/−/×/÷ chain mirrored operation-for-operation in the SQL, or the
+    * e9 `floor(x·10⁹ + ½)` integer scaling — so ranks AND scores hash
+    * exactly. */
+  def e13Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val probes = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(norm, " "), 1, 4)).as("query"))
+    Retrieval.bm25TopK(docs, probes, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val e13Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |                 ' ') AS tk
+      |  FROM documents
+      |), post AS (
+      |  SELECT doc_id, tk[i] AS term, len(tk) AS dl, COUNT(*) AS tf
+      |  FROM toks, UNNEST(generate_series(1, len(tk))) AS t(i)
+      |  GROUP BY doc_id, tk[i], len(tk)
+      |), stats AS (
+      |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    CAST(SUM(len(tk)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM toks
+      |), dfreq AS (
+      |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY term
+      |), qterms AS (
+      |  SELECT doc_id AS query_id, UNNEST(list_distinct(tk[1:4])) AS term
+      |  FROM toks WHERE doc_id < 5
+      |), qidf AS (
+      |  SELECT q.query_id, q.term,
+      |    (s.n_docs - d.df + 0.5) / (d.df + 0.5) AS idf, s.avgdl
+      |  FROM qterms q JOIN dfreq d ON d.term = q.term, stats s
+      |), perterm AS (
+      |  SELECT q.query_id, p.doc_id,
+      |    CAST(floor(q.idf * (p.tf * CAST(2.2 AS DOUBLE))
+      |      / (p.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+      |          + CAST(0.75 AS DOUBLE) * (p.dl / q.avgdl)))
+      |      * 1000000000.0 + 0.5) AS BIGINT) AS s
+      |  FROM post p JOIN qidf q ON q.term = p.term
+      |), scored AS (
+      |  SELECT query_id, doc_id,
+      |    CAST(SUM(s) AS BIGINT) AS score_scaled
+      |  FROM perterm GROUP BY query_id, doc_id
+      |)
+      |SELECT query_id, rank, doc_id, score_scaled FROM (
+      |  SELECT query_id, doc_id, score_scaled,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_scaled DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM scored) r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------- d25 leakage-safe split (oracle)
+  /** Leakage-safe split gate ([[Splits.leakageSafeSplit]]): the ccb
+    * planted graph (chains, cliques, singletons) through the real
+    * components + md5-bucket split. Labels and splits are exact
+    * integers/strings — full hash gate; the no-edge-crosses-splits
+    * invariant is additionally unit-asserted in SplitsSpec. */
+  def d25LeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Splits.leakageSafeSplit(docs, ccbEdges(docs))
+      .orderBy("id")
+  }
+
+  val d25Sql: String =
+    """WITH RECURSIVE edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |  WHERE a.doc_id < 200 AND a.doc_id % 10 <> 9
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id
+      |  FROM documents a JOIN documents b
+      |    ON a.doc_id // 5 = b.doc_id // 5 AND a.doc_id < b.doc_id
+      |  WHERE a.doc_id >= 200 AND a.doc_id < 300
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM edges
+      |), walk AS (
+      |  SELECT src AS id, dst AS reach FROM sym
+      |  UNION
+      |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+      |), comp AS (
+      |  SELECT id, LEAST(id, MIN(reach)) AS component
+      |  FROM walk GROUP BY id
+      |), labeled AS (
+      |  SELECT d.doc_id AS id,
+      |    COALESCE(c.component, d.doc_id) AS component
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      |)
+      |SELECT id, component,
+      |  CASE WHEN substr(md5('graft-split:' || component), 1, 2) < 'e6'
+      |         THEN 'train'
+      |       WHEN substr(md5('graft-split:' || component), 1, 2) < 'f3'
+      |         THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM labeled ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -1485,6 +1684,10 @@ object OpsQueries {
     "d22_bpe_pairs" -> (d22BpePairs _),
     "e11_funnel" -> (e11Funnel _),
     "e12_retention" -> (e12Retention _),
+    "d23_line_dedup" -> (d23LineDedup _),
+    "d24_bigram_surprise" -> (d24BigramSurprise _),
+    "e13_bm25" -> (e13Bm25 _),
+    "d25_leakage_split" -> (d25LeakageSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1524,5 +1727,9 @@ object OpsQueries {
     "d22_bpe_pairs" -> d22Sql,
     "e11_funnel" -> e11Sql,
     "e12_retention" -> e12Sql,
+    "d23_line_dedup" -> d23Sql,
+    "d24_bigram_surprise" -> d24Sql,
+    "e13_bm25" -> e13Sql,
+    "d25_leakage_split" -> d25Sql,
   )
 }

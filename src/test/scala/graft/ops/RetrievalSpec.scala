@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestSession
+
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "spark engine shuffles data across executors"),
+    (2L, "spark spark spark spark spark"),
+    (3L, "the quick brown fox jumps"),
+    (4L, "data engine tuning guide"),
+    (5L, "unrelated text entirely")).toDF("doc_id", "text")
+
+  test("postings carry tf and dl per distinct term") {
+    val p = Retrieval.postings(corpus).where($"doc_id" === 2L).collect()
+    assert(p.length == 1)
+    val r = p.head
+    assert(r.getString(1) == "spark" && r.getLong(2) == 5L &&
+      r.getLong(3) == 5L)
+  }
+
+  test("docs matching more query terms outrank single-term matches") {
+    val q = Seq((10L, "data engine")).toDF("query_id", "query")
+    val got = Retrieval.bm25TopK(corpus, q, k = 5)
+      .orderBy("rank").collect().map(_.getLong(2))
+    // doc 4 matches both terms; docs 1 match both too but longer dl;
+    // every returned doc must contain at least one query term
+    assert(got.toSet.subsetOf(Set(1L, 4L)))
+    assert(got.head == 4L) // shorter doc, both terms -> top
+  }
+
+  test("tf saturation: keyword stuffing cannot dominate idf coverage") {
+    val q = Seq((11L, "spark engine")).toDF("query_id", "query")
+    val top = Retrieval.bm25TopK(corpus, q, k = 1).head.getLong(2)
+    // doc 1 has both terms once; doc 2 has 'spark' five times.
+    // BM25's tf saturation caps doc 2's advantage below two-term coverage.
+    assert(top == 1L)
+  }
+
+  test("no-match queries return no rows; k bounds output") {
+    val q = Seq((12L, "zzz qqq"), (13L, "spark")).toDF("query_id", "query")
+    val got = Retrieval.bm25TopK(corpus, q, k = 2)
+    assert(got.where($"query_id" === 12L).count() == 0L)
+    assert(got.where($"query_id" === 13L).count() == 2L)
+  }
+
+  test("corpus postings are not shuffled for scoring (broadcast join)") {
+    val q = Seq((14L, "spark engine")).toDF("query_id", "query")
+    val plan = Retrieval.bm25TopK(corpus, q, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+}
