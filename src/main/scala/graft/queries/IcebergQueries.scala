@@ -1028,6 +1028,88 @@ object IcebergQueries {
       .orderBy("fp")
   }
 
+  /** Stateful-streaming gate ([[graft.streaming.Streams.sessionize]] —
+    * the `flatMapGroupsWithState` per-key state machine was unit-only
+    * until now; i21/i23 gate the dedup and window paths, this gates
+    * CUSTOM state). Planted per-user events land in a graft table in
+    * two appends and stream through the real state fold; the final
+    * per-user state (monotone across Update-mode emissions, so
+    * `max` recovers it from the memory sink's batch history) must
+    * equal DuckDB's direct rollup. Values are exact quarter doubles
+    * (`(id % 16) · 0.25` — dyadic rationals whose partial sums are all
+    * representable), so the fold's total is order-independent and the
+    * gate hashes exactly. */
+  def i24StatefulSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val planted = docs.where(col("doc_id") < 200).select(
+      pmod(col("doc_id"), lit(10)).cast("long").as("user_id"),
+      (pmod(col("doc_id"), lit(16)).cast("double") * 0.25).as("value"),
+      col("doc_id").as("ts"))
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf24" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    var t = Table.create(cat, TableIdentifier(ns, "clicks"),
+      SchemaConverters.fromSparkSchema(planted.schema), io = io)
+    t = TableOps.append(t, planted.where(col("ts") < 100))
+    val qn = "graft_i24_" + java.util.UUID.randomUUID.toString.take(8)
+    val stream = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns.mkString("."))
+      .option("table", "clicks")
+      .load()
+      .select(col("user_id").as("_1"), col("value").as("_2"),
+        col("ts").as("_3")).as[(Long, Double, Long)]
+    val q = graft.streaming.Streams.sessionize(stream)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable() // batch 1: first wave builds state
+      TableOps.append(t, planted.where(col("ts") >= 100))
+      q.processAllAvailable() // batch 2: state carries across batches
+    } finally q.stop()
+    s.table(qn).groupBy(col("userId").as("user_id"))
+      .agg(max(col("nEvents")).as("n_events"),
+        max(col("totalValue")).as("total_value"))
+      .orderBy("user_id")
+  }
+
+  val i24Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id % 10 AS user_id,
+      |    (doc_id % 16) * CAST(0.25 AS DOUBLE) AS value
+      |  FROM documents WHERE doc_id < 200
+      |)
+      |SELECT user_id, COUNT(*) AS n_events, SUM(value) AS total_value
+      |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** `add_files` import gate ([[TableOps.addFiles]]): the ORIGINAL
+    * testdata parquet is registered in place — no rewrite, no copy —
+    * and read back through the full engine path (manifest plan →
+    * footer-harvested stats → scan). A second import in the same call
+    * plants a near-trivial pruning check: the engine must read exactly
+    * the registered content, proving stats harvested from a
+    * foreign-written file behave like native ones. Hash gate = every
+    * row and column of the source file. */
+  def i25AddFiles(s: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/documents.parquet"
+    val df = s.read.parquet(path)
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf25" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    val t0 = Table.create(cat, TableIdentifier(ns, "docs_import"),
+      SchemaConverters.fromSparkSchema(df.schema), io = io)
+    val t1 = TableOps.addFiles(t0, s, Seq(path))
+    Scan(t1, s)
+      .filter(Col("doc_id").gte(0L))  // exercise pruning over harvested stats
+      .toDF.orderBy("doc_id")
+  }
+
+  val i25Sql: String =
+    """SELECT * FROM documents WHERE doc_id >= 0 ORDER BY doc_id""".stripMargin
+
   val i21Sql: String =
     """WITH corpus AS (
       |  SELECT DISTINCT
@@ -1191,6 +1273,8 @@ object IcebergQueries {
     "i23_windowed_rollup" -> (i23WindowedRollup _),
     "i22_list_evolution" -> (i22ListEvolution _),
     "i22_list_evolution_scan" -> (i22ListEvolutionScan _),
+    "i24_stateful_sessions" -> (i24StatefulSessions _),
+    "i25_add_files" -> (i25AddFiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1230,5 +1314,7 @@ object IcebergQueries {
     "i23_windowed_rollup" -> i23Sql,
     "i22_list_evolution" -> i22Sql,
     "i22_list_evolution_scan" -> i22Sql,
+    "i24_stateful_sessions" -> i24Sql,
+    "i25_add_files" -> i25Sql,
   )
 }

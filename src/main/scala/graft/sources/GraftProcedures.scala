@@ -35,7 +35,7 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] = Seq("expire_snapshots", "compact",
     "rollback_to_snapshot", "set_ref", "remove_ref",
     "remove_orphan_files", "rewrite_manifests", "create_changelog_view",
-    "rewrite_data_files", "fast_forward")
+    "rewrite_data_files", "fast_forward", "add_files")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -124,6 +124,13 @@ private[sources] class GraftBoundProcedure(
       // 'c1,c2' → pair same-commit DELETE/INSERT on these keys into
       // UPDATE_BEFORE / UPDATE_AFTER (compute_updates)
       pDefault("identifier_columns", StringType, "''"))
+    case "add_files" => Array(
+      p("ns", StringType), p("table", StringType),
+      // comma-separated parquet paths, registered IN PLACE (no rewrite).
+      // Partitioned tables need per-partition values -> use the Scala
+      // API (TableOps.addFiles) one partition at a time.
+      p("files", StringType),
+      pDefault("check_duplicate_files", BooleanType, "true"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -223,6 +230,19 @@ private[sources] class GraftBoundProcedure(
           .add("dry_run", BooleanType),
           Seq(report.deleted.size + report.failed.size,
             report.failed.size, dryRun))
+      case "add_files" =>
+        val paths = input.getUTF8String(2).toString
+          .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val check = input.getBoolean(3)
+        val after = graft.table.TableOps.addFiles(t, spark, paths,
+          checkDuplicates = check)
+        val sum = after.currentSnapshot.flatMap(_.summary)
+        (new StructType().add("added_files", LongType)
+          .add("added_records", LongType),
+          Seq(sum.flatMap(_.counters.get(graft.spec.Summary.AddedDataFiles))
+              .getOrElse(paths.size.toLong),
+            sum.flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+              .getOrElse(-1L)))
       case "rewrite_manifests" =>
         val maxEntries = input.getInt(2)
         val before = MetadataTables.currentManifests(t)

@@ -8,7 +8,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.column.statistics.{Statistics => PStats}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.spec._
 
@@ -660,6 +660,63 @@ object TableOps {
     * (`table/insert.go:49-170`). */
   def append(table: Table, df: DataFrame): Table = {
     val files = PartitionedWriter.writeDataFiles(table.metadata, df)
+    table.commitSnapshot(PendingSnapshot(Operation.Append,
+      addedDataFiles = files))
+  }
+
+  /** Register EXISTING parquet files as table data — Iceberg's
+    * `add_files` import (the migration path the reference's catalog
+    * layer implies but never ships: its writer always copies rows,
+    * `table/writer.go:57-59`). The files are NOT rewritten or moved;
+    * one footer read per file harvests the same stats-complete
+    * [[graft.spec.DataFile]] entries a native write produces (stats
+    * resolve by column name, so files written by any engine prune
+    * identically to native ones), and one Append snapshot commits them.
+    *
+    * Files land in the table's CURRENT default partition spec: for a
+    * partitioned table the caller states the partition values shared
+    * by every file in this call (add each partition's files in its own
+    * call, exactly like Iceberg's `partition_filter`); an empty map is
+    * only legal on an unpartitioned spec. `checkDuplicates` rejects
+    * paths the current snapshot already references — re-adding a live
+    * file would double-count its rows (Iceberg's
+    * `check_duplicate_files`). Footer reads are driver-side and
+    * bounded by the file count of ONE import call, the same planning
+    * budget `append` itself spends. */
+  def addFiles(table: Table, spark: SparkSession, paths: Seq[String],
+      partition: Map[String, Any] = Map.empty,
+      checkDuplicates: Boolean = true): Table = {
+    require(paths.nonEmpty, "addFiles: empty path list")
+    val meta = table.metadata
+    val spec = meta.defaultPartitionSpec
+    val missing = spec.fields.map(_.name).filterNot(partition.contains)
+    require(missing.isEmpty,
+      s"addFiles: partition values required for spec fields " +
+        s"${missing.mkString(", ")} (one call per partition)")
+    val schema = meta.currentSchema
+    val files = DataWriter.harvestFiles(
+      spark.sessionState.newHadoopConf(), paths, schema, partition)
+    // schema fit: a required top-level primitive column absent from a
+    // file would read back null — fail loud at import time instead
+    val requiredIds = schema.fields
+      .filter(f => f.required && f.fieldType.isInstanceOf[PrimitiveType])
+      .map(f => f.id -> f.name)
+    files.foreach { f =>
+      val absent = requiredIds.collect {
+        case (id, name) if !f.valueCounts.contains(id) => name
+      }
+      require(absent.isEmpty, s"addFiles: ${f.filePath} lacks required " +
+        s"column(s) ${absent.mkString(", ")}")
+    }
+    if (checkDuplicates) {
+      val live = Scan(table, spark).planFiles()
+        .map(t => DataWriter.normalizePath(t.file.filePath)).toSet
+      val dup = files.map(f => DataWriter.normalizePath(f.filePath))
+        .filter(live.contains)
+      require(dup.isEmpty,
+        s"addFiles: already referenced by the current snapshot: " +
+          s"${dup.mkString(", ")}")
+    }
     table.commitSnapshot(PendingSnapshot(Operation.Append,
       addedDataFiles = files))
   }

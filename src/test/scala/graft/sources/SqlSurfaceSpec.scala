@@ -154,6 +154,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.add_files imports external parquet in place") {
+    withCatalog("af") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, name STRING)")
+      val ext = Files.createTempDirectory("graft-af-sql-").toString
+      (1 to 6).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+        .coalesce(1).write.mode("overwrite").parquet(ext)
+      val parts = new java.io.File(ext).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).mkString(",")
+      val res = spark.sql(
+        s"CALL $c.system.add_files('db', 't', '$parts')").collect().head
+      assert(res.getLong(0) == 1L && res.getLong(1) == 6L,
+        s"(files, records) = (${res.getLong(0)}, ${res.getLong(1)})")
+      assert(spark.sql(s"SELECT id FROM $c.db.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == (1L to 6L))
+      // duplicate import rejected through the SQL face too
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $c.system.add_files('db', 't', '$parts')")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("already referenced"))
+    }
+  }
+
   test("CALL system.rewrite_manifests compacts the manifest list") {
     withCatalog("rwm") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
