@@ -108,6 +108,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"quantization must not shuffle data, got ${shuffles(p)}:\n$p")
   }
 
+  test("d23 line dedup: fingerprint-key join with map-side partial " +
+      "counts, never a cartesian pairing") {
+    val p = staticPlan("d23_line_dedup")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"line dedup must join on the line fingerprint:\n$p")
+    assert(p.toString.contains("partial"),
+      s"d23 lost map-side partial aggregation on the banned-set count:\n$p")
+  }
+
+  test("d24 bigram surprise: gram-key join + per-doc partial agg, no " +
+      "cartesian product") {
+    val p = staticPlan("d24_bigram_surprise")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"LM scoring must join occurrences to counts on the gram key:\n$p")
+    assert(p.toString.contains("partial"),
+      s"d24 lost map-side partial aggregation:\n$p")
+  }
+
+  test("e13 BM25: query terms broadcast — the corpus postings are " +
+      "never shuffled for scoring") {
+    val p = staticPlan("e13_bm25")
+    assert(broadcasts(p) >= 1,
+      s"the idf-attached query-term set must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"BM25 must join postings on the term key:\n$p")
+  }
+
   test("q1 pricing summary: one partial-agg shuffle + output sort") {
     val p = staticPlan("q1_pricing_summary")
     assert(shuffles(p) <= 2,
