@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Contamination, Dedup, Funnel, LangModel, LineDedup,
+import graft.ops.{AsOf, Contamination, Dedup, FilterPipeline, Funnel,
+  LangModel, LineDedup,
   Packing, RangeJoin, Retrieval, Sessionize, Similarity, Skew, Splits,
   TextAnalysis}
 
@@ -76,20 +77,30 @@ object OpsQueries {
       .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_pred")
 
+  // Shared SQL builders for the langId argmax (used by d4 AND the d26
+  // funnel so the two oracles can never drift from each other — both
+  // already share TextAnalysis.langProfiles with the engine side).
+  private def langScoreColsSql: String =
+    TextAnalysis.langProfiles.map { case (lang, ms) =>
+      ms.map(m => s"(CASE WHEN contains(p, '$m') THEN 1 ELSE 0 END)")
+        .mkString("(", " + ", s") AS s_$lang")
+    }.mkString(",\n    ")
+  private def langGmaxSql: String =
+    TextAnalysis.langProfiles.map(p => s"s_${p._1}")
+      .mkString("GREATEST(", ", ", ")")
+  private def langArgmaxSql: String =
+    TextAnalysis.langProfiles.map { case (lang, _) =>
+      s"WHEN s_$lang = m THEN '$lang'"
+    }.mkString("\n      ")
+
   /** DuckDB replica of [[TextAnalysis.langId]]: marker containment
     * sums per language, argmax with ties going to the lexicographically
     * first language (the CASE order below), `unknown` on zero — integer
     * arithmetic end to end, so the hash gate is exact. */
   val d4Sql: String = {
-    val profiles = TextAnalysis.langProfiles
-    val scoreCols = profiles.map { case (lang, ms) =>
-      ms.map(m => s"(CASE WHEN contains(p, '$m') THEN 1 ELSE 0 END)")
-        .mkString("(", " + ", s") AS s_$lang")
-    }.mkString(",\n    ")
-    val gmax = profiles.map(p => s"s_${p._1}").mkString("GREATEST(", ", ", ")")
-    val argmax = profiles.map { case (lang, _) =>
-      s"WHEN s_$lang = m THEN '$lang'"
-    }.mkString("\n      ")
+    val scoreCols = langScoreColsSql
+    val gmax = langGmaxSql
+    val argmax = langArgmaxSql
     s"""WITH padded AS (
        |  SELECT lang,
        |    ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' '
@@ -1642,6 +1653,117 @@ object OpsQueries {
       |       ELSE 'test' END AS split
       |FROM labeled ORDER BY id""".stripMargin
 
+  // ------------------------------------- d26 filter funnel (oracle)
+  /** Acceptance-funnel gate ([[FilterPipeline.funnel]]): the standard
+    * corpus-build report — language ID → quality → repetition → exact
+    * dedup, cumulative counts in ONE scan + ONE single-row aggregate
+    * (plus the fingerprint window for the dedup-survivor flag). Every
+    * stage reuses an already-hash-gated primitive (d4/d5/d12/d1), so
+    * the funnel gate proves the COMPOSITION: bit-exact booleans
+    * conjoined in the same order in both engines. */
+  def d26FilterFunnel(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the corpus carries no natural exact duplicates — plant copies of
+    // the first docs (d6b convention) so the dedup stage FIRES
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+    val planted = docs.unionByName(docs.where(col("doc_id") < 40).select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // tokenize ONCE into a bound attribute (the d12 HOF discipline)
+    val toksed = planted.select(col("doc_id"), col("text"),
+      split(TextAnalysis.normalized(col("text")), " ").as("__toks"),
+      TextAnalysis.tokenCount(col("text")).as("__n"))
+    val base = toksed.select(col("doc_id"),
+      (TextAnalysis.langId(col("text")) === "en").as("lang_ok"),
+      (TextAnalysis.qualityScore(col("text")) >= 0.55).as("q_ok"),
+      (round(when(col("__n") === 0, lit(1.0)).otherwise(
+        TextAnalysis.distinctTokenRatioOfTokens(col("__toks"))), 6)
+        >= 0.35).as("rep_ok"),
+      TextAnalysis.fingerprint(col("text")).as("fp"))
+    val prior = col("lang_ok") && col("q_ok") && col("rep_ok")
+    val flagged = base.withColumn("dedup_ok", col("doc_id") ===
+      min(when(prior, col("doc_id"))).over(Window.partitionBy("fp")))
+    FilterPipeline.funnel(flagged, Seq(
+        "lang_en" -> col("lang_ok"),
+        "quality" -> col("q_ok"),
+        "repetition" -> col("rep_ok"),
+        "dedup" -> col("dedup_ok")))
+      .orderBy("stage_idx")
+  }
+
+  val d26Sql: String = {
+    val scoreCols = langScoreColsSql
+    val gmax = langGmaxSql
+    val argmax = langArgmaxSql
+    s"""WITH planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+       |  WHERE doc_id < 40
+       |), padded AS (
+       |  SELECT doc_id, text,
+       |    ' ' || lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) || ' '
+       |      AS p
+       |  FROM planted
+       |), scored AS (
+       |  SELECT doc_id, text,
+       |    $scoreCols
+       |  FROM padded
+       |), best AS (
+       |  SELECT $gmax AS m, * FROM scored
+       |), metrics AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN m = 0 THEN 'unknown'
+       |        $argmax
+       |     END = 'en') AS lang_ok,
+       |    (ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
+       |      + LEAST((CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+       |          ELSE LEN(list_filter(
+       |                 string_split_regex(LOWER(TRIM(text)), '\\s+'),
+       |                 t -> t IN ('the','a','an','and','or','of','to','in',
+       |                            'is','it','that','for','on','with','as',
+       |                            'at','by')))
+       |               * 1.0 / LEN(string_split_regex(LOWER(TRIM(text)),
+       |                           '\\s+')) END) * 5.0, 1.0) * 0.3
+       |      + GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
+       |          ELSE (LENGTH(text) - LENGTH(regexp_replace(text,
+       |                 '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0 / LENGTH(text)
+       |          END) * 4.0) * 0.3, 6) >= 0.55) AS q_ok,
+       |    (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+       |          ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0
+       |        THEN 1.0
+       |        ELSE round(len(list_distinct(string_split(
+       |               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+       |               ' '))) * 1.0
+       |             / len(string_split(
+       |               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+       |               ' ')), 6)
+       |     END >= 0.35) AS rep_ok,
+       |    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+       |  FROM best
+       |), flags AS (
+       |  SELECT doc_id, fp, lang_ok,
+       |    lang_ok AND q_ok AS cum2,
+       |    lang_ok AND q_ok AND rep_ok AS cum3
+       |  FROM metrics
+       |), keep AS (
+       |  SELECT *, doc_id = MIN(CASE WHEN cum3 THEN doc_id END)
+       |    OVER (PARTITION BY fp) AS dedup_ok
+       |  FROM flags
+       |)
+       |SELECT * FROM (
+       |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+       |    COUNT(*) AS n_docs FROM keep
+       |  UNION ALL SELECT CAST(1 AS BIGINT), 'lang_en',
+       |    COUNT(*) FILTER (WHERE lang_ok) FROM keep
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality',
+       |    COUNT(*) FILTER (WHERE cum2) FROM keep
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'repetition',
+       |    COUNT(*) FILTER (WHERE cum3) FROM keep
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'dedup',
+       |    COUNT(*) FILTER (WHERE cum3 AND dedup_ok) FROM keep
+       |) ORDER BY stage_idx""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -1688,6 +1810,7 @@ object OpsQueries {
     "d24_bigram_surprise" -> (d24BigramSurprise _),
     "e13_bm25" -> (e13Bm25 _),
     "d25_leakage_split" -> (d25LeakageSplit _),
+    "d26_filter_funnel" -> (d26FilterFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1731,5 +1854,6 @@ object OpsQueries {
     "d24_bigram_surprise" -> d24Sql,
     "e13_bm25" -> e13Sql,
     "d25_leakage_split" -> d25Sql,
+    "d26_filter_funnel" -> d26Sql,
   )
 }
