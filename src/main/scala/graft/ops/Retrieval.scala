@@ -40,13 +40,20 @@ object Retrieval {
     split(TextAnalysis.normalized(text), " ")
 
   /** Postings list: one row per distinct `(idCol, term)` with the term
-    * frequency and the document length in tokens. */
+    * frequency and the document length in tokens. Tokenizes ONCE into
+    * a bound attribute before exploding — an inline `size(toks(text))`
+    * next to the generator re-runs the whole tokenizer per OUTPUT row
+    * (the measured re-evaluation trap documented at Dedup.scala:35-39;
+    * here it made postings ~20× the cost of the explode itself). */
   def postings(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), explode(toks(col(textCol))).as("term"),
-        size(toks(col(textCol))).cast("long").as("dl"))
+      idCol: String = "doc_id"): DataFrame = {
+    val tk = graft.util.Names.fresh(docs.columns)(i => s"__graft_tk$i")
+    docs.select(col(idCol), toks(col(textCol)).as(tk))
+      .select(col(idCol), explode(col(tk)).as("term"),
+        size(col(tk)).cast("long").as("dl"))
       .groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** BM25 top-k: for every query row, the `k` highest-scoring
     * documents. Returns `(qIdCol, rank, idCol, score_scaled)` with
@@ -59,16 +66,31 @@ object Retrieval {
       textCol: String = "text", idCol: String = "doc_id",
       qIdCol: String = "query_id", qTextCol: String = "query",
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val post = postings(docs, textCol, idCol)
+    val tk = graft.util.Names.fresh(docs.columns)(i => s"__graft_tk$i")
+    val qterms = queries.select(col(qIdCol),
+        explode(array_distinct(toks(col(qTextCol)))).as("term"))
+    // BM25 only ever reads document frequencies and term frequencies
+    // of QUERY terms — so the exploded corpus is broadcast-filtered by
+    // the distinct query-term set BEFORE any aggregation. The full
+    // vocabulary is never aggregated, and the tf aggregate sees only
+    // matching tokens (dl is carried from the pre-filter token count,
+    // so document length stays the FULL length).
+    val matched = docs
+      .select(col(idCol), toks(col(textCol)).as(tk))
+      .select(col(idCol), explode(col(tk)).as("term"),
+        size(col(tk)).cast("long").as("dl"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+    val post = matched.groupBy(col(idCol), col("term"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
     // single-row corpus stats; joined in via a 1-row broadcast
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
       sum(size(toks(col(textCol))).cast("long")).as("total_dl"))
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    // df over the restricted postings equals full-corpus df for every
+    // query term (each (doc, term) row appears exactly once)
     val df_ = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val qterms = queries.select(col(qIdCol),
-        explode(array_distinct(toks(col(qTextCol)))).as("term"))
     // idf attached to the (small) query-term set, then broadcast:
     // the corpus-sized postings never shuffle for the score join
     val qidf = qterms.join(df_, "term").crossJoin(broadcast(stats))
