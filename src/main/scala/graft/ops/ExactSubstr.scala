@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.util.Names
+
+/** Exact-substring duplicate-passage detection — the ExactSubstr dedup
+  * of "Deduplicating Training Data Makes Language Models Better"
+  * (Lee et al., 2022) at token-window granularity: a passage is
+  * duplicated when one of its fixed-width token windows occurs more
+  * than once in the corpus (within OR across documents), and maximal
+  * runs of duplicated windows merge into spans. Suffix arrays find
+  * arbitrary-length repeats; fixed windows find every repeat of at
+  * least `window` tokens — the same filter signal, and embarrassingly
+  * parallel.
+  *
+  * Scale shape: one corpus scan explodes each document into its
+  * window hashes (tokenized ONCE into a bound attribute — the
+  * Dedup.scala:35-39 re-eval trap); window-hash occurrence counts
+  * collapse map-side before their exchange (hot boilerplate windows
+  * never ship raw volume); the mark join is hash-keyed (AQE skew-safe)
+  * and the interval merge is one document-key window pass. Nothing is
+  * ever pairwise: a window shared by 10⁶ documents costs 10⁶ marked
+  * rows, not 10¹² pairs.
+  */
+object ExactSubstr {
+
+  /** Maximal duplicated spans per document. Returns
+    * `(idCol, span_start, span_end, n_windows)` — token offsets,
+    * end exclusive, one row per maximal span of corpus-duplicated
+    * `window`-token windows. With `keepFirst` the canonical first
+    * occurrence of each window (lowest `(id, pos)`) is exempt, so the
+    * spans are exactly what a dedup pass would REMOVE; without it they
+    * are everything a contamination audit would FLAG. Documents
+    * shorter than `window` tokens have no windows and emit nothing. */
+  def dupPassages(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", window: Int = 20,
+      keepFirst: Boolean = true): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val Seq(cTk, cPos, cH, cEnd, cNew, cSpan) =
+      Seq("tk", "pos", "h", "end", "new", "span").map(s =>
+        Names.fresh(docs.columns)(i => s"__graft_${s}$i"))
+    val toks = split(TextAnalysis.normalized(col(textCol)), " ")
+    val hashes = when(size(col(cTk)) < window,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(col(cTk)) - window),
+        i => md5(concat_ws(" ", slice(col(cTk), i + 1, lit(window))))))
+    val windows = docs.select(col(idCol), toks.as(cTk))
+      .select(col(idCol), posexplode(hashes).as(Seq(cPos, cH)))
+      .withColumn(cPos, col(cPos).cast("long"))
+    val counts = windows.groupBy(cH).agg(
+      count(lit(1)).as("__n"),
+      min(struct(col(idCol), col(cPos))).as("__first"))
+    val marked = windows.join(counts, cH)
+      .where(col("__n") >= 2 &&
+        (if (keepFirst)
+          !(col("__first")(idCol) === col(idCol) &&
+            col("__first")(cPos) === col(cPos))
+        else lit(true)))
+      .select(col(idCol), col(cPos))
+    // merge overlapping/adjacent windows into maximal spans: a new
+    // span starts where a window clears every previous window's end
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col(cPos))
+    val prevEnd = max(col(cPos) + window).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = marked
+      .withColumn(cNew,
+        when(prevEnd.isNull || col(cPos) > prevEnd, 1L).otherwise(0L))
+      .withColumn(cSpan, sum(col(cNew)).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    spans.groupBy(col(idCol), col(cSpan))
+      .agg(min(col(cPos)).as("span_start"),
+        (max(col(cPos)) + window).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** The rewrite half of the dedup pass: drop every token covered by a
+    * duplicated span ([[dupPassages]] with its keep-first exemption,
+    * so exactly one occurrence of each passage survives corpus-wide)
+    * and rebuild the document from the survivors. Returns
+    * `(idCol, textCol, n_tokens, n_tokens_removed)` for EVERY input
+    * document; the rebuilt text is the NORMALIZED token stream (the
+    * pass operates post-normalization, as real pipelines do between
+    * cleaning and tokenization). The span table is tiny next to the
+    * corpus, so the join back is AQE-broadcastable; the rebuild itself
+    * is per-row array work. */
+  def removeDupPassages(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", window: Int = 20): DataFrame = {
+    val Seq(cTk, cSp) = Seq("tk", "sp").map(s =>
+      Names.fresh(docs.columns)(i => s"__graft_${s}$i"))
+    val spans = dupPassages(docs, textCol, idCol, window,
+        keepFirst = true)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as(cSp))
+    // null text reads as empty (the LineDedup contract) — without the
+    // coalesce the rebuilt text would be NULL-vs-'' engine-dependent
+    val joined = docs
+      .select(col(idCol),
+        split(TextAnalysis.normalized(coalesce(col(textCol), lit(""))),
+          " ").as(cTk))
+      .join(spans, Seq(idCol), "left")
+    val sps = coalesce(col(cSp),
+      array().cast("array<struct<span_start:long,span_end:long>>"))
+    val keptIdx = filter(sequence(lit(0L), size(col(cTk)).cast("long") - 1L),
+      i => !exists(sps, sp =>
+        i >= sp.getField("span_start") && i < sp.getField("span_end")))
+    joined.select(col(idCol),
+      concat_ws(" ", transform(keptIdx,
+        i => element_at(col(cTk), (i + 1L).cast("int")))).as(textCol),
+      size(col(cTk)).cast("long").as("n_tokens"),
+      (size(col(cTk)).cast("long") - size(keptIdx))
+        .as("n_tokens_removed"))
+  }
+
+  /** Per-document duplicated-token accounting over [[dupPassages]]:
+    * `(idCol, n_tokens, dup_tokens, dup_fraction)` for every document
+    * (zero rows for clean ones — left join keeps them). */
+  def dupStats(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", window: Int = 20,
+      keepFirst: Boolean = true): DataFrame = {
+    val spans = dupPassages(docs, textCol, idCol, window, keepFirst)
+      .groupBy(col(idCol))
+      .agg(sum(col("span_end") - col("span_start")).as("dup_tokens"))
+    docs.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+              col("n_tokens"), 6)).as("dup_fraction"))
+  }
+}
