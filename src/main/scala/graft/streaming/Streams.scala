@@ -78,6 +78,30 @@ object Streams {
       .drop(fpCol)
   }
 
+  /** [[dedupIngest]] with BOUNDED state — the deployment answer for a
+    * stream that never ends. Unbounded `dropDuplicates` state grows
+    * with every novel document forever; here fingerprints expire once
+    * the event-time watermark passes them
+    * (`dropDuplicatesWithinWatermark`), so the state store holds only
+    * the recent-dedup horizon. The contract weakens accordingly and
+    * deliberately: a duplicate arriving AFTER the horizon is kept —
+    * re-crawls repeat within days, and the historical-corpus anti-join
+    * (still unbounded, still before state) continues to drop
+    * everything the table has ever committed. */
+  def dedupIngestBounded(stream: DataFrame, corpus: DataFrame,
+      tsCol: String, delay: String,
+      textCol: String = "text"): DataFrame = {
+    val fp = graft.ops.TextAnalysis.fingerprint(col(textCol))
+    val fpCol = graft.util.Names.fresh(stream.columns)(i => s"__graft_fp$i")
+    val corpusFps = corpus.select(fp.as(fpCol)).distinct()
+      .localCheckpoint(true)
+    stream.withColumn(fpCol, fp)
+      .join(corpusFps, Seq(fpCol), "left_anti")
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(fpCol)
+      .drop(fpCol)
+  }
+
   /** Session state for the stateful-op example. */
   final case class UserSession(userId: Long, nEvents: Long,
       totalValue: Double, lastTs: Long)

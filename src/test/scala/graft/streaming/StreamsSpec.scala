@@ -237,6 +237,39 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupIngestBounded: dedup inside the horizon, state expires " +
+      "past it, corpus anti-join stays unbounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((100L, "ancient doc")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    def ts(h: Int) = new java.sql.Timestamp(3600L * 1000 * h)
+    val out = Streams.dedupIngestBounded(
+      input.toDF().toDF("doc_id", "text", "ts"), corpus,
+      tsCol = "ts", delay = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "fresh doc", ts(1)),
+        (2L, "fresh doc", ts(1)),      // in-horizon repeat -> dropped
+        (3L, "ancient doc", ts(1)))    // corpus match -> dropped
+      q.processAllAvailable()
+      input.addData((4L, "fresh doc", ts(2))) // still in horizon -> dropped
+      q.processAllAvailable()
+      // advance the watermark far past the fingerprint's expiry
+      input.addData((5L, "horizon mover", ts(50)))
+      q.processAllAvailable()
+      input.addData(
+        (6L, "fresh doc", ts(50)),     // state expired -> KEPT again
+        (7L, "ancient doc", ts(50)))   // corpus match -> still dropped
+      q.processAllAvailable()
+      val kept = spark.table("dedup_bounded")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L, 5L, 6L), s"got $kept")
+    } finally q.stop()
+  }
+
   test("dedupIngest drops corpus matches and in-stream repeats") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
