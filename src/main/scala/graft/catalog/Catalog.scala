@@ -197,6 +197,16 @@ trait Catalog {
   def dropTable(id: TableIdentifier, purge: Boolean = false): Unit
   def renameTable(from: TableIdentifier, to: TableIdentifier): Unit
 
+  /** Register an EXISTING table's metadata file under `id` — the
+    * Iceberg REST `POST /namespaces/{ns}/register` operation (spec
+    * parity beyond the reference, like add_files). No data, manifest,
+    * or metadata content moves: the catalog simply starts tracking the
+    * given metadata as the table's current version; the table's
+    * `location` (and therefore all future writes) stays wherever the
+    * registered metadata says it is. */
+  def registerTable(id: TableIdentifier,
+      metadataLocation: String): TableMetadata
+
   /** Atomic commit: re-validate requirements against the CURRENT
     * metadata, apply updates, swap. Throws [[CommitFailedException]]
     * when a concurrent writer invalidated a requirement. */

@@ -193,6 +193,25 @@ class LocalCatalog(warehouse: String) extends Catalog {
     meta
   }
 
+  override def registerTable(id: TableIdentifier,
+      metadataLocation: String): TableMetadata = {
+    if (tableExists(id))
+      throw new AlreadyExistsException(s"table $id exists")
+    if (!namespaceExists(id.namespace))
+      throw new NoSuchNamespaceException(id.namespace.mkString("."))
+    val src = java.nio.file.Paths.get(stripScheme(metadataLocation))
+    if (!Files.isRegularFile(src))
+      throw new NoSuchTableException(
+        s"no metadata file at $metadataLocation")
+    val meta = TableMetadata.fromJson(
+      new String(Files.readAllBytes(src), UTF_8))
+    Files.createDirectories(metadataDir(id))
+    // the catalog pointer is a copy of the metadata JSON; location
+    // inside it is untouched, so data/manifests stay in place
+    writeVersion(id, 1, meta)
+    meta
+  }
+
   override def loadTable(id: TableIdentifier): TableMetadata =
     currentVersion(id) match {
       case None => throw new NoSuchTableException(id.toString)

@@ -313,6 +313,17 @@ class RestCatalog(
     parseLoadResponse(resp)
   }
 
+  /** `POST /namespaces/{ns}/register` (Iceberg REST spec §register):
+    * `{"name", "metadata-location"}`. */
+  override def registerTable(id: TableIdentifier,
+      metadataLocation: String): TableMetadata = {
+    val body = s"""{"name": ${jstr(id.name)}, """ +
+      s""""metadata-location": ${jstr(metadataLocation)}}"""
+    parseLoadResponse(expect("POST",
+      s"$base/namespaces/${nsPath(id.namespace)}/register", Some(body),
+      Set(200)))
+  }
+
   override def loadTable(id: TableIdentifier): TableMetadata =
     parseLoadResponse(expect("GET", tableUri(id), None, Set(200)))
 

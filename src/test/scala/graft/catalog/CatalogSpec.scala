@@ -134,6 +134,32 @@ class LocalCatalogSpec extends AnyFunSuite {
     assert(!cat.namespaceExists(Seq("db")))
   }
 
+  test("registerTable points a new identifier at existing metadata") {
+    val (cat, dir) = freshCatalog()
+    cat.createNamespace(Seq("db"))
+    val id = TableIdentifier(Seq("db"), "users")
+    val meta = cat.createTable(id, usersSchema)
+    val mloc = s"$dir/db/users/metadata/v00001.metadata.json"
+
+    cat.createNamespace(Seq("mirror"))
+    val rid = TableIdentifier(Seq("mirror"), "users_reg")
+    val reg = cat.registerTable(rid, mloc)
+    assert(reg.tableUuid == meta.tableUuid)
+    val loaded = cat.loadTable(rid)
+    assert(loaded.tableUuid == meta.tableUuid)
+    // location untouched: the registered entry still points at the
+    // ORIGINAL table location, nothing was copied or moved
+    assert(loaded.location == meta.location)
+
+    intercept[AlreadyExistsException](cat.registerTable(rid, mloc))
+    intercept[NoSuchTableException](
+      cat.registerTable(TableIdentifier(Seq("mirror"), "nope"),
+        s"$dir/db/users/metadata/v99999.metadata.json"))
+    // a metadata-only drop of the original leaves the registered entry
+    cat.dropTable(id, purge = false)
+    assert(cat.loadTable(rid).tableUuid == meta.tableUuid)
+  }
+
   test("namespace properties: create, load, update, drop cleanup") {
     val (cat, _) = freshCatalog()
     cat.createNamespace(Seq("np"), Map("owner" -> "graft"))

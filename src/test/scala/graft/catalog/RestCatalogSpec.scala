@@ -123,6 +123,12 @@ class RestCatalogSpec extends AnyFunSuite {
           val meta = cat.createTable(
             TableIdentifier(ns(s), n.get("name").asText), schema)
           reply(200, s"""{"metadata-location": "x", "metadata": ${meta.toJson}}""")
+        case ("POST", List("namespaces", s, "register")) =>
+          val n = SchemaJson.parseTree(body)
+          val meta = cat.registerTable(
+            TableIdentifier(ns(s), n.get("name").asText),
+            n.get("metadata-location").asText)
+          reply(200, s"""{"metadata-location": "x", "metadata": ${meta.toJson}}""")
         case ("GET", List("namespaces", s, "tables", t)) =>
           try reply(200, s"""{"metadata-location": "x",
             |"metadata": ${cat.loadTable(TableIdentifier(ns(s), t)).toJson}}"""
@@ -245,6 +251,22 @@ class RestCatalogSpec extends AnyFunSuite {
 
       cat.dropTable(id2)
       intercept[NoSuchTableException](cat.loadTable(id2))
+    }
+  }
+
+  test("registerTable posts the spec body and round-trips metadata") {
+    withServer { (cat, _) =>
+      cat.createNamespace(Seq("db"))
+      val meta = cat.createTable(TableIdentifier(Seq("db"), "src"), schema)
+      val mloc = meta.location.stripPrefix("file://") +
+        "/metadata/v00001.metadata.json"
+      cat.createNamespace(Seq("mirror"))
+      val rid = TableIdentifier(Seq("mirror"), "src_reg")
+      val reg = cat.registerTable(rid, mloc)
+      assert(reg.tableUuid == meta.tableUuid)
+      val loaded = cat.loadTable(rid)
+      assert(loaded.tableUuid == meta.tableUuid)
+      assert(loaded.location == meta.location)
     }
   }
 
