@@ -30,5 +30,6 @@ object SparkEntry {
     "d1_dedup_exact", "d6_minhash_dedup", "e1_ann_bruteforce",
     "e6_sessionize", "d13_contamination", "e8_semantic_dedup",
     "d18_dup_ngrams", "d23_line_dedup", "d24_bigram_surprise",
-    "e13_bm25", "d26_filter_funnel")
+    "e13_bm25", "d26_filter_funnel", "d27_dup_passages",
+    "d28_dsir_weights")
 }

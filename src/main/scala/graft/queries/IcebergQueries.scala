@@ -1110,6 +1110,52 @@ object IcebergQueries {
   val i25Sql: String =
     """SELECT * FROM documents WHERE doc_id >= 0 ORDER BY doc_id""".stripMargin
 
+  /** Bounded-state streaming dedup gate
+    * ([[graft.streaming.Streams.dedupIngestBounded]] — the
+    * watermark-expiring variant of i21). Same planted re-crawl, all
+    * event times inside the horizon, so within-horizon semantics equal
+    * full dedup and the i21-style oracle applies; the EXPIRY behavior
+    * (a duplicate arriving past the horizon survives) is
+    * timing-sensitive by design and stays unit-gated
+    * (StreamsSpec "dedupIngestBounded"). */
+  def i26BoundedIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") < 50).select("doc_id", "text")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf26" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    def wave(idOffset: Long, suffix: String) = base.select(
+      (col("doc_id") + idOffset).as("doc_id"),
+      (if (suffix.isEmpty) col("text")
+       else concat(col("text"), lit(suffix))).as("text"),
+      to_timestamp(lit("2026-01-01 00:00:00")).as("ts"))
+    var t = Table.create(cat, TableIdentifier(ns, "crawl"),
+      SchemaConverters.fromSparkSchema(wave(0L, "").schema), io = io)
+    t = TableOps.append(t, wave(2000000L, "")
+      .unionByName(wave(3000000L, " zzq1"))
+      .unionByName(wave(4000000L, " zzq1")))
+    val qn = "graft_i26_" + java.util.UUID.randomUUID.toString.take(8)
+    val stream = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns.mkString("."))
+      .option("table", "crawl")
+      .load()
+    val q = graft.streaming.Streams.dedupIngestBounded(stream, docs,
+        tsCol = "ts", delay = "1 hour")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      TableOps.append(t, wave(5000000L, " zzq1")
+        .unionByName(wave(6000000L, " zzq2")))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(qn)
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("fp")
+  }
+
   val i21Sql: String =
     """WITH corpus AS (
       |  SELECT DISTINCT
@@ -1275,6 +1321,7 @@ object IcebergQueries {
     "i22_list_evolution_scan" -> (i22ListEvolutionScan _),
     "i24_stateful_sessions" -> (i24StatefulSessions _),
     "i25_add_files" -> (i25AddFiles _),
+    "i26_bounded_ingest" -> (i26BoundedIngest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1316,5 +1363,6 @@ object IcebergQueries {
     "i22_list_evolution_scan" -> i22Sql,
     "i24_stateful_sessions" -> i24Sql,
     "i25_add_files" -> i25Sql,
+    "i26_bounded_ingest" -> i21Sql,
   )
 }

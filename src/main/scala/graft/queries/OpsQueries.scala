@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Contamination, Dedup, FilterPipeline, Funnel,
+import graft.ops.{AsOf, Contamination, Dedup, ExactSubstr, FilterPipeline,
+  Funnel, Importance,
   LangModel, LineDedup,
   Packing, RangeJoin, Retrieval, Sessionize, Similarity, Skew, Splits,
   TextAnalysis}
@@ -1764,6 +1765,208 @@ object OpsQueries {
        |) ORDER BY stage_idx""".stripMargin
   }
 
+  // --------------------------- d27 exact-substring dedup (oracle)
+  /** Duplicate-passage gate ([[ExactSubstr.dupPassages]] — ExactSubstr
+    * dedup at window granularity). A 24-token passage is planted at
+    * the tail of every doc_id % 3 == 0 document (twice for % 21 == 0,
+    * exercising WITHIN-document repeats); window = 20, so exactly the
+    * windows fully inside a passage occurrence collide corpus-wide.
+    * keepFirst exempts the canonical lowest-(id, pos) occurrence — the
+    * spans are what a dedup pass would cut. Integer offsets + md5
+    * windows: full hash gate against DuckDB's window-function replay
+    * of the same count → mark → interval-merge pipeline. */
+  def d27DupPassages(s: SparkSession, dir: String): DataFrame = {
+    val passage = (0 until 24).map(i => s"zq$i").mkString(" ")
+    val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+    val planted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(21)) === 0,
+          concat(col("text"), lit(s" $passage $passage")))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(s" $passage")))
+        .otherwise(col("text")).as("text"))
+    ExactSubstr.dupPassages(planted, window = 20)
+      .orderBy("doc_id", "span_start")
+  }
+
+  val d27Sql: String = {
+    val passage = (0 until 24).map(i => s"zq$i").mkString(" ")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 21 = 0 THEN text || ' $passage $passage'
+       |         WHEN doc_id % 3 = 0 THEN text || ' $passage'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id < 300
+       |), toks AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+       |                 ' ') AS tk
+       |  FROM planted
+       |), win AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(tk[i + 1 : i + 20], ' ')) AS h
+       |  FROM toks, UNNEST(generate_series(0, len(tk) - 20)) AS t(i)
+       |  WHERE len(tk) >= 20
+       |), ranked AS (
+       |  SELECT doc_id, pos, h,
+       |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM win
+       |), marked AS (
+       |  SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1
+       |), flagged AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN MAX(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR pos > MAX(pos + 20) OVER (PARTITION BY doc_id
+       |           ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS newspan
+       |  FROM marked
+       |), sp AS (
+       |  SELECT doc_id, pos, SUM(newspan) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+       |  FROM flagged
+       |)
+       |SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 20 AS span_end,
+       |  COUNT(*) AS n_windows
+       |FROM sp GROUP BY doc_id, span
+       |ORDER BY doc_id, span_start""".stripMargin
+  }
+
+  // ---------------------------- d28 DSIR importance weights (oracle)
+  /** Importance-weighting gate ([[Importance.importanceWeights]]):
+    * every 17th document is the planted "target domain" sample, the
+    * whole table is the source; per-doc integral likelihood-ratio
+    * scores (bucketed hashed bigrams, broadcast model) hash-match
+    * DuckDB's replay exactly. */
+  def d28DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val target = docs.where(pmod(col("doc_id"), lit(17)) === 0)
+    Importance.importanceWeights(docs, target)
+      .orderBy("doc_id")
+  }
+
+  val d28Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+      |                 ' ') AS tk
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS g
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+      |  WHERE len(tk) >= 2
+      |), feats AS (
+      |  SELECT doc_id, substr(md5(g), 1, 4) AS b FROM bg
+      |), sc AS (
+      |  SELECT b, COUNT(*) AS s FROM feats GROUP BY b
+      |), tc AS (
+      |  SELECT b, COUNT(*) AS t FROM feats WHERE doc_id % 17 = 0
+      |  GROUP BY b
+      |), model AS (
+      |  SELECT sc.b,
+      |    (${Importance.Scale} * (COALESCE(t, 0) + 1))
+      |      // (s + ${Importance.Buckets}) AS w
+      |  FROM sc LEFT JOIN tc ON tc.b = sc.b
+      |), perdoc AS (
+      |  SELECT f.doc_id, COUNT(*) AS n_feats,
+      |    CAST(SUM(w) AS BIGINT) AS weight_scaled
+      |  FROM feats f JOIN model m ON m.b = f.b GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_feats, 0) AS n_feats,
+      |  COALESCE(p.weight_scaled, 0) AS weight_scaled,
+      |  CASE WHEN p.n_feats IS NULL THEN 0.0
+      |       ELSE round(CAST(p.weight_scaled AS DOUBLE) / p.n_feats
+      |            / ${Importance.Scale}.0, 6) END AS mean_weight
+      |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------- d29 duplicate-passage removal (oracle)
+  /** Rewrite gate ([[ExactSubstr.removeDupPassages]]) over the d27
+    * planted corpus: every duplicated passage keeps exactly its
+    * canonical occurrence corpus-wide and every other copy is cut from
+    * the rebuilt (normalized) text. Exact strings + integer token
+    * accounting — full hash. */
+  def d29RemovePassages(s: SparkSession, dir: String): DataFrame = {
+    val passage = (0 until 24).map(i => s"zq$i").mkString(" ")
+    val docs = t(s, dir, "documents").where(col("doc_id") < 300)
+    val planted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(21)) === 0,
+          concat(col("text"), lit(s" $passage $passage")))
+        .when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(s" $passage")))
+        .otherwise(col("text")).as("text"))
+    ExactSubstr.removeDupPassages(planted, window = 20)
+      .orderBy("doc_id")
+  }
+
+  val d29Sql: String = {
+    val passage = (0 until 24).map(i => s"zq$i").mkString(" ")
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 21 = 0 THEN text || ' $passage $passage'
+       |         WHEN doc_id % 3 = 0 THEN text || ' $passage'
+       |         ELSE text END AS text
+       |  FROM documents WHERE doc_id < 300
+       |), toks AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+       |                 ' ') AS tk
+       |  FROM planted
+       |), win AS (
+       |  SELECT doc_id, i AS pos,
+       |    md5(array_to_string(tk[i + 1 : i + 20], ' ')) AS h
+       |  FROM toks, UNNEST(generate_series(0, len(tk) - 20)) AS t(i)
+       |  WHERE len(tk) >= 20
+       |), ranked AS (
+       |  SELECT doc_id, pos, h,
+       |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM win
+       |), marked AS (
+       |  SELECT doc_id, pos FROM ranked WHERE cnt >= 2 AND rn > 1
+       |), flagged AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN MAX(pos + 20) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |         OR pos > MAX(pos + 20) OVER (PARTITION BY doc_id
+       |           ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS newspan
+       |  FROM marked
+       |), sp AS (
+       |  SELECT doc_id, pos, SUM(newspan) OVER (PARTITION BY doc_id
+       |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span
+       |  FROM flagged
+       |), spans AS (
+       |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 20 AS span_end
+       |  FROM sp GROUP BY doc_id, span
+       |), spansagg AS (
+       |  SELECT doc_id,
+       |    list(struct_pack(s := span_start, e := span_end)) AS sps
+       |  FROM spans GROUP BY doc_id
+       |), toks0 AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(COALESCE(text, ''),
+       |      '\\s+', ' ', 'g'))), ' ') AS tk
+       |  FROM planted
+       |), joined AS (
+       |  SELECT t.doc_id, t.tk, COALESCE(g.sps, []) AS sps
+       |  FROM toks0 t LEFT JOIN spansagg g USING (doc_id)
+       |)
+       |SELECT doc_id,
+       |  COALESCE(array_to_string(list_transform(
+       |    list_filter(generate_series(0, len(tk) - 1),
+       |      i -> len(list_filter(sps, sp -> i >= sp.s AND i < sp.e)) = 0),
+       |    i -> tk[i + 1]), ' '), '') AS text,
+       |  len(tk) AS n_tokens,
+       |  len(tk) - len(list_filter(generate_series(0, len(tk) - 1),
+       |    i -> len(list_filter(sps, sp -> i >= sp.s AND i < sp.e)) = 0))
+       |    AS n_tokens_removed
+       |FROM joined ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -1811,6 +2014,9 @@ object OpsQueries {
     "e13_bm25" -> (e13Bm25 _),
     "d25_leakage_split" -> (d25LeakageSplit _),
     "d26_filter_funnel" -> (d26FilterFunnel _),
+    "d27_dup_passages" -> (d27DupPassages _),
+    "d28_dsir_weights" -> (d28DsirWeights _),
+    "d29_remove_passages" -> (d29RemovePassages _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1855,5 +2061,8 @@ object OpsQueries {
     "e13_bm25" -> e13Sql,
     "d25_leakage_split" -> d25Sql,
     "d26_filter_funnel" -> d26Sql,
+    "d27_dup_passages" -> d27Sql,
+    "d28_dsir_weights" -> d28Sql,
+    "d29_remove_passages" -> d29Sql,
   )
 }

@@ -35,7 +35,8 @@ private[sources] object GraftProcedures {
   val Names: Seq[String] = Seq("expire_snapshots", "compact",
     "rollback_to_snapshot", "set_ref", "remove_ref",
     "remove_orphan_files", "rewrite_manifests", "create_changelog_view",
-    "rewrite_data_files", "fast_forward", "add_files")
+    "rewrite_data_files", "fast_forward", "add_files",
+    "register_table")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -131,6 +132,9 @@ private[sources] class GraftBoundProcedure(
       // API (TableOps.addFiles) one partition at a time.
       p("files", StringType),
       pDefault("check_duplicate_files", BooleanType, "true"))
+    case "register_table" => Array(
+      p("ns", StringType), p("table", StringType),
+      p("metadata_location", StringType))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -143,7 +147,8 @@ private[sources] class GraftBoundProcedure(
     val spark = SparkSession.active
     val ns = input.getUTF8String(0).toString
     val tbl = input.getUTF8String(1).toString
-    val t = loadTable(catalog, io, ns, tbl)
+    // lazy: register_table CREATES the entry — loading it would throw
+    lazy val t = loadTable(catalog, io, ns, tbl)
     val (schema, row): (StructType, Seq[Any]) = procName match {
       case "expire_snapshots" =>
         val raw = input.getLong(2)
@@ -230,6 +235,14 @@ private[sources] class GraftBoundProcedure(
           .add("dry_run", BooleanType),
           Seq(report.deleted.size + report.failed.size,
             report.failed.size, dryRun))
+      case "register_table" =>
+        val mloc = input.getUTF8String(2).toString
+        val meta = catalog.registerTable(
+          graft.catalog.TableIdentifier(ns.split('.').toSeq, tbl), mloc)
+        (new StructType().add("table_uuid", StringType)
+          .add("current_snapshot_id", LongType),
+          Seq(meta.tableUuid,
+            meta.currentSnapshotId.getOrElse(-1L)))
       case "add_files" =>
         val paths = input.getUTF8String(2).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq

@@ -135,6 +135,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"BM25 must join postings on the term key:\n$p")
   }
 
+  test("d27 exact-substring dedup: window-hash joins with partial " +
+      "counts, never pairwise") {
+    val p = staticPlan("d27_dup_passages")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"passage detection must join on the window hash:\n$p")
+    assert(p.toString.contains("partial"),
+      s"d27 lost map-side partial aggregation on window counts:\n$p")
+  }
+
+  test("d28 importance weights: the feature model broadcasts — the " +
+      "corpus is never shuffled on a feature key for scoring") {
+    val p = staticPlan("d28_dsir_weights")
+    assert(broadcasts(p) >= 1, s"the bounded model must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"scoring must join on the bucket key:\n$p")
+  }
+
   test("q1 pricing summary: one partial-agg shuffle + output sort") {
     val p = staticPlan("q1_pricing_summary")
     assert(shuffles(p) <= 2,

@@ -182,6 +182,21 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.register_table tracks existing metadata in place") {
+    withCatalog("rt") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE NAMESPACE $c.mirror")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      (1 to 3).foreach(i => spark.sql(s"INSERT INTO $c.db.t VALUES ($i)"))
+      val res = spark.sql(
+        s"CALL $c.system.register_table('mirror', 't_reg', " +
+          s"'$dir/db/t/metadata/v00004.metadata.json')").collect().head
+      assert(res.getString(0).nonEmpty && res.getLong(1) != -1L)
+      assert(spark.sql(s"SELECT id FROM $c.mirror.t_reg ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    }
+  }
+
   test("CALL system.rewrite_manifests compacts the manifest list") {
     withCatalog("rwm") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
