@@ -39,8 +39,8 @@ object ExactSubstr {
       idCol: String = "doc_id", window: Int = 20,
       keepFirst: Boolean = true): DataFrame = {
     require(window >= 1, "window must be >= 1")
-    val Seq(cTk, cPos, cH, cEnd, cNew, cSpan) =
-      Seq("tk", "pos", "h", "end", "new", "span").map(s =>
+    val Seq(cTk, cPos, cH, cNew, cSpan) =
+      Seq("tk", "pos", "h", "new", "span").map(s =>
         Names.fresh(docs.columns)(i => s"__graft_${s}$i"))
     val toks = split(TextAnalysis.normalized(col(textCol)), " ")
     val hashes = when(size(col(cTk)) < window,
@@ -79,9 +79,14 @@ object ExactSubstr {
   }
 
   /** The rewrite half of the dedup pass: drop every token covered by a
-    * duplicated span ([[dupPassages]] with its keep-first exemption,
-    * so exactly one occurrence of each passage survives corpus-wide)
-    * and rebuild the document from the survivors. Returns
+    * duplicated span ([[dupPassages]] with its keep-first exemption)
+    * and rebuild the document from the survivors. The exemption is
+    * per-WINDOW, so each duplicated window's canonical occurrence
+    * survives unless an overlapping marked span in the same document
+    * swallows its tokens — a corner where a passage can lose every
+    * copy (the suffix-array original has the same overlap ambiguity;
+    * dedup pipelines accept it because over-removal of near-boilerplate
+    * is harmless). Returns
     * `(idCol, textCol, n_tokens, n_tokens_removed)` for EVERY input
     * document; the rebuilt text is the NORMALIZED token stream (the
     * pass operates post-normalization, as real pipelines do between

@@ -25,18 +25,26 @@ object FilterPipeline {
     * rejection (SQL three-valued logic, same as a WHERE). */
   def funnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
     require(stages.nonEmpty, "funnel: no stages")
+    require(stages.map(_._1).distinct.size == stages.size,
+      s"funnel: duplicate stage names in ${stages.map(_._1)}")
     val cumulative = stages.tail.scanLeft(stages.head._2) {
       (acc, s) => acc && s._2
     }
-    val counts = ("total", count(lit(1)).cast("long")) +:
-      stages.map(_._1).zip(cumulative).map { case (name, cum) =>
-        name -> sum(when(cum, 1L).otherwise(0L)).as(name)
-      }
-    val agged = df.agg(counts.head._2.as(counts.head._1),
-      counts.tail.map { case (n, c) => c.as(n) }: _*)
-    val rows = counts.map(_._1).zipWithIndex.map { case (name, i) =>
+    // aggregates live under INTERNAL aliases — user-chosen stage names
+    // (dots, "total", anything) appear only as output literals, never
+    // as resolvable column references
+    val counts = count(lit(1)).cast("long") +: cumulative.map(cum =>
+      // coalesce: sum() over ZERO rows is NULL; an empty corpus must
+      // report 0 at every stage, not a null that breaks consumers
+      coalesce(sum(when(cum, 1L).otherwise(0L)), lit(0L)))
+    val names = "total" +: stages.map(_._1)
+    val agged = df.agg(counts.head.as("__graft_c0"),
+      counts.tail.zipWithIndex.map { case (c, i) =>
+        c.as(s"__graft_c${i + 1}")
+      }: _*)
+    val rows = names.zipWithIndex.map { case (name, i) =>
       struct(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
-        col(name).as("n_docs"))
+        col(s"__graft_c$i").as("n_docs"))
     }
     agged.select(explode(array(rows: _*)).as("r"))
       .select(col("r.stage_idx"), col("r.stage"), col("r.n_docs"))

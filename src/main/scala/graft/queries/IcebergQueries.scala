@@ -1087,10 +1087,9 @@ object IcebergQueries {
   /** `add_files` import gate ([[TableOps.addFiles]]): the ORIGINAL
     * testdata parquet is registered in place — no rewrite, no copy —
     * and read back through the full engine path (manifest plan →
-    * footer-harvested stats → scan). A second import in the same call
-    * plants a near-trivial pruning check: the engine must read exactly
-    * the registered content, proving stats harvested from a
-    * foreign-written file behave like native ones. Hash gate = every
+    * footer-harvested stats → scan); the `doc_id >= 0` filter runs the
+    * pruner over the harvested stats, proving a foreign-written file
+    * prunes like a native one. Hash gate = every
     * row and column of the source file. */
   def i25AddFiles(s: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/documents.parquet"

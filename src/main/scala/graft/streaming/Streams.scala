@@ -67,15 +67,23 @@ object Streams {
     *    state — never document text. */
   def dedupIngest(stream: DataFrame, corpus: DataFrame,
       textCol: String = "text"): DataFrame = {
+    val (fresh, fpCol) = corpusAntiJoined(stream, corpus, textCol)
+    fresh.dropDuplicates(fpCol).drop(fpCol)
+  }
+
+  /** Shared prefix of both ingest-dedup variants: fingerprint the
+    * stream (collision-proof working column) and anti-join it against
+    * the once-materialized corpus digest set. Returns the surviving
+    * stream plus the fingerprint column name for the caller's
+    * state-store stage to key on. */
+  private def corpusAntiJoined(stream: DataFrame, corpus: DataFrame,
+      textCol: String): (DataFrame, String) = {
     val fp = graft.ops.TextAnalysis.fingerprint(col(textCol))
-    // collision-proof working column: never clobber a user column
     val fpCol = graft.util.Names.fresh(stream.columns)(i => s"__graft_fp$i")
     val corpusFps = corpus.select(fp.as(fpCol)).distinct()
       .localCheckpoint(true)
-    stream.withColumn(fpCol, fp)
-      .join(corpusFps, Seq(fpCol), "left_anti")
-      .dropDuplicates(fpCol)
-      .drop(fpCol)
+    (stream.withColumn(fpCol, fp)
+      .join(corpusFps, Seq(fpCol), "left_anti"), fpCol)
   }
 
   /** [[dedupIngest]] with BOUNDED state — the deployment answer for a
@@ -91,13 +99,8 @@ object Streams {
   def dedupIngestBounded(stream: DataFrame, corpus: DataFrame,
       tsCol: String, delay: String,
       textCol: String = "text"): DataFrame = {
-    val fp = graft.ops.TextAnalysis.fingerprint(col(textCol))
-    val fpCol = graft.util.Names.fresh(stream.columns)(i => s"__graft_fp$i")
-    val corpusFps = corpus.select(fp.as(fpCol)).distinct()
-      .localCheckpoint(true)
-    stream.withColumn(fpCol, fp)
-      .join(corpusFps, Seq(fpCol), "left_anti")
-      .withWatermark(tsCol, delay)
+    val (fresh, fpCol) = corpusAntiJoined(stream, corpus, textCol)
+    fresh.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(fpCol)
       .drop(fpCol)
   }

@@ -689,13 +689,49 @@ object TableOps {
     require(paths.nonEmpty, "addFiles: empty path list")
     val meta = table.metadata
     val spec = meta.defaultPartitionSpec
-    val missing = spec.fields.map(_.name).filterNot(partition.contains)
+    val specNames = spec.fields.map(_.name)
+    val missing = specNames.filterNot(partition.contains)
     require(missing.isEmpty,
       s"addFiles: partition values required for spec fields " +
         s"${missing.mkString(", ")} (one call per partition)")
+    val stray = partition.keys.filterNot(specNames.contains)
+    require(stray.isEmpty,
+      s"addFiles: ${stray.mkString(", ")} not in the default partition " +
+        s"spec (fields: ${specNames.mkString(", ")})")
     val schema = meta.currentSchema
     val files = DataWriter.harvestFiles(
       spark.sessionState.newHadoopConf(), paths, schema, partition)
+    // the caller STATES the partition tuple — cross-check it against
+    // the harvested column bounds wherever the transform lets us
+    // (identity: every row must equal the stated value, so min = max =
+    // value). A wrong tuple would silently mis-prune forever; bounds
+    // are already in hand, so fail loud at import instead.
+    for {
+      pf <- spec.fields if pf.transform == Transform.Identity
+      f <- schema.field(pf.sourceId)
+      stated = partition(pf.name)
+      df <- files
+      loB <- df.lowerBounds.get(pf.sourceId)
+      hiB <- df.upperBounds.get(pf.sourceId)
+    } {
+      val lo = Bounds.deserialize(loB, f.fieldType)
+      val hi = Bounds.deserialize(hiB, f.fieldType)
+      // the stated value must sit inside the file's bounds (sound even
+      // under the 16-char string-bound truncation, which only WIDENS)
+      require(Bounds.compare(stated, lo, f.fieldType) >= 0 &&
+          Bounds.compare(stated, hi, f.fieldType) <= 0,
+        s"addFiles: ${df.filePath} has ${f.name} in [$lo, $hi] but the " +
+          s"stated identity partition ${pf.name} = $stated lies outside")
+      // non-string bounds are exact: lo != hi proves the column is not
+      // constant, which an identity partition requires. (String bounds
+      // may differ only because of truncation, so strings get just the
+      // range check above.)
+      require(f.fieldType == StringType ||
+          Bounds.compare(lo, hi, f.fieldType) == 0,
+        s"addFiles: ${df.filePath} has ${f.name} in [$lo, $hi] — not " +
+          s"constant, so it cannot carry identity partition " +
+          s"${pf.name} = $stated")
+    }
     // schema fit: a required top-level primitive column absent from a
     // file would read back null — fail loud at import time instead
     val requiredIds = schema.fields

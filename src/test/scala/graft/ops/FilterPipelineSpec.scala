@@ -28,6 +28,24 @@ class FilterPipelineSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(3L, 1L))
   }
 
+  test("empty corpus reports 0 at every stage, never null") {
+    val df = Seq.empty[(Long, Boolean)].toDF("id", "a")
+    val got = FilterPipeline.funnel(df, Seq("a" -> $"a"))
+      .orderBy("stage_idx").collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("total", 0L), ("a", 0L)))
+  }
+
+  test("awkward stage names are fine; duplicates are rejected") {
+    val df = Seq((1L, true)).toDF("id", "a")
+    val got = FilterPipeline.funnel(df,
+        Seq("total" -> $"a", "pass.1" -> $"a"))
+      .orderBy("stage_idx").collect().map(_.getString(1))
+    assert(got.toSeq == Seq("total", "total", "pass.1"))
+    intercept[IllegalArgumentException] {
+      FilterPipeline.funnel(df, Seq("x" -> $"a", "x" -> $"a"))
+    }
+  }
+
   test("single scan: the funnel plans one aggregate, no joins/unions") {
     val df = Seq((1L, true)).toDF("id", "a")
     val plan = FilterPipeline.funnel(df,

@@ -73,6 +73,39 @@ class AddFilesSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("score"))
   }
 
+  test("stated identity partition values are cross-checked against " +
+      "harvested bounds; stray keys rejected") {
+    val spec = PartitionSpec.builder(0).identity(1, "id").build()
+    val t0 = freshTable("t5", schema, spec)
+    // constant-id file: legal only under the matching stated value
+    val dir = Files.createTempDirectory("graft-ext-const-").toString
+    Seq((7L, "a"), (7L, "b")).toDF("id", "name")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val wrong = intercept[IllegalArgumentException] {
+      TableOps.addFiles(t0, spark, parts, partition = Map("id" -> 9L))
+    }
+    assert(wrong.getMessage.contains("lies outside"))
+    val t = TableOps.addFiles(t0, spark, parts,
+      partition = Map("id" -> 7L))
+    assert(Scan(t, spark).toDF.count() == 2L)
+    // non-constant column can never carry an identity value
+    val (_, mixed) = externalParquet(5) // ids 0..4
+    val t1 = freshTable("t6", schema, spec)
+    val bad = intercept[IllegalArgumentException] {
+      TableOps.addFiles(t1, spark, mixed, partition = Map("id" -> 2L))
+    }
+    assert(bad.getMessage.contains("not") &&
+      bad.getMessage.contains("constant"))
+    // keys outside the spec fail loud (typos would otherwise embed)
+    val t2 = freshTable("t7", schema)
+    val stray = intercept[IllegalArgumentException] {
+      TableOps.addFiles(t2, spark, parts, partition = Map("typo" -> 1L))
+    }
+    assert(stray.getMessage.contains("typo"))
+  }
+
   test("partitioned import needs explicit values; tuple recorded + pruned") {
     val spec = PartitionSpec.builder(0).identity(1, "id_part").build()
     val specked = Schema(0, Seq(
