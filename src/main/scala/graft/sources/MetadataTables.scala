@@ -37,7 +37,7 @@ private[sources] object MetadataTables {
 
   val Names: Set[String] =
     Set("snapshots", "history", "refs", "manifests", "files",
-      "partitions")
+      "partitions", "entries")
 
   def apply(t: Table, kind: String): ConnectorTable =
     new GraftMetadataTable(t, kind)
@@ -96,6 +96,24 @@ private[sources] object MetadataTables {
     StructField("sequence_number", LongType, nullable = true),
     StructField("sort_order_id", IntegerType, nullable = true)))
 
+  /** Iceberg's `entries` table (flat practical subset): EVERY manifest
+    * entry with its status — `files` shows only the flattened live
+    * view. This writer records Added and carried-forward Existing
+    * entries (removed files leave the manifest rather than lingering
+    * as Deleted rows), so status 2 appears only on manifests written
+    * by systems that retain them. */
+  val EntriesSchema: StructType = StructType(Seq(
+    StructField("status", IntegerType, nullable = false),
+    StructField("snapshot_id", LongType, nullable = true),
+    StructField("sequence_number", LongType, nullable = true),
+    StructField("content", IntegerType, nullable = false),
+    StructField("file_path", StringType, nullable = false),
+    StructField("record_count", LongType, nullable = false),
+    StructField("file_size_in_bytes", LongType, nullable = false),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("partition", MapType(StringType, StringType),
+      nullable = false)))
+
   val PartitionsSchema: StructType = StructType(Seq(
     StructField("partition", MapType(StringType, StringType),
       nullable = false),
@@ -116,6 +134,7 @@ private[sources] object MetadataTables {
     case "manifests" => ManifestsSchema
     case "files" => FilesSchema
     case "partitions" => PartitionsSchema
+    case "entries" => EntriesSchema
   }
 
   // ------------------------------------------------- driver-side rows
@@ -240,7 +259,7 @@ private[sources] class GraftMetadataTable(gtable: Table, kind: String)
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): V2Scan = kind match {
-        case "files" => new FilesScan(gtable)
+        case "files" | "entries" => new ManifestFanScan(gtable, kind)
         case _ => new MetaLocalScan(gtable, kind)
       }
     }
@@ -264,13 +283,14 @@ private[sources] class MetaLocalScan(t: Table, kind: String)
   }
 }
 
-/** `files`: one input partition per manifest, decoded executor-side —
-  * the driver reads only the manifest LIST. */
-private[sources] class FilesScan(t: Table) extends V2Scan with Batch {
+/** `files` / `entries`: one input partition per manifest, decoded
+  * executor-side — the driver reads only the manifest LIST. */
+private[sources] class ManifestFanScan(t: Table, kind: String)
+    extends V2Scan with Batch {
   import MetadataTables._
 
-  override def readSchema(): StructType = FilesSchema
-  override def description(): String = "graft-meta:files"
+  override def readSchema(): StructType = schemaFor(kind)
+  override def description(): String = s"graft-meta:$kind"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -278,20 +298,41 @@ private[sources] class FilesScan(t: Table) extends V2Scan with Batch {
       ManifestPartition(mf.manifestPath): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FilesReaderFactory()
+    new ManifestFanReaderFactory(kind)
 }
 
 private[sources] final case class ManifestPartition(path: String)
     extends InputPartition
 
-private[sources] class FilesReaderFactory extends PartitionReaderFactory {
+private[sources] class ManifestFanReaderFactory(kind: String)
+    extends PartitionReaderFactory {
   import MetadataTables._
+
+  private def contentCode(f: graft.spec.DataFile): Int = f.content match {
+    case FileContent.Data => 0
+    case FileContent.PositionDeletes => 1
+    case FileContent.EqualityDeletes => 2
+  }
+  private def partMap(f: graft.spec.DataFile): Map[String, String] =
+    f.partition.map { case (k, v) =>
+      k -> (if (v == null) null else v.toString)
+    }
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[ManifestPartition].path
     val io = new HadoopFileIO()
     val manifest = ManifestAvro.readManifest(io.readAllBytes(path))
+    if (kind == "entries") {
+      val rows = manifest.entries.map { e =>
+        val f = e.dataFile
+        Row(e.status.id, e.snapshotId.map(Long.box).orNull,
+          e.sequenceNumber.map(Long.box).orNull,
+          contentCode(f), f.filePath, f.recordCount, f.fileSizeInBytes,
+          manifest.partitionSpecId, partMap(f))
+      }
+      return reader(toInternal(EntriesSchema, rows))
+    }
     val rows = manifest.liveEntries.map { e =>
       val f = e.dataFile
       Row(
@@ -308,7 +349,12 @@ private[sources] class FilesReaderFactory extends PartitionReaderFactory {
         e.sequenceNumber.map(Long.box).orNull,
         f.sortOrderId.map(Int.box).orNull)
     }
-    val it = toInternal(FilesSchema, rows).iterator
+    reader(toInternal(FilesSchema, rows))
+  }
+
+  private def reader(all: Array[InternalRow])
+      : PartitionReader[InternalRow] = {
+    val it = all.iterator
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =

@@ -106,6 +106,35 @@ class MetadataTablesSpec extends AnyFunSuite {
     }
   }
 
+  test("entries table shows every manifest entry with its status") {
+    withCatalog("ent") { (c, dir) =>
+      seed(c)
+      // a CoW delete rewrites one file and carries the other forward:
+      // the new manifests hold the rewrite as Added and the untouched
+      // file as Existing — `entries` surfaces BOTH statuses, `files`
+      // flattens them into the live view
+      spark.sql(s"DELETE FROM $c.db.t WHERE id = 1")
+      val byStatus = spark.sql(
+        s"SELECT status, count(*) FROM $c.db.t.entries GROUP BY status")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(byStatus.getOrElse(1, 0L) >= 1L,
+        s"added entries expected: $byStatus")
+      assert(byStatus.getOrElse(0, 0L) >= 1L,
+        s"the carried-forward file must surface as Existing: $byStatus")
+      val live = spark.sql(s"SELECT file_path FROM $c.db.t.files")
+        .collect().map(_.getString(0)).toSet
+      val all = spark.sql(s"SELECT file_path FROM $c.db.t.entries")
+        .collect().map(_.getString(0)).toSet
+      assert(all == live,
+        "with no Deleted entries recorded, entries and files agree " +
+          "on paths while disagreeing on status detail")
+      // snapshot ids recorded per entry
+      val snaps = spark.sql(
+        s"SELECT DISTINCT snapshot_id FROM $c.db.t.entries").count()
+      assert(snaps >= 2L, "entries must carry their committing snapshot")
+    }
+  }
+
   test("partitions table aggregates per-partition counts") {
     withCatalog("parts") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
