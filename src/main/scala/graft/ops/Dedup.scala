@@ -79,9 +79,35 @@ object Dedup {
     array(hashes: _*)
   }
 
-  /** MinHash signatures as an AGGREGATION: explode shingles to rows,
-    * hash each once per seed, min-combine per document (map-side
-    * partial min — parity-tested against [[minhashSignature]]).
+  /** (id, DISTINCT 64-bit-hashed shingle set) — the ONE corpus pass
+    * the whole minhash pipeline derives from: signatures take per-seed
+    * re-mix minimums over it ([[minhashSignatures]] — a duplicate
+    * shingle cannot change a min, so the distinct is free for them),
+    * and the verify stage computes Jaccard over it directly.
+    *
+    * Hashing shingles to longs BEFORE the set operations is the scale
+    * lever: `array_distinct` / `array_intersect` / `array_union` on
+    * string arrays are pairwise scans (O(m²) comparisons per document
+    * — ~22k string compares at m≈150), while the primitive long path
+    * uses an open hash set (O(m)); the verify-join payload also drops
+    * from ~m×20 chars to m×8 bytes. Jaccard over the hashed sets
+    * equals string-set Jaccard unless two DISTINCT shingles collide in
+    * 64 bits — p ≈ m²·2⁻⁶⁵ per document (~10⁻¹⁶ at m=150), negligible
+    * even across 10¹¹ documents. The d6b/d6c gates stay exact: d6c
+    * gates the string-set [[jaccard]] column itself (unchanged), d6b's
+    * planted pairs are exact copies (identical sets hash identically). */
+  private def hashedShingleSets(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    tokenized(df, textCol, idCol)
+      .select(col("__id"), array_distinct(
+        transform(shinglesOfTokens(col("__toks")),
+          s => xxhash64(s))).as("__hs"))
+
+  /** MinHash signatures as an AGGREGATION: explode the hashed shingle
+    * set to rows, re-mix once per seed, min-combine per document
+    * (map-side partial min — parity-tested against
+    * [[minhashSignature]]; the distinct in [[hashedShingleSets]]
+    * cannot change any min).
     *
     * Why two forms exist: the column form is fastest when its stage
     * codegen-compiles, but fused into a join stage the k-wide tree
@@ -94,14 +120,35 @@ object Dedup {
     * joined elsewhere without managing stage isolation themselves. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int): DataFrame = {
+    // Explode the STRING shingles and hash per exploded row (rather
+    // than deriving from [[hashedShingleSets]]): on an uncached input,
+    // exploding a transform(...) subtree trips InferFiltersFromGenerate
+    // — the inferred size>0/isnotnull filter is pushed below the
+    // projection and re-evaluates the whole regex+shingle+hash tree
+    // per row (measured 7x on this stage). The string-shingle generator
+    // child dodges the inference; the hashed-set derivation is used
+    // only on the CACHED pipeline path ([[minhashEdges]]), where the
+    // generator child is a cache attribute and the filter is free.
     val exploded = tokenized(df, textCol, idCol)
       // no array_distinct: duplicates cannot change a min (see
-      // [[minhashSignature]]), and the distinct pass is O(n²) per doc
+      // [[minhashSignature]]), and the string distinct is O(m²)
       .select(col("__id"),
         explode(shinglesOfTokens(col("__toks"))).as("__s"))
-      // one string hash per (doc, shingle); the k per-seed values are
-      // cheap fixed-width re-mixes of it (see [[mixHash]])
       .select(col("__id"), xxhash64(col("__s")).as("__h"))
+    val aggs = (0 until numHashes).map(k =>
+      min(mixHash(col("__h"), k)).as(s"__h$k"))
+    exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        array((0 until numHashes).map(k => col(s"__h$k")): _*).as("__sig"))
+  }
+
+  /** Signature aggregation over an ALREADY-CACHED [[hashedShingleSets]]
+    * frame — the pipeline-internal form ([[candidatesOfHashedSets]]).
+    * Same values as [[minhashSignatures]] (the set's distinct cannot
+    * change a min; re-mix of the same base hashes). */
+  private def signaturesOfHashedSets(hs: DataFrame,
+      numHashes: Int): DataFrame = {
+    val exploded = hs.select(col("__id"), explode(col("__hs")).as("__h"))
     val aggs = (0 until numHashes).map(k =>
       min(mixHash(col("__h"), k)).as(s"__h$k"))
     exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*)
@@ -131,17 +178,31 @@ object Dedup {
     * cache below can be released immediately. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    // cache discipline matches [[minhashEdges]]: the hashed-set frame
+    // must be a cached attribute under the signature explode (see the
+    // InferFiltersFromGenerate note on [[minhashSignatures]]); the
+    // candidate set is eagerly materialized inside, so the cache can be
+    // released before returning
+    val hs = hashedShingleSets(df, textCol, idCol).cache()
+    val out = candidatesOfHashedSets(hs, numHashes, bands)
+    hs.unpersist(false)
+    out
+  }
+
+  private def candidatesOfHashedSets(hs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    // AGGREGATE-form signatures (explode shingles once, hash once per
-    // seed, map-side min-combine), not the k-wide column expression:
-    // even isolated in its own cached stage, the column form's 32+
-    // copies of the shingling subtree overflow codegen's method limit,
-    // the stage falls back to interpreted eval with no CSE, and the
-    // regex re-runs per seed per shingle — measured 15x (12 s vs 0.8 s
-    // at sf0.001) on the d6 bench. The agg form shuffles one combined
-    // row per document (partial min is map-side), so it also scales.
-    val sig = minhashSignatures(df, textCol, idCol, numHashes)
+    // AGGREGATE-form signatures (explode hashed shingles once, re-mix
+    // once per seed, map-side min-combine), not the k-wide column
+    // expression: even isolated in its own cached stage, the column
+    // form's 32+ copies of the shingling subtree overflow codegen's
+    // method limit, the stage falls back to interpreted eval with no
+    // CSE, and the regex re-runs per seed per shingle — measured 15x
+    // (12 s vs 0.8 s at sf0.001) on the d6 bench. The agg form
+    // shuffles one combined row per document (partial min is
+    // map-side), so it also scales.
+    val sig = signaturesOfHashedSets(hs, numHashes)
     // CACHE the banded frame: both sides of the self-join read it, so
     // the signature aggregation runs once, not twice.
     val banded = sig.select(col("__id"), col("__sig"),
@@ -169,39 +230,44 @@ object Dedup {
         size(array_union(a, b)))
 
   /** Verified near-duplicate edges: LSH candidates filtered by true
-    * Jaccard over shingle sets. EAGER like [[minhashCandidates]] — the
-    * verified edge list is even smaller than the candidate set.
+    * Jaccard over the hashed shingle sets. EAGER like
+    * [[minhashCandidates]] — the verified edge list is even smaller
+    * than the candidate set.
     *
-    * `emitJaccard = false` drops the exact-Jaccard column from the
-    * OUTPUT (graph callers like [[minhashDedup]] never read it, and the
+    * ONE corpus pass: the cached [[hashedShingleSets]] frame feeds both
+    * the signature aggregation (via [[candidatesOfHashedSets]]) and the
+    * verify joins — the tokenize+shingle regex work runs once, not
+    * twice, and the verify comparisons run on primitive longs (see the
+    * [[hashedShingleSets]] scale note, including why the 2⁻⁶⁵ hash
+    * collision odds don't move the d6b/d6c gates).
+    *
+    * `emitJaccard = false` drops the Jaccard column from the OUTPUT
+    * (graph callers like [[minhashDedup]] never read it, and the
     * materialized edge list is then two ids narrower); the verify
     * filter always computes it. When emitted, the value is an integer
     * set-size division in double — bit-reproducible by any engine:
     * d6c_jaccard_arith hash-gates the non-trivial quotients of the
-    * same shingle/jaccard columns, d6b_jaccard_verify gates this
+    * string-set [[jaccard]] column, d6b_jaccard_verify gates this
     * pipeline end-to-end on planted exact pairs. */
   def minhashEdges(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, emitJaccard: Boolean = true): DataFrame = {
-    val cands = minhashCandidates(df, textCol, idCol, numHashes, bands)
-    // cached for the same stage-isolation reason as the banded frame
-    // (both verify joins read it; keeps the shingle expression out of
-    // the join stages), and so the shingling runs once, not twice
-    val sh = tokenized(df, textCol, idCol)
-      .select(col("__id"),
-        array_distinct(shinglesOfTokens(col("__toks"))).as("__sh"))
-      .cache()
+    // cached: the candidate stage's signature aggregation and both
+    // verify-join sides read it; also keeps the shingle expression in
+    // its own codegen stage instead of fusing into the join stages
+    val hs = hashedShingleSets(df, textCol, idCol).cache()
+    val cands = candidatesOfHashedSets(hs, numHashes, bands)
     val edges = cands
-      .join(sh.withColumnRenamed("__id", "id_a")
-        .withColumnRenamed("__sh", "__sh_a"), "id_a")
-      .join(sh.withColumnRenamed("__id", "id_b")
-        .withColumnRenamed("__sh", "__sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .join(hs.withColumnRenamed("__id", "id_a")
+        .withColumnRenamed("__hs", "__hs_a"), "id_a")
+      .join(hs.withColumnRenamed("__id", "id_b")
+        .withColumnRenamed("__hs", "__hs_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("__hs_a"), col("__hs_b")))
       .where(col("jaccard") >= threshold)
     val out =
       if (emitJaccard) edges.select("id_a", "id_b", "jaccard")
       else edges.select("id_a", "id_b")
-    materializeAndRelease(out, sh)
+    materializeAndRelease(out, hs)
   }
 
   /** Connected components over a near-dup edge list. Returns
