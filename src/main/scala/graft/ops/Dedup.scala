@@ -63,7 +63,7 @@ object Dedup {
     * stage's dominant cost. (A wrapping affine mix would be cheaper
     * still, but long multiply throws under ANSI mode, which is the
     * Spark 4 session default.) */
-  private def mixHash(base: Column, k: Int): Column =
+  private[graft] def mixHash(base: Column, k: Int): Column =
     xxhash64(base, lit(k))
 
   /** MinHash signature: base-hash each shingle once, k re-mixes, min
@@ -177,22 +177,24 @@ object Dedup {
     * point of LSH) is materialized before returning so the banded
     * cache below can be released immediately. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    // cache discipline matches [[minhashEdges]]: the hashed-set frame
-    // must be a cached attribute under the signature explode (see the
-    // InferFiltersFromGenerate note on [[minhashSignatures]]); the
-    // candidate set is eagerly materialized inside, so the cache can be
-    // released before returning
-    val hs = hashedShingleSets(df, textCol, idCol).cache()
-    val out = candidatesOfHashedSets(hs, numHashes, bands)
-    hs.unpersist(false)
-    out
-  }
+      numHashes: Int = 64, bands: Int = 16): DataFrame =
+    // Standalone entry point: the UNCACHED string-explode signature
+    // path. Routing through a cached [[hashedShingleSets]] frame here
+    // would materialize ~m×8 bytes/doc of corpus-wide hashed sets into
+    // block storage solely to compute candidates — a storage/IO cost
+    // only [[minhashEdges]] amortizes (its verify joins re-read the
+    // sets). [[minhashSignatures]]' string-explode generator already
+    // dodges the InferFiltersFromGenerate re-evaluation trap without
+    // any cache (see its note), and the small banded frame is still
+    // cached inside [[bandedCandidates]].
+    bandedCandidates(
+      minhashSignatures(df, textCol, idCol, numHashes), numHashes, bands)
 
+  /** Candidates over an already-cached [[hashedShingleSets]] frame —
+    * the pipeline-internal form used by [[minhashEdges]], where the
+    * cached sets also feed the verify joins. */
   private def candidatesOfHashedSets(hs: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+      bands: Int): DataFrame =
     // AGGREGATE-form signatures (explode hashed shingles once, re-mix
     // once per seed, map-side min-combine), not the k-wide column
     // expression: even isolated in its own cached stage, the column
@@ -202,7 +204,14 @@ object Dedup {
     // (12 s vs 0.8 s at sf0.001) on the d6 bench. The agg form
     // shuffles one combined row per document (partial min is
     // map-side), so it also scales.
-    val sig = signaturesOfHashedSets(hs, numHashes)
+    bandedCandidates(signaturesOfHashedSets(hs, numHashes),
+      numHashes, bands)
+
+  /** LSH banding over a `(__id, __sig)` signature frame. */
+  private def bandedCandidates(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     // CACHE the banded frame: both sides of the self-join read it, so
     // the signature aggregation runs once, not twice.
     val banded = sig.select(col("__id"), col("__sig"),
@@ -244,11 +253,16 @@ object Dedup {
     * `emitJaccard = false` drops the Jaccard column from the OUTPUT
     * (graph callers like [[minhashDedup]] never read it, and the
     * materialized edge list is then two ids narrower); the verify
-    * filter always computes it. When emitted, the value is an integer
-    * set-size division in double — bit-reproducible by any engine:
-    * d6c_jaccard_arith hash-gates the non-trivial quotients of the
-    * string-set [[jaccard]] column, d6b_jaccard_verify gates this
-    * pipeline end-to-end on planted exact pairs. */
+    * filter always computes it. When emitted, the value is the Jaccard
+    * of the 64-BIT HASHED shingle sets, not of the raw string-shingle
+    * sets: it equals exact string-set Jaccard unless two distinct
+    * shingles of the pair collide in 64 bits (~m²·2⁻⁶⁵ per document
+    * pair — negligible, but a consumer treating the column as exact
+    * string-set Jaccard should know the contract). The quotient itself
+    * is an integer set-size division in double — bit-reproducible by
+    * any engine: d6c_jaccard_arith hash-gates the non-trivial
+    * quotients of the [[jaccard]] kernel, d6b_jaccard_verify gates
+    * this pipeline end-to-end on planted exact pairs. */
   def minhashEdges(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, emitJaccard: Boolean = true): DataFrame = {

@@ -114,10 +114,19 @@ object ExactSubstr {
     val keptIdx = filter(sequence(lit(0L), size(col(cTk)).cast("long") - 1L),
       i => !exists(sps, sp =>
         i >= sp.getField("span_start") && i < sp.getField("span_end")))
+    // blank/NULL text splits to [""] (size 1), but its token count is
+    // 0 by the TextAnalysis.tokenCount contract — align the reported
+    // n_tokens with it ([""] is only produced by the empty normalized
+    // string, since normalization trims). n_tokens_removed needs no
+    // blank guard: a blank doc has no window hashes, so keptIdx keeps
+    // its one empty slot and size(cTk) - size(keptIdx) is already 0.
+    val nTokens = when(
+        size(col(cTk)) === 1 && element_at(col(cTk), 1) === "", lit(0L))
+      .otherwise(size(col(cTk)).cast("long"))
     joined.select(col(idCol),
       concat_ws(" ", transform(keptIdx,
         i => element_at(col(cTk), (i + 1L).cast("int")))).as(textCol),
-      size(col(cTk)).cast("long").as("n_tokens"),
+      nTokens.as("n_tokens"),
       (size(col(cTk)).cast("long") - size(keptIdx))
         .as("n_tokens_removed"))
   }

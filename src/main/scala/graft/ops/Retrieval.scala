@@ -61,11 +61,27 @@ object Retrieval {
     * `score_scaled` = Σ_terms floor(score_t · 10⁹ + ½) as an exact
     * long. Queries are tokenized with the same normalization as
     * documents; repeated query terms count once (standard bag-of-words
-    * probe). Documents sharing no term with a query are absent. */
+    * probe). Documents sharing no term with a query are absent.
+    *
+    * IDF VARIANT — read before comparing rankings to another engine.
+    * The default idf is the RATIONAL Robertson form without the log:
+    * `(N - df + 0.5) / (df + 0.5)`. It is monotone-decreasing in df,
+    * so any SINGLE-term ranking is identical to standard BM25, but
+    * multi-term scores weight rare terms more steeply than the
+    * textbook `ln(1 + (N - df + 0.5)/(df + 0.5))`, and multi-term
+    * rankings can therefore differ. The rational form is the default
+    * because every arithmetic op in it (add/div/mul) is an exact
+    * IEEE-754 operation that any engine reproduces bit-for-bit, which
+    * is what lets the e13 gate hash-compare `score_scaled` against
+    * DuckDB; a transcendental `ln` is only correctly-rounded to ~1 ulp
+    * per libm, so cross-engine hashes could flip on scale-boundary
+    * values. Pass `logIdf = true` for the textbook scoring (same plan
+    * shape, same exactness of everything but the idf). */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       textCol: String = "text", idCol: String = "doc_id",
       qIdCol: String = "query_id", qTextCol: String = "query",
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = false): DataFrame = {
     val tk = graft.util.Names.fresh(docs.columns)(i => s"__graft_tk$i")
     val qterms = queries.select(col(qIdCol),
         explode(array_distinct(toks(col(qTextCol)))).as("term"))
@@ -93,9 +109,11 @@ object Retrieval {
     val df_ = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     // idf attached to the (small) query-term set, then broadcast:
     // the corpus-sized postings never shuffle for the score join
+    val rationalIdf = (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)
     val qidf = qterms.join(df_, "term").crossJoin(broadcast(stats))
       .select(col(qIdCol), col("term"),
-        ((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)).as("idf"),
+        (if (logIdf) log(lit(1.0) + rationalIdf) else rationalIdf)
+          .as("idf"),
         col("avgdl"))
     val perTerm = post.join(broadcast(qidf), "term")
       .select(col(qIdCol), col(idCol), floor(

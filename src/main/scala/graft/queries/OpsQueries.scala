@@ -1960,7 +1960,8 @@ object OpsQueries {
        |    list_filter(generate_series(0, len(tk) - 1),
        |      i -> len(list_filter(sps, sp -> i >= sp.s AND i < sp.e)) = 0),
        |    i -> tk[i + 1]), ' '), '') AS text,
-       |  len(tk) AS n_tokens,
+       |  CASE WHEN len(tk) = 1 AND tk[1] = '' THEN 0
+       |       ELSE len(tk) END AS n_tokens,
        |  len(tk) - len(list_filter(generate_series(0, len(tk) - 1),
        |    i -> len(list_filter(sps, sp -> i >= sp.s AND i < sp.e)) = 0))
        |    AS n_tokens_removed

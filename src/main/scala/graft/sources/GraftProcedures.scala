@@ -127,9 +127,10 @@ private[sources] class GraftBoundProcedure(
       pDefault("identifier_columns", StringType, "''"))
     case "add_files" => Array(
       p("ns", StringType), p("table", StringType),
-      // comma-separated parquet paths, registered IN PLACE (no rewrite).
-      // Partitioned tables need per-partition values -> use the Scala
-      // API (TableOps.addFiles) one partition at a time.
+      // comma-separated parquet paths and/or directories (a directory
+      // expands to its *.parquet children), registered IN PLACE (no
+      // rewrite). Partitioned tables need per-partition values -> use
+      // the Scala API (TableOps.addFiles) one partition at a time.
       p("files", StringType),
       pDefault("check_duplicate_files", BooleanType, "true"))
     case "register_table" => Array(
@@ -244,18 +245,30 @@ private[sources] class GraftBoundProcedure(
           Seq(meta.tableUuid,
             meta.currentSnapshotId.getOrElse(-1L)))
       case "add_files" =>
-        val paths = input.getUTF8String(2).toString
+        // One comma-separated string (the SQL CALL face). A DIRECTORY
+        // element expands to its *.parquet children, so files whose
+        // paths contain literal commas can still be imported by
+        // passing their parent directory (or the Scala API, which
+        // takes a real Seq[String]).
+        val raw = input.getUTF8String(2).toString
           .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val hconf = spark.sessionState.newHadoopConf()
+        val paths = raw.flatMap { p =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(hconf)
+          if (fs.getFileStatus(hp).isDirectory)
+            fs.listStatus(hp).toSeq.map(_.getPath)
+              .filter(_.getName.endsWith(".parquet"))
+              .map(_.toString).sorted
+          else Seq(p)
+        }
         val check = input.getBoolean(3)
-        val after = graft.table.TableOps.addFiles(t, spark, paths,
-          checkDuplicates = check)
-        val sum = after.currentSnapshot.flatMap(_.summary)
+        // report from the COMMITTED DataFile entries, not input arity
+        val (_, added) = graft.table.TableOps.addFilesDetailed(
+          t, spark, paths, checkDuplicates = check)
         (new StructType().add("added_files", LongType)
           .add("added_records", LongType),
-          Seq(sum.flatMap(_.counters.get(graft.spec.Summary.AddedDataFiles))
-              .getOrElse(paths.size.toLong),
-            sum.flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
-              .getOrElse(-1L)))
+          Seq(added.size.toLong, added.map(_.recordCount).sum))
       case "rewrite_manifests" =>
         val maxEntries = input.getInt(2)
         val before = MetadataTables.currentManifests(t)

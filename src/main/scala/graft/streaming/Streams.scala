@@ -92,10 +92,15 @@ object Streams {
     * the event-time watermark passes them
     * (`dropDuplicatesWithinWatermark`), so the state store holds only
     * the recent-dedup horizon. The contract weakens accordingly and
-    * deliberately: a duplicate arriving AFTER the horizon is kept —
-    * re-crawls repeat within days, and the historical-corpus anti-join
-    * (still unbounded, still before state) continues to drop
-    * everything the table has ever committed. */
+    * deliberately: a duplicate arriving AFTER the horizon is kept
+    * unless the corpus anti-join catches it — and that corpus digest
+    * set is materialized ONCE, at plan build (localCheckpoint), so it
+    * covers what the corpus frame contained when the query STARTED,
+    * not rows committed while the stream runs. A duplicate of a
+    * document that entered the corpus mid-stream and then re-arrives
+    * past the horizon is therefore kept; restart the query (or rebuild
+    * the plan) to refresh the digest set. Re-crawls repeat within
+    * days, so the horizon covers the common case. */
   def dedupIngestBounded(stream: DataFrame, corpus: DataFrame,
       tsCol: String, delay: String,
       textCol: String = "text"): DataFrame = {

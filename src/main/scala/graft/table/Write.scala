@@ -685,7 +685,16 @@ object TableOps {
     * budget `append` itself spends. */
   def addFiles(table: Table, spark: SparkSession, paths: Seq[String],
       partition: Map[String, Any] = Map.empty,
-      checkDuplicates: Boolean = true): Table = {
+      checkDuplicates: Boolean = true): Table =
+    addFilesDetailed(table, spark, paths, partition, checkDuplicates)._1
+
+  /** [[addFiles]] returning the committed [[graft.spec.DataFile]]
+    * entries alongside the updated table, so callers (the `add_files`
+    * procedure) can report added-file/added-record counts from what
+    * was actually committed rather than from input-path arity. */
+  def addFilesDetailed(table: Table, spark: SparkSession,
+      paths: Seq[String], partition: Map[String, Any] = Map.empty,
+      checkDuplicates: Boolean = true): (Table, Seq[DataFile]) = {
     require(paths.nonEmpty, "addFiles: empty path list")
     val meta = table.metadata
     val spec = meta.defaultPartitionSpec
@@ -753,7 +762,7 @@ object TableOps {
         s"addFiles: already referenced by the current snapshot: " +
           s"${dup.mkString(", ")}")
     }
-    table.commitSnapshot(PendingSnapshot(Operation.Append,
-      addedDataFiles = files))
+    (table.commitSnapshot(PendingSnapshot(Operation.Append,
+      addedDataFiles = files)), files)
   }
 }

@@ -67,7 +67,9 @@ class ExactSubstrSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
     assert(got(0) == ((1L, tokens("a", 6) + " " + shared, 12L, 0L)))
     assert(got(1) == ((2L, tokens("b", 3) + " " + tokens("c", 3), 12L, 6L)))
-    assert(got(2) == ((3L, "", 1L, 0L)))
+    // blank doc: n_tokens 0 by the TextAnalysis.tokenCount contract
+    // (was 1 — the raw [""] split arity — before the round-15 fix)
+    assert(got(2) == ((3L, "", 0L, 0L)))
   }
 
   test("dupStats accounts duplicated tokens per doc, keeps clean docs") {

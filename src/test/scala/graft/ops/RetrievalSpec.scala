@@ -49,6 +49,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.where($"query_id" === 13L).count() == 2L)
   }
 
+  test("logIdf=true gives textbook scoring: same single-term ranking, " +
+      "compressed idf spread") {
+    val q = Seq((15L, "spark")).toDF("query_id", "query")
+    val rational = Retrieval.bm25TopK(corpus, q, k = 5)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    val logged = Retrieval.bm25TopK(corpus, q, k = 5, logIdf = true)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    // idf is monotone in df under both forms -> single-term rankings match
+    assert(rational == logged)
+    // and ln(1+x) < x for all x > 0, so the log form scores lower
+    val rs = Retrieval.bm25TopK(corpus, q, k = 1).head.getLong(3)
+    val ls = Retrieval.bm25TopK(corpus, q, k = 1, logIdf = true)
+      .head.getLong(3)
+    assert(ls < rs, s"log-idf score $ls should be below rational $rs")
+  }
+
   test("corpus postings are not shuffled for scoring (broadcast join)") {
     val q = Seq((14L, "spark engine")).toDF("query_id", "query")
     val plan = Retrieval.bm25TopK(corpus, q, k = 3)

@@ -182,6 +182,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.add_files expands a directory arg to its parquet " +
+      "children and reports committed entries") {
+    withCatalog("afd") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, name STRING)")
+      val ext = Files.createTempDirectory("graft-afd-sql-").toString
+      (1 to 8).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+        .repartition(2).write.mode("overwrite").parquet(ext)
+      // pass the DIRECTORY: no comma-joining of child paths needed
+      val res = spark.sql(
+        s"CALL $c.system.add_files('db', 't', '$ext')").collect().head
+      assert(res.getLong(0) == 2L && res.getLong(1) == 8L,
+        s"(files, records) = (${res.getLong(0)}, ${res.getLong(1)})")
+      assert(spark.sql(s"SELECT id FROM $c.db.t ORDER BY id").collect()
+        .map(_.getLong(0)).toSeq == (1L to 8L))
+    }
+  }
+
   test("CALL system.register_table tracks existing metadata in place") {
     withCatalog("rt") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")

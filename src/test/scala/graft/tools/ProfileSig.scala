@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, TextAnalysis}
 
-/** Dev-only micro-profiler for minhash signature variants. */
+/** Dev-only micro-profiler for minhash signature variants. The
+  * per-seed re-mix goes through `Dedup.mixHash` (package-private), so
+  * the profiled expression tracks production if the mix changes. */
 object ProfileSig {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -26,7 +28,7 @@ object ProfileSig {
       val exploded = tokenized
         .select(col("__id"), explode(Dedup.shinglesOfTokens(col("__toks"))).as("__s"))
         .select(col("__id"), xxhash64(col("__s")).as("__h"))
-      val aggs = (0 until 32).map(k => min(xxhash64(col("__h"), lit(k))).as(s"__h$k"))
+      val aggs = (0 until 32).map(k => min(Dedup.mixHash(col("__h"), k)).as(s"__h$k"))
       exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*).count()
     }
     // (b) hashed-set shape, no distinct
@@ -34,7 +36,7 @@ object ProfileSig {
       val hs = tokenized.select(col("__id"),
         transform(Dedup.shinglesOfTokens(col("__toks")), s => xxhash64(s)).as("__hs"))
       val exploded = hs.select(col("__id"), explode(col("__hs")).as("__h"))
-      val aggs = (0 until 32).map(k => min(xxhash64(col("__h"), lit(k))).as(s"__h$k"))
+      val aggs = (0 until 32).map(k => min(Dedup.mixHash(col("__h"), k)).as(s"__h$k"))
       exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*).count()
     }
     // (c) hashed-set shape with distinct (current)
@@ -43,7 +45,7 @@ object ProfileSig {
         array_distinct(transform(Dedup.shinglesOfTokens(col("__toks")),
           s => xxhash64(s))).as("__hs"))
       val exploded = hs.select(col("__id"), explode(col("__hs")).as("__h"))
-      val aggs = (0 until 32).map(k => min(xxhash64(col("__h"), lit(k))).as(s"__h$k"))
+      val aggs = (0 until 32).map(k => min(Dedup.mixHash(col("__h"), k)).as(s"__h$k"))
       exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*).count()
     }
     // (d) shingle projection barrier then distinct+hash
@@ -53,7 +55,7 @@ object ProfileSig {
       val hs = sh.select(col("__id"),
         array_distinct(transform(col("__shs"), s => xxhash64(s))).as("__hs"))
       val exploded = hs.select(col("__id"), explode(col("__hs")).as("__h"))
-      val aggs = (0 until 32).map(k => min(xxhash64(col("__h"), lit(k))).as(s"__h$k"))
+      val aggs = (0 until 32).map(k => min(Dedup.mixHash(col("__h"), k)).as(s"__h$k"))
       exploded.groupBy("__id").agg(aggs.head, aggs.tail: _*).count()
     }
     val hsPlan = tokenized.select(col("__id"),
