@@ -144,6 +144,58 @@ object Multimodal {
       idCol = "media_id", planes = planes, threshold = threshold)
   }
 
+  /** Audio near-duplicate edges: decode → windowed-energy features →
+    * hyperplane-LSH bucketing → exact-cosine verify — the audio twin
+    * of [[imageNearDupEdges]], composed from [[extractAudioFeatures]]
+    * and [[Dedup.embeddingEdges]] (bucketed, never all-pairs).
+    * Byte-identical payloads decode to identical feature vectors, so
+    * exact copies are guaranteed edges; re-encodes with the same
+    * energy envelope cluster by the cosine threshold. */
+  def audioNearDupEdges(media: Dataset[MediaRow],
+      planes: Int = 16, threshold: Double = 0.98): DataFrame = {
+    val feats = extractAudioFeatures(media)
+    Dedup.embeddingEdges(feats.toDF(), vecCol = "mfcc",
+      idCol = "media_id", planes = planes, threshold = threshold)
+  }
+
+  /** Render a solid-color PNG via the in-JDK encoder. Executor-safe
+    * and fully deterministic (the JDK PNG writer emits no timestamps),
+    * so gates and tests can plant image payloads whose decoded
+    * `(width, height, channels)` and grid-mean embedding are
+    * arithmetically predictable by an engine that cannot decode
+    * images at all (the d30/e14 DuckDB oracles). */
+  def solidPng(width: Int, height: Int, r: Int, g: Int,
+      b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Wrap raw 8-bit unsigned PCM mono samples as a WAV payload via the
+    * in-JDK writer — deterministic, executor-safe. One byte per
+    * sample, so [[realDecodeAudio]]'s window boundaries align exactly
+    * with sample indices (the property the d31/e16 gates predict). */
+  def pcm8Wav(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 8, 1, false, false)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt,
+      samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** WAV/AIFF/AU magic sniff for the in-JDK sampled-audio reader. */
   private def looksAudioDecodable(bytes: Array[Byte]): Boolean =
     bytes.length > 12 && (

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ops.{AsOf, Contamination, Dedup, ExactSubstr, FilterPipeline,
   Funnel, Importance,
-  LangModel, LineDedup,
+  LangModel, LineDedup, Multimodal,
   Packing, RangeJoin, Retrieval, Sessionize, Similarity, Skew, Splits,
   TextAnalysis}
 
@@ -312,6 +312,64 @@ object OpsQueries {
       |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1000000
       |) WHERE jaccard >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
+
+  // ------------- d6d near-copy full-pipeline hashed-set gate (oracle)
+  /** Non-trivial quotients through the REAL [[Dedup.minhashEdges]]
+    * pipeline (d6b's planted pairs are exact copies, so its hash gate
+    * only ever sees jaccard = 1.0; d6c scores the jaccard kernel but
+    * bypasses the pipeline). Each ≥50-token document is paired with
+    * its 3-token-suffixed near-copy at id + 2 000 000 and the FULL
+    * hashed-set pipeline runs — shingle → hash → LSH band → verify —
+    * restricted to the planted id space. The token floor makes recall
+    * structural in practice: suffixing m ≥ 48 distinct shingles gives
+    * jaccard = m/(m+3) ≥ 0.94, so a band match (r=4, b=16) is missed
+    * with probability (1 − 0.94⁴)¹⁶ ≈ 3·10⁻¹¹. The emitted jaccard is
+    * the hashed-set quotient, equal to string-set Jaccard barring a
+    * 2⁻⁶⁵ shingle-hash collision — exactly the contract the
+    * minhashEdges docstring states, now hash-gated on values in
+    * (0, 1). */
+  def d6dNearCopyPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "text")
+      .where(size(split(TextAnalysis.normalized(col("text")), " ")) >= 50)
+    val planted = docs.unionByName(docs.select(
+      (col("doc_id") + 2000000L).as("doc_id"),
+      concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+    Dedup.minhashEdges(planted, "text", "doc_id",
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .where(col("id_b") === col("id_a") + 2000000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  val d6dSql: String = {
+    def shingleExpr(tk: String): String =
+      s"""CASE WHEN len($tk) < 3 THEN [array_to_string($tk, ' ')]
+         |    ELSE list_distinct(list_transform(
+         |      generate_series(1, len($tk) - 2),
+         |      i -> $tk[i] || ' ' || $tk[i+1] || ' ' || $tk[i+2])) END"""
+        .stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    string_split(lower(trim(regexp_replace(text,
+       |      '\\s+', ' ', 'g'))), ' ') AS tk,
+       |    string_split(lower(trim(regexp_replace(text || ' zz0 zz1 zz2',
+       |      '\\s+', ' ', 'g'))), ' ') AS tk2
+       |  FROM documents
+       |), f AS (
+       |  SELECT * FROM toks WHERE len(tk) >= 50
+       |), sh AS (
+       |  SELECT doc_id,
+       |    ${shingleExpr("tk")} AS a,
+       |    ${shingleExpr("tk2")} AS b
+       |  FROM f
+       |)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT doc_id AS id_a, doc_id + 2000000 AS id_b,
+       |    len(list_intersect(a, b))::DOUBLE / len(list_distinct(a || b))
+       |      AS jaccard
+       |  FROM sh
+       |) WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   // --------------------- d6c exact-Jaccard arithmetic (oracle)
   /** Non-trivial exact-Jaccard gate: each document paired with its
@@ -1968,6 +2026,126 @@ object OpsQueries {
        |FROM joined ORDER BY doc_id""".stripMargin
   }
 
+  // ------------------- d30/e14/d31/e16 multimodal decode (oracles)
+  /** Four planting colors whose solid-PNG grid-mean embeddings are
+    * pairwise far from parallel (per-channel values map to ≈ ±1 / 0
+    * after the [-1,1] normalization), so the e14 cosine-0.98 verify
+    * keeps exactly the within-group pairs. */
+  private val MediaColors: Vector[(Int, Int, Int)] = Vector(
+    (255, 128, 128), (128, 255, 128), (128, 128, 255), (0, 128, 128))
+
+  /** Planted 8-bit PCM WAV for group `g`: 13 000 samples at 8 kHz,
+    * amplitude 0x40 exactly in decoder windows {3g, 3g+1, 3g+2}
+    * (1 000 samples each), silence elsewhere — so the windowed-energy
+    * feature vector is 0.5 in three disjoint-per-group slots and 0
+    * elsewhere: identical within a group, orthogonal across groups. */
+  private def gateWav(group: Int): Array[Byte] = {
+    val samples = new Array[Byte](13000)
+    var w = group * 3
+    while (w < group * 3 + 3) {
+      java.util.Arrays.fill(samples, w * 1000, (w + 1) * 1000, 0x40.toByte)
+      w += 1
+    }
+    Multimodal.pcm8Wav(samples, 8000)
+  }
+
+  /** Driver gate for the REAL `javax.imageio` decode path: solid PNGs
+    * rendered executor-side with dims a pure function of doc_id flow
+    * through the production [[Multimodal.decodeImages]]; the gate
+    * hashes `(width, height, channels)` — values DuckDB predicts
+    * arithmetically without any image codec. */
+  def d30ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").where(col("doc_id") < 120)
+      .select("doc_id").as[Long].map { id =>
+        val (r, g, b) = MediaColors((id % 4).toInt)
+        Multimodal.MediaRow(id, "image",
+          Multimodal.solidPng(8 + (id % 16).toInt, 8 + (id % 11).toInt,
+            r, g, b), Map.empty)
+      }
+    Multimodal.decodeImages(media, embeddingDim = 12).toDF()
+      .select(col("media_id"), col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("channels").cast("long").as("channels"))
+      .orderBy("media_id")
+  }
+
+  val d30Sql: String =
+    """SELECT doc_id AS media_id,
+      |  8 + doc_id % 16 AS width,
+      |  8 + doc_id % 11 AS height,
+      |  CAST(3 AS BIGINT) AS channels
+      |FROM documents WHERE doc_id < 120 ORDER BY media_id""".stripMargin
+
+  /** End-to-end image near-dedup gate: byte-identical solid PNGs per
+    * doc_id%4 group through the REAL render → decode → grid-mean
+    * embedding → LSH bucket → cosine-verify pipeline. Recall is
+    * structural (identical payloads ⇒ identical embeddings ⇒ same
+    * bucket, cosine 1) and precision is arithmetic (cross-group
+    * cosines ≈ 0 or −1, far from the 0.98 bar), so the full pair set
+    * is hash-comparable against a codec-free DuckDB replica. */
+  def e14ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").where(col("doc_id") < 80)
+      .select("doc_id").as[Long].map { id =>
+        val (r, g, b) = MediaColors((id % 4).toInt)
+        Multimodal.MediaRow(id, "image",
+          Multimodal.solidPng(16, 16, r, g, b), Map.empty)
+      }
+    Multimodal.imageNearDupEdges(media, embeddingDim = 12,
+        planes = 12, threshold = 0.98)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val withinGroupPairsSql: String =
+    """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 80)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |FROM ids a JOIN ids b
+      |  ON b.doc_id > a.doc_id AND a.doc_id % 4 = b.doc_id % 4
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val e14Sql: String = withinGroupPairsSql
+
+  /** Driver gate for the REAL `javax.sound.sampled` decode path:
+    * planted 8-bit PCM WAVs through the production
+    * [[Multimodal.extractAudioFeatures]]; gates
+    * `(sample_rate, duration_ms)` — 8 000 Hz and
+    * 13 000 frames · 1000 / 8000 = 1625 ms, pure arithmetic. */
+  def d31AudioDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").where(col("doc_id") < 120)
+      .select("doc_id").as[Long].map(id =>
+        Multimodal.MediaRow(id, "audio", gateWav((id % 4).toInt),
+          Map.empty))
+    Multimodal.extractAudioFeatures(media).toDF()
+      .select(col("media_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("duration_ms"))
+      .orderBy("media_id")
+  }
+
+  val d31Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(1625 AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id < 120 ORDER BY media_id""".stripMargin
+
+  /** End-to-end audio near-dedup gate ([[Multimodal.audioNearDupEdges]]):
+    * byte-identical WAVs per doc_id%4 group; within-group feature
+    * vectors identical, cross-group orthogonal (disjoint active
+    * windows) — same structural-recall regime as e14. */
+  def e16AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, dir, "documents").where(col("doc_id") < 80)
+      .select("doc_id").as[Long].map(id =>
+        Multimodal.MediaRow(id, "audio", gateWav((id % 4).toInt),
+          Map.empty))
+    Multimodal.audioNearDupEdges(media, planes = 12, threshold = 0.98)
+      .orderBy("id_a", "id_b")
+  }
+
+  val e16Sql: String = withinGroupPairsSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -1984,6 +2162,7 @@ object OpsQueries {
     "e5_asof_join" -> (e5AsOfJoin _),
     "d6b_jaccard_verify" -> (d6bJaccardVerify _),
     "d6c_jaccard_arith" -> (d6cJaccardArith _),
+    "d6d_nearcopy_pipeline" -> (d6dNearCopyPipeline _),
     "e2b_bucket_determinism" -> (e2bBucketDeterminism _),
     "d7b_simhash_verify" -> (d7bSimhashVerify _),
     "e4b_embedding_dedup_verify" -> (e4bEmbeddingDedupVerify _),
@@ -2018,6 +2197,10 @@ object OpsQueries {
     "d27_dup_passages" -> (d27DupPassages _),
     "d28_dsir_weights" -> (d28DsirWeights _),
     "d29_remove_passages" -> (d29RemovePassages _),
+    "d30_image_decode" -> (d30ImageDecode _),
+    "e14_image_neardup" -> (e14ImageNearDup _),
+    "d31_audio_decode" -> (d31AudioDecode _),
+    "e16_audio_neardup" -> (e16AudioNearDup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2031,6 +2214,7 @@ object OpsQueries {
     "e5_asof_join" -> e5Sql,
     "d6b_jaccard_verify" -> d6bSql,
     "d6c_jaccard_arith" -> d6cSql,
+    "d6d_nearcopy_pipeline" -> d6dSql,
     "e2b_bucket_determinism" -> e2bSql,
     "d7b_simhash_verify" -> d7bSql,
     "e4b_embedding_dedup_verify" -> e4bSql,
@@ -2065,5 +2249,9 @@ object OpsQueries {
     "d27_dup_passages" -> d27Sql,
     "d28_dsir_weights" -> d28Sql,
     "d29_remove_passages" -> d29Sql,
+    "d30_image_decode" -> d30Sql,
+    "e14_image_neardup" -> e14Sql,
+    "d31_audio_decode" -> d31Sql,
+    "e16_audio_neardup" -> e16Sql,
   )
 }

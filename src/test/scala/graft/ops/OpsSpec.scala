@@ -406,6 +406,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.mfcc.toSeq).toSeq == again.map(_.mfcc.toSeq).toSeq)
   }
 
+  test("audio near-dup edges: byte-identical WAVs pair, disjoint " +
+      "envelopes don't") {
+    import spark.implicits._
+    def wavOf(group: Int): Array[Byte] = {
+      val samples = new Array[Byte](13000)
+      (group * 3 until group * 3 + 3).foreach(w =>
+        java.util.Arrays.fill(samples, w * 1000, (w + 1) * 1000,
+          0x40.toByte))
+      Multimodal.pcm8Wav(samples)
+    }
+    val media = spark.createDataset((0L until 8L).map(id =>
+      Multimodal.MediaRow(id, "audio", wavOf((id % 4).toInt), Map.empty)))
+    val edges = Multimodal.audioNearDupEdges(media, threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly the id%4 pairs: (0,4) (1,5) (2,6) (3,7)
+    assert(edges == (0L until 4L).map(g => (g, g + 4L)).toSet)
+  }
+
+  test("solidPng round-trips exact dims and per-channel color") {
+    import spark.implicits._
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "image",
+        Multimodal.solidPng(21, 9, 255, 128, 0), Map.empty)))
+    val f = Multimodal.decodeImages(media, embeddingDim = 6)
+      .collect().head
+    assert(f.width == 21 && f.height == 9 && f.channels == 3)
+    // grid-mean embedding of a solid color: i%3 selects B, G, R
+    val expect = Seq(-1f, 128 / 127.5f - 1f, 1f)
+    assert(f.embedding.toSeq.zipWithIndex.forall { case (v, i) =>
+      math.abs(v - expect(i % 3)) < 1e-6
+    })
+  }
+
   test("size-aware repartition scales with payload bytes") {
     val media = Multimodal.syntheticMedia(spark, 64,
       payloadBytes = 1024 * 1024).toDF()
