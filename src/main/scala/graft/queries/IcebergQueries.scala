@@ -525,6 +525,89 @@ object IcebergQueries {
       |  'INSERT', 2
       |FROM lineitem WHERE l_linenumber >= 5""".stripMargin
 
+  /** CoW-update changelog table for i27: one append (root), then a
+    * copy-on-write UPDATE that rewrites every file containing
+    * `l_orderkey < 500` — so the single changelog ordinal carries
+    * carry-over DELETE+INSERT pairs for untouched rows of rewritten
+    * files AND genuine before/after pairs for updated rows. */
+  private def updateChangelogTable(spark: SparkSession,
+      sfDir: String): Table =
+    cache.getOrElseUpdate(s"li27:$sfDir", {
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .filter(col("l_linenumber") <= 2)
+      val cat = new LocalCatalog(warehouse)
+      val ns = Seq("sf27" + sfDir.replaceAll("[^0-9a-zA-Z]", "_"))
+      if (!cat.namespaceExists(ns)) cat.createNamespace(ns)
+      var t = Table.create(cat, TableIdentifier(ns, "li_upd"),
+        SchemaConverters.fromSparkSchema(df.schema), io = io)
+      t = TableOps.append(t, df)
+      Mutations.update(t, spark, Col("l_orderkey").lt(500L),
+        Map("l_quantity" -> 999.5))
+    })
+
+  /** `withUpdates` hash gate (i18 gates raw INSERT/DELETE emission;
+    * this gates the UPDATE pairing — Iceberg's `compute_updates`):
+    * [[Changelog.removeCarryovers]] first cancels the rewritten-file
+    * carry-over noise exactly (making the result independent of file
+    * layout), then [[Changelog.withUpdates]] pairs the surviving
+    * same-commit DELETE+INSERT rows on (l_orderkey, l_linenumber)
+    * into UPDATE_BEFORE / UPDATE_AFTER. The oracle needs no window
+    * pairing at all: after carry-over removal, the pairs are exactly
+    * the predicate-hit rows, old value vs the assigned constant. */
+  def i27ChangelogUpdates(s: SparkSession, dir: String): DataFrame = {
+    val t = updateChangelogTable(s, dir)
+    var root = t.currentSnapshot.get
+    while (root.parentSnapshotId.isDefined)
+      root = t.snapshotById(root.parentSnapshotId.get).get
+    val raw = Changelog.between(t, s, root.snapshotId,
+      t.currentSnapshot.get.snapshotId)
+    Changelog.withUpdates(Changelog.removeCarryovers(raw),
+        Seq("l_orderkey", "l_linenumber"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col(Changelog.ChangeType), col(Changelog.ChangeOrdinal))
+  }
+
+  val i27Sql: String =
+    """WITH base AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |  WHERE l_linenumber <= 2 AND l_orderkey < 500
+      |)
+      |SELECT l_orderkey, l_linenumber, l_quantity,
+      |  'UPDATE_BEFORE' AS _change_type, 0 AS _change_ordinal
+      |FROM base
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, CAST(999.5 AS DOUBLE),
+      |  'UPDATE_AFTER', 0
+      |FROM base""".stripMargin
+
+  /** `netChanges` hash gate over the i18 table's three-commit range:
+    * a row inserted at ordinal 0 and equality-deleted at ordinal 1
+    * nets to NOTHING; root-resident rows the delete killed net to one
+    * DELETE stamped ordinal 1; the later append survives as INSERTs
+    * stamped ordinal 2 — the range-netting arithmetic the replay
+    * units assert, now hash-compared. */
+  def i28ChangelogNet(s: SparkSession, dir: String): DataFrame = {
+    val t = lineitemChangelogTable(s, dir)
+    var root = t.currentSnapshot.get
+    while (root.parentSnapshotId.isDefined)
+      root = t.snapshotById(root.parentSnapshotId.get).get
+    Changelog.netChanges(Changelog.between(t, s, root.snapshotId,
+        t.currentSnapshot.get.snapshotId))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col(Changelog.ChangeType), col(Changelog.ChangeOrdinal))
+  }
+
+  val i28Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  'INSERT' AS _change_type, 0 AS _change_ordinal
+      |FROM lineitem WHERE l_linenumber IN (3, 4) AND l_orderkey % 13 <> 0
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, l_quantity, 'DELETE', 1
+      |FROM lineitem WHERE l_linenumber <= 2 AND l_orderkey % 13 = 0
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, l_quantity, 'INSERT', 2
+      |FROM lineitem WHERE l_linenumber >= 5""".stripMargin
+
   /** Nested schema evolution + Spark nested-schema pruning, end-to-end
     * through the DSv2 source against the DuckDB oracle (round-9 verdict
     * #2: the last two rounds both found bugs in exactly this remap —
@@ -1155,6 +1238,73 @@ object IcebergQueries {
       .orderBy("fp")
   }
 
+  /** Expiry-semantics driver gate for
+    * [[graft.streaming.Streams.dedupIngestBounded]] (i26 pins the
+    * in-horizon behavior; this pins the HORIZON RULE itself): wave A
+    * (novel texts, event time 00:00) is accepted and enters state;
+    * wave B (other novel texts, 10:00) advances the watermark to
+    * 09:00, eight hours past wave A's 01:00 state expiry; wave C
+    * re-sends wave A's exact texts at 10:00 — past the horizon, so
+    * the expired fingerprints are ADMITTED AGAIN. The gate hashes
+    * per-fingerprint accepted counts: 2 for every wave-A text, 1 for
+    * every wave-B text. Deterministic because each wave lands in its
+    * own micro-batch (appends interleave with processAllAvailable)
+    * and the watermark delta (8 h) dwarfs the 1 h delay. */
+  def i26bExpiryReadmit(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") < 50).select("doc_id", "text")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf26b" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    def wave(idOffset: Long, suffix: String, tsLit: String) = base.select(
+      (col("doc_id") + idOffset).as("doc_id"),
+      concat(col("text"), lit(suffix)).as("text"),
+      to_timestamp(lit(tsLit)).as("ts"))
+    var t = Table.create(cat, TableIdentifier(ns, "crawl"),
+      SchemaConverters.fromSparkSchema(
+        wave(0L, "", "2026-01-01 00:00:00").schema), io = io)
+    t = TableOps.append(t, wave(2000000L, " zza", "2026-01-01 00:00:00"))
+    val qn = "graft_i26b_" + java.util.UUID.randomUUID.toString.take(8)
+    val stream = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns.mkString("."))
+      .option("table", "crawl")
+      .load()
+    val q = graft.streaming.Streams.dedupIngestBounded(stream, docs,
+        tsCol = "ts", delay = "1 hour")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: wave A admitted, state built
+      t = TableOps.append(t,
+        wave(3000000L, " zzb", "2026-01-01 10:00:00"))
+      q.processAllAvailable() // batch 2: watermark -> 09:00, A expired
+      TableOps.append(t, wave(4000000L, " zza", "2026-01-01 10:00:00"))
+      q.processAllAvailable() // batch 3: wave A texts re-admitted
+    } finally q.stop()
+    s.table(qn)
+      .select(graft.ops.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n"))
+      .orderBy("fp")
+  }
+
+  val i26bSql: String =
+    """WITH a AS (
+      |  SELECT DISTINCT md5(lower(trim(
+      |    regexp_replace(text || ' zza', '\s+', ' ', 'g')))) AS fp
+      |  FROM documents WHERE doc_id < 50
+      |), b AS (
+      |  SELECT DISTINCT md5(lower(trim(
+      |    regexp_replace(text || ' zzb', '\s+', ' ', 'g')))) AS fp
+      |  FROM documents WHERE doc_id < 50
+      |)
+      |SELECT fp, n FROM (
+      |  SELECT fp, CAST(2 AS BIGINT) AS n FROM a
+      |  UNION ALL
+      |  SELECT fp, CAST(1 AS BIGINT) AS n FROM b
+      |) ORDER BY fp""".stripMargin
+
   val i21Sql: String =
     """WITH corpus AS (
       |  SELECT DISTINCT
@@ -1310,6 +1460,8 @@ object IcebergQueries {
     "i16_stream_mor" -> (i16StreamMor _),
     "i17_partitions_meta" -> (i17PartitionsMeta _),
     "i18_changelog" -> (i18Changelog _),
+    "i27_changelog_updates" -> (i27ChangelogUpdates _),
+    "i28_changelog_net" -> (i28ChangelogNet _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -1321,6 +1473,7 @@ object IcebergQueries {
     "i24_stateful_sessions" -> (i24StatefulSessions _),
     "i25_add_files" -> (i25AddFiles _),
     "i26_bounded_ingest" -> (i26BoundedIngest _),
+    "i26b_expiry_readmit" -> (i26bExpiryReadmit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1352,6 +1505,8 @@ object IcebergQueries {
     "i16_stream_mor" -> i16Sql,
     "i17_partitions_meta" -> i17Sql,
     "i18_changelog" -> i18Sql,
+    "i27_changelog_updates" -> i27Sql,
+    "i28_changelog_net" -> i28Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,
@@ -1363,5 +1518,6 @@ object IcebergQueries {
     "i24_stateful_sessions" -> i24Sql,
     "i25_add_files" -> i25Sql,
     "i26_bounded_ingest" -> i21Sql,
+    "i26b_expiry_readmit" -> i26bSql,
   )
 }
