@@ -246,6 +246,76 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Product-quantization encode: split each vector into `m = |codebooks|`
+    * contiguous subspaces and store, per subspace, the id of the nearest
+    * codebook centroid — `dim · 8` bytes of floats become `m` small ints
+    * (the FAISS `PQm` scheme, the standard memory-bound ANN layout at
+    * 100 TB). `codebooks(j)` holds subspace j's centroids, all of equal
+    * sub-dimension `dim / m`.
+    *
+    * Per-row codegen'd expressions only (slice + the [[nearestCell]]
+    * `least(struct)` argmin per subspace) — the corpus is NEVER
+    * shuffled, exactly like the IVF assign stage. Ties prefer the
+    * lowest centroid id, so codes are a total function of the inputs —
+    * deterministic across engines for fixed codebooks (the e15 gate). */
+  def pqEncode(df: DataFrame, codebooks: Seq[Seq[Array[Double]]],
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(codebooks.nonEmpty, "pq needs at least one subspace codebook")
+    val dsub = codebooks.head.head.length
+    require(codebooks.forall(_.forall(_.length == dsub)),
+      "all codebook centroids must share the sub-dimension")
+    val v = col(vecCol).cast("array<double>")
+    val codes = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      nearestCell(slice(v, j * dsub + 1, dsub), cb)
+    }: _*)
+    df.select(col(idCol), codes.as("codes"))
+  }
+
+  /** PQ top-k via asymmetric distance computation (ADC): the corpus is
+    * scanned as codes; each query precomputes an `m × ksub` table of
+    * exact subspace distances to every codebook centroid, and a
+    * corpus row scores as the SUM OF m TABLE LOOKUPS — O(m) per pair
+    * instead of O(dim), the whole point of PQ.
+    *
+    * Scale shape (the e1 pattern): queries + their distance tables
+    * BROADCAST; the corpus encodes per-row and never shuffles — one
+    * scan total, plan-guarded by PlanShapeSpec. Returns
+    * `(qid, nid, adc, rank)` with rank 1..k by ADC distance asc, ties
+    * by neighbor id asc. Every arithmetic step is an in-order IEEE
+    * double fold over exact inputs, so ranks are engine-reproducible
+    * for planted codebooks (e15's full DuckDB replay). For recall on
+    * learned codebooks, compose with an exact re-rank of the top-R
+    * like [[ivfTopKWithCentroids]]'s verify stage. */
+  def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    require(codebooks.forall(_.size == ksub),
+      "all subspaces must have the same centroid count")
+    val dsub = codebooks.head.head.length
+    val encoded = pqEncode(corpus, codebooks, vecCol, idCol)
+      .select(col(idCol).as("nid"), col("codes"))
+    val qv = col(vecCol).cast("array<double>")
+    val dtab = array((for (j <- 0 until m; c <- 0 until ksub) yield
+      graft.functions.VectorFunctions.vecSqDist(
+        slice(qv, j * dsub + 1, dsub),
+        typedlit(codebooks(j)(c).toSeq))): _*)
+    val q = queries.select(col(idCol).as("qid"), dtab.as("__dtab"))
+    val scored = encoded.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (code, j) => element_at(col("__dtab"),
+            (j * ksub + code + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc").asc, col("nid").asc)
+    scored.select("qid", "nid", "adc")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Scalar int8 quantization of an embedding column — the 4x storage
     * shrink an embedding store applies before indexing (per-vector
     * min/max affine codes, the FAISS `SQ8` scheme). Returns one row per

@@ -671,6 +671,103 @@ object OpsQueries {
        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------------------ e15 PQ-ADC planted-codebook verify (oracle)
+  private val E15M = 4     // subspaces
+  private val E15Ksub = 8  // centroids per subspace
+
+  /** Planted PQ codebook entry: subspace j, centroid c, sub-dim d —
+    * the LCG family with stride 191 (distinct from e2b 42 / e3b 77 /
+    * e8 131), combined cell index `j·ksub + c`. */
+  private def e15Cent(j: Int, c: Int, d: Int): Double =
+    plantedCentroid(191, j * E15Ksub + c, d)
+
+  /** Hash-gated product-quantization ANN ([[Similarity.pqEncode]] +
+    * [[Similarity.pqTopKWithCodebooks]] — the memory-bound ANN layout
+    * at 100 TB; codebooks in practice come from a bounded-sample fit
+    * like IVF's, planted here to bypass seed dependence, the e3b
+    * pattern). DuckDB replays the ENTIRE pipeline: per-subspace
+    * argmin codes over the corpus, per-query exact subspace distance
+    * tables, the m-lookup ADC sum, and the (distance asc, nid asc)
+    * ranking. Every step is an in-order IEEE double fold over exact
+    * inputs, so codes, sums and ranks agree bit-for-bit; rank-only
+    * output keeps the hash insensitive to float formatting. */
+  def e15PqAdcVerify(s: SparkSession, dir: String): DataFrame = {
+    val emb0 = t(s, dir, "embeddings")
+    // e3b's ragged-vintage guard: size the codebooks by the max
+    // embedding length, keep only max-length rows on both sides
+    val dim = emb0.agg(max(size(col("embedding"))).as("d")).head(1)
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0)))
+      .getOrElse(64)
+    val dsub = math.max(1, dim / E15M)
+    val emb = emb0.where(size(col("embedding")) === dim)
+    val codebooks: Seq[Seq[Array[Double]]] = (0 until E15M).map(j =>
+      (0 until E15Ksub).map(c =>
+        Array.tabulate(dsub)(d => e15Cent(j, c, d))): Seq[Array[Double]])
+    Similarity.pqTopKWithCodebooks(emb, emb.filter(col("vec_id") < 3),
+        codebooks, k = 5)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  val e15Sql: String = {
+    // squared distance between subspace j of `vec` and planted
+    // centroid (j, c): in-order fold over the dsub sub-dims. `s` is
+    // the cross-joined sub-dimension column (DuckDB rejects scalar
+    // subqueries inside lambdas, so it must be a plain column here).
+    def pd(vec: String, j: Int, c: Int): String = {
+      val cent = PlantedSql.centroid(191, (j * E15Ksub + c).toString)
+      s"""list_reduce(list_transform(generate_series(1, s),
+         |      i -> ($vec[$j * s + i] - $cent) * ($vec[$j * s + i] - $cent)),
+         |    (acc, x) -> acc + x)""".stripMargin
+    }
+    val cdistCols = (for (j <- 0 until E15M; c <- 0 until E15Ksub)
+      yield s"${pd("cv", j, c)} AS pd_${j}_$c").mkString(",\n    ")
+    val codeCols = (0 until E15M).map { j =>
+      val least = (0 until E15Ksub).map(c => s"pd_${j}_$c").mkString(", ")
+      val cases = (0 until E15Ksub)
+        .map(c => s"WHEN pd_${j}_$c = LEAST($least) THEN $c").mkString(" ")
+      s"CASE $cases END AS code_$j"
+    }.mkString(",\n    ")
+    val qdistCols = (for (j <- 0 until E15M; c <- 0 until E15Ksub)
+      yield s"${pd("qv", j, c)} AS qd_${j}_$c").mkString(",\n    ")
+    val score = (0 until E15M).map { j =>
+      val cases = (0 until E15Ksub)
+        .map(c => s"WHEN c.code_$j = $c THEN q.qd_${j}_$c").mkString(" ")
+      s"(CASE $cases END)"
+    }.mkString(" + ")
+    s"""WITH dim AS (
+       |  SELECT max(len(embedding)) AS d FROM embeddings
+       |), ds AS (
+       |  SELECT GREATEST(1, (SELECT d FROM dim) // $E15M) AS s
+       |), corpus AS (
+       |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
+       |), q0 AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings
+       |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
+       |), cdist AS (
+       |  SELECT nid,
+       |    $cdistCols
+       |  FROM corpus, ds
+       |), codes AS (
+       |  SELECT nid,
+       |    $codeCols
+       |  FROM cdist
+       |), qdist AS (
+       |  SELECT qid,
+       |    $qdistCols
+       |  FROM q0, ds
+       |)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT q.qid, c.nid,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ($score) ASC, c.nid ASC) AS rank
+       |  FROM qdist q CROSS JOIN codes c
+       |  WHERE c.nid <> q.qid
+       |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   // --------------------- ccb connected-components verify (oracle)
   /** Planted doc-id graph: chains of 10 (ids < 200, `k → k+1` except
     * across decade boundaries), 5-cliques (ids 200–299, all pairs
@@ -2167,6 +2264,7 @@ object OpsQueries {
     "d7b_simhash_verify" -> (d7bSimhashVerify _),
     "e4b_embedding_dedup_verify" -> (e4bEmbeddingDedupVerify _),
     "e3b_ivf_planted_verify" -> (e3bIvfPlantedVerify _),
+    "e15_pq_adc_verify" -> (e15PqAdcVerify _),
     "ccb_components_verify" -> (ccbComponentsVerify _),
     "d9_seq_pack" -> (d9SeqPack _),
     "d10_stratified_sample" -> (d10StratifiedSample _),
@@ -2219,6 +2317,7 @@ object OpsQueries {
     "d7b_simhash_verify" -> d7bSql,
     "e4b_embedding_dedup_verify" -> e4bSql,
     "e3b_ivf_planted_verify" -> e3bSql,
+    "e15_pq_adc_verify" -> e15Sql,
     "ccb_components_verify" -> ccbSql,
     "d9_seq_pack" -> d9Sql,
     "d10_stratified_sample" -> d10Sql,

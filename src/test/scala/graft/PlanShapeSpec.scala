@@ -49,6 +49,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must not shuffle before scoring, got ${shuffles(p)}:\n$p")
   }
 
+  test("e15 PQ-ADC ANN: codebook distance tables broadcast with the " +
+      "queries, corpus never pre-shuffled") {
+    val p = staticPlan("e15_pq_adc_verify")
+    assert(broadcasts(p) >= 1,
+      s"the query set (with its ADC tables) must broadcast:\n$p")
+    // window top-k + output sort are the only legitimate shuffles
+    assert(shuffles(p) <= 2,
+      s"the corpus must not shuffle before ADC scoring, got ${shuffles(p)}:\n$p")
+  }
+
   test("e6 sessionization: both windows + rollup share ONE user-key " +
       "shuffle (plus the output sort)") {
     val p = staticPlan("e6_sessionize")

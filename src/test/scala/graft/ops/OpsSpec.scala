@@ -209,6 +209,43 @@ class SimilaritySpec extends AnyFunSuite {
 
   private def clustered: DataFrame = clusteredWithCenters._1
 
+  test("pqEncode assigns per-subspace argmin codes, ties to lowest id") {
+    // 2 subspaces of dim 2; centroids at the axis corners
+    val cbs: Seq[Seq[Array[Double]]] = Seq(
+      Seq(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Seq(Array(0.0, 1.0), Array(1.0, 0.0)))
+    val df = Seq(
+      (1L, Seq(0.1f, 0.1f, 0.1f, 0.9f)), // -> (0, 0)
+      (2L, Seq(0.9f, 0.8f, 0.9f, 0.2f)), // -> (1, 1)
+      (3L, Seq(0.5f, 0.5f, 0.5f, 0.5f))  // equidistant -> lowest ids
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(df, cbs).orderBy("vec_id")
+      .collect().map(r => r.getSeq[Int](1).toSeq)
+    assert(got(0) == Seq(0, 0) && got(1) == Seq(1, 1) &&
+      got(2) == Seq(0, 0), s"codes ${got.toSeq}")
+  }
+
+  test("PQ ADC top-k ranks the code-matching cluster first") {
+    val (df, centers) = clusteredWithCenters
+    // codebooks: 4 subspaces of dim 4, centroids = the true cluster
+    // centers' sub-vectors — ADC distance to a same-cluster vector is
+    // then (near) the quantization floor, so cluster 0 fills the top-k
+    val cbs: Seq[Seq[Array[Double]]] = (0 until 4).map(j =>
+      centers.toSeq.map(c =>
+        c.slice(j * 4, j * 4 + 4).map(_.toDouble)))
+    val top = Similarity.pqTopKWithCodebooks(df,
+      df.filter(col("vec_id") === 0), cbs, k = 10)
+    val rows = top.orderBy("rank").collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getLong(1) % 4 == 0),
+      s"cluster 0 members only: ${rows.map(_.getLong(1)).toSeq}")
+    // deterministic re-run
+    val again = Similarity.pqTopKWithCodebooks(df,
+      df.filter(col("vec_id") === 0), cbs, k = 10).orderBy("rank").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("brute force top-k finds same-cluster neighbors") {
     val df = clustered
     val top = Similarity.bruteForceTopK(df, df.filter(col("vec_id") === 0),
