@@ -15,18 +15,23 @@ import graft.spec._
   * product — `catalog/rest.go` parity). */
 class RestCatalogSpec extends AnyFunSuite {
 
-  private def withServer(f: (RestCatalog, LocalCatalog) => Unit): Unit = {
+  private def withServer(f: (RestCatalog, LocalCatalog) => Unit): Unit =
+    withServerUri((cat, backing, _) => f(cat, backing))
+
+  /** [[withServer]] plus the loopback base URI, for tests that wire a
+    * whole SparkSession catalog at the server. */
+  private def withServerUri(
+      f: (RestCatalog, LocalCatalog, String) => Unit): Unit = {
     val backing = new LocalCatalog(
       Files.createTempDirectory("graft-rest-wh-").toString)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => handle(ex, backing))
     server.start()
     try {
-      val cat = new RestCatalog(
-        s"http://127.0.0.1:${server.getAddress.getPort}",
-        token = Some("test-token"))
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val cat = new RestCatalog(uri, token = Some("test-token"))
       cat.fetchConfig()
-      f(cat, backing)
+      f(cat, backing, uri)
     } finally server.stop(0)
   }
 
@@ -34,6 +39,10 @@ class RestCatalogSpec extends AnyFunSuite {
 
   /** Last commit request body, for wire-format assertions. */
   private val lastCommitBody =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Last register-table request body, same purpose. */
+  private val lastRegisterBody =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
   private def handle(ex: HttpExchange, cat: LocalCatalog): Unit = {
@@ -124,6 +133,7 @@ class RestCatalogSpec extends AnyFunSuite {
             TableIdentifier(ns(s), n.get("name").asText), schema)
           reply(200, s"""{"metadata-location": "x", "metadata": ${meta.toJson}}""")
         case ("POST", List("namespaces", s, "register")) =>
+          lastRegisterBody.set(body)
           val n = SchemaJson.parseTree(body)
           val meta = cat.registerTable(
             TableIdentifier(ns(s), n.get("name").asText),
@@ -556,6 +566,89 @@ class RestCatalogSpec extends AnyFunSuite {
       }
       intercept[NoSuchNamespaceException] {
         cat.updateNamespaceProperties(Seq("missing"), Nil, Map("a" -> "b"))
+      }
+    }
+  }
+
+  // --------------------- procedures over the REST wire (round-15 ask)
+
+  /** Register a GraftSparkCatalog at the loopback REST server under a
+    * fresh name and hand it to the test; cleans up the conf keys. */
+  private def withSparkRestCatalog(uri: String)(
+      f: (org.apache.spark.sql.SparkSession, String) => Unit): Unit = {
+    val spark = graft.SparkTestSession.spark
+    val c = "restp" + java.util.UUID.randomUUID.toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$c",
+      "graft.sources.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$c.uri", uri)
+    spark.conf.set(s"spark.sql.catalog.$c.token", "test-token")
+    try f(spark, c)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$c")
+      spark.conf.unset(s"spark.sql.catalog.$c.uri")
+      spark.conf.unset(s"spark.sql.catalog.$c.token")
+    }
+  }
+
+  test("CALL system.add_files through the REST catalog: the server " +
+      "sees a pure spec-vocabulary append commit with real counters") {
+    withServerUri { (_, _, uri) =>
+      withSparkRestCatalog(uri) { (spark, c) =>
+        import spark.implicits._
+        spark.sql(s"CREATE NAMESPACE $c.db")
+        spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, name STRING)")
+        val ext = Files.createTempDirectory("graft-rest-af-").toString
+        (1 to 6).map(i => (i.toLong, s"n$i")).toDF("id", "name")
+          .coalesce(1).write.mode("overwrite").parquet(ext)
+        val res = spark.sql(
+          s"CALL $c.system.add_files('db', 't', '$ext')").collect().head
+        assert(res.getLong(0) == 1L && res.getLong(1) == 6L,
+          s"(files, records) = (${res.getLong(0)}, ${res.getLong(1)})")
+        // WIRE assertion: the commit the server received is spec
+        // vocabulary — one add-snapshot whose summary carries the real
+        // append operation and counters, then the main-ref move
+        val body = SchemaJson.parseTree(lastCommitBody.get())
+        val ups = body.get("updates")
+        val actions = (0 until ups.size)
+          .map(i => ups.get(i).get("action").asText)
+        assert(actions.contains("add-snapshot"), s"actions: $actions")
+        val snap = ups.get(actions.indexOf("add-snapshot"))
+          .get("snapshot")
+        val sum = snap.get("summary")
+        assert(sum.get("operation").asText == "append", s"summary: $sum")
+        assert(sum.get("added-data-files").asText == "1", s"summary: $sum")
+        assert(sum.get("added-records").asText == "6", s"summary: $sum")
+        // and the import is readable back through the same catalog
+        assert(spark.sql(s"SELECT id FROM $c.db.t ORDER BY id").collect()
+          .map(_.getLong(0)).toSeq == (1L to 6L))
+      }
+    }
+  }
+
+  test("CALL system.register_table through the REST catalog posts the " +
+      "metadata location and round-trips the table") {
+    withServerUri { (_, backing, uri) =>
+      withSparkRestCatalog(uri) { (spark, c) =>
+        spark.sql(s"CREATE NAMESPACE $c.db")
+        spark.sql(s"CREATE NAMESPACE $c.mirror")
+        spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+        (1 to 3).foreach(i =>
+          spark.sql(s"INSERT INTO $c.db.t VALUES ($i)"))
+        val src = backing.loadTable(TableIdentifier(Seq("db"), "t"))
+        val mloc = src.location.stripPrefix("file://") +
+          "/metadata/v00004.metadata.json"
+        val res = spark.sql(s"CALL $c.system.register_table('mirror', " +
+          s"'t_reg', '$mloc')").collect().head
+        assert(res.getString(0) == src.tableUuid,
+          s"uuid ${res.getString(0)} != ${src.tableUuid}")
+        assert(res.getLong(1) == src.currentSnapshotId.getOrElse(-1L))
+        // WIRE assertion: the register request body is spec vocabulary
+        val n = SchemaJson.parseTree(lastRegisterBody.get())
+        assert(n.get("name").asText == "t_reg", s"body: $n")
+        assert(n.get("metadata-location").asText == mloc, s"body: $n")
+        // and the registered table reads back through the same catalog
+        assert(spark.sql(s"SELECT id FROM $c.mirror.t_reg ORDER BY id")
+          .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
       }
     }
   }
