@@ -31,5 +31,9 @@ object SparkEntry {
     "e6_sessionize", "d13_contamination", "e8_semantic_dedup",
     "d18_dup_ngrams", "d23_line_dedup", "d24_bigram_surprise",
     "e13_bm25", "d26_filter_funnel", "d27_dup_passages",
-    "d28_dsir_weights")
+    "d28_dsir_weights",
+    // round 15: PQ-ADC ANN and the end-to-end image near-dedup join
+    // the headline set (no BASELINE.md comparables — tracked round
+    // over round from r15 on)
+    "e15_pq_adc_verify", "e14_image_neardup")
 }

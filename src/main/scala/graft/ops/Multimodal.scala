@@ -264,23 +264,190 @@ object Multimodal {
           .getOrElse(stubDecodeAudio(r.media_id, r.content))))
   }
 
+  /** Parsed MJPEG-AVI payload: true dims/rate plus the raw per-frame
+    * JPEG payloads (each decodable by `javax.imageio`). */
+  final case class ParsedAvi(width: Int, height: Int, usPerFrame: Int,
+      frames: IndexedSeq[Array[Byte]])
+
+  final case class VideoMeta(media_id: Long, width: Int, height: Int,
+      fps_num: Int, n_frames: Int, duration_ms: Long)
+
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** REAL video decode for MJPEG-in-AVI via a pure-JDK RIFF walk (the
+    * one video format this container CAN handle end-to-end: the AVI
+    * container is plain RIFF structure and every frame is a JPEG the
+    * in-JDK `javax.imageio` decodes — no external codec). Returns
+    * None for anything that isn't a well-formed MJPEG AVI, so callers
+    * fall back to the documented stub exactly as before. The walk is
+    * bounds-checked throughout — a truncated or hostile payload
+    * parses to None, never throws. */
+  private[ops] def parseMjpegAvi(bytes: Array[Byte]): Option[ParsedAvi] = {
+    if (bytes.length < 24 || fourcc(bytes, 0) != "RIFF" ||
+        fourcc(bytes, 8) != "AVI ") return None
+    var width = 0
+    var height = 0
+    var usPerFrame = 0
+    val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
+    // walk chunks; LIST payloads are walked recursively (their first 4
+    // bytes are the list type)
+    def walk(from: Int, until: Int): Unit = {
+      var off = from
+      while (off + 8 <= until) {
+        val id = fourcc(bytes, off)
+        val size = le32(bytes, off + 4)
+        val body = off + 8
+        if (size < 0 || body + size > until) return // truncated
+        id match {
+          case "LIST" if size >= 4 =>
+            walk(body + 4, body + size) // skip the list-type fourcc
+          case "avih" if size >= 40 =>
+            usPerFrame = le32(bytes, body)
+            width = le32(bytes, body + 32)
+            height = le32(bytes, body + 36)
+          case c if c.endsWith("dc") || c.endsWith("db") =>
+            // '00dc'/'00db': one compressed/uncompressed frame chunk
+            frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
+          case _ => ()
+        }
+        off = body + size + (size & 1) // chunks pad to even
+      }
+    }
+    walk(12, bytes.length)
+    val fs = frames.result()
+    // MJPEG: every frame must start with the JPEG SOI marker
+    val allJpeg = fs.nonEmpty && fs.forall(f =>
+      f.length > 2 && (f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8)
+    if (width > 0 && height > 0 && usPerFrame > 0 && allJpeg)
+      Some(ParsedAvi(width, height, usPerFrame, fs))
+    else None
+  }
+
+  /** Encode JPEG frames as a minimal MJPEG AVI (RIFF/hdrl/movi) — the
+    * planting writer for gates and tests, deterministic byte-for-byte.
+    * Standard layout readable by common players; [[parseMjpegAvi]] is
+    * the product-side reader. */
+  def mjpegAvi(frames: Seq[Array[Byte]], width: Int, height: Int,
+      fps: Int): Array[Byte] = {
+    require(fps > 0 && frames.nonEmpty, "mjpegAvi: need fps > 0 and frames")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF)
+      bos.write((v >> 16) & 0xFF); bos.write((v >> 24) & 0xFF)
+    }
+    def wcc(s: String): Unit = bos.write(
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val usPerFrame = 1000000 / fps
+    // strl list: strh (56) + strf (40) with their chunk headers + 'strl'
+    val strlSize = 4 + (8 + 56) + (8 + 40)
+    // hdrl list: avih (56) + the strl LIST
+    val hdrlSize = 4 + (8 + 56) + (8 + strlSize)
+    val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val moviSize = 4 + moviBody
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    wcc("RIFF"); w32(riffSize); wcc("AVI ")
+    wcc("LIST"); w32(hdrlSize); wcc("hdrl")
+    wcc("avih"); w32(56)
+    w32(usPerFrame); w32(0); w32(0); w32(0) // rate, maxBps, pad, flags
+    w32(frames.size); w32(0); w32(1); w32(0)
+    w32(width); w32(height); w32(0); w32(0); w32(0); w32(0)
+    wcc("LIST"); w32(strlSize); wcc("strl")
+    wcc("strh"); w32(56)
+    wcc("vids"); wcc("MJPG"); w32(0); w32(0)
+    w32(0); w32(1); w32(fps); w32(0)
+    w32(frames.size); w32(0); w32(-1); w32(0)
+    w32(0); w32(0)
+    wcc("strf"); w32(40)
+    w32(40); w32(width); w32(height); bos.write(1); bos.write(0)
+    bos.write(24); bos.write(0); wcc("MJPG")
+    w32(width * height * 3); w32(0); w32(0); w32(0); w32(0)
+    wcc("LIST"); w32(moviSize); wcc("movi")
+    frames.foreach { f =>
+      wcc("00dc"); w32(f.length); bos.write(f)
+      if ((f.length & 1) == 1) bos.write(0)
+    }
+    bos.toByteArray
+  }
+
+  /** Solid-color JPEG via the in-JDK encoder — the frame twin of
+    * [[solidPng]] (JPEG is lossy, so gates assert frame DIMS, which
+    * survive encoding exactly, not pixel values). */
+  def solidJpeg(width: Int, height: Int, r: Int, g: Int,
+      b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Per-video metadata through the real MJPEG-AVI parse (true dims,
+    * rate, frame count, duration); non-AVI payloads fall back to the
+    * deterministic content-hash stub so the pipeline shape never
+    * depends on the codec, mirroring image/audio decode. */
+  def videoMeta(media: Dataset[MediaRow]): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.modality == "video").mapPartitions(rows => rows.map { r =>
+      parseMjpegAvi(r.content) match {
+        case Some(p) =>
+          val fps = 1000000 / p.usPerFrame
+          VideoMeta(r.media_id, p.width, p.height, fps, p.frames.size,
+            p.frames.size.toLong * p.usPerFrame / 1000L)
+        case None =>
+          val h = java.util.Arrays.hashCode(r.content)
+          VideoMeta(r.media_id, 0, 0, 0, 0,
+            math.abs(h % 15000L) + 1000L)
+      }
+    })
+  }
+
   /** Frame sampling: every `everyMs` milliseconds, emit a frame row.
-    * Frame extraction is stubbed (slices of the payload); the fan-out
-    * shape (one row in, many out) is the real contract. */
+    * MJPEG-AVI payloads get REAL frames — the RIFF walk yields each
+    * frame's JPEG bytes (decodable downstream by [[decodeImages]],
+    * closing the container → frame-codec chain in-JDK); other
+    * payloads keep the deterministic stub slices, preserving the
+    * fan-out shape for formats this container has no codec for. */
   def sampleFrames(media: Dataset[MediaRow],
       everyMs: Long = 1000L, maxFrames: Int = 16): Dataset[VideoFrame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.modality == "video").flatMap { r =>
-      val durationMs = math.abs(
-        java.util.Arrays.hashCode(r.content) % 15000L) + 1000L
-      val n = math.min(maxFrames, (durationMs / everyMs).toInt + 1)
-      (0 until n).map { i =>
-        val ts = i * everyMs
-        val start = ((ts.toDouble / durationMs) * r.content.length).toInt
-        val end = math.min(r.content.length, start + 256)
-        VideoFrame(r.media_id, i, ts,
-          java.util.Arrays.copyOfRange(r.content, start, math.max(start, end)))
+      parseMjpegAvi(r.content) match {
+        case Some(p) =>
+          // sample the nearest stored frame at each everyMs tick
+          val frameMs = p.usPerFrame / 1000.0
+          val durationMs = (p.frames.size * frameMs).toLong
+          val ticks = Iterator.iterate(0L)(_ + everyMs)
+            .takeWhile(_ < math.max(durationMs, 1L)).take(maxFrames)
+          ticks.zipWithIndex.map { case (ts, i) =>
+            val idx = math.min(p.frames.size - 1, (ts / frameMs).toInt)
+            VideoFrame(r.media_id, i, ts, p.frames(idx))
+          }.toSeq
+        case None =>
+          val durationMs = math.abs(
+            java.util.Arrays.hashCode(r.content) % 15000L) + 1000L
+          val n = math.min(maxFrames, (durationMs / everyMs).toInt + 1)
+          (0 until n).map { i =>
+            val ts = i * everyMs
+            val start = ((ts.toDouble / durationMs) * r.content.length).toInt
+            val end = math.min(r.content.length, start + 256)
+            VideoFrame(r.media_id, i, ts,
+              java.util.Arrays.copyOfRange(r.content, start,
+                math.max(start, end)))
+          }
       }
     }
   }

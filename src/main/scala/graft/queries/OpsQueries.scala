@@ -2243,6 +2243,88 @@ object OpsQueries {
 
   val e16Sql: String = withinGroupPairsSql
 
+  /** Planted MJPEG-AVI for the d32/d33 gates: per doc_id, a video of
+    * `4 + id%5` identical solid-JPEG frames of `(8+id%9) × (8+id%7)`
+    * at `2 + id%3` fps — every decoded property is then a pure
+    * function of doc_id, predictable by an engine with no codec. */
+  private def gateAvi(s: SparkSession, dir: String,
+      n: Int): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import s.implicits._
+    t(s, dir, "documents").where(col("doc_id") < n)
+      .select("doc_id").as[Long].map { id =>
+        val fps = 2 + (id % 3).toInt
+        val frames = 4 + (id % 5).toInt
+        val w = 8 + (id % 9).toInt
+        val h = 8 + (id % 7).toInt
+        val (r, g, b) = MediaColors((id % 4).toInt)
+        val frame = Multimodal.solidJpeg(w, h, r, g, b)
+        Multimodal.MediaRow(id, "video",
+          Multimodal.mjpegAvi(Seq.fill(frames)(frame), w, h, fps),
+          Map.empty)
+      }
+  }
+
+  /** Driver gate for the REAL MJPEG-AVI container parse + JPEG frame
+    * decode chain: planted AVIs flow through the production
+    * [[Multimodal.sampleFrames]] (RIFF walk → per-tick frame JPEGs)
+    * and every sampled frame's bytes then decode through the
+    * production [[Multimodal.decodeImages]] — gating sample count,
+    * timestamps, and true frame dims against pure arithmetic. */
+  def d32VideoFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = Multimodal.sampleFrames(gateAvi(s, dir, 60),
+      everyMs = 500L, maxFrames = 16)
+    // sampled frame bytes re-enter the image decoder; the synthetic id
+    // id·100 + frame_index survives the round trip (frame_index < 16)
+    val asImages = frames.map(f => Multimodal.MediaRow(
+      f.media_id * 100L + f.frame_index, "image", f.frame_bytes,
+      Map.empty))
+    Multimodal.decodeImages(asImages, embeddingDim = 3).toDF()
+      .select((col("media_id") / lit(100)).cast("long").as("media_id"),
+        pmod(col("media_id"), lit(100L)).as("frame_index"),
+        (pmod(col("media_id"), lit(100L)) * 500L).as("timestamp_ms"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .orderBy("media_id", "frame_index")
+  }
+
+  val d32Sql: String =
+    """WITH plant AS (
+      |  SELECT doc_id,
+      |    2 + doc_id % 3 AS fps, 4 + doc_id % 5 AS n,
+      |    8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id < 60
+      |)
+      |SELECT doc_id AS media_id, k AS frame_index,
+      |  CAST(500 * k AS BIGINT) AS timestamp_ms,
+      |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height
+      |FROM plant, UNNEST(generate_series(0, 15)) AS t(k)
+      |WHERE 500 * k < (n * (1000000 // fps)) // 1000
+      |ORDER BY media_id, frame_index""".stripMargin
+
+  /** [[Multimodal.videoMeta]] gate: true dims, recovered fps, frame
+    * count, and integer-truncated duration vs arithmetic. */
+  def d33VideoMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoMeta(gateAvi(s, dir, 60)).toDF()
+      .select(col("media_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("fps_num").cast("long").as("fps_num"),
+        col("n_frames").cast("long").as("n_frames"),
+        col("duration_ms"))
+      .orderBy("media_id")
+
+  val d33Sql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
+      |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
+      |  CAST(1000000 // (1000000 // (2 + doc_id % 3)) AS BIGINT)
+      |    AS fps_num,
+      |  CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
+      |  CAST(((4 + doc_id % 5) * (1000000 // (2 + doc_id % 3))) // 1000
+      |    AS BIGINT) AS duration_ms
+      |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -2299,6 +2381,8 @@ object OpsQueries {
     "e14_image_neardup" -> (e14ImageNearDup _),
     "d31_audio_decode" -> (d31AudioDecode _),
     "e16_audio_neardup" -> (e16AudioNearDup _),
+    "d32_video_frames" -> (d32VideoFrames _),
+    "d33_video_meta" -> (d33VideoMeta _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2352,5 +2436,7 @@ object OpsQueries {
     "e14_image_neardup" -> e14Sql,
     "d31_audio_decode" -> d31Sql,
     "e16_audio_neardup" -> e16Sql,
+    "d32_video_frames" -> d32Sql,
+    "d33_video_meta" -> d33Sql,
   )
 }

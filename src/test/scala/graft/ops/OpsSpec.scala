@@ -443,6 +443,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.mfcc.toSeq).toSeq == again.map(_.mfcc.toSeq).toSeq)
   }
 
+  test("MJPEG-AVI round-trip: writer -> parser recovers dims, rate " +
+      "and frame bytes") {
+    val f1 = Multimodal.solidJpeg(12, 8, 200, 10, 10)
+    val f2 = Multimodal.solidJpeg(12, 8, 10, 200, 10)
+    val avi = Multimodal.mjpegAvi(Seq(f1, f2, f1), 12, 8, 5)
+    val p = Multimodal.parseMjpegAvi(avi).get
+    assert(p.width == 12 && p.height == 8 && p.usPerFrame == 200000)
+    assert(p.frames.size == 3)
+    assert(p.frames(0).toSeq == f1.toSeq && p.frames(1).toSeq == f2.toSeq)
+  }
+
+  test("parseMjpegAvi rejects garbage, truncation, and non-JPEG frames") {
+    assert(Multimodal.parseMjpegAvi(Array.fill[Byte](64)(7)).isEmpty)
+    val good = Multimodal.mjpegAvi(
+      Seq(Multimodal.solidJpeg(8, 8, 1, 2, 3)), 8, 8, 4)
+    assert(Multimodal.parseMjpegAvi(good).isDefined)
+    assert(Multimodal.parseMjpegAvi(
+      java.util.Arrays.copyOf(good, good.length / 2)).isEmpty)
+    assert(Multimodal.parseMjpegAvi(Array.empty[Byte]).isEmpty)
+  }
+
+  test("sampleFrames: real JPEG frames for MJPEG AVI, stub fan-out " +
+      "for other payloads") {
+    import spark.implicits._
+    val frame = Multimodal.solidJpeg(10, 10, 5, 5, 5)
+    // 4 frames at 2 fps -> 2000 ms; everyMs 1000 -> ticks 0 and 1000
+    val avi = Multimodal.mjpegAvi(Seq.fill(4)(frame), 10, 10, 2)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", avi, Map.empty),
+      Multimodal.MediaRow(2L, "video", Array.fill[Byte](512)(9), Map.empty)))
+    val got = Multimodal.sampleFrames(media, everyMs = 1000L)
+      .collect().groupBy(_.media_id)
+    val real = got(1L).sortBy(_.frame_index)
+    assert(real.map(f => (f.frame_index, f.timestamp_ms)).toSeq ==
+      Seq((0, 0L), (1, 1000L)))
+    assert(real.forall(f => (f.frame_bytes(0) & 0xFF) == 0xFF &&
+      (f.frame_bytes(1) & 0xFF) == 0xD8), "real frames are JPEGs")
+    assert(got(2L).nonEmpty, "non-AVI payloads keep the stub fan-out")
+  }
+
+  test("videoMeta recovers true properties for AVI, stub elsewhere") {
+    import spark.implicits._
+    val avi = Multimodal.mjpegAvi(
+      Seq.fill(6)(Multimodal.solidJpeg(16, 12, 3, 3, 3)), 16, 12, 3)
+    val media = spark.createDataset(Seq(
+      Multimodal.MediaRow(1L, "video", avi, Map.empty),
+      Multimodal.MediaRow(2L, "video", Array.fill[Byte](64)(1), Map.empty)))
+    val m = Multimodal.videoMeta(media).collect().sortBy(_.media_id)
+    assert(m(0).width == 16 && m(0).height == 12 && m(0).fps_num == 3)
+    assert(m(0).n_frames == 6 && m(0).duration_ms == 6L * 333333L / 1000L)
+    assert(m(1).width == 0 && m(1).n_frames == 0, "stub fallback")
+  }
+
   test("audio near-dup edges: byte-identical WAVs pair, disjoint " +
       "envelopes don't") {
     import spark.implicits._
