@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Names
+
+/** Hashed-feature linear text classifier — the fastText-style quality
+  * filter every large-scale pretraining pipeline runs (score each
+  * document against a small learned model; keep what clears the bar).
+  *
+  * The feature space is bounded: each token hashes into one of 65 536
+  * md5-prefix buckets (the [[Importance]] convention), so the model is
+  * a table of at most 65 536 `(bucket, weight)` rows regardless of
+  * corpus size and always BROADCASTS. Scoring is one corpus explode +
+  * a map-side broadcast join + one per-document partial aggregation —
+  * the corpus never shuffles on a feature key. At 100 TB the whole
+  * cost is a single scan.
+  *
+  * Determinism follows the d24/d28/e13 conventions: weights are
+  * INTEGER-scaled rational log-odds surrogates
+  * (`SCALE·(p+1) div (p+n+2) − SCALE/2` — positive iff the feature is
+  * more frequent in the positive sample, add-one smoothed, no
+  * transcendental), and a document's margin is the exact long sum of
+  * its tokens' weights — order-independent and bit-identical across
+  * engines, which is what lets d34 hash-gate fit AND scoring
+  * end-to-end against DuckDB.
+  */
+object Classifier {
+
+  /** Weight scale (10⁹) for the integral rational weights. */
+  val Scale = 1000000000L
+
+  /** Token feature bucket: first 4 hex chars of md5 — ≤ 65 536
+    * distinct, engine-portable (the [[Importance.featureBucket]]
+    * convention at token granularity). */
+  def featureBucket(token: Column): Column = substring(md5(token), 1, 4)
+
+  private def toks(text: Column): Column =
+    split(TextAnalysis.normalized(text), " ")
+
+  /** Fit a model from labeled samples: per-bucket weight
+    * `SCALE·(p+1) div (p+n+2) − SCALE/2` where p / n are the bucket's
+    * occurrence counts in the positive / negative sample. Buckets seen
+    * in neither sample are absent (weight 0 at scoring time). Both
+    * count tables collapse map-side to ≤ 65 536 rows, so the fit cost
+    * is two sample scans however large the samples are. */
+  def fit(pos: DataFrame, neg: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(toks(col(textCol))).as("__t"))
+        .where(col("__t") =!= "")
+        .select(featureBucket(col("__t")).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as(name))
+    counts(pos, "__p").join(counts(neg, "__n"), Seq("bucket"), "full")
+      .select(col("bucket"), expr(
+        s"$Scale * (coalesce(__p, 0L) + 1L) div " +
+          s"(coalesce(__p, 0L) + coalesce(__n, 0L) + 2L) - ${Scale / 2}")
+        .as("weight_scaled"))
+  }
+
+  /** Score documents against a `(bucket, weight_scaled)` model:
+    * `(idCol, n_feats, margin_scaled, mean_margin, accept)`.
+    * `margin_scaled` is the exact long sum of token weights (unseen
+    * buckets contribute 0), `mean_margin` descales per token, `accept`
+    * is the margin-positive decision. Zero-token documents keep
+    * margin 0 and accept = false. */
+  def linearScore(docs: DataFrame, model: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cB = Names.fresh(docs.columns)(i => s"__graft_b$i")
+    val exploded = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("__t"))
+      .where(col("__t") =!= "")
+      .select(col(idCol), featureBucket(col("__t")).as(cB))
+    val perDoc = exploded
+      .join(broadcast(model.withColumnRenamed("bucket", cB)),
+        Seq(cB), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("weight_scaled"), lit(0L))).as("margin_scaled"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("margin_scaled"), lit(0L)).as("margin_scaled"),
+        when(coalesce(col("n_feats"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(round(
+            col("margin_scaled").cast("double") / col("n_feats")
+              / Scale.toDouble, 6)).as("mean_margin"),
+        (coalesce(col("margin_scaled"), lit(0L)) > 0L).as("accept"))
+  }
+}

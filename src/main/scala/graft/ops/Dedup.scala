@@ -481,6 +481,44 @@ object Dedup {
     df.join(keep, df(idCol) === col("__keep"), "left_semi")
   }
 
+  /** Near-dup dedup keeping the BEST copy per duplicate cluster —
+    * highest `qualityCol`, ties broken by lowest id — instead of
+    * [[minhashDedup]]'s arbitrary min-id canonical. This is the
+    * variant a real training-data pipeline wants: among near-duplicate
+    * crawls of a page, keep the cleanest capture (longest text, best
+    * quality score), not whichever happened to get the smallest id.
+    *
+    * Scale shape: the quality window runs over CLUSTERED rows only —
+    * in a dedup graph the overwhelming majority of documents are
+    * singletons and never shuffle through it; they survive via a
+    * left-anti bypass, mirroring [[connectedComponents]]' own
+    * edge-touched-nodes discipline. NULL-text rows cannot cluster and
+    * are always kept. Exact copies are NOT pre-collapsed (unlike
+    * [[minhashDedup]]): byte-identical texts can still carry different
+    * per-row quality, and collapsing by min id first would discard the
+    * better copy before quality ever looked at it. */
+  def minhashDedupBest(df: DataFrame, qualityCol: String,
+      textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nonNull = df.where(col(textCol).isNotNull)
+    val edges = minhashEdges(nonNull, textCol, idCol, numHashes, bands,
+      threshold, emitJaccard = false)
+    val touched = edges.select(col("id_a").as(idCol))
+      .unionAll(edges.select(col("id_b").as(idCol))).distinct()
+    val comps = connectedComponents(edges, touched)
+    val w = Window.partitionBy("component")
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    val best = df.join(comps, df(idCol) === comps("id"))
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") === 1)
+      .select(df(idCol))
+    val untouched = df.select(col(idCol))
+      .join(touched, Seq(idCol), "left_anti")
+    df.join(best.unionAll(untouched), Seq(idCol), "left_semi")
+  }
+
   /** 64-bit SimHash over word tokens: sign-aggregate each bit of each
     * token hash. Near-dups have small hamming distance. */
   def simhash(text: Column): Column = {

@@ -173,6 +173,32 @@ object TextAnalysis {
   def normalized(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
 
+  /** URL extraction — RE2-safe (no backtracking constructs), shared
+    * verbatim with the d35 DuckDB oracle so the two can never drift. */
+  val UrlPattern = "https?://[^\\s]+"
+
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(UrlPattern), lit(0))
+
+  /** Host part of a URL: scheme stripped, cut at the first `/ : ? #`.
+    * Empty string when the input isn't a URL. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "https?://([^/\\s:?#]+)", 1)
+
+  /** Corpus domain profile — the URL-level view a crawl pipeline
+    * dedups and blocklists by: one row per domain with total URL
+    * mentions and distinct documents mentioning it. One explode +
+    * one domain-key aggregation with map-side partials; the corpus
+    * scans once. */
+  def domainCounts(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol), explode(extractUrls(col(textCol))).as("__u"))
+      .select(col(idCol), urlDomain(col("__u")).as("domain"))
+      .where(col("domain") =!= "")
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   /** Deterministic document fingerprint: md5 of the normalized text —
     * reproducible by any engine (used as the dedup key). */
   def fingerprint(text: Column): Column = md5(normalized(text))

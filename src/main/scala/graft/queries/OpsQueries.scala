@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Contamination, Dedup, ExactSubstr, FilterPipeline,
+import graft.ops.{AsOf, Classifier, Contamination, Dedup, ExactSubstr,
+  FilterPipeline,
   Funnel, Importance,
   LangModel, LineDedup, Multimodal,
   Packing, RangeJoin, Retrieval, Sessionize, Similarity, Skew, Splits,
@@ -2325,6 +2326,162 @@ object OpsQueries {
       |    AS BIGINT) AS duration_ms
       |FROM documents WHERE doc_id < 60 ORDER BY media_id""".stripMargin
 
+  // --------------- d34 hashed linear quality classifier (oracle)
+  /** Fit + score end-to-end through [[Classifier]]: the model is
+    * learned from the data itself (en vs non-en documents), so DuckDB
+    * replays the whole thing — bucket counts, integral rational
+    * weights, broadcast-join scoring, margins — with no planted
+    * randomness at all (the d28 pattern at classifier granularity). */
+  def d34QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = Classifier.fit(docs.where(col("lang") === "en"),
+      docs.where(col("lang") =!= "en"))
+    Classifier.linearScore(docs, model).orderBy("doc_id")
+  }
+
+  val d34Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, lang,
+       |    unnest(string_split(lower(trim(
+       |      regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS t
+       |  FROM documents
+       |), tok2 AS (
+       |  SELECT doc_id, lang, substring(md5(t), 1, 4) AS bucket
+       |  FROM tok WHERE t <> ''
+       |), p AS (
+       |  SELECT bucket, COUNT(*) AS pc FROM tok2
+       |  WHERE lang = 'en' GROUP BY bucket
+       |), n AS (
+       |  SELECT bucket, COUNT(*) AS nc FROM tok2
+       |  WHERE lang <> 'en' GROUP BY bucket
+       |), model AS (
+       |  SELECT COALESCE(p.bucket, n.bucket) AS bucket,
+       |    1000000000 * (COALESCE(pc, 0) + 1)
+       |      // (COALESCE(pc, 0) + COALESCE(nc, 0) + 2) - 500000000 AS w
+       |  FROM p FULL JOIN n ON p.bucket = n.bucket
+       |), scored AS (
+       |  SELECT t.doc_id, COUNT(*) AS n_feats,
+       |    CAST(SUM(COALESCE(m.w, 0)) AS BIGINT) AS margin_scaled
+       |  FROM tok2 t LEFT JOIN model m USING (bucket)
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  COALESCE(n_feats, 0) AS n_feats,
+       |  COALESCE(margin_scaled, 0) AS margin_scaled,
+       |  CASE WHEN COALESCE(n_feats, 0) = 0 THEN 0.0
+       |       ELSE round(margin_scaled::DOUBLE / n_feats / 1000000000.0,
+       |                  6) END AS mean_margin,
+       |  COALESCE(margin_scaled, 0) > 0 AS accept
+       |FROM documents d LEFT JOIN scored USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------- d35 URL domain profile (oracle)
+  /** [[TextAnalysis.domainCounts]] gate over URL-planted text (the
+    * corpus has no guaranteed URLs of its own; the planted ones are a
+    * pure function of doc_id, and any natural URL replicates because
+    * both engines run the same RE2-safe pattern on the same text). */
+  def d35DomainCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val planted = docs.select(col("doc_id"), concat(col("text"),
+      lit(" see https://site"), pmod(col("doc_id"), lit(7L)).cast("string"),
+      lit(".example.com/page/"), col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(3L)) === 0L,
+        concat(lit(" http://mirror"),
+          pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".example.org:8080/x")))
+        .otherwise(lit(""))).as("text"))
+    TextAnalysis.domainCounts(planted).orderBy("domain")
+  }
+
+  val d35Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' see https://site' || (doc_id % 7)
+      |      || '.example.com/page/' || doc_id
+      |      || CASE WHEN doc_id % 3 = 0
+      |           THEN ' http://mirror' || (doc_id % 7)
+      |             || '.example.org:8080/x'
+      |           ELSE '' END AS text
+      |  FROM documents
+      |), urls AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(COALESCE(text, ''),
+      |      'https?://[^\s]+')) AS u
+      |  FROM planted
+      |), doms AS (
+      |  SELECT doc_id,
+      |    regexp_extract(u, 'https?://([^/\s:?#]+)', 1) AS domain
+      |  FROM urls
+      |)
+      |SELECT domain, COUNT(*) AS n_urls,
+      |  COUNT(DISTINCT doc_id) AS n_docs
+      |FROM doms WHERE domain <> ''
+      |GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ----------------- d36 keep-best near-dup dedup (oracle)
+  /** [[Dedup.minhashDedupBest]] end-to-end: every doc under 200 plus
+    * an exact copy at id + 1 000 000, with a deterministic quality
+    * `(id · 37) mod 101` — so every cluster (planted pairs AND the
+    * corpus's own natural near-dups, all of which sit at jaccard
+    * ≥ 0.91 where the (64,16) banding misses with p ≈ 10⁻⁸) keeps
+    * exactly its max-quality / min-id member. DuckDB replays the
+    * exact-jaccard graph, recursive-CTE components, and the quality
+    * window. */
+  def d36DedupBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val planted = docs.unionByName(docs.select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .withColumn("quality", pmod(col("doc_id") * 37L, lit(101L)))
+    Dedup.minhashDedupBest(planted, "quality",
+        numHashes = 64, bands = 16, threshold = 0.8)
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  val d36Sql: String =
+    """WITH RECURSIVE planted AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 200
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 200
+      |), q AS (
+      |  SELECT doc_id, (doc_id * 37) % 101 AS quality FROM planted
+      |), toks AS (
+      |  SELECT doc_id, string_split(lower(trim(
+      |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk
+      |  FROM planted
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+      |  FROM toks
+      |), edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / len(list_distinct(a.s || b.s)) >= 0.8
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM edges
+      |), walk AS (
+      |  SELECT src AS id, dst AS reach FROM sym
+      |  UNION
+      |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+      |), comp AS (
+      |  SELECT id, LEAST(id, MIN(reach)) AS component
+      |  FROM walk GROUP BY id
+      |), lab AS (
+      |  SELECT q.doc_id, q.quality,
+      |    COALESCE(c.component, q.doc_id) AS component
+      |  FROM q LEFT JOIN comp c ON c.id = q.doc_id
+      |)
+      |SELECT doc_id FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY component
+      |    ORDER BY quality DESC, doc_id ASC) AS rk
+      |  FROM lab
+      |) WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
@@ -2383,6 +2540,9 @@ object OpsQueries {
     "e16_audio_neardup" -> (e16AudioNearDup _),
     "d32_video_frames" -> (d32VideoFrames _),
     "d33_video_meta" -> (d33VideoMeta _),
+    "d34_quality_classifier" -> (d34QualityClassifier _),
+    "d35_domain_counts" -> (d35DomainCounts _),
+    "d36_dedup_best" -> (d36DedupBest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2438,5 +2598,8 @@ object OpsQueries {
     "e16_audio_neardup" -> e16Sql,
     "d32_video_frames" -> d32Sql,
     "d33_video_meta" -> d33Sql,
+    "d34_quality_classifier" -> d34Sql,
+    "d35_domain_counts" -> d35Sql,
+    "d36_dedup_best" -> d36Sql,
   )
 }

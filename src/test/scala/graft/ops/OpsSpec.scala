@@ -51,6 +51,76 @@ class TextAnalysisSpec extends AnyFunSuite {
   }
 }
 
+class ClassifierSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fit + linearScore separate planted vocabularies; blank docs " +
+      "score zero") {
+    val pos = Seq((1L, "great clean useful text"),
+      (2L, "clean useful prose here")).toDF("doc_id", "text")
+    val neg = Seq((3L, "spam junk garbage noise"),
+      (4L, "junk noise spam words")).toDF("doc_id", "text")
+    val model = Classifier.fit(pos, neg)
+    val probe = Seq((10L, "clean useful"), (11L, "spam junk"),
+      (12L, "")).toDF("doc_id", "text")
+    val got = Classifier.linearScore(probe, model).orderBy("doc_id")
+      .collect()
+    assert(got(0).getBoolean(4), "positive-vocab doc must be accepted")
+    assert(!got(1).getBoolean(4), "negative-vocab doc must be rejected")
+    assert(got(2).getLong(1) == 0L && got(2).getLong(2) == 0L &&
+      !got(2).getBoolean(4), "blank doc: no features, margin 0, rejected")
+    // margins are exact integers: re-running is bit-identical
+    val again = Classifier.linearScore(probe, model).orderBy("doc_id")
+      .collect()
+    assert(got.map(_.getLong(2)).toSeq == again.map(_.getLong(2)).toSeq)
+  }
+
+  test("unseen tokens contribute zero weight, not a smoothed prior") {
+    val model = Classifier.fit(
+      Seq((1L, "alpha")).toDF("doc_id", "text"),
+      Seq((2L, "beta")).toDF("doc_id", "text"))
+    val got = Classifier.linearScore(
+      Seq((10L, "gamma delta")).toDF("doc_id", "text"), model)
+      .head()
+    assert(got.getLong(1) == 2L, "unseen tokens still count as features")
+    assert(got.getLong(2) == 0L, "but carry zero weight")
+  }
+}
+
+class UrlAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("extractUrls + urlDomain: multiple urls, ports, paths, no-url") {
+    val df = Seq(
+      (1L, "see https://a.example.com/x and http://b.org:8080/y?z=1"),
+      (2L, "no links here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.extractUrls(col("text"))
+        .as("u")).orderBy("doc_id").collect()
+    assert(got(0).getSeq[String](1) ==
+      Seq("https://a.example.com/x", "http://b.org:8080/y?z=1"))
+    assert(got(1).getSeq[String](1).isEmpty)
+    assert(got(2).getSeq[String](1).isEmpty, "null text reads as empty")
+    val doms = df.select(explode(TextAnalysis.extractUrls(col("text")))
+        .as("u"))
+      .select(TextAnalysis.urlDomain(col("u"))).collect()
+      .map(_.getString(0)).toSet
+    assert(doms == Set("a.example.com", "b.org"))
+  }
+
+  test("domainCounts: url mentions vs distinct docs") {
+    val df = Seq(
+      (1L, "https://d.com/a https://d.com/b"),
+      (2L, "https://d.com/c"),
+      (3L, "https://e.com/")).toDF("doc_id", "text")
+    val got = TextAnalysis.domainCounts(df).orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("d.com", 3L, 2L), ("e.com", 1L, 1L)))
+  }
+}
+
 class DedupSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -1176,6 +1246,34 @@ class MinhashCollapseSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(kept == Set(1L, 50L), s"got $kept")
   }
 
+
+  test("minhashDedupBest keeps the highest-quality copy, not min id; " +
+      "singletons and NULL text survive") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val df = Seq(
+      (1L, base, 10L),            // cluster, lowest quality
+      (2L, base, 50L),            // cluster, HIGHEST quality -> kept
+      (3L, base, 30L),            // cluster
+      (4L, "totally different words entirely here now", 1L), // singleton
+      (5L, null.asInstanceOf[String], 0L))                    // null text
+      .toDF("doc_id", "text", "quality")
+    val kept = graft.ops.Dedup.minhashDedupBest(df, "quality",
+        numHashes = 32, bands = 16, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L), s"got $kept")
+  }
+
+  test("minhashDedupBest quality ties break to the lowest id") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine"
+    val df = Seq((7L, base, 5L), (3L, base, 5L), (9L, base, 5L))
+      .toDF("doc_id", "text", "quality")
+    val kept = graft.ops.Dedup.minhashDedupBest(df, "quality",
+        numHashes = 32, bands = 16, threshold = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), s"got $kept")
+  }
 
   test("NULL-text docs are never collapsed by minhashDedup") {
     val docs = Seq((1L, Option("alpha beta gamma delta epsilon zeta")),
