@@ -59,6 +59,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must not shuffle before ADC scoring, got ${shuffles(p)}:\n$p")
   }
 
+  test("d34 quality classifier: the weight model broadcasts — the " +
+      "corpus never shuffles on a feature key") {
+    val p = staticPlan("d34_quality_classifier")
+    assert(broadcasts(p) >= 1,
+      s"the <=65536-row model must broadcast into the scoring join:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no cartesian anywhere:\n$p")
+  }
+
+  test("d35 domain counts: one domain-key aggregation + output sort") {
+    val p = staticPlan("d35_domain_counts")
+    // partial agg is map-side; distinct-doc count adds one expand pass
+    assert(shuffles(p) <= 3,
+      s"domain profile must be one scan + domain-key agg, got ${shuffles(p)}:\n$p")
+  }
+
   test("e6 sessionization: both windows + rollup share ONE user-key " +
       "shuffle (plus the output sort)") {
     val p = staticPlan("e6_sessionize")
