@@ -31,10 +31,11 @@ object Classifier {
   /** Weight scale (10⁹) for the integral rational weights. */
   val Scale = 1000000000L
 
-  /** Token feature bucket: first 4 hex chars of md5 — ≤ 65 536
-    * distinct, engine-portable (the [[Importance.featureBucket]]
-    * convention at token granularity). */
-  def featureBucket(token: Column): Column = substring(md5(token), 1, 4)
+  /** Token feature bucket — delegates to [[Importance.featureBucket]]
+    * (first 4 hex chars of md5, ≤ 65 536 distinct) so the shared
+    * bucketing convention has exactly one definition. */
+  def featureBucket(token: Column): Column =
+    Importance.featureBucket(token)
 
   private def toks(text: Column): Column =
     split(TextAnalysis.normalized(text), " ")
@@ -68,24 +69,30 @@ object Classifier {
   def linearScore(docs: DataFrame, model: DataFrame,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val cB = Names.fresh(docs.columns)(i => s"__graft_b$i")
+    // explode_OUTER keeps one null-bucket row per token-less document
+    // (null/blank text), so zero-margin rows fall out of the SAME
+    // aggregation — no join-back against the corpus, which would cost
+    // a second scan plus a corpus-sized shuffle join at 100 TB. A null
+    // bucket matches nothing in the left join, so it contributes
+    // weight 0, and n_feats counts only real tokens.
     val exploded = docs
-      .select(col(idCol), explode(toks(col(textCol))).as("__t"))
-      .where(col("__t") =!= "")
-      .select(col(idCol), featureBucket(col("__t")).as(cB))
-    val perDoc = exploded
+      .select(col(idCol), explode_outer(toks(col(textCol))).as("__t"))
+      .select(col(idCol),
+        when(col("__t").isNotNull && col("__t") =!= "",
+          featureBucket(col("__t"))).as(cB))
+    exploded
       .join(broadcast(model.withColumnRenamed("bucket", cB)),
         Seq(cB), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_feats"),
+      .agg(
+        count(col(cB)).as("n_feats"),
         sum(coalesce(col("weight_scaled"), lit(0L))).as("margin_scaled"))
-    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+      .select(col(idCol), col("n_feats"),
         coalesce(col("margin_scaled"), lit(0L)).as("margin_scaled"),
-        when(coalesce(col("n_feats"), lit(0L)) === 0L, lit(0.0))
+        when(col("n_feats") === 0L, lit(0.0))
           .otherwise(round(
-            col("margin_scaled").cast("double") / col("n_feats")
-              / Scale.toDouble, 6)).as("mean_margin"),
+            coalesce(col("margin_scaled"), lit(0L)).cast("double")
+              / col("n_feats") / Scale.toDouble, 6)).as("mean_margin"),
         (coalesce(col("margin_scaled"), lit(0L)) > 0L).as("accept"))
   }
 }

@@ -488,35 +488,48 @@ object Dedup {
     * crawls of a page, keep the cleanest capture (longest text, best
     * quality score), not whichever happened to get the smallest id.
     *
-    * Scale shape: the quality window runs over CLUSTERED rows only —
-    * in a dedup graph the overwhelming majority of documents are
-    * singletons and never shuffle through it; they survive via a
-    * left-anti bypass, mirroring [[connectedComponents]]' own
-    * edge-touched-nodes discipline. NULL-text rows cannot cluster and
-    * are always kept. Exact copies are NOT pre-collapsed (unlike
-    * [[minhashDedup]]): byte-identical texts can still carry different
-    * per-row quality, and collapsing by min id first would discard the
-    * better copy before quality ever looked at it. */
+    * Scale shape: exact copies pre-collapse to their QUALITY-BEST
+    * member per normalized-text fingerprint (one fingerprint-keyed
+    * window — the same scale requirement [[minhashDedup]]'s min-id
+    * collapse serves: a boilerplate group of B byte-identical docs
+    * would otherwise share every LSH bucket and emit ~B² candidate
+    * pairs, the one quadratic blowup banding cannot protect against).
+    * The collapse preserves keep-best semantics exactly: a cluster's
+    * global (max quality, min id) winner is also the winner of its own
+    * exact group, so it IS that group's representative and wins among
+    * representatives. The quality window then runs over CLUSTERED
+    * representatives only — singletons survive via a left-anti bypass,
+    * mirroring [[connectedComponents]]' edge-touched-nodes discipline.
+    * NULL-text rows cannot cluster and are always kept. */
   def minhashDedupBest(df: DataFrame, qualityCol: String,
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nonNull = df.where(col(textCol).isNotNull)
-    val edges = minhashEdges(nonNull, textCol, idCol, numHashes, bands,
+    val cFp = graft.util.Names.fresh(df.columns)(i => s"__graft_fp$i")
+    val wExact = Window.partitionBy(col(cFp))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    val reps = df.where(col(textCol).isNotNull)
+      .withColumn(cFp, TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("__rk", row_number().over(wExact))
+      .where(col("__rk") === 1)
+      .drop("__rk", cFp)
+    val edges = minhashEdges(reps, textCol, idCol, numHashes, bands,
       threshold, emitJaccard = false)
     val touched = edges.select(col("id_a").as(idCol))
       .unionAll(edges.select(col("id_b").as(idCol))).distinct()
     val comps = connectedComponents(edges, touched)
     val w = Window.partitionBy("component")
       .orderBy(col(qualityCol).desc, col(idCol).asc)
-    val best = df.join(comps, df(idCol) === comps("id"))
+    val best = reps.join(comps, reps(idCol) === comps("id"))
       .withColumn("__rk", row_number().over(w))
       .where(col("__rk") === 1)
-      .select(df(idCol))
-    val untouched = df.select(col(idCol))
+      .select(reps(idCol))
+    val untouched = reps.select(col(idCol))
       .join(touched, Seq(idCol), "left_anti")
-    df.join(best.unionAll(untouched), Seq(idCol), "left_semi")
+    val nullText = df.where(col(textCol).isNull).select(col(idCol))
+    df.join(best.unionAll(untouched).unionAll(nullText),
+      Seq(idCol), "left_semi")
   }
 
   /** 64-bit SimHash over word tokens: sign-aggregate each bit of each

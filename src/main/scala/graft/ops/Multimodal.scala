@@ -165,7 +165,12 @@ object Multimodal {
     * arithmetically predictable by an engine that cannot decode
     * images at all (the d30/e14 DuckDB oracles). */
   def solidPng(width: Int, height: Int, r: Int, g: Int,
-      b: Int): Array[Byte] = {
+      b: Int): Array[Byte] = solidImage(width, height, r, g, b, "png")
+
+  /** Shared solid-color render for the planting writers — one body so
+    * PNG and JPEG planting can never drift apart. */
+  private def solidImage(width: Int, height: Int, r: Int, g: Int,
+      b: Int, format: String): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
@@ -176,7 +181,7 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 
@@ -269,8 +274,12 @@ object Multimodal {
   final case class ParsedAvi(width: Int, height: Int, usPerFrame: Int,
       frames: IndexedSeq[Array[Byte]])
 
+  /** `fps_milli` is the frame rate in MILLI-frames-per-second
+    * (fps · 1000, integer-truncated): an integer stays engine-portable
+    * for the d33 gate, and unlike a plain truncated fps it does not
+    * collapse sub-1fps timelapse rates to 0 (0.5 fps → 500). */
   final case class VideoMeta(media_id: Long, width: Int, height: Int,
-      fps_num: Int, n_frames: Int, duration_ms: Long)
+      fps_milli: Int, n_frames: Int, duration_ms: Long)
 
   private def le32(b: Array[Byte], off: Int): Int =
     (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
@@ -295,30 +304,40 @@ object Multimodal {
     var usPerFrame = 0
     val frames = scala.collection.immutable.IndexedSeq.newBuilder[Array[Byte]]
     // walk chunks; LIST payloads are walked recursively (their first 4
-    // bytes are the list type)
-    def walk(from: Int, until: Int): Unit = {
+    // bytes are the list type). Recursion depth is capped — a hostile
+    // payload of nothing but nested 12-byte LIST headers would
+    // otherwise overflow the stack (StackOverflowError is an Error, so
+    // no downstream Exception handler would contain it). Real AVIs
+    // nest 2–3 levels.
+    def walk(from: Int, until: Int, depth: Int): Unit = {
+      if (depth > 16) return
       var off = from
       while (off + 8 <= until) {
         val id = fourcc(bytes, off)
-        val size = le32(bytes, off + 4)
+        // chunk size is an UNSIGNED 32-bit field: widen to Long before
+        // bounds arithmetic — as a signed Int, `body + size` wraps
+        // negative for sizes near 2³¹, slipping past the guard and
+        // crashing copyOfRange/le32 on hostile payloads
+        val size = le32(bytes, off + 4).toLong & 0xFFFFFFFFL
         val body = off + 8
-        if (size < 0 || body + size > until) return // truncated
+        if (body + size > until) return // truncated (or size overflow)
+        val sz = size.toInt // safe: size <= until - body <= bytes.length
         id match {
-          case "LIST" if size >= 4 =>
-            walk(body + 4, body + size) // skip the list-type fourcc
-          case "avih" if size >= 40 =>
+          case "LIST" if sz >= 4 =>
+            walk(body + 4, body + sz, depth + 1) // skip list-type fourcc
+          case "avih" if sz >= 40 =>
             usPerFrame = le32(bytes, body)
             width = le32(bytes, body + 32)
             height = le32(bytes, body + 36)
           case c if c.endsWith("dc") || c.endsWith("db") =>
             // '00dc'/'00db': one compressed/uncompressed frame chunk
-            frames += java.util.Arrays.copyOfRange(bytes, body, body + size)
+            frames += java.util.Arrays.copyOfRange(bytes, body, body + sz)
           case _ => ()
         }
-        off = body + size + (size & 1) // chunks pad to even
+        off = body + sz + (sz & 1) // chunks pad to even
       }
     }
-    walk(12, bytes.length)
+    walk(12, bytes.length, 0)
     val fs = frames.result()
     // MJPEG: every frame must start with the JPEG SOI marker
     val allJpeg = fs.nonEmpty && fs.forall(f =>
@@ -378,20 +397,7 @@ object Multimodal {
     * [[solidPng]] (JPEG is lossy, so gates assert frame DIMS, which
     * survive encoding exactly, not pixel values). */
   def solidJpeg(width: Int, height: Int, r: Int, g: Int,
-      b: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(width, height,
-      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-    val rgb = ((r & 0xFF) << 16) | ((g & 0xFF) << 8) | (b & 0xFF)
-    var y = 0
-    while (y < height) {
-      var x = 0
-      while (x < width) { img.setRGB(x, y, rgb); x += 1 }
-      y += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
-    bos.toByteArray
-  }
+      b: Int): Array[Byte] = solidImage(width, height, r, g, b, "jpg")
 
   /** Per-video metadata through the real MJPEG-AVI parse (true dims,
     * rate, frame count, duration); non-AVI payloads fall back to the
@@ -403,8 +409,9 @@ object Multimodal {
     media.filter(_.modality == "video").mapPartitions(rows => rows.map { r =>
       parseMjpegAvi(r.content) match {
         case Some(p) =>
-          val fps = 1000000 / p.usPerFrame
-          VideoMeta(r.media_id, p.width, p.height, fps, p.frames.size,
+          val fpsMilli = (1000000000L / p.usPerFrame).toInt
+          VideoMeta(r.media_id, p.width, p.height, fpsMilli,
+            p.frames.size,
             p.frames.size.toLong * p.usPerFrame / 1000L)
         case None =>
           val h = java.util.Arrays.hashCode(r.content)

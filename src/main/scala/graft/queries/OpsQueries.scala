@@ -2310,7 +2310,7 @@ object OpsQueries {
       .select(col("media_id"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
-        col("fps_num").cast("long").as("fps_num"),
+        col("fps_milli").cast("long").as("fps_milli"),
         col("n_frames").cast("long").as("n_frames"),
         col("duration_ms"))
       .orderBy("media_id")
@@ -2319,8 +2319,8 @@ object OpsQueries {
     """SELECT doc_id AS media_id,
       |  CAST(8 + doc_id % 9 AS BIGINT) AS width,
       |  CAST(8 + doc_id % 7 AS BIGINT) AS height,
-      |  CAST(1000000 // (1000000 // (2 + doc_id % 3)) AS BIGINT)
-      |    AS fps_num,
+      |  CAST(1000000000 // (1000000 // (2 + doc_id % 3)) AS BIGINT)
+      |    AS fps_milli,
       |  CAST(4 + doc_id % 5 AS BIGINT) AS n_frames,
       |  CAST(((4 + doc_id % 5) * (1000000 // (2 + doc_id % 3))) // 1000
       |    AS BIGINT) AS duration_ms

@@ -524,6 +524,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(p.frames(0).toSeq == f1.toSeq && p.frames(1).toSeq == f2.toSeq)
   }
 
+  test("parseMjpegAvi survives hostile payloads: u32 size overflow " +
+      "and unbounded LIST nesting") {
+    def build(f: (java.io.ByteArrayOutputStream,
+        Int => Unit, String => Unit) => Unit): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit = { bos.write(v & 0xFF)
+        bos.write((v >> 8) & 0xFF); bos.write((v >> 16) & 0xFF)
+        bos.write((v >> 24) & 0xFF) }
+      def cc(s: String): Unit = bos.write(
+        s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      f(bos, w32, cc)
+      bos.toByteArray
+    }
+    // chunk size near 2^31: signed Int arithmetic would wrap past the
+    // truncation guard and crash copyOfRange — must parse to None
+    val overflow = build { (bos, w32, cc) =>
+      cc("RIFF"); w32(100); cc("AVI ")
+      cc("00dc"); w32(0x7FFFFFF0)
+      bos.write(new Array[Byte](16))
+    }
+    assert(Multimodal.parseMjpegAvi(overflow).isEmpty)
+    // 100k nested 12-byte LIST headers: unbounded recursion would
+    // overflow the stack (StackOverflowError, uncatchable downstream)
+    val n = 100000
+    val nested = build { (bos, w32, cc) =>
+      cc("RIFF"); w32(4 + 12 * n); cc("AVI ")
+      (0 until n).foreach { i =>
+        cc("LIST"); w32(4 + 12 * (n - 1 - i)); cc("hdrl")
+      }
+    }
+    assert(Multimodal.parseMjpegAvi(nested).isEmpty)
+  }
+
   test("parseMjpegAvi rejects garbage, truncation, and non-JPEG frames") {
     assert(Multimodal.parseMjpegAvi(Array.fill[Byte](64)(7)).isEmpty)
     val good = Multimodal.mjpegAvi(
@@ -561,7 +594,7 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.MediaRow(1L, "video", avi, Map.empty),
       Multimodal.MediaRow(2L, "video", Array.fill[Byte](64)(1), Map.empty)))
     val m = Multimodal.videoMeta(media).collect().sortBy(_.media_id)
-    assert(m(0).width == 16 && m(0).height == 12 && m(0).fps_num == 3)
+    assert(m(0).width == 16 && m(0).height == 12 && m(0).fps_milli == 3000)
     assert(m(0).n_frames == 6 && m(0).duration_ms == 6L * 333333L / 1000L)
     assert(m(1).width == 0 && m(1).n_frames == 0, "stub fallback")
   }
