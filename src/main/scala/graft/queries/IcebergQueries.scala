@@ -608,6 +608,189 @@ object IcebergQueries {
       |SELECT l_orderkey, l_linenumber, l_quantity, 'INSERT', 2
       |FROM lineitem WHERE l_linenumber >= 5""".stripMargin
 
+  /** `CALL graft.system.dedup_table` gate — the ops-layer dedup run AS
+    * A TABLE OPERATION through the full SQL surface: CREATE TABLE +
+    * INSERT through the DSv2 catalog, one CALL, then the table read
+    * back. Exact mode keeps the min id per normalized-text
+    * fingerprint (natural exact dups in the corpus collapse too — the
+    * oracle groups by the same md5). */
+  def i29DedupTable(s: SparkSession, dir: String): DataFrame = {
+    val tableId = dedupTableFixture(s, dir, withQuality = false)
+    callDedupTable(s, tableId, ")")
+  }
+
+  val i29Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+      |)
+      |SELECT min(doc_id) AS doc_id FROM planted
+      |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Shared fixture for the i29 family: the sub-100 documents plus an
+    * exact copy of each at id + 1 000 000 (and, when `withQuality`, a
+    * deterministic `(id · 37) mod 101` quality column), loaded into a
+    * fresh DSv2 catalog table via SQL. Returns the `catalog.ns.docs`
+    * identifier. */
+  private def dedupTableFixture(s: SparkSession, dir: String,
+      withQuality: Boolean): String = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 100).select("doc_id", "text")
+    val base = docs.unionByName(docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val planted = if (withQuality)
+      base.withColumn("quality", pmod(col("doc_id") * 37L, lit(101L)))
+    else base
+    val c = "g29" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf29" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    val qcol = if (withQuality) ", quality BIGINT" else ""
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING$qcol)")
+    val tmp = "g29src_" + java.util.UUID.randomUUID.toString.take(8)
+    planted.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    s"$c.$ns.docs"
+  }
+
+  /** Runs one `CALL dedup_table`, checks the report invariant
+    * (before = kept + removed), returns the surviving ids. */
+  private def callDedupTable(s: SparkSession, tableId: String,
+      callArgs: String): DataFrame = {
+    val Array(c, ns, _) = tableId.split('.')
+    val report = s.sql(
+      s"CALL $c.system.dedup_table('$ns', 'docs'$callArgs")
+      .collect().head
+    require(report.getLong(0) == report.getLong(1) + report.getLong(2),
+      s"dedup_table report inconsistent: $report")
+    s.table(tableId).select("doc_id").orderBy("doc_id")
+  }
+
+  /** `dedup_table` minhash mode through the full SQL surface: near-dup
+    * clusters (LSH candidates, jaccard-verified ≥ 0.8, connected
+    * components) keep their min id. The oracle replays the EXACT
+    * jaccard graph + recursive-CTE transitive closure (the d36
+    * pattern) — sound because every natural near-dup pair in the
+    * sub-100 corpus sits at jaccard ≥ 0.91, where (64,16) banding
+    * misses with p ≈ 10⁻⁸, and planted exact copies collide
+    * structurally. */
+  def i29bDedupTableMinhash(s: SparkSession, dir: String): DataFrame = {
+    val tableId = dedupTableFixture(s, dir, withQuality = false)
+    callDedupTable(s, tableId, ", 'minhash')")
+  }
+
+  // Shared CTE prefix: the exact-jaccard near-dup component replay
+  // over the planted corpus (DuckDB list ops; same tokenize/shingle
+  // normalization as ops.Dedup — see d36Sql for the derivation).
+  private val i29ComponentsCte: String =
+    """WITH RECURSIVE planted AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+      |), toks AS (
+      |  SELECT doc_id, string_split(lower(trim(
+      |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk
+      |  FROM planted
+      |), sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+      |    ELSE list_distinct(list_transform(generate_series(1, len(tk) - 2),
+      |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) END AS s
+      |  FROM toks
+      |), edges AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+      |      / len(list_distinct(a.s || b.s)) >= 0.8
+      |), sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM edges
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM edges
+      |), walk AS (
+      |  SELECT src AS id, dst AS reach FROM sym
+      |  UNION
+      |  SELECT w.id, s.dst FROM walk w JOIN sym s ON s.src = w.reach
+      |), comp AS (
+      |  SELECT id, LEAST(id, MIN(reach)) AS component
+      |  FROM walk GROUP BY id
+      |), lab AS (
+      |  SELECT p.doc_id, COALESCE(c.component, p.doc_id) AS component
+      |  FROM planted p LEFT JOIN comp c ON c.id = p.doc_id
+      |)""".stripMargin
+
+  val i29bSql: String = i29ComponentsCte +
+    "\nSELECT DISTINCT component AS doc_id FROM lab ORDER BY doc_id"
+
+  /** `dedup_table` best mode: near-dup clusters keep their max-quality
+    * member (min id on ties) — keep-best dedup as a one-CALL table
+    * operation. Quality is the stored `(id · 37) mod 101` column. */
+  def i29cDedupTableBest(s: SparkSession, dir: String): DataFrame = {
+    val tableId = dedupTableFixture(s, dir, withQuality = true)
+    callDedupTable(s, tableId, ", 'best', 'text', 'doc_id', 0.8, 'quality')")
+  }
+
+  val i29cSql: String = i29ComponentsCte +
+    """
+      |SELECT doc_id FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY component
+      |    ORDER BY (doc_id * 37) % 101 DESC, doc_id ASC) AS rk
+      |  FROM lab
+      |) WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** `CALL graft.system.cherrypick_snapshot` — the non-fast-forwardable
+    * WAP publish: two appends, roll main back to the first, then
+    * cherry-pick the now-detached second append onto the restored head.
+    * If the pick were a no-op the read-back would miss the staged half;
+    * if it re-copied data the report arithmetic (asserted in-query)
+    * would break. The oracle is simply both halves — cherry-pick must
+    * reconstruct exactly the pre-rollback contents on a NEW commit. */
+  def i30CherrypickSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_orderkey") < 200)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val c = "g30" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf30" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.li " +
+      "(l_orderkey BIGINT, l_linenumber INT, l_quantity DOUBLE)")
+    val tmp = "g30src_" + java.util.UUID.randomUUID.toString.take(8)
+    li.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.li SELECT * FROM $tmp " +
+      "WHERE l_linenumber <= 3")
+    s.sql(s"INSERT INTO $c.$ns.li SELECT * FROM $tmp " +
+      "WHERE l_linenumber > 3")
+    // resolve commit order via the parent chain, not committed_at
+    // (two same-millisecond commits would tie on the timestamp)
+    val snaps = s.sql(s"SELECT snapshot_id, parent_id " +
+      s"FROM $c.$ns.li.snapshots").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_ => r.getLong(1)))
+    val second = snaps.collectFirst {
+      case (sid, Some(_)) => sid
+    }.get
+    val first = snaps(snaps.indexWhere(_._1 == second))._2.get
+    s.sql(s"CALL $c.system.rollback_to_snapshot('$ns', 'li', $first)")
+    val stagedRows = li.where(col("l_linenumber") > 3).count()
+    val report = s.sql(
+      s"CALL $c.system.cherrypick_snapshot('$ns', 'li', $second)")
+      .collect().head
+    require(report.getLong(0) == second &&
+        report.getLong(3) == stagedRows,
+      s"cherrypick report inconsistent: $report (staged $stagedRows)")
+    s.table(s"$c.$ns.li").orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val i30Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Nested schema evolution + Spark nested-schema pruning, end-to-end
     * through the DSv2 source against the DuckDB oracle (round-9 verdict
     * #2: the last two rounds both found bugs in exactly this remap —
@@ -1462,6 +1645,10 @@ object IcebergQueries {
     "i18_changelog" -> (i18Changelog _),
     "i27_changelog_updates" -> (i27ChangelogUpdates _),
     "i28_changelog_net" -> (i28ChangelogNet _),
+    "i29_dedup_table" -> (i29DedupTable _),
+    "i29b_dedup_table_minhash" -> (i29bDedupTableMinhash _),
+    "i29c_dedup_table_best" -> (i29cDedupTableBest _),
+    "i30_cherrypick_snapshot" -> (i30CherrypickSnapshot _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -1507,6 +1694,10 @@ object IcebergQueries {
     "i18_changelog" -> i18Sql,
     "i27_changelog_updates" -> i27Sql,
     "i28_changelog_net" -> i28Sql,
+    "i29_dedup_table" -> i29Sql,
+    "i29b_dedup_table_minhash" -> i29bSql,
+    "i29c_dedup_table_best" -> i29cSql,
+    "i30_cherrypick_snapshot" -> i30Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

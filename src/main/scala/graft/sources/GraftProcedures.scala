@@ -15,7 +15,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.catalog.{Catalog, TableIdentifier}
 import graft.io.FileIO
-import graft.table.{Maintenance, Table}
+import graft.table.{DataWriter, Maintenance, Table}
 
 /** `CALL graft.system.<proc>(...)` — SQL maintenance procedures, the
   * operational face of [[graft.table.Maintenance]] and the ref API
@@ -36,7 +36,7 @@ private[sources] object GraftProcedures {
     "rollback_to_snapshot", "set_ref", "remove_ref",
     "remove_orphan_files", "rewrite_manifests", "create_changelog_view",
     "rewrite_data_files", "fast_forward", "add_files",
-    "register_table")
+    "register_table", "dedup_table", "cherrypick_snapshot")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -92,6 +92,9 @@ private[sources] class GraftBoundProcedure(
     case "rollback_to_snapshot" => Array(
       p("ns", StringType), p("table", StringType),
       p("snapshot_id", LongType))
+    case "cherrypick_snapshot" => Array(
+      p("ns", StringType), p("table", StringType),
+      p("snapshot_id", LongType))
     case "set_ref" => Array(
       p("ns", StringType), p("table", StringType),
       p("name", StringType), p("snapshot_id", LongType),
@@ -136,6 +139,18 @@ private[sources] class GraftBoundProcedure(
     case "register_table" => Array(
       p("ns", StringType), p("table", StringType),
       p("metadata_location", StringType))
+    case "dedup_table" => Array(
+      p("ns", StringType), p("table", StringType),
+      // 'exact' (fingerprint, keep min id) | 'minhash' (near-dup
+      // clusters via LSH, keep min id per cluster) | 'best' (near-dup
+      // clusters, keep max-quality_col member, min id on ties)
+      pDefault("mode", StringType, "'exact'"),
+      pDefault("text_col", StringType, "'text'"),
+      pDefault("id_col", StringType, "'doc_id'"),
+      // minhash/best verify threshold; ignored for exact
+      pDefault("threshold", DoubleType, "0.8"),
+      // required for mode='best'; ignored otherwise
+      pDefault("quality_col", StringType, "''"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -175,6 +190,55 @@ private[sources] class GraftBoundProcedure(
             s"rollback_to_snapshot: snapshot $sid not found in $ns.$tbl")
         t.newTransaction().setRef("main", sid).commit()
         (new StructType().add("current_snapshot_id", LongType), Seq(sid))
+      case "cherrypick_snapshot" =>
+        // WAP publish for the non-fast-forwardable case: re-commit an
+        // APPEND snapshot's added files onto the CURRENT head as a new
+        // append. The data files are shared, never copied — this is a
+        // metadata operation; only manifests are written.
+        val sid = input.getLong(2)
+        val src = t.snapshotById(sid).getOrElse(
+          throw new IllegalArgumentException(
+            s"cherrypick_snapshot: snapshot $sid not found in $ns.$tbl"))
+        val ancestors = Iterator.iterate(t.currentSnapshot)(
+          _.flatMap(_.parentSnapshotId).flatMap(t.snapshotById))
+          .takeWhile(_.isDefined).map(_.get.snapshotId).toSet
+        if (ancestors.contains(sid))
+          throw new IllegalArgumentException(
+            s"cherrypick_snapshot: snapshot $sid is already an ancestor " +
+              "of the current snapshot — nothing to publish")
+        val op = src.summary.map(_.operation)
+        if (!op.forall(_ == graft.spec.Operation.Append))
+          throw new UnsupportedOperationException(
+            s"cherrypick_snapshot: snapshot $sid is a " +
+              s"${op.map(_.name).getOrElse("?")} — only append snapshots " +
+              "can be cherry-picked (a rewrite's Added entries re-deliver " +
+              "pre-existing rows, and its deletes cannot be replayed " +
+              "against a different base)")
+        val added = t.manifestList(src)
+          .filter(mf =>
+            mf.content == graft.spec.ManifestContent.Data &&
+              mf.addedSnapshotId == src.snapshotId)
+          .flatMap(mf => t.readManifest(mf).entries
+            .filter(e => e.status == graft.spec.EntryStatus.Added &&
+              e.snapshotId.forall(_ == src.snapshotId))
+            .map(_.dataFile))
+        // double-publish guard: a picked file already live on the
+        // current head would double-count its rows forever
+        val live = graft.table.Scan(t, spark).planFiles()
+          .map(ft => DataWriter.normalizePath(ft.file.filePath)).toSet
+        val dup = added
+          .filter(f => live.contains(DataWriter.normalizePath(f.filePath)))
+        if (dup.nonEmpty)
+          throw new IllegalArgumentException(
+            s"cherrypick_snapshot: snapshot $sid was already published — " +
+              s"${dup.head.filePath} is live on the current head")
+        val after = t.commitSnapshot(graft.table.PendingSnapshot(
+          graft.spec.Operation.Append, addedDataFiles = added))
+        (new StructType().add("source_snapshot_id", LongType)
+          .add("current_snapshot_id", LongType)
+          .add("added_files", LongType).add("added_records", LongType),
+          Seq(sid, after.currentSnapshot.get.snapshotId,
+            added.size.toLong, added.map(_.recordCount).sum))
       case "set_ref" =>
         val refName = input.getUTF8String(2).toString
         val sid = input.getLong(3)
@@ -269,6 +333,44 @@ private[sources] class GraftBoundProcedure(
         (new StructType().add("added_files", LongType)
           .add("added_records", LongType),
           Seq(added.size.toLong, added.map(_.recordCount).sum))
+      case "dedup_table" =>
+        // the ops-layer dedup run AS A TABLE OPERATION: read the
+        // current snapshot, keep canonical documents, commit ONE
+        // overwrite snapshot (time travel to the pre-dedup state
+        // keeps working; expire_snapshots reclaims it later)
+        val mode = input.getUTF8String(2).toString
+        val textCol = input.getUTF8String(3).toString
+        val idCol = input.getUTF8String(4).toString
+        val threshold = input.getDouble(5)
+        val qualityCol = input.getUTF8String(6).toString
+        val scan = graft.table.Scan(t, spark)
+        val df = scan.toDF
+        val kept = mode match {
+          case "exact" =>
+            graft.ops.Dedup.exact(df, textCol, idCol)
+          case "minhash" =>
+            graft.ops.Dedup.minhashDedup(df, textCol, idCol,
+              threshold = threshold)
+          case "best" =>
+            if (qualityCol.isEmpty) throw new IllegalArgumentException(
+              "dedup_table: mode 'best' requires quality_col")
+            graft.ops.Dedup.minhashDedupBest(df, qualityCol, textCol,
+              idCol, threshold = threshold)
+          case other => throw new IllegalArgumentException(
+            s"dedup_table: unknown mode '$other' (exact | minhash | best)")
+        }
+        // metadata-only when no deletes apply — at 100 TB the "before"
+        // number must not cost a second full-table pass
+        val before = scan.count()
+        val after = graft.table.Mutations.overwrite(t, spark, kept)
+        // kept count from the COMMITTED snapshot's counters, not a
+        // second job over the kept frame
+        val added = after.currentSnapshot.flatMap(_.summary)
+          .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+          .getOrElse(-1L)
+        (new StructType().add("docs_before", LongType)
+          .add("docs_kept", LongType).add("docs_removed", LongType),
+          Seq(before, added, before - added))
       case "rewrite_manifests" =>
         val maxEntries = input.getInt(2)
         val before = MetadataTables.currentManifests(t)

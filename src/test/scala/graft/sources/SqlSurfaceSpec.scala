@@ -201,6 +201,130 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.dedup_table rewrites the table keeping canonical " +
+      "docs; time travel still sees the pre-dedup snapshot") {
+    withCatalog("dd") { (c, _) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      Seq((1L, "alpha beta gamma"), (2L, "alpha  BETA gamma"),
+        (3L, "unique text here"), (4L, "alpha beta gamma"))
+        .toDF("doc_id", "text").createOrReplaceTempView("dd_src")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM dd_src")
+      val res = spark.sql(
+        s"CALL $c.system.dedup_table('db', 'docs')").collect().head
+      assert((res.getLong(0), res.getLong(1), res.getLong(2)) ==
+        ((4L, 2L, 2L)), s"report $res")
+      // docs 2 and 4 normalize to doc 1's text -> min id 1 kept
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+      // the pre-dedup snapshot is still reachable via time travel
+      val versions = spark.sql(s"SELECT snapshot_id FROM " +
+        s"$c.db.docs.snapshots ORDER BY committed_at").collect()
+      val preDedup = versions(versions.length - 2).getLong(0)
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.docs " +
+        s"VERSION AS OF $preDedup").head.getLong(0) == 4L)
+      // minhash mode on the already-deduped table removes nothing
+      val res2 = spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+        s"'minhash')").collect().head
+      assert(res2.getLong(2) == 0L, s"minhash pass report $res2")
+      // unknown mode fails loud
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $c.system.dedup_table('db', 'docs', 'fuzzy')")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("unknown mode"))
+    }
+  }
+
+  test("CALL system.dedup_table mode 'best' keeps the max-quality " +
+      "copy per exact-dup cluster and requires quality_col") {
+    withCatalog("db2") { (c, _) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs " +
+        "(doc_id BIGINT, text STRING, quality BIGINT)")
+      Seq((1L, "alpha beta gamma", 5L), (2L, "alpha  BETA gamma", 9L),
+        (3L, "unique text here", 1L), (4L, "alpha beta gamma", 9L))
+        .toDF("doc_id", "text", "quality")
+        .createOrReplaceTempView("db2_src")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM db2_src")
+      val res = spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+        s"'best', 'text', 'doc_id', 0.8, 'quality')").collect().head
+      assert((res.getLong(0), res.getLong(1), res.getLong(2)) ==
+        ((4L, 2L, 2L)), s"report $res")
+      // 1/2/4 normalize identically; quality 9 tie -> min id 2 wins
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+      // mode 'best' without quality_col fails loud
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $c.system.dedup_table('db', 'docs', 'best')")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("requires quality_col"))
+    }
+  }
+
+  test("CALL system.cherrypick_snapshot republishes a detached append " +
+      "and rejects published / non-append / unknown snapshots") {
+    withCatalog("cp") { (c, _) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT, v STRING)")
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      def snaps(): Map[Long, Option[Long]] =
+        spark.sql(s"SELECT snapshot_id, parent_id FROM $c.db.t.snapshots")
+          .collect().map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      spark.sql(s"INSERT INTO $c.db.t VALUES (1, 'a'), (2, 'b')")
+      spark.sql(s"INSERT INTO $c.db.t VALUES (3, 'c')")
+      val after2 = snaps()
+      val s2 = after2.collectFirst { case (sid, Some(_)) => sid }.get
+      val s1 = after2(s2).get
+      spark.sql(s"CALL $c.system.rollback_to_snapshot('db', 't', $s1)")
+      assert(spark.table(s"$c.db.t").count() == 2)
+      val rep = spark.sql(
+        s"CALL $c.system.cherrypick_snapshot('db', 't', $s2)")
+        .collect().head
+      assert(rep.getLong(0) == s2 && rep.getLong(3) == 1L, s"report $rep")
+      assert(spark.sql(s"SELECT id FROM $c.db.t ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      // the new head is a NEW snapshot sharing s2's file, so a second
+      // pick of s2 must trip the live-file guard
+      val eDup = intercept[Exception] {
+        spark.sql(s"CALL $c.system.cherrypick_snapshot('db', 't', $s2)")
+      }
+      assert(causes(eDup).contains("already published"))
+      // an ancestor of the current head is rejected outright
+      val eAnc = intercept[Exception] {
+        spark.sql(s"CALL $c.system.cherrypick_snapshot('db', 't', $s1)")
+      }
+      assert(causes(eAnc).contains("already an ancestor"))
+      // a delete snapshot cannot be cherry-picked
+      spark.sql(s"DELETE FROM $c.db.t WHERE id = 1")
+      val dRows = spark.sql(s"SELECT snapshot_id FROM $c.db.t.snapshots " +
+        "WHERE operation <> 'append'").collect()
+      assert(dRows.length == 1)
+      val dHead = dRows.head.getLong(0)
+      val dParent = snaps()(dHead).get
+      spark.sql(s"CALL $c.system.rollback_to_snapshot('db', 't', $dParent)")
+      val eOp = intercept[Exception] {
+        spark.sql(s"CALL $c.system.cherrypick_snapshot('db', 't', $dHead)")
+      }
+      assert(causes(eOp).contains("only append snapshots"))
+      val eMissing = intercept[Exception] {
+        spark.sql(s"CALL $c.system.cherrypick_snapshot('db', 't', 424242)")
+      }
+      assert(causes(eMissing).contains("not found"))
+    }
+  }
+
   test("CALL system.register_table tracks existing metadata in place") {
     withCatalog("rt") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
