@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOf, Classifier, Contamination, Dedup, ExactSubstr,
-  FilterPipeline,
+import graft.ops.{AsOf, Bpe, Classifier, Contamination, Dedup,
+  ExactSubstr, FilterPipeline,
   Funnel, Importance,
   LangModel, LineDedup, Multimodal,
   Packing, RangeJoin, Retrieval, Sessionize, Similarity, Skew, Splits,
@@ -2482,7 +2482,155 @@ object OpsQueries {
       |  FROM lab
       |) WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  // ----------------- d37/d38/d39 BPE tokenizer training + application
+  /** [[Bpe.train]]'s first four merges over the sub-80 documents' word
+    * dictionary. The oracle replays each iteration: overlapping
+    * adjacent-pair counts over the evolving symbolized dictionary,
+    * argmax with (count DESC, pair ASC) ties, then a leftmost-replace-
+    * until-fixpoint recursion — which equals [[Bpe.mergePair]]'s greedy
+    * left-to-right fold (the merged symbol is strictly longer than its
+    * left side, so it can never immediately re-match the same pair). */
+  def d37BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 80)
+      .select(coalesce(col("text"), lit("")).as("text"))
+    val merges = Bpe.train(docs, "text", numMerges = 4)
+    import s.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => ((i + 1).toLong, s"$a $b") }
+      .toDF("merge_rank", "pair").orderBy("merge_rank")
+  }
+
+  /** One oracle level of the d37 replay: pair counts p_i from the
+    * previous dictionary, argmax m_i, rewrite recursion r_i, fixpoint
+    * s_i. Patterns are space-padded (' a b ') so a match can only be
+    * an adjacent SYMBOL pair, never a character run inside a longer
+    * symbol. */
+  private def bpeTrainLevel(i: Int): String = {
+    val pat = s"' ' || (SELECT pr FROM m$i) || ' '"
+    s""",
+       | p$i AS (
+       |  SELECT pr, SUM(cnt) AS c FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(sl) - 1),
+       |      j -> sl[j] || ' ' || sl[j+1])) AS pr, cnt
+       |    FROM (SELECT string_split(trim(sym), ' ') AS sl, cnt
+       |          FROM s${i - 1}))
+       |  GROUP BY pr
+       | ), m$i AS (SELECT pr FROM p$i ORDER BY c DESC, pr ASC LIMIT 1),
+       | r$i AS (
+       |  SELECT sym, cnt FROM s${i - 1}
+       |  UNION ALL
+       |  SELECT substr(sym, 1, strpos(sym, $pat) - 1)
+       |    || ' ' || replace((SELECT pr FROM m$i), ' ', '') || ' '
+       |    || substr(sym, strpos(sym, $pat) + length($pat)), cnt
+       |  FROM r$i WHERE strpos(sym, $pat) > 0
+       | ), s$i AS (
+       |  SELECT sym, cnt FROM r$i WHERE strpos(sym, $pat) = 0
+       | )""".stripMargin
+  }
+
+  val d37Sql: String =
+    """WITH RECURSIVE words AS (
+      |  SELECT w AS word, COUNT(*)::BIGINT AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(
+      |      lower(COALESCE(text, '')), '[a-z0-9]+')) AS w
+      |    FROM documents WHERE doc_id < 80)
+      |  GROUP BY w
+      |), s0 AS (
+      |  SELECT ' ' || array_to_string(
+      |    regexp_extract_all(word, '.'), ' ') || ' ' AS sym, cnt
+      |  FROM words
+      |)""".stripMargin +
+      (1 to 4).map(bpeTrainLevel).mkString + "\n" +
+      (1 to 4).map(i =>
+        s"SELECT $i::BIGINT AS merge_rank, (SELECT pr FROM m$i) AS pair")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+
+  /** Fixed merge list for the APPLY gates (d38/d39) — literal in both
+    * engines so the apply path is gated independently of training. */
+  private val BpeFixedMerges =
+    Seq(("t", "h"), ("th", "e"), ("e", "r"), ("a", "n"))
+
+  /** [[Bpe.applyMerges]] — the per-row expression path — over every
+    * document: token count + digest of the exact tokenization. */
+  def d38BpeApply(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        Bpe.applyMerges(coalesce(col("text"), lit("")), BpeFixedMerges)
+          .as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("toks"))).as("toks_md5"))
+      .orderBy("doc_id")
+
+  /** [[Bpe.tokenizeByDict]] — the dictionary-join path real (32k-rule)
+    * vocabularies take — must produce byte-identical tokenizations to
+    * the expression path; same oracle as d38. */
+  def d39BpeTokenizeDict(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"),
+      coalesce(col("text"), lit("")).as("text"))
+    Bpe.tokenizeByDict(docs, "text", "doc_id", BpeFixedMerges)
+      .select(col("doc_id"),
+        size(col("tokens")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("tokens"))).as("toks_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** One d38 oracle level: fixed pattern, recursion over DISTINCT
+    * WORDS (bounded), not documents — the replay mirrors
+    * [[Bpe.tokenizeByDict]]'s shape. */
+  private def bpeApplyLevel(i: Int, a: String, b: String): String = {
+    val pat = s" $a $b "
+    s""",
+       | r$i AS (
+       |  SELECT word, sym FROM s${i - 1}
+       |  UNION ALL
+       |  SELECT word, substr(sym, 1, strpos(sym, '$pat') - 1) || ' $a$b '
+       |    || substr(sym, strpos(sym, '$pat') + ${pat.length})
+       |  FROM r$i WHERE strpos(sym, '$pat') > 0
+       | ), s$i AS (
+       |  SELECT word, sym FROM r$i WHERE strpos(sym, '$pat') = 0
+       | )""".stripMargin
+  }
+
+  val d38Sql: String =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, regexp_extract_all(
+      |    lower(COALESCE(text, '')), '[a-z0-9]+') AS ws
+      |  FROM documents
+      |), wpos AS (
+      |  SELECT doc_id, u.i AS pos, u.w AS word FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      generate_series(1, len(ws)), i -> {'i': i, 'w': ws[i]})) AS u
+      |    FROM docs)
+      |), s0 AS (
+      |  SELECT word, ' ' || array_to_string(
+      |    regexp_extract_all(word, '.'), ' ') || ' ' AS sym
+      |  FROM (SELECT DISTINCT word FROM wpos)
+      |)""".stripMargin +
+      BpeFixedMerges.zipWithIndex.map { case ((a, b), i) =>
+        bpeApplyLevel(i + 1, a, b)
+      }.mkString +
+      s""",
+         | agg AS (
+         |  SELECT w.doc_id,
+         |    string_agg(trim(t.sym), ' ' ORDER BY w.pos) AS toks
+         |  FROM wpos w JOIN s${BpeFixedMerges.size} t USING (word)
+         |  GROUP BY w.doc_id
+         | )
+         |SELECT d.doc_id,
+         |  CASE WHEN a.toks IS NULL THEN 0
+         |       ELSE len(string_split(a.toks, ' ')) END::BIGINT
+         |    AS n_tokens,
+         |  md5(COALESCE(a.toks, '')) AS toks_md5
+         |FROM docs d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
+  val d39Sql: String = d38Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d37_bpe_train" -> (d37BpeTrain _),
+    "d38_bpe_apply" -> (d38BpeApply _),
+    "d39_bpe_tokenize_dict" -> (d39BpeTokenizeDict _),
     "d1_dedup_exact" -> (d1DedupExact _),
     "d2_text_stats" -> (d2TextStats _),
     "d3_fingerprint" -> (d3Fingerprint _),
@@ -2601,5 +2749,8 @@ object OpsQueries {
     "d34_quality_classifier" -> d34Sql,
     "d35_domain_counts" -> d35Sql,
     "d36_dedup_best" -> d36Sql,
+    "d37_bpe_train" -> d37Sql,
+    "d38_bpe_apply" -> d38Sql,
+    "d39_bpe_tokenize_dict" -> d39Sql,
   )
 }
