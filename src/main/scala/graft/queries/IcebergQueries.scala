@@ -791,6 +791,55 @@ object IcebergQueries {
       |FROM lineitem WHERE l_orderkey < 200
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** `CALL graft.system.rewrite_position_deletes` — three MoR DELETE
+    * commits accumulate ≥3 position-delete files; the rewrite
+    * consolidates them into ONE (report asserted in-query) without
+    * touching any data file, and the read-back through the SQL surface
+    * must still equal the triple-filtered oracle — the consolidated
+    * deletes delete exactly the same rows. */
+  def i31RewritePositionDeletes(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_orderkey") < 300)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("i31" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    var t = TableOps.append(Table.create(cat, TableIdentifier(ns, "li"),
+      SchemaConverters.fromSparkSchema(df.schema), io = io), df)
+    t = t.newDelete(s).where(Col("l_quantity").gt(45.0))
+      .withMergeOnRead(true).execute()
+    t = t.newDelete(s).where(Col("l_linenumber").eqTo(7))
+      .withMergeOnRead(true).execute()
+    t = t.newDelete(s).where(Col("l_quantity").lt(3.0))
+      .withMergeOnRead(true).execute()
+    val before = Maintenance.positionDeleteFiles(t)
+    require(before.size >= 3,
+      s"fixture accumulated only ${before.size} position-delete files")
+    val dataBefore = Scan(t, s).planFiles().map(_.file.filePath).toSet
+    val c = "g31" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val rep = s.sql(s"CALL $c.system.rewrite_position_deletes(" +
+      s"'${ns.mkString(".")}', 'li')").collect().head
+    require(rep.getLong(0) == before.size && rep.getLong(1) == 1L &&
+        rep.getLong(3) <= rep.getLong(2),
+      s"rewrite report inconsistent: $rep (before ${before.size})")
+    val after = t.refresh()
+    val dataAfter = Scan(after, s).planFiles().map(_.file.filePath).toSet
+    require(dataAfter == dataBefore,
+      "rewrite_position_deletes must not touch data files")
+    s.table(s"$c.${ns.mkString(".")}.li")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val i31Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey < 300 AND l_quantity <= 45.0
+      |  AND l_linenumber <> 7 AND l_quantity >= 3.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** Nested schema evolution + Spark nested-schema pruning, end-to-end
     * through the DSv2 source against the DuckDB oracle (round-9 verdict
     * #2: the last two rounds both found bugs in exactly this remap —
@@ -1649,6 +1698,7 @@ object IcebergQueries {
     "i29b_dedup_table_minhash" -> (i29bDedupTableMinhash _),
     "i29c_dedup_table_best" -> (i29cDedupTableBest _),
     "i30_cherrypick_snapshot" -> (i30CherrypickSnapshot _),
+    "i31_rewrite_pos_deletes" -> (i31RewritePositionDeletes _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -1698,6 +1748,7 @@ object IcebergQueries {
     "i29b_dedup_table_minhash" -> i29bSql,
     "i29c_dedup_table_best" -> i29cSql,
     "i30_cherrypick_snapshot" -> i30Sql,
+    "i31_rewrite_pos_deletes" -> i31Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

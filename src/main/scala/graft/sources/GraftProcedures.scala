@@ -36,7 +36,8 @@ private[sources] object GraftProcedures {
     "rollback_to_snapshot", "set_ref", "remove_ref",
     "remove_orphan_files", "rewrite_manifests", "create_changelog_view",
     "rewrite_data_files", "fast_forward", "add_files",
-    "register_table", "dedup_table", "cherrypick_snapshot")
+    "register_table", "dedup_table", "cherrypick_snapshot",
+    "rewrite_position_deletes")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -157,6 +158,8 @@ private[sources] class GraftBoundProcedure(
       pDefault("zorder_by", StringType, "''"),
       pDefault("target_file_size_bytes", LongType,
         (128L * 1024 * 1024).toString))
+    case "rewrite_position_deletes" => Array(
+      p("ns", StringType), p("table", StringType))
   }
 
   override def call(input: InternalRow): JIterator[V2Scan] = {
@@ -421,6 +424,24 @@ private[sources] class GraftBoundProcedure(
           .add("files_after", IntegerType)
           .add("strategy", StringType),
           Seq(before, now, if (zorderBy.isEmpty) "binpack" else "zorder"))
+      case "rewrite_position_deletes" =>
+        // consolidate MoR position-delete files: k accumulated delete
+        // commits -> ≤1 delete file per partition, dangling rows (data
+        // file compacted/CoW-rewritten away) dropped. Data untouched.
+        val before = Maintenance.positionDeleteFiles(t)
+        val after = Maintenance.rewritePositionDeletes(t, spark)
+        val changed = after.currentSnapshot.map(_.snapshotId) !=
+          t.currentSnapshot.map(_.snapshotId)
+        val now = if (changed) Maintenance.positionDeleteFiles(after)
+          else before
+        (new StructType()
+          .add("rewritten_delete_files", LongType)
+          .add("added_delete_files", LongType)
+          .add("rewritten_rows", LongType)
+          .add("added_rows", LongType),
+          if (changed) Seq(before.size.toLong, now.size.toLong,
+            before.map(_.recordCount).sum, now.map(_.recordCount).sum)
+          else Seq(0L, 0L, 0L, 0L))
     }
     val result: V2Scan = new LocalScan {
       override def readSchema(): StructType = schema

@@ -114,6 +114,83 @@ object Maintenance extends org.apache.spark.internal.Logging {
       deletedFilePaths = candidateSet ++ retiredDeletes))
   }
 
+  /** The table's live POSITION-delete files, deduped by path. */
+  def positionDeleteFiles(table: Table): Seq[DataFile] =
+    table.currentSnapshot.toSeq
+      .flatMap(table.manifestList)
+      .filter(_.content == ManifestContent.Deletes)
+      .flatMap(mf => table.readManifest(mf).liveEntries.map(_.dataFile))
+      .filter(_.content == FileContent.PositionDeletes)
+      .groupBy(_.filePath).map(_._2.head).toSeq
+
+  /** Consolidate the table's live POSITION-delete files (Iceberg's
+    * `rewrite_position_delete_files`): read them all, drop rows whose
+    * target data file is no longer live (dangling after compaction or
+    * CoW), dedup (path, pos) across files, and commit ONE `replace`
+    * snapshot that retires the old delete files for the consolidated
+    * set — data files are untouched. A table that took k small DELETE
+    * commits pays k delete-file reads on EVERY scan task it attaches
+    * to until this runs; afterwards at most one per partition.
+    *
+    * Only position deletes are rewritten. Equality deletes are
+    * sequence-gated (they delete rows from strictly OLDER data files),
+    * so re-committing one at a new sequence number would widen which
+    * rows it deletes; position deletes name explicit (file, pos) pairs
+    * and re-sequence safely.
+    *
+    * Scale: cost ∝ delete-file volume, never data volume. The live-
+    * path prune joins against the file LIST (metadata-bounded,
+    * broadcast); concurrent compaction that retires one of the same
+    * delete files fails the rebase via the deletedFilePaths overlap
+    * and retries on fresh state. */
+  def rewritePositionDeletes(table: Table, spark: SparkSession,
+      targetFileSizeBytes: Long = 64L * 1024 * 1024): Table =
+    Mutations.withConflictRetry(table)(
+      rewritePositionDeletesOnce(_, spark, targetFileSizeBytes))
+
+  private def rewritePositionDeletesOnce(t: Table,
+      spark: SparkSession, targetFileSizeBytes: Long): Table = {
+    import org.apache.spark.sql.functions.broadcast
+    val posFiles = positionDeleteFiles(t)
+    // one delete file is already consolidated — rewriting it forever
+    // on every maintenance pass would churn metadata for nothing
+    if (posFiles.size <= 1) return t
+    val snap = t.currentSnapshot.get // posFiles nonEmpty => snapshot
+    val dataEntries = t.manifestList(snap)
+      .filter(_.content == ManifestContent.Data)
+      .flatMap(mf => t.readManifest(mf).liveEntries
+        .map(e => (mf.partitionSpecId, e.dataFile)))
+    val liveDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        dataEntries.map(e => org.apache.spark.sql.Row(e._2.filePath)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType))))
+    val kept = spark.read.parquet(posFiles.map(_.filePath): _*)
+      .select(col("file_path").cast("string"),
+        org.apache.spark.sql.functions.col("pos").cast("long"))
+      .distinct()
+      .join(broadcast(liveDf), Seq("file_path"), "left_semi")
+    // same partition routing discipline as Mutations.deleteMoR: scope
+    // per-partition only when every live data file is on the default
+    // spec (older-spec tuples would mis-scope and resurrect rows)
+    val defaultSpecId = t.metadata.defaultSpecId
+    val pathToPartition =
+      if (dataEntries.forall(_._1 == defaultSpecId))
+        dataEntries.map { case (_, f) => f.filePath -> f.partition }.toMap
+      else Map.empty[String, Map[String, Any]]
+    // explicit output count — the writer's default range partitioning
+    // would otherwise fan a small delete set across
+    // spark.sql.shuffle.partitions files, the opposite of consolidation
+    val nOut = math.max(1L, (posFiles.map(_.fileSizeInBytes).sum
+      + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+    val newFiles = DeleteFileWriter.writePositionDeletesPartitioned(
+      t.metadata, kept, pathToPartition, numFiles = nOut)
+    t.commitSnapshot(PendingSnapshot(Operation.Replace,
+      addedDeleteFiles = newFiles,
+      deletedFilePaths = posFiles.map(_.filePath).toSet))
+  }
+
   /** Z-order rewrite (Iceberg's `rewrite_data_files(strategy =>
     * 'sort', sort_order => 'zorder(...)')`): rewrite ALL live data into
     * files clustered along the Morton curve of `columns`, so scans

@@ -178,6 +178,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scoring must join on the bucket key:\n$p")
   }
 
+  test("d39 BPE dict tokenization: dictionary equi-joins only, no " +
+      "cartesian/NLJ pairing") {
+    val p = staticPlan("d39_bpe_tokenize_dict")
+    assert(!p.toString.contains("CartesianProduct") &&
+      !p.toString.contains("BroadcastNestedLoopJoin"),
+      s"tokenize-by-dict must equi-join on the word key:\n$p")
+    // word-key join both ways + per-doc agg + output sort; anything
+    // beyond that means the corpus started shuffling per merge rule
+    assert(shuffles(p) <= 5,
+      s"tokenize-by-dict gained shuffles, got ${shuffles(p)}:\n$p")
+  }
+
+  test("d38 BPE expression tokenization: pure per-row pipeline — only " +
+      "the output sort shuffles") {
+    val p = staticPlan("d38_bpe_apply")
+    assert(shuffles(p) <= 1,
+      s"the expression tokenizer must stay per-row, got ${shuffles(p)}:\n$p")
+  }
+
   test("q1 pricing summary: one partial-agg shuffle + output sort") {
     val p = staticPlan("q1_pricing_summary")
     assert(shuffles(p) <= 2,

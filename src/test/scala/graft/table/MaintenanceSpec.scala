@@ -466,4 +466,55 @@ class RefExpirySpec extends AnyFunSuite {
       "the file expiry failed to delete must survive for the next pass")
     assert(Scan(expired, spark).toDF.count() == 10, "data intact")
   }
+
+  test("rewritePositionDeletes consolidates files, drops dangling rows, " +
+      "spares equality deletes, and no-ops when already consolidated") {
+    var t = freshTable("posrw")
+    t = TableOps.append(t, usersDf(1 to 50)) // F1
+    t = TableOps.append(t, usersDf(51 to 100)) // F2
+    t = Mutations.deleteMoR(t, spark, Col("id").lt(5L)) // P1 -> F1 rows
+    t = Mutations.deleteMoR(t, spark, Col("id").gt(95L)) // P2 -> F2 rows
+    val before = Maintenance.positionDeleteFiles(t)
+    assert(before.size >= 2, s"fixture needs >=2 delete files: $before")
+    // CoW-rewrite F1 (MoR deletes applied into the rewrite): P1's rows
+    // now reference a dead path — dangling
+    t = Mutations.deleteCoW(t, spark,
+      Col("id").gt(19L).and(Col("id").lt(31L)))
+    val expected = ((5 to 19) ++ (31 to 50) ++ (51 to 95)).map(_.toLong)
+    assert(Scan(t, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == expected)
+
+    val beforeRows =
+      Maintenance.positionDeleteFiles(t).map(_.recordCount).sum
+    val dataBefore = Scan(t, spark).planFiles().map(_.file.filePath).toSet
+    val t2 = Maintenance.rewritePositionDeletes(t, spark)
+    val after = Maintenance.positionDeleteFiles(t2)
+    assert(after.size == 1, s"expected 1 consolidated file, got $after")
+    assert(after.map(_.recordCount).sum < beforeRows,
+      "dangling rows (dead data path) must be dropped")
+    assert(Scan(t2, spark).planFiles().map(_.file.filePath).toSet ==
+      dataBefore, "data files must be untouched")
+    assert(Scan(t2, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == expected, "rows unchanged")
+
+    // already consolidated -> no new snapshot
+    val t3 = Maintenance.rewritePositionDeletes(t2, spark)
+    assert(t3.currentSnapshot.map(_.snapshotId) ==
+      t2.currentSnapshot.map(_.snapshotId), "single file must no-op")
+
+    // an equality delete must survive a later rewrite untouched
+    import spark.implicits._
+    val t4 = Mutations.deleteByKeys(t3, spark, Seq(60L).toDF("id"))
+    val t5 = Mutations.deleteMoR(t4, spark, Col("id").eqTo(40L))
+    val t6 = Maintenance.rewritePositionDeletes(t5, spark)
+    val eqLive = t6.currentSnapshot.toSeq.flatMap(t6.manifestList)
+      .filter(_.content == ManifestContent.Deletes)
+      .flatMap(mf => t6.readManifest(mf).liveEntries.map(_.dataFile))
+      .filter(_.content == FileContent.EqualityDeletes)
+    assert(eqLive.nonEmpty, "equality delete files must not be rewritten")
+    assert(Maintenance.positionDeleteFiles(t6).size == 1)
+    assert(Scan(t6, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      expected.filterNot(id => id == 60L || id == 40L))
+  }
 }
