@@ -195,6 +195,65 @@ object Packing {
         concat_ws(" ", col("__chunk")).as("chunk_text"))
   }
 
+  /** Content-defined chunking (the FastCDC/rolling-hash shape at token
+    * granularity): a chunk boundary falls AFTER token position e
+    * whenever the `window`-token span ending at e hashes into the
+    * boundary set (md5 hex starting with `boundaryPrefix`; P(cut) =
+    * 16^-len(prefix) per position), plus a forced final cut at the
+    * document end. Boundaries depend only on LOCAL content, so an
+    * insertion early in a document disturbs chunks only up to the next
+    * qualifying window — every later chunk re-aligns and keeps its
+    * digest. That re-alignment is what makes chunk-level dedup robust
+    * to edits; fixed-stride chunking ([[chunkByTokens]]) loses every
+    * chunk after an insertion. Deliberately unclamped (no min/max
+    * chunk size): expected chunk length is 16^len(prefix) tokens with
+    * a geometric tail, and clamping would make each cut depend on the
+    * previous one — a sequential fold both engines would then have to
+    * replay instead of an independent per-position test.
+    *
+    * Emits (id, chunk_idx, n_tokens, chunk_md5). Tokens are raw
+    * whitespace splits (no case folding — the digest must witness the
+    * source text). Pure per-row array expressions, no shuffle; md5 is
+    * the portable hash so the d40 oracle replays windows, cuts, and
+    * chunk digests verbatim in DuckDB (the d27 discipline). */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 5, boundaryPrefix: String = "0"): DataFrame = {
+    require(window > 0 && boundaryPrefix.nonEmpty &&
+      boundaryPrefix.forall("0123456789abcdef".contains(_)),
+      "window > 0; boundaryPrefix must be lowercase hex")
+    val toks = split(trim(col(textCol)), "\\s+")
+    val base = df
+      .where(col(textCol).isNotNull &&
+        length(trim(col(textCol))) > 0)
+      .select(col(idCol), toks.as("__toks"))
+    val n = size(col("__toks"))
+    // candidate cut positions: ascending by construction (transform
+    // over an ascending sequence), so the final forced cut appends
+    // in order — no sort, no order-destroying distinct
+    val cand = when(n < window, array().cast("array<int>"))
+      .otherwise(filter(
+        transform(sequence(lit(1), n - window + 1), i =>
+          when(substring(md5(concat_ws(" ",
+              slice(col("__toks"), i, lit(window)))),
+            1, boundaryPrefix.length) === boundaryPrefix,
+            (i + window - 1).cast("int"))
+            .otherwise(lit(null).cast("int"))),
+        x => x.isNotNull))
+    val cuts = when(size(cand) > 0 && element_at(cand, -1) === n, cand)
+      .otherwise(concat(cand, array(n.cast("int"))))
+    base.select(col(idCol), col("__toks"), cuts.as("__cuts"))
+      .select(col(idCol), col("__toks"), col("__cuts"),
+        posexplode(col("__cuts")).as(Seq("__k", "__end")))
+      .withColumn("__prev", when(col("__k") === 0, lit(0))
+        .otherwise(element_at(col("__cuts"), col("__k"))))
+      .select(col(idCol), col("__k").cast("long").as("chunk_idx"),
+        slice(col("__toks"), col("__prev") + 1,
+          col("__end") - col("__prev")).as("__chunk"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_md5"))
+  }
+
   /** Temperature-style corpus rebalancing: each stratum's quota is
     * `ceil(n^(1/temperature))` of its own row count, rows chosen by the
     * same portable md5 order as [[stratifiedSample]] — big sources are

@@ -2627,7 +2627,52 @@ object OpsQueries {
 
   val d39Sql: String = d38Sql
 
+  // ----------------- d40 content-defined chunking (oracle)
+  /** [[Packing.cdcChunks]] over every document: chunk boundaries where
+    * the 5-token window's md5 starts with '0' (expected chunk ≈ 16
+    * tokens), forced final cut at the document end. The oracle replays
+    * windows, cut positions, and per-chunk digests verbatim. */
+  def d40CdcChunks(s: SparkSession, dir: String): DataFrame =
+    Packing.cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id", "chunk_idx")
+
+  val d40Sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+      |      ' ') AS tk
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+      |), cand AS (
+      |  SELECT doc_id, tk, len(tk) AS n,
+      |    CASE WHEN len(tk) < 5 THEN CAST([] AS BIGINT[])
+      |    ELSE list_filter(list_transform(generate_series(1, len(tk) - 4),
+      |      i -> CASE WHEN substr(md5(
+      |             array_to_string(tk[i:i+4], ' ')), 1, 1) = '0'
+      |           THEN i + 4 END), x -> x IS NOT NULL) END AS c
+      |  FROM docs
+      |), cuts AS (
+      |  SELECT doc_id, tk,
+      |    CASE WHEN len(c) > 0 AND c[-1] = n THEN c
+      |         ELSE list_append(c, n) END AS cuts
+      |  FROM cand
+      |), chunks AS (
+      |  SELECT doc_id, u.k - 1 AS chunk_idx,
+      |    CASE WHEN u.k = 1 THEN 0 ELSE cuts[u.k - 1] END AS prev,
+      |    cuts[u.k] AS e, tk
+      |  FROM (SELECT doc_id, tk, cuts,
+      |          unnest(list_transform(generate_series(1, len(cuts)),
+      |            k -> {'k': k})) AS u
+      |        FROM cuts)
+      |)
+      |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+      |  (e - prev)::BIGINT AS n_tokens,
+      |  md5(array_to_string(tk[prev+1:e], ' ')) AS chunk_md5
+      |FROM chunks
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d40_cdc_chunks" -> (d40CdcChunks _),
     "d37_bpe_train" -> (d37BpeTrain _),
     "d38_bpe_apply" -> (d38BpeApply _),
     "d39_bpe_tokenize_dict" -> (d39BpeTokenizeDict _),
@@ -2752,5 +2797,6 @@ object OpsQueries {
     "d37_bpe_train" -> d37Sql,
     "d38_bpe_apply" -> d38Sql,
     "d39_bpe_tokenize_dict" -> d39Sql,
+    "d40_cdc_chunks" -> d40Sql,
   )
 }

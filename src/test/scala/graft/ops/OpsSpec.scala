@@ -797,6 +797,44 @@ class PackingSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(covered == (1 to 10).map(i => s"t$i").toSet)
   }
 
+  test("CDC chunking: boundaries are content-defined — chunks re-align " +
+      "after an insertion; partition + edge cases hold") {
+    val body = (1 to 400).map(i => s"w${i * 7 % 131}x$i").mkString(" ")
+    val df = Seq(
+      (1L, body),
+      (2L, "PREFIX INSERTED TOKENS " + body), // early edit, same body
+      (3L, "a b"),                            // shorter than the window
+      (4L, "")                                // no chunks
+    ).toDF("doc_id", "text")
+    val out = Packing.cdcChunks(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1._1)
+    // every token is in exactly one chunk: sizes sum to the doc length
+    assert(byDoc(1L).map(_._2._1).sum == 400L)
+    assert(byDoc(3L).toSeq == Seq((3L, 0L) -> ((2L, md5Hex("a b")))),
+      "short doc = one whole-doc chunk")
+    assert(!byDoc.contains(4L), "empty doc yields no chunks")
+    // the CDC property: after the first shared boundary, doc 2's chunk
+    // digests re-align with doc 1's — a prefix edit does not cascade
+    val d1 = byDoc(1L).toSeq.sortBy(_._1._2).map(_._2._2)
+    val d2 = byDoc(2L).toSeq.sortBy(_._1._2).map(_._2._2)
+    val shared = d1.toSet.intersect(d2.toSet)
+    assert(shared.size >= d1.size - 2,
+      s"expected all but the first chunk(s) to re-align, " +
+        s"shared ${shared.size} of ${d1.size}")
+    // and the realigned suffix is in the same order
+    val tail1 = d1.dropWhile(!shared.contains(_))
+    val tail2 = d2.dropWhile(!shared.contains(_))
+    assert(tail1 == tail2, "re-aligned chunk sequence must match")
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
   test("temperature sample: ceil(sqrt(n)) per stratum, deterministic") {
     val df = ((1L to 100L).map(i => (i, "big")) ++
       (101L to 109L).map(i => (i, "small"))).toDF("doc_id", "source")
