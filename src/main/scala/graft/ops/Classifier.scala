@@ -53,9 +53,14 @@ object Classifier {
         .where(col("__t") =!= "")
         .select(featureBucket(col("__t")).as("bucket"))
         .groupBy("bucket").agg(count(lit(1)).as(name))
+    // the SCALE·(p+1) product runs through decimal(38,0): with 65 536
+    // buckets a hot-token bucket can exceed Long.Max/SCALE ≈ 9.2e9
+    // occurrences at corpus scale, and the Long product would throw
+    // under ANSI (or wrap). div on decimals still yields the exact
+    // integral quotient as a long.
     counts(pos, "__p").join(counts(neg, "__n"), Seq("bucket"), "full")
       .select(col("bucket"), expr(
-        s"$Scale * (coalesce(__p, 0L) + 1L) div " +
+        s"cast($Scale as decimal(38,0)) * (coalesce(__p, 0L) + 1L) div " +
           s"(coalesce(__p, 0L) + coalesce(__n, 0L) + 2L) - ${Scale / 2}")
         .as("weight_scaled"))
   }

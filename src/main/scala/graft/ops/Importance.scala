@@ -60,9 +60,14 @@ object Importance {
     val tCounts = buckets(target).groupBy(cB)
       .agg(count(lit(1)).as(cT))
     // weights only needed for buckets the SOURCE can produce
+    // decimal(38,0) product: a hot bucket past ~9.2e9 target
+    // occurrences would overflow the Long SCALE·(t+1) product at
+    // corpus scale (throwing under ANSI); decimal div keeps the exact
+    // integral quotient as a long
     val model = sCounts.join(tCounts, Seq(cB), "left")
       .select(col(cB), expr(
-        s"$Scale * (coalesce(`$cT`, 0L) + 1L) div (`$cS` + $Buckets)")
+        s"cast($Scale as decimal(38,0)) * (coalesce(`$cT`, 0L) + 1L) " +
+          s"div (`$cS` + $Buckets)")
         .as("__w"))
     val perDoc = buckets(source, col(idCol))
       .join(broadcast(model), cB)

@@ -172,9 +172,15 @@ object Packing {
       "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
     // raw whitespace tokens (no case folding — chunk text must be
-    // faithful to the source document)
-    val toks = split(trim(col(textCol)), "\\s+")
-    val n = when(length(trim(col(textCol))) === 0, lit(0L))
+    // faithful to the source document). Whitespace is collapsed BEFORE
+    // the trim: Spark's trim() strips only spaces and split(limit -1)
+    // keeps edge empty strings, so text ending in '\n' would otherwise
+    // grow a phantom '' token that inflates n_tokens and shifts every
+    // chunk. chunk_text space-joins tokens anyway, so collapsing runs
+    // of whitespace loses no digest information.
+    val normText = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val toks = split(normText, " ")
+    val n = when(length(normText) === 0, lit(0L))
       .otherwise(size(toks).cast("long"))
     // exact integer ceil((n - chunkSize) / stride) + 1, floor-safe for
     // positives; doubles are exact far beyond any real token count
@@ -221,10 +227,15 @@ object Packing {
     require(window > 0 && boundaryPrefix.nonEmpty &&
       boundaryPrefix.forall("0123456789abcdef".contains(_)),
       "window > 0; boundaryPrefix must be lowercase hex")
-    val toks = split(trim(col(textCol)), "\\s+")
+    // collapse whitespace before the trim (same rationale as
+    // [[chunkByTokens]]): otherwise newline-terminated text — common in
+    // crawled corpora — grows a phantom '' edge token that shifts every
+    // window hash and chunk digest, and an all-'\n' document would slip
+    // past the space-only trim() emptiness filter
+    val normText = trim(regexp_replace(col(textCol), "\\s+", " "))
+    val toks = split(normText, " ")
     val base = df
-      .where(col(textCol).isNotNull &&
-        length(trim(col(textCol))) > 0)
+      .where(col(textCol).isNotNull && length(normText) > 0)
       .select(col(idCol), toks.as("__toks"))
     val n = size(col("__toks"))
     // candidate cut positions: ascending by construction (transform

@@ -316,6 +316,57 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Train PQ codebooks on the corpus: per contiguous subspace, a
+    * KMeans fit (Spark ML, fixed per-subspace seed) over the vector
+    * SLICES of a bounded deterministic sample — the [[ivfTopK]] fit
+    * discipline applied m times. The sample is drawn ONCE and cached,
+    * so the corpus is scanned once however many subspaces there are;
+    * each fit then iterates only the ≤ `maxFitRows` sample. Vectors
+    * shorter than the (max-length) trained dimension are excluded
+    * from the fit; sub-dimension is `max(1, dim / m)` — the
+    * [[pqEncode]] convention, so trained codebooks plug straight into
+    * [[pqTopKWithCodebooks]] (the e15b gate replays exactly that
+    * composition with the trained centroids as oracle literals). */
+  def pqTrainCodebooks(corpus: DataFrame, m: Int, ksub: Int,
+      seed: Long = 42L, vecCol: String = "embedding",
+      maxFitRows: Long = 100000L,
+      rowCountHint: Option[Long] = None): Seq[Seq[Array[Double]]] = {
+    require(m > 0 && ksub > 0, "need m > 0 subspaces, ksub > 0 centroids")
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val v = corpus.select(col(vecCol).cast("array<double>").as("__v"))
+    val corpusRows = rowCountHint.getOrElse(v.count())
+    val sampled =
+      if (corpusRows <= maxFitRows) v
+      else v.sample(withReplacement = false,
+        math.min(1.0, maxFitRows.toDouble * 1.1 / corpusRows), seed)
+    val dim = sampled.agg(max(size(col("__v"))).as("d")).head(1)
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0)))
+      .getOrElse(throw new IllegalArgumentException(
+        "pqTrainCodebooks: empty corpus"))
+    val dsub = math.max(1, dim / m)
+    val fit = sampled.where(size(col("__v")) === dim).cache()
+    try (0 until m).map { j =>
+      val sub = fit.select(array_to_vector(
+        slice(col("__v"), j * dsub + 1, dsub)).as("__features"))
+      new KMeans().setK(ksub).setSeed(seed + j)
+        .setFeaturesCol("__features").setPredictionCol("__cell")
+        .fit(sub).clusterCenters.map(_.toArray).toSeq
+    } finally fit.unpersist()
+  }
+
+  /** PQ top-k with a bounded-sample trained codebook — the composition
+    * a user runs when no codebook is planted: [[pqTrainCodebooks]] +
+    * [[pqTopKWithCodebooks]]. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 4, ksub: Int = 8, seed: Long = 42L,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      maxFitRows: Long = 100000L,
+      rowCountHint: Option[Long] = None): DataFrame =
+    pqTopKWithCodebooks(corpus, queries,
+      pqTrainCodebooks(corpus, m, ksub, seed, vecCol, maxFitRows,
+        rowCountHint), k, vecCol, idCol)
+
   /** Scalar int8 quantization of an embedding column — the 4x storage
     * shrink an embedding store applies before indexing (per-vector
     * min/max affine codes, the FAISS `SQ8` scheme). Returns one row per

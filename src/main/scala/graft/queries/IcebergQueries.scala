@@ -613,7 +613,8 @@ object IcebergQueries {
     * INSERT through the DSv2 catalog, one CALL, then the table read
     * back. Exact mode keeps the min id per normalized-text
     * fingerprint (natural exact dups in the corpus collapse too — the
-    * oracle groups by the same md5). */
+    * oracle groups by the same md5); NULL-text rows are exempt from
+    * the collapse, aligned across all three procedure modes. */
   def i29DedupTable(s: SparkSession, dir: String): DataFrame = {
     val tableId = dedupTableFixture(s, dir, withQuality = false)
     callDedupTable(s, tableId, ")")
@@ -625,9 +626,12 @@ object IcebergQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
       |)
-      |SELECT min(doc_id) AS doc_id FROM planted
-      |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
-      |ORDER BY doc_id""".stripMargin
+      |SELECT doc_id FROM (
+      |  SELECT min(doc_id) AS doc_id FROM planted WHERE text IS NOT NULL
+      |  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |  UNION ALL
+      |  SELECT doc_id FROM planted WHERE text IS NULL
+      |) ORDER BY doc_id""".stripMargin
 
   /** Shared fixture for the i29 family: the sub-100 documents plus an
     * exact copy of each at id + 1 000 000 (and, when `withQuality`, a
@@ -838,6 +842,58 @@ object IcebergQueries {
       |FROM lineitem
       |WHERE l_orderkey < 300 AND l_quantity <= 45.0
       |  AND l_linenumber <> 7 AND l_quantity >= 3.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** `CALL graft.system.rewrite_equality_deletes` — two `deleteByKeys`
+    * commits accumulate equality-delete files (which ordinary
+    * maintenance could never merge: their sequence gates forbid
+    * re-commit), plus one MoR position delete; the rewrite converts
+    * the equality files to position deletes and consolidates the lot
+    * into ONE position-delete file, retiring every equality file, with
+    * data files untouched — and the read-back through the SQL surface
+    * must still equal the triple-filtered oracle. */
+  def i32RewriteEqualityDeletes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val df = s.read.parquet(s"$dir/lineitem.parquet")
+      .where(col("l_orderkey") < 300)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("i32" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    var t = TableOps.append(Table.create(cat, TableIdentifier(ns, "li"),
+      SchemaConverters.fromSparkSchema(df.schema), io = io), df)
+    t = Mutations.deleteByKeys(t, s, Seq(3L, 7L, 32L).toDF("l_orderkey"))
+    t = Mutations.deleteByKeys(t, s, Seq(66L, 97L).toDF("l_orderkey"))
+    t = t.newDelete(s).where(Col("l_quantity").gt(45.0))
+      .withMergeOnRead(true).execute()
+    val eqBefore = Maintenance.equalityDeleteFiles(t)
+    require(eqBefore.size >= 2,
+      s"fixture accumulated only ${eqBefore.size} equality-delete files")
+    val dataBefore = Scan(t, s).planFiles().map(_.file.filePath).toSet
+    val c = "g32" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val rep = s.sql(s"CALL $c.system.rewrite_equality_deletes(" +
+      s"'${ns.mkString(".")}', 'li')").collect().head
+    require(rep.getLong(0) == eqBefore.size && rep.getLong(2) == 1L,
+      s"rewrite report inconsistent: $rep (eq before ${eqBefore.size})")
+    val after = t.refresh()
+    require(Maintenance.equalityDeleteFiles(after).isEmpty,
+      "every equality-delete file must be retired")
+    require(Maintenance.positionDeleteFiles(after).size == 1,
+      "position deletes must consolidate to one file")
+    require(Scan(after, s).planFiles().map(_.file.filePath).toSet ==
+      dataBefore, "rewrite_equality_deletes must not touch data files")
+    s.table(s"$c.${ns.mkString(".")}.li")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val i32Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem
+      |WHERE l_orderkey < 300 AND l_quantity <= 45.0
+      |  AND l_orderkey NOT IN (3, 7, 32, 66, 97)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** Nested schema evolution + Spark nested-schema pruning, end-to-end
@@ -1699,6 +1755,7 @@ object IcebergQueries {
     "i29c_dedup_table_best" -> (i29cDedupTableBest _),
     "i30_cherrypick_snapshot" -> (i30CherrypickSnapshot _),
     "i31_rewrite_pos_deletes" -> (i31RewritePositionDeletes _),
+    "i32_rewrite_eq_deletes" -> (i32RewriteEqualityDeletes _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -1749,6 +1806,7 @@ object IcebergQueries {
     "i29c_dedup_table_best" -> i29cSql,
     "i30_cherrypick_snapshot" -> i30Sql,
     "i31_rewrite_pos_deletes" -> i31Sql,
+    "i32_rewrite_eq_deletes" -> i32Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

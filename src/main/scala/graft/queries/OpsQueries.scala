@@ -29,9 +29,11 @@ object OpsQueries {
   val d1Sql: String =
     """SELECT d.lang, COUNT(*) AS n
       |FROM documents d
-      |JOIN (SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
-      |             MIN(doc_id) AS keep
-      |      FROM documents GROUP BY 1) k
+      |JOIN (SELECT MIN(doc_id) AS keep
+      |      FROM documents WHERE text IS NOT NULL
+      |      GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+      |      UNION ALL
+      |      SELECT doc_id FROM documents WHERE text IS NULL) k
       |  ON d.doc_id = k.keep
       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
 
@@ -769,6 +771,96 @@ object OpsQueries {
        |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
+  // ------ e15b PQ-ADC trained-codebook verify (stash-literal oracle)
+  /** Codebooks trained by the last [[e15bPqAdcTrained]] run in this
+    * JVM — the oracle SQL embeds them as literals. Populated before
+    * the oracle is built: Verify runs every query FIRST and dumps
+    * `oracle_sql.json` last, and [[oracles]] is a `def` so the map is
+    * (re)built at dump time. */
+  @volatile private var e15bStash: Option[Seq[Seq[Array[Double]]]] = None
+
+  /** The TRAINED-codebook PQ path, hash-gated at last (e15 plants LCG
+    * codebooks to bypass seed dependence; this gate closes the gap for
+    * the path users actually run): [[Similarity.pqTrainCodebooks]]
+    * fits per-subspace KMeans on the real embeddings fixture
+    * (bounded sample, fixed seed), the codebooks are stashed, and the
+    * DuckDB oracle replays encode + ADC + ranking with the trained
+    * centroids as double literals (Double.toString shortest-repr
+    * round-trips exactly through DuckDB's correctly-rounded parser).
+    * Rank-only output keeps the hash insensitive to float printing. */
+  def e15bPqAdcTrained(s: SparkSession, dir: String): DataFrame = {
+    val emb0 = t(s, dir, "embeddings")
+    val dim = emb0.agg(max(size(col("embedding"))).as("d")).head(1)
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0)))
+      .getOrElse(64)
+    val emb = emb0.where(size(col("embedding")) === dim)
+    val cbs = Similarity.pqTrainCodebooks(emb, E15M, E15Ksub,
+      seed = 4242L)
+    e15bStash = Some(cbs)
+    Similarity.pqTopKWithCodebooks(emb, emb.filter(col("vec_id") < 3),
+        cbs, k = 5)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** e15b oracle: generic literal-codebook PQ replay (the VALUES CTE
+    * keeps the SQL size O(m·ksub) rows instead of e15's unrolled
+    * O(m·ksub) expressions). Argmin tie-break (d2 asc, c asc), the
+    * j-ordered ADC fold, and the (dist asc, nid asc) rank mirror the
+    * Spark side's total orders exactly. */
+  private def e15bSql: String = e15bStash match {
+    case None =>
+      // dev-subset runs that skip e15b have no stash (and no spark
+      // output either) — emit a schema-shaped empty result
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid," +
+        " CAST(NULL AS BIGINT) AS rank WHERE 1 = 0"
+    case Some(cbs) =>
+      val values = (for {
+        (cb, j) <- cbs.zipWithIndex
+        (cent, c) <- cb.zipWithIndex
+      } yield s"($j, $c, [${cent.mkString(", ")}])").mkString(",\n    ")
+      s"""WITH dim AS (
+         |  SELECT max(len(embedding)) AS d FROM embeddings
+         |), corpus AS (
+         |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
+         |), q0 AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings
+         |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
+         |), cents(j, c, v) AS (
+         |  VALUES $values
+         |), cdist AS (
+         |  SELECT nid, j, c,
+         |    list_reduce(list_transform(generate_series(1, len(v)),
+         |      i -> (cv[j * len(v) + i] - v[i])
+         |         * (cv[j * len(v) + i] - v[i])),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM corpus CROSS JOIN cents
+         |), codes AS (
+         |  SELECT nid, j, (list(c ORDER BY d2 ASC, c ASC))[1] AS code
+         |  FROM cdist GROUP BY nid, j
+         |), qdist AS (
+         |  SELECT qid, j, c,
+         |    list_reduce(list_transform(generate_series(1, len(v)),
+         |      i -> (qv[j * len(v) + i] - v[i])
+         |         * (qv[j * len(v) + i] - v[i])),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM q0 CROSS JOIN cents
+         |), adc AS (
+         |  SELECT q.qid, k.nid,
+         |    list_reduce(list(q.d2 ORDER BY q.j),
+         |      (acc, x) -> acc + x) AS dist
+         |  FROM codes k JOIN qdist q ON q.j = k.j AND q.c = k.code
+         |  WHERE k.nid <> q.qid
+         |  GROUP BY q.qid, k.nid
+         |)
+         |SELECT qid, nid, rank FROM (
+         |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY dist ASC, nid ASC) AS rank FROM adc
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   // --------------------- ccb connected-components verify (oracle)
   /** Planted doc-id graph: chains of 10 (ids < 200, `k → k+1` except
     * across decade boundaries), 5-cliques (ids 200–299, all pairs
@@ -1297,11 +1389,15 @@ object OpsQueries {
       .orderBy("doc_id", "chunk_idx")
 
   val d16Sql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+    """WITH norm AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(text, '\s+', ' ', 'g')) AS nt
       |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, string_split(nt, ' ') AS tk,
+      |    CASE WHEN length(nt) = 0 THEN 0
+      |         ELSE len(string_split(nt, ' ')) END AS n
+      |  FROM norm
       |), counted AS (
       |  SELECT doc_id, tk,
       |    CASE WHEN n = 0 THEN 0
@@ -2642,7 +2738,8 @@ object OpsQueries {
       |    string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
       |      ' ') AS tk
       |  FROM documents
-      |  WHERE text IS NOT NULL AND length(trim(text)) > 0
+      |  WHERE text IS NOT NULL
+      |    AND length(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0
       |), cand AS (
       |  SELECT doc_id, tk, len(tk) AS n,
       |    CASE WHEN len(tk) < 5 THEN CAST([] AS BIGINT[])
@@ -2697,6 +2794,7 @@ object OpsQueries {
     "e4b_embedding_dedup_verify" -> (e4bEmbeddingDedupVerify _),
     "e3b_ivf_planted_verify" -> (e3bIvfPlantedVerify _),
     "e15_pq_adc_verify" -> (e15PqAdcVerify _),
+    "e15b_pq_adc_trained" -> (e15bPqAdcTrained _),
     "ccb_components_verify" -> (ccbComponentsVerify _),
     "d9_seq_pack" -> (d9SeqPack _),
     "d10_stratified_sample" -> (d10StratifiedSample _),
@@ -2738,7 +2836,10 @@ object OpsQueries {
     "d36_dedup_best" -> (d36DedupBest _),
   )
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: e15b's oracle embeds codebooks trained when the
+  // query RAN — Verify dumps oracle_sql.json after the query loop, so
+  // rebuilding the map at dump time picks the stash up
+  def oracles: Map[String, String] = Map(
     "d1_dedup_exact" -> d1Sql,
     "d4_lang_id" -> d4Sql,
     "d2_text_stats" -> d2Sql,
@@ -2755,6 +2856,7 @@ object OpsQueries {
     "e4b_embedding_dedup_verify" -> e4bSql,
     "e3b_ivf_planted_verify" -> e3bSql,
     "e15_pq_adc_verify" -> e15Sql,
+    "e15b_pq_adc_trained" -> e15bSql,
     "ccb_components_verify" -> ccbSql,
     "d9_seq_pack" -> d9Sql,
     "d10_stratified_sample" -> d10Sql,

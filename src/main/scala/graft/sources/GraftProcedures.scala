@@ -37,7 +37,7 @@ private[sources] object GraftProcedures {
     "remove_orphan_files", "rewrite_manifests", "create_changelog_view",
     "rewrite_data_files", "fast_forward", "add_files",
     "register_table", "dedup_table", "cherrypick_snapshot",
-    "rewrite_position_deletes")
+    "rewrite_position_deletes", "rewrite_equality_deletes")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -160,6 +160,8 @@ private[sources] class GraftBoundProcedure(
         (128L * 1024 * 1024).toString))
     case "rewrite_position_deletes" => Array(
       p("ns", StringType), p("table", StringType))
+    case "rewrite_equality_deletes" => Array(
+      p("ns", StringType), p("table", StringType))
   }
 
   override def call(input: InternalRow): JIterator[V2Scan] = {
@@ -209,8 +211,16 @@ private[sources] class GraftBoundProcedure(
           throw new IllegalArgumentException(
             s"cherrypick_snapshot: snapshot $sid is already an ancestor " +
               "of the current snapshot — nothing to publish")
+        // the summary must be PRESENT and say Append: a summary-less
+        // snapshot could be a delete/rewrite whose Added entries would
+        // re-deliver pre-existing rows if republished as an append
         val op = src.summary.map(_.operation)
-        if (!op.forall(_ == graft.spec.Operation.Append))
+        if (op.isEmpty)
+          throw new UnsupportedOperationException(
+            s"cherrypick_snapshot: snapshot $sid has no operation " +
+              "summary — cannot prove it is append-only, refusing to " +
+              "republish its Added files")
+        if (!op.contains(graft.spec.Operation.Append))
           throw new UnsupportedOperationException(
             s"cherrypick_snapshot: snapshot $sid is a " +
               s"${op.map(_.name).getOrElse("?")} — only append snapshots " +
@@ -366,11 +376,13 @@ private[sources] class GraftBoundProcedure(
         // number must not cost a second full-table pass
         val before = scan.count()
         val after = graft.table.Mutations.overwrite(t, spark, kept)
-        // kept count from the COMMITTED snapshot's counters, not a
-        // second job over the kept frame
+        // kept count from the COMMITTED snapshot's counters; if a
+        // counter is ever absent, fall back to the committed
+        // snapshot's (metadata-only) count rather than reporting a
+        // nonsense negative
         val added = after.currentSnapshot.flatMap(_.summary)
           .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
-          .getOrElse(-1L)
+          .getOrElse(graft.table.Scan(after, spark).count())
         (new StructType().add("docs_before", LongType)
           .add("docs_kept", LongType).add("docs_removed", LongType),
           Seq(before, added, before - added))
@@ -441,6 +453,26 @@ private[sources] class GraftBoundProcedure(
           .add("added_rows", LongType),
           if (changed) Seq(before.size.toLong, now.size.toLong,
             before.map(_.recordCount).sum, now.map(_.recordCount).sum)
+          else Seq(0L, 0L, 0L, 0L))
+      case "rewrite_equality_deletes" =>
+        // convert equality-delete files to position deletes and retire
+        // them (merging them AS equality files would widen their
+        // sequence gates); consolidates with the existing position
+        // deletes in the same replace snapshot. Data untouched.
+        val eqBefore = Maintenance.equalityDeleteFiles(t)
+        val posBefore = Maintenance.positionDeleteFiles(t)
+        val after = Maintenance.rewriteEqualityDeletes(t, spark)
+        val changed = after.currentSnapshot.map(_.snapshotId) !=
+          t.currentSnapshot.map(_.snapshotId)
+        val posNow = if (changed) Maintenance.positionDeleteFiles(after)
+          else posBefore
+        (new StructType()
+          .add("rewritten_equality_files", LongType)
+          .add("rewritten_position_files", LongType)
+          .add("added_position_files", LongType)
+          .add("added_rows", LongType),
+          if (changed) Seq(eqBefore.size.toLong, posBefore.size.toLong,
+            posNow.size.toLong, posNow.map(_.recordCount).sum)
           else Seq(0L, 0L, 0L, 0L))
     }
     val result: V2Scan = new LocalScan {

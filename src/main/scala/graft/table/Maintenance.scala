@@ -191,6 +191,91 @@ object Maintenance extends org.apache.spark.internal.Logging {
       deletedFilePaths = posFiles.map(_.filePath).toSet))
   }
 
+  /** The table's live EQUALITY-delete files, deduped by path. */
+  def equalityDeleteFiles(table: Table): Seq[DataFile] =
+    table.currentSnapshot.toSeq
+      .flatMap(table.manifestList)
+      .filter(_.content == ManifestContent.Deletes)
+      .flatMap(mf => table.readManifest(mf).liveEntries.map(_.dataFile))
+      .filter(_.content == FileContent.EqualityDeletes)
+      .groupBy(_.filePath).map(_._2.head).toSeq
+
+  /** Retire the table's EQUALITY-delete files by converting them to
+    * position deletes, consolidated with the existing position-delete
+    * files into one `replace` snapshot — the missing half of
+    * [[rewritePositionDeletes]]' maintenance story: after heavy
+    * `deleteByKeys` churn a table otherwise accumulates equality
+    * files forever (every scan task re-reads and re-joins them) until
+    * a full compaction.
+    *
+    * Equality files cannot be merged AS equality files: they are
+    * sequence-gated (each deletes rows only from strictly OLDER data
+    * files), so re-committing one at a new sequence number would widen
+    * which rows it deletes. Conversion sidesteps that: the rows each
+    * equality delete kills TODAY are materialized as explicit
+    * `(file_path, pos)` pairs (sequence gating applied per data file
+    * by the scan planner), which re-sequence safely, and data files
+    * appended AFTER an equality delete were never affected by it — so
+    * the converted table reads identically now and forever. Keys that
+    * match no live row (dangling after compaction/CoW) simply produce
+    * no positions and vanish with the retired file.
+    *
+    * Scale: reads only the KEY columns of data files that carry
+    * equality deletes plus the delete-file volume itself — cost ∝
+    * delete-touched files, never table volume; far cheaper than the
+    * full-rewrite compaction that is otherwise the only way out. */
+  def rewriteEqualityDeletes(table: Table, spark: SparkSession,
+      targetFileSizeBytes: Long = 64L * 1024 * 1024): Table =
+    Mutations.withConflictRetry(table)(
+      rewriteEqualityDeletesOnce(_, spark, targetFileSizeBytes))
+
+  private def rewriteEqualityDeletesOnce(t: Table,
+      spark: SparkSession, targetFileSizeBytes: Long): Table = {
+    import org.apache.spark.sql.functions.broadcast
+    val eqFiles = equalityDeleteFiles(t)
+    if (eqFiles.isEmpty) return t
+    val snap = t.currentSnapshot.get // eqFiles nonEmpty => snapshot
+    // the rows the equality deletes kill TODAY, as (file_path, pos) —
+    // per-file sequence gating inherited from the scan planner
+    val converted = Scan(t, spark).equalityMatchedPositions()
+    val posFiles = positionDeleteFiles(t)
+    val existing =
+      if (posFiles.isEmpty) converted.limit(0)
+      else spark.read.parquet(posFiles.map(_.filePath): _*)
+        .select(col("file_path").cast("string"), col("pos").cast("long"))
+    val dataEntries = t.manifestList(snap)
+      .filter(_.content == ManifestContent.Data)
+      .flatMap(mf => t.readManifest(mf).liveEntries
+        .map(e => (mf.partitionSpecId, e.dataFile)))
+    // live-path prune retires dangling POSITION rows in the same pass
+    // (converted rows are live by construction — they were read from
+    // live data files)
+    val liveDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        dataEntries.map(e => org.apache.spark.sql.Row(e._2.filePath)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file_path",
+          org.apache.spark.sql.types.StringType))))
+    val kept = converted.unionAll(existing).distinct()
+      .join(broadcast(liveDf), Seq("file_path"), "left_semi")
+    val defaultSpecId = t.metadata.defaultSpecId
+    val pathToPartition =
+      if (dataEntries.forall(_._1 == defaultSpecId))
+        dataEntries.map { case (_, f) => f.filePath -> f.partition }.toMap
+      else Map.empty[String, Map[String, Any]]
+    val nOut = math.max(1L,
+      ((posFiles ++ eqFiles).map(_.fileSizeInBytes).sum
+        + targetFileSizeBytes - 1) / targetFileSizeBytes).toInt
+    // zero-record outputs (every key dangling, no position rows) are
+    // dropped from the commit — orphan GC reclaims the empty files
+    val newFiles = DeleteFileWriter.writePositionDeletesPartitioned(
+      t.metadata, kept, pathToPartition, numFiles = nOut)
+      .filter(_.recordCount > 0)
+    t.commitSnapshot(PendingSnapshot(Operation.Replace,
+      addedDeleteFiles = newFiles,
+      deletedFilePaths = (eqFiles ++ posFiles).map(_.filePath).toSet))
+  }
+
   /** Z-order rewrite (Iceberg's `rewrite_data_files(strategy =>
     * 'sort', sort_order => 'zorder(...)')`): rewrite ALL live data into
     * files clustered along the Morton curve of `columns`, so scans

@@ -594,6 +594,71 @@ class Scan private (
     df
   }
 
+  /** Positions of live data rows matched by the scan's EQUALITY
+    * deletes, as a `(file_path, pos)` frame — the data-side half of
+    * [[Maintenance.rewriteEqualityDeletes]]' eq→position conversion.
+    * Sequence gating is inherited from [[planFiles]] (a delete only
+    * ever attaches to strictly-older data files), so grouping tasks by
+    * their exact attached key-set applies each delete to exactly the
+    * files it gates — the same discipline as `exactEqApply`, with the
+    * anti-join flipped to a semi-join. Cost: reads ONLY the key
+    * columns of data files that carry equality deletes (column-pruned
+    * parquet scan), never full rows, and files without an equality
+    * delete attached are skipped entirely. */
+  private[table] def equalityMatchedPositions(): DataFrame = {
+    import org.apache.spark.sql.types.{LongType => SparkLong,
+      StringType => SparkString, StructField => SField,
+      StructType => SStruct}
+    import graft.spec.SchemaConverters.toSparkType
+    val schema = resolveSnapshot().map(schemaForSnapshot)
+      .getOrElse(table.schema)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      SStruct(Seq(SField("file_path", SparkString),
+        SField("pos", SparkLong))))
+    def eqSetOf(t: FileScanTask) = t.deleteFiles
+      .filter(_.file.content == FileContent.EqualityDeletes)
+      .map(d => (d.file.filePath, d.file.equalityIds, d.schemaId)).toSet
+    val parts = planFiles().groupBy(t => (t.schemaId, eqSetOf(t))).toSeq
+      .filter(_._1._2.nonEmpty)
+      .flatMap { case ((fileSchemaId, eqSet), groupTasks) =>
+        val fileSchema = table.metadata.schemaById(fileSchemaId)
+          .getOrElse(schema)
+        eqSet.groupBy(e => (e._2, e._3)).toSeq.flatMap {
+          case ((fieldIds, deleteSchemaId), files) =>
+            val pairs = eqKeyPairs(schema, fieldIds, deleteSchemaId)
+            if (pairs.isEmpty) None
+            else {
+              // data-side key columns resolve BY FIELD ID through the
+              // data files' write schema — a key renamed since the
+              // files were written still reads the stored column
+              val filePairs = pairs.map { case (qf, _) =>
+                val ff = fileSchema.field(qf.id).getOrElse(
+                  throw new IllegalStateException(
+                    s"graft: equality-delete key (field id ${qf.id}) " +
+                      s"missing from data write schema $fileSchemaId"))
+                (qf, ff)
+              }
+              val readSchema = SStruct(filePairs.map { case (_, ff) =>
+                SField(ff.name, toSparkType(ff.fieldType),
+                  nullable = true) })
+              val data = spark.read.schema(readSchema)
+                .parquet(groupTasks.map(_.file.filePath): _*)
+                .select(filePairs.map { case (qf, ff) =>
+                  col(ff.name).cast(toSparkType(qf.fieldType))
+                    .as(qf.name) } ++ Seq(
+                  col("_metadata.file_path").as("file_path"),
+                  col("_metadata.row_index").as("pos")): _*)
+              val delDf = eqKeyDf(schema, pairs, files.map(_._1).toSeq,
+                withMeta = false).distinct()
+              Some(data.join(delDf, pairs.map(_._1.name), "left_semi")
+                .select(col("file_path"), col("pos")))
+            }
+        }
+      }
+    parts.foldLeft(empty)(_ unionAll _)
+  }
+
   private def applyProjection(df0: DataFrame): DataFrame = {
     val schema = resolveSnapshot().map(schemaForSnapshot)
       .getOrElse(table.schema)

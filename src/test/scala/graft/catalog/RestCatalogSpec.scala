@@ -625,6 +625,45 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.dedup_table through the REST catalog: the server " +
+      "sees a spec-vocabulary overwrite commit with the kept count") {
+    withServerUri { (_, _, uri) =>
+      withSparkRestCatalog(uri) { (spark, c) =>
+        import spark.implicits._
+        spark.sql(s"CREATE NAMESPACE $c.db")
+        spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+        // two exact-dup pairs, one unique text, one NULL-text row
+        // (NULL text is exempt from exact-mode collapse)
+        val tmp = "restdedup_" + java.util.UUID.randomUUID.toString.take(8)
+        Seq((1L, "alpha"), (2L, "beta"), (3L, "alpha"), (4L, "gamma"),
+          (5L, "beta"), (6L, null.asInstanceOf[String]))
+          .toDF("doc_id", "text").createOrReplaceTempView(tmp)
+        spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM $tmp")
+        val res = spark.sql(
+          s"CALL $c.system.dedup_table('db', 'docs')").collect().head
+        assert(res.getLong(0) == 6L && res.getLong(1) == 4L &&
+          res.getLong(2) == 2L,
+          s"(before, kept, removed) = $res")
+        // WIRE assertion: the commit the server received is spec
+        // vocabulary — an overwrite snapshot whose summary carries the
+        // committed kept-row counter
+        val body = SchemaJson.parseTree(lastCommitBody.get())
+        val ups = body.get("updates")
+        val actions = (0 until ups.size)
+          .map(i => ups.get(i).get("action").asText)
+        assert(actions.contains("add-snapshot"), s"actions: $actions")
+        val sum = ups.get(actions.indexOf("add-snapshot"))
+          .get("snapshot").get("summary")
+        assert(sum.get("operation").asText == "overwrite", s"summary: $sum")
+        assert(sum.get("added-records").asText == "4", s"summary: $sum")
+        // read-back through the same catalog: min id per text survives,
+        // the NULL-text row survives
+        assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
+          .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 6L))
+      }
+    }
+  }
+
   test("CALL system.register_table through the REST catalog posts the " +
       "metadata location and round-trips the table") {
     withServerUri { (_, backing, uri) =>

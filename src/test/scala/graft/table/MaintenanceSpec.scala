@@ -470,8 +470,10 @@ class RefExpirySpec extends AnyFunSuite {
   test("rewritePositionDeletes consolidates files, drops dangling rows, " +
       "spares equality deletes, and no-ops when already consolidated") {
     var t = freshTable("posrw")
-    t = TableOps.append(t, usersDf(1 to 50)) // F1
-    t = TableOps.append(t, usersDf(51 to 100)) // F2
+    // single-file appends: the CoW rewrite below must hit the ONE file
+    // P1's position deletes reference, or nothing dangles
+    t = TableOps.append(t, usersDf(1 to 50).coalesce(1)) // F1
+    t = TableOps.append(t, usersDf(51 to 100).coalesce(1)) // F2
     t = Mutations.deleteMoR(t, spark, Col("id").lt(5L)) // P1 -> F1 rows
     t = Mutations.deleteMoR(t, spark, Col("id").gt(95L)) // P2 -> F2 rows
     val before = Maintenance.positionDeleteFiles(t)
@@ -492,6 +494,11 @@ class RefExpirySpec extends AnyFunSuite {
     assert(after.size == 1, s"expected 1 consolidated file, got $after")
     assert(after.map(_.recordCount).sum < beforeRows,
       "dangling rows (dead data path) must be dropped")
+    // exactly P1's 4 rows (ids 1..4 pointed at the rewritten-away F1)
+    // dangle; P2's 5 rows (ids 96..100 in the still-live F2) survive
+    assert(beforeRows - after.map(_.recordCount).sum == 4,
+      s"expected exactly 4 dangling rows dropped, " +
+        s"got ${beforeRows - after.map(_.recordCount).sum}")
     assert(Scan(t2, spark).planFiles().map(_.file.filePath).toSet ==
       dataBefore, "data files must be untouched")
     assert(Scan(t2, spark).toDF.select("id").collect()
@@ -516,5 +523,57 @@ class RefExpirySpec extends AnyFunSuite {
     assert(Scan(t6, spark).toDF.select("id").collect()
       .map(_.getLong(0)).sorted.toSeq ==
       expected.filterNot(id => id == 60L || id == 40L))
+  }
+
+  test("rewriteEqualityDeletes converts to position deletes, retires " +
+      "equality files, drops dangling keys, no-ops when none left") {
+    import spark.implicits._
+    var t = freshTable("eqrw")
+    t = TableOps.append(t, usersDf(1 to 50).coalesce(1)) // F1
+    t = TableOps.append(t, usersDf(51 to 100).coalesce(1)) // F2
+    t = Mutations.deleteByKeys(t, spark, Seq(10L, 60L).toDF("id")) // E1
+    t = Mutations.deleteByKeys(t, spark, Seq(20L).toDF("id")) // E2
+    t = Mutations.deleteMoR(t, spark, Col("id").eqTo(30L)) // P1
+    assert(Maintenance.equalityDeleteFiles(t).size == 2)
+    val expected = (1 to 100).map(_.toLong)
+      .filterNot(Set(10L, 20L, 30L, 60L))
+    val dataBefore = Scan(t, spark).planFiles().map(_.file.filePath).toSet
+
+    val t2 = Maintenance.rewriteEqualityDeletes(t, spark)
+    assert(Maintenance.equalityDeleteFiles(t2).isEmpty,
+      "every equality-delete file must be retired")
+    val pos2 = Maintenance.positionDeleteFiles(t2)
+    assert(pos2.size == 1, s"expected 1 consolidated file, got $pos2")
+    // E1 (10, 60) + E2 (20) convert; P1 (30) consolidates: 4 positions
+    assert(pos2.map(_.recordCount).sum == 4)
+    assert(Scan(t2, spark).planFiles().map(_.file.filePath).toSet ==
+      dataBefore, "data files must be untouched")
+    assert(Scan(t2, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == expected, "rows unchanged")
+
+    // no equality files left -> no new snapshot
+    val t3 = Maintenance.rewriteEqualityDeletes(t2, spark)
+    assert(t3.currentSnapshot.map(_.snapshotId) ==
+      t2.currentSnapshot.map(_.snapshotId), "no eq files must no-op")
+
+    // dangling key: E3 deletes id 40, then a CoW rewrite of F1 removes
+    // 36..44 — E3's key no longer matches any live row, and the
+    // consolidated file's F1 positions point at a dead path
+    val t4 = Mutations.deleteByKeys(t3, spark, Seq(40L).toDF("id")) // E3
+    val t5 = Mutations.deleteCoW(t4, spark,
+      Col("id").gt(35L).and(Col("id").lt(45L)))
+    val expected2 = expected.filterNot(id => id >= 36L && id <= 44L)
+    assert(Scan(t5, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == expected2)
+    val t6 = Maintenance.rewriteEqualityDeletes(t5, spark)
+    assert(Maintenance.equalityDeleteFiles(t6).isEmpty)
+    val pos6 = Maintenance.positionDeleteFiles(t6)
+    assert(pos6.size == 1)
+    // only F2's position row (id 60) survives: E3 dangles (40 is gone)
+    // and F1's three positions reference the rewritten-away file
+    assert(pos6.map(_.recordCount).sum == 1,
+      s"expected 1 live position row, got ${pos6.map(_.recordCount).sum}")
+    assert(Scan(t6, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == expected2, "rows unchanged")
   }
 }
