@@ -21,7 +21,7 @@ class CoreQueriesSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val spark = SparkTestSession.spark
 
-  test("entry returns rows") {
+  test("entry returns rows", SlowTest) {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
@@ -39,8 +39,11 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
 
+  // the dominant cost of the full suite (~150 end-to-end queries ×2
+  // runs each): SlowTest-tagged so `-l graft.SlowTest` gives a fast
+  // inner loop; the full tier remains the shipping gate
   for ((name, fn) <- SparkEntry.queries) {
-    test(s"$name runs at sf0.001 and is deterministic") {
+    test(s"$name runs at sf0.001 and is deterministic", SlowTest) {
       val df1 = fn(spark, sf)
       assert(df1.schema.nonEmpty)
       val rows1 = df1.collect()

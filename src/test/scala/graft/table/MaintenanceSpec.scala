@@ -576,4 +576,36 @@ class RefExpirySpec extends AnyFunSuite {
     assert(Scan(t6, spark).toDF.select("id").collect()
       .map(_.getLong(0)).sorted.toSeq == expected2, "rows unchanged")
   }
+
+  test("rewriteEqualityDeletes routes converted deletes per partition") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-maint-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val spec = PartitionSpec.builder(0).identity(2, "name").build()
+    var t = Table.create(cat, TableIdentifier(Seq("db"), "eqpart"),
+      Fixtures4.usersSchema, spec, io = new HadoopFileIO())
+    def df(ids: Range) = ids.map(i => (i.toLong,
+        if (i % 2 == 0) "even" else "odd", s"u$i@x.com",
+        new java.sql.Timestamp(1704067200000L + i)))
+      .toDF("id", "name", "email", "created_at")
+    t = TableOps.append(t, df(1 to 40).coalesce(1))
+    // a GLOBAL equality delete (keys carry no partition column)
+    t = Mutations.deleteByKeys(t, spark, Seq(2L, 3L, 4L).toDF("id"))
+    assert(Maintenance.equalityDeleteFiles(t).nonEmpty)
+    val t2 = Maintenance.rewriteEqualityDeletes(t, spark)
+    assert(Maintenance.equalityDeleteFiles(t2).isEmpty)
+    // the converted positions route into PER-PARTITION delete files
+    // (ids 2/4 live in 'even', 3 in 'odd'), so a scan of one partition
+    // never drags in the other's deletes
+    val pos = Maintenance.positionDeleteFiles(t2)
+    assert(pos.size == 2, s"expected per-partition delete files: $pos")
+    assert(pos.map(_.recordCount).sum == 3)
+    val tasks = Scan(t2, spark).planFiles()
+    assert(tasks.forall(_.deleteFiles.size <= 1),
+      "each task must attach at most its own partition's delete file")
+    assert(Scan(t2, spark).toDF.select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ==
+      (1 to 40).map(_.toLong).filterNot(Set(2L, 3L, 4L)))
+  }
 }
