@@ -688,13 +688,12 @@ object IcebergQueries {
   }
 
   // Shared CTE prefix: the exact-jaccard near-dup component replay
-  // over the planted corpus (DuckDB list ops; same tokenize/shingle
-  // normalization as ops.Dedup — see d36Sql for the derivation).
-  private val i29ComponentsCte: String =
-    """WITH RECURSIVE planted AS (
-      |  SELECT doc_id, text FROM documents WHERE doc_id < 100
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100
+  // over a caller-chosen planted corpus (DuckDB list ops; same
+  // tokenize/shingle normalization as ops.Dedup — see d36Sql for the
+  // derivation). `plantedSql` must yield (doc_id, text).
+  private def componentsCte(plantedSql: String): String =
+    raw"""WITH RECURSIVE planted AS (
+      |$plantedSql
       |), toks AS (
       |  SELECT doc_id, string_split(lower(trim(
       |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS tk
@@ -726,6 +725,11 @@ object IcebergQueries {
       |  FROM planted p LEFT JOIN comp c ON c.id = p.doc_id
       |)""".stripMargin
 
+  private val i29ComponentsCte: String = componentsCte(
+    """  SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100""".stripMargin)
+
   val i29bSql: String = i29ComponentsCte +
     "\nSELECT DISTINCT component AS doc_id FROM lab ORDER BY doc_id"
 
@@ -744,6 +748,228 @@ object IcebergQueries {
       |    ORDER BY (doc_id * 37) % 101 DESC, doc_id ASC) AS rk
       |  FROM lab
       |) WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
+  /** Fixture for the i33 incremental-dedup family: base = the sub-100
+    * documents committed as the canonical first snapshot, then ONE
+    * batch INSERT planting three duplicate shapes — copies of base
+    * rows at +1 000 000 (batch-vs-base dups), fresh originals
+    * (100..`freshTo`), and copies of the fresh originals at
+    * +2 000 000 (batch-internal dups). Returns
+    * `(catalog.ns.docs, baseSnapshotId)`. */
+  private def incrementalFixture(s: SparkSession, dir: String,
+      copyLt: Int, freshTo: Int): (String, Long) = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g33" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf33" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmpB = "g33base_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.where(col("doc_id") < 100).createOrReplaceTempView(tmpB)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmpB")
+    val since = s.sql(
+      s"SELECT snapshot_id FROM $c.$ns.docs.snapshots")
+      .collect().map(_.getLong(0)).head
+    val batch = docs.where(col("doc_id") < copyLt)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id").between(100, freshTo)))
+      .unionByName(docs.where(col("doc_id").between(100, 110))
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val tmpN = "g33batch_" + java.util.UUID.randomUUID.toString.take(8)
+    batch.createOrReplaceTempView(tmpN)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmpN")
+    (s"$c.$ns.docs", since)
+  }
+
+  /** `CALL dedup_table(..., since_snapshot_id)` — INCREMENTAL exact
+    * dedup, the operational shape at 100 TB (a daily batch must not
+    * pay a full-corpus re-dedup): the base snapshot is canonical and
+    * its files are never rewritten; batch rows duplicating base (or
+    * each other — base fingerprint wins, else min batch id) are
+    * removed by ONE MoR equality-delete commit on doc_id. The oracle
+    * replays the fingerprint membership + batch window directly. */
+  def i33DedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val (tableId, since) = incrementalFixture(s, dir,
+      copyLt = 40, freshTo = 140)
+    val Array(c, ns, _) = tableId.split('.')
+    val report = s.sql(s"CALL $c.system.dedup_table('$ns', 'docs', " +
+      s"'exact', 'text', 'doc_id', 0.8, '', CAST($since AS BIGINT))")
+      .collect().head
+    require(report.getLong(0) == report.getLong(1) + report.getLong(2),
+      s"dedup_table report inconsistent: $report")
+    require(report.getLong(2) > 0, "fixture must remove batch dups")
+    // base snapshot files must be untouched: the delete commit only
+    // ADDS equality-delete files
+    val t = loadByIdentifier(s, c, ns)
+    val baseFiles = graft.table.Scan(t, s).useSnapshot(since)
+      .planFiles().map(_.file.filePath).toSet
+    val nowFiles = graft.table.Scan(t, s)
+      .planFiles().map(_.file.filePath).toSet
+    require(baseFiles.subsetOf(nowFiles),
+      "incremental dedup must never rewrite base data files")
+    s.table(tableId).select("doc_id").orderBy("doc_id")
+  }
+
+  private def loadByIdentifier(s: SparkSession, c: String,
+      ns: String, tbl: String = "docs"): Table = {
+    val warehouseDir = s.conf.get(s"spark.sql.catalog.$c.warehouse")
+    Table.load(new LocalCatalog(warehouseDir),
+      TableIdentifier(ns.split('.').toSeq, tbl), io)
+  }
+
+  /** Exact-mode incremental-dedup oracle over the
+    * [[incrementalFixture]] planted corpus, parameterized like the
+    * fixture itself (i33 and i34b replay the same policy against
+    * different plantings). */
+  private def incrementalExactSql(copyLt: Int, freshTo: Int): String =
+    raw"""WITH base AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |), batch AS (
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      |  WHERE doc_id < $copyLt
+      |  UNION ALL
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id BETWEEN 100 AND $freshTo
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      |  WHERE doc_id BETWEEN 100 AND 110
+      |), bfp AS (
+      |  SELECT DISTINCT
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM base WHERE text IS NOT NULL
+      |), nfp AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM batch WHERE text IS NOT NULL
+      |), keepnew AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM nfp WHERE fp NOT IN (SELECT fp FROM bfp)
+      |  ) WHERE rn = 1
+      |  UNION ALL
+      |  SELECT doc_id FROM batch WHERE text IS NULL
+      |)
+      |SELECT doc_id FROM base
+      |UNION ALL SELECT doc_id FROM keepnew
+      |ORDER BY doc_id""".stripMargin
+
+  val i33Sql: String = incrementalExactSql(copyLt = 40, freshTo = 140)
+
+  /** Incremental MINHASH dedup through the same surface: batch rows
+    * whose near-dup component contains any base member drop (base
+    * wins, whatever the ids); new-only components keep their min id.
+    * Oracle: the i29b exact-jaccard recursive-CTE components over
+    * base ∪ batch with the same policy (soundness argument as i29b —
+    * natural near-dup pairs sit far above the banding miss floor, and
+    * planted exact copies collide structurally). */
+  def i33bDedupIncrementalMinhash(s: SparkSession,
+      dir: String): DataFrame = {
+    val (tableId, since) = incrementalFixture(s, dir,
+      copyLt = 50, freshTo = 130)
+    val Array(c, ns, _) = tableId.split('.')
+    val report = s.sql(s"CALL $c.system.dedup_table('$ns', 'docs', " +
+      s"'minhash', 'text', 'doc_id', 0.8, '', CAST($since AS BIGINT))")
+      .collect().head
+    require(report.getLong(0) == report.getLong(1) + report.getLong(2),
+      s"dedup_table report inconsistent: $report")
+    require(report.getLong(2) > 0, "fixture must remove batch near-dups")
+    s.table(tableId).select("doc_id").orderBy("doc_id")
+  }
+
+  /** Minhash-mode incremental-dedup oracle (i33b and i34 replay the
+    * same base-wins component policy against different plantings). */
+  private def incrementalMinhashSql(copyLt: Int, freshTo: Int): String =
+    componentsCte(
+    raw"""  SELECT doc_id, text FROM documents WHERE doc_id < 100
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < $copyLt
+      |  UNION ALL
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id BETWEEN 100 AND $freshTo
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents
+      |  WHERE doc_id BETWEEN 100 AND 110""".stripMargin) +
+    """
+      |, flags AS (
+      |  SELECT doc_id, component, doc_id >= 100 AS is_new,
+      |    MAX(CASE WHEN doc_id < 100 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY component) = 1 AS has_old
+      |  FROM lab
+      |)
+      |SELECT doc_id FROM (
+      |  SELECT doc_id FROM flags WHERE NOT is_new
+      |  UNION ALL
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY component
+      |      ORDER BY doc_id ASC) AS rk
+      |    FROM flags WHERE is_new AND NOT has_old
+      |  ) WHERE rk = 1
+      |) ORDER BY doc_id""".stripMargin
+
+  val i33bSql: String = incrementalMinhashSql(copyLt = 50, freshTo = 130)
+
+  /** `CALL build_dedup_index` + `dedup_table(..., index_table)` — the
+    * PERSISTED-INDEX incremental path, minhash mode: the base corpus
+    * is indexed once (fingerprint + hashed shingle set + signature per
+    * row), the batch dedups against the INDEX without re-reading base
+    * text, and the index chains — surviving batch signatures appended,
+    * recorded source snapshot advanced to the post-delete head (both
+    * asserted in-query). Oracle: the i33b exact-jaccard component
+    * replay — the indexed path must land the exact same rows. */
+  def i34DedupIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (tableId, since) = incrementalFixture(s, dir,
+      copyLt = 45, freshTo = 135)
+    val Array(c, ns, _) = tableId.split('.')
+    val built = s.sql(s"CALL $c.system.build_dedup_index('$ns', " +
+      s"'docs', 'text', 'doc_id', 64, '', CAST($since AS BIGINT))")
+      .collect().head
+    require(built.getLong(1) > 0, s"index must cover the base: $built")
+    val report = s.sql(s"CALL $c.system.dedup_table('$ns', 'docs', " +
+      s"'minhash', 'text', 'doc_id', 0.8, '', CAST($since AS BIGINT), " +
+      s"'docs_minhash_idx')").collect().head
+    require(report.getLong(0) == report.getLong(1) + report.getLong(2),
+      s"dedup_table report inconsistent: $report")
+    require(report.getLong(2) > 0, "fixture must remove batch near-dups")
+    // the index chained: recorded source snapshot == the new head, and
+    // the index covers exactly the live non-NULL-text rows
+    val t = loadByIdentifier(s, c, ns)
+    val newHead = t.currentSnapshot.map(_.snapshotId).get
+    val idx = loadByIdentifier(s, c, ns, "docs_minhash_idx")
+    require(idx.metadata.properties(
+      "graft.dedup-index.source-snapshot-id") == newHead.toString,
+      "index must chain to the post-delete head")
+    val liveNonNull = s.table(tableId).where(col("text").isNotNull).count()
+    require(graft.table.Scan(idx, s).count() == liveNonNull,
+      "index must cover exactly the live non-NULL-text rows")
+    s.table(tableId).select("doc_id").orderBy("doc_id")
+  }
+
+  val i34Sql: String = incrementalMinhashSql(copyLt = 45, freshTo = 135)
+
+  /** Indexed incremental dedup, EXACT mode — the batch's duplicates
+    * resolve against the index's stored 128-bit fingerprints alone
+    * (no base text, no base shingling). Oracle: the i33 fingerprint
+    * replay at this fixture's planting. */
+  def i34bDedupIndexedExact(s: SparkSession, dir: String): DataFrame = {
+    val (tableId, since) = incrementalFixture(s, dir,
+      copyLt = 35, freshTo = 145)
+    val Array(c, ns, _) = tableId.split('.')
+    s.sql(s"CALL $c.system.build_dedup_index('$ns', 'docs', 'text', " +
+      s"'doc_id', 32, '', CAST($since AS BIGINT))").collect()
+    val report = s.sql(s"CALL $c.system.dedup_table('$ns', 'docs', " +
+      s"'exact', 'text', 'doc_id', 0.8, '', CAST($since AS BIGINT), " +
+      s"'docs_minhash_idx')").collect().head
+    require(report.getLong(0) == report.getLong(1) + report.getLong(2),
+      s"dedup_table report inconsistent: $report")
+    require(report.getLong(2) > 0, "fixture must remove batch dups")
+    s.table(tableId).select("doc_id").orderBy("doc_id")
+  }
+
+  val i34bSql: String = incrementalExactSql(copyLt = 35, freshTo = 145)
 
   /** `CALL graft.system.cherrypick_snapshot` — the non-fast-forwardable
     * WAP publish: two appends, roll main back to the first, then
@@ -1756,6 +1982,10 @@ object IcebergQueries {
     "i30_cherrypick_snapshot" -> (i30CherrypickSnapshot _),
     "i31_rewrite_pos_deletes" -> (i31RewritePositionDeletes _),
     "i32_rewrite_eq_deletes" -> (i32RewriteEqualityDeletes _),
+    "i33_dedup_incremental" -> (i33DedupIncremental _),
+    "i33b_dedup_incr_minhash" -> (i33bDedupIncrementalMinhash _),
+    "i34_dedup_indexed" -> (i34DedupIndexed _),
+    "i34b_dedup_indexed_exact" -> (i34bDedupIndexedExact _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -1807,6 +2037,10 @@ object IcebergQueries {
     "i30_cherrypick_snapshot" -> i30Sql,
     "i31_rewrite_pos_deletes" -> i31Sql,
     "i32_rewrite_eq_deletes" -> i32Sql,
+    "i33_dedup_incremental" -> i33Sql,
+    "i33b_dedup_incr_minhash" -> i33bSql,
+    "i34_dedup_indexed" -> i34Sql,
+    "i34b_dedup_indexed_exact" -> i34bSql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

@@ -37,7 +37,8 @@ private[sources] object GraftProcedures {
     "remove_orphan_files", "rewrite_manifests", "create_changelog_view",
     "rewrite_data_files", "fast_forward", "add_files",
     "register_table", "dedup_table", "cherrypick_snapshot",
-    "rewrite_position_deletes", "rewrite_equality_deletes")
+    "rewrite_position_deletes", "rewrite_equality_deletes",
+    "build_dedup_index")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -151,7 +152,28 @@ private[sources] class GraftBoundProcedure(
       // minhash/best verify threshold; ignored for exact
       pDefault("threshold", DoubleType, "0.8"),
       // required for mode='best'; ignored otherwise
-      pDefault("quality_col", StringType, "''"))
+      pDefault("quality_col", StringType, "''"),
+      // >= 0: INCREMENTAL dedup — treat the table as of this snapshot
+      // as the canonical base and dedup only rows appended after it
+      // (one MoR equality-delete commit of new-row ids; base files
+      // untouched). -1 (default): full-table dedup, one overwrite.
+      pDefault("since_snapshot_id", LongType, "-1"),
+      // non-'': incremental-only — dedup the batch against this
+      // build_dedup_index table instead of re-reading the base corpus
+      // (validated against the index's recorded source snapshot =
+      // since_snapshot_id); surviving batch signatures are appended to
+      // the index and its recorded snapshot advances, so the next
+      // batch can chain.
+      pDefault("index_table", StringType, "''"))
+    case "build_dedup_index" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("text_col", StringType, "'text'"),
+      pDefault("id_col", StringType, "'doc_id'"),
+      pDefault("num_hashes", IntegerType, "64"),
+      // '' → "<table>_minhash_idx" in the same namespace
+      pDefault("index_table", StringType, "''"),
+      // -1 → the current snapshot; else index the table AS OF this id
+      pDefault("snapshot_id", LongType, "-1"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -356,36 +378,49 @@ private[sources] class GraftBoundProcedure(
         val idCol = input.getUTF8String(4).toString
         val threshold = input.getDouble(5)
         val qualityCol = input.getUTF8String(6).toString
-        val scan = graft.table.Scan(t, spark)
-        val df = scan.toDF
-        val kept = mode match {
-          case "exact" =>
-            graft.ops.Dedup.exact(df, textCol, idCol)
-          case "minhash" =>
-            graft.ops.Dedup.minhashDedup(df, textCol, idCol,
-              threshold = threshold)
-          case "best" =>
-            if (qualityCol.isEmpty) throw new IllegalArgumentException(
-              "dedup_table: mode 'best' requires quality_col")
-            graft.ops.Dedup.minhashDedupBest(df, qualityCol, textCol,
-              idCol, threshold = threshold)
-          case other => throw new IllegalArgumentException(
-            s"dedup_table: unknown mode '$other' (exact | minhash | best)")
+        val since = input.getLong(7)
+        val indexTable = input.getUTF8String(8).toString
+        if (indexTable.nonEmpty) {
+          if (since < 0L) throw new IllegalArgumentException(
+            "dedup_table: index_table requires since_snapshot_id (the " +
+              "index path is incremental-only)")
+          dedupTableIndexed(t, spark, ns, mode, textCol, idCol,
+            threshold, qualityCol, since, indexTable)
+        } else if (since >= 0L)
+          dedupTableIncremental(t, spark, mode, textCol, idCol,
+            threshold, qualityCol, since)
+        else {
+          val scan = graft.table.Scan(t, spark)
+          val df = scan.toDF
+          val kept = mode match {
+            case "exact" =>
+              graft.ops.Dedup.exact(df, textCol, idCol)
+            case "minhash" =>
+              graft.ops.Dedup.minhashDedup(df, textCol, idCol,
+                threshold = threshold)
+            case "best" =>
+              if (qualityCol.isEmpty) throw new IllegalArgumentException(
+                "dedup_table: mode 'best' requires quality_col")
+              graft.ops.Dedup.minhashDedupBest(df, qualityCol, textCol,
+                idCol, threshold = threshold)
+            case other => throw new IllegalArgumentException(
+              s"dedup_table: unknown mode '$other' (exact | minhash | best)")
+          }
+          // metadata-only when no deletes apply — at 100 TB the
+          // "before" number must not cost a second full-table pass
+          val before = scan.count()
+          val after = graft.table.Mutations.overwrite(t, spark, kept)
+          // kept count from the COMMITTED snapshot's counters; if a
+          // counter is ever absent, fall back to the committed
+          // snapshot's (metadata-only) count rather than reporting a
+          // nonsense negative
+          val added = after.currentSnapshot.flatMap(_.summary)
+            .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+            .getOrElse(graft.table.Scan(after, spark).count())
+          (new StructType().add("docs_before", LongType)
+            .add("docs_kept", LongType).add("docs_removed", LongType),
+            Seq(before, added, before - added))
         }
-        // metadata-only when no deletes apply — at 100 TB the "before"
-        // number must not cost a second full-table pass
-        val before = scan.count()
-        val after = graft.table.Mutations.overwrite(t, spark, kept)
-        // kept count from the COMMITTED snapshot's counters; if a
-        // counter is ever absent, fall back to the committed
-        // snapshot's (metadata-only) count rather than reporting a
-        // nonsense negative
-        val added = after.currentSnapshot.flatMap(_.summary)
-          .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
-          .getOrElse(graft.table.Scan(after, spark).count())
-        (new StructType().add("docs_before", LongType)
-          .add("docs_kept", LongType).add("docs_removed", LongType),
-          Seq(before, added, before - added))
       case "rewrite_manifests" =>
         val maxEntries = input.getInt(2)
         val before = MetadataTables.currentManifests(t)
@@ -474,6 +509,16 @@ private[sources] class GraftBoundProcedure(
           if (changed) Seq(eqBefore.size.toLong, posBefore.size.toLong,
             posNow.size.toLong, posNow.map(_.recordCount).sum)
           else Seq(0L, 0L, 0L, 0L))
+      case "build_dedup_index" =>
+        val textCol = input.getUTF8String(2).toString
+        val idCol = input.getUTF8String(3).toString
+        val numHashes = input.getInt(4)
+        val idxNameRaw = input.getUTF8String(5).toString
+        val idxName =
+          if (idxNameRaw.isEmpty) s"${tbl}_minhash_idx" else idxNameRaw
+        val snapRaw = input.getLong(6)
+        buildDedupIndex(t, spark, ns, tbl, textCol, idCol, numHashes,
+          idxName, snapRaw)
     }
     val result: V2Scan = new LocalScan {
       override def readSchema(): StructType = schema
@@ -486,4 +531,206 @@ private[sources] class GraftBoundProcedure(
     }
     Seq(result).asJava.iterator()
   }
+
+  /** Incremental `dedup_table`: the table AS OF `since` is the
+    * canonical base; only rows appended after it are examined, and the
+    * duplicates among them are removed with ONE MoR equality-delete
+    * commit on the id column — base files are never read in full
+    * (exact mode projects them to fingerprints) and never rewritten.
+    * Pair with `rewrite_equality_deletes` to compact the accumulated
+    * delete files later. Base-vs-new ties always keep the base row. */
+  private def dedupTableIncremental(t: Table,
+      spark: org.apache.spark.sql.SparkSession, mode: String,
+      textCol: String, idCol: String, threshold: Double,
+      qualityCol: String, since: Long): (StructType, Seq[Any]) = {
+    if (t.snapshotById(since).isEmpty)
+      throw new IllegalArgumentException(
+        s"dedup_table: since_snapshot_id $since not found")
+    val head = t.currentSnapshot.map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException("dedup_table: empty table"))
+    val base = graft.table.Scan(t, spark).useSnapshot(since).toDF
+    val fresh =
+      if (head == since) base.limit(0)
+      else graft.table.Scan(t, spark).appendsBetween(since, head).toDF
+    val removals = mode match {
+      case "exact" =>
+        graft.ops.Dedup.incrementalExactRemovals(
+          fresh, base, textCol, idCol)
+      case "minhash" =>
+        graft.ops.Dedup.incrementalMinhashRemovals(
+          fresh, base, textCol, idCol, threshold = threshold)
+      case "best" =>
+        if (qualityCol.isEmpty) throw new IllegalArgumentException(
+          "dedup_table: mode 'best' requires quality_col")
+        graft.ops.Dedup.incrementalMinhashRemovals(
+          fresh, base, textCol, idCol, threshold = threshold,
+          qualityCol = Some(qualityCol))
+      case other => throw new IllegalArgumentException(
+        s"dedup_table: unknown mode '$other' (exact | minhash | best)")
+    }
+    val before = graft.table.Scan(t, spark).count()
+    // eager-materialize the removal list (the batch's duplicates —
+    // small): the count and the delete commit must not each re-run
+    // the base-projection pipeline
+    val removalsM = removals.localCheckpoint(true)
+    val removed = removalsM.count()
+    if (removed > 0L)
+      graft.table.Mutations.deleteByKeys(t, spark, removalsM)
+    (new StructType().add("docs_before", LongType)
+      .add("docs_kept", LongType).add("docs_removed", LongType),
+      Seq(before, before - removed, removed))
+  }
+
+  import GraftBoundProcedure.{IdxPropSourceTable, IdxPropSourceSnapshot,
+    IdxPropTextCol, IdxPropIdCol, IdxPropNumHashes}
+
+  /** `build_dedup_index`: persist ONE corpus pass of
+    * [[graft.ops.Dedup.signatureFrame]] — (id, exact fingerprint,
+    * hashed shingle set, minhash signature) per non-NULL-text row — as
+    * a graft table, so every later batch dedups against the INDEX
+    * instead of re-reading the 100 TB base corpus. The indexed source
+    * snapshot and column/hash configuration are recorded as table
+    * properties; `dedup_table(..., index_table)` validates them and
+    * advances the snapshot as it chains batches. Rebuilding an
+    * existing index is one overwrite snapshot. */
+  private def buildDedupIndex(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      textCol: String, idCol: String, numHashes: Int, idxName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    if (numHashes <= 0 || numHashes % 16 != 0)
+      throw new IllegalArgumentException("build_dedup_index: " +
+        s"num_hashes must be a positive multiple of 16, got $numHashes")
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"build_dedup_index: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"build_dedup_index: snapshot_id $snapRaw not found")
+      else snapRaw
+    val df = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    val sig = graft.ops.Dedup.signatureFrame(df, textCol, idCol,
+      numHashes)
+    val props = Map(
+      IdxPropSourceTable -> s"$ns.$tbl",
+      IdxPropSourceSnapshot -> snapId.toString,
+      IdxPropTextCol -> textCol,
+      IdxPropIdCol -> idCol,
+      IdxPropNumHashes -> numHashes.toString)
+    val idxId = TableIdentifier(ns.split('.').toSeq, idxName)
+    val committed =
+      if (catalog.tableExists(idxId)) {
+        val existing = Table.load(catalog, idxId, io)
+        val after = graft.table.Mutations.overwrite(existing, spark, sig)
+        after.newTransaction().setProperties(props).commit()
+      } else {
+        val created = Table.create(catalog, idxId,
+          graft.spec.SchemaConverters.fromSparkSchema(sig.schema),
+          properties = props, io = io)
+        graft.table.TableOps.append(created, sig)
+      }
+    val indexed = committed.currentSnapshot.flatMap(_.summary)
+      .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+      .getOrElse(graft.table.Scan(committed, spark).count())
+    (new StructType().add("index_table", StringType)
+      .add("docs_indexed", LongType)
+      .add("source_snapshot_id", LongType),
+      Seq(idxName, indexed, snapId))
+  }
+
+  /** Index-backed incremental `dedup_table`: same policy and report as
+    * [[dedupTableIncremental]], but the canonical base is never read —
+    * banding probes the index's stored signatures, verify reads its
+    * stored hashed shingle sets, exact mode its stored fingerprints.
+    * After the (single, MoR equality-delete) removal commit, the
+    * surviving batch rows' signatures are APPENDED to the index and
+    * its recorded source snapshot advances to the new head, so
+    * tomorrow's batch passes `since_snapshot_id = <today's head>` and
+    * chains without ever rebuilding. */
+  private def dedupTableIndexed(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, mode: String,
+      textCol: String, idCol: String, threshold: Double,
+      qualityCol: String, since: Long,
+      idxName: String): (StructType, Seq[Any]) = {
+    if (t.snapshotById(since).isEmpty)
+      throw new IllegalArgumentException(
+        s"dedup_table: since_snapshot_id $since not found")
+    val head = t.currentSnapshot.map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException("dedup_table: empty table"))
+    val idxId = TableIdentifier(ns.split('.').toSeq, idxName)
+    if (!catalog.tableExists(idxId))
+      throw new IllegalArgumentException(s"dedup_table: index table " +
+        s"$idxName not found — run build_dedup_index first")
+    val idx = Table.load(catalog, idxId, io)
+    val props = idx.metadata.properties
+    def prop(k: String): String = props.getOrElse(k,
+      throw new IllegalArgumentException(s"dedup_table: $idxName is " +
+        s"not a dedup index (missing property $k)"))
+    val recorded = prop(IdxPropSourceSnapshot).toLong
+    if (recorded != since)
+      throw new IllegalArgumentException(s"dedup_table: index " +
+        s"$idxName records source snapshot $recorded but " +
+        s"since_snapshot_id is $since — stale or wrong index; rebuild " +
+        s"it or pass since_snapshot_id => $recorded")
+    val srcTable = prop(IdxPropSourceTable)
+    if (srcTable != s"$ns.${t.id.name}")
+      throw new IllegalArgumentException(s"dedup_table: index " +
+        s"$idxName was built from $srcTable, not $ns.${t.id.name}")
+    if (prop(IdxPropTextCol) != textCol || prop(IdxPropIdCol) != idCol)
+      throw new IllegalArgumentException(s"dedup_table: index " +
+        s"$idxName was built on (${prop(IdxPropTextCol)}, " +
+        s"${prop(IdxPropIdCol)}), call uses ($textCol, $idCol)")
+    val numHashes = prop(IdxPropNumHashes).toInt
+    val fresh =
+      if (head == since)
+        graft.table.Scan(t, spark).toDF.limit(0)
+      else graft.table.Scan(t, spark).appendsBetween(since, head).toDF
+    val idxDf = graft.table.Scan(idx, spark).toDF
+    val removals = mode match {
+      case "exact" =>
+        graft.ops.Dedup.indexedExactRemovals(fresh, idxDf, textCol, idCol)
+      case "minhash" =>
+        graft.ops.Dedup.indexedMinhashRemovals(fresh, idxDf, textCol,
+          idCol, numHashes, threshold = threshold)
+      case "best" =>
+        if (qualityCol.isEmpty) throw new IllegalArgumentException(
+          "dedup_table: mode 'best' requires quality_col")
+        graft.ops.Dedup.indexedMinhashRemovals(fresh, idxDf, textCol,
+          idCol, numHashes, threshold = threshold,
+          qualityCol = Some(qualityCol))
+      case other => throw new IllegalArgumentException(
+        s"dedup_table: unknown mode '$other' (exact | minhash | best)")
+    }
+    val before = graft.table.Scan(t, spark).count()
+    val removalsM = removals.localCheckpoint(true)
+    val removed = removalsM.count()
+    val after = if (removed > 0L)
+      graft.table.Mutations.deleteByKeys(t, spark, removalsM) else t
+    // index maintenance: one batch-sized append + a property bump —
+    // the index chains to the new head without touching base rows
+    val newHead = after.currentSnapshot.map(_.snapshotId).getOrElse(head)
+    val idx2 =
+      if (head == since) idx
+      else {
+        val survivors = fresh.join(
+          removalsM.select(idCol), Seq(idCol), "left_anti")
+        graft.table.TableOps.append(idx, graft.ops.Dedup.signatureFrame(
+          survivors, textCol, idCol, numHashes))
+      }
+    idx2.newTransaction()
+      .setProperties(Map(IdxPropSourceSnapshot -> newHead.toString))
+      .commit()
+    (new StructType().add("docs_before", LongType)
+      .add("docs_kept", LongType).add("docs_removed", LongType),
+      Seq(before, before - removed, removed))
+  }
+}
+
+private[sources] object GraftBoundProcedure {
+  private val IdxPropSourceTable = "graft.dedup-index.source-table"
+  private val IdxPropSourceSnapshot =
+    "graft.dedup-index.source-snapshot-id"
+  private val IdxPropTextCol = "graft.dedup-index.text-col"
+  private val IdxPropIdCol = "graft.dedup-index.id-col"
+  private val IdxPropNumHashes = "graft.dedup-index.num-hashes"
 }

@@ -181,6 +181,109 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L), s"cluster {1,2,3,5} -> 1, plus 4: $kept")
   }
 
+  test("incrementalExactRemovals: base wins regardless of ids, " +
+      "new-only groups keep min id, NULL text kept") {
+    val base = Seq((10L, "alpha bravo"), (11L, "charlie delta"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "alpha bravo"), // dup of base 10 — base wins despite 1 < 10
+      (2L, "echo foxtrot"), // new-only group, min id -> kept
+      (3L, "echo foxtrot"), // -> removed
+      (4L, null.asInstanceOf[String]), // NULL text -> kept
+      (5L, "charlie delta")) // dup of base 11 -> removed
+      .toDF("doc_id", "text")
+    val removed = Dedup.incrementalExactRemovals(fresh, base)
+      .collect().map(_.getLong(0)).toSet
+    assert(removed == Set(1L, 3L, 5L), s"removals: $removed")
+  }
+
+  test("incrementalMinhashRemovals: base component wins, new-only " +
+      "keeps min id (or best quality), NULL kept") {
+    val base = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      // near-dup of base 10 — removed despite 1 < 10
+      (1L, "the quick brown fox jumps over the lazy cat again today"),
+      // new-only near-dup pair {2, 3} (jaccard 5/7 at the last token)
+      (2L, "completely different content about spark query engines today"),
+      (3L, "completely different content about spark query engines tonight"),
+      // unrelated singleton + NULL text — both kept
+      (4L, "unrelated musings on distributed snapshot isolation"),
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val removed = Dedup.incrementalMinhashRemovals(fresh, base,
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(removed == Set(1L, 3L), s"removals: $removed")
+    // with a quality column, the new-only pair keeps the BEST member
+    val freshQ = fresh.withColumn("q",
+      when(col("doc_id") === 3L, 9L).otherwise(lit(1L)))
+    val removedQ = Dedup.incrementalMinhashRemovals(freshQ, base,
+      numHashes = 32, bands = 16, threshold = 0.5,
+      qualityCol = Some("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(removedQ == Set(1L, 2L), s"removals: $removedQ")
+  }
+
+  test("signatureFrame stores the exact pipeline signatures and " +
+      "fingerprints; NULL text excluded") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "short doc"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val idx = Dedup.signatureFrame(df, numHashes = 16)
+    val rows = idx.collect()
+    assert(rows.map(_.getLong(0)).toSet == Set(1L, 2L))
+    // sig parity with the aggregation form the pipeline bands on
+    val aggSig = Dedup.minhashSignatures(df, "text", "doc_id", 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { r =>
+      assert(r.getSeq[Long](3) == aggSig(r.getLong(0)),
+        s"sig mismatch for ${r.getLong(0)}")
+    }
+    // fp parity with the exact-mode fingerprint
+    val fps = df.where(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach(r => assert(r.getString(1) == fps(r.getLong(0))))
+  }
+
+  test("indexed removals match the from-scratch incremental removals " +
+      "(exact and minhash, with and without quality)") {
+    val base = Seq((10L, "alpha bravo"), (11L, "charlie delta"),
+      (12L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "alpha bravo"),
+      (2L, "echo foxtrot"), (3L, "echo foxtrot"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "the quick brown fox jumps over the lazy cat again today"),
+      (6L, "completely different content about spark query engines today"),
+      (7L, "completely different content about spark query engines tonight"))
+      .toDF("doc_id", "text")
+    val index = Dedup.signatureFrame(base, numHashes = 32)
+    val exScratch = Dedup.incrementalExactRemovals(fresh, base)
+      .collect().map(_.getLong(0)).toSet
+    val exIndexed = Dedup.indexedExactRemovals(fresh, index)
+      .collect().map(_.getLong(0)).toSet
+    assert(exIndexed == exScratch && exScratch == Set(1L, 3L))
+    val mhScratch = Dedup.incrementalMinhashRemovals(fresh, base,
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val mhIndexed = Dedup.indexedMinhashRemovals(fresh, index,
+      numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(mhIndexed == mhScratch && mhScratch == Set(1L, 3L, 5L, 7L),
+      s"scratch $mhScratch indexed $mhIndexed")
+    val freshQ = fresh.withColumn("q",
+      when(col("doc_id") === 7L, 9L).otherwise(lit(1L)))
+    val mhQ = Dedup.indexedMinhashRemovals(freshQ, index,
+      numHashes = 32, bands = 16, threshold = 0.5,
+      qualityCol = Some("q"))
+      .collect().map(_.getLong(0)).toSet
+    assert(mhQ == Set(1L, 3L, 5L, 6L), s"quality removals $mhQ")
+  }
+
   test("connected components labels transitive clusters") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val ids = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("id")

@@ -239,6 +239,145 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.dedup_table since_snapshot_id dedups ONLY the new " +
+      "batch vs the canonical base; base files untouched") {
+    withCatalog("ddi") { (c, _) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      // NOTE: base itself contains an exact dup pair (1, 2) — the
+      // canonical base is NEVER touched by an incremental pass
+      Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+        (3L, "unique text here")).toDF("doc_id", "text")
+        .createOrReplaceTempView("ddi_base")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM ddi_base")
+      val since = spark.sql(s"SELECT snapshot_id FROM " +
+        s"$c.db.docs.snapshots").head.getLong(0)
+      Seq((10L, "alpha beta gamma"), // dup of base -> removed
+        (11L, "fresh new words"), (12L, "fresh  NEW words"), // 11 wins
+        (13L, null.asInstanceOf[String])) // NULL text -> kept
+        .toDF("doc_id", "text").createOrReplaceTempView("ddi_batch")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM ddi_batch")
+      val res = spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+        s"'exact', 'text', 'doc_id', 0.8, '', $since)").collect().head
+      assert((res.getLong(0), res.getLong(1), res.getLong(2)) ==
+        ((7L, 5L, 2L)), s"report $res")
+      // base dups 1/2 both SURVIVE (canonical); batch dups removed
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 11L, 13L))
+      // the base snapshot still reads in full via time travel
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.docs " +
+        s"VERSION AS OF $since").head.getLong(0) == 3L)
+      // a second incremental pass from the NEW head removes nothing
+      // (head = the snapshot that is nobody's parent — ids are random,
+      // commit timestamps can tie, so neither orders reliably)
+      val snaps = spark.sql(s"SELECT snapshot_id, parent_id FROM " +
+        s"$c.db.docs.snapshots").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_ => r.getLong(1)))
+      val parents = snaps.flatMap(_._2).toSet
+      val head = snaps.map(_._1).filterNot(parents).head
+      val res2 = spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+        s"'exact', 'text', 'doc_id', 0.8, '', $head)").collect().head
+      assert(res2.getLong(2) == 0L, s"clean pass report $res2")
+      // unknown since id fails loud
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+          s"'exact', 'text', 'doc_id', 0.8, '', 424242)")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("not found"))
+    }
+  }
+
+  test("CALL system.build_dedup_index + dedup_table(index_table) " +
+      "dedups batches against the index and chains day over day") {
+    withCatalog("ddx") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      Seq((1L, "alpha beta gamma"), (2L, "unique text here"),
+        (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text").createOrReplaceTempView("ddx_base")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM ddx_base")
+      val idx = spark.sql(s"CALL $c.system.build_dedup_index(" +
+        s"'db', 'docs', num_hashes => 32)").collect().head
+      assert(idx.getString(0) == "docs_minhash_idx")
+      assert(idx.getLong(1) == 2L, s"NULL text not indexed: $idx") // NULL text excluded
+      val since = idx.getLong(2)
+      // index content: fp + sig per non-NULL-text doc
+      val irows = spark.sql(s"SELECT doc_id, fp, hs, sig FROM " +
+        s"$c.db.docs_minhash_idx ORDER BY doc_id").collect()
+      assert(irows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      assert(irows.forall(r => r.getString(1).length == 32 &&
+        r.getSeq[Long](3).size == 32))
+      // day 1 batch: dup-of-base, fresh pair (11 wins), NULL
+      Seq((10L, "alpha  BETA gamma"), (11L, "fresh new words"),
+        (12L, "fresh NEW words"), (13L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text").createOrReplaceTempView("ddx_b1")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM ddx_b1")
+      val r1 = spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+        s"'exact', 'text', 'doc_id', 0.8, '', $since, " +
+        s"'docs_minhash_idx')").collect().head
+      assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ==
+        ((7L, 5L, 2L)), s"day-1 report $r1")
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 11L, 13L))
+      // the index chained: survivor 11's signatures appended, recorded
+      // snapshot advanced to the post-delete head
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs_minhash_idx " +
+        s"ORDER BY doc_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L, 11L))
+      val t = loadT(dir, "docs")
+      val head1 = t.currentSnapshot.get.snapshotId
+      assert(loadT(dir, "docs_minhash_idx").metadata.properties(
+        "graft.dedup-index.source-snapshot-id") == head1.toString)
+      // day 2 chains from head1 WITHOUT rebuilding: near-dup of day-1
+      // survivor 11 (only in the index via the chain) is caught
+      Seq((20L, "fresh new  WORDS"), (21L, "genuinely novel content"))
+        .toDF("doc_id", "text").createOrReplaceTempView("ddx_b2")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM ddx_b2")
+      val r2 = spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+        s"'exact', 'text', 'doc_id', 0.8, '', $head1, " +
+        s"'docs_minhash_idx')").collect().head
+      assert(r2.getLong(2) == 1L, s"day-2 report $r2")
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L, 3L, 11L, 13L, 21L))
+      // stale since -> loud error naming the recorded snapshot
+      val e = intercept[Exception] {
+        spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+          s"'exact', 'text', 'doc_id', 0.8, '', $since, " +
+          s"'docs_minhash_idx')")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("stale or wrong index"), msgs)
+      // column mismatch -> loud error
+      val head2 = loadT(dir, "docs").currentSnapshot.get.snapshotId
+      val e2 = intercept[Exception] {
+        spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+          s"'exact', 'body', 'doc_id', 0.8, '', $head2, " +
+          s"'docs_minhash_idx')")
+      }
+      val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs2.contains("was built on"), msgs2)
+      // missing index -> loud error
+      val e3 = intercept[Exception] {
+        spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+          s"'exact', 'text', 'doc_id', 0.8, '', $head2, 'nope_idx')")
+      }
+      val msgs3 = Iterator.iterate(e3: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs3.contains("build_dedup_index first"), msgs3)
+    }
+  }
+
   test("CALL system.dedup_table mode 'best' keeps the max-quality " +
       "copy per exact-dup cluster and requires quality_col") {
     withCatalog("db2") { (c, _) =>
