@@ -35,5 +35,10 @@ object SparkEntry {
     // round 15: PQ-ADC ANN and the end-to-end image near-dedup join
     // the headline set (no BASELINE.md comparables — tracked round
     // over round from r15 on)
-    "e15_pq_adc_verify", "e14_image_neardup")
+    "e15_pq_adc_verify", "e14_image_neardup",
+    // round 16: index-backed daily-batch dedup (exact + near-dup) —
+    // the operational contrast to d6's full-corpus re-dedup: the
+    // signature index is built in the warmup pass, so the timed path
+    // is batch-vs-index only, the shape a daily pipeline actually runs
+    "d41_indexed_batch_dedup", "d41b_indexed_minhash_batch")
 }

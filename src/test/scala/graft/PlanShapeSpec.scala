@@ -206,4 +206,99 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.toString.contains("partial"),
       s"q1 lost map-side partial aggregation:\n$p")
   }
+
+  /** The persisted-index dedup claims "batch cost = narrow index
+    * column scans, never a base text pass" — prove column pruning
+    * actually reaches a parquet-backed index (the bench memoizes a
+    * cached frame; the 100 TB shape reads a persisted table). */
+  private def indexScans(p: SparkPlan,
+      tmp: String): Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(tmp))
+        => f
+    }
+
+  test("d41 indexed exact dedup: the index parquet scan reads ONLY " +
+      "the fp column — no text, no shingle sets, no signatures") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-idxplan-").toString
+    graft.ops.Dedup.signatureFrame(docs)
+      .write.mode("overwrite").parquet(tmp)
+    val idx = spark.read.parquet(tmp)
+    val batch = docs.limit(50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.ops.Dedup.indexedExactRemovals(batch, idx)
+        .queryExecution.executedPlan
+      val scans = indexScans(p, tmp)
+      assert(scans.nonEmpty, s"expected an index scan in:\n$p")
+      scans.foreach(f => assert(
+        f.requiredSchema.fieldNames.toSet == Set("fp"),
+        s"exact mode must read only fp from the index, got " +
+          s"${f.requiredSchema.fieldNames.mkString(",")}:\n$p"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("d41b indexed minhash dedup: index scans read only what each " +
+      "stage needs — sig for banding, hs for verify, never fp or text") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmpDir = java.nio.file.Files
+      .createTempDirectory("graft-idxplan-")
+    val tmp = tmpDir.toString
+    val marker = tmpDir.getFileName.toString
+    graft.ops.Dedup.signatureFrame(docs)
+      .write.mode("overwrite").parquet(tmp)
+    val idx = spark.read.parquet(tmp)
+    val batch = docs.limit(50)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    // the pipeline materializes eagerly (checkpointed candidate/edge
+    // lists), so the index scans never reach the FINAL plan — capture
+    // every execution's physical plan as it starts instead
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        e match {
+          case s: org.apache.spark.sql.execution.ui.
+              SparkListenerSQLExecutionStart =>
+            seen.add(s.physicalPlanDescription)
+          case _ =>
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.ops.Dedup.indexedMinhashRemovals(batch, idx).collect()
+      // the formatted plan description puts each scan's Location and
+      // ReadSchema on separate lines — pair them per scan block
+      val scanRe = ("Location[^\n]*" +
+        java.util.regex.Pattern.quote(marker) +
+        "[^\n]*\n(?:[^\n]*\n)*?ReadSchema: ([^\n]*)").r
+      // listener events are async; wait for the scan blocks to land
+      val deadline = System.nanoTime() + 15_000_000_000L
+      def readSchemas = seen.toArray(Array.empty[String])
+        .flatMap(d => scanRe.findAllMatchIn(d).map(_.group(1)))
+      var schemas = readSchemas
+      while ((!schemas.exists(_.contains("sig")) ||
+          !schemas.exists(_.contains("hs"))) &&
+          System.nanoTime() < deadline) {
+        Thread.sleep(200); schemas = readSchemas
+      }
+      assert(schemas.nonEmpty, s"no index scans captured; executions: " +
+        s"${seen.size}")
+      schemas.foreach(sc => assert(!sc.contains("fp"),
+        s"minhash mode must never read the fp column:\n$sc"))
+      assert(schemas.exists(sc => sc.contains("sig") && !sc.contains("hs")),
+        s"banding must read sig without hs:\n${schemas.mkString("\n")}")
+      assert(schemas.exists(sc => sc.contains("hs") && !sc.contains("sig")),
+        s"verify must read hs without sig:\n${schemas.mkString("\n")}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
