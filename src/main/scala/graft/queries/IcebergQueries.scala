@@ -1589,6 +1589,109 @@ object IcebergQueries {
     * DuckDB reproduces as the distinct planted fingerprints anti-joined
     * against the corpus — row-identity-free, so the gate is untouched
     * by which duplicate row `dropDuplicates` happens to keep. */
+  /** Streaming in-flight dedup backed by the PERSISTED signature
+    * index ([[graft.streaming.Streams.IndexedDedupSink]]) — the dedup
+    * horizon lives in a TABLE, not the state store: the base corpus is
+    * indexed once, every micro-batch dedups against the index (exact
+    * fp membership here), and survivors' signatures chain INTO the
+    * index, so a wave-2 replay of a wave-1 survivor is dropped without
+    * any `dropDuplicates` state. Waves mirror i21's planting; the
+    * oracle replays fp membership across both waves. */
+  def i35StreamIndexedDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    val base = docs.filter(col("doc_id") < 50).select("doc_id", "text")
+    val cat = new LocalCatalog(warehouse)
+    val ns = Seq("sf35" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8))
+    cat.createNamespace(ns)
+    var src = Table.create(cat, TableIdentifier(ns, "crawl"),
+      SchemaConverters.fromSparkSchema(base.schema), io = io)
+    val idxFrame = graft.ops.Dedup.signatureFrame(base)
+    var idxT = Table.create(cat, TableIdentifier(ns, "idx"),
+      SchemaConverters.fromSparkSchema(idxFrame.schema), io = io)
+    idxT = TableOps.append(idxT, idxFrame)
+    val sinkT = Table.create(cat, TableIdentifier(ns, "clean"),
+      SchemaConverters.fromSparkSchema(base.schema), io = io)
+    def wave(idOffset: Long, suffix: String) = base.select(
+      (col("doc_id") + idOffset).as("doc_id"),
+      (if (suffix.isEmpty) col("text")
+       else concat(col("text"), lit(suffix))).as("text"))
+    src = TableOps.append(src, wave(2000000L, "") // exact base re-crawl
+      .unionByName(wave(3000000L, " zzq1"))       // fresh
+      .unionByName(wave(4000000L, " zzq1")))      // in-batch duplicate
+    val pipe = graft.streaming.Streams.indexedDedupSink(sinkT, idxT)
+    val q = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns.mkString("."))
+      .option("table", "crawl")
+      .load()
+      .writeStream
+      .foreachBatch((b: DataFrame, id: Long) => pipe.addBatch(b, id))
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable() // batch 1: wave 1
+      src = TableOps.append(src,
+        wave(5000000L, " zzq1")                // replay of w1 SURVIVORS
+          .unionByName(wave(6000000L, " zzq2"))) // second fresh wave
+      q.processAllAvailable() // batch 2: dedups against the CHAINED index
+    } finally q.stop()
+    graft.table.Scan(pipe.sink, s).toDF
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  val i35Sql: String =
+    """WITH basefp AS (
+      |  SELECT DISTINCT
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+      |), w1 AS (
+      |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text || ' zzq1' FROM documents
+      |  WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT doc_id + 4000000, text || ' zzq1' FROM documents
+      |  WHERE doc_id < 50
+      |), w1fp AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM w1 WHERE text IS NOT NULL
+      |), w1keep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM w1fp WHERE fp NOT IN (SELECT fp FROM basefp)
+      |  ) WHERE rn = 1
+      |  UNION ALL
+      |  SELECT doc_id FROM w1 WHERE text IS NULL
+      |), seen2 AS (
+      |  SELECT fp FROM basefp
+      |  UNION
+      |  SELECT fp FROM w1fp WHERE doc_id IN (SELECT doc_id FROM w1keep)
+      |), w2 AS (
+      |  SELECT doc_id + 5000000 AS doc_id, text || ' zzq1' AS text
+      |  FROM documents WHERE doc_id < 50
+      |  UNION ALL
+      |  SELECT doc_id + 6000000, text || ' zzq2' FROM documents
+      |  WHERE doc_id < 50
+      |), w2fp AS (
+      |  SELECT doc_id,
+      |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+      |  FROM w2 WHERE text IS NOT NULL
+      |), w2keep AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      |    FROM w2fp WHERE fp NOT IN (SELECT fp FROM seen2)
+      |  ) WHERE rn = 1
+      |  UNION ALL
+      |  SELECT doc_id FROM w2 WHERE text IS NULL
+      |)
+      |SELECT doc_id FROM w1keep
+      |UNION ALL SELECT doc_id FROM w2keep
+      |ORDER BY doc_id""".stripMargin
+
   def i21IngestDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
     val base = docs.filter(col("doc_id") < 50).select("doc_id", "text")
@@ -1986,6 +2089,7 @@ object IcebergQueries {
     "i33b_dedup_incr_minhash" -> (i33bDedupIncrementalMinhash _),
     "i34_dedup_indexed" -> (i34DedupIndexed _),
     "i34b_dedup_indexed_exact" -> (i34bDedupIndexedExact _),
+    "i35_stream_indexed_dedup" -> (i35StreamIndexedDedup _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -2041,6 +2145,7 @@ object IcebergQueries {
     "i33b_dedup_incr_minhash" -> i33bSql,
     "i34_dedup_indexed" -> i34Sql,
     "i34b_dedup_indexed_exact" -> i34bSql,
+    "i35_stream_indexed_dedup" -> i35Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.table.{PendingSnapshot, PartitionedWriter, Table}
+import graft.table.{PendingSnapshot, PartitionedWriter, Table, TableOps}
 import graft.spec.Operation
 
 /** Structured Streaming surface (engine capability beyond the
@@ -34,6 +34,70 @@ object Streams {
 
   def icebergSink(table: Table): IcebergStreamSink =
     new IcebergStreamSink(table)
+
+  /** In-flight dedup for `writeStream.foreachBatch`, backed by a
+    * persisted [[graft.ops.Dedup.signatureFrame]] INDEX table instead
+    * of the streaming state store. Per micro-batch: duplicates of
+    * anything the index has seen (exact fp match, or — `minhash =
+    * true` — a verified near-dup, which `dropDuplicates` cannot
+    * express at all) are dropped, survivors are appended to the sink
+    * table AND their signatures to the index, so later micro-batches
+    * dedup against everything that survived before them.
+    *
+    * Why a table instead of `dropDuplicates` state: the dedup horizon
+    * becomes unbounded WITHOUT unbounded state-store growth (the index
+    * is columnar, shared across restarts and across QUERIES — the
+    * batch `dedup_table(..., index_table)` procedure and any number of
+    * streams can chain on the same index), and near-dup dedup rides
+    * the same structure. Batch cost is the [[graft.ops.Dedup
+    * .indexedExactRemovals]] / [[graft.ops.Dedup
+    * .indexedMinhashRemovals]] shape: narrow index column scans, no
+    * corpus text pass. Retried micro-batch ids are skipped
+    * (same-handle at-most-once, the [[IcebergStreamSink]] contract);
+    * both appends are ordinary snapshots, so a crash between them is
+    * visible and re-runnable rather than silently double-counted. */
+  final class IndexedDedupSink(initialSink: Table, initialIndex: Table,
+      textCol: String = "text", idCol: String = "doc_id",
+      minhash: Boolean = false, threshold: Double = 0.8,
+      numHashes: Int = 64) extends Serializable {
+    @volatile private var sinkRef: Table = initialSink
+    @volatile private var indexRef: Table = initialIndex
+    @volatile private var lastBatchId: Long = Long.MinValue
+
+    /** The foreachBatch function. */
+    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      if (batch0.isEmpty) return
+      val spark = batch0.sparkSession
+      // pin the micro-batch: removals, the sink append, and the
+      // signature append each read it — the source must not re-execute
+      val batch = batch0.localCheckpoint(true)
+      val idxDf = graft.table.Scan(indexRef, spark).toDF
+      val removals = (if (minhash)
+        graft.ops.Dedup.indexedMinhashRemovals(batch, idxDf, textCol,
+          idCol, numHashes, threshold = threshold)
+      else graft.ops.Dedup.indexedExactRemovals(batch, idxDf, textCol,
+        idCol)).localCheckpoint(true)
+      val survivors = batch.join(removals, Seq(idCol), "left_anti")
+      if (!survivors.isEmpty) {
+        sinkRef = TableOps.append(sinkRef, survivors)
+        indexRef = TableOps.append(indexRef,
+          graft.ops.Dedup.signatureFrame(survivors, textCol, idCol,
+            numHashes))
+      }
+    }
+
+    def sink: Table = sinkRef
+    def index: Table = indexRef
+  }
+
+  def indexedDedupSink(sink: Table, index: Table,
+      textCol: String = "text", idCol: String = "doc_id",
+      minhash: Boolean = false, threshold: Double = 0.8,
+      numHashes: Int = 64): IndexedDedupSink =
+    new IndexedDedupSink(sink, index, textCol, idCol, minhash,
+      threshold, numHashes)
 
   /** Watermarked tumbling-window rollup: the streaming analog of the
     * q13 batch query. `events` must carry an event-time column. */

@@ -56,6 +56,64 @@ class StreamsSpec extends AnyFunSuite {
     assert(Scan(t, spark).useSnapshot(first.snapshotId).toDF.count() == 2)
   }
 
+  test("IndexedDedupSink: near-dup micro-batch dedup against a chained " +
+      "signature-index table — no state store") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-idxsink-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val docSchema = Schema(0, Seq(
+      NestedField(1, "doc_id", LongType, required = true),
+      NestedField(2, "text", StringType, required = false)))
+    val base = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "completely unrelated musings on snapshot isolation levels"))
+      .toDF("doc_id", "text")
+    val idxFrame = graft.ops.Dedup.signatureFrame(base, numHashes = 32)
+    var idxT = Table.create(cat, TableIdentifier(Seq("db"), "idx"),
+      SchemaConverters.fromSparkSchema(idxFrame.schema),
+      io = new HadoopFileIO())
+    idxT = TableOps.append(idxT, idxFrame)
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "clean"),
+      docSchema, io = new HadoopFileIO())
+    val pipe = Streams.indexedDedupSink(sinkT, idxT, minhash = true,
+      threshold = 0.5, numHashes = 32)
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(df, id))
+      .start()
+    try {
+      // batch 1: near-dup of base 10 (dropped), fresh (kept)
+      input.addData(
+        (20L, "the quick brown fox jumps over the lazy cat again today"),
+        (21L, "fresh content about distributed query engines tonight"))
+      q.processAllAvailable()
+      // batch 2: near-dup of batch-1 SURVIVOR 21 — dropped only
+      // because the index chained; plus a fresh row
+      input.addData(
+        (30L, "fresh content about distributed query engines today"),
+        (31L, "entirely novel text with no relatives anywhere"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = Scan(pipe.sink, spark).toDF
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(21L, 31L), s"kept $kept")
+    // the index chained: base + both survivors
+    val idxIds = Scan(pipe.index, spark).toDF
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(idxIds == Set(10L, 11L, 21L, 31L), s"index $idxIds")
+    // a retried batch id is skipped (at-most-once per handle)
+    val sinkSnaps = pipe.sink.metadata.snapshots.size
+    pipe.addBatch(base, 0L)
+    assert(pipe.sink.metadata.snapshots.size == sinkSnaps,
+      "replayed batch id must not double-append")
+  }
+
   test("table tailer drains appended snapshots incrementally, resumes from checkpoint") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tail-").toString
