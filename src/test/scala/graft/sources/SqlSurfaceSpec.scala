@@ -378,6 +378,53 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed dedup chain survives source maintenance: compaction " +
+      "and equality-delete rewrite between batches deliver no rows") {
+    withCatalog("ddm") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      Seq((1L, "alpha beta gamma"), (2L, "unique text here"))
+        .toDF("doc_id", "text").createOrReplaceTempView("ddm_base")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM ddm_base")
+      val since = spark.sql(s"CALL $c.system.build_dedup_index(" +
+        s"'db', 'docs', num_hashes => 32)").collect().head.getLong(2)
+      Seq((10L, "ALPHA beta gamma"), (11L, "fresh new words"))
+        .toDF("doc_id", "text").createOrReplaceTempView("ddm_b1")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM ddm_b1")
+      val r1 = spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+        s"'exact', 'text', 'doc_id', 0.8, '', $since, " +
+        s"'docs_minhash_idx')").collect().head
+      assert(r1.getLong(2) == 1L, s"day-1 report $r1")
+      // MAINTENANCE between batches: rewrite the MoR equality deletes
+      // to position deletes, then compact data files — both commit
+      // Replace/Delete snapshots the incremental scan must skip
+      spark.sql(s"CALL $c.system.rewrite_equality_deletes('db', 'docs')")
+      spark.sql(s"CALL $c.system.compact('db', 'docs')")
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 11L))
+      // day 2 chains from the index's recorded snapshot (pre-
+      // maintenance) — the compaction rewrites must NOT re-deliver,
+      // or every base row would look like batch rows and mass-dedup
+      val recorded = loadT(dir, "docs_minhash_idx").metadata.properties(
+        "graft.dedup-index.source-snapshot-id").toLong
+      Seq((20L, "fresh NEW words"), (21L, "novel content"))
+        .toDF("doc_id", "text").createOrReplaceTempView("ddm_b2")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM ddm_b2")
+      val r2 = spark.sql(s"CALL $c.system.dedup_table('db', 'docs', " +
+        s"'exact', 'text', 'doc_id', 0.8, '', $recorded, " +
+        s"'docs_minhash_idx')").collect().head
+      assert((r2.getLong(0), r2.getLong(2)) == ((5L, 1L)),
+        s"day-2 must see 5 live docs and remove only the replay: $r2")
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 11L, 21L))
+      // the index stayed exact: live non-null-text rows only
+      assert(spark.sql(s"SELECT doc_id FROM $c.db.docs_minhash_idx " +
+        s"ORDER BY doc_id").collect().map(_.getLong(0)).toSeq ==
+        Seq(1L, 2L, 11L, 21L))
+    }
+  }
+
   test("CALL system.dedup_table mode 'best' keeps the max-quality " +
       "copy per exact-dup cluster and requires quality_col") {
     withCatalog("db2") { (c, _) =>
