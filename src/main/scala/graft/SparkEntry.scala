@@ -40,5 +40,10 @@ object SparkEntry {
     // the operational contrast to d6's full-corpus re-dedup: the
     // signature index is built in the warmup pass, so the timed path
     // is batch-vs-index only, the shape a daily pipeline actually runs
-    "d41_indexed_batch_dedup", "d41b_indexed_minhash_batch")
+    "d41_indexed_batch_dedup", "d41b_indexed_minhash_batch",
+    // round 16: indexed IVF ANN search — the inverted file is built in
+    // the warmup pass (the persisted build_ann_index shape i36 gates
+    // through SQL); the timed path probes, loads ONLY probed cells,
+    // and re-ranks — contrast with e3-family full assign-and-search
+    "e17_ivf_indexed_search")
 }

@@ -138,7 +138,18 @@ object Similarity {
         * full counting pre-pass over the corpus, one wasted scan at
         * 100 TB. Only used to pick the sampling fraction, so a stale
         * hint degrades sample size, never correctness. */
-      rowCountHint: Option[Long] = None): DataFrame = {
+      rowCountHint: Option[Long] = None): DataFrame =
+    ivfTopKWithCentroids(corpus, queries,
+      ivfFitCentroids(corpus, nCentroids, seed, vecCol, idCol,
+        maxFitRows, rowCountHint), k, nprobe, vecCol, idCol)
+
+  /** The KMeans centroid fit [[ivfTopK]] runs, exposed so an index
+    * BUILD (`CALL graft.system.build_ann_index`) can persist the
+    * centroids and later searches skip the fit entirely. */
+  def ivfFitCentroids(corpus: DataFrame, nCentroids: Int,
+      seed: Long = 42L, vecCol: String = "embedding",
+      idCol: String = "vec_id", maxFitRows: Long = 100000L,
+      rowCountHint: Option[Long] = None): Seq[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
@@ -156,9 +167,7 @@ object Similarity {
       else c.sample(withReplacement = false,
         // oversample slightly so the sampled count stays >= nCentroids
         math.min(1.0, maxFitRows.toDouble * 1.1 / corpusRows), seed)
-    val model = km.fit(fitSet)
-    ivfTopKWithCentroids(corpus, queries,
-      model.clusterCenters.map(_.toArray).toSeq, k, nprobe, vecCol, idCol)
+    km.fit(fitSet).clusterCenters.map(_.toArray).toSeq
   }
 
   /** Squared Euclidean distance from a float-array column to a fixed
@@ -212,6 +221,46 @@ object Similarity {
     val assigned = c.withColumn("__cn", l2norm(col("__cv")))
       .withColumn("__cell", nearestCell(col("__cv"), centroids))
 
+    val probed = probedQueries(queries, centroids, nprobe, vecCol, idCol)
+
+    val scored = assigned.join(broadcast(probed), Seq("__cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("score", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("nid").asc)
+    // no distinct(): each corpus vector lives in exactly ONE cell and a
+    // query probes a slice of DISTINCT cells, so a (qid, nid) pair can
+    // meet only once — unlike lshTopK's multi-probe, which can hit the
+    // same bucket through several flipped bits and must dedup
+    scored.select("qid", "nid", "score")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Centroid matrix ⇄ JSON, for stamping a trained IVF model on the
+    * index table's properties. `Double.toString` shortest-repr
+    * round-trips exactly through `toDouble`, so a persisted model
+    * reloads bit-identically — what lets i36 hash-gate search results
+    * against the build. */
+  def centroidsToJson(cbs: Seq[Array[Double]]): String =
+    cbs.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  def centroidsFromJson(s: String): Seq[Array[Double]] = {
+    val inner = s.trim.stripPrefix("[").stripSuffix("]").trim
+    if (inner.isEmpty) Nil
+    else inner.split("\\]\\s*,\\s*\\[").toSeq.map(row =>
+      row.stripPrefix("[").stripSuffix("]")
+        .split(",").map(_.trim.toDouble))
+  }
+
+  /** Query-side probe stage shared by [[ivfTopKWithCentroids]] and
+    * [[ivfTopKFromIndex]]: `(qid, __qv, __qn, __cell)` — one row per
+    * (query, probed cell), top-`nprobe` centroids by cosine desc then
+    * cell asc, all per-row expression work (no window/shuffle). */
+  private def probedQueries(queries: DataFrame,
+      centroids: Seq[Array[Double]], nprobe: Int, vecCol: String,
+      idCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("__qv"))
       .withColumn("__qn", l2norm(col("__qv")))
     val cosStructs = centroids.zipWithIndex.map { case (ctr, cell) =>
@@ -224,23 +273,45 @@ object Similarity {
       when(l.getField("s") > r.getField("s"), -1)
         .when(l.getField("s") < r.getField("s"), 1)
         .otherwise(l.getField("c") - r.getField("c"))
-    val probed = q
-      .withColumn("__pc", explode(slice(
+    q.withColumn("__pc", explode(slice(
         array_sort(array(cosStructs: _*), byScoreDesc),
         1, math.min(nprobe, centroids.size))))
       .select(col("qid"), col("__qv"), col("__qn"),
         col("__pc.c").as("__cell"))
+  }
 
+  /** IVF search against a PERSISTED index — a table of
+    * `(idCol, cell, norm, vecCol)` rows written cell-partitioned by
+    * `CALL graft.system.build_ann_index`. The query batch's probed
+    * cells are collected first (driver-side — |queries| × nprobe ints)
+    * and handed to `loadCells`, which returns ONLY those cells' rows;
+    * because the index table is partitioned by `cell`, that filter is
+    * answered by manifest-level PARTITION PRUNING — the inverted-file
+    * "read only the probed lists" property realized as Iceberg
+    * partitions, so a search touches nprobe/nCells of the corpus
+    * instead of scanning it. Assignment and norms are read back, not
+    * recomputed; ranking is [[ivfTopKWithCentroids]]'s exact tail, so
+    * results are identical to the unindexed path for the same
+    * centroids (i36 hash-gates this). */
+  def ivfTopKFromIndex(loadCells: Seq[Int] => DataFrame,
+      queries: DataFrame, centroids: Seq[Array[Double]], k: Int,
+      nprobe: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    // tiny (|queries| × nprobe); pinned so the collect and the join
+    // don't each re-run the probe expressions
+    val probed = probedQueries(queries, centroids, nprobe, vecCol, idCol)
+      .localCheckpoint(true)
+    val cells = probed.select("__cell").distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val assigned = loadCells(cells).select(col(idCol).as("nid"),
+      col(vecCol).as("__cv"), col("norm").as("__cn"),
+      col("cell").as("__cell"))
     val scored = assigned.join(broadcast(probed), Seq("__cell"))
       .where(col("qid") =!= col("nid"))
       .withColumn("score", cosineWithNorms(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid").asc)
-    // no distinct(): each corpus vector lives in exactly ONE cell and a
-    // query probes a slice of DISTINCT cells, so a (qid, nid) pair can
-    // meet only once — unlike lshTopK's multi-probe, which can hit the
-    // same bucket through several flipped bits and must dedup
     scored.select("qid", "nid", "score")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

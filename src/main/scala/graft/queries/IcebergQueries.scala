@@ -1639,6 +1639,195 @@ object IcebergQueries {
       .select("doc_id").orderBy("doc_id")
   }
 
+  /** Centroids persisted by the last [[i36AnnIndexedSearch]] run in
+    * this JVM — the oracle embeds them as literals (the e15b stash
+    * pattern: Verify runs queries first, dumps oracle_sql.json last,
+    * and [[oracles]] is a `def`, so the map rebuild picks this up). */
+  @volatile private var i36Stash: Option[Seq[Array[Double]]] = None
+
+  /** `CALL build_ann_index` + [[graft.ops.Similarity
+    * .ivfTopKFromIndex]] — the PERSISTED inverted file: centroids are
+    * fitted once and stamped on a cell-PARTITIONED index table of
+    * `(vec_id, cell, norm, embedding)`; a search collects its probed
+    * cells and reads ONLY those partitions (manifest partition
+    * pruning, asserted in-query: the probed plan must touch strictly
+    * fewer files than the full index). The oracle replays assignment
+    * (argmin d², tie lowest cell), nprobe probing (cosine desc, cell
+    * asc), and the exact re-rank with the TRAINED centroids as
+    * literals — so fit, persistence round-trip, pruning, and search
+    * all sit under one hash gate. */
+  def i36AnnIndexedSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val c = "g36" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf36" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val tmp = "g36v_" + java.util.UUID.randomUUID.toString.take(8)
+    emb.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp")
+    val built = s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 8, '', -1, 4242)").collect().head
+    require(built.getInt(1) == 8 && built.getLong(3) > 0,
+      s"index build report: $built")
+    val idxT = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+    val props = idxT.metadata.properties
+    val centroids = graft.ops.Similarity.centroidsFromJson(
+      props("graft.ann-index.centroids"))
+    i36Stash = Some(centroids)
+    val dim = props("graft.ann-index.dim").toInt
+    val queries = emb.where(col("vec_id") < 3 &&
+      size(col("embedding")) === dim)
+    val allFiles = graft.table.Scan(idxT, s).planFiles().size
+    graft.ops.Similarity.ivfTopKFromIndex(
+      cells => {
+        val pruned = graft.table.Scan(idxT, s)
+          .filter(Col("cell").in(cells: _*))
+        require(pruned.planFiles().size < allFiles,
+          s"probed read must partition-prune: ${pruned.planFiles().size}" +
+            s" of $allFiles files")
+        pruned.toDF
+      },
+      queries, centroids, k = 5, nprobe = 3)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** i36 oracle — the e3b replay with the TRAINED centroids as a
+    * VALUES CTE (assignment argmin via ROW_NUMBER d2 asc, cell asc —
+    * the `least(struct)` tie rule — then nprobe probe + exact
+    * re-rank). */
+  private def i36Sql: String = annReplaySql(i36Stash)
+
+  /** Shared i36/i37 replay builder: both gates' oracles are THIS
+    * definition with their own run's trained centroids — the full
+    * build and the incremental chain must land on the identical
+    * search result set for the same model. */
+  private def annReplaySql(
+      stash: Option[Seq[Array[Double]]]): String = stash match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS " +
+        "nid, CAST(NULL AS BIGINT) AS rank WHERE 1 = 0"
+    case Some(cbs) =>
+      import OpsQueries.PlantedSql.cos
+      val values = cbs.zipWithIndex.map { case (ctr, cell) =>
+        s"($cell, [${ctr.mkString(", ")}])"
+      }.mkString(",\n    ")
+      s"""WITH dim AS (
+         |  SELECT max(len(embedding)) AS d FROM embeddings
+         |), corpus AS (
+         |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+         |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
+         |), q AS (
+         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings
+         |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
+         |), cells(cell, ctr) AS (
+         |  VALUES $values
+         |), dists AS (
+         |  SELECT nid, cv, cell,
+         |    list_reduce(list_transform(generate_series(1, len(cv)),
+         |      i -> (cv[i] - ctr[i]) * (cv[i] - ctr[i])),
+         |      (acc, x) -> acc + x) AS d2
+         |  FROM corpus CROSS JOIN cells
+         |), assigned AS (
+         |  SELECT nid, cv, cell FROM (
+         |    SELECT nid, cv, cell, ROW_NUMBER() OVER (PARTITION BY nid
+         |      ORDER BY d2 ASC, cell ASC) AS rn
+         |    FROM dists
+         |  ) WHERE rn = 1
+         |), probes AS (
+         |  SELECT qid, qv, cell FROM (
+         |    SELECT q.qid, q.qv, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.qid
+         |        ORDER BY ${cos("q.qv", "c.ctr")} DESC, c.cell ASC) AS cr
+         |    FROM q CROSS JOIN cells c
+         |  ) WHERE cr <= 3
+         |)
+         |SELECT qid, nid, rank FROM (
+         |  SELECT p.qid, a.nid,
+         |    ROW_NUMBER() OVER (PARTITION BY p.qid
+         |      ORDER BY ${cos("p.qv", "a.cv")} DESC, a.nid ASC) AS rank
+         |  FROM probes p JOIN assigned a
+         |    ON a.cell = p.cell AND a.nid <> p.qid
+         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  @volatile private var i37Stash: Option[Seq[Array[Double]]] = None
+
+  /** The incremental chain: full `build_ann_index` on HALF the corpus,
+    * append the rest, `build_ann_index(incremental => true)` — new
+    * vectors are assigned with the STAMPED centroids (asserted
+    * in-query: the centroids property is byte-identical across the
+    * chain, and the incremental report indexes exactly the appended
+    * max-dim rows) and appended into their cells. A search over the
+    * chained index must land the exact same rows as the full replay
+    * over ALL vectors with the original model — the oracle is
+    * [[annReplaySql]] with this run's stash, so a chain that dropped,
+    * duplicated, or mis-assigned any appended vector hash-fails. */
+  def i37AnnIndexChained(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val c = "g37" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf37" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val tmp = "g37v_" + java.util.UUID.randomUUID.toString.take(8)
+    emb.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp " +
+      s"WHERE vec_id <= $mid")
+    s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 8, '', -1, 4242)").collect()
+    val cbefore = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+      .metadata.properties("graft.ann-index.centroids")
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp " +
+      s"WHERE vec_id > $mid")
+    val rep = s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"incremental => true)").collect().head
+    val idxT = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+    val props = idxT.metadata.properties
+    require(props("graft.ann-index.centroids") == cbefore,
+      "incremental chain must NOT refit: centroids changed")
+    val dim = props("graft.ann-index.dim").toInt
+    val expectNew = emb.where(col("vec_id") > mid &&
+      size(col("embedding")) === dim).count()
+    require(rep.getLong(3) == expectNew,
+      s"chain must index exactly the appended max-dim rows: $rep " +
+        s"vs $expectNew")
+    // idempotent no-op: nothing new appended since the chain advance
+    val rep2 = s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"incremental => true)").collect().head
+    require(rep2.getLong(3) == 0L, s"no-op chain must index 0: $rep2")
+    val centroids = graft.ops.Similarity.centroidsFromJson(cbefore)
+    i37Stash = Some(centroids)
+    val queries = emb.where(col("vec_id") < 3 &&
+      size(col("embedding")) === dim)
+    val allFiles = graft.table.Scan(idxT, s).planFiles().size
+    graft.ops.Similarity.ivfTopKFromIndex(
+      cells => {
+        val pruned = graft.table.Scan(idxT, s)
+          .filter(Col("cell").in(cells: _*))
+        require(pruned.planFiles().size < allFiles,
+          s"probed read must partition-prune: ${pruned.planFiles().size}" +
+            s" of $allFiles files")
+        pruned.toDF
+      },
+      queries, centroids, k = 5, nprobe = 3)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  private def i37Sql: String = annReplaySql(i37Stash)
+
   val i35Sql: String =
     """WITH basefp AS (
       |  SELECT DISTINCT
@@ -2090,6 +2279,8 @@ object IcebergQueries {
     "i34_dedup_indexed" -> (i34DedupIndexed _),
     "i34b_dedup_indexed_exact" -> (i34bDedupIndexedExact _),
     "i35_stream_indexed_dedup" -> (i35StreamIndexedDedup _),
+    "i36_ann_indexed_search" -> (i36AnnIndexedSearch _),
+    "i37_ann_index_chained" -> (i37AnnIndexChained _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -2104,7 +2295,10 @@ object IcebergQueries {
     "i26b_expiry_readmit" -> (i26bExpiryReadmit _),
   )
 
-  val oracles: Map[String, String] = Map(
+  // a def, not a val: i36's oracle embeds centroids trained when the
+  // query ran (the e15b stash pattern) — rebuilding the map at dump
+  // time picks the stash up
+  def oracles: Map[String, String] = Map(
     "i1_scan_filter" -> i1Sql,
     "i2_scan_complex_pred" -> i2Sql,
     "i3_time_travel" -> i3Sql,
@@ -2146,6 +2340,8 @@ object IcebergQueries {
     "i34_dedup_indexed" -> i34Sql,
     "i34b_dedup_indexed_exact" -> i34bSql,
     "i35_stream_indexed_dedup" -> i35Sql,
+    "i36_ann_indexed_search" -> i36Sql,
+    "i37_ann_index_chained" -> i37Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

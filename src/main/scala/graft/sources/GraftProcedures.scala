@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
     "rewrite_data_files", "fast_forward", "add_files",
     "register_table", "dedup_table", "cherrypick_snapshot",
     "rewrite_position_deletes", "rewrite_equality_deletes",
-    "build_dedup_index")
+    "build_dedup_index", "build_ann_index")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -174,6 +174,20 @@ private[sources] class GraftBoundProcedure(
       pDefault("index_table", StringType, "''"),
       // -1 → the current snapshot; else index the table AS OF this id
       pDefault("snapshot_id", LongType, "-1"))
+    case "build_ann_index" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("vec_col", StringType, "'embedding'"),
+      pDefault("id_col", StringType, "'vec_id'"),
+      pDefault("n_centroids", IntegerType, "16"),
+      // '' → "<table>_ann_idx" in the same namespace
+      pDefault("index_table", StringType, "''"),
+      // -1 → the current snapshot; else index the table AS OF this id
+      pDefault("snapshot_id", LongType, "-1"),
+      pDefault("seed", LongType, "42"),
+      // true → chain the EXISTING index: assign only rows appended
+      // since its recorded snapshot with the STAMPED centroids (no
+      // refit, no base rescan), one append + a property bump
+      pDefault("incremental", BooleanType, "false"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -519,6 +533,20 @@ private[sources] class GraftBoundProcedure(
         val snapRaw = input.getLong(6)
         buildDedupIndex(t, spark, ns, tbl, textCol, idCol, numHashes,
           idxName, snapRaw)
+      case "build_ann_index" =>
+        val vecCol = input.getUTF8String(2).toString
+        val idCol = input.getUTF8String(3).toString
+        val nCentroids = input.getInt(4)
+        val idxNameRaw = input.getUTF8String(5).toString
+        val idxName =
+          if (idxNameRaw.isEmpty) s"${tbl}_ann_idx" else idxNameRaw
+        val snapRaw = input.getLong(6)
+        val seed = input.getLong(7)
+        if (input.getBoolean(8))
+          appendToAnnIndex(t, spark, ns, tbl, vecCol, idCol, idxName,
+            snapRaw)
+        else buildAnnIndex(t, spark, ns, tbl, vecCol, idCol, nCentroids,
+          idxName, snapRaw, seed)
     }
     val result: V2Scan = new LocalScan {
       override def readSchema(): StructType = schema
@@ -582,7 +610,172 @@ private[sources] class GraftBoundProcedure(
   }
 
   import GraftBoundProcedure.{IdxPropSourceTable, IdxPropSourceSnapshot,
-    IdxPropTextCol, IdxPropIdCol, IdxPropNumHashes}
+    IdxPropTextCol, IdxPropIdCol, IdxPropNumHashes, AnnPropPrefix}
+
+  /** `build_ann_index`: fit IVF centroids (bounded deterministic
+    * sample) and persist the inverted file AS AN ICEBERG TABLE —
+    * `(id, cell, norm, vector)` partitioned by `cell`, centroids and
+    * config stamped as table properties. A search
+    * ([[graft.ops.Similarity.ivfTopKFromIndex]]) then collects its
+    * probed cells and reads ONLY those partitions via manifest
+    * partition pruning — the classic "read only the probed lists" IVF
+    * property realized with ordinary table machinery: no fit, no
+    * assignment pass, no full scan at query time. Rows whose vector
+    * length differs from the dominant dimensionality are not indexed
+    * (KMeans and the codegen'd distance kernels need one dim) and are
+    * reported as `rows_total - rows_indexed`. */
+  private def buildAnnIndex(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      vecCol: String, idCol: String, nCentroids: Int, idxName: String,
+      snapRaw: Long, seed: Long): (StructType, Seq[Any]) = {
+    if (nCentroids <= 0)
+      throw new IllegalArgumentException(
+        s"build_ann_index: n_centroids must be positive, got $nCentroids")
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"build_ann_index: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"build_ann_index: snapshot_id $snapRaw not found")
+      else snapRaw
+    import org.apache.spark.sql.functions.{col, max, size}
+    val scan = graft.table.Scan(t, spark).useSnapshot(snapId)
+    val df0 = scan.toDF
+    val dim = df0.agg(max(size(col(vecCol))).as("d")).head(1)
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"build_ann_index: $ns.$tbl has no vectors in $vecCol"))
+    val df = df0.where(size(col(vecCol)) === dim)
+    val total = scan.count()
+    val centroids = graft.ops.Similarity.ivfFitCentroids(df, nCentroids,
+      seed, vecCol, idCol, rowCountHint = Some(total))
+    val payload = df.select(col(idCol),
+      graft.ops.Similarity.nearestCell(col(vecCol), centroids)
+        .as("cell"),
+      graft.ops.Similarity.l2norm(col(vecCol)).as("norm"),
+      col(vecCol))
+    val gSchema = graft.spec.SchemaConverters
+      .fromSparkSchema(payload.schema)
+    val cellFieldId = gSchema.fieldByName("cell").getOrElse(
+      throw new IllegalStateException("cell column missing")).id
+    val spec = graft.spec.PartitionSpec.builder(0)
+      .identity(cellFieldId, "cell").build()
+    val props = Map(
+      s"${AnnPropPrefix}source-table" -> s"$ns.$tbl",
+      s"${AnnPropPrefix}source-snapshot-id" -> snapId.toString,
+      s"${AnnPropPrefix}vec-col" -> vecCol,
+      s"${AnnPropPrefix}id-col" -> idCol,
+      s"${AnnPropPrefix}n-centroids" -> nCentroids.toString,
+      s"${AnnPropPrefix}dim" -> dim.toString,
+      s"${AnnPropPrefix}centroids" ->
+        graft.ops.Similarity.centroidsToJson(centroids))
+    val idxId = TableIdentifier(ns.split('.').toSeq, idxName)
+    val committed =
+      if (catalog.tableExists(idxId)) {
+        val existing = Table.load(catalog, idxId, io)
+        val after = graft.table.Mutations.overwrite(existing, spark,
+          payload)
+        after.newTransaction().setProperties(props).commit()
+      } else {
+        val created = Table.create(catalog, idxId, gSchema, spec = spec,
+          properties = props, io = io)
+        graft.table.TableOps.append(created, payload)
+      }
+    val indexed = committed.currentSnapshot.flatMap(_.summary)
+      .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+      .getOrElse(graft.table.Scan(committed, spark).count())
+    (new StructType().add("index_table", StringType)
+      .add("cells", IntegerType).add("dim", IntegerType)
+      .add("rows_indexed", LongType).add("rows_total", LongType)
+      .add("source_snapshot_id", LongType),
+      Seq(idxName, nCentroids, dim, indexed, total, snapId))
+  }
+
+  /** `build_ann_index(incremental => true)`: chain the existing index
+    * to the source head WITHOUT a refit or a base rescan — the 100 TB
+    * operational shape, where re-fitting (cheap) is fine but
+    * re-assigning and re-writing the full inverted file (a corpus
+    * pass + full shuffle) is not. Rows appended since the index's
+    * recorded source snapshot are assigned with the STAMPED centroids
+    * and appended into their cells; the recorded snapshot advances.
+    * Non-append source changes are safe by construction:
+    * `appendsBetween` skips replace/delete snapshots, so compaction
+    * never re-delivers base rows — but rows DELETED from the source
+    * stay in the index until a full rebuild (searches can return
+    * ghosts; the same staleness contract every IVF system documents).
+    * Wrong-dim new rows are excluded and reported, like the full
+    * build. Two commits (append, then the property bump) — a crash
+    * between them leaves a visibly short stamp, never double rows. */
+  private def appendToAnnIndex(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      vecCol: String, idCol: String, idxName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val idxId = TableIdentifier(ns.split('.').toSeq, idxName)
+    if (!catalog.tableExists(idxId))
+      throw new IllegalArgumentException(s"build_ann_index: index " +
+        s"$idxName does not exist — run a full build first " +
+        "(incremental => false)")
+    val idx = Table.load(catalog, idxId, io)
+    def prop(k: String): String = idx.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"build_ann_index: $idxName " +
+        s"has no '$k' property — not a build_ann_index table"))
+    val srcTable = prop(s"${AnnPropPrefix}source-table")
+    if (srcTable != s"$ns.$tbl")
+      throw new IllegalArgumentException(s"build_ann_index: index " +
+        s"$idxName was built from $srcTable, not $ns.$tbl")
+    if (prop(s"${AnnPropPrefix}vec-col") != vecCol ||
+        prop(s"${AnnPropPrefix}id-col") != idCol)
+      throw new IllegalArgumentException(s"build_ann_index: index " +
+        s"$idxName was built on (${prop(s"${AnnPropPrefix}vec-col")}, " +
+        s"${prop(s"${AnnPropPrefix}id-col")}), call uses " +
+        s"($vecCol, $idCol)")
+    val recorded = prop(s"${AnnPropPrefix}source-snapshot-id").toLong
+    if (t.snapshotById(recorded).isEmpty)
+      throw new IllegalArgumentException(s"build_ann_index: index " +
+        s"$idxName records source snapshot $recorded which no longer " +
+        "exists (expired?) — rebuild the index")
+    val head =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"build_ann_index: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"build_ann_index: snapshot_id $snapRaw not found")
+      else snapRaw
+    val dim = prop(s"${AnnPropPrefix}dim").toInt
+    val centroids = graft.ops.Similarity.centroidsFromJson(
+      prop(s"${AnnPropPrefix}centroids"))
+    import org.apache.spark.sql.functions.{col, size}
+    val fresh =
+      if (head == recorded)
+        graft.table.Scan(t, spark).toDF.limit(0)
+      else graft.table.Scan(t, spark).appendsBetween(recorded, head).toDF
+    val freshTotal = fresh.count()
+    val payload = fresh.where(size(col(vecCol)) === dim)
+      .select(col(idCol),
+        graft.ops.Similarity.nearestCell(col(vecCol), centroids)
+          .as("cell"),
+        graft.ops.Similarity.l2norm(col(vecCol)).as("norm"),
+        col(vecCol))
+    val idx2 =
+      if (head == recorded) idx
+      else graft.table.TableOps.append(idx, payload)
+    val committed = idx2.newTransaction().setProperties(Map(
+      s"${AnnPropPrefix}source-snapshot-id" -> head.toString)).commit()
+    // the property bump is metadata-only, so the current snapshot is
+    // still the append — its AddedRecords is exactly this batch
+    val appended =
+      if (head == recorded) 0L
+      else committed.currentSnapshot.flatMap(_.summary)
+        .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+        .getOrElse(0L)
+    (new StructType().add("index_table", StringType)
+      .add("cells", IntegerType).add("dim", IntegerType)
+      .add("rows_indexed", LongType).add("rows_total", LongType)
+      .add("source_snapshot_id", LongType),
+      Seq(idxName, centroids.size, dim, appended, freshTotal, head))
+  }
 
   /** `build_dedup_index`: persist ONE corpus pass of
     * [[graft.ops.Dedup.signatureFrame]] — (id, exact fingerprint,
@@ -733,4 +926,5 @@ private[sources] object GraftBoundProcedure {
   private val IdxPropTextCol = "graft.dedup-index.text-col"
   private val IdxPropIdCol = "graft.dedup-index.id-col"
   private val IdxPropNumHashes = "graft.dedup-index.num-hashes"
+  private val AnnPropPrefix = "graft.ann-index."
 }

@@ -30,7 +30,10 @@ class CoreQueriesSpec extends AnyFunSuite {
     // only the non-SQL-expressible ops (LSH/IVF/minhash/simhash/langid/
     // quality heuristics) may omit the oracle — rows-only driver check
     val allowed = Set("d4_lang_id", "d5_quality", "d6_minhash_dedup",
-      "d7_simhash_pairs", "e2_ann_lsh", "e3_ann_ivf", "e4_embedding_dedup")
+      "d7_simhash_pairs", "e2_ann_lsh", "e3_ann_ivf", "e4_embedding_dedup",
+      // seed-dependent like d6 (its production code path is hash-gated
+      // by i34; the exact twin d41 is hash-gated directly)
+      "d41b_indexed_minhash_batch")
     assert((missing -- allowed).isEmpty,
       s"queries without oracle: ${missing -- allowed}")
   }

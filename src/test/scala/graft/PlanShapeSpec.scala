@@ -59,6 +59,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must not shuffle before ADC scoring, got ${shuffles(p)}:\n$p")
   }
 
+  test("e17 indexed IVF: probed queries broadcast into the cell join, " +
+      "the index read never shuffles before scoring") {
+    val p = staticPlan("e17_ivf_indexed_search")
+    assert(broadcasts(p) >= 1,
+      s"the probed query set must broadcast (index side scans once):\n$p")
+    // window top-k + output sort are the only legitimate shuffles
+    assert(shuffles(p) <= 2,
+      s"the probed-cells read must not shuffle, got ${shuffles(p)}:\n$p")
+  }
+
   test("d34 quality classifier: the weight model broadcasts — the " +
       "corpus never shuffles on a feature key") {
     val p = staticPlan("d34_quality_classifier")

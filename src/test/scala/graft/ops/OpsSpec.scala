@@ -490,6 +490,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(jobsHinted < jobsNoHint,
       s"hinted run must skip the count job ($jobsHinted vs $jobsNoHint)")
   }
+
+  test("centroid JSON round-trips bit-exactly, handles edge shapes") {
+    val rnd = new scala.util.Random(13)
+    val cbs: Seq[Array[Double]] = Seq(
+      Array.fill(8)(rnd.nextGaussian() * math.pow(10, rnd.nextInt(7) - 3)),
+      Array(0.0, -0.0, 1e-300, -1e300, 0.1 + 0.2),
+      Array(42.0))
+    val back = Similarity.centroidsFromJson(Similarity.centroidsToJson(cbs))
+    assert(back.size == cbs.size)
+    cbs.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b),
+        s"${a.toSeq} != ${b.toSeq}") }
+    assert(Similarity.centroidsFromJson("[]").isEmpty)
+  }
+
+  test("ivfTopKFromIndex loads ONLY probed cells, matches unindexed IVF") {
+    val (df, centers) = clusteredWithCenters
+    val centroids = centers.toSeq.map(_.map(_.toDouble))
+    val qs = df.filter(col("vec_id") === 0)
+    // the persisted-index shape build_ann_index writes
+    val index = df.select(col("vec_id"),
+      Similarity.nearestCell(col("embedding"), centroids).as("cell"),
+      Similarity.l2norm(col("embedding")).as("norm"), col("embedding"))
+    var asked: Seq[Int] = Nil
+    val got = Similarity.ivfTopKFromIndex(
+      cells => { asked = cells; index.where(col("cell").isin(cells: _*)) },
+      qs, centroids, k = 5, nprobe = 2)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    // one query, nprobe=2 of 4 cells: the index read is partial
+    assert(asked.size == 2 && asked == asked.sorted, s"probed $asked")
+    val full = Similarity.ivfTopKWithCentroids(df, qs, centroids,
+        k = 5, nprobe = 2)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(got == full, s"indexed=$got unindexed=$full")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {

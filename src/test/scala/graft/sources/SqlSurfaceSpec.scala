@@ -425,6 +425,136 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.build_ann_index persists a cell-partitioned " +
+      "inverted file whose search matches the unindexed IVF path") {
+    withCatalog("ann") { (c, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.vecs " +
+        "(vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      // two tight dim-4 clusters + one wrong-dim row (not indexable)
+      val rows = (0L until 6L).map { i =>
+        val base = if (i % 2 == 0) Seq(1f, 0f, 0f, 0f)
+          else Seq(0f, 0f, 0f, 1f)
+        (i, base.map(_ + i.toFloat / 100f))
+      } :+ (99L, Seq(1f, 2f))
+      rows.toDF("vec_id", "embedding").createOrReplaceTempView("ann_src")
+      spark.sql(s"INSERT INTO $c.db.vecs SELECT * FROM ann_src")
+
+      val rep = spark.sql(s"CALL $c.system.build_ann_index(" +
+        s"'db', 'vecs', n_centroids => 2)").collect().head
+      assert(rep.getString(0) == "vecs_ann_idx" && rep.getInt(1) == 2 &&
+        rep.getInt(2) == 4 && rep.getLong(3) == 6L && rep.getLong(4) == 7L,
+        s"report $rep")
+
+      // the index table: identity-partitioned by cell, model stamped
+      val idxT = loadT(dir, "vecs_ann_idx")
+      assert(idxT.spec.fields.map(f =>
+        (f.name, f.transform)) == Seq(("cell", graft.spec.Transform.Identity)))
+      val props = idxT.metadata.properties
+      assert(props("graft.ann-index.dim") == "4" &&
+        props("graft.ann-index.source-snapshot-id") ==
+          rep.getLong(5).toString, props.toString)
+      val centroids = graft.ops.Similarity.centroidsFromJson(
+        props("graft.ann-index.centroids"))
+      assert(centroids.size == 2 && centroids.forall(_.length == 4))
+      // same-cluster rows share a cell; the clusters get distinct cells
+      val cells = spark.sql(
+        s"SELECT vec_id, cell FROM $c.db.vecs_ann_idx")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(cells.keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+      assert(cells(0L) == cells(2L) && cells(1L) == cells(3L) &&
+        cells(0L) != cells(1L), s"cells $cells")
+
+      // indexed search == unindexed IVF with the same trained model,
+      // and the cell filter partition-prunes the index read
+      // ONE query → one probed cell of 2 → the read must prune
+      val qs = rows.take(1).toDF("vec_id", "embedding")
+      val allFiles = graft.table.Scan(idxT, spark).planFiles().size
+      val got = graft.ops.Similarity.ivfTopKFromIndex(
+        wanted => {
+          val pruned = graft.table.Scan(idxT, spark)
+            .filter(graft.table.Col("cell").in(wanted: _*))
+          assert(pruned.planFiles().size < allFiles,
+            s"${pruned.planFiles().size} of $allFiles files")
+          pruned.toDF
+        }, qs, centroids, k = 2, nprobe = 1)
+        .select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val full = graft.ops.Similarity.ivfTopKWithCentroids(
+        spark.sql(s"SELECT * FROM $c.db.vecs WHERE size(embedding) = 4"),
+        qs, centroids, k = 2, nprobe = 1)
+        .select("qid", "nid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == full && got.nonEmpty, s"indexed $got vs full $full")
+
+      // rebuild after new data: one overwrite, report + stamp advance
+      spark.sql(s"INSERT INTO $c.db.vecs VALUES " +
+        "(6, array(CAST(0.5 AS FLOAT), CAST(0.5 AS FLOAT), " +
+        "CAST(0.5 AS FLOAT), CAST(0.5 AS FLOAT)))")
+      val rep2 = spark.sql(s"CALL $c.system.build_ann_index(" +
+        s"'db', 'vecs', n_centroids => 2)").collect().head
+      assert(rep2.getLong(3) == 7L && rep2.getLong(5) != rep.getLong(5),
+        s"rebuild report $rep2")
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.vecs_ann_idx")
+        .collect().head.getLong(0) == 7L, "rebuilt index replaces rows")
+
+      // incremental chain: assign ONLY the appended rows with the
+      // stamped centroids — no refit, no base rescan, one append
+      val stamp = loadT(dir, "vecs_ann_idx").metadata.properties(
+        "graft.ann-index.centroids")
+      spark.sql(s"INSERT INTO $c.db.vecs VALUES " +
+        "(7, array(CAST(1.0 AS FLOAT), CAST(0.1 AS FLOAT), " +
+        "CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))), " +
+        "(8, array(CAST(9.9 AS FLOAT), CAST(9.9 AS FLOAT)))") // wrong dim
+      val rep3 = spark.sql(s"CALL $c.system.build_ann_index(" +
+        s"'db', 'vecs', incremental => true)").collect().head
+      assert(rep3.getLong(3) == 1L && rep3.getLong(4) == 2L,
+        s"chain report $rep3")
+      val idxT2 = loadT(dir, "vecs_ann_idx")
+      assert(idxT2.metadata.properties("graft.ann-index.centroids")
+        == stamp, "incremental must not refit")
+      assert(idxT2.metadata.properties(
+        "graft.ann-index.source-snapshot-id") == rep3.getLong(5).toString)
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.vecs_ann_idx")
+        .collect().head.getLong(0) == 8L, "7 rebuilt + 1 chained")
+      // the chained row landed in the cluster-A cell
+      val cellOf7 = spark.sql(s"SELECT cell FROM $c.db.vecs_ann_idx " +
+        "WHERE vec_id = 7").collect().head.getInt(0)
+      val cellOf0 = spark.sql(s"SELECT cell FROM $c.db.vecs_ann_idx " +
+        "WHERE vec_id = 0").collect().head.getInt(0)
+      assert(cellOf7 == cellOf0, "chained vector assigned by the model")
+      // idempotent no-op when nothing new appended
+      val rep4 = spark.sql(s"CALL $c.system.build_ann_index(" +
+        s"'db', 'vecs', incremental => true)").collect().head
+      assert(rep4.getLong(3) == 0L, s"no-op chain $rep4")
+
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_ann_index('db', 'vecs', n_centroids => 0)") }
+      assert(causes(e1).contains("must be positive"), causes(e1))
+      val e4 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_ann_index('db', 'vecs', " +
+        "incremental => true, index_table => 'nope_idx')") }
+      assert(causes(e4).contains("run a full build first"), causes(e4))
+      val e5 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_ann_index('db', 'vecs', " +
+        "incremental => true, id_col => 'other')") }
+      assert(causes(e5).contains("was built on"), causes(e5))
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_ann_index('db', 'vecs', snapshot_id => 9)") }
+      assert(causes(e2).contains("not found"), causes(e2))
+      spark.sql(s"CREATE TABLE $c.db.empty (vec_id BIGINT, " +
+        "embedding ARRAY<FLOAT>)")
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_ann_index('db', 'empty')") }
+      assert(causes(e3).contains("no snapshots"), causes(e3))
+    }
+  }
+
   test("CALL system.dedup_table mode 'best' keeps the max-quality " +
       "copy per exact-dup cluster and requires quality_col") {
     withCatalog("db2") { (c, _) =>
