@@ -45,5 +45,10 @@ object SparkEntry {
     // the warmup pass (the persisted build_ann_index shape i36 gates
     // through SQL); the timed path probes, loads ONLY probed cells,
     // and re-ranks — contrast with e3-family full assign-and-search
-    "e17_ivf_indexed_search")
+    "e17_ivf_indexed_search",
+    // round 16: indexed BM25 — postings built in the warmup pass (the
+    // persisted build_text_index shape i38 gates through SQL); timed
+    // path = query-term bucket load + score — contrast with e13's
+    // full corpus tokenization pass
+    "e18_bm25_indexed")
 }

@@ -104,6 +104,71 @@ object Retrieval {
       sum(size(toks(col(textCol))).cast("long")).as("total_dl"))
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
+    rankMatchedPostings(post, qterms, stats, k, idCol, qIdCol, k1, b,
+      logIdf)
+  }
+
+  /** Corpus-level BM25 stats as exact longs, computed with the same
+    * expressions [[bm25TopK]]'s stats aggregate uses — what
+    * `build_text_index` stamps on the index table so a later
+    * [[bm25FromIndex]] reproduces `n_docs`/`avgdl` (and therefore
+    * every score) bit-for-bit. NULL-text docs count toward `n_docs`
+    * (they are corpus members that simply match nothing) and
+    * contribute nothing to `total_dl` — both additive across disjoint
+    * doc sets, which is what lets an incremental index chain keep
+    * exact stats with arithmetic alone. */
+  def corpusStats(docs: DataFrame, textCol: String = "text"):
+      (Long, Long) = {
+    val r = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks(col(textCol))).cast("long")).as("total_dl")).head
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** BM25 top-k from a PERSISTED postings index — a table of
+    * `(idCol, term, dl, tf)` rows (the exact [[postings]] shape)
+    * written term-bucket-partitioned by `CALL build_text_index`, plus
+    * the stamped corpus stats. `loadPostings` receives the distinct
+    * query terms (collected driver-side — a query batch's vocabulary,
+    * small by definition) and returns AT LEAST every stored posting of
+    * those terms; because the index is partitioned by `bucket(term)`,
+    * that read is answered by manifest partition pruning — the
+    * inverted-index "read only the probed lists" property, so a search
+    * touches |query-term buckets|/N of the postings instead of
+    * scanning the corpus. Bucket co-residents (other terms hashing
+    * into a probed bucket) are filtered right back out here, so the
+    * load may safely return whole buckets. Document frequencies come
+    * from the loaded rows (a term's postings all live in its bucket,
+    * so restricted df == corpus df), stats from the stamped longs with
+    * the same double division [[bm25TopK]] performs — results are
+    * bit-identical to the unindexed path over the same corpus. */
+  def bm25FromIndex(loadPostings: Seq[String] => DataFrame,
+      queries: DataFrame, nDocs: Long, totalDl: Long, k: Int,
+      idCol: String = "doc_id", qIdCol: String = "query_id",
+      qTextCol: String = "query", k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = false): DataFrame = {
+    val qterms = queries.select(col(qIdCol),
+      explode(array_distinct(toks(col(qTextCol)))).as("term"))
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val post = loadPostings(terms)
+      .select(col(idCol), col("term"), col("dl"), col("tf"))
+      .join(broadcast(qterms.select("term").distinct()), "term")
+    val stats = queries.sparkSession.range(1).select(
+      lit(nDocs).cast("double").as("n_docs"),
+      (lit(totalDl).cast("double") / lit(nDocs).cast("double"))
+        .as("avgdl"))
+    rankMatchedPostings(post, qterms, stats, k, idCol, qIdCol, k1, b,
+      logIdf)
+  }
+
+  /** The scoring tail shared by [[bm25TopK]] and [[bm25FromIndex]]:
+    * df from the (query-term-restricted) postings, idf attached to the
+    * small query-term set and broadcast, integer-scaled per-term
+    * scores, per-document sum, per-query window top-k. One definition
+    * so the indexed and unindexed paths can never drift. */
+  private def rankMatchedPostings(post: DataFrame, qterms: DataFrame,
+      stats: DataFrame, k: Int, idCol: String, qIdCol: String,
+      k1: Double, b: Double, logIdf: Boolean): DataFrame = {
     // df over the restricted postings equals full-corpus df for every
     // query term (each (doc, term) row appears exactly once)
     val df_ = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))

@@ -1828,6 +1828,117 @@ object IcebergQueries {
 
   private def i37Sql: String = annReplaySql(i37Stash)
 
+  /** Shared by i38/i39: a graft catalog table filled from the
+    * documents fixture, the probes e13 uses restricted to
+    * `doc_id < 2` (so the ≤8 distinct query terms hash into strictly
+    * fewer than the 16 term buckets — the pruning assert is
+    * deterministic), and a [[graft.ops.Retrieval.bm25FromIndex]]
+    * search whose postings load partition-prunes to the probed
+    * buckets (asserted in-query). */
+  private def textIndexSearch(s: SparkSession, c: String, ns: String,
+      docs: DataFrame): DataFrame = {
+    val idxT = loadByIdentifier(s, c, ns, "docs_text_idx")
+    val props = idxT.metadata.properties
+    val nDocs = props("graft.text-index.n-docs").toLong
+    val totalDl = props("graft.text-index.total-dl").toLong
+    val nb = props("graft.text-index.num-buckets").toInt
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val probes = docs.where(col("doc_id") < 2)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(norm, " "), 1, 4)).as("query"))
+    val allFiles = graft.table.Scan(idxT, s).planFiles().size
+    graft.ops.Retrieval.bm25FromIndex(
+      terms => {
+        val buckets = terms.map(term => graft.functions.BucketUtil
+          .bucketUTF8(org.apache.spark.unsafe.types.UTF8String
+            .fromString(term), nb)).distinct.sorted
+        val pruned = graft.table.Scan(idxT, s)
+          .filter(Col("tbucket").in(buckets: _*))
+        require(pruned.planFiles().size < allFiles,
+          s"probed read must partition-prune: ${pruned.planFiles().size}" +
+            s" of $allFiles files")
+        pruned.toDF
+      },
+      probes, nDocs, totalDl, k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** `CALL build_text_index` + [[graft.ops.Retrieval.bm25FromIndex]]:
+    * the postings are persisted ONCE as a term-bucket-partitioned
+    * table with exact-long corpus stats stamped as properties; a BM25
+    * search hashes its query terms to buckets and reads only those
+    * partitions. The oracle is e13's full replay (shared
+    * `bm25ReplaySql` definition) over the same corpus — the indexed
+    * path must land bit-identical scores with zero corpus passes at
+    * query time. */
+  def i38TextIndexedBm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g38" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf38" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g38d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    val rep = s.sql(s"CALL $c.system.build_text_index('$ns', 'docs')")
+      .collect().head
+    require(rep.getString(0) == "docs_text_idx" && rep.getInt(1) == 16 &&
+      rep.getLong(2) > 0 && rep.getLong(3) == docs.count(),
+      s"index build report: $rep")
+    textIndexSearch(s, c, ns, docs)
+  }
+
+  val i38Sql: String = OpsQueries.bm25ReplaySql(2, 10)
+
+  /** The incremental text-index chain: full build on HALF the corpus,
+    * append the rest, `build_text_index(incremental => true)`. Unlike
+    * the ANN chain (frozen centroids), a postings chain is EXACTLY a
+    * full rebuild — postings are per-document-independent and the
+    * stats additive — so the same full-corpus oracle as i38 gates it
+    * bit-for-bit: a chain that dropped, duplicated, or double-counted
+    * any appended document's postings or stats hash-fails. Stats
+    * equality with a from-scratch recount and the idempotent no-op
+    * re-chain are asserted in-query. */
+  def i39TextIndexChained(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val c = "g39" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf39" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g39d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      s"WHERE doc_id <= $mid")
+    s.sql(s"CALL $c.system.build_text_index('$ns', 'docs')").collect()
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      s"WHERE doc_id > $mid")
+    val rep = s.sql(s"CALL $c.system.build_text_index('$ns', 'docs', " +
+      "incremental => true)").collect().head
+    // chained stats must equal a from-scratch recount of the FULL corpus
+    val (fullDocs, fullDl) = graft.ops.Retrieval.corpusStats(docs)
+    val props = loadByIdentifier(s, c, ns, "docs_text_idx")
+      .metadata.properties
+    require(props("graft.text-index.n-docs").toLong == fullDocs &&
+      props("graft.text-index.total-dl").toLong == fullDl,
+      s"chained stats must equal a full recount: $props")
+    require(rep.getLong(3) == fullDocs, s"chain report $rep")
+    val rep2 = s.sql(s"CALL $c.system.build_text_index('$ns', 'docs', " +
+      "incremental => true)").collect().head
+    require(rep2.getLong(2) == 0L, s"no-op chain must append 0: $rep2")
+    textIndexSearch(s, c, ns, docs)
+  }
+
+  val i39Sql: String = OpsQueries.bm25ReplaySql(2, 10)
+
   val i35Sql: String =
     """WITH basefp AS (
       |  SELECT DISTINCT
@@ -2281,6 +2392,8 @@ object IcebergQueries {
     "i35_stream_indexed_dedup" -> (i35StreamIndexedDedup _),
     "i36_ann_indexed_search" -> (i36AnnIndexedSearch _),
     "i37_ann_index_chained" -> (i37AnnIndexChained _),
+    "i38_text_indexed_bm25" -> (i38TextIndexedBm25 _),
+    "i39_text_index_chained" -> (i39TextIndexChained _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -2342,6 +2455,8 @@ object IcebergQueries {
     "i35_stream_indexed_dedup" -> i35Sql,
     "i36_ann_indexed_search" -> i36Sql,
     "i37_ann_index_chained" -> i37Sql,
+    "i38_text_indexed_bm25" -> i38Sql,
+    "i39_text_index_chained" -> i39Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

@@ -38,7 +38,7 @@ private[sources] object GraftProcedures {
     "rewrite_data_files", "fast_forward", "add_files",
     "register_table", "dedup_table", "cherrypick_snapshot",
     "rewrite_position_deletes", "rewrite_equality_deletes",
-    "build_dedup_index", "build_ann_index")
+    "build_dedup_index", "build_ann_index", "build_text_index")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -187,6 +187,19 @@ private[sources] class GraftBoundProcedure(
       // true → chain the EXISTING index: assign only rows appended
       // since its recorded snapshot with the STAMPED centroids (no
       // refit, no base rescan), one append + a property bump
+      pDefault("incremental", BooleanType, "false"))
+    case "build_text_index" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("text_col", StringType, "'text'"),
+      pDefault("id_col", StringType, "'doc_id'"),
+      pDefault("num_buckets", IntegerType, "16"),
+      // '' → "<table>_text_idx" in the same namespace
+      pDefault("index_table", StringType, "''"),
+      // -1 → the current snapshot; else index the table AS OF this id
+      pDefault("snapshot_id", LongType, "-1"),
+      // true → chain: postings of rows appended since the recorded
+      // snapshot appended into their term buckets, stats updated by
+      // exact long arithmetic — identical to a full rebuild
       pDefault("incremental", BooleanType, "false"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
@@ -547,6 +560,19 @@ private[sources] class GraftBoundProcedure(
             snapRaw)
         else buildAnnIndex(t, spark, ns, tbl, vecCol, idCol, nCentroids,
           idxName, snapRaw, seed)
+      case "build_text_index" =>
+        val textCol = input.getUTF8String(2).toString
+        val idCol = input.getUTF8String(3).toString
+        val numBuckets = input.getInt(4)
+        val idxNameRaw = input.getUTF8String(5).toString
+        val idxName =
+          if (idxNameRaw.isEmpty) s"${tbl}_text_idx" else idxNameRaw
+        val snapRaw = input.getLong(6)
+        if (input.getBoolean(7))
+          appendToTextIndex(t, spark, ns, tbl, textCol, idCol, idxName,
+            snapRaw)
+        else buildTextIndex(t, spark, ns, tbl, textCol, idCol,
+          numBuckets, idxName, snapRaw)
     }
     val result: V2Scan = new LocalScan {
       override def readSchema(): StructType = schema
@@ -610,7 +636,8 @@ private[sources] class GraftBoundProcedure(
   }
 
   import GraftBoundProcedure.{IdxPropSourceTable, IdxPropSourceSnapshot,
-    IdxPropTextCol, IdxPropIdCol, IdxPropNumHashes, AnnPropPrefix}
+    IdxPropTextCol, IdxPropIdCol, IdxPropNumHashes, AnnPropPrefix,
+    TextPropPrefix}
 
   /** `build_ann_index`: fit IVF centroids (bounded deterministic
     * sample) and persist the inverted file AS AN ICEBERG TABLE —
@@ -777,6 +804,154 @@ private[sources] class GraftBoundProcedure(
       Seq(idxName, centroids.size, dim, appended, freshTotal, head))
   }
 
+  /** `build_text_index`: persist ONE corpus pass of
+    * [[graft.ops.Retrieval.postings]] — `(id, term, dl, tf)` — as an
+    * Iceberg table partitioned by an explicit `tbucket` column
+    * (`bucket[N]` murmur3 of the term, the same kernel the partition
+    * transform uses), with the corpus stats (`n_docs`, `total_dl`)
+    * stamped as exact-long table properties. A search
+    * ([[graft.ops.Retrieval.bm25FromIndex]]) hashes its query terms to
+    * buckets and reads ONLY those partitions via manifest partition
+    * pruning — the inverted-index "read only the probed lists"
+    * property; document frequencies come from the read (a term's
+    * postings all live in its bucket), so indexed BM25 is
+    * bit-identical to the unindexed path with zero corpus passes at
+    * query time. NULL-text docs are corpus members (they count toward
+    * `n_docs`) that simply produce no postings. */
+  private def buildTextIndex(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      textCol: String, idCol: String, numBuckets: Int, idxName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    if (numBuckets <= 0)
+      throw new IllegalArgumentException(
+        s"build_text_index: num_buckets must be positive, got $numBuckets")
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"build_text_index: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"build_text_index: snapshot_id $snapRaw not found")
+      else snapRaw
+    import org.apache.spark.sql.functions.col
+    val df = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    val (nDocs, totalDl) = graft.ops.Retrieval.corpusStats(df, textCol)
+    val payload = graft.ops.Retrieval.postings(df, textCol, idCol)
+      .withColumn("tbucket", graft.functions.IcebergFunctions
+        .icebergBucket(col("term"), numBuckets))
+    val gSchema = graft.spec.SchemaConverters
+      .fromSparkSchema(payload.schema)
+    val bucketFieldId = gSchema.fieldByName("tbucket").getOrElse(
+      throw new IllegalStateException("tbucket column missing")).id
+    val spec = graft.spec.PartitionSpec.builder(0)
+      .identity(bucketFieldId, "tbucket").build()
+    val props = Map(
+      s"${TextPropPrefix}source-table" -> s"$ns.$tbl",
+      s"${TextPropPrefix}source-snapshot-id" -> snapId.toString,
+      s"${TextPropPrefix}text-col" -> textCol,
+      s"${TextPropPrefix}id-col" -> idCol,
+      s"${TextPropPrefix}num-buckets" -> numBuckets.toString,
+      s"${TextPropPrefix}n-docs" -> nDocs.toString,
+      s"${TextPropPrefix}total-dl" -> totalDl.toString)
+    val idxId = TableIdentifier(ns.split('.').toSeq, idxName)
+    val committed =
+      if (catalog.tableExists(idxId)) {
+        val existing = Table.load(catalog, idxId, io)
+        val after = graft.table.Mutations.overwrite(existing, spark,
+          payload)
+        after.newTransaction().setProperties(props).commit()
+      } else {
+        val created = Table.create(catalog, idxId, gSchema, spec = spec,
+          properties = props, io = io)
+        graft.table.TableOps.append(created, payload)
+      }
+    val indexed = committed.currentSnapshot.flatMap(_.summary)
+      .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+      .getOrElse(graft.table.Scan(committed, spark).count())
+    (new StructType().add("index_table", StringType)
+      .add("buckets", IntegerType).add("postings_indexed", LongType)
+      .add("docs_total", LongType).add("source_snapshot_id", LongType),
+      Seq(idxName, numBuckets, indexed, nDocs, snapId))
+  }
+
+  /** `build_text_index(incremental => true)`: chain the postings index
+    * to the source head. Postings are per-document-independent and the
+    * stamped stats are sums over disjoint doc sets, so unlike the ANN
+    * chain (frozen centroids) this chain is EXACTLY a full rebuild:
+    * new docs' postings append into their term buckets, `n_docs` and
+    * `total_dl` advance by exact long arithmetic. `appendsBetween`
+    * skips replace snapshots, so source compaction never re-delivers;
+    * rows DELETED from the source keep their postings until a full
+    * rebuild (stale-ghost contract, same as the ANN index). Two
+    * commits (append, then the property bump) — a crash between them
+    * leaves a visibly short stamp, never double postings. */
+  private def appendToTextIndex(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      textCol: String, idCol: String, idxName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val idxId = TableIdentifier(ns.split('.').toSeq, idxName)
+    if (!catalog.tableExists(idxId))
+      throw new IllegalArgumentException(s"build_text_index: index " +
+        s"$idxName does not exist — run a full build first " +
+        "(incremental => false)")
+    val idx = Table.load(catalog, idxId, io)
+    def prop(k: String): String = idx.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"build_text_index: $idxName " +
+        s"has no '$k' property — not a build_text_index table"))
+    val srcTable = prop(s"${TextPropPrefix}source-table")
+    if (srcTable != s"$ns.$tbl")
+      throw new IllegalArgumentException(s"build_text_index: index " +
+        s"$idxName was built from $srcTable, not $ns.$tbl")
+    if (prop(s"${TextPropPrefix}text-col") != textCol ||
+        prop(s"${TextPropPrefix}id-col") != idCol)
+      throw new IllegalArgumentException(s"build_text_index: index " +
+        s"$idxName was built on (${prop(s"${TextPropPrefix}text-col")}, " +
+        s"${prop(s"${TextPropPrefix}id-col")}), call uses " +
+        s"($textCol, $idCol)")
+    val recorded = prop(s"${TextPropPrefix}source-snapshot-id").toLong
+    if (t.snapshotById(recorded).isEmpty)
+      throw new IllegalArgumentException(s"build_text_index: index " +
+        s"$idxName records source snapshot $recorded which no longer " +
+        "exists (expired?) — rebuild the index")
+    val head =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"build_text_index: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"build_text_index: snapshot_id $snapRaw not found")
+      else snapRaw
+    val numBuckets = prop(s"${TextPropPrefix}num-buckets").toInt
+    import org.apache.spark.sql.functions.col
+    val fresh =
+      if (head == recorded)
+        graft.table.Scan(t, spark).toDF.limit(0)
+      else graft.table.Scan(t, spark).appendsBetween(recorded, head).toDF
+    val (freshDocs, freshDl) =
+      graft.ops.Retrieval.corpusStats(fresh, textCol)
+    val payload = graft.ops.Retrieval.postings(fresh, textCol, idCol)
+      .withColumn("tbucket", graft.functions.IcebergFunctions
+        .icebergBucket(col("term"), numBuckets))
+    val nDocs = prop(s"${TextPropPrefix}n-docs").toLong + freshDocs
+    val totalDl = prop(s"${TextPropPrefix}total-dl").toLong + freshDl
+    val idx2 =
+      if (head == recorded) idx
+      else graft.table.TableOps.append(idx, payload)
+    val committed = idx2.newTransaction().setProperties(Map(
+      s"${TextPropPrefix}source-snapshot-id" -> head.toString,
+      s"${TextPropPrefix}n-docs" -> nDocs.toString,
+      s"${TextPropPrefix}total-dl" -> totalDl.toString)).commit()
+    val appended =
+      if (head == recorded) 0L
+      else committed.currentSnapshot.flatMap(_.summary)
+        .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+        .getOrElse(0L)
+    (new StructType().add("index_table", StringType)
+      .add("buckets", IntegerType).add("postings_indexed", LongType)
+      .add("docs_total", LongType).add("source_snapshot_id", LongType),
+      Seq(idxName, numBuckets, appended, nDocs, head))
+  }
+
   /** `build_dedup_index`: persist ONE corpus pass of
     * [[graft.ops.Dedup.signatureFrame]] — (id, exact fingerprint,
     * hashed shingle set, minhash signature) per non-NULL-text row — as
@@ -927,4 +1102,5 @@ private[sources] object GraftBoundProcedure {
   private val IdxPropIdCol = "graft.dedup-index.id-col"
   private val IdxPropNumHashes = "graft.dedup-index.num-hashes"
   private val AnnPropPrefix = "graft.ann-index."
+  private val TextPropPrefix = "graft.text-index."
 }

@@ -65,6 +65,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(ls < rs, s"log-idf score $ls should be below rational $rs")
   }
 
+  test("bm25FromIndex equals bm25TopK bit-for-bit, loads only query " +
+      "terms' postings, filters bucket co-residents") {
+    val post = Retrieval.postings(corpus)
+    val (nDocs, totalDl) = Retrieval.corpusStats(corpus)
+    assert(nDocs == 5L && totalDl == corpus
+      .select(sum(size(split(lower($"text"), " ")))).head.getLong(0))
+    val q = Seq((20L, "spark engine"), (21L, "data")).toDF(
+      "query_id", "query")
+    var asked: Seq[String] = Nil
+    val indexed = Retrieval.bm25FromIndex(
+      terms => {
+        asked = terms
+        // a real bucket read returns co-residents: simulate by
+        // returning the requested terms PLUS an unrelated term's rows
+        post.where($"term".isin(terms :+ "fox": _*))
+      }, q, nDocs, totalDl, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(asked.sorted == Seq("data", "engine", "spark"))
+    val full = Retrieval.bm25TopK(corpus, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(indexed == full, s"indexed=$indexed full=$full")
+    // the co-resident 'fox' rows must not leak doc 3 into any result
+    assert(!indexed.exists(_._3 == 3L))
+  }
+
+  test("corpus stats count NULL-text docs, additive across batches") {
+    val withNull = corpus.unionByName(
+      Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val (n, dl) = Retrieval.corpusStats(withNull)
+    val (n0, dl0) = Retrieval.corpusStats(corpus)
+    assert(n == n0 + 1 && dl == dl0, "NULL text: +1 doc, +0 tokens")
+  }
+
   test("corpus postings are not shuffled for scoring (broadcast join)") {
     val q = Seq((14L, "spark engine")).toDF("query_id", "query")
     val plan = Retrieval.bm25TopK(corpus, q, k = 3)

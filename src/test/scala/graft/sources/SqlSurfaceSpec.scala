@@ -555,6 +555,77 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.build_text_index persists bucket-partitioned " +
+      "postings with exact stats; incremental chain equals a rebuild") {
+    withCatalog("txi") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      Seq((1L, "spark engine data"), (2L, "spark spark"),
+        (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text").createOrReplaceTempView("txi_base")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM txi_base")
+      val rep = spark.sql(s"CALL $c.system.build_text_index(" +
+        s"'db', 'docs', num_buckets => 4)").collect().head
+      // postings: doc1 × 3 distinct terms + doc2 × 1; NULL text → none
+      assert(rep.getString(0) == "docs_text_idx" && rep.getInt(1) == 4 &&
+        rep.getLong(2) == 4L && rep.getLong(3) == 3L, s"report $rep")
+      val idxT = loadT(dir, "docs_text_idx")
+      assert(idxT.spec.fields.map(f => (f.name, f.transform)) ==
+        Seq(("tbucket", graft.spec.Transform.Identity)))
+      val props = idxT.metadata.properties
+      // n_docs counts the NULL-text doc; total_dl = 3 + 2 tokens
+      assert(props("graft.text-index.n-docs") == "3" &&
+        props("graft.text-index.total-dl") == "5", props.toString)
+      // stored tbucket = the murmur3 bucket kernel of the term
+      val rows = spark.sql(s"SELECT term, tbucket FROM " +
+        s"$c.db.docs_text_idx").collect()
+      assert(rows.forall(r => r.getInt(1) == graft.functions.BucketUtil
+        .bucketUTF8(org.apache.spark.unsafe.types.UTF8String
+          .fromString(r.getString(0)), 4)))
+      // incremental chain: new doc's postings + exact stat arithmetic
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (4, 'engine tuning')")
+      val rep2 = spark.sql(s"CALL $c.system.build_text_index(" +
+        s"'db', 'docs', incremental => true)").collect().head
+      assert(rep2.getLong(2) == 2L && rep2.getLong(3) == 4L,
+        s"chain report $rep2")
+      val props2 = loadT(dir, "docs_text_idx").metadata.properties
+      assert(props2("graft.text-index.n-docs") == "4" &&
+        props2("graft.text-index.total-dl") == "7", props2.toString)
+      assert(props2("graft.text-index.source-snapshot-id") ==
+        rep2.getLong(4).toString)
+      // chained index content == a from-scratch postings pass
+      val expect = graft.ops.Retrieval.postings(
+        spark.sql(s"SELECT doc_id, text FROM $c.db.docs"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val got = spark.sql(s"SELECT doc_id, term, dl, tf FROM " +
+        s"$c.db.docs_text_idx").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == expect, s"chained == rebuild: $got vs $expect")
+      // idempotent no-op
+      val rep3 = spark.sql(s"CALL $c.system.build_text_index(" +
+        s"'db', 'docs', incremental => true)").collect().head
+      assert(rep3.getLong(2) == 0L && rep3.getLong(3) == 4L, s"$rep3")
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_text_index('db', 'docs', " +
+        "num_buckets => 0)") }
+      assert(causes(e1).contains("must be positive"), causes(e1))
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_text_index('db', 'docs', " +
+        "incremental => true, index_table => 'nope_idx')") }
+      assert(causes(e2).contains("run a full build first"), causes(e2))
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_text_index('db', 'docs', " +
+        "incremental => true, text_col => 'body')") }
+      assert(causes(e3).contains("was built on"), causes(e3))
+    }
+  }
+
   test("CALL system.dedup_table mode 'best' keeps the max-quality " +
       "copy per exact-dup cluster and requires quality_col") {
     withCatalog("db2") { (c, _) =>
