@@ -1707,8 +1707,11 @@ object IcebergQueries {
     * definition with their own run's trained centroids — the full
     * build and the incremental chain must land on the identical
     * search result set for the same model. */
-  private def annReplaySql(
-      stash: Option[Seq[Array[Double]]]): String = stash match {
+  private def annReplaySql(stash: Option[Seq[Array[Double]]],
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
+      dimSql: String =
+        "SELECT max(len(embedding)) AS d FROM embeddings"):
+      String = stash match {
     case None =>
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS " +
         "nid, CAST(NULL AS BIGINT) AS rank WHERE 1 = 0"
@@ -1718,13 +1721,15 @@ object IcebergQueries {
         s"($cell, [${ctr.mkString(", ")}])"
       }.mkString(",\n    ")
       s"""WITH dim AS (
-         |  SELECT max(len(embedding)) AS d FROM embeddings
+         |  $dimSql
+         |), src AS (
+         |  $corpusSql
          |), corpus AS (
          |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
-         |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
+         |  FROM src WHERE len(embedding) = (SELECT d FROM dim)
          |), q AS (
          |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM embeddings
+         |  FROM src
          |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
          |), cells(cell, ctr) AS (
          |  VALUES $values
@@ -1938,6 +1943,193 @@ object IcebergQueries {
   }
 
   val i39Sql: String = OpsQueries.bm25ReplaySql(2, 10)
+
+  @volatile private var i40Stash:
+    Option[(Seq[Array[Double]], Long)] = None
+
+  /** Streaming ANN ingestion ([[graft.streaming.Streams
+    * .AnnIndexIngestSink]]) chained INTO the batch procedure: full
+    * `build_ann_index` on half the vectors, two streamed waves through
+    * the sink (frozen-model assignment, snapshot stamp advancing with
+    * the corpus head), then — interop — a direct append picked up by
+    * `build_ann_index(incremental => true)`. The search over the
+    * final index must equal the full replay over ALL four vintages
+    * with the original model; centroids asserted byte-stable across
+    * stream AND procedure chain. */
+  def i40StreamAnnIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val c = "g40" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf40" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    s.sql(s"CREATE TABLE $c.$ns.feed (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val tmp = "g40v_" + java.util.UUID.randomUUID.toString.take(8)
+    emb.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp " +
+      s"WHERE vec_id <= $mid")
+    s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 8, '', -1, 4242)").collect()
+    val idxT0 = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+    val cstamp = idxT0.metadata.properties("graft.ann-index.centroids")
+    val pipe = graft.streaming.Streams.annIndexIngestSink(
+      loadByIdentifier(s, c, ns, "vecs"), idxT0)
+    val q = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns)
+      .option("table", "feed")
+      .load()
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(b, id))
+      .outputMode("append").start()
+    try {
+      s.sql(s"INSERT INTO $c.$ns.feed SELECT vec_id + 10000000, " +
+        s"embedding FROM $tmp WHERE vec_id > $mid")
+      q.processAllAvailable()
+      s.sql(s"INSERT INTO $c.$ns.feed SELECT vec_id + 20000000, " +
+        s"embedding FROM $tmp WHERE vec_id > $mid AND vec_id % 2 = 0")
+      q.processAllAvailable()
+    } finally q.stop()
+    // interop: the batch procedure chains cleanly after the stream —
+    // its recorded snapshot tracked the sink head the whole time
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT vec_id + 30000000, " +
+      s"embedding FROM $tmp WHERE vec_id > $mid AND vec_id % 3 = 0")
+    s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      "incremental => true)").collect()
+    val idxT = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+    val props = idxT.metadata.properties
+    require(props("graft.ann-index.centroids") == cstamp,
+      "neither the stream nor the chain may refit")
+    require(props("graft.ann-index.source-snapshot-id").toLong ==
+      loadByIdentifier(s, c, ns, "vecs").currentSnapshot.get.snapshotId,
+      "stamp must track the corpus head")
+    val centroids = graft.ops.Similarity.centroidsFromJson(cstamp)
+    i40Stash = Some((centroids, mid))
+    val dim = props("graft.ann-index.dim").toInt
+    val queries = emb.where(col("vec_id") < 3 &&
+      size(col("embedding")) === dim)
+    val allFiles = graft.table.Scan(idxT, s).planFiles().size
+    graft.ops.Similarity.ivfTopKFromIndex(
+      cells => {
+        val pruned = graft.table.Scan(idxT, s)
+          .filter(Col("cell").in(cells: _*))
+        require(pruned.planFiles().size < allFiles,
+          s"probed read must partition-prune: ${pruned.planFiles().size}" +
+            s" of $allFiles files")
+        pruned.toDF
+      },
+      queries, centroids, k = 5, nprobe = 3)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  private def i40Sql: String = i40Stash match {
+    case None => annReplaySql(None)
+    case Some((cbs, mid)) => annReplaySql(Some(cbs),
+      corpusSql = s"""SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id <= $mid
+         |  UNION ALL SELECT vec_id + 10000000, embedding
+         |    FROM embeddings WHERE vec_id > $mid
+         |  UNION ALL SELECT vec_id + 20000000, embedding
+         |    FROM embeddings WHERE vec_id > $mid AND vec_id % 2 = 0
+         |  UNION ALL SELECT vec_id + 30000000, embedding
+         |    FROM embeddings WHERE vec_id > $mid AND vec_id % 3 = 0"""
+        .stripMargin,
+      dimSql = "SELECT max(len(embedding)) AS d FROM embeddings " +
+        s"WHERE vec_id <= $mid")
+  }
+
+  @volatile private var i41Stash: Option[Long] = None
+
+  /** Streaming text-index ingestion ([[graft.streaming.Streams
+    * .TextIndexIngestSink]]) chained into the batch procedure — the
+    * text twin of i40, with the stronger contract: postings being
+    * per-document-independent and stats exact-additive, the streamed
+    * index IS a full rebuild at every batch boundary, so the search
+    * hash-matches the full-corpus replay over all four vintages
+    * bit-for-bit. Stats-equal-a-full-recount asserted in-query. */
+  def i41StreamTextIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val c = "g41" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf41" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    s.sql(s"CREATE TABLE $c.$ns.feed (doc_id BIGINT, text STRING)")
+    val tmp = "g41d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      s"WHERE doc_id <= $mid")
+    s.sql(s"CALL $c.system.build_text_index('$ns', 'docs')").collect()
+    val pipe = graft.streaming.Streams.textIndexIngestSink(
+      loadByIdentifier(s, c, ns, "docs"),
+      loadByIdentifier(s, c, ns, "docs_text_idx"))
+    val q = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns)
+      .option("table", "feed")
+      .load()
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(b, id))
+      .outputMode("append").start()
+    try {
+      s.sql(s"INSERT INTO $c.$ns.feed SELECT doc_id + 10000000, " +
+        s"text FROM $tmp WHERE doc_id > $mid")
+      q.processAllAvailable()
+      s.sql(s"INSERT INTO $c.$ns.feed SELECT doc_id + 20000000, " +
+        s"text FROM $tmp WHERE doc_id > $mid AND doc_id % 2 = 0")
+      q.processAllAvailable()
+    } finally q.stop()
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT doc_id + 30000000, " +
+      s"text FROM $tmp WHERE doc_id > $mid AND doc_id % 3 = 0")
+    s.sql(s"CALL $c.system.build_text_index('$ns', 'docs', " +
+      "incremental => true)").collect()
+    // stream + chain stats must equal a from-scratch recount of the
+    // full four-vintage corpus
+    val union = docs.where(col("doc_id") <= mid)
+      .unionByName(docs.where(col("doc_id") > mid)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionByName(docs.where(col("doc_id") > mid &&
+          col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      .unionByName(docs.where(col("doc_id") > mid &&
+          col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 30000000L).as("doc_id"), col("text")))
+    val (fullDocs, fullDl) = graft.ops.Retrieval.corpusStats(union)
+    val props = loadByIdentifier(s, c, ns, "docs_text_idx")
+      .metadata.properties
+    require(props("graft.text-index.n-docs").toLong == fullDocs &&
+      props("graft.text-index.total-dl").toLong == fullDl,
+      s"streamed+chained stats must equal a full recount: $props")
+    i41Stash = Some(mid)
+    textIndexSearch(s, c, ns, docs)
+  }
+
+  private def i41Sql: String = i41Stash match {
+    case None => OpsQueries.bm25ReplaySql(2, 10)
+    case Some(mid) => OpsQueries.bm25ReplaySql(2, 10,
+      corpusSql = s"""SELECT doc_id, text FROM documents
+         |    WHERE doc_id <= $mid
+         |  UNION ALL SELECT doc_id + 10000000, text
+         |    FROM documents WHERE doc_id > $mid
+         |  UNION ALL SELECT doc_id + 20000000, text
+         |    FROM documents WHERE doc_id > $mid AND doc_id % 2 = 0
+         |  UNION ALL SELECT doc_id + 30000000, text
+         |    FROM documents WHERE doc_id > $mid AND doc_id % 3 = 0"""
+        .stripMargin)
+  }
 
   val i35Sql: String =
     """WITH basefp AS (
@@ -2394,6 +2586,8 @@ object IcebergQueries {
     "i37_ann_index_chained" -> (i37AnnIndexChained _),
     "i38_text_indexed_bm25" -> (i38TextIndexedBm25 _),
     "i39_text_index_chained" -> (i39TextIndexChained _),
+    "i40_stream_ann_ingest" -> (i40StreamAnnIngest _),
+    "i41_stream_text_ingest" -> (i41StreamTextIngest _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -2457,6 +2651,8 @@ object IcebergQueries {
     "i37_ann_index_chained" -> i37Sql,
     "i38_text_indexed_bm25" -> i38Sql,
     "i39_text_index_chained" -> i39Sql,
+    "i40_stream_ann_ingest" -> i40Sql,
+    "i41_stream_text_ingest" -> i41Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

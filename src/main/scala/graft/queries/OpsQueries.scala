@@ -1883,12 +1883,13 @@ object OpsQueries {
     * window and k — shared by e13 (unindexed), i38 (persisted text
     * index), and i39 (incrementally chained index), so the three
     * paths' oracles are one definition. */
-  private[queries] def bm25ReplaySql(probeMaxId: Int, k: Int): String =
+  private[queries] def bm25ReplaySql(probeMaxId: Int, k: Int,
+      corpusSql: String = "SELECT doc_id, text FROM documents"): String =
     raw"""WITH toks AS (
       |  SELECT doc_id,
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
       |                 ' ') AS tk
-      |  FROM documents
+      |  FROM ($corpusSql) AS src
       |), post AS (
       |  SELECT doc_id, tk[i] AS term, len(tk) AS dl, COUNT(*) AS tf
       |  FROM toks, UNNEST(generate_series(1, len(tk))) AS t(i)

@@ -99,6 +99,134 @@ object Streams {
     new IndexedDedupSink(sink, index, textCol, idCol, minhash,
       threshold, numHashes)
 
+  /** Streaming ANN-index ingestion for `writeStream.foreachBatch`,
+    * backed by a persisted `build_ann_index` table: each micro-batch's
+    * vectors are appended to the corpus (sink) table AND — assigned
+    * with the index's FROZEN stamped centroids, read once at handle
+    * construction — into their cells in the index, then the index's
+    * recorded source snapshot advances to the sink head. Searches
+    * ([[graft.ops.Similarity.ivfTopKFromIndex]]) therefore see new
+    * vectors one micro-batch after arrival with no refit, no
+    * assignment scan, and no state-store growth (the inverted file IS
+    * the state, shared across restarts, queries, and the batch
+    * `build_ann_index(incremental => true)` procedure, which can keep
+    * chaining the same index after the stream stops — the snapshot
+    * stamp makes the two interoperate). Wrong-dim rows land in the
+    * corpus but not the index (the full-build contract). Retried
+    * micro-batch ids are skipped; each append is an ordinary snapshot,
+    * so a crash between the commits is visible, never double rows. */
+  final class AnnIndexIngestSink(initialSink: Table, initialIndex: Table,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      extends Serializable {
+    private val props = initialIndex.metadata.properties
+    private val centroids = graft.ops.Similarity.centroidsFromJson(
+      props.getOrElse("graft.ann-index.centroids",
+        throw new IllegalArgumentException("AnnIndexIngestSink: " +
+          "index has no centroids property — not a build_ann_index " +
+          "table")))
+    private val dim = props("graft.ann-index.dim").toInt
+    @volatile private var sinkRef: Table = initialSink
+    @volatile private var indexRef: Table = initialIndex
+    @volatile private var lastBatchId: Long = Long.MinValue
+
+    /** The foreachBatch function. */
+    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      if (batch0.isEmpty) return
+      // pin the micro-batch: the corpus append and the assignment each
+      // read it — the source must not re-execute
+      val batch = batch0.localCheckpoint(true)
+      sinkRef = TableOps.append(sinkRef, batch)
+      val payload = batch.where(size(col(vecCol)) === dim)
+        .select(col(idCol),
+          graft.ops.Similarity.nearestCell(col(vecCol), centroids)
+            .as("cell"),
+          graft.ops.Similarity.l2norm(col(vecCol)).as("norm"),
+          col(vecCol))
+      if (!payload.isEmpty)
+        indexRef = TableOps.append(indexRef, payload)
+      // advance even on a wrong-dim-only batch: those rows are in the
+      // corpus now, and a later procedure chain must not re-deliver
+      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+        indexRef = indexRef.newTransaction().setProperties(Map(
+          "graft.ann-index.source-snapshot-id" -> h.toString)).commit()
+      }
+    }
+
+    def sink: Table = sinkRef
+    def index: Table = indexRef
+  }
+
+  def annIndexIngestSink(sink: Table, index: Table,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): AnnIndexIngestSink =
+    new AnnIndexIngestSink(sink, index, vecCol, idCol)
+
+  /** Streaming text-index ingestion for `writeStream.foreachBatch`,
+    * backed by a persisted `build_text_index` table: each micro-batch's
+    * documents are appended to the corpus (sink) table, their postings
+    * into their term buckets, and the stamped corpus stats advance by
+    * exact long arithmetic — so, postings being per-document-
+    * independent, the index is at every batch boundary EXACTLY what a
+    * full rebuild would produce, and BM25 searches
+    * ([[graft.ops.Retrieval.bm25FromIndex]]) see new documents one
+    * micro-batch after arrival, bit-identical to the unindexed path.
+    * The snapshot stamp advances with the sink head, so the batch
+    * `build_text_index(incremental => true)` procedure can keep
+    * chaining after the stream stops. NULL-text docs count toward
+    * `n_docs` and produce no postings (the build contract). Retried
+    * micro-batch ids are skipped. */
+  final class TextIndexIngestSink(initialSink: Table,
+      initialIndex: Table, textCol: String = "text",
+      idCol: String = "doc_id") extends Serializable {
+    private val numBuckets = initialIndex.metadata.properties.getOrElse(
+      "graft.text-index.num-buckets",
+      throw new IllegalArgumentException("TextIndexIngestSink: index " +
+        "has no num-buckets property — not a build_text_index table"))
+      .toInt
+    @volatile private var sinkRef: Table = initialSink
+    @volatile private var indexRef: Table = initialIndex
+    @volatile private var lastBatchId: Long = Long.MinValue
+
+    /** The foreachBatch function. */
+    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      if (batch0.isEmpty) return
+      val batch = batch0.localCheckpoint(true)
+      sinkRef = TableOps.append(sinkRef, batch)
+      val payload = graft.ops.Retrieval.postings(batch, textCol, idCol)
+        .withColumn("tbucket", graft.functions.IcebergFunctions
+          .icebergBucket(col("term"), numBuckets))
+      val (bDocs, bDl) =
+        graft.ops.Retrieval.corpusStats(batch, textCol)
+      if (!payload.isEmpty)
+        indexRef = TableOps.append(indexRef, payload)
+      // stats advance even for a NULL-text-only batch (those docs are
+      // corpus members), and the stamp tracks the sink head so a
+      // later procedure chain must not re-deliver
+      val props = indexRef.metadata.properties
+      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+        indexRef = indexRef.newTransaction().setProperties(Map(
+          "graft.text-index.source-snapshot-id" -> h.toString,
+          "graft.text-index.n-docs" ->
+            (props("graft.text-index.n-docs").toLong + bDocs).toString,
+          "graft.text-index.total-dl" ->
+            (props("graft.text-index.total-dl").toLong + bDl).toString))
+          .commit()
+      }
+    }
+
+    def sink: Table = sinkRef
+    def index: Table = indexRef
+  }
+
+  def textIndexIngestSink(sink: Table, index: Table,
+      textCol: String = "text",
+      idCol: String = "doc_id"): TextIndexIngestSink =
+    new TextIndexIngestSink(sink, index, textCol, idCol)
+
   /** Watermarked tumbling-window rollup: the streaming analog of the
     * q13 batch query. `events` must carry an event-time column. */
   def windowedRollup(events: DataFrame, tsCol: String = "ts",

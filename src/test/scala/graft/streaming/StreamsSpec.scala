@@ -114,6 +114,121 @@ class StreamsSpec extends AnyFunSuite {
       "replayed batch id must not double-append")
   }
 
+  test("AnnIndexIngestSink: frozen-model assignment per micro-batch, " +
+      "stamp tracks the corpus head, wrong-dim rows skip the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-annsink-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    val centroids: Seq[Array[Double]] =
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecSchema = Schema(0, Seq(
+      NestedField(1, "vec_id", LongType, required = true),
+      NestedField(2, "embedding",
+        ListType(3, FloatType, elementRequired = false),
+        required = false)))
+    val idxSchema = Schema(0, Seq(
+      NestedField(1, "vec_id", LongType, required = true),
+      NestedField(2, "cell", IntType, required = false),
+      NestedField(3, "norm", DoubleType, required = false),
+      NestedField(4, "embedding",
+        ListType(5, FloatType, elementRequired = false),
+        required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "vecs"),
+      vecSchema, io = io)
+    val idxT = Table.create(cat, TableIdentifier(Seq("db"), "idx"),
+      idxSchema, properties = Map(
+        "graft.ann-index.centroids" ->
+          graft.ops.Similarity.centroidsToJson(centroids),
+        "graft.ann-index.dim" -> "2"), io = io)
+    val pipe = Streams.annIndexIngestSink(sinkT, idxT)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(df, id))
+      .start()
+    try {
+      input.addData((1L, Seq(0.9f, 0.1f)), (2L, Seq(0.1f, 0.8f)),
+        (3L, Seq(1f, 2f, 3f))) // wrong dim: corpus yes, index no
+      q.processAllAvailable()
+      input.addData((4L, Seq(0.8f, 0.0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = Scan(pipe.sink, spark).toDF
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 2L, 3L, 4L), s"corpus $corpus")
+    val cells = Scan(pipe.index, spark).toDF
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cells == Map(1L -> 0, 2L -> 1, 4L -> 0), s"index $cells")
+    assert(pipe.index.metadata.properties(
+      "graft.ann-index.source-snapshot-id").toLong ==
+      pipe.sink.currentSnapshot.get.snapshotId,
+      "stamp must track the corpus head")
+    // a retried batch id is skipped
+    val snaps = pipe.sink.metadata.snapshots.size
+    pipe.addBatch(Seq((9L, Seq(1f, 1f))).toDF("vec_id", "embedding"), 0L)
+    assert(pipe.sink.metadata.snapshots.size == snaps,
+      "replayed batch id must not double-append")
+  }
+
+  test("TextIndexIngestSink: postings + exact stats per micro-batch; " +
+      "NULL-text docs count toward n_docs with no postings") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-txtsink-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    val docSchema = Schema(0, Seq(
+      NestedField(1, "doc_id", LongType, required = true),
+      NestedField(2, "text", StringType, required = false)))
+    val idxSchema = Schema(0, Seq(
+      NestedField(1, "doc_id", LongType, required = true),
+      NestedField(2, "term", StringType, required = false),
+      NestedField(3, "dl", LongType, required = false),
+      NestedField(4, "tf", LongType, required = false),
+      NestedField(5, "tbucket", IntType, required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "docs"),
+      docSchema, io = io)
+    val idxT = Table.create(cat, TableIdentifier(Seq("db"), "idx"),
+      idxSchema, properties = Map(
+        "graft.text-index.num-buckets" -> "4",
+        "graft.text-index.n-docs" -> "0",
+        "graft.text-index.total-dl" -> "0"), io = io)
+    val pipe = Streams.textIndexIngestSink(sinkT, idxT)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(df, id))
+      .start()
+    try {
+      input.addData((1L, "alpha beta"), (2L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData((3L, "alpha alpha"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val post = Scan(pipe.index, spark).toDF
+      .select("doc_id", "term", "dl", "tf", "tbucket").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(post.map(p => (p._1, p._2, p._3, p._4)).toSet == Set(
+      (1L, "alpha", 2L, 1L), (1L, "beta", 2L, 1L),
+      (3L, "alpha", 2L, 2L)), s"postings ${post.toSeq}")
+    assert(post.forall(p => p._5 == graft.functions.BucketUtil
+      .bucketUTF8(org.apache.spark.unsafe.types.UTF8String
+        .fromString(p._2), 4)))
+    val props = pipe.index.metadata.properties
+    assert(props("graft.text-index.n-docs") == "3" &&
+      props("graft.text-index.total-dl") == "4", props.toString)
+    assert(props("graft.text-index.source-snapshot-id").toLong ==
+      pipe.sink.currentSnapshot.get.snapshotId)
+  }
+
   test("table tailer drains appended snapshots incrementally, resumes from checkpoint") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tail-").toString
