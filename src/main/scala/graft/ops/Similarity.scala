@@ -254,6 +254,17 @@ object Similarity {
         .split(",").map(_.trim.toDouble))
   }
 
+  /** PQ codebooks (m × ksub × dsub) ⇄ the SAME flat JSON encoding as
+    * [[centroidsToJson]] — the m·ksub centroids concatenated in
+    * subspace-major order; `ksub` (stamped separately) regroups them.
+    * Reusing the 2-level codec keeps one bit-exact round-trip. */
+  def pqCodebooksToJson(cbs: Seq[Seq[Array[Double]]]): String =
+    centroidsToJson(cbs.flatten)
+
+  def pqCodebooksFromJson(s: String,
+      ksub: Int): Seq[Seq[Array[Double]]] =
+    centroidsFromJson(s).grouped(ksub).map(_.toSeq).toSeq
+
   /** Query-side probe stage shared by [[ivfTopKWithCentroids]] and
     * [[ivfTopKFromIndex]]: `(qid, __qv, __qn, __cell)` — one row per
     * (query, probed cell), top-`nprobe` centroids by cosine desc then
@@ -359,14 +370,31 @@ object Similarity {
     * like [[ivfTopKWithCentroids]]'s verify stage. */
   def pqTopKWithCodebooks(corpus: DataFrame, queries: DataFrame,
       codebooks: Seq[Seq[Array[Double]]], k: Int,
-      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+    pqTopKFromCodes(
+      pqEncode(corpus, codebooks, vecCol, idCol)
+        .select(col(idCol).as("__pq_id"), col("codes")),
+      queries, codebooks, k, vecCol, idCol, codesIdCol = "__pq_id")
+
+  /** PQ-ADC top-k over PRE-ENCODED codes — a `(codesIdCol, codes)`
+    * frame, typically a table persisted by `CALL build_pq_index` (the
+    * memory-bound ANN shape: the search reads m bytes-ish per vector
+    * instead of the full floats, ~dim·4/m× less I/O at 100 TB).
+    * Distance tables are computed per query against the SAME codebooks
+    * that produced the codes and broadcast; the codes frame never
+    * shuffles. Identical results to [[pqTopKWithCodebooks]] over the
+    * corpus the codes were encoded from (that path now delegates
+    * here — one ranking definition). */
+  def pqTopKFromCodes(codes: DataFrame, queries: DataFrame,
+      codebooks: Seq[Seq[Array[Double]]], k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      codesIdCol: String = "vec_id"): DataFrame = {
     val m = codebooks.size
     val ksub = codebooks.head.size
     require(codebooks.forall(_.size == ksub),
       "all subspaces must have the same centroid count")
     val dsub = codebooks.head.head.length
-    val encoded = pqEncode(corpus, codebooks, vecCol, idCol)
-      .select(col(idCol).as("nid"), col("codes"))
+    val encoded = codes.select(col(codesIdCol).as("nid"), col("codes"))
     val qv = col(vecCol).cast("array<double>")
     val dtab = array((for (j <- 0 until m; c <- 0 until ksub) yield
       graft.functions.VectorFunctions.vecSqDist(

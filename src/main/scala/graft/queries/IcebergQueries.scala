@@ -1710,7 +1710,8 @@ object IcebergQueries {
   private def annReplaySql(stash: Option[Seq[Array[Double]]],
       corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
       dimSql: String =
-        "SELECT max(len(embedding)) AS d FROM embeddings"):
+        "SELECT max(len(embedding)) AS d FROM embeddings",
+      qSql: Option[String] = None):
       String = stash match {
     case None =>
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS " +
@@ -1728,9 +1729,9 @@ object IcebergQueries {
          |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
          |  FROM src WHERE len(embedding) = (SELECT d FROM dim)
          |), q AS (
-         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM src
-         |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
+         |  ${qSql.getOrElse("SELECT vec_id AS qid, " +
+             "CAST(embedding AS DOUBLE[]) AS qv FROM src WHERE " +
+             "vec_id < 3 AND len(embedding) = (SELECT d FROM dim)")}
          |), cells(cell, ctr) AS (
          |  VALUES $values
          |), dists AS (
@@ -2130,6 +2131,165 @@ object IcebergQueries {
          |    FROM documents WHERE doc_id > $mid AND doc_id % 3 = 0"""
         .stripMargin)
   }
+
+  /** `CALL text_search` — the whole retrieval stack from pure SQL:
+    * build the postings index, then search it with a literal query
+    * string. The oracle replays full BM25 over the corpus with the
+    * SAME query terms (doc 0's first 4 normalized tokens — fully
+    * deterministic, no stash), so the procedure's parsing,
+    * bucket-pruned load, stamped-stats reload, and scoring all sit
+    * under one hash gate. */
+  def i42SqlTextSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g42" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf42" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g42d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    s.sql(s"CALL $c.system.build_text_index('$ns', 'docs')").collect()
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val qstr = docs.where(col("doc_id") === 0)
+      .select(concat_ws(" ", slice(split(norm, " "), 1, 4)).as("q"))
+      .head.getString(0)
+    val qlit = qstr.replace("'", "''")
+    s.sql(s"CALL $c.system.text_search('$ns', 'docs_text_idx', " +
+      s"'$qlit', 10)").orderBy("rank")
+  }
+
+  val i42Sql: String = "SELECT rank, doc_id, score_scaled FROM (" +
+    OpsQueries.bm25ReplaySql(0, 10, qtermsSql = Some(
+      "SELECT 0 AS query_id, UNNEST(list_distinct(tk[1:4])) AS term " +
+        "FROM toks WHERE doc_id = 0")) +
+    ") AS g ORDER BY rank"
+
+  @volatile private var i43Stash: Option[Seq[Array[Double]]] = None
+
+  /** `CALL ann_search` — IVF search from pure SQL with an EXTERNAL
+    * query vector (a JSON number array; here vec 0's own floats, whose
+    * shortest-repr round-trip restores them exactly). The oracle
+    * replays assignment/probe/re-rank with the trained model and the
+    * same query row; rank-only output keeps the hash insensitive to
+    * float formatting (e1/e3b pattern). Also pins the sentinel-qid
+    * rule: an external query must NOT self-exclude any real corpus
+    * id — vec 0 itself must come back as its own rank-1 neighbor. */
+  def i43SqlAnnSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val c = "g43" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf43" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val tmp = "g43v_" + java.util.UUID.randomUUID.toString.take(8)
+    emb.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp")
+    s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 8, '', -1, 4242)").collect()
+    val props = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+      .metadata.properties
+    i43Stash = Some(graft.ops.Similarity.centroidsFromJson(
+      props("graft.ann-index.centroids")))
+    val dim = props("graft.ann-index.dim").toInt
+    val qvec = emb.where(col("vec_id") === 0 &&
+        size(col("embedding")) === dim)
+      .select("embedding").head(1).headOption.getOrElse(
+        throw new IllegalStateException("vec 0 missing or wrong-dim"))
+      .getSeq[Float](0)
+    val json = qvec.mkString("[", ",", "]")
+    val out = s.sql(s"CALL $c.system.ann_search('$ns', 'vecs_ann_idx', " +
+      s"'$json', 5, 3)")
+    require(out.orderBy("rank").select("nid").head.getLong(0) == 0L,
+      "an external copy of vec 0 must rank vec 0 first — the sentinel " +
+        "qid must not self-exclude real ids")
+    out.select("nid", "rank").orderBy("rank")
+  }
+
+  private def i43Sql: String = i43Stash match {
+    case None => annReplaySql(None)
+    case Some(cbs) => "SELECT nid, rank FROM (" +
+      annReplaySql(Some(cbs), qSql = Some(
+        s"SELECT ${Long.MinValue} AS qid, " +
+          "CAST(embedding AS DOUBLE[]) AS qv FROM src WHERE " +
+          "vec_id = 0 AND len(embedding) = (SELECT d FROM dim)")) +
+      ") AS g ORDER BY rank"
+  }
+
+  @volatile private var i44Stash:
+    Option[Seq[Seq[Array[Double]]]] = None
+
+  /** `CALL build_pq_index` + incremental chain +
+    * [[graft.ops.Similarity.pqTopKFromCodes]] — the memory-bound ANN
+    * index: the corpus is product-quantized ONCE (m small ints per
+    * vector) and a search reads the codes table instead of the
+    * vectors. Full build on HALF the corpus, append the rest, chain
+    * with the STAMPED codebooks (byte-stability and exact-batch-count
+    * asserted in-query, plus the idempotent no-op re-chain); the
+    * search over the chained codes must equal the trained-model
+    * replay over ALL vectors — the shared `pqReplaySql` definition
+    * e15b uses, so a chain that dropped, duplicated, or mis-encoded
+    * any appended vector hash-fails. */
+  def i44PqIndexChained(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val c = "g44" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf44" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val tmp = "g44v_" + java.util.UUID.randomUUID.toString.take(8)
+    emb.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp " +
+      s"WHERE vec_id <= $mid")
+    val rep = s.sql(s"CALL $c.system.build_pq_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 4, 8, '', -1, 4242)").collect().head
+    require(rep.getString(0) == "vecs_pq_idx" && rep.getInt(1) == 4 &&
+      rep.getInt(2) == 8, s"build report: $rep")
+    val cstamp = loadByIdentifier(s, c, ns, "vecs_pq_idx")
+      .metadata.properties("graft.pq-index.codebooks")
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp " +
+      s"WHERE vec_id > $mid")
+    val rep2 = s.sql(s"CALL $c.system.build_pq_index('$ns', 'vecs', " +
+      "incremental => true)").collect().head
+    val idxT = loadByIdentifier(s, c, ns, "vecs_pq_idx")
+    val props = idxT.metadata.properties
+    require(props("graft.pq-index.codebooks") == cstamp,
+      "incremental chain must NOT refit: codebooks changed")
+    val dim = props("graft.pq-index.dim").toInt
+    val expectNew = emb.where(col("vec_id") > mid &&
+      size(col("embedding")) === dim).count()
+    require(rep2.getLong(4) == expectNew,
+      s"chain must encode exactly the appended max-dim rows: $rep2 " +
+        s"vs $expectNew")
+    val rep3 = s.sql(s"CALL $c.system.build_pq_index('$ns', 'vecs', " +
+      "incremental => true)").collect().head
+    require(rep3.getLong(4) == 0L, s"no-op chain must encode 0: $rep3")
+    val cbs = graft.ops.Similarity.pqCodebooksFromJson(cstamp,
+      props("graft.pq-index.ksub").toInt)
+    i44Stash = Some(cbs)
+    val queries = emb.where(col("vec_id") < 3 &&
+      size(col("embedding")) === dim)
+    graft.ops.Similarity.pqTopKFromCodes(
+      graft.table.Scan(idxT, s).toDF, queries, cbs, k = 5)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  private def i44Sql: String = OpsQueries.pqReplaySql(i44Stash,
+    dimSql = "SELECT max(len(embedding)) AS d FROM embeddings" +
+      " WHERE vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)")
 
   val i35Sql: String =
     """WITH basefp AS (
@@ -2588,6 +2748,9 @@ object IcebergQueries {
     "i39_text_index_chained" -> (i39TextIndexChained _),
     "i40_stream_ann_ingest" -> (i40StreamAnnIngest _),
     "i41_stream_text_ingest" -> (i41StreamTextIngest _),
+    "i42_sql_text_search" -> (i42SqlTextSearch _),
+    "i43_sql_ann_search" -> (i43SqlAnnSearch _),
+    "i44_pq_index_chained" -> (i44PqIndexChained _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -2653,6 +2816,9 @@ object IcebergQueries {
     "i39_text_index_chained" -> i39Sql,
     "i40_stream_ann_ingest" -> i40Sql,
     "i41_stream_text_ingest" -> i41Sql,
+    "i42_sql_text_search" -> i42Sql,
+    "i43_sql_ann_search" -> i43Sql,
+    "i44_pq_index_chained" -> i44Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

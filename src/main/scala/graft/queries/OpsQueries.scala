@@ -866,9 +866,20 @@ object OpsQueries {
     * O(m·ksub) expressions). Argmin tie-break (d2 asc, c asc), the
     * j-ordered ADC fold, and the (dist asc, nid asc) rank mirror the
     * Spark side's total orders exactly. */
-  private def e15bSql: String = e15bStash match {
+  private def e15bSql: String = pqReplaySql(e15bStash)
+
+  /** The full trained-codebook PQ replay (encode argmin → ADC fold →
+    * rank), parameterized by corpus/dim sources so e15b (cached
+    * corpus) and i44 (persisted `build_pq_index` table, incrementally
+    * chained) share one oracle definition. */
+  private[queries] def pqReplaySql(
+      stash: Option[Seq[Seq[Array[Double]]]],
+      corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
+      dimSql: String =
+        "SELECT max(len(embedding)) AS d FROM embeddings"):
+      String = stash match {
     case None =>
-      // dev-subset runs that skip e15b have no stash (and no spark
+      // dev-subset runs that skip the gate have no stash (and no spark
       // output either) — emit a schema-shaped empty result
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid," +
         " CAST(NULL AS BIGINT) AS rank WHERE 1 = 0"
@@ -878,13 +889,15 @@ object OpsQueries {
         (cent, c) <- cb.zipWithIndex
       } yield s"($j, $c, [${cent.mkString(", ")}])").mkString(",\n    ")
       s"""WITH dim AS (
-         |  SELECT max(len(embedding)) AS d FROM embeddings
+         |  $dimSql
+         |), src AS (
+         |  $corpusSql
          |), corpus AS (
          |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
-         |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
+         |  FROM src WHERE len(embedding) = (SELECT d FROM dim)
          |), q0 AS (
          |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM embeddings
+         |  FROM src
          |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
          |), cents(j, c, v) AS (
          |  VALUES $values
@@ -1884,7 +1897,8 @@ object OpsQueries {
     * index), and i39 (incrementally chained index), so the three
     * paths' oracles are one definition. */
   private[queries] def bm25ReplaySql(probeMaxId: Int, k: Int,
-      corpusSql: String = "SELECT doc_id, text FROM documents"): String =
+      corpusSql: String = "SELECT doc_id, text FROM documents",
+      qtermsSql: Option[String] = None): String =
     raw"""WITH toks AS (
       |  SELECT doc_id,
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
@@ -1901,8 +1915,9 @@ object OpsQueries {
       |), dfreq AS (
       |  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM post GROUP BY term
       |), qterms AS (
-      |  SELECT doc_id AS query_id, UNNEST(list_distinct(tk[1:4])) AS term
-      |  FROM toks WHERE doc_id < $probeMaxId
+      |  ${qtermsSql.getOrElse("SELECT doc_id AS query_id, " +
+          "UNNEST(list_distinct(tk[1:4])) AS term FROM toks " +
+          s"WHERE doc_id < $probeMaxId")}
       |), qidf AS (
       |  SELECT q.query_id, q.term,
       |    (s.n_docs - d.df + 0.5) / (d.df + 0.5) AS idf, s.avgdl

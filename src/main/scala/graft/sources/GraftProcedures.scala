@@ -38,7 +38,8 @@ private[sources] object GraftProcedures {
     "rewrite_data_files", "fast_forward", "add_files",
     "register_table", "dedup_table", "cherrypick_snapshot",
     "rewrite_position_deletes", "rewrite_equality_deletes",
-    "build_dedup_index", "build_ann_index", "build_text_index")
+    "build_dedup_index", "build_ann_index", "build_text_index",
+    "build_pq_index", "text_search", "ann_search")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -201,6 +202,30 @@ private[sources] class GraftBoundProcedure(
       // snapshot appended into their term buckets, stats updated by
       // exact long arithmetic — identical to a full rebuild
       pDefault("incremental", BooleanType, "false"))
+    case "build_pq_index" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("vec_col", StringType, "'embedding'"),
+      pDefault("id_col", StringType, "'vec_id'"),
+      pDefault("m", IntegerType, "4"),      // subspaces
+      pDefault("ksub", IntegerType, "8"),   // centroids per subspace
+      // '' → "<table>_pq_idx" in the same namespace
+      pDefault("index_table", StringType, "''"),
+      // -1 → the current snapshot; else index the table AS OF this id
+      pDefault("snapshot_id", LongType, "-1"),
+      pDefault("seed", LongType, "42"),
+      // true → chain: encode only rows appended since the recorded
+      // snapshot with the STAMPED codebooks (no refit, no base rescan)
+      pDefault("incremental", BooleanType, "false"))
+    case "text_search" => Array(
+      p("ns", StringType), p("index_table", StringType),
+      p("query", StringType),
+      pDefault("k", IntegerType, "10"))
+    case "ann_search" => Array(
+      p("ns", StringType), p("index_table", StringType),
+      // the query vector as a JSON number array, e.g. '[0.1, -2.5]'
+      p("query", StringType),
+      pDefault("k", IntegerType, "10"),
+      pDefault("nprobe", IntegerType, "3"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -219,6 +244,30 @@ private[sources] class GraftBoundProcedure(
     val tbl = input.getUTF8String(1).toString
     // lazy: register_table CREATES the entry — loading it would throw
     lazy val t = loadTable(catalog, io, ns, tbl)
+    // the search procedures return RESULT SETS (top-k rows); every
+    // maintenance procedure returns its one report row
+    val (schema, resultRows): (StructType, Seq[Seq[Any]]) =
+      procName match {
+        case "text_search" => textSearch(t, spark, input)
+        case "ann_search" => annSearch(t, spark, input)
+        case _ => singleRowCall(t, spark, ns, tbl, input)
+      }
+    val result: V2Scan = new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows: Array[InternalRow] = resultRows.map(row =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          row.map {
+            case s: String => UTF8String.fromString(s)
+            case other => other.asInstanceOf[AnyRef]
+          }.toArray[Any]): InternalRow).toArray
+    }
+    Seq(result).asJava.iterator()
+  }
+
+  private def singleRowCall(t0: => Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    lazy val t = t0
     val (schema, row): (StructType, Seq[Any]) = procName match {
       case "expire_snapshots" =>
         val raw = input.getLong(2)
@@ -573,17 +622,23 @@ private[sources] class GraftBoundProcedure(
             snapRaw)
         else buildTextIndex(t, spark, ns, tbl, textCol, idCol,
           numBuckets, idxName, snapRaw)
+      case "build_pq_index" =>
+        val vecCol = input.getUTF8String(2).toString
+        val idCol = input.getUTF8String(3).toString
+        val m = input.getInt(4)
+        val ksub = input.getInt(5)
+        val idxNameRaw = input.getUTF8String(6).toString
+        val idxName =
+          if (idxNameRaw.isEmpty) s"${tbl}_pq_idx" else idxNameRaw
+        val snapRaw = input.getLong(7)
+        val seed = input.getLong(8)
+        if (input.getBoolean(9))
+          appendToPqIndex(t, spark, ns, tbl, vecCol, idCol, idxName,
+            snapRaw)
+        else buildPqIndex(t, spark, ns, tbl, vecCol, idCol, m, ksub,
+          idxName, snapRaw, seed)
     }
-    val result: V2Scan = new LocalScan {
-      override def readSchema(): StructType = schema
-      override def rows: Array[InternalRow] = Array(
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          row.map {
-            case s: String => UTF8String.fromString(s)
-            case other => other.asInstanceOf[AnyRef]
-          }.toArray[Any]))
-    }
-    Seq(result).asJava.iterator()
+    (schema, Seq(row))
   }
 
   /** Incremental `dedup_table`: the table AS OF `since` is the
@@ -637,7 +692,7 @@ private[sources] class GraftBoundProcedure(
 
   import GraftBoundProcedure.{IdxPropSourceTable, IdxPropSourceSnapshot,
     IdxPropTextCol, IdxPropIdCol, IdxPropNumHashes, AnnPropPrefix,
-    TextPropPrefix}
+    TextPropPrefix, PqPropPrefix}
 
   /** `build_ann_index`: fit IVF centroids (bounded deterministic
     * sample) and persist the inverted file AS AN ICEBERG TABLE —
@@ -717,6 +772,98 @@ private[sources] class GraftBoundProcedure(
       .add("rows_indexed", LongType).add("rows_total", LongType)
       .add("source_snapshot_id", LongType),
       Seq(idxName, nCentroids, dim, indexed, total, snapId))
+  }
+
+  /** `text_search(ns, index_table, query, k)`: BM25 top-k over a
+    * `build_text_index` table, straight from SQL — the query's terms
+    * hash to their buckets, ONLY those partitions are read (manifest
+    * partition pruning), and [[graft.ops.Retrieval.bm25FromIndex]]
+    * reproduces the unindexed scoring bit-for-bit from the stamped
+    * stats. Returns the top-k `(rank, <id>, score_scaled)` rows. */
+  private def textSearch(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    def prop(k: String): String = t.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"text_search: table has no " +
+        s"'$k' property — not a build_text_index table; run " +
+        "build_text_index first"))
+    val query = input.getUTF8String(2).toString
+    val k = input.getInt(3)
+    if (k <= 0) throw new IllegalArgumentException(
+      s"text_search: k must be positive, got $k")
+    val nDocs = prop(s"${TextPropPrefix}n-docs").toLong
+    val totalDl = prop(s"${TextPropPrefix}total-dl").toLong
+    val numBuckets = prop(s"${TextPropPrefix}num-buckets").toInt
+    val idCol = prop(s"${TextPropPrefix}id-col")
+    import org.apache.spark.sql.functions.{col, lit}
+    val queries = spark.range(1).select(lit(0L).as("query_id"),
+      lit(query).as("query"))
+    val out = graft.ops.Retrieval.bm25FromIndex(
+      terms => {
+        val buckets = terms.map(term => graft.functions.BucketUtil
+          .bucketUTF8(UTF8String.fromString(term), numBuckets))
+          .distinct.sorted
+        graft.table.Scan(t, spark)
+          .filter(graft.table.Col("tbucket").in(buckets: _*)).toDF
+      },
+      queries, nDocs, totalDl, k, idCol = idCol)
+      .select(col("rank"), col(idCol), col("score_scaled"))
+      .orderBy("rank")
+    (out.schema, out.collect().map(_.toSeq).toSeq)
+  }
+
+  /** `ann_search(ns, index_table, query, k, nprobe)`: IVF top-k over a
+    * `build_ann_index` table, straight from SQL — the query vector (a
+    * JSON number array) probes its `nprobe` cells against the STAMPED
+    * centroids, ONLY those partitions are read, and
+    * [[graft.ops.Similarity.ivfTopKFromIndex]] re-ranks exactly.
+    * Returns the top-k `(rank, <id>, score)` rows (cosine). */
+  private def annSearch(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    def prop(k: String): String = t.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"ann_search: table has no " +
+        s"'$k' property — not a build_ann_index table; run " +
+        "build_ann_index first"))
+    val qJson = input.getUTF8String(2).toString
+    val k = input.getInt(3)
+    val nprobe = input.getInt(4)
+    if (k <= 0 || nprobe <= 0) throw new IllegalArgumentException(
+      s"ann_search: k and nprobe must be positive, got ($k, $nprobe)")
+    val centroids = graft.ops.Similarity.centroidsFromJson(
+      prop(s"${AnnPropPrefix}centroids"))
+    val dim = prop(s"${AnnPropPrefix}dim").toInt
+    val vec = graft.ops.Similarity.centroidsFromJson(s"[$qJson]") match {
+      case Seq(v) if v.length == dim => v
+      case Seq(v) => throw new IllegalArgumentException(
+        s"ann_search: query has ${v.length} dims, index has $dim")
+      case _ => throw new IllegalArgumentException(
+        s"ann_search: query must be one JSON number array, got '$qJson'")
+    }
+    val idCol = prop(s"${AnnPropPrefix}id-col")
+    val vecCol = prop(s"${AnnPropPrefix}vec-col")
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    // cast to FLOAT — the corpus vectors' own precision, so the score
+    // a stored vector gets against itself is exactly 1-by-norms.
+    // sentinel query id: the ranking tail excludes qid == nid
+    // (self-match, for corpus-member queries); an EXTERNAL query must
+    // never spuriously exclude a real id — and the sentinel must be
+    // TYPE-compatible with the id column (a mistyped comparison would
+    // go null and silently drop every row)
+    val sentinel = t.schema.fieldByName(idCol).map(_.fieldType) match {
+      case Some(graft.spec.StringType) =>
+        lit(" graft-external-query")
+      case _ => lit(Long.MinValue)
+    }
+    val queries = spark.range(1).select(sentinel.as(idCol),
+      typedLit(vec.map(_.toFloat).toSeq).as(vecCol))
+    val out = graft.ops.Similarity.ivfTopKFromIndex(
+      cells => graft.table.Scan(t, spark)
+        .filter(graft.table.Col("cell").in(cells: _*)).toDF,
+      queries, centroids, k, nprobe, vecCol, idCol)
+      .select(col("rank"), col("nid"), col("score"))
+      .orderBy("rank")
+    (out.schema, out.collect().map(_.toSeq).toSeq)
   }
 
   /** `build_ann_index(incremental => true)`: chain the existing index
@@ -802,6 +949,149 @@ private[sources] class GraftBoundProcedure(
       .add("rows_indexed", LongType).add("rows_total", LongType)
       .add("source_snapshot_id", LongType),
       Seq(idxName, centroids.size, dim, appended, freshTotal, head))
+  }
+
+  /** `build_pq_index`: train per-subspace KMeans codebooks on a
+    * bounded deterministic sample and persist the PRODUCT-QUANTIZED
+    * corpus — `(id, codes)`, m small ints per vector — as an Iceberg
+    * table, codebooks stamped as properties via the flat bit-exact
+    * JSON round-trip. A search ([[graft.ops.Similarity
+    * .pqTopKFromCodes]]) reads the codes table instead of the vectors:
+    * ~dim·4/m× less I/O per scanned vector — the memory-bound ANN
+    * shape at 100 TB (IVF prunes WHICH rows are read; PQ shrinks WHAT
+    * is read per row). Wrong-dim rows are excluded and reported. */
+  private def buildPqIndex(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      vecCol: String, idCol: String, m: Int, ksub: Int, idxName: String,
+      snapRaw: Long, seed: Long): (StructType, Seq[Any]) = {
+    if (m <= 0 || ksub <= 0)
+      throw new IllegalArgumentException(
+        s"build_pq_index: m and ksub must be positive, got ($m, $ksub)")
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"build_pq_index: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"build_pq_index: snapshot_id $snapRaw not found")
+      else snapRaw
+    import org.apache.spark.sql.functions.{col, max, size}
+    val scan = graft.table.Scan(t, spark).useSnapshot(snapId)
+    val df0 = scan.toDF
+    val dim = df0.agg(max(size(col(vecCol))).as("d")).head(1)
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"build_pq_index: $ns.$tbl has no vectors in $vecCol"))
+    val df = df0.where(size(col(vecCol)) === dim)
+    val total = scan.count()
+    val cbs = graft.ops.Similarity.pqTrainCodebooks(df, m, ksub, seed,
+      vecCol, rowCountHint = Some(total))
+    val payload = graft.ops.Similarity.pqEncode(df, cbs, vecCol, idCol)
+    val gSchema = graft.spec.SchemaConverters
+      .fromSparkSchema(payload.schema)
+    val props = Map(
+      s"${PqPropPrefix}source-table" -> s"$ns.$tbl",
+      s"${PqPropPrefix}source-snapshot-id" -> snapId.toString,
+      s"${PqPropPrefix}vec-col" -> vecCol,
+      s"${PqPropPrefix}id-col" -> idCol,
+      s"${PqPropPrefix}m" -> m.toString,
+      s"${PqPropPrefix}ksub" -> ksub.toString,
+      s"${PqPropPrefix}dim" -> dim.toString,
+      s"${PqPropPrefix}codebooks" ->
+        graft.ops.Similarity.pqCodebooksToJson(cbs))
+    val idxId = TableIdentifier(ns.split('.').toSeq, idxName)
+    val committed =
+      if (catalog.tableExists(idxId)) {
+        val existing = Table.load(catalog, idxId, io)
+        val after = graft.table.Mutations.overwrite(existing, spark,
+          payload)
+        after.newTransaction().setProperties(props).commit()
+      } else {
+        val created = Table.create(catalog, idxId, gSchema,
+          properties = props, io = io)
+        graft.table.TableOps.append(created, payload)
+      }
+    val indexed = committed.currentSnapshot.flatMap(_.summary)
+      .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+      .getOrElse(graft.table.Scan(committed, spark).count())
+    (new StructType().add("index_table", StringType)
+      .add("m", IntegerType).add("ksub", IntegerType)
+      .add("dim", IntegerType).add("rows_indexed", LongType)
+      .add("rows_total", LongType).add("source_snapshot_id", LongType),
+      Seq(idxName, m, ksub, dim, indexed, total, snapId))
+  }
+
+  /** `build_pq_index(incremental => true)`: chain the codes table to
+    * the source head with the STAMPED codebooks — codes are per-row
+    * deterministic given the frozen model, so the chained table equals
+    * a frozen-model re-encode of the full corpus exactly; only the
+    * model itself goes stale as the distribution drifts (rebuild to
+    * refit — the standard PQ contract). Same appendsBetween semantics
+    * as the ANN/text chains: compaction-safe, deleted rows stale. */
+  private def appendToPqIndex(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      vecCol: String, idCol: String, idxName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val idxId = TableIdentifier(ns.split('.').toSeq, idxName)
+    if (!catalog.tableExists(idxId))
+      throw new IllegalArgumentException(s"build_pq_index: index " +
+        s"$idxName does not exist — run a full build first " +
+        "(incremental => false)")
+    val idx = Table.load(catalog, idxId, io)
+    def prop(k: String): String = idx.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"build_pq_index: $idxName " +
+        s"has no '$k' property — not a build_pq_index table"))
+    val srcTable = prop(s"${PqPropPrefix}source-table")
+    if (srcTable != s"$ns.$tbl")
+      throw new IllegalArgumentException(s"build_pq_index: index " +
+        s"$idxName was built from $srcTable, not $ns.$tbl")
+    if (prop(s"${PqPropPrefix}vec-col") != vecCol ||
+        prop(s"${PqPropPrefix}id-col") != idCol)
+      throw new IllegalArgumentException(s"build_pq_index: index " +
+        s"$idxName was built on (${prop(s"${PqPropPrefix}vec-col")}, " +
+        s"${prop(s"${PqPropPrefix}id-col")}), call uses " +
+        s"($vecCol, $idCol)")
+    val recorded = prop(s"${PqPropPrefix}source-snapshot-id").toLong
+    if (t.snapshotById(recorded).isEmpty)
+      throw new IllegalArgumentException(s"build_pq_index: index " +
+        s"$idxName records source snapshot $recorded which no longer " +
+        "exists (expired?) — rebuild the index")
+    val head =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"build_pq_index: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"build_pq_index: snapshot_id $snapRaw not found")
+      else snapRaw
+    val dim = prop(s"${PqPropPrefix}dim").toInt
+    val m = prop(s"${PqPropPrefix}m").toInt
+    val ksub = prop(s"${PqPropPrefix}ksub").toInt
+    val cbs = graft.ops.Similarity.pqCodebooksFromJson(
+      prop(s"${PqPropPrefix}codebooks"), ksub)
+    import org.apache.spark.sql.functions.{col, size}
+    val fresh =
+      if (head == recorded)
+        graft.table.Scan(t, spark).toDF.limit(0)
+      else graft.table.Scan(t, spark).appendsBetween(recorded, head).toDF
+    val freshTotal = fresh.count()
+    val payload = graft.ops.Similarity.pqEncode(
+      fresh.where(size(col(vecCol)) === dim), cbs, vecCol, idCol)
+    val idx2 =
+      if (head == recorded) idx
+      else graft.table.TableOps.append(idx, payload)
+    val committed = idx2.newTransaction().setProperties(Map(
+      s"${PqPropPrefix}source-snapshot-id" -> head.toString)).commit()
+    val appended =
+      if (head == recorded) 0L
+      else committed.currentSnapshot.flatMap(_.summary)
+        .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+        .getOrElse(0L)
+    (new StructType().add("index_table", StringType)
+      .add("m", IntegerType).add("ksub", IntegerType)
+      .add("dim", IntegerType).add("rows_indexed", LongType)
+      .add("rows_total", LongType).add("source_snapshot_id", LongType),
+      Seq(idxName, m, ksub, dim, appended, freshTotal, head))
   }
 
   /** `build_text_index`: persist ONE corpus pass of
@@ -1103,4 +1393,5 @@ private[sources] object GraftBoundProcedure {
   private val IdxPropNumHashes = "graft.dedup-index.num-hashes"
   private val AnnPropPrefix = "graft.ann-index."
   private val TextPropPrefix = "graft.text-index."
+  private val PqPropPrefix = "graft.pq-index."
 }

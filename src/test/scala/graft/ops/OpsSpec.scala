@@ -491,6 +491,27 @@ class SimilaritySpec extends AnyFunSuite {
       s"hinted run must skip the count job ($jobsHinted vs $jobsNoHint)")
   }
 
+  test("pq codebooks round-trip through flat JSON; pqTopKFromCodes " +
+      "over persisted codes equals the encode-at-query path") {
+    val (df, centers) = clusteredWithCenters
+    val cbs: Seq[Seq[Array[Double]]] = (0 until 4).map(j =>
+      centers.toSeq.map(c => c.slice(j * 4, j * 4 + 4).map(_.toDouble)))
+    val back = Similarity.pqCodebooksFromJson(
+      Similarity.pqCodebooksToJson(cbs), ksub = 4)
+    assert(back.size == cbs.size &&
+      cbs.zip(back).forall { case (a, b) =>
+        a.zip(b).forall(p => java.util.Arrays.equals(p._1, p._2)) })
+    val qs = df.filter(col("vec_id") === 0)
+    val codes = Similarity.pqEncode(df, cbs) // the persisted shape
+    val fromCodes = Similarity.pqTopKFromCodes(codes, qs, cbs, k = 10)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = Similarity.pqTopKWithCodebooks(df, qs, cbs, k = 10)
+      .select("qid", "nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromCodes == direct, s"codes=$fromCodes direct=$direct")
+  }
+
   test("centroid JSON round-trips bit-exactly, handles edge shapes") {
     val rnd = new scala.util.Random(13)
     val cbs: Seq[Array[Double]] = Seq(

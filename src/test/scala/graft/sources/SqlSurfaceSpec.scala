@@ -540,6 +540,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"CALL $c.system.build_ann_index('db', 'vecs', " +
         "incremental => true, index_table => 'nope_idx')") }
       assert(causes(e4).contains("run a full build first"), causes(e4))
+
+      // ann_search: external query near cluster A; vec 0 (a real id)
+      // must be includable — the sentinel qid never self-excludes
+      val hits = spark.sql(s"CALL $c.system.ann_search('db', " +
+        "'vecs_ann_idx', '[1.0, 0.05, 0.0, 0.0]', 3, 1)")
+        .orderBy("rank").collect()
+      assert(hits.length == 3 && hits.map(_.getLong(1)).contains(0L),
+        s"hits ${hits.toSeq}")
+      assert(hits.forall(r => r.getDouble(2) > 0.9),
+        "cluster-A neighbors only")
+      val e6 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.ann_search('db', 'vecs_ann_idx', '[1.0]', 3)") }
+      assert(causes(e6).contains("dims"), causes(e6))
+      val e7 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.ann_search('db', 'vecs', '[1,0,0,0]', 3)") }
+      assert(causes(e7).contains("not a build_ann_index table"),
+        causes(e7))
+      val e8 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.ann_search('db', 'vecs_ann_idx', " +
+        "'[1,0,0,0]', 0)") }
+      assert(causes(e8).contains("must be positive"), causes(e8))
       val e5 = intercept[Exception] { spark.sql(
         s"CALL $c.system.build_ann_index('db', 'vecs', " +
         "incremental => true, id_col => 'other')") }
@@ -552,6 +573,63 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val e3 = intercept[Exception] { spark.sql(
         s"CALL $c.system.build_ann_index('db', 'empty')") }
       assert(causes(e3).contains("no snapshots"), causes(e3))
+    }
+  }
+
+  test("CALL system.build_pq_index persists frozen-model codes; " +
+      "incremental chain encodes only appended rows") {
+    withCatalog("pqi") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.vecs (vec_id BIGINT, " +
+        "embedding ARRAY<FLOAT>)")
+      val rows = (0L until 6L).map { i =>
+        val base = if (i % 2 == 0) Seq(1f, 0f, 0f, 0f)
+          else Seq(0f, 0f, 0f, 1f)
+        (i, base.map(_ + i.toFloat / 100f))
+      }
+      rows.toDF("vec_id", "embedding").createOrReplaceTempView("pqi_src")
+      spark.sql(s"INSERT INTO $c.db.vecs SELECT * FROM pqi_src")
+      val rep = spark.sql(s"CALL $c.system.build_pq_index(" +
+        s"'db', 'vecs', m => 2, ksub => 2)").collect().head
+      assert(rep.getString(0) == "vecs_pq_idx" && rep.getInt(1) == 2 &&
+        rep.getInt(2) == 2 && rep.getInt(3) == 4 &&
+        rep.getLong(4) == 6L && rep.getLong(5) == 6L, s"report $rep")
+      val props = loadT(dir, "vecs_pq_idx").metadata.properties
+      val cbs = graft.ops.Similarity.pqCodebooksFromJson(
+        props("graft.pq-index.codebooks"), 2)
+      assert(cbs.size == 2 && cbs.forall(_.size == 2) &&
+        cbs.forall(_.forall(_.length == 2)))
+      // stored codes == a frozen-model re-encode
+      val expect = graft.ops.Similarity.pqEncode(
+        rows.toDF("vec_id", "embedding"), cbs).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      val got = spark.sql(s"SELECT vec_id, codes FROM $c.db.vecs_pq_idx")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+      assert(got == expect, s"codes $got vs $expect")
+      // incremental: only the appended row is encoded, codebooks frozen
+      spark.sql(s"INSERT INTO $c.db.vecs VALUES " +
+        "(7, array(CAST(1.0 AS FLOAT), CAST(0.1 AS FLOAT), " +
+        "CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)))")
+      val rep2 = spark.sql(s"CALL $c.system.build_pq_index(" +
+        s"'db', 'vecs', incremental => true)").collect().head
+      assert(rep2.getLong(4) == 1L && rep2.getLong(5) == 1L,
+        s"chain report $rep2")
+      assert(loadT(dir, "vecs_pq_idx").metadata.properties(
+        "graft.pq-index.codebooks") ==
+        props("graft.pq-index.codebooks"), "chain must not refit")
+      assert(spark.sql(s"SELECT count(*) FROM $c.db.vecs_pq_idx")
+        .collect().head.getLong(0) == 7L)
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_pq_index('db', 'vecs', m => 0)") }
+      assert(causes(e1).contains("must be positive"), causes(e1))
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.build_pq_index('db', 'vecs', " +
+        "incremental => true, index_table => 'nope_idx')") }
+      assert(causes(e2).contains("run a full build first"), causes(e2))
     }
   }
 
@@ -623,6 +701,26 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"CALL $c.system.build_text_index('db', 'docs', " +
         "incremental => true, text_col => 'body')") }
       assert(causes(e3).contains("was built on"), causes(e3))
+
+      // text_search straight from SQL: bit-identical to the library
+      // path over the live table (corpus: docs 1, 2, 4 have text)
+      val hits = spark.sql(s"CALL $c.system.text_search('db', " +
+        "'docs_text_idx', 'spark tuning', 5)").orderBy("rank").collect()
+      import spark.implicits._
+      val libHits = graft.ops.Retrieval.bm25TopK(
+        spark.sql(s"SELECT doc_id, text FROM $c.db.docs"),
+        Seq((0L, "spark tuning")).toDF("query_id", "query"), k = 5)
+        .orderBy("rank").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(hits.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq == libHits.toSeq, s"sql=${hits.toSeq} lib=${libHits.toSeq}")
+      val e4 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.text_search('db', 'docs', 'spark', 5)") }
+      assert(causes(e4).contains("not a build_text_index table"),
+        causes(e4))
+      val e5 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.text_search('db', 'docs_text_idx', 'x', 0)") }
+      assert(causes(e5).contains("must be positive"), causes(e5))
     }
   }
 
