@@ -50,5 +50,8 @@ object SparkEntry {
     // persisted build_text_index shape i38 gates through SQL); timed
     // path = query-term bucket load + score — contrast with e13's
     // full corpus tokenization pass
-    "e18_bm25_indexed")
+    "e18_bm25_indexed",
+    // round 16: composed IVF+PQ — probe coarse cells, rank by ADC
+    // over codes; the standard memory-bound large-scale ANN layout
+    "e19_ivfpq_compose")
 }

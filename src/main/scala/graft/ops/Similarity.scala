@@ -238,6 +238,62 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Composed IVF + PQ ANN — the standard large-scale layout (an
+    * IVFPQ-style index): the corpus is assigned to coarse cells (the
+    * IVF half) AND product-quantized to m small ints per vector (the
+    * PQ half); a query probes its `nprobe` cells by centroid cosine
+    * and ranks ONLY those cells' vectors by the ADC distance estimate
+    * over their codes. At 100 TB the two halves compose
+    * MULTIPLICATIVELY: cell partitioning prunes WHICH rows are read
+    * (nprobe/nCells of the corpus) and quantization shrinks WHAT is
+    * read per row (~dim·4/m×) — together the read is a sliver of the
+    * raw vectors. Ranking is (ADC asc, id asc); ADC estimates
+    * L2 distance, not exact cosine — the PQ recall/IO trade. Each
+    * (query, vector) pair meets exactly once (one cell per vector,
+    * distinct probed cells), so no dedup pass is needed. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Seq[Array[Double]], codebooks: Seq[Seq[Array[Double]]],
+      k: Int, nprobe: Int = 2, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val m = codebooks.size
+    val ksub = codebooks.head.size
+    require(codebooks.forall(_.size == ksub),
+      "all subspaces must have the same centroid count")
+    val dsub = codebooks.head.head.length
+    val cv = col(vecCol).cast("array<double>")
+    val codesExpr = array(codebooks.zipWithIndex.map { case (cb, j) =>
+      nearestCell(slice(cv, j * dsub + 1, dsub), cb)
+    }: _*)
+    // ONE corpus pass builds the in-memory inverted file: cell + codes
+    // (the persisted twin would store exactly these columns,
+    // cell-partitioned — build_ann_index's layout with codes for the
+    // vector payload)
+    val index = corpus.select(col(idCol).as("nid"),
+      nearestCell(col(vecCol), centroids).as("__cell"),
+      codesExpr.as("codes"))
+    // per-(query, probed-cell) row with the query's ADC distance
+    // table — nprobe duplicates of a small array on a broadcast side
+    val qv = col("__qv").cast("array<double>")
+    val dtab = array((for (j <- 0 until m; c <- 0 until ksub) yield
+      graft.functions.VectorFunctions.vecSqDist(
+        slice(qv, j * dsub + 1, dsub),
+        typedlit(codebooks(j)(c).toSeq))): _*)
+    val probed = probedQueries(queries, centroids, nprobe, vecCol, idCol)
+      .select(col("qid"), col("__cell"), dtab.as("__dtab"))
+    val scored = index.join(broadcast(probed), Seq("__cell"))
+      .where(col("qid") =!= col("nid"))
+      .withColumn("adc", aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (code, j) => element_at(col("__dtab"),
+            (j * ksub + code + 1).cast("int"))),
+        lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("adc").asc, col("nid").asc)
+    scored.select("qid", "nid", "adc")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Centroid matrix ⇄ JSON, for stamping a trained IVF model on the
     * index table's properties. `Double.toString` shortest-repr
     * round-trips exactly through `toDouble`, so a persisted model

@@ -1941,6 +1941,123 @@ object OpsQueries {
       |  FROM scored) r
       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
+  // --------------- e19 composed IVF + PQ ANN (planted, oracle)
+  private val E19Cells = 8
+  private val E19Nprobe = 3
+  private val E19M = 4
+  private val E19Ksub = 8
+  // strides 29 (coarse cells) and 311 (codebooks): distinct from every
+  // other planted family (42 / 77 / 131 / 191 / 53)
+  private def e19Cell(cell: Int, d: Int): Double =
+    plantedCentroid(29, cell, d)
+  private def e19Cent(j: Int, c: Int, d: Int): Double =
+    plantedCentroid(311, j * E19Ksub + c, d)
+
+  /** Composed IVF+PQ gate ([[Similarity.ivfPqTopK]] — coarse-cell
+    * probe, ADC-over-codes rank: the IVFPQ layout). Both models are
+    * planted LCG (the e3b/e15 pattern — bypasses seed dependence), so
+    * the DuckDB oracle replays the ENTIRE composition: coarse argmin
+    * assignment, nprobe cosine probe, per-subspace argmin codes,
+    * per-query distance tables, the j-ordered ADC fold over ONLY the
+    * probed cells' vectors, and the (adc asc, nid asc) rank. Exact
+    * IEEE folds end to end; rank-only output. */
+  def e19IvfPqCompose(s: SparkSession, dir: String): DataFrame = {
+    val emb0 = t(s, dir, "embeddings")
+    val dim = emb0.agg(max(size(col("embedding"))).as("d")).head(1)
+      .headOption.flatMap(r => Option(r.get(0)).map(_ => r.getInt(0)))
+      .getOrElse(64)
+    val emb = emb0.where(size(col("embedding")) === dim)
+    val centroids = (0 until E19Cells).map(cell =>
+      Array.tabulate(dim)(d => e19Cell(cell, d)))
+    val dsub = math.max(1, dim / E19M)
+    val codebooks: Seq[Seq[Array[Double]]] = (0 until E19M).map(j =>
+      (0 until E19Ksub).map(c =>
+        Array.tabulate(dsub)(d => e19Cent(j, c, d))): Seq[Array[Double]])
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 3),
+        centroids, codebooks, k = 5, nprobe = E19Nprobe)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  /** e19 oracle: the annReplaySql assignment/probe composed with the
+    * e15b codes/ADC replay, both models as in-SQL LCG expressions
+    * (dim-agnostic, no stash). */
+  val e19Sql: String = {
+    import PlantedSql.cos
+    def fCell(cell: String): String = PlantedSql.centroid(29, cell)
+    val distCols = PlantedSql.distCols(29, E19Cells, "cv")
+    val dls = PlantedSql.leastList(E19Cells)
+    val argmin = PlantedSql.argminCase(E19Cells)
+    // planted codebook centroid (j, c) at sub-dim d — the combined
+    // LCG cell index j·ksub + c, matching e19Cent
+    def fCent(jc: String): String = PlantedSql.centroid(311, jc)
+    s"""WITH dim AS (
+       |  SELECT max(len(embedding)) AS d FROM embeddings
+       |), dsub AS (
+       |  SELECT greatest(1, (SELECT d FROM dim) // $E19M) AS s
+       |), corpus AS (
+       |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE len(embedding) = (SELECT d FROM dim)
+       |), q AS (
+       |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings
+       |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
+       |), cells AS (
+       |  SELECT cell, list_transform(
+       |    generate_series(1, (SELECT d FROM dim)),
+       |    i -> CAST(${fCell("cell")} AS DOUBLE)) AS ctr
+       |  FROM (SELECT unnest(generate_series(0, ${E19Cells - 1})) AS cell)
+       |), cdists AS (
+       |  SELECT nid, cv,
+       |    $distCols
+       |  FROM corpus
+       |), assigned AS (
+       |  SELECT nid, cv, CASE $argmin END AS cell
+       |  FROM (SELECT *, LEAST($dls) AS m FROM cdists)
+       |), probes AS (
+       |  SELECT qid, qv, cell FROM (
+       |    SELECT q.qid, q.qv, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${cos("q.qv", "c.ctr")} DESC, c.cell ASC) AS cr
+       |    FROM q CROSS JOIN cells c
+       |  ) WHERE cr <= $E19Nprobe
+       |), cents AS (
+       |  SELECT j, c, list_transform(generate_series(1, (SELECT s FROM dsub)),
+       |    i -> CAST(${fCent(s"(j * $E19Ksub + c)")} AS DOUBLE)) AS v
+       |  FROM (SELECT unnest(generate_series(0, ${E19M - 1})) AS j)
+       |  CROSS JOIN (SELECT unnest(generate_series(0, ${E19Ksub - 1})) AS c)
+       |), pqdist AS (
+       |  SELECT a.nid, a.cell, t.j, t.c,
+       |    list_reduce(list_transform(generate_series(1, len(t.v)),
+       |      i -> (a.cv[t.j * len(t.v) + i] - t.v[i])
+       |         * (a.cv[t.j * len(t.v) + i] - t.v[i])),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM assigned a CROSS JOIN cents t
+       |), codes AS (
+       |  SELECT nid, cell, j, (list(c ORDER BY d2 ASC, c ASC))[1] AS code
+       |  FROM pqdist GROUP BY nid, cell, j
+       |), qdist AS (
+       |  SELECT qid, j, c,
+       |    list_reduce(list_transform(generate_series(1, len(v)),
+       |      i -> (qv[j * len(v) + i] - v[i])
+       |         * (qv[j * len(v) + i] - v[i])),
+       |      (acc, x) -> acc + x) AS d2
+       |  FROM q CROSS JOIN cents
+       |), adc AS (
+       |  SELECT p.qid, k.nid,
+       |    list_reduce(list(qd.d2 ORDER BY qd.j), (acc, x) -> acc + x)
+       |      AS dist
+       |  FROM probes p
+       |  JOIN codes k ON k.cell = p.cell AND k.nid <> p.qid
+       |  JOIN qdist qd ON qd.qid = p.qid AND qd.j = k.j AND qd.c = k.code
+       |  GROUP BY p.qid, k.nid
+       |)
+       |SELECT qid, nid, rank FROM (
+       |  SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY dist ASC, nid ASC) AS rank FROM adc
+       |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   // ----------- e18 indexed BM25 over a cached postings index (oracle)
 
   /** Memoized per-sfDir postings index: ONE corpus pass into
@@ -3027,6 +3144,7 @@ object OpsQueries {
     "d24_bigram_surprise" -> (d24BigramSurprise _),
     "e13_bm25" -> (e13Bm25 _),
     "e18_bm25_indexed" -> (e18Bm25Indexed _),
+    "e19_ivfpq_compose" -> (e19IvfPqCompose _),
     "d25_leakage_split" -> (d25LeakageSplit _),
     "d26_filter_funnel" -> (d26FilterFunnel _),
     "d27_dup_passages" -> (d27DupPassages _),
@@ -3092,6 +3210,7 @@ object OpsQueries {
     "d24_bigram_surprise" -> d24Sql,
     "e13_bm25" -> e13Sql,
     "e18_bm25_indexed" -> e18Sql,
+    "e19_ivfpq_compose" -> e19Sql,
     "d25_leakage_split" -> d25Sql,
     "d26_filter_funnel" -> d26Sql,
     "d27_dup_passages" -> d27Sql,

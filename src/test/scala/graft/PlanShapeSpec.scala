@@ -69,6 +69,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the probed-cells read must not shuffle, got ${shuffles(p)}:\n$p")
   }
 
+  test("e19 composed IVF+PQ: probed queries (with ADC tables) " +
+      "broadcast, the encoded corpus never shuffles before ranking") {
+    val p = staticPlan("e19_ivfpq_compose")
+    assert(broadcasts(p) >= 1,
+      s"the probed query set must broadcast into the cell join:\n$p")
+    // window top-k + output sort are the only legitimate shuffles
+    assert(shuffles(p) <= 2,
+      s"the corpus must not shuffle before ADC, got ${shuffles(p)}:\n$p")
+  }
+
   test("d34 quality classifier: the weight model broadcasts — the " +
       "corpus never shuffles on a feature key") {
     val p = staticPlan("d34_quality_classifier")

@@ -491,6 +491,32 @@ class SimilaritySpec extends AnyFunSuite {
       s"hinted run must skip the count job ($jobsHinted vs $jobsNoHint)")
   }
 
+  test("ivfPqTopK composes: candidates from probed cells only, " +
+      "ranked by ADC — planted models recover the true cluster") {
+    val (df, centers) = clusteredWithCenters
+    val centroids = centers.toSeq.map(_.map(_.toDouble))
+    // codebooks = the true cluster centers' sub-vectors (4 subspaces
+    // of dim 4): ADC to a same-cluster vector is near the quantization
+    // floor, so with nprobe=1 the own-cluster members fill the top-k
+    val cbs: Seq[Seq[Array[Double]]] = (0 until 4).map(j =>
+      centers.toSeq.map(c => c.slice(j * 4, j * 4 + 4).map(_.toDouble)))
+    val qs = df.filter(col("vec_id") === 0)
+    val top = Similarity.ivfPqTopK(df, qs, centroids, cbs,
+      k = 10, nprobe = 1).orderBy("rank").collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getLong(1) % 4 == 0),
+      s"cluster-0 members only: ${top.map(_.getLong(1)).toSeq}")
+    // ranking equals plain PQ-ADC restricted to the probed cell's
+    // members (the compose contract: IVF picks WHO, PQ ranks)
+    val cell0 = df.where(
+      Similarity.nearestCell(col("embedding"), centroids) === 0)
+    val pqOnly = Similarity.pqTopKWithCodebooks(cell0, qs, cbs, k = 10)
+      .select("nid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val got = top.map(r => (r.getLong(1), r.getInt(3))).toSet
+    assert(got == pqOnly, s"ivfpq=$got pq-on-cell=$pqOnly")
+  }
+
   test("pq codebooks round-trip through flat JSON; pqTopKFromCodes " +
       "over persisted codes equals the encode-at-query path") {
     val (df, centers) = clusteredWithCenters
