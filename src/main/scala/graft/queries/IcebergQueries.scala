@@ -2291,6 +2291,63 @@ object IcebergQueries {
     dimSql = "SELECT max(len(embedding)) AS d FROM embeddings" +
       " WHERE vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)")
 
+  @volatile private var i45Stash:
+    Option[Seq[Seq[Array[Double]]]] = None
+
+  /** `CALL pq_search` — ADC retrieval from pure SQL over the persisted
+    * codes table with an EXTERNAL query vector (vec 0's floats through
+    * the JSON round-trip, the i43 pattern). The oracle replays encode
+    * + distance tables + the ADC fold with the trained codebooks and
+    * the same sentinel-qid query row; rank-only output. The rank-1
+    * self-hit is asserted in-query (ADC of a vector against its own
+    * codes is the quantization floor). */
+  def i45SqlPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val c = "g45" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf45" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val tmp = "g45v_" + java.util.UUID.randomUUID.toString.take(8)
+    emb.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp")
+    s.sql(s"CALL $c.system.build_pq_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 4, 8, '', -1, 4242)").collect()
+    val props = loadByIdentifier(s, c, ns, "vecs_pq_idx")
+      .metadata.properties
+    i45Stash = Some(graft.ops.Similarity.pqCodebooksFromJson(
+      props("graft.pq-index.codebooks"),
+      props("graft.pq-index.ksub").toInt))
+    val dim = props("graft.pq-index.dim").toInt
+    val qvec = emb.where(col("vec_id") === 0 &&
+        size(col("embedding")) === dim)
+      .select("embedding").head(1).headOption.getOrElse(
+        throw new IllegalStateException("vec 0 missing or wrong-dim"))
+      .getSeq[Float](0)
+    val json = qvec.mkString("[", ",", "]")
+    val out = s.sql(s"CALL $c.system.pq_search('$ns', 'vecs_pq_idx', " +
+      s"'$json', 5)")
+    require(out.orderBy("rank").select("nid").head.getLong(0) == 0L,
+      "the external copy of vec 0 must rank vec 0 first (its own " +
+        "codes are the ADC floor) — the sentinel qid must not " +
+        "self-exclude real ids")
+    out.select("nid", "rank").orderBy("rank")
+  }
+
+  private def i45Sql: String = i45Stash match {
+    case None => OpsQueries.pqReplaySql(None)
+    case Some(cbs) => "SELECT nid, rank FROM (" +
+      OpsQueries.pqReplaySql(Some(cbs), qSql = Some(
+        s"SELECT ${Long.MinValue} AS qid, " +
+          "CAST(embedding AS DOUBLE[]) AS qv FROM src WHERE " +
+          "vec_id = 0 AND len(embedding) = (SELECT d FROM dim)")) +
+      ") AS g ORDER BY rank"
+  }
+
   val i35Sql: String =
     """WITH basefp AS (
       |  SELECT DISTINCT
@@ -2751,6 +2808,7 @@ object IcebergQueries {
     "i42_sql_text_search" -> (i42SqlTextSearch _),
     "i43_sql_ann_search" -> (i43SqlAnnSearch _),
     "i44_pq_index_chained" -> (i44PqIndexChained _),
+    "i45_sql_pq_search" -> (i45SqlPqSearch _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -2819,6 +2877,7 @@ object IcebergQueries {
     "i42_sql_text_search" -> i42Sql,
     "i43_sql_ann_search" -> i43Sql,
     "i44_pq_index_chained" -> i44Sql,
+    "i45_sql_pq_search" -> i45Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

@@ -876,7 +876,8 @@ object OpsQueries {
       stash: Option[Seq[Seq[Array[Double]]]],
       corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
       dimSql: String =
-        "SELECT max(len(embedding)) AS d FROM embeddings"):
+        "SELECT max(len(embedding)) AS d FROM embeddings",
+      qSql: Option[String] = None):
       String = stash match {
     case None =>
       // dev-subset runs that skip the gate have no stash (and no spark
@@ -896,9 +897,9 @@ object OpsQueries {
          |  SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS cv
          |  FROM src WHERE len(embedding) = (SELECT d FROM dim)
          |), q0 AS (
-         |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM src
-         |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
+         |  ${qSql.getOrElse("SELECT vec_id AS qid, " +
+             "CAST(embedding AS DOUBLE[]) AS qv FROM src WHERE " +
+             "vec_id < 3 AND len(embedding) = (SELECT d FROM dim)")}
          |), cents(j, c, v) AS (
          |  VALUES $values
          |), cdist AS (

@@ -39,7 +39,7 @@ private[sources] object GraftProcedures {
     "register_table", "dedup_table", "cherrypick_snapshot",
     "rewrite_position_deletes", "rewrite_equality_deletes",
     "build_dedup_index", "build_ann_index", "build_text_index",
-    "build_pq_index", "text_search", "ann_search")
+    "build_pq_index", "text_search", "ann_search", "pq_search")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -226,6 +226,11 @@ private[sources] class GraftBoundProcedure(
       p("query", StringType),
       pDefault("k", IntegerType, "10"),
       pDefault("nprobe", IntegerType, "3"))
+    case "pq_search" => Array(
+      p("ns", StringType), p("index_table", StringType),
+      // the query vector as a JSON number array, e.g. '[0.1, -2.5]'
+      p("query", StringType),
+      pDefault("k", IntegerType, "10"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -250,6 +255,7 @@ private[sources] class GraftBoundProcedure(
       procName match {
         case "text_search" => textSearch(t, spark, input)
         case "ann_search" => annSearch(t, spark, input)
+        case "pq_search" => pqSearch(t, spark, input)
         case _ => singleRowCall(t, spark, ns, tbl, input)
       }
     val result: V2Scan = new LocalScan {
@@ -862,6 +868,56 @@ private[sources] class GraftBoundProcedure(
         .filter(graft.table.Col("cell").in(cells: _*)).toDF,
       queries, centroids, k, nprobe, vecCol, idCol)
       .select(col("rank"), col("nid"), col("score"))
+      .orderBy("rank")
+    (out.schema, out.collect().map(_.toSeq).toSeq)
+  }
+
+  /** `pq_search(ns, index_table, query, k)`: PQ-ADC top-k over a
+    * `build_pq_index` table, straight from SQL — the query's distance
+    * tables to the STAMPED codebooks are computed once and broadcast;
+    * the scan reads the CODES table (m small ints per vector) instead
+    * of the vectors, ~dim·4/m× less I/O. Returns the top-k
+    * `(rank, <id>, adc)` rows (ADC = estimated squared L2; smaller is
+    * closer — the PQ recall/IO trade vs ann_search's exact-cosine
+    * re-rank of probed cells). */
+  private def pqSearch(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    def prop(k: String): String = t.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"pq_search: table has no " +
+        s"'$k' property — not a build_pq_index table; run " +
+        "build_pq_index first"))
+    val qJson = input.getUTF8String(2).toString
+    val k = input.getInt(3)
+    if (k <= 0) throw new IllegalArgumentException(
+      s"pq_search: k must be positive, got $k")
+    val ksub = prop(s"${PqPropPrefix}ksub").toInt
+    val cbs = graft.ops.Similarity.pqCodebooksFromJson(
+      prop(s"${PqPropPrefix}codebooks"), ksub)
+    val dim = prop(s"${PqPropPrefix}dim").toInt
+    val vec = graft.ops.Similarity.centroidsFromJson(s"[$qJson]") match {
+      case Seq(v) if v.length == dim => v
+      case Seq(v) => throw new IllegalArgumentException(
+        s"pq_search: query has ${v.length} dims, index has $dim")
+      case _ => throw new IllegalArgumentException(
+        s"pq_search: query must be one JSON number array, got '$qJson'")
+    }
+    val idCol = prop(s"${PqPropPrefix}id-col")
+    val vecCol = prop(s"${PqPropPrefix}vec-col")
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    // same sentinel rule as ann_search: an external query must never
+    // self-exclude a real corpus id, type-compatibly
+    val sentinel = t.schema.fieldByName(idCol).map(_.fieldType) match {
+      case Some(graft.spec.StringType) =>
+        lit(" graft-external-query")
+      case _ => lit(Long.MinValue)
+    }
+    val queries = spark.range(1).select(sentinel.as(idCol),
+      typedLit(vec.map(_.toFloat).toSeq).as(vecCol))
+    val out = graft.ops.Similarity.pqTopKFromCodes(
+      graft.table.Scan(t, spark).toDF, queries, cbs, k,
+      vecCol, idCol, codesIdCol = idCol)
+      .select(col("rank"), col("nid"), col("adc"))
       .orderBy("rank")
     (out.schema, out.collect().map(_.toSeq).toSeq)
   }

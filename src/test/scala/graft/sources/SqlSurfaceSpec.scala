@@ -630,6 +630,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"CALL $c.system.build_pq_index('db', 'vecs', " +
         "incremental => true, index_table => 'nope_idx')") }
       assert(causes(e2).contains("run a full build first"), causes(e2))
+
+      // pq_search straight from SQL: cluster-A query, top hits are
+      // cluster-A members ranked by ADC; vec 0 includable (sentinel)
+      val hits = spark.sql(s"CALL $c.system.pq_search('db', " +
+        "'vecs_pq_idx', '[1.0, 0.05, 0.0, 0.0]', 3)")
+        .orderBy("rank").collect()
+      assert(hits.length == 3 && hits.map(_.getLong(1)).contains(0L),
+        s"hits ${hits.toSeq}")
+      val libTop = graft.ops.Similarity.pqTopKFromCodes(
+        spark.sql(s"SELECT vec_id, codes FROM $c.db.vecs_pq_idx"),
+        Seq((Long.MinValue, Seq(1.0f, 0.05f, 0f, 0f)))
+          .toDF("vec_id", "embedding"),
+        graft.ops.Similarity.pqCodebooksFromJson(
+          loadT(dir, "vecs_pq_idx").metadata.properties(
+            "graft.pq-index.codebooks"), 2), k = 3)
+        .orderBy("rank").collect()
+        .map(r => (r.getInt(3), r.getLong(1))).toSeq
+      assert(hits.map(r => (r.getInt(0), r.getLong(1))).toSeq == libTop,
+        s"sql=${hits.toSeq} lib=$libTop")
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pq_search('db', 'vecs', '[1,0,0,0]', 3)") }
+      assert(causes(e3).contains("not a build_pq_index table"),
+        causes(e3))
+      val e4 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pq_search('db', 'vecs_pq_idx', '[1.0]', 3)") }
+      assert(causes(e4).contains("dims"), causes(e4))
     }
   }
 
