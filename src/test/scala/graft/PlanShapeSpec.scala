@@ -69,6 +69,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the probed-cells read must not shuffle, got ${shuffles(p)}:\n$p")
   }
 
+  test("e18 indexed BM25: query terms broadcast-filter the postings " +
+      "read; only matched postings ever shuffle") {
+    val p = staticPlan("e18_bm25_indexed")
+    // qterms into the load filter, stats + qidf into the score joins
+    assert(broadcasts(p) >= 2,
+      s"query-side frames must broadcast (postings scan once):\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"no cartesian anywhere:\n$p")
+    // df agg + per-doc score agg + top-k window + output sort: every
+    // shuffle moves only query-term-matched postings, never the corpus
+    assert(shuffles(p) <= 5,
+      s"only matched postings may shuffle, got ${shuffles(p)}:\n$p")
+  }
+
   test("e19 composed IVF+PQ: probed queries (with ADC tables) " +
       "broadcast, the encoded corpus never shuffles before ranking") {
     val p = staticPlan("e19_ivfpq_compose")

@@ -92,6 +92,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!indexed.exists(_._3 == 3L))
   }
 
+  test("bm25FromIndex logIdf variant equals bm25TopK logIdf") {
+    val post = Retrieval.postings(corpus)
+    val (nDocs, totalDl) = Retrieval.corpusStats(corpus)
+    val q = Seq((30L, "spark engine data")).toDF("query_id", "query")
+    val indexed = Retrieval.bm25FromIndex(
+      terms => post.where($"term".isin(terms: _*)),
+      q, nDocs, totalDl, k = 5, logIdf = true)
+      .collect().map(_.toSeq).toSet
+    val full = Retrieval.bm25TopK(corpus, q, k = 5, logIdf = true)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == full)
+  }
+
   test("corpus stats count NULL-text docs, additive across batches") {
     val withNull = corpus.unionByName(
       Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
