@@ -227,6 +227,58 @@ object Streams {
       idCol: String = "doc_id"): TextIndexIngestSink =
     new TextIndexIngestSink(sink, index, textCol, idCol)
 
+  /** Streaming PQ-index ingestion for `writeStream.foreachBatch` —
+    * the codes twin of [[AnnIndexIngestSink]], backed by a persisted
+    * `build_pq_index` table: each micro-batch's vectors append to the
+    * corpus table and their PQ codes (encoded with the index's FROZEN
+    * stamped codebooks, read once at handle construction) to the codes
+    * table, snapshot stamp advancing with the corpus head. Codes are
+    * per-row deterministic given the frozen model, so — like the batch
+    * chain i44 gates — the streamed index equals a frozen-model
+    * re-encode at every batch boundary, and `build_pq_index(
+    * incremental => true)` keeps chaining after the stream stops.
+    * Wrong-dim rows land in the corpus but not the index. Retried
+    * micro-batch ids are skipped. */
+  final class PqIndexIngestSink(initialSink: Table, initialIndex: Table,
+      vecCol: String = "embedding", idCol: String = "vec_id")
+      extends Serializable {
+    private val props = initialIndex.metadata.properties
+    private val codebooks = graft.ops.Similarity.pqCodebooksFromJson(
+      props.getOrElse("graft.pq-index.codebooks",
+        throw new IllegalArgumentException("PqIndexIngestSink: index " +
+          "has no codebooks property — not a build_pq_index table")),
+      props("graft.pq-index.ksub").toInt)
+    private val dim = props("graft.pq-index.dim").toInt
+    @volatile private var sinkRef: Table = initialSink
+    @volatile private var indexRef: Table = initialIndex
+    @volatile private var lastBatchId: Long = Long.MinValue
+
+    /** The foreachBatch function. */
+    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      if (batch0.isEmpty) return
+      val batch = batch0.localCheckpoint(true)
+      sinkRef = TableOps.append(sinkRef, batch)
+      val payload = graft.ops.Similarity.pqEncode(
+        batch.where(size(col(vecCol)) === dim), codebooks, vecCol, idCol)
+      if (!payload.isEmpty)
+        indexRef = TableOps.append(indexRef, payload)
+      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+        indexRef = indexRef.newTransaction().setProperties(Map(
+          "graft.pq-index.source-snapshot-id" -> h.toString)).commit()
+      }
+    }
+
+    def sink: Table = sinkRef
+    def index: Table = indexRef
+  }
+
+  def pqIndexIngestSink(sink: Table, index: Table,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): PqIndexIngestSink =
+    new PqIndexIngestSink(sink, index, vecCol, idCol)
+
   /** Watermarked tumbling-window rollup: the streaming analog of the
     * q13 batch query. `events` must carry an event-time column. */
   def windowedRollup(events: DataFrame, tsCol: String = "ts",

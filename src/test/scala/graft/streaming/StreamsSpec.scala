@@ -175,6 +175,71 @@ class StreamsSpec extends AnyFunSuite {
       "replayed batch id must not double-append")
   }
 
+  test("PqIndexIngestSink: frozen-codebook encoding per micro-batch, " +
+      "stamp tracks the corpus head, wrong-dim rows skip the index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-pqsink-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    // 2 subspaces of dim 2; centroids at the axis corners (the
+    // OpsSpec pqEncode fixture — codes are unambiguous)
+    val cbs: Seq[Seq[Array[Double]]] = Seq(
+      Seq(Array(0.0, 0.0), Array(1.0, 1.0)),
+      Seq(Array(0.0, 1.0), Array(1.0, 0.0)))
+    val vecSchema = Schema(0, Seq(
+      NestedField(1, "vec_id", LongType, required = true),
+      NestedField(2, "embedding",
+        ListType(3, FloatType, elementRequired = false),
+        required = false)))
+    val idxSchema = Schema(0, Seq(
+      NestedField(1, "vec_id", LongType, required = true),
+      NestedField(2, "codes",
+        ListType(3, IntType, elementRequired = false),
+        required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "vecs"),
+      vecSchema, io = io)
+    val idxT = Table.create(cat, TableIdentifier(Seq("db"), "idx"),
+      idxSchema, properties = Map(
+        "graft.pq-index.codebooks" ->
+          graft.ops.Similarity.pqCodebooksToJson(cbs),
+        "graft.pq-index.ksub" -> "2",
+        "graft.pq-index.dim" -> "4"), io = io)
+    val pipe = Streams.pqIndexIngestSink(sinkT, idxT)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(df, id))
+      .start()
+    try {
+      input.addData(
+        (1L, Seq(0.1f, 0.1f, 0.1f, 0.9f)),  // -> (0, 0)
+        (2L, Seq(0.9f, 0.8f, 0.9f, 0.2f)),  // -> (1, 1)
+        (3L, Seq(1f, 2f)))                   // wrong dim: corpus only
+      q.processAllAvailable()
+      input.addData((4L, Seq(0.8f, 0.9f, 0.1f, 0.8f))) // -> (1, 0)
+      q.processAllAvailable()
+    } finally q.stop()
+    val corpus = Scan(pipe.sink, spark).toDF
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(corpus == Set(1L, 2L, 3L, 4L), s"corpus $corpus")
+    val codes = Scan(pipe.index, spark).toDF
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(codes == Map(1L -> Seq(0, 0), 2L -> Seq(1, 1),
+      4L -> Seq(1, 0)), s"codes $codes")
+    assert(pipe.index.metadata.properties(
+      "graft.pq-index.source-snapshot-id").toLong ==
+      pipe.sink.currentSnapshot.get.snapshotId)
+    // a retried batch id is skipped
+    val snaps = pipe.sink.metadata.snapshots.size
+    pipe.addBatch(
+      Seq((9L, Seq(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding"), 0L)
+    assert(pipe.sink.metadata.snapshots.size == snaps)
+  }
+
   test("TextIndexIngestSink: postings + exact stats per micro-batch; " +
       "NULL-text docs count toward n_docs with no postings") {
     import spark.implicits._
