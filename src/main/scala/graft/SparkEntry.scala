@@ -53,5 +53,12 @@ object SparkEntry {
     "e18_bm25_indexed",
     // round 16: composed IVF+PQ — probe coarse cells, rank by ADC
     // over codes; the standard memory-bound large-scale ANN layout
-    "e19_ivfpq_compose")
+    "e19_ivfpq_compose",
+    // round 17: trigram stupid-backoff LM scoring (train on half the
+    // corpus, score everything — the CCNet perplexity-filter shape),
+    // hybrid BM25+ANN retrieval fused by reciprocal-rank fusion, and
+    // the unigram (SentencePiece-style) tokenizer's corpus
+    // deployment path (train vocab + segment distinct words + one
+    // word→pieces join)
+    "d42_trigram_backoff", "e20_hybrid_rrf", "d48_unigram_tokenize")
 }

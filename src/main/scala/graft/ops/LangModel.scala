@@ -82,4 +82,148 @@ object LangModel {
             col("surprise_scaled").cast("double") / col("n_bigrams")
               / Scale.toDouble, 6)).as("mean_surprise"))
   }
+
+  /** Probability scale for the trigram backoff model (10⁹). Smaller
+    * than [[Scale]] on purpose: the backoff numerators multiply the
+    * scale by a raw corpus count (`2·P·c(w₂w₃)`), so headroom is
+    * `count < 2⁶³ / (2·P) ≈ 4.6·10⁹` gram occurrences — comfortable
+    * for any single training shard; a 100 TB whole-corpus fit would
+    * drop P another order of magnitude (the quotients only need to
+    * be monotone, not precise to nine digits). */
+  val ProbScale = 1000000000L
+
+  /** Trigram language model with STUPID BACKOFF (Brants et al. 2007),
+    * the web-scale scoring KenLM-style quality filters build on —
+    * trained on the `trainPred` half of the corpus, scored on every
+    * document, so held-out documents genuinely exercise the backoff
+    * chain (a model trained and scored on the same rows would always
+    * hit the trigram level).
+    *
+    * Per trigram occurrence (w₁,w₂,w₃), the scaled score is
+    *   - `P·c₃(w₁w₂w₃) div c₂(w₁w₂)`            if the trigram was seen,
+    *   - `2·P·c₂(w₂w₃) div (5·c₁(w₂))`          else if the bigram was,
+    *   - `4·P·c₁(w₃) div (25·T)`                else if the word was,
+    *   - `0`                                     for OOV words,
+    * i.e. stupid backoff with the canonical α = 0.4 kept RATIONAL
+    * (2/5, 4/25) so every step is integer arithmetic — the same
+    * determinism contract as [[bigramSurprise]] and the BM25 rational
+    * idf: no `ln`, no float sums, bit-identical across engines and
+    * aggregation orders (P = [[ProbScale]]).
+    *
+    * Returns one row per input document:
+    * `(idCol, n_trigrams, n_tri_hit, n_bg_backoff, n_ug_backoff,
+    * n_oov, prob_scaled, mean_prob)` where `prob_scaled` is the exact
+    * long Σ score and `mean_prob` = prob_scaled / n_trigrams / P
+    * rounded to 6 (0.0 when the document has fewer than 3 tokens).
+    *
+    * Scale shape: the model is three gram-keyed DataFrames (trigram /
+    * bigram / unigram dictionaries with their scores pre-divided at
+    * build time), never collected; building them costs one training
+    * scan with map-side-combined counts, and the dictionary-vs-
+    * dictionary joins are vocabulary-sized. Scoring is three LEFT
+    * equi-joins of the trigram occurrence stream against the
+    * dictionaries — Zipf skew on ultra-common grams is exactly the
+    * shape AQE skew-join splitting redistributes — followed by one
+    * per-doc map-side-combined reduce. The corpus is scanned once for
+    * training and once for scoring. */
+  def trigramBackoff(df: DataFrame, trainPred: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val P = ProbScale
+    val tk = Names.fresh(df.columns)(i => s"__graft_tk$i")
+    val toksOf = df.select(col(idCol), toks(col(textCol)).as(tk),
+      trainPred.as("__is_train"))
+
+    // gram occurrence streams (token array bound to an attribute first
+    // — the HOF re-evaluation trap, see Retrieval.postings)
+    def grams(src: DataFrame, n: Int, names: Seq[String]): DataFrame = {
+      val arr = when(size(col(tk)) < n, array().cast(
+          "array<array<string>>"))
+        .otherwise(transform(sequence(lit(0), size(col(tk)) - n),
+          i => transform(sequence(lit(0), lit(n - 1)),
+            j => element_at(col(tk), i + j + 1))))
+      val g = src.select(col(idCol), explode(arr).as("__g"))
+      names.zipWithIndex.foldLeft(g) { case (d, (nm, ix)) =>
+        d.withColumn(nm, col("__g").getItem(ix))
+      }.drop("__g")
+    }
+
+    val train = toksOf.where(col("__is_train"))
+    val triC = grams(train, 3, Seq("w1", "w2", "w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
+    val bgC = grams(train, 2, Seq("w1", "w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+    val ugC = train.select(explode(col(tk)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n1"))
+    val tot = train.select(explode(col(tk)).as("w"))
+      .agg(count(lit(1)).as("t"))
+
+    // dictionaries with scores pre-divided (vocabulary-sized joins)
+    // numerator constants pre-multiplied as LONG literals — `2·P`
+    // and `4·P` exceed Int.MaxValue, and an inline `2 * 1000000000`
+    // would constant-fold in 32-bit on either engine
+    val triDict = triC.join(bgC, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        expr(s"(${P}L * n3) div n2").as("p1"))
+    val bgDict = bgC.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("n2").as("n2b"))
+      .join(ugC.select(col("w").as("w2"), col("n1").as("n1ctx")), "w2")
+      .select(col("w2"), col("w3"),
+        expr(s"(${2 * P}L * n2b) div (5 * n1ctx)").as("p2"))
+    val ugDict = ugC.select(col("w").as("w3"), col("n1"))
+      .join(broadcast(tot))
+      .select(col("w3"), expr(s"(${4 * P}L * n1) div (25 * t)").as("p3"))
+
+    val occ = grams(toksOf, 3, Seq("w1", "w2", "w3"))
+    val scored = occ
+      .join(triDict, Seq("w1", "w2", "w3"), "left")
+      .join(bgDict, Seq("w2", "w3"), "left")
+      .join(ugDict, Seq("w3"), "left")
+      .select(col(idCol),
+        when(col("p1").isNotNull, 3)
+          .when(col("p2").isNotNull, 2)
+          .when(col("p3").isNotNull, 1)
+          .otherwise(0).as("lvl"),
+        coalesce(col("p1"), col("p2"), col("p3"), lit(0L)).as("p"))
+    val perDoc = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_trigrams"),
+      sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
+      sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bg_backoff"),
+      sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_ug_backoff"),
+      sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
+      sum(col("p")).as("prob_scaled"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_hit"), lit(0L)).as("n_tri_hit"),
+        coalesce(col("n_bg_backoff"), lit(0L)).as("n_bg_backoff"),
+        coalesce(col("n_ug_backoff"), lit(0L)).as("n_ug_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("prob_scaled"), lit(0L)).as("prob_scaled"),
+        when(col("n_trigrams").isNull, lit(0.0))
+          .otherwise(round(
+            col("prob_scaled").cast("double") / col("n_trigrams")
+              / P.toDouble, 6)).as("mean_prob"))
+  }
+
+  /** Fixed-threshold LM quality filter — the CCNet deployment shape:
+    * a document is kept when its mean backoff score clears a FIXED
+    * rational cutoff (`prob_scaled · thrDen ≥ n_trigrams · P · thrNum`
+    * — exact integer cross-multiplication, no division), and dropped
+    * when it scores below it or is too short to score. A fixed cutoff
+    * rather than a corpus percentile is the 100 TB-correct design:
+    * the filter is a pure per-row predicate over [[trigramBackoff]]'s
+    * output — no global sort, no order statistic, embarrassingly
+    * parallel — and the decision for a document never changes when
+    * the corpus around it grows.
+    *
+    * Returns the per-document verdict
+    * `(idCol, n_trigrams, prob_scaled, kept)`. */
+  def lmFilter(df: DataFrame, trainPred: Column,
+      thrNum: Long, thrDen: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    trigramBackoff(df, trainPred, textCol, idCol)
+      .select(col(idCol), col("n_trigrams"), col("prob_scaled"),
+        (col("n_trigrams") > 0 &&
+          col("prob_scaled") * thrDen >=
+            col("n_trigrams") * (ProbScale * thrNum)).as("kept"))
 }

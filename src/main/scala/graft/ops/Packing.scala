@@ -307,4 +307,84 @@ object Packing {
       .where(col(rk) <= col(qt))
       .drop(rk, qt)
   }
+
+  /** Deterministic mixture composition — build an epoch sample whose
+    * per-domain counts hit EXACT integer targets apportioned from
+    * relative weights (the DoReMi/Pile "data mixture" recipe executed
+    * exactly): quotas are the Hamilton / largest-remainder
+    * apportionment of `totalN` over `weights` (floor of the
+    * proportional share, leftover seats to the largest remainders,
+    * remainder ties broken by stratum name), and each stratum takes
+    * its quota's docs in the md5-hash order [[temperatureSample]]
+    * established (uniform, seedless, reproducible). Strata missing
+    * from `weights` contribute nothing; a stratum smaller than its
+    * quota yields everything it has (the shortfall is visible as
+    * fewer result rows than `totalN`).
+    *
+    * Returns the kept rows as `(stratumCol, idCol, quota)`.
+    *
+    * Scale shape: apportionment runs driver-side over the WEIGHT MAP
+    * (model-sized, never data-sized); quotas broadcast-join onto the
+    * corpus, and the per-stratum take is one hash-partition + ranked
+    * window — the d14 sampling shape. All arithmetic is integer, so
+    * the composition is bit-stable across engines and cluster
+    * layouts. */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+      weights: Map[String, Long], totalN: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(totalN >= 0, "totalN must be >= 0")
+    require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
+      weights.values.sum > 0, "weights must be non-negative, sum > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bigW = weights.values.sum
+    val base = weights.toSeq.map { case (s, w) =>
+      (s, totalN * w / bigW, totalN * w % bigW) }
+    val leftover = (totalN - base.map(_._2).sum).toInt
+    val quotas = base.sortBy { case (s, _, r) => (-r, s) }
+      .zipWithIndex
+      .map { case ((s, q, _), i) =>
+        (s, q + (if (i < leftover) 1L else 0L)) }
+      .toDF(stratumCol, "quota")
+    val rk = graft.util.Names.fresh(df.columns :+ "quota")(i =>
+      s"__graft_rk$i")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(stratumCol), col(idCol))
+      .join(broadcast(quotas), stratumCol)
+      .withColumn(rk, row_number().over(w))
+      .where(col(rk) <= col("quota"))
+      .select(col(stratumCol), col(idCol), col("quota"))
+  }
+
+  /** Per-stratum BUDGET sampling — take documents in the deterministic
+    * md5-hash order until a cumulative cost budget is exhausted: a row
+    * is kept while its INCLUSIVE running cost stays ≤ `budget` (so the
+    * sample never exceeds the budget; a first doc larger than the
+    * whole budget is dropped). This is the "N tokens per domain" epoch
+    * cut, with `costCol` supplying the per-doc cost (token count,
+    * char count, bytes).
+    *
+    * Returns kept rows `(stratumCol, idCol, cost, cum_cost)`.
+    *
+    * Scale shape: one hash-partition by stratum + a running-sum
+    * window over the hash order — the same single-shuffle shape as
+    * [[temperatureSample]]; integer running sums keep the cut
+    * bit-stable. Giant strata serialize through one partition's sort
+    * (inherent to an exact per-stratum prefix cut) — salt-split very
+    * large strata upstream if that ever dominates. */
+  def budgetSample(df: DataFrame, stratumCol: String, idCol: String,
+      costCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 0, "budget must be >= 0")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val cum = graft.util.Names.fresh(df.columns)(i => s"__graft_cum$i")
+    df.select(col(stratumCol), col(idCol),
+        col(costCol).cast("long").as("cost"))
+      .withColumn(cum, sum(col("cost")).over(w))
+      .where(col(cum) <= budget)
+      .select(col(stratumCol), col(idCol), col("cost"),
+        col(cum).as("cum_cost"))
+  }
 }

@@ -196,4 +196,49 @@ object Retrieval {
       .where(col("rank") <= k)
       .select(col(qIdCol), col("rank"), col(idCol), col("score_scaled"))
   }
+
+  /** RRF contribution scale (10⁹): `RrfScale div (kRrf + rank)` is the
+    * integer-quotient form of the classical `1 / (k + rank)`. */
+  val RrfScale = 1000000000L
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard way
+    * to combine a lexical (BM25) and a vector (ANN) retriever into one
+    * hybrid ranking without score calibration: each input ranking
+    * contributes `1 / (kRrf + rank)` per document, summed across
+    * rankings, re-ranked by the fused score. Rank-based, so it is
+    * immune to the incomparable score scales of its inputs — exactly
+    * why it is the default hybrid fusion in production search stacks.
+    *
+    * Inputs are per-query top-k rankings `(qIdCol, idCol, rankCol)`
+    * (extra columns ignored); output is
+    * `(qIdCol, rank, idCol, rrf_scaled, n_lists)` with rank 1..k by
+    * `(rrf_scaled DESC, idCol ASC)` and `rrf_scaled` the exact long
+    * Σ `RrfScale div (kRrf + rank_i)` — integer arithmetic throughout
+    * (the e13/d24 determinism contract), so fused scores hash-gate
+    * across engines and aggregation orders.
+    *
+    * Scale shape: the inputs are already per-query TOP-K lists — a
+    * few hundred rows per query regardless of corpus size — so the
+    * union, the (query, doc) fused sum, and the per-query window all
+    * operate on query-volume-sized data; the corpus is only touched
+    * inside the upstream retrievers. The final top-k window runs with
+    * a partial WindowGroupLimit like every other rank gate. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60,
+      qIdCol: String = "query_id", idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val contribs = rankings.map(_.select(col(qIdCol), col(idCol),
+      expr(s"${RrfScale}L div (${kRrf}L + `$rankCol`)").as("__rrf")))
+    val fused = contribs.reduce(_ unionByName _)
+      .groupBy(col(qIdCol), col(idCol))
+      .agg(sum(col("__rrf")).as("rrf_scaled"),
+        count(lit(1)).as("n_lists"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("rrf_scaled").desc, col(idCol).asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col(qIdCol), col("rank"), col(idCol), col("rrf_scaled"),
+        col("n_lists"))
+  }
 }

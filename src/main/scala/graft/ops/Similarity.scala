@@ -564,4 +564,89 @@ object Similarity {
         aggregate(v, lit(0.0), (acc, x) => acc + err(x)) / size(v))
         .as("mse"))
   }
+
+  /** Maximal-marginal-relevance diversification (Carbonell &
+    * Goldstein 1998) of per-query candidate lists — the re-rank step
+    * that keeps a RAG / few-shot retrieval context from filling with
+    * near-duplicates of the best hit: greedily pick
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` k times.
+    *
+    * All arithmetic is INTEGER: `rel` and `sim` are caller-supplied
+    * longs (e.g. dot products of int8 codes — exact, engine-portable),
+    * λ is the rational `lamNum/lamDen`, and the reported score is the
+    * λ-denominator-scaled `lamNum·rel − (lamDen−lamNum)·maxSim`
+    * (first pick: maxSim = 0). Ties break by ascending candidate id;
+    * a query with fewer than k candidates yields them all.
+    *
+    * Inputs: `candidates` = `(qIdCol, idCol, relCol)`;
+    * `sims` = `(qIdCol, aCol, bCol, simCol)` covering every ordered
+    * candidate pair of a query. Output:
+    * `(qIdCol, step, idCol, mmr_scaled)` with step 1..k in selection
+    * order.
+    *
+    * Scale shape: greedy selection is inherently sequential IN k, but
+    * each query's problem is tiny (k ≤ candidates ≈ dozens — MMR is a
+    * re-rank of an upstream retriever's top-N, never a corpus scan).
+    * So the operator aggregates each query's candidates and sims to
+    * ONE row (two map-side-combined aggregations), then runs the
+    * greedy loop as a typed per-row map — embarrassingly parallel
+    * over queries, bounded memory per row, no driver involvement. */
+  def mmrDiversify(candidates: DataFrame, sims: DataFrame, k: Int,
+      lamNum: Long, lamDen: Long,
+      qIdCol: String = "qid", idCol: String = "nid",
+      relCol: String = "rel", aCol: String = "a", bCol: String = "b",
+      simCol: String = "sim"): DataFrame = {
+    require(k >= 1 && lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
+      "need k >= 1 and 0 <= lamNum/lamDen <= 1")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val candAgg = candidates.groupBy(col(qIdCol).cast("long").as("q"))
+      .agg(collect_list(struct(col(idCol).cast("long").as("_1"),
+        col(relCol).cast("long").as("_2"))).as("cs"))
+    val simAgg = sims.groupBy(col(qIdCol).cast("long").as("q"))
+      .agg(collect_list(struct(col(aCol).cast("long").as("_1"),
+        col(bCol).cast("long").as("_2"),
+        col(simCol).cast("long").as("_3"))).as("ss"))
+    val picked = candAgg.join(simAgg, Seq("q"), "left")
+      .select(col("q"), col("cs"), coalesce(col("ss"),
+        array().cast("array<struct<_1:bigint,_2:bigint,_3:bigint>>"))
+        .as("ss"))
+      .as[(Long, Seq[(Long, Long)], Seq[(Long, Long, Long)])]
+      .flatMap { case (qid, cs, ss) =>
+        val simMap = ss.iterator.map { case (a, b, s) => (a, b) -> s }
+          .toMap
+        // deterministic candidate order: (rel desc, id asc)
+        val pool = scala.collection.mutable.ArrayBuffer(
+          cs.sortBy { case (id, rel) => (-rel, id) }: _*)
+        val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = Seq.newBuilder[(Long, Long, Long, Long)]
+        var step = 1L
+        while (step <= k && pool.nonEmpty) {
+          var bestIx = -1; var bestScore = Long.MinValue
+          var bestId = Long.MaxValue
+          var ix = 0
+          while (ix < pool.length) {
+            val (id, rel) = pool(ix)
+            var mx = 0L
+            var first = true
+            sel.foreach { sid =>
+              val sv = simMap.getOrElse((id, sid), 0L)
+              if (first || sv > mx) { mx = sv; first = false }
+            }
+            val score = lamNum * rel - (lamDen - lamNum) * mx
+            if (score > bestScore ||
+                (score == bestScore && id < bestId)) {
+              bestScore = score; bestId = id; bestIx = ix
+            }
+            ix += 1
+          }
+          val (id, _) = pool.remove(bestIx)
+          sel += id
+          out += ((qid, step, id, bestScore))
+          step += 1
+        }
+        out.result()
+      }
+    picked.toDF(qIdCol, "step", idCol, "mmr_scaled")
+  }
 }

@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.ops.{AsOf, Bpe, Classifier, Contamination, Dedup,
   ExactSubstr, FilterPipeline,
   Funnel, Importance,
-  LangModel, LineDedup, Multimodal,
-  Packing, RangeJoin, Retrieval, Sessionize, Similarity, Skew, Splits,
+  LangModel, LineDedup, Multimodal, Packing, RangeJoin, Retrieval,
+  Sessionize, Similarity, Skew, Splits, Unigram,
   TextAnalysis}
 
 /** LLM-pipeline operators over the documents/embeddings testdata, each
@@ -3089,7 +3089,514 @@ object OpsQueries {
     Dedup.indexedMinhashRemovals(d41Batch(s, dir), indexFor(s, dir))
       .orderBy("doc_id")
 
+  // --------------------- d42 trigram stupid-backoff LM (oracle)
+  /** [[LangModel.trigramBackoff]] trained on the even-doc_id half and
+    * scored on every document — held-out odd docs genuinely exercise
+    * the bigram/unigram backoff and OOV levels. Every count and
+    * quotient is integer (rational α = 2/5, 4/25), so the whole score
+    * hash-gates against a verbatim DuckDB replay. */
+  def d42TrigramBackoff(s: SparkSession, dir: String): DataFrame =
+    LangModel.trigramBackoff(t(s, dir, "documents"),
+        col("doc_id") % 2 === 0)
+      .orderBy("doc_id")
+
+  val d42Sql: String = {
+    val P = LangModel.ProbScale
+    raw"""WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |                 ' ') AS tk
+      |  FROM documents
+      |), occ AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 2)) AS t(i)
+      |  WHERE len(tk) >= 3
+      |), trocc AS (
+      |  SELECT * FROM occ WHERE doc_id % 2 = 0
+      |), trbg AS (
+      |  SELECT tk[i] AS w1, tk[i+1] AS w2
+      |  FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+      |  WHERE len(tk) >= 2 AND doc_id % 2 = 0
+      |), trug AS (
+      |  SELECT unnest(tk) AS w FROM toks WHERE doc_id % 2 = 0
+      |), tric AS (
+      |  SELECT w1, w2, w3, COUNT(*) AS n3 FROM trocc GROUP BY 1, 2, 3
+      |), bgc AS (
+      |  SELECT w1, w2, COUNT(*) AS n2 FROM trbg GROUP BY 1, 2
+      |), ugc AS (
+      |  SELECT w, COUNT(*) AS n1 FROM trug GROUP BY 1
+      |), tot AS (
+      |  SELECT COUNT(*) AS t FROM trug
+      |), tridict AS (
+      |  SELECT c.w1, c.w2, c.w3,
+      |    (CAST($P AS BIGINT) * c.n3) // b.n2 AS p1
+      |  FROM tric c JOIN bgc b USING (w1, w2)
+      |), bgdict AS (
+      |  SELECT b.w1 AS w2, b.w2 AS w3,
+      |    (CAST(${2 * P} AS BIGINT) * b.n2) // (5 * u.n1) AS p2
+      |  FROM bgc b JOIN ugc u ON u.w = b.w1
+      |), ugdict AS (
+      |  SELECT u.w AS w3,
+      |    (CAST(${4 * P} AS BIGINT) * u.n1) // (25 * t.t) AS p3
+      |  FROM ugc u CROSS JOIN tot t
+      |), scored AS (
+      |  SELECT o.doc_id,
+      |    CASE WHEN td.p1 IS NOT NULL THEN 3
+      |         WHEN bd.p2 IS NOT NULL THEN 2
+      |         WHEN ud.p3 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+      |    COALESCE(td.p1, bd.p2, ud.p3, 0) AS p
+      |  FROM occ o
+      |  LEFT JOIN tridict td USING (w1, w2, w3)
+      |  LEFT JOIN bgdict bd USING (w2, w3)
+      |  LEFT JOIN ugdict ud USING (w3)
+      |), perdoc AS (
+      |  SELECT doc_id, COUNT(*) AS n_trigrams,
+      |    SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS n_tri_hit,
+      |    SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS n_bg_backoff,
+      |    SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS n_ug_backoff,
+      |    SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS n_oov,
+      |    SUM(p) AS prob_scaled
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_trigrams, 0) AS n_trigrams,
+      |  CAST(COALESCE(p.n_tri_hit, 0) AS BIGINT) AS n_tri_hit,
+      |  CAST(COALESCE(p.n_bg_backoff, 0) AS BIGINT) AS n_bg_backoff,
+      |  CAST(COALESCE(p.n_ug_backoff, 0) AS BIGINT) AS n_ug_backoff,
+      |  CAST(COALESCE(p.n_oov, 0) AS BIGINT) AS n_oov,
+      |  CAST(COALESCE(p.prob_scaled, 0) AS BIGINT) AS prob_scaled,
+      |  CASE WHEN p.n_trigrams IS NULL THEN 0.0
+      |       ELSE round(CAST(p.prob_scaled AS DOUBLE) / p.n_trigrams
+      |            / $P.0, 6) END AS mean_prob
+      |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ------------------------- d43 fixed-threshold LM filter (oracle)
+  /** [[LangModel.lmFilter]] at mean-prob ≥ 1/20, rolled up per lang —
+    * the CCNet funnel readout: how much of each language bucket the
+    * perplexity-proxy filter keeps (1/20 sits between the train-half
+    * and held-out-half score means, so both verdicts occur). The
+    * per-row verdict is an exact integer cross-multiplication, so the
+    * rollup hash-gates. */
+  def d43LmFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val verdicts = LangModel.lmFilter(docs, col("doc_id") % 2 === 0,
+      thrNum = 1L, thrDen = 20L)
+    docs.select("doc_id", "lang").join(verdicts, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val d43Sql: String = {
+    val P = LangModel.ProbScale
+    // share d42's replay up to perdoc, then apply the integer cutoff
+    val base = d42Sql
+      .substring(0, d42Sql.indexOf("\nSELECT d.doc_id"))
+    raw"""$base
+      |SELECT d.lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN COALESCE(p.n_trigrams, 0) > 0
+      |       AND COALESCE(p.prob_scaled, 0) * 20 >=
+      |           COALESCE(p.n_trigrams, 0) * CAST($P AS BIGINT)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
+  // --------------------- e20 hybrid retrieval via RRF (oracle)
+  /** [[Retrieval.rrfFuse]] of a BM25 top-20 (probe queries = first
+    * four tokens of docs 0–4, the e13 probes) and a brute-force
+    * cosine top-20 over the embeddings of the same ids — the hybrid
+    * lexical+vector search shape. Fused scores are exact longs
+    * (`10⁹ div (60 + rank)` summed), so the gate hashes scores, list
+    * membership AND final ranks against a DuckDB replay of both
+    * retrievers plus the fusion. */
+  def e20HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val probes = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(norm, " "), 1, 4)).as("query"))
+    val lex = Retrieval.bm25TopK(docs, probes, k = 20)
+      .select("query_id", "doc_id", "rank")
+    val vec = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), k = 20)
+      .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+        col("rank"))
+    Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val e20Sql: String = {
+    val R = Retrieval.RrfScale
+    raw"""WITH lex AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |${bm25ReplaySql(5, 20)}) AS l
+      |), vec AS (
+      |  SELECT qid AS query_id, nid AS doc_id,
+      |    CAST(rank AS BIGINT) AS rank
+      |  FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                        CAST(e.embedding AS DOUBLE[])) DESC,
+      |                 e.vec_id ASC) AS rank
+      |    FROM embeddings q, embeddings e
+      |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) sub
+      |  WHERE rank <= 20
+      |), uni AS (
+      |  SELECT query_id, doc_id,
+      |    CAST($R AS BIGINT) // (60 + rank) AS c FROM lex
+      |  UNION ALL
+      |  SELECT query_id, doc_id,
+      |    CAST($R AS BIGINT) // (60 + rank) AS c FROM vec
+      |), fused AS (
+      |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_scaled,
+      |    COUNT(*) AS n_lists
+      |  FROM uni GROUP BY 1, 2
+      |)
+      |SELECT query_id, rank, doc_id, rrf_scaled, n_lists FROM (
+      |  SELECT query_id, doc_id, rrf_scaled, n_lists,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_scaled DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM fused) r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ------------------- e21 MMR diversified retrieval (oracle)
+  private val E21Cands = 12
+  private val E21K = 5
+  private val E21LamNum = 7L
+  private val E21LamDen = 10L
+
+  /** [[Similarity.mmrDiversify]] over int8-code dot products
+    * (queries = vec_id < 3, top-12 candidates by integer relevance,
+    * λ = 7/10, k = 5). Code dots are ≤ 255²·dim ≈ 4.2·10⁶ — exact in
+    * any engine's integer OR double arithmetic — so relevance,
+    * pairwise sims, and every greedy margin hash-gate against a
+    * DuckDB replay that unrolls the k selection steps as chained
+    * CTEs. */
+  def e21MmrDiversify(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val codes = Similarity.quantizeInt8(emb).select("vec_id", "codes")
+    val q = codes.where(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("codes").as("qc"))
+    def dotc(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x)
+    // corpus scan × broadcast queries — the corpus never shuffles
+    val rel = codes.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        dotc(col("qc"), col("codes")).as("rel"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("rel").desc, col("nid").asc)
+    val cand = rel.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= E21Cands).drop("rn")
+    // pairwise sims within each query's candidate set (≤ N² per
+    // query, N = 12 — bounded by construction)
+    val candC = cand
+      .join(codes.withColumnRenamed("vec_id", "nid"), "nid")
+    val sims = candC.select(col("qid"), col("nid").as("a"),
+        col("codes").as("ca"))
+      .join(candC.select(col("qid"), col("nid").as("b"),
+        col("codes").as("cb")), "qid")
+      .where(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        dotc(col("ca"), col("cb")).as("sim"))
+    Similarity.mmrDiversify(cand, sims, k = E21K,
+        lamNum = E21LamNum, lamDen = E21LamDen)
+      .orderBy("qid", "step")
+  }
+
+  val e21Sql: String = {
+    val ln = E21LamNum; val lc = E21LamDen - E21LamNum
+    val code = "CAST(LEAST(GREATEST(floor((x - lo) / scale + 0.5), " +
+      "0.0), 255.0) AS BIGINT)"
+    def idot(a: String, b: String) =
+      s"CAST(list_dot_product(CAST($a AS DOUBLE[]), " +
+        s"CAST($b AS DOUBLE[])) AS BIGINT)"
+    val steps = (2 to E21K).map { i =>
+      val prev = (1 until i).map(j => s"SELECT qid, nid FROM sel$j")
+        .mkString(" UNION ALL ")
+      s"""prevu$i AS (
+         |  $prev
+         |), m$i AS (
+         |  SELECT si.qid, si.a AS nid, MAX(si.sim) AS mx
+         |  FROM sims si JOIN prevu$i p
+         |    ON p.qid = si.qid AND p.nid = si.b
+         |  GROUP BY 1, 2
+         |), sel$i AS (
+         |  SELECT qid, nid, CAST($i AS BIGINT) AS step, mmr FROM (
+         |    SELECT c.qid, c.nid, $ln * c.rel - $lc * m.mx AS mmr,
+         |      ROW_NUMBER() OVER (PARTITION BY c.qid
+         |        ORDER BY $ln * c.rel - $lc * m.mx DESC, c.nid ASC
+         |      ) AS rn
+         |    FROM cand c
+         |    JOIN m$i m ON m.qid = c.qid AND m.nid = c.nid
+         |    WHERE NOT EXISTS (SELECT 1 FROM prevu$i p
+         |      WHERE p.qid = c.qid AND p.nid = c.nid)
+         |  ) z WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val unions = (1 to E21K).map(i => s"SELECT * FROM sel$i")
+      .mkString(" UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |    COALESCE(list_min(CAST(embedding AS DOUBLE[])), 0.0) AS lo,
+       |    COALESCE((list_max(CAST(embedding AS DOUBLE[]))
+       |      - list_min(CAST(embedding AS DOUBLE[]))) / 255.0, 0.0)
+       |      AS scale,
+       |    CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings
+       |), codes AS (
+       |  SELECT vec_id,
+       |    CASE WHEN scale = 0
+       |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+       |      ELSE list_transform(v, x -> $code) END AS codes
+       |  FROM base
+       |), q AS (
+       |  SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 3
+       |), rel AS (
+       |  SELECT q.qid, b.vec_id AS nid, ${idot("q.qc", "b.codes")} AS rel
+       |  FROM codes b, q WHERE b.vec_id <> q.qid
+       |), cand AS (
+       |  SELECT qid, nid, rel FROM (
+       |    SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, nid ASC) AS rn FROM rel) z
+       |  WHERE rn <= $E21Cands
+       |), sims AS (
+       |  SELECT c1.qid, c1.nid AS a, c2.nid AS b,
+       |    ${idot("k1.codes", "k2.codes")} AS sim
+       |  FROM cand c1
+       |  JOIN cand c2 ON c2.qid = c1.qid AND c2.nid <> c1.nid
+       |  JOIN codes k1 ON k1.vec_id = c1.nid
+       |  JOIN codes k2 ON k2.vec_id = c2.nid
+       |), sel1 AS (
+       |  SELECT qid, nid, CAST(1 AS BIGINT) AS step, $ln * rel AS mmr
+       |  FROM (
+       |    SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, nid ASC) AS rn FROM cand) z
+       |  WHERE rn = 1
+       |), $steps
+       |SELECT qid, step, nid, mmr AS mmr_scaled FROM ($unions) u
+       |ORDER BY qid, step""".stripMargin
+  }
+
+  // ------------------- d44 mixture composition (oracle)
+  /** [[Packing.mixtureSample]] with weights 5:3:1:1 over four sources
+    * and totalN = 40 — the Hamilton apportionment (computed
+    * independently by the oracle from the same weights), the hash-
+    * ordered per-stratum take, and the absent-stratum exclusion all
+    * hash-gate. At sf0.001 the 5-weight stratum is smaller than its
+    * quota, so the shortfall path is exercised there too. */
+  def d44MixtureSample(s: SparkSession, dir: String): DataFrame =
+    Packing.mixtureSample(t(s, dir, "documents"), "source", "doc_id",
+        Map("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L),
+        totalN = 40L)
+      .orderBy("source", "doc_id")
+
+  val d44Sql: String =
+    """WITH wts(source, w) AS (
+      |  VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)
+      |), tot AS (
+      |  SELECT SUM(w) AS bw FROM wts
+      |), base AS (
+      |  SELECT source, (40 * w) // bw AS q, (40 * w) % bw AS r
+      |  FROM wts, tot
+      |), lo AS (
+      |  SELECT 40 - SUM(q) AS l FROM base
+      |), app AS (
+      |  SELECT source,
+      |    CAST(q + CASE WHEN ROW_NUMBER() OVER (ORDER BY r DESC, source ASC)
+      |          <= (SELECT l FROM lo) THEN 1 ELSE 0 END AS BIGINT) AS quota
+      |  FROM base
+      |), ranked AS (
+      |  SELECT d.source, d.doc_id, a.quota,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source
+      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      |  FROM documents d JOIN app a ON a.source = d.source
+      |)
+      |SELECT source, doc_id, quota FROM ranked WHERE rk <= quota
+      |ORDER BY source, doc_id""".stripMargin
+
+  // ------------------- d45 per-stratum budget sampling (oracle)
+  /** [[Packing.budgetSample]]: 4000 chars of budget per source, docs
+    * taken in the deterministic hash order while the inclusive
+    * running cost fits — integer running sums, full hash gate. */
+  def d45BudgetSample(s: SparkSession, dir: String): DataFrame =
+    Packing.budgetSample(t(s, dir, "documents"), "source", "doc_id",
+        "n_chars", budget = 4000L)
+      .orderBy("source", "doc_id")
+
+  val d45Sql: String =
+    """SELECT source, doc_id, cost, cum_cost FROM (
+      |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS cost,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cum_cost
+      |  FROM documents) z
+      |WHERE cum_cost <= 4000 ORDER BY source, doc_id""".stripMargin
+
+  // ----------------- d46/d47/d48 unigram tokenizer (oracles)
+  private val D46Vocab = 24
+  private val D46MaxLen = 4
+
+  /** Shared DuckDB replay prefix for the unigram-tokenizer family:
+    * word counts, candidate-piece counts, the exact-integer qlog
+    * weights, the top-V vocabulary, and — for the segmentation gates
+    * — a BRUTE-FORCE enumeration of every segmentation per word via a
+    * recursive CTE (an INDEPENDENT method from the engine's DP: the
+    * oracle globally argmaxes over all enumerated paths, ties by
+    * DuckDB's native lexicographic list compare, so it would catch a
+    * DP bug the DP itself cannot). Bounded because segmentations of a
+    * length-n word number Tetranacci(n) and corpus words are short;
+    * `finalSelect` consumes the `vocab` / `best` CTEs. */
+  private def unigramReplaySql(finalSelect: String,
+      needPaths: Boolean): String = {
+    val qlogC = "(length(bin(cnt)) - 1) * 16 + " +
+      "(cnt * 16 >> (length(bin(cnt)) - 1)) - 16"
+    val pathsPart = if (!needPaths) "" else raw""", words AS (
+      |  SELECT word FROM wc
+      |), cand0 AS (
+      |  SELECT w.word, i - 1 AS pos, substr(w.word, i, l) AS piece
+      |  FROM words w,
+      |    UNNEST(generate_series(1, length(w.word))) AS a(i),
+      |    UNNEST(generate_series(1,
+      |      least($D46MaxLen, length(w.word) - i + 1))) AS b(l)
+      |), cand AS (
+      |  SELECT c.word, c.pos, c.piece,
+      |    COALESCE(v.weight, -(SELECT q FROM qt)) AS wgt
+      |  FROM cand0 c LEFT JOIN vocab v ON v.piece = c.piece
+      |  WHERE length(c.piece) = 1 OR v.piece IS NOT NULL
+      |), paths(word, pos, score, path) AS (
+      |  SELECT word, 0, CAST(0 AS BIGINT), []::VARCHAR[] FROM words
+      |  UNION ALL
+      |  SELECT p.word, p.pos + length(c.piece), p.score + c.wgt,
+      |    list_append(p.path, c.piece)
+      |  FROM paths p JOIN cand c ON c.word = p.word AND c.pos = p.pos
+      |), fin AS (
+      |  SELECT word, score, path FROM paths WHERE pos = length(word)
+      |), best AS (
+      |  SELECT word, array_to_string(path, ' ') AS seg, score,
+      |    CAST(len(path) AS BIGINT) AS n_pieces
+      |  FROM (
+      |    SELECT word, score, path, ROW_NUMBER() OVER (
+      |      PARTITION BY word ORDER BY score DESC, path ASC) AS rn
+      |    FROM fin) z
+      |  WHERE rn = 1
+      |)""".stripMargin
+    raw"""WITH RECURSIVE wc AS (
+      |  SELECT w AS word, COUNT(*) AS cnt FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |      AS w
+      |    FROM documents) z GROUP BY 1
+      |), pc AS (
+      |  SELECT substr(word, i, l) AS piece,
+      |    CAST(SUM(cnt) AS BIGINT) AS cnt
+      |  FROM wc,
+      |    UNNEST(generate_series(1, length(word))) AS a(i),
+      |    UNNEST(generate_series(1,
+      |      least($D46MaxLen, length(word) - i + 1))) AS b(l)
+      |  GROUP BY 1
+      |), qt AS (
+      |  SELECT $qlogC AS q FROM
+      |    (SELECT CAST(SUM(cnt) AS BIGINT) AS cnt FROM pc) s
+      |), vocab AS (
+      |  SELECT piece, cnt,
+      |    CAST($qlogC - (SELECT q FROM qt) AS BIGINT) AS weight
+      |  FROM pc WHERE length(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt,
+      |    CAST($qlogC - (SELECT q FROM qt) AS BIGINT) AS weight
+      |  FROM (
+      |    SELECT piece, cnt, ROW_NUMBER() OVER (
+      |      ORDER BY cnt DESC, piece ASC) AS rn
+      |    FROM pc WHERE length(piece) > 1) z
+      |  WHERE rn <= $D46Vocab
+      |)$pathsPart
+      |$finalSelect""".stripMargin
+  }
+
+  /** [[Unigram.trainVocab]] — the trained MODEL itself hash-gates:
+    * candidate substring counts, the exact-integer qlog weights, the
+    * top-V cut with its (cnt, piece) tie rule, and the single-char
+    * coverage rows. */
+  def d46UnigramVocab(s: SparkSession, dir: String): DataFrame =
+    Unigram.trainVocab(t(s, dir, "documents"),
+        vocabSize = D46Vocab, maxPieceLen = D46MaxLen)._1
+      .orderBy("piece")
+
+  val d46Sql: String = unigramReplaySql(
+    "SELECT piece, cnt, weight FROM vocab ORDER BY piece",
+    needPaths = false)
+
+  /** [[Unigram.segmentWords]] on every distinct corpus word — the
+    * engine's suffix DP vs the oracle's exhaustive enumeration. */
+  def d47UnigramSegment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (vocab, qlogT) = Unigram.trainVocab(docs,
+      vocabSize = D46Vocab, maxPieceLen = D46MaxLen)
+    Unigram.segmentWords(Bpe.wordCounts(docs).select("word"), vocab,
+        qlogT, maxPieceLen = D46MaxLen)
+      .select(col("word"), concat_ws(" ", col("pieces")).as("seg"),
+        col("score"), col("n_pieces"))
+      .orderBy("word")
+  }
+
+  val d47Sql: String = unigramReplaySql(
+    "SELECT word, seg, score, n_pieces FROM best ORDER BY word",
+    needPaths = true)
+
+  /** [[Unigram.tokenize]] — the corpus deployment path: distinct
+    * words segment once, documents reassemble via one join; per-doc
+    * token string, total score, and piece count hash-gate. */
+  def d48UnigramTokenize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (vocab, qlogT) = Unigram.trainVocab(docs,
+      vocabSize = D46Vocab, maxPieceLen = D46MaxLen)
+    Unigram.tokenize(docs, vocab, qlogT, maxPieceLen = D46MaxLen)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("toks"),
+        col("score"), col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val d48Sql: String = unigramReplaySql(
+    raw""", wordsof AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+      |    generate_subscripts(
+      |      regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+      |  FROM documents
+      |), perdoc AS (
+      |  SELECT w.doc_id,
+      |    string_agg(b.seg, ' ' ORDER BY w.pos) AS toks,
+      |    CAST(SUM(b.score) AS BIGINT) AS score,
+      |    CAST(SUM(b.n_pieces) AS BIGINT) AS n_pieces
+      |  FROM wordsof w JOIN best b ON b.word = w.word
+      |  GROUP BY w.doc_id
+      |)
+      |SELECT d.doc_id, COALESCE(p.toks, '') AS toks,
+      |  COALESCE(p.score, 0) AS score,
+      |  COALESCE(p.n_pieces, 0) AS n_pieces
+      |FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
+    needPaths = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d42_trigram_backoff" -> (d42TrigramBackoff _),
+    "e20_hybrid_rrf" -> (e20HybridRrf _),
+    "e21_mmr_diversify" -> (e21MmrDiversify _),
+    "d44_mixture_sample" -> (d44MixtureSample _),
+    "d45_budget_sample" -> (d45BudgetSample _),
+    "d46_unigram_vocab" -> (d46UnigramVocab _),
+    "d47_unigram_segment" -> (d47UnigramSegment _),
+    "d48_unigram_tokenize" -> (d48UnigramTokenize _),
+    "d43_lm_filter" -> (d43LmFilter _),
     "d41_indexed_batch_dedup" -> (d41IndexedBatchDedup _),
     "d41b_indexed_minhash_batch" -> (d41bIndexedMinhashBatch _),
     "d40_cdc_chunks" -> (d40CdcChunks _),
@@ -3166,6 +3673,15 @@ object OpsQueries {
   // query RAN — Verify dumps oracle_sql.json after the query loop, so
   // rebuilding the map at dump time picks the stash up
   def oracles: Map[String, String] = Map(
+    "d42_trigram_backoff" -> d42Sql,
+    "d43_lm_filter" -> d43Sql,
+    "e20_hybrid_rrf" -> e20Sql,
+    "e21_mmr_diversify" -> e21Sql,
+    "d44_mixture_sample" -> d44Sql,
+    "d45_budget_sample" -> d45Sql,
+    "d46_unigram_vocab" -> d46Sql,
+    "d47_unigram_segment" -> d47Sql,
+    "d48_unigram_tokenize" -> d48Sql,
     "d41_indexed_batch_dedup" -> d41Sql,
     "d1_dedup_exact" -> d1Sql,
     "d4_lang_id" -> d4Sql,

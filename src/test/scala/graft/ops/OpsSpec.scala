@@ -1659,3 +1659,111 @@ class RetentionSpec extends org.scalatest.funsuite.AnyFunSuite {
       (w0 + wk, 0L) -> 1L), s"got $got")
   }
 }
+
+class MmrSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("mmr skips the near-duplicate of the first pick") {
+    val cand = Seq((1L, 1L, 100L), (1L, 2L, 90L), (1L, 3L, 80L))
+      .toDF("qid", "nid", "rel")
+    val sims = Seq(
+      (1L, 1L, 2L, 200L), (1L, 2L, 1L, 200L),
+      (1L, 1L, 3L, 0L), (1L, 3L, 1L, 0L),
+      (1L, 2L, 3L, 0L), (1L, 3L, 2L, 0L))
+      .toDF("qid", "a", "b", "sim")
+    val got = Similarity.mmrDiversify(cand, sims, k = 3,
+        lamNum = 1L, lamDen = 2L)
+      .orderBy("step").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // step1: doc 1 (score 1*100); step2: doc2 = 90-200 = -110 loses
+    // to doc3 = 80-0; step3: doc2 at its penalized score
+    assert(got(0) == ((1L, 1L, 100L)))
+    assert(got(1) == ((2L, 3L, 80L)))
+    assert(got(2) == ((3L, 2L, -110L)))
+  }
+
+  test("mmr: ties break by id, short pools stop early") {
+    val cand = Seq((1L, 5L, 50L), (1L, 4L, 50L))
+      .toDF("qid", "nid", "rel")
+    val sims = Seq((1L, 4L, 5L, 0L), (1L, 5L, 4L, 0L))
+      .toDF("qid", "a", "b", "sim")
+    val got = Similarity.mmrDiversify(cand, sims, k = 5,
+        lamNum = 1L, lamDen = 1L)
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(4L, 5L), "tie -> lower id first; only 2 rows")
+  }
+
+  test("mmr runs per query independently") {
+    val cand = Seq((1L, 1L, 10L), (2L, 7L, 20L))
+      .toDF("qid", "nid", "rel")
+    val sims = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("qid", "a", "b", "sim")
+    val got = Similarity.mmrDiversify(cand, sims, k = 2,
+        lamNum = 1L, lamDen = 1L)
+      .orderBy("qid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 1L, 1L), (2L, 1L, 7L)))
+  }
+}
+
+class MixtureSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = graft.SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def docs = (1L to 12L).map { i =>
+    (i, if (i <= 4) "A" else if (i <= 8) "B" else "C") }
+    .toDF("doc_id", "source")
+
+  test("hamilton apportionment hits exact per-stratum quotas") {
+    // weights A:2 B:1 over totalN=5 -> base A=3 r=1, B=1 r=2;
+    // leftover 1 seat -> B (larger remainder). C excluded.
+    val got = Packing.mixtureSample(docs, "source", "doc_id",
+      Map("A" -> 2L, "B" -> 1L), totalN = 5L)
+    val counts = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("A" -> 3L, "B" -> 2L))
+    val quotas = got.select("source", "quota").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(quotas == Map("A" -> 3L, "B" -> 2L))
+  }
+
+  test("stratum smaller than its quota yields all it has") {
+    val tiny = Seq((1L, "A"), (2L, "B")).toDF("doc_id", "source")
+    val got = Packing.mixtureSample(tiny, "source", "doc_id",
+      Map("A" -> 1L, "B" -> 1L), totalN = 10L)
+    assert(got.count() == 2L)
+  }
+
+  test("remainder tie breaks by stratum name") {
+    // weights A:1 B:1 totalN=3 -> base 1 each, r=1 each;
+    // 1 leftover seat -> A (name order)
+    val got = Packing.mixtureSample(docs, "source", "doc_id",
+      Map("A" -> 1L, "B" -> 1L), totalN = 3L)
+    val counts = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("A" -> 2L, "B" -> 1L))
+  }
+
+  test("budget sample: maximal hash-order prefix within budget") {
+    val df = (1L to 6L).map(i => (i, "S", 10L)).toDF("doc_id", "source", "c")
+    val got = Packing.budgetSample(df, "source", "doc_id", "c", 35L)
+    assert(got.count() == 3L, "3 * 10 <= 35 < 4 * 10")
+    assert(got.agg(max("cum_cost")).head.getLong(0) == 30L)
+    // prefix property: kept set = first 3 docs in (md5, id) order
+    val order = df.select(col("doc_id"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .collect().map(_.getLong(0)).take(3).toSet
+    assert(got.collect().map(_.getLong(1)).toSet == order)
+  }
+
+  test("budget sample: zero budget keeps nothing, huge keeps all") {
+    val df = Seq((1L, "S", 5L), (2L, "S", 6L)).toDF("doc_id", "source", "c")
+    assert(Packing.budgetSample(df, "source", "doc_id", "c", 0L)
+      .count() == 0L)
+    assert(Packing.budgetSample(df, "source", "doc_id", "c", 100L)
+      .count() == 2L)
+  }
+}

@@ -120,4 +120,32 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"))
   }
+
+  test("rrfFuse: doc present in both lists beats single-list docs") {
+    val R = Retrieval.RrfScale
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 10L, 3L), (1L, 12L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 10: 1/(60+1) + 1/(60+3); doc 12: 1/61; doc 11: 1/62
+    assert(got(0) == ((10L, R / 61 + R / 63, 2L)))
+    assert(got(1) == ((12L, R / 61, 1L)))
+    assert(got(2) == ((11L, R / 62, 1L)))
+  }
+
+  test("rrfFuse: per-query top-k cut and id tie-break") {
+    val a = Seq((1L, 100L, 1L), (1L, 101L, 2L), (2L, 200L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 101L, 1L), (1L, 100L, 2L), (2L, 201L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 1)
+      .orderBy("query_id").collect()
+    // q1: both docs score 1/61 + 1/62 -> tie broken by lower doc_id
+    assert(got.length == 2)
+    assert(got(0).getLong(2) == 100L && got(0).getLong(1) == 1L)
+    assert(got(1).getLong(0) == 2L && got(1).getLong(2) == 200L)
+  }
 }
