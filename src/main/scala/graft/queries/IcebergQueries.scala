@@ -1945,6 +1945,171 @@ object IcebergQueries {
 
   val i39Sql: String = OpsQueries.bm25ReplaySql(2, 10)
 
+  /** `CALL train_tokenizer` full build: the persisted piece-count
+    * ledger plus its stamped total must yield — through the
+    * vocab-size-agnostic read path [[graft.ops.Unigram
+    * .vocabFromCounts]] — exactly the model the library trains from
+    * scratch, so the d46 oracle gates the whole SQL surface: CREATE +
+    * INSERT + CALL + ledger read-back + stamped-total qlog. */
+  def i46TokenizerTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g46" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf46" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g46d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    val rep = s.sql(s"CALL $c.system.train_tokenizer('$ns', 'docs', " +
+      s"max_piece_len => ${OpsQueries.D46MaxLen})").collect().head
+    require(rep.getString(0) == "docs_tok_model" && rep.getLong(1) > 0 &&
+      rep.getLong(2) > 0, s"train report: $rep")
+    tokenizerVocab(s, c, ns)
+  }
+
+  val i46Sql: String = OpsQueries.d46Sql
+
+  /** Derive the vocabulary from the persisted model table with the
+    * stamped total — shared by i46/i47 so both hash against d46's
+    * from-scratch oracle. */
+  private def tokenizerVocab(s: SparkSession, c: String,
+      ns: String): DataFrame = {
+    val mdl = loadByIdentifier(s, c, ns, "docs_tok_model")
+    val total =
+      mdl.metadata.properties("graft.tok-model.total-cnt").toLong
+    val ledger = graft.table.Scan(mdl, s).toDF
+    graft.ops.Unigram
+      .vocabFromCounts(ledger, OpsQueries.D46Vocab, total)._1
+      .orderBy("piece")
+  }
+
+  /** `train_tokenizer(incremental => true)`: full train on HALF the
+    * corpus, append the rest, chain. Piece counts are additive over
+    * disjoint doc sets, so the chained ledger (now holding duplicate
+    * piece rows that the read path sum-merges) must equal a
+    * from-scratch train bit-for-bit — the same "chain == rebuild"
+    * contract as the text index. Stamped-total-equals-full-recount
+    * and the idempotent no-op re-chain are asserted in-query. */
+  def i47TokenizerChained(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val c = "g47" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf47" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g47d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      s"WHERE doc_id <= $mid")
+    s.sql(s"CALL $c.system.train_tokenizer('$ns', 'docs', " +
+      s"max_piece_len => ${OpsQueries.D46MaxLen})").collect()
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      s"WHERE doc_id > $mid")
+    val rep = s.sql(s"CALL $c.system.train_tokenizer('$ns', 'docs', " +
+      "incremental => true)").collect().head
+    require(rep.getLong(1) > 0, s"chain must append deltas: $rep")
+    // stamped total must equal a from-scratch recount of the corpus
+    val fullPc = graft.ops.Unigram.pieceCounts(
+      graft.ops.Bpe.wordCounts(docs), OpsQueries.D46MaxLen)
+    val fullTotal = fullPc.agg(sum(col("cnt"))).head.getLong(0)
+    require(rep.getLong(2) == fullTotal,
+      s"chained total ${rep.getLong(2)} != full recount $fullTotal")
+    val rep2 = s.sql(s"CALL $c.system.train_tokenizer('$ns', 'docs', " +
+      "incremental => true)").collect().head
+    require(rep2.getLong(1) == 0L, s"no-op chain must append 0: $rep2")
+    tokenizerVocab(s, c, ns)
+  }
+
+  val i47Sql: String = OpsQueries.d46Sql
+
+  /** End-to-end deployment from the PERSISTED model: train through
+    * SQL, reload the ledger + stamped total through the catalog, and
+    * tokenize the whole corpus — per-doc token streams and scores
+    * must match d48's from-scratch oracle, gating the persistence
+    * round-trip (ledger rows, stamped total, qlog weights) under the
+    * real workload. */
+  def i48TokenizerApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g48" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf48" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g48d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    s.sql(s"CALL $c.system.train_tokenizer('$ns', 'docs', " +
+      s"max_piece_len => ${OpsQueries.D46MaxLen})").collect()
+    val mdl = loadByIdentifier(s, c, ns, "docs_tok_model")
+    val props = mdl.metadata.properties
+    val total = props("graft.tok-model.total-cnt").toLong
+    val maxLen = props("graft.tok-model.max-piece-len").toInt
+    val ledger = graft.table.Scan(mdl, s).toDF
+    val (vocab, qlogT) = graft.ops.Unigram
+      .vocabFromCounts(ledger, OpsQueries.D46Vocab, total)
+    graft.ops.Unigram.tokenize(docs, vocab, qlogT,
+        maxPieceLen = maxLen)
+      .select(col("doc_id"), concat_ws(" ", col("tokens")).as("toks"),
+        col("score"), col("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val i48Sql: String = OpsQueries.d48Sql
+
+  /** `CALL corpus_diff` — state-based snapshot diff: plant an UPDATE
+    * wave (10-multiples re-texted), a DELETE wave (13-multiples), and
+    * an INSERT wave (17-multiples re-added under new ids), then diff
+    * the post-mutation head against the initial snapshot. The
+    * added/removed/changed/unchanged counts replay arithmetically in
+    * DuckDB; a 130-multiple (updated THEN deleted) must land in
+    * `removed` only — state-based, not churn-based. */
+  def i49CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g49" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf49" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g49d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    val snap0 = loadByIdentifier(s, c, ns, "docs")
+      .currentSnapshot.get.snapshotId
+    s.sql(s"UPDATE $c.$ns.docs SET text = concat(text, ' v2') " +
+      "WHERE doc_id % 10 = 0")
+    s.sql(s"DELETE FROM $c.$ns.docs WHERE doc_id % 13 = 0")
+    s.sql(s"INSERT INTO $c.$ns.docs " +
+      s"SELECT doc_id + 100000, text FROM $tmp WHERE doc_id % 17 = 0")
+    s.sql(s"CALL $c.system.corpus_diff('$ns', 'docs', ${snap0}L)")
+      .select("added", "removed", "changed", "unchanged")
+  }
+
+  val i49Sql: String =
+    """SELECT
+      |  CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS added,
+      |  CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS removed,
+      |  CAST(SUM(CASE WHEN doc_id % 10 = 0 AND doc_id % 13 <> 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+      |  CAST(SUM(CASE WHEN doc_id % 10 <> 0 AND doc_id % 13 <> 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+      |FROM documents""".stripMargin
+
   @volatile private var i40Stash:
     Option[(Seq[Array[Double]], Long)] = None
 
@@ -2802,6 +2967,10 @@ object IcebergQueries {
     "i36_ann_indexed_search" -> (i36AnnIndexedSearch _),
     "i37_ann_index_chained" -> (i37AnnIndexChained _),
     "i38_text_indexed_bm25" -> (i38TextIndexedBm25 _),
+    "i46_tokenizer_train" -> (i46TokenizerTrain _),
+    "i47_tokenizer_chained" -> (i47TokenizerChained _),
+    "i48_tokenizer_apply" -> (i48TokenizerApply _),
+    "i49_corpus_diff" -> (i49CorpusDiff _),
     "i39_text_index_chained" -> (i39TextIndexChained _),
     "i40_stream_ann_ingest" -> (i40StreamAnnIngest _),
     "i41_stream_text_ingest" -> (i41StreamTextIngest _),
@@ -2871,6 +3040,10 @@ object IcebergQueries {
     "i36_ann_indexed_search" -> i36Sql,
     "i37_ann_index_chained" -> i37Sql,
     "i38_text_indexed_bm25" -> i38Sql,
+    "i46_tokenizer_train" -> i46Sql,
+    "i47_tokenizer_chained" -> i47Sql,
+    "i48_tokenizer_apply" -> i48Sql,
+    "i49_corpus_diff" -> i49Sql,
     "i39_text_index_chained" -> i39Sql,
     "i40_stream_ann_ingest" -> i40Sql,
     "i41_stream_text_ingest" -> i41Sql,

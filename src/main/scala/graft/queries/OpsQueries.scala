@@ -3443,8 +3443,8 @@ object OpsQueries {
       |WHERE cum_cost <= 4000 ORDER BY source, doc_id""".stripMargin
 
   // ----------------- d46/d47/d48 unigram tokenizer (oracles)
-  private val D46Vocab = 24
-  private val D46MaxLen = 4
+  private[queries] val D46Vocab = 24
+  private[queries] val D46MaxLen = 4
 
   /** Shared DuckDB replay prefix for the unigram-tokenizer family:
     * word counts, candidate-piece counts, the exact-integer qlog

@@ -39,7 +39,8 @@ private[sources] object GraftProcedures {
     "register_table", "dedup_table", "cherrypick_snapshot",
     "rewrite_position_deletes", "rewrite_equality_deletes",
     "build_dedup_index", "build_ann_index", "build_text_index",
-    "build_pq_index", "text_search", "ann_search", "pq_search")
+    "build_pq_index", "text_search", "ann_search", "pq_search",
+    "train_tokenizer", "segment_text", "corpus_diff")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -216,6 +217,32 @@ private[sources] class GraftBoundProcedure(
       // true → chain: encode only rows appended since the recorded
       // snapshot with the STAMPED codebooks (no refit, no base rescan)
       pDefault("incremental", BooleanType, "false"))
+    case "train_tokenizer" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("text_col", StringType, "'text'"),
+      pDefault("max_piece_len", IntegerType, "4"),
+      // '' -> "<table>_tok_model" in the same namespace
+      pDefault("model_table", StringType, "''"),
+      // -1 -> the current snapshot; else train AS OF this id
+      pDefault("snapshot_id", LongType, "-1"),
+      // true -> chain: piece-count DELTAS of rows appended since the
+      // recorded snapshot append into the ledger, total advances by
+      // exact long arithmetic -- counts are additive over disjoint
+      // doc sets, so the chained model IS the full-rebuild model
+      pDefault("incremental", BooleanType, "false"))
+    case "corpus_diff" => Array(
+      p("ns", StringType), p("table", StringType),
+      p("from_snapshot", LongType),
+      // -1 -> the current snapshot
+      pDefault("to_snapshot", LongType, "-1"),
+      pDefault("text_col", StringType, "'text'"),
+      pDefault("id_col", StringType, "'doc_id'"))
+    case "segment_text" => Array(
+      p("ns", StringType), p("model_table", StringType),
+      p("text", StringType),
+      // the vocabulary size is a READ-time parameter: the persisted
+      // ledger is vocab-size-agnostic
+      pDefault("vocab_size", IntegerType, "64"))
     case "text_search" => Array(
       p("ns", StringType), p("index_table", StringType),
       p("query", StringType),
@@ -256,6 +283,7 @@ private[sources] class GraftBoundProcedure(
         case "text_search" => textSearch(t, spark, input)
         case "ann_search" => annSearch(t, spark, input)
         case "pq_search" => pqSearch(t, spark, input)
+        case "segment_text" => segmentText(t, spark, input)
         case _ => singleRowCall(t, spark, ns, tbl, input)
       }
     val result: V2Scan = new LocalScan {
@@ -643,6 +671,20 @@ private[sources] class GraftBoundProcedure(
             snapRaw)
         else buildPqIndex(t, spark, ns, tbl, vecCol, idCol, m, ksub,
           idxName, snapRaw, seed)
+      case "corpus_diff" =>
+        corpusDiff(t, spark, ns, tbl, input.getLong(2),
+          input.getLong(3), input.getUTF8String(4).toString,
+          input.getUTF8String(5).toString)
+      case "train_tokenizer" =>
+        val textCol = input.getUTF8String(2).toString
+        val maxPieceLen = input.getInt(3)
+        val mdlRaw = input.getUTF8String(4).toString
+        val mdlName = if (mdlRaw.isEmpty) s"${tbl}_tok_model" else mdlRaw
+        val snapRaw = input.getLong(5)
+        if (input.getBoolean(6))
+          appendToTokenizer(t, spark, ns, tbl, textCol, mdlName, snapRaw)
+        else trainTokenizer(t, spark, ns, tbl, textCol, maxPieceLen,
+          mdlName, snapRaw)
     }
     (schema, Seq(row))
   }
@@ -698,7 +740,7 @@ private[sources] class GraftBoundProcedure(
 
   import GraftBoundProcedure.{IdxPropSourceTable, IdxPropSourceSnapshot,
     IdxPropTextCol, IdxPropIdCol, IdxPropNumHashes, AnnPropPrefix,
-    TextPropPrefix, PqPropPrefix}
+    TextPropPrefix, PqPropPrefix, TokPropPrefix}
 
   /** `build_ann_index`: fit IVF centroids (bounded deterministic
     * sample) and persist the inverted file AS AN ICEBERG TABLE —
@@ -1298,6 +1340,219 @@ private[sources] class GraftBoundProcedure(
       Seq(idxName, numBuckets, appended, nDocs, head))
   }
 
+  /** `corpus_diff(ns, table, from_snapshot[, to_snapshot, text_col,
+    * id_col])`: STATE-BASED diff of two corpus versions — the dataset
+    * curation audit ("what changed between the snapshot we trained on
+    * and today"). Rows are keyed by `id_col` and compared by an md5
+    * content fingerprint of `text_col`, so the report is independent
+    * of how the history got there (CoW rewrites, compactions, and
+    * MoR delete files all collapse into visible state — unlike a
+    * changelog walk, which reports churn). One scan per side, one
+    * id-keyed outer join, one single-row aggregate: scales like a
+    * join, never like history length. NULL texts fingerprint to a
+    * sentinel so NULL-vs-NULL reads as unchanged. */
+  private def corpusDiff(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      fromSnap: Long, toRaw: Long, textCol: String,
+      idCol: String): (StructType, Seq[Any]) = {
+    if (t.snapshotById(fromSnap).isEmpty)
+      throw new IllegalArgumentException(
+        s"corpus_diff: from_snapshot $fromSnap not found")
+    val toSnap =
+      if (toRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"corpus_diff: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(toRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"corpus_diff: to_snapshot $toRaw not found")
+      else toRaw
+    import org.apache.spark.sql.functions.{col, md5, coalesce, lit,
+      count, sum, when}
+    def fps(snap: Long, side: String) =
+      graft.table.Scan(t, spark).useSnapshot(snap).toDF
+        .select(col(idCol).as(s"id_$side"),
+          md5(coalesce(col(textCol), lit("\u0000graft-null")))
+            .as(s"fp_$side"))
+    val joined = fps(fromSnap, "a").join(fps(toSnap, "b"),
+      col("id_a") === col("id_b"), "full_outer")
+    val r = joined.agg(
+      sum(when(col("id_a").isNull, 1L).otherwise(0L)).as("added"),
+      sum(when(col("id_b").isNull, 1L).otherwise(0L)).as("removed"),
+      sum(when(col("id_a").isNotNull && col("id_b").isNotNull &&
+        col("fp_a") =!= col("fp_b"), 1L).otherwise(0L)).as("changed"),
+      sum(when(col("id_a").isNotNull && col("id_b").isNotNull &&
+        col("fp_a") === col("fp_b"), 1L).otherwise(0L)).as("unchanged"))
+      .head
+    def g(i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
+    (new StructType().add("from_snapshot", LongType)
+      .add("to_snapshot", LongType).add("added", LongType)
+      .add("removed", LongType).add("changed", LongType)
+      .add("unchanged", LongType),
+      Seq(fromSnap, toSnap, g(0), g(1), g(2), g(3)))
+  }
+
+  /** `train_tokenizer`: ONE corpus pass (word counts) + a
+    * dictionary-sized substring aggregation, persisted as an ADDITIVE
+    * piece-count LEDGER table `(piece, cnt)` with the source snapshot,
+    * text column, max piece length, and exact ledger total stamped as
+    * properties. The ledger is vocabulary-size-agnostic: any V derives
+    * its vocabulary at read time via
+    * [[graft.ops.Unigram.vocabFromCounts]] (sum-merge -> coverage
+    * singles + top-V -> exact qlog weights), so one trained model
+    * serves every downstream vocab size. Rebuilding an existing model
+    * is one overwrite snapshot. */
+  private def trainTokenizer(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      textCol: String, maxPieceLen: Int, mdlName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    if (maxPieceLen < 1)
+      throw new IllegalArgumentException("train_tokenizer: " +
+        s"max_piece_len must be >= 1, got $maxPieceLen")
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"train_tokenizer: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"train_tokenizer: snapshot_id $snapRaw not found")
+      else snapRaw
+    val df = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    // the ledger is model-sized: eager-materialize so the total, the
+    // row count, and the write don't each re-run the corpus pass
+    val pc = graft.ops.Unigram.pieceCounts(
+      graft.ops.Bpe.wordCounts(df, textCol), maxPieceLen)
+      .localCheckpoint(true)
+    val total = Option(pc.agg(
+        org.apache.spark.sql.functions.sum("cnt")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val gSchema = graft.spec.SchemaConverters.fromSparkSchema(pc.schema)
+    val props = Map(
+      s"${TokPropPrefix}source-table" -> s"$ns.$tbl",
+      s"${TokPropPrefix}source-snapshot-id" -> snapId.toString,
+      s"${TokPropPrefix}text-col" -> textCol,
+      s"${TokPropPrefix}max-piece-len" -> maxPieceLen.toString,
+      s"${TokPropPrefix}total-cnt" -> total.toString)
+    val mdlId = TableIdentifier(ns.split('.').toSeq, mdlName)
+    if (catalog.tableExists(mdlId)) {
+      val existing = Table.load(catalog, mdlId, io)
+      val after = graft.table.Mutations.overwrite(existing, spark, pc)
+      after.newTransaction().setProperties(props).commit()
+    } else {
+      val created = Table.create(catalog, mdlId, gSchema,
+        properties = props, io = io)
+      graft.table.TableOps.append(created, pc)
+    }
+    (new StructType().add("model_table", StringType)
+      .add("pieces", LongType).add("total_cnt", LongType)
+      .add("source_snapshot_id", LongType),
+      Seq(mdlName, pc.count(), total, snapId))
+  }
+
+  /** `train_tokenizer(incremental => true)`: chain the ledger to the
+    * source head WITHOUT a rebuild. Piece counts are additive over
+    * disjoint document sets, so appending the DELTAS of rows added
+    * since the recorded snapshot and advancing the stamped total by
+    * exact long arithmetic yields EXACTLY the full-rebuild model after
+    * the read path's sum-merge — the same "chain == rebuild" contract
+    * as the text index (and unlike the frozen-model ANN/PQ chains).
+    * `appendsBetween` skips replace snapshots, so source compaction
+    * never re-delivers; rows DELETED from the source keep their counts
+    * until a full rebuild (the documented stale-ghost contract). Two
+    * commits (append, then the property bump) — a crash between them
+    * leaves a visibly short stamp, never double counts. */
+  private def appendToTokenizer(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      textCol: String, mdlName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val mdlId = TableIdentifier(ns.split('.').toSeq, mdlName)
+    if (!catalog.tableExists(mdlId))
+      throw new IllegalArgumentException(s"train_tokenizer: model " +
+        s"$mdlName does not exist - run a full train first " +
+        "(incremental => false)")
+    val mdl = Table.load(catalog, mdlId, io)
+    def prop(k: String): String = mdl.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"train_tokenizer: $mdlName " +
+        s"has no '$k' property - not a train_tokenizer table"))
+    val srcTable = prop(s"${TokPropPrefix}source-table")
+    if (srcTable != s"$ns.$tbl")
+      throw new IllegalArgumentException(s"train_tokenizer: model " +
+        s"$mdlName was trained from $srcTable, not $ns.$tbl")
+    if (prop(s"${TokPropPrefix}text-col") != textCol)
+      throw new IllegalArgumentException(s"train_tokenizer: model " +
+        s"$mdlName was trained on " +
+        s"${prop(s"${TokPropPrefix}text-col")}, call uses $textCol")
+    val recorded = prop(s"${TokPropPrefix}source-snapshot-id").toLong
+    if (t.snapshotById(recorded).isEmpty)
+      throw new IllegalArgumentException(s"train_tokenizer: model " +
+        s"$mdlName records source snapshot $recorded which no longer " +
+        "exists (expired?) - retrain the model")
+    val head =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"train_tokenizer: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"train_tokenizer: snapshot_id $snapRaw not found")
+      else snapRaw
+    val maxPieceLen = prop(s"${TokPropPrefix}max-piece-len").toInt
+    val fresh =
+      if (head == recorded)
+        graft.table.Scan(t, spark).toDF.limit(0)
+      else graft.table.Scan(t, spark).appendsBetween(recorded, head).toDF
+    val deltas = graft.ops.Unigram.pieceCounts(
+      graft.ops.Bpe.wordCounts(fresh, textCol), maxPieceLen)
+      .localCheckpoint(true)
+    val deltaTotal = Option(deltas.agg(
+        org.apache.spark.sql.functions.sum("cnt")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val appended = deltas.count()
+    val total = prop(s"${TokPropPrefix}total-cnt").toLong + deltaTotal
+    val mdl2 =
+      if (appended == 0L) mdl
+      else graft.table.TableOps.append(mdl, deltas)
+    mdl2.newTransaction().setProperties(Map(
+      s"${TokPropPrefix}source-snapshot-id" -> head.toString,
+      s"${TokPropPrefix}total-cnt" -> total.toString)).commit()
+    (new StructType().add("model_table", StringType)
+      .add("pieces_appended", LongType).add("total_cnt", LongType)
+      .add("source_snapshot_id", LongType),
+      Seq(mdlName, appended, total, head))
+  }
+
+  /** `segment_text(ns, model_table, 'free text'[, vocab_size])`:
+    * Viterbi-segment a literal string against a persisted tokenizer
+    * model - the interactive "what would the tokenizer do" probe, and
+    * the SQL face of [[graft.ops.Unigram.segmentWords]]. Returns one
+    * row per distinct word of the input (ordered), with the joined
+    * piece string, exact score, and piece count. */
+  private def segmentText(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val text = input.getUTF8String(2).toString
+    val vocabSize = input.getInt(3)
+    if (vocabSize < 0)
+      throw new IllegalArgumentException("segment_text: vocab_size " +
+        s"must be >= 0, got $vocabSize")
+    def prop(k: String): String = t.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException("segment_text: table has no " +
+        s"'$k' property - not a train_tokenizer model table"))
+    val maxPieceLen = prop(s"${TokPropPrefix}max-piece-len").toInt
+    val total = prop(s"${TokPropPrefix}total-cnt").toLong
+    val ledger = graft.table.Scan(t, spark).toDF
+    val (vocab, qlogT) =
+      graft.ops.Unigram.vocabFromCounts(ledger, vocabSize, total)
+    import spark.implicits._
+    val words = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+    val segs =
+      if (words.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else graft.ops.Unigram.segmentWords(words.toDF("word"), vocab,
+        qlogT, maxPieceLen).orderBy("word").collect()
+    (new StructType().add("word", StringType).add("seg", StringType)
+      .add("score", LongType).add("n_pieces", LongType),
+      segs.toSeq.map(r => Seq(r.getString(0),
+        r.getSeq[String](1).mkString(" "), r.getLong(2), r.getLong(3))))
+  }
+
   /** `build_dedup_index`: persist ONE corpus pass of
     * [[graft.ops.Dedup.signatureFrame]] — (id, exact fingerprint,
     * hashed shingle set, minhash signature) per non-NULL-text row — as
@@ -1450,4 +1705,5 @@ private[sources] object GraftBoundProcedure {
   private val AnnPropPrefix = "graft.ann-index."
   private val TextPropPrefix = "graft.text-index."
   private val PqPropPrefix = "graft.pq-index."
+  private val TokPropPrefix = "graft.tok-model."
 }

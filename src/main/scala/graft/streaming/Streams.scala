@@ -227,6 +227,63 @@ object Streams {
       idCol: String = "doc_id"): TextIndexIngestSink =
     new TextIndexIngestSink(sink, index, textCol, idCol)
 
+  /** Streaming tokenizer-ledger ingestion for `writeStream
+    * .foreachBatch` — the tokenizer twin of [[TextIndexIngestSink]],
+    * backed by a persisted `train_tokenizer` model table: each
+    * micro-batch's documents append to the corpus table and their
+    * piece-count DELTAS to the ledger, the stamped total advancing by
+    * exact long arithmetic. Piece counts are additive over disjoint
+    * document sets, so the streamed ledger equals a full retrain at
+    * EVERY batch boundary (the i47 "chain == rebuild" contract), and
+    * `train_tokenizer(incremental => true)` keeps chaining the same
+    * model after the stream stops. Retried micro-batch ids are
+    * skipped. */
+  final class TokenizerLedgerIngestSink(initialSink: Table,
+      initialModel: Table, textCol: String = "text")
+      extends Serializable {
+    private val maxPieceLen = initialModel.metadata.properties
+      .getOrElse("graft.tok-model.max-piece-len",
+        throw new IllegalArgumentException("TokenizerLedgerIngestSink" +
+          ": table has no max-piece-len property — not a " +
+          "train_tokenizer model table")).toInt
+    @volatile private var sinkRef: Table = initialSink
+    @volatile private var modelRef: Table = initialModel
+    @volatile private var lastBatchId: Long = Long.MinValue
+
+    /** The foreachBatch function. */
+    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      if (batch0.isEmpty) return
+      val batch = batch0.localCheckpoint(true)
+      sinkRef = TableOps.append(sinkRef, batch)
+      val deltas = graft.ops.Unigram.pieceCounts(
+        graft.ops.Bpe.wordCounts(batch, textCol), maxPieceLen)
+        .localCheckpoint(true)
+      val dTotal = Option(deltas.agg(
+          org.apache.spark.sql.functions.sum("cnt")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (dTotal > 0L) modelRef = TableOps.append(modelRef, deltas)
+      // the stamp tracks the sink head even for no-word batches, so a
+      // later procedure chain must not re-deliver those documents
+      val props = modelRef.metadata.properties
+      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+        modelRef = modelRef.newTransaction().setProperties(Map(
+          "graft.tok-model.source-snapshot-id" -> h.toString,
+          "graft.tok-model.total-cnt" ->
+            (props("graft.tok-model.total-cnt").toLong + dTotal)
+              .toString)).commit()
+      }
+    }
+
+    def sink: Table = sinkRef
+    def model: Table = modelRef
+  }
+
+  def tokenizerLedgerIngestSink(sink: Table, model: Table,
+      textCol: String = "text"): TokenizerLedgerIngestSink =
+    new TokenizerLedgerIngestSink(sink, model, textCol)
+
   /** Streaming PQ-index ingestion for `writeStream.foreachBatch` —
     * the codes twin of [[AnnIndexIngestSink]], backed by a persisted
     * `build_pq_index` table: each micro-batch's vectors append to the

@@ -49,6 +49,51 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the corpus must not shuffle before scoring, got ${shuffles(p)}:\n$p")
   }
 
+  test("d44 mixture sample: quotas broadcast, one stratum shuffle " +
+      "+ the output sort") {
+    val p = staticPlan("d44_mixture_sample")
+    assert(broadcasts(p) >= 1,
+      s"the model-sized quota table must broadcast:\n$p")
+    assert(shuffles(p) <= 2,
+      s"mixture take is one stratum window, got ${shuffles(p)}:\n$p")
+  }
+
+  test("d45 budget sample: one stratum shuffle + the output sort") {
+    val p = staticPlan("d45_budget_sample")
+    assert(shuffles(p) <= 2,
+      s"budget cut is one running-sum window, got ${shuffles(p)}:\n$p")
+  }
+
+  test("e20 hybrid RRF: both retrievers keep their broadcast shapes; " +
+      "fusion never joins the corpus") {
+    val p = staticPlan("e20_hybrid_rrf")
+    // bm25's query-idf broadcast + brute-force's query broadcast
+    assert(broadcasts(p) >= 2,
+      s"both query sides must broadcast:\n$p")
+    assert(p.collect { case n if
+      n.nodeName.contains("CartesianProduct") => n }.isEmpty,
+      s"no non-broadcast cartesian anywhere:\n$p")
+  }
+
+  test("d42 trigram LM: dictionaries join as equi-joins — no " +
+      "cartesian, the corpus-stats single row broadcasts") {
+    val p = staticPlan("d42_trigram_backoff")
+    assert(broadcasts(p) >= 1,
+      s"the 1-row total-count aggregate must broadcast:\n$p")
+    assert(p.collect { case n if
+      n.nodeName.contains("CartesianProduct") => n }.isEmpty,
+      s"gram scoring must stay equi-join shaped:\n$p")
+  }
+
+  test("d48 unigram tokenize: dictionary-sized DP, corpus touched by " +
+      "equi-joins only") {
+    val p = staticPlan("d48_unigram_tokenize")
+    assert(p.collect { case n if
+      n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoop") => n }.isEmpty,
+      s"word-pieces deployment must stay equi-join shaped:\n$p")
+  }
+
   test("e15 PQ-ADC ANN: codebook distance tables broadcast with the " +
       "queries, corpus never pre-shuffled") {
     val p = staticPlan("e15_pq_adc_verify")

@@ -962,6 +962,141 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.train_tokenizer persists an additive ledger; " +
+      "chain == rebuild; segment_text matches the library") {
+    withCatalog("tok") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      Seq((1L, "ab ab"), (2L, "abc"), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text").createOrReplaceTempView("tok_base")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM tok_base")
+      val rep = spark.sql(s"CALL $c.system.train_tokenizer(" +
+        s"'db', 'docs', max_piece_len => 2)").collect().head
+      // words: ab x2, abc x1 -> pieces a:3 b:3 c:1 ab:3 bc:1
+      assert(rep.getString(0) == "docs_tok_model" &&
+        rep.getLong(1) == 5L && rep.getLong(2) == 11L, s"report $rep")
+      val props = loadT(dir, "docs_tok_model").metadata.properties
+      assert(props("graft.tok-model.total-cnt") == "11" &&
+        props("graft.tok-model.max-piece-len") == "2", props.toString)
+      // segment_text == the library's segmentation of the same words
+      val viaSql = spark.sql(s"CALL $c.system.segment_text(" +
+        s"'db', 'docs_tok_model', 'Ab abc!', vocab_size => 2)")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3)))
+      val mdl = loadT(dir, "docs_tok_model")
+      val (vocab, qlogT) = graft.ops.Unigram.vocabFromCounts(
+        graft.table.Scan(mdl, spark).toDF, 2, 11L)
+      val viaLib = graft.ops.Unigram.segmentWords(
+          Seq("ab", "abc").toDF("word"), vocab, qlogT, 2)
+        .orderBy("word").collect()
+        .map(r => (r.getString(0), r.getSeq[String](1).mkString(" "),
+          r.getLong(2), r.getLong(3)))
+      assert(viaSql.toSeq == viaLib.toSeq, s"sql $viaSql lib $viaLib")
+      // hand-check: 'abc' ties [ab c] and [a bc] at equal score ->
+      // the lexicographically smaller [a bc] must win
+      assert(viaSql(1)._2 == "a bc", viaSql(1).toString)
+      // incremental chain: word 'b' adds one ledger row, total 11+1
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (4, 'b')")
+      val rep2 = spark.sql(s"CALL $c.system.train_tokenizer(" +
+        s"'db', 'docs', incremental => true)").collect().head
+      assert(rep2.getLong(1) == 1L && rep2.getLong(2) == 12L,
+        s"chain report $rep2")
+      val props2 = loadT(dir, "docs_tok_model").metadata.properties
+      assert(props2("graft.tok-model.total-cnt") == "12" &&
+        props2("graft.tok-model.source-snapshot-id") ==
+          rep2.getLong(3).toString, props2.toString)
+      // no-op re-chain appends nothing
+      val rep3 = spark.sql(s"CALL $c.system.train_tokenizer(" +
+        s"'db', 'docs', incremental => true)").collect().head
+      assert(rep3.getLong(1) == 0L && rep3.getLong(2) == 12L, s"$rep3")
+      // chained ledger (duplicate piece rows, sum-merged at read)
+      // == a from-scratch train over the full corpus
+      val full = spark.sql(s"SELECT doc_id, text FROM $c.db.docs")
+      val (fsVocab, fsQlogT) = graft.ops.Unigram.trainVocab(full,
+        vocabSize = 2, maxPieceLen = 2)
+      val mdl2 = loadT(dir, "docs_tok_model")
+      val (chVocab, chQlogT) = graft.ops.Unigram.vocabFromCounts(
+        graft.table.Scan(mdl2, spark).toDF, 2,
+        props2("graft.tok-model.total-cnt").toLong)
+      assert(chQlogT == fsQlogT)
+      val canon = (df: org.apache.spark.sql.DataFrame) =>
+        df.orderBy("piece").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(canon(chVocab) == canon(fsVocab),
+        "chained model must equal a from-scratch train")
+    }
+  }
+
+  test("train_tokenizer / segment_text error surface") {
+    withCatalog("toke") { (c, _) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (1, 'hello world')")
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      // bad max_piece_len
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_tokenizer('db', 'docs', " +
+          "max_piece_len => 0)").collect() }
+      assert(causes(e1).contains("max_piece_len"), causes(e1))
+      // incremental before any full train
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_tokenizer('db', 'docs', " +
+          "incremental => true)").collect() }
+      assert(causes(e2).contains("does not exist"), causes(e2))
+      spark.sql(s"CALL $c.system.train_tokenizer('db', 'docs')")
+        .collect()
+      // chain with a mismatched text column
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_tokenizer('db', 'docs', " +
+          "text_col => 'other', incremental => true)").collect() }
+      assert(causes(e3).contains("trained on"), causes(e3))
+      // segment_text against a table that is not a tokenizer model
+      val e4 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.segment_text('db', 'docs', 'hello')")
+        .collect() }
+      assert(causes(e4).contains("not a train_tokenizer"), causes(e4))
+      // empty text -> empty result set, no error
+      assert(spark.sql(s"CALL $c.system.segment_text(" +
+        s"'db', 'docs_tok_model', '!!!')").collect().isEmpty)
+    }
+  }
+
+  test("corpus_diff: self-diff is all-unchanged; bad snapshots error") {
+    withCatalog("cdf") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      spark.sql(s"INSERT INTO $c.db.docs VALUES " +
+        "(1, 'alpha'), (2, 'beta'), (3, NULL)")
+      val snap = loadT(dir, "docs").currentSnapshot.get.snapshotId
+      val self = spark.sql(s"CALL $c.system.corpus_diff(" +
+        s"'db', 'docs', ${snap}L)").collect().head
+      // NULL text fingerprints to the sentinel: NULL-vs-NULL unchanged
+      assert((self.getLong(2), self.getLong(3), self.getLong(4),
+        self.getLong(5)) == ((0L, 0L, 0L, 3L)), self.toString)
+      // a NULL -> non-NULL rewrite counts as changed
+      spark.sql(s"UPDATE $c.db.docs SET text = 'now set' " +
+        "WHERE doc_id = 3")
+      val d2 = spark.sql(s"CALL $c.system.corpus_diff(" +
+        s"'db', 'docs', ${snap}L)").collect().head
+      assert((d2.getLong(2), d2.getLong(3), d2.getLong(4),
+        d2.getLong(5)) == ((0L, 0L, 1L, 2L)), d2.toString)
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.corpus_diff('db', 'docs', 12345L)").collect() }
+      assert(causes(e1).contains("from_snapshot"), causes(e1))
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.corpus_diff('db', 'docs', ${snap}L, " +
+          "to_snapshot => 999L)").collect() }
+      assert(causes(e2).contains("to_snapshot"), causes(e2))
+    }
+  }
+
   test("unknown procedure errors with the available list") {
     withCatalog("nop") { (c, _) =>
       val e = intercept[Exception] {

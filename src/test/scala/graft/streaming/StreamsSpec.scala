@@ -294,6 +294,64 @@ class StreamsSpec extends AnyFunSuite {
       pipe.sink.currentSnapshot.get.snapshotId)
   }
 
+  test("TokenizerLedgerIngestSink: additive deltas per micro-batch; " +
+      "streamed ledger equals a full retrain at every boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-toksink-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    val docSchema = Schema(0, Seq(
+      NestedField(1, "doc_id", LongType, required = true),
+      NestedField(2, "text", StringType, required = false)))
+    val mdlSchema = Schema(0, Seq(
+      NestedField(1, "piece", StringType, required = false),
+      NestedField(2, "cnt", LongType, required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "docs"),
+      docSchema, io = io)
+    val mdlT = Table.create(cat, TableIdentifier(Seq("db"), "mdl"),
+      mdlSchema, properties = Map(
+        "graft.tok-model.max-piece-len" -> "2",
+        "graft.tok-model.total-cnt" -> "0"), io = io)
+    val pipe = Streams.tokenizerLedgerIngestSink(sinkT, mdlT)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(df, id))
+      .start()
+    try {
+      input.addData((1L, "ab ab"), (2L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData((3L, "abc"))
+      q.processAllAvailable()
+      // replayed batch id must be a no-op
+      pipe.addBatch(Seq((3L, "abc")).toDF("doc_id", "text"), 1L)
+    } finally q.stop()
+    // ledger sum-merge == a from-scratch train over the drained corpus
+    val corpus = Scan(pipe.sink, spark).toDF
+    val props = pipe.model.metadata.properties
+    // batch1: ab x2 -> a2 b2 ab2 (total 6); batch2: abc -> a b c ab bc
+    assert(props("graft.tok-model.total-cnt") == "11", props.toString)
+    assert(props("graft.tok-model.source-snapshot-id").toLong ==
+      pipe.sink.currentSnapshot.get.snapshotId)
+    val (fsVocab, fsQ) = graft.ops.Unigram.trainVocab(corpus,
+      vocabSize = 3, maxPieceLen = 2)
+    val (stVocab, stQ) = graft.ops.Unigram.vocabFromCounts(
+      Scan(pipe.model, spark).toDF, 3,
+      props("graft.tok-model.total-cnt").toLong)
+    assert(stQ == fsQ)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("piece").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(canon(stVocab) == canon(fsVocab),
+      "streamed ledger must equal a from-scratch train")
+    // the ledger holds per-batch delta rows (not merged on disk)
+    val ledgerRows = Scan(pipe.model, spark).toDF.count()
+    assert(ledgerRows == 8L, s"3 + 5 delta rows, got $ledgerRows")
+  }
+
   test("table tailer drains appended snapshots incrementally, resumes from checkpoint") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tail-").toString
