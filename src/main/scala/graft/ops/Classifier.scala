@@ -40,30 +40,65 @@ object Classifier {
   private def toks(text: Column): Column =
     split(TextAnalysis.normalized(text), " ")
 
-  /** Fit a model from labeled samples: per-bucket weight
-    * `SCALE·(p+1) div (p+n+2) − SCALE/2` where p / n are the bucket's
-    * occurrence counts in the positive / negative sample. Buckets seen
-    * in neither sample are absent (weight 0 at scoring time). Both
-    * count tables collapse map-side to ≤ 65 536 rows, so the fit cost
-    * is two sample scans however large the samples are. */
-  def fit(pos: DataFrame, neg: DataFrame,
-      textCol: String = "text"): DataFrame = {
-    def counts(df: DataFrame, name: String): DataFrame =
-      df.select(explode(toks(col(textCol))).as("__t"))
-        .where(col("__t") =!= "")
-        .select(featureBucket(col("__t")).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as(name))
+  /** The classifier's COUNT LEDGER — one row per feature bucket with
+    * its occurrence counts in the positive / negative sample,
+    * `(bucket, p_cnt, n_cnt)`. This is the persistable form of the
+    * model: raw counts, not the derived weights, so the ledger is
+    * ADDITIVE over disjoint document sets — which is what lets
+    * `CALL train_classifier(incremental => true)` chain count deltas
+    * and still equal a full refit bit-for-bit after
+    * [[weightsFromCounts]]'s sum-merge. Labels come from `labelPred`
+    * under SQL three-valued logic: rows where the predicate is true
+    * are positive, false are negative, NULL contribute to neither
+    * (exactly the `lang === "en"` / `lang =!= "en"` split d34
+    * gates). Both count streams collapse map-side to ≤ 65 536 rows,
+    * so the cost is one corpus scan however large the samples. */
+  def labelCounts(df: DataFrame, labelPred: Column,
+      textCol: String = "text"): DataFrame =
+    df.select(labelPred.as("__lbl"),
+        explode(toks(col(textCol))).as("__t"))
+      .where(col("__t") =!= "" && col("__lbl").isNotNull)
+      .select(col("__lbl"), featureBucket(col("__t")).as("bucket"))
+      .groupBy("bucket").agg(
+        sum(when(col("__lbl"), 1L).otherwise(0L)).as("p_cnt"),
+        sum(when(col("__lbl"), 0L).otherwise(1L)).as("n_cnt"))
+
+  /** Derive the `(bucket, weight_scaled)` scoring model from a
+    * [[labelCounts]] ledger — the read half of the persisted
+    * classifier. The ledger may hold DUPLICATE bucket rows (a full
+    * train plus chained `incremental` deltas), so it is sum-merged
+    * per bucket first; counts being additive, the merged ledger IS
+    * the full-refit ledger and the weights are bit-identical to
+    * [[fit]] over the union corpus. Weight: `SCALE·(p+1) div
+    * (p+n+2) − SCALE/2` — positive iff the bucket is more frequent
+    * in the positive sample, add-one smoothed, no transcendental. */
+  def weightsFromCounts(ledger: DataFrame): DataFrame =
     // the SCALE·(p+1) product runs through decimal(38,0): with 65 536
     // buckets a hot-token bucket can exceed Long.Max/SCALE ≈ 9.2e9
     // occurrences at corpus scale, and the Long product would throw
     // under ANSI (or wrap). div on decimals still yields the exact
     // integral quotient as a long.
-    counts(pos, "__p").join(counts(neg, "__n"), Seq("bucket"), "full")
+    ledger.groupBy("bucket").agg(
+        sum(col("p_cnt")).as("__p"), sum(col("n_cnt")).as("__n"))
       .select(col("bucket"), expr(
-        s"cast($Scale as decimal(38,0)) * (coalesce(__p, 0L) + 1L) div " +
-          s"(coalesce(__p, 0L) + coalesce(__n, 0L) + 2L) - ${Scale / 2}")
+        s"cast($Scale as decimal(38,0)) * (__p + 1L) div " +
+          s"(__p + __n + 2L) - ${Scale / 2}")
         .as("weight_scaled"))
-  }
+
+  /** Fit a model from labeled samples: per-bucket weight
+    * `SCALE·(p+1) div (p+n+2) − SCALE/2` where p / n are the bucket's
+    * occurrence counts in the positive / negative sample. Buckets seen
+    * in neither sample are absent (weight 0 at scoring time).
+    * Delegates to [[labelCounts]] + [[weightsFromCounts]] — one
+    * definition shared with the persisted `CALL train_classifier`
+    * model, so the d34 oracle gates both paths. */
+  def fit(pos: DataFrame, neg: DataFrame,
+      textCol: String = "text"): DataFrame =
+    weightsFromCounts(labelCounts(
+      pos.select(col(textCol)).withColumn("__is_pos", lit(true))
+        .unionByName(neg.select(col(textCol))
+          .withColumn("__is_pos", lit(false))),
+      col("__is_pos"), textCol))
 
   /** Score documents against a `(bucket, weight_scaled)` model:
     * `(idCol, n_feats, margin_scaled, mean_margin, accept)`.

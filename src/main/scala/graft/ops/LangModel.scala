@@ -92,6 +92,128 @@ object LangModel {
     * be monotone, not precise to nine digits). */
   val ProbScale = 1000000000L
 
+  /** Occurrence stream of the `n`-grams of a pre-tokenized frame:
+    * keeps `keep`, adds one row per gram with word columns `names`
+    * (token array bound to attribute `tk` first — the HOF
+    * re-evaluation trap, see Retrieval.postings). */
+  private def gramOcc(src: DataFrame, tk: String, n: Int,
+      names: Seq[String], keep: Seq[Column]): DataFrame = {
+    val arr = when(size(col(tk)) < n, array().cast(
+        "array<array<string>>"))
+      .otherwise(transform(sequence(lit(0), size(col(tk)) - n),
+        i => transform(sequence(lit(0), lit(n - 1)),
+          j => element_at(col(tk), i + j + 1))))
+    val g = src.select(keep :+ explode(arr).as("__g"): _*)
+    names.zipWithIndex.foldLeft(g) { case (d, (nm, ix)) =>
+      d.withColumn(nm, col("__g").getItem(ix))
+    }.drop("__g")
+  }
+
+  /** The trigram model's COUNT LEDGER — one row per distinct training
+    * gram, `(n, w1, w2, w3, cnt)` with `n` ∈ {3, 2, 1} the gram order
+    * (`w2`/`w3` NULL below their order). This is the persistable form
+    * of the model: raw counts, not quotients, so the ledger is
+    * ADDITIVE over disjoint document sets — the gram counts of corpus
+    * A ⊎ B are the per-key sums of A's and B's ledgers, which is what
+    * lets `CALL train_lm(incremental => true)` chain count deltas and
+    * still equal a full retrain bit-for-bit after
+    * [[scoreWithCounts]]'s sum-merge. The total token count (the
+    * unigram denominator) is derivable as Σ cnt over the n = 1 rows —
+    * no separate state. One training scan per gram order, each
+    * collapsing map-side to vocabulary-sized output. */
+  def gramCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = Names.fresh(df.columns)(i => s"__graft_tk$i")
+    val src = df.select(toks(col(textCol)).as(tk))
+    val nullS = lit(null).cast("string")
+    val tri = gramOcc(src, tk, 3, Seq("w1", "w2", "w3"), Nil)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
+      .select(lit(3).as("n"), col("w1"), col("w2"), col("w3"),
+        col("cnt"))
+    val bg = gramOcc(src, tk, 2, Seq("w1", "w2"), Nil)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+      .select(lit(2).as("n"), col("w1"), col("w2"), nullS.as("w3"),
+        col("cnt"))
+    val ug = src.select(explode(col(tk)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cnt"))
+      .select(lit(1).as("n"), col("w1"), nullS.as("w2"),
+        nullS.as("w3"), col("cnt"))
+    tri.unionByName(bg).unionByName(ug)
+  }
+
+  /** Score every document of `df` against a [[gramCounts]] ledger —
+    * the read half of the persisted LM: the ledger may hold DUPLICATE
+    * gram rows (a full train plus chained `incremental` deltas), so
+    * it is sum-merged per key first; counts being additive, the
+    * merged ledger IS the full-retrain ledger and the scores are
+    * bit-identical to [[trigramBackoff]] over the union corpus. The
+    * unigram total (the backoff floor's denominator) is derived from
+    * the merged n = 1 slice — exact, no stamped state needed. Output
+    * schema and semantics are exactly [[trigramBackoff]]'s (which
+    * delegates here). */
+  def scoreWithCounts(df: DataFrame, ledger: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val P = ProbScale
+    val merged = ledger.groupBy("n", "w1", "w2", "w3")
+      .agg(sum(col("cnt")).as("cnt"))
+    val triC = merged.where(col("n") === 3)
+      .select(col("w1"), col("w2"), col("w3"), col("cnt").as("n3"))
+    val bgC = merged.where(col("n") === 2)
+      .select(col("w1"), col("w2"), col("cnt").as("n2"))
+    val ugC = merged.where(col("n") === 1)
+      .select(col("w1").as("w"), col("cnt").as("n1"))
+    val tot = ugC.agg(coalesce(sum(col("n1")), lit(0L)).as("t"))
+
+    // dictionaries with scores pre-divided (vocabulary-sized joins)
+    // numerator constants pre-multiplied as LONG literals — `2·P`
+    // and `4·P` exceed Int.MaxValue, and an inline `2 * 1000000000`
+    // would constant-fold in 32-bit on either engine
+    val triDict = triC.join(bgC, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        expr(s"(${P}L * n3) div n2").as("p1"))
+    val bgDict = bgC.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("n2").as("n2b"))
+      .join(ugC.select(col("w").as("w2"), col("n1").as("n1ctx")), "w2")
+      .select(col("w2"), col("w3"),
+        expr(s"(${2 * P}L * n2b) div (5 * n1ctx)").as("p2"))
+    val ugDict = ugC.select(col("w").as("w3"), col("n1"))
+      .join(broadcast(tot))
+      .select(col("w3"), expr(s"(${4 * P}L * n1) div (25 * t)").as("p3"))
+
+    val tk = Names.fresh(df.columns)(i => s"__graft_tk$i")
+    val toksOf = df.select(col(idCol), toks(col(textCol)).as(tk))
+    val occ = gramOcc(toksOf, tk, 3, Seq("w1", "w2", "w3"),
+      Seq(col(idCol)))
+    val scored = occ
+      .join(triDict, Seq("w1", "w2", "w3"), "left")
+      .join(bgDict, Seq("w2", "w3"), "left")
+      .join(ugDict, Seq("w3"), "left")
+      .select(col(idCol),
+        when(col("p1").isNotNull, 3)
+          .when(col("p2").isNotNull, 2)
+          .when(col("p3").isNotNull, 1)
+          .otherwise(0).as("lvl"),
+        coalesce(col("p1"), col("p2"), col("p3"), lit(0L)).as("p"))
+    val perDoc = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_trigrams"),
+      sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
+      sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bg_backoff"),
+      sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_ug_backoff"),
+      sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
+      sum(col("p")).as("prob_scaled"))
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_tri_hit"), lit(0L)).as("n_tri_hit"),
+        coalesce(col("n_bg_backoff"), lit(0L)).as("n_bg_backoff"),
+        coalesce(col("n_ug_backoff"), lit(0L)).as("n_ug_backoff"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("prob_scaled"), lit(0L)).as("prob_scaled"),
+        when(col("n_trigrams").isNull, lit(0.0))
+          .otherwise(round(
+            col("prob_scaled").cast("double") / col("n_trigrams")
+              / P.toDouble, 6)).as("mean_prob"))
+  }
+
   /** Trigram language model with STUPID BACKOFF (Brants et al. 2007),
     * the web-scale scoring KenLM-style quality filters build on —
     * trained on the `trainPred` half of the corpus, scored on every
@@ -125,85 +247,15 @@ object LangModel {
     * dictionaries — Zipf skew on ultra-common grams is exactly the
     * shape AQE skew-join splitting redistributes — followed by one
     * per-doc map-side-combined reduce. The corpus is scanned once for
-    * training and once for scoring. */
+    * training and once for scoring.
+    *
+    * Delegates to [[gramCounts]] (train) + [[scoreWithCounts]]
+    * (score) -- one definition shared with the persisted
+    * `CALL train_lm` model, so the d42/d43 oracles gate both paths. */
   def trigramBackoff(df: DataFrame, trainPred: Column,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val P = ProbScale
-    val tk = Names.fresh(df.columns)(i => s"__graft_tk$i")
-    val toksOf = df.select(col(idCol), toks(col(textCol)).as(tk),
-      trainPred.as("__is_train"))
-
-    // gram occurrence streams (token array bound to an attribute first
-    // — the HOF re-evaluation trap, see Retrieval.postings)
-    def grams(src: DataFrame, n: Int, names: Seq[String]): DataFrame = {
-      val arr = when(size(col(tk)) < n, array().cast(
-          "array<array<string>>"))
-        .otherwise(transform(sequence(lit(0), size(col(tk)) - n),
-          i => transform(sequence(lit(0), lit(n - 1)),
-            j => element_at(col(tk), i + j + 1))))
-      val g = src.select(col(idCol), explode(arr).as("__g"))
-      names.zipWithIndex.foldLeft(g) { case (d, (nm, ix)) =>
-        d.withColumn(nm, col("__g").getItem(ix))
-      }.drop("__g")
-    }
-
-    val train = toksOf.where(col("__is_train"))
-    val triC = grams(train, 3, Seq("w1", "w2", "w3"))
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("n3"))
-    val bgC = grams(train, 2, Seq("w1", "w2"))
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
-    val ugC = train.select(explode(col(tk)).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n1"))
-    val tot = train.select(explode(col(tk)).as("w"))
-      .agg(count(lit(1)).as("t"))
-
-    // dictionaries with scores pre-divided (vocabulary-sized joins)
-    // numerator constants pre-multiplied as LONG literals — `2·P`
-    // and `4·P` exceed Int.MaxValue, and an inline `2 * 1000000000`
-    // would constant-fold in 32-bit on either engine
-    val triDict = triC.join(bgC, Seq("w1", "w2"))
-      .select(col("w1"), col("w2"), col("w3"),
-        expr(s"(${P}L * n3) div n2").as("p1"))
-    val bgDict = bgC.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("n2").as("n2b"))
-      .join(ugC.select(col("w").as("w2"), col("n1").as("n1ctx")), "w2")
-      .select(col("w2"), col("w3"),
-        expr(s"(${2 * P}L * n2b) div (5 * n1ctx)").as("p2"))
-    val ugDict = ugC.select(col("w").as("w3"), col("n1"))
-      .join(broadcast(tot))
-      .select(col("w3"), expr(s"(${4 * P}L * n1) div (25 * t)").as("p3"))
-
-    val occ = grams(toksOf, 3, Seq("w1", "w2", "w3"))
-    val scored = occ
-      .join(triDict, Seq("w1", "w2", "w3"), "left")
-      .join(bgDict, Seq("w2", "w3"), "left")
-      .join(ugDict, Seq("w3"), "left")
-      .select(col(idCol),
-        when(col("p1").isNotNull, 3)
-          .when(col("p2").isNotNull, 2)
-          .when(col("p3").isNotNull, 1)
-          .otherwise(0).as("lvl"),
-        coalesce(col("p1"), col("p2"), col("p3"), lit(0L)).as("p"))
-    val perDoc = scored.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_trigrams"),
-      sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri_hit"),
-      sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bg_backoff"),
-      sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_ug_backoff"),
-      sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
-      sum(col("p")).as("prob_scaled"))
-    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-        coalesce(col("n_tri_hit"), lit(0L)).as("n_tri_hit"),
-        coalesce(col("n_bg_backoff"), lit(0L)).as("n_bg_backoff"),
-        coalesce(col("n_ug_backoff"), lit(0L)).as("n_ug_backoff"),
-        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
-        coalesce(col("prob_scaled"), lit(0L)).as("prob_scaled"),
-        when(col("n_trigrams").isNull, lit(0.0))
-          .otherwise(round(
-            col("prob_scaled").cast("double") / col("n_trigrams")
-              / P.toDouble, 6)).as("mean_prob"))
-  }
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    scoreWithCounts(df, gramCounts(df.where(trainPred), textCol),
+      textCol, idCol)
 
   /** Fixed-threshold LM quality filter — the CCNet deployment shape:
     * a document is kept when its mean backoff score clears a FIXED

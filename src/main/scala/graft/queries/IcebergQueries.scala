@@ -2098,6 +2098,247 @@ object IcebergQueries {
       .select("added", "removed", "changed", "unchanged")
   }
 
+  /** `CALL train_lm` full build: the persisted gram-count ledger must
+    * yield — through the sum-merging read path [[graft.ops.LangModel
+    * .scoreWithCounts]] — exactly the scores [[graft.ops.LangModel
+    * .trigramBackoff]] computes from scratch, so the d42 oracle gates
+    * the whole SQL surface: CREATE + INSERT (the even-doc_id train
+    * half) + CALL + ledger read-back + held-out scoring of the full
+    * corpus. */
+  def i50LmTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g50" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf50" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g50d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      "WHERE doc_id % 2 = 0")
+    val rep = s.sql(s"CALL $c.system.train_lm('$ns', 'docs')")
+      .collect().head
+    require(rep.getString(0) == "docs_lm_model" && rep.getLong(1) > 0 &&
+      rep.getLong(2) > 0, s"train report: $rep")
+    lmScoreFromModel(s, c, ns, docs)
+  }
+
+  val i50Sql: String = OpsQueries.d42Sql
+
+  /** Score the full corpus from the persisted `train_lm` ledger —
+    * shared by i50/i51 so both hash against d42's from-scratch
+    * oracle. */
+  private def lmScoreFromModel(s: SparkSession, c: String, ns: String,
+      docs: DataFrame): DataFrame = {
+    val mdl = loadByIdentifier(s, c, ns, "docs_lm_model")
+    val ledger = graft.table.Scan(mdl, s).toDF
+    graft.ops.LangModel.scoreWithCounts(docs, ledger).orderBy("doc_id")
+  }
+
+  /** `train_lm(incremental => true)`: full train on a QUARTER of the
+    * corpus (doc_id % 4 = 0), append the rest of the even half,
+    * chain. Gram counts are additive over disjoint doc sets, so the
+    * chained ledger (now holding duplicate gram rows that the read
+    * path sum-merges) must equal a from-scratch train on the whole
+    * even half bit-for-bit — the "chain == rebuild" contract.
+    * Stamped-total-equals-full-recount and the idempotent no-op
+    * re-chain are asserted in-query. */
+  def i51LmChained(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g51" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf51" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g51d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      "WHERE doc_id % 4 = 0")
+    s.sql(s"CALL $c.system.train_lm('$ns', 'docs')").collect()
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      "WHERE doc_id % 2 = 0 AND doc_id % 4 <> 0")
+    val rep = s.sql(s"CALL $c.system.train_lm('$ns', 'docs', " +
+      "incremental => true)").collect().head
+    require(rep.getLong(1) > 0, s"chain must append deltas: $rep")
+    // stamped total must equal a from-scratch recount of the corpus
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val fullTotal = graft.ops.LangModel.gramCounts(evens)
+      .where(col("n") === 1).agg(sum(col("cnt"))).head.getLong(0)
+    require(rep.getLong(2) == fullTotal,
+      s"chained total ${rep.getLong(2)} != full recount $fullTotal")
+    val rep2 = s.sql(s"CALL $c.system.train_lm('$ns', 'docs', " +
+      "incremental => true)").collect().head
+    require(rep2.getLong(1) == 0L, s"no-op chain must append 0: $rep2")
+    lmScoreFromModel(s, c, ns, docs)
+  }
+
+  val i51Sql: String = OpsQueries.d42Sql
+
+  /** The CCNet deployment loop from the PERSISTED model: train through
+    * SQL on the even half, score the full corpus from the ledger,
+    * apply the fixed 1/20 rational cutoff, and roll the verdicts up
+    * per language — must match d43's from-scratch filter funnel,
+    * gating threshold arithmetic through the persistence round
+    * trip. */
+  def i52LmFilterIndexed(s: SparkSession, dir: String): DataFrame = {
+    val docsFull = s.read.parquet(s"$dir/documents.parquet")
+    val docs = docsFull.select("doc_id", "text")
+    val c = "g52" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf52" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g52d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      "WHERE doc_id % 2 = 0")
+    s.sql(s"CALL $c.system.train_lm('$ns', 'docs')").collect()
+    val scored = lmScoreFromModel(s, c, ns, docs)
+    val P = graft.ops.LangModel.ProbScale
+    docsFull.select("doc_id", "lang").join(scored, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_trigrams") > 0 &&
+            col("prob_scaled") * 20L >= col("n_trigrams") * P,
+          1L).otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val i52Sql: String = OpsQueries.d43Sql
+
+  /** `CALL train_classifier` full build: the persisted bucket-count
+    * ledger must yield — through the sum-merging read path
+    * [[graft.ops.Classifier.weightsFromCounts]] — exactly the model
+    * [[graft.ops.Classifier.fit]] learns from scratch, so the d34
+    * oracle gates the whole SQL surface: CREATE + INSERT + CALL with
+    * a `label_pred` SQL expression (en vs non-en) + ledger read-back
+    * + broadcast-join scoring of the full corpus. */
+  def i53ClassifierTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val c = "g53" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf53" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs " +
+      "(doc_id BIGINT, lang STRING, text STRING)")
+    val tmp = "g53d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    val rep = s.sql(s"CALL $c.system.train_classifier('$ns', 'docs', " +
+      "'lang = ''en''')").collect().head
+    require(rep.getString(0) == "docs_clf_model" && rep.getLong(1) > 0 &&
+      rep.getLong(2) > 0 && rep.getLong(3) > 0, s"train report: $rep")
+    classifierScoreFromModel(s, c, ns, docs)
+  }
+
+  val i53Sql: String = OpsQueries.d34Sql
+
+  /** Score the full corpus from the persisted `train_classifier`
+    * ledger — shared by i53/i54 so both hash against d34's
+    * from-scratch oracle. */
+  private def classifierScoreFromModel(s: SparkSession, c: String,
+      ns: String, docs: DataFrame): DataFrame = {
+    val mdl = loadByIdentifier(s, c, ns, "docs_clf_model")
+    val ledger = graft.table.Scan(mdl, s).toDF
+    val model = graft.ops.Classifier.weightsFromCounts(ledger)
+    graft.ops.Classifier.linearScore(docs, model).orderBy("doc_id")
+  }
+
+  /** `train_classifier(incremental => true)`: full train on HALF the
+    * corpus, append the rest, chain with the STAMPED label predicate.
+    * Bucket counts are additive over disjoint doc sets, so the
+    * chained ledger (duplicate bucket rows, sum-merged at read) must
+    * equal a from-scratch fit bit-for-bit. Stamped-totals-equal-
+    * full-recount and the idempotent no-op re-chain are asserted
+    * in-query. */
+  def i54ClassifierChained(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val mid = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val c = "g54" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf54" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs " +
+      "(doc_id BIGINT, lang STRING, text STRING)")
+    val tmp = "g54d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      s"WHERE doc_id <= $mid")
+    s.sql(s"CALL $c.system.train_classifier('$ns', 'docs', " +
+      "'lang = ''en''')").collect()
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      s"WHERE doc_id > $mid")
+    val rep = s.sql(s"CALL $c.system.train_classifier('$ns', 'docs', " +
+      "'lang = ''en''', incremental => true)").collect().head
+    require(rep.getLong(1) > 0, s"chain must append deltas: $rep")
+    // stamped totals must equal a from-scratch recount of the corpus
+    val full = graft.ops.Classifier.labelCounts(docs,
+      col("lang") === "en")
+    val tot = full.agg(sum(col("p_cnt")), sum(col("n_cnt"))).head
+    require(rep.getLong(2) == tot.getLong(0) &&
+      rep.getLong(3) == tot.getLong(1),
+      s"chained totals $rep != full recount $tot")
+    val rep2 = s.sql(s"CALL $c.system.train_classifier('$ns', 'docs', " +
+      "'lang = ''en''', incremental => true)").collect().head
+    require(rep2.getLong(1) == 0L, s"no-op chain must append 0: $rep2")
+    classifierScoreFromModel(s, c, ns, docs)
+  }
+
+  val i54Sql: String = OpsQueries.d34Sql
+
+  /** `CALL corpus_stats` — the one-CALL corpus audit: row count, NULL
+    * texts, exact char/token totals under the shared normalization,
+    * and the distinct-token vocabulary size, each replaying verbatim
+    * in DuckDB. */
+  def i55CorpusStats(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g55" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf55" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g55d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    s.sql(s"CALL $c.system.corpus_stats('$ns', 'docs')")
+      .select("n_docs", "null_texts", "total_chars", "total_tokens",
+        "distinct_tokens")
+  }
+
+  val i55Sql: String =
+    raw"""WITH toks AS (
+      |  SELECT text,
+      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+      |      'g'))), ' ') AS tk
+      |  FROM documents
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS null_texts,
+      |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars,
+      |  CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL THEN len(tk)
+      |    ELSE 0 END), 0) AS BIGINT) AS total_tokens,
+      |  (SELECT CAST(COUNT(DISTINCT w) AS BIGINT)
+      |   FROM (SELECT unnest(tk) AS w FROM toks) u) AS distinct_tokens
+      |FROM toks""".stripMargin
+
   val i49Sql: String =
     """SELECT
       |  CAST(SUM(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END)
@@ -2971,6 +3212,12 @@ object IcebergQueries {
     "i47_tokenizer_chained" -> (i47TokenizerChained _),
     "i48_tokenizer_apply" -> (i48TokenizerApply _),
     "i49_corpus_diff" -> (i49CorpusDiff _),
+    "i50_lm_train" -> (i50LmTrain _),
+    "i51_lm_chained" -> (i51LmChained _),
+    "i52_lm_filter_indexed" -> (i52LmFilterIndexed _),
+    "i53_classifier_train" -> (i53ClassifierTrain _),
+    "i54_classifier_chained" -> (i54ClassifierChained _),
+    "i55_corpus_stats" -> (i55CorpusStats _),
     "i39_text_index_chained" -> (i39TextIndexChained _),
     "i40_stream_ann_ingest" -> (i40StreamAnnIngest _),
     "i41_stream_text_ingest" -> (i41StreamTextIngest _),
@@ -3044,6 +3291,12 @@ object IcebergQueries {
     "i47_tokenizer_chained" -> i47Sql,
     "i48_tokenizer_apply" -> i48Sql,
     "i49_corpus_diff" -> i49Sql,
+    "i50_lm_train" -> i50Sql,
+    "i51_lm_chained" -> i51Sql,
+    "i52_lm_filter_indexed" -> i52Sql,
+    "i53_classifier_train" -> i53Sql,
+    "i54_classifier_chained" -> i54Sql,
+    "i55_corpus_stats" -> i55Sql,
     "i39_text_index_chained" -> i39Sql,
     "i40_stream_ann_ingest" -> i40Sql,
     "i41_stream_text_ingest" -> i41Sql,

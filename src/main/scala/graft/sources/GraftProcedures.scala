@@ -40,7 +40,9 @@ private[sources] object GraftProcedures {
     "rewrite_position_deletes", "rewrite_equality_deletes",
     "build_dedup_index", "build_ann_index", "build_text_index",
     "build_pq_index", "text_search", "ann_search", "pq_search",
-    "train_tokenizer", "segment_text", "corpus_diff")
+    "train_tokenizer", "segment_text", "corpus_diff",
+    "train_lm", "score_text", "train_classifier", "classify_text",
+    "corpus_stats")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -243,6 +245,44 @@ private[sources] class GraftBoundProcedure(
       // the vocabulary size is a READ-time parameter: the persisted
       // ledger is vocab-size-agnostic
       pDefault("vocab_size", IntegerType, "64"))
+    case "train_lm" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("text_col", StringType, "'text'"),
+      // '' -> "<table>_lm_model" in the same namespace
+      pDefault("model_table", StringType, "''"),
+      // -1 -> the current snapshot; else train AS OF this id
+      pDefault("snapshot_id", LongType, "-1"),
+      // true -> chain: gram-count DELTAS of rows appended since the
+      // recorded snapshot append into the ledger -- counts are
+      // additive over disjoint doc sets, so the chained model IS the
+      // full-rebuild model after the read path's sum-merge
+      pDefault("incremental", BooleanType, "false"))
+    case "score_text" => Array(
+      p("ns", StringType), p("model_table", StringType),
+      p("text", StringType))
+    case "train_classifier" => Array(
+      p("ns", StringType), p("table", StringType),
+      // SQL boolean expression over the table's columns: true rows
+      // are the positive sample, false negative, NULL neither (3VL)
+      p("label_pred", StringType),
+      pDefault("text_col", StringType, "'text'"),
+      // '' -> "<table>_clf_model" in the same namespace
+      pDefault("model_table", StringType, "''"),
+      // -1 -> the current snapshot; else train AS OF this id
+      pDefault("snapshot_id", LongType, "-1"),
+      // true -> chain: bucket-count DELTAS of rows appended since the
+      // recorded snapshot append into the ledger -- counts are
+      // additive over disjoint doc sets, so the chained model IS the
+      // full-refit model after the read path's sum-merge
+      pDefault("incremental", BooleanType, "false"))
+    case "classify_text" => Array(
+      p("ns", StringType), p("model_table", StringType),
+      p("text", StringType))
+    case "corpus_stats" => Array(
+      p("ns", StringType), p("table", StringType),
+      pDefault("text_col", StringType, "'text'"),
+      // -1 -> the current snapshot; else audit the table AS OF this id
+      pDefault("snapshot_id", LongType, "-1"))
     case "text_search" => Array(
       p("ns", StringType), p("index_table", StringType),
       p("query", StringType),
@@ -284,6 +324,8 @@ private[sources] class GraftBoundProcedure(
         case "ann_search" => annSearch(t, spark, input)
         case "pq_search" => pqSearch(t, spark, input)
         case "segment_text" => segmentText(t, spark, input)
+        case "score_text" => scoreText(t, spark, input)
+        case "classify_text" => classifyText(t, spark, input)
         case _ => singleRowCall(t, spark, ns, tbl, input)
       }
     val result: V2Scan = new LocalScan {
@@ -685,6 +727,28 @@ private[sources] class GraftBoundProcedure(
           appendToTokenizer(t, spark, ns, tbl, textCol, mdlName, snapRaw)
         else trainTokenizer(t, spark, ns, tbl, textCol, maxPieceLen,
           mdlName, snapRaw)
+      case "train_lm" =>
+        val textCol = input.getUTF8String(2).toString
+        val mdlRaw = input.getUTF8String(3).toString
+        val mdlName = if (mdlRaw.isEmpty) s"${tbl}_lm_model" else mdlRaw
+        val snapRaw = input.getLong(4)
+        if (input.getBoolean(5))
+          appendToLm(t, spark, ns, tbl, textCol, mdlName, snapRaw)
+        else trainLm(t, spark, ns, tbl, textCol, mdlName, snapRaw)
+      case "train_classifier" =>
+        val labelPred = input.getUTF8String(2).toString
+        val textCol = input.getUTF8String(3).toString
+        val mdlRaw = input.getUTF8String(4).toString
+        val mdlName = if (mdlRaw.isEmpty) s"${tbl}_clf_model" else mdlRaw
+        val snapRaw = input.getLong(5)
+        if (input.getBoolean(6))
+          appendToClassifier(t, spark, ns, tbl, labelPred, textCol,
+            mdlName, snapRaw)
+        else trainClassifier(t, spark, ns, tbl, labelPred, textCol,
+          mdlName, snapRaw)
+      case "corpus_stats" =>
+        corpusStats(t, spark, ns, tbl,
+          input.getUTF8String(2).toString, input.getLong(3))
     }
     (schema, Seq(row))
   }
@@ -740,7 +804,8 @@ private[sources] class GraftBoundProcedure(
 
   import GraftBoundProcedure.{IdxPropSourceTable, IdxPropSourceSnapshot,
     IdxPropTextCol, IdxPropIdCol, IdxPropNumHashes, AnnPropPrefix,
-    TextPropPrefix, PqPropPrefix, TokPropPrefix}
+    TextPropPrefix, PqPropPrefix, TokPropPrefix, LmPropPrefix,
+    ClfPropPrefix}
 
   /** `build_ann_index`: fit IVF centroids (bounded deterministic
     * sample) and persist the inverted file AS AN ICEBERG TABLE —
@@ -1391,6 +1456,49 @@ private[sources] class GraftBoundProcedure(
       Seq(fromSnap, toSnap, g(0), g(1), g(2), g(3)))
   }
 
+  /** `corpus_stats(ns, table[, text_col, snapshot_id])`: one-CALL
+    * corpus audit — row count, NULL texts, exact character and
+    * whitespace-token totals (the [[graft.ops.TextAnalysis
+    * .normalized]] tokenization every text operator here shares), and
+    * the distinct-token vocabulary size. Two scans: one single-row
+    * aggregate for the additive counters, one explode +
+    * count-distinct for the vocabulary (the only non-additive
+    * statistic). Snapshot-addressable, so `snapshot_id =>` audits any
+    * historical state — the before/after readout for every curation
+    * step. */
+  private def corpusStats(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      textCol: String, snapRaw: Long): (StructType, Seq[Any]) = {
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"corpus_stats: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"corpus_stats: snapshot_id $snapRaw not found")
+      else snapRaw
+    val df = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    import org.apache.spark.sql.functions._
+    val tk = split(graft.ops.TextAnalysis.normalized(col(textCol)), " ")
+    val r = df.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(when(col(textCol).isNull, 1L).otherwise(0L)),
+        lit(0L)).as("null_texts"),
+      coalesce(sum(length(col(textCol)).cast("long")), lit(0L))
+        .as("total_chars"),
+      coalesce(sum(when(col(textCol).isNotNull, size(tk).cast("long"))
+        .otherwise(0L)), lit(0L)).as("total_tokens")).head
+    val distinctToks = df.where(col(textCol).isNotNull)
+      .select(explode(tk).as("__tok"))
+      .agg(count_distinct(col("__tok"))).head.getLong(0)
+    (new StructType().add("snapshot_id", LongType)
+      .add("n_docs", LongType).add("null_texts", LongType)
+      .add("total_chars", LongType).add("total_tokens", LongType)
+      .add("distinct_tokens", LongType),
+      Seq(snapId, r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), distinctToks))
+  }
+
   /** `train_tokenizer`: ONE corpus pass (word counts) + a
     * dictionary-sized substring aggregation, persisted as an ADDITIVE
     * piece-count LEDGER table `(piece, cnt)` with the source snapshot,
@@ -1517,6 +1625,311 @@ private[sources] class GraftBoundProcedure(
       .add("pieces_appended", LongType).add("total_cnt", LongType)
       .add("source_snapshot_id", LongType),
       Seq(mdlName, appended, total, head))
+  }
+
+  /** `train_lm(ns, table)`: persist the trigram stupid-backoff LM's
+    * COUNT LEDGER ([[graft.ops.LangModel.gramCounts]] — one row per
+    * distinct training gram, `(n, w1, w2, w3, cnt)`) as a graft table
+    * with the source snapshot, text column, and exact token total
+    * stamped as properties. Counts — not quotients — are what
+    * persists: they are ADDITIVE over disjoint document sets, so
+    * `incremental => true` chains new docs' count deltas and the
+    * read path's sum-merge ([[graft.ops.LangModel.scoreWithCounts]])
+    * equals a full retrain bit-for-bit. Rebuilding an existing model
+    * is one overwrite snapshot. */
+  private def trainLm(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      textCol: String, mdlName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"train_lm: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"train_lm: snapshot_id $snapRaw not found")
+      else snapRaw
+    val df = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    // the ledger is vocabulary-sized: eager-materialize so the total,
+    // the row count, and the write don't each re-run the corpus pass
+    val lg = graft.ops.LangModel.gramCounts(df, textCol)
+      .localCheckpoint(true)
+    val total = unigramTotal(lg)
+    val gSchema = graft.spec.SchemaConverters.fromSparkSchema(lg.schema)
+    val props = Map(
+      s"${LmPropPrefix}source-table" -> s"$ns.$tbl",
+      s"${LmPropPrefix}source-snapshot-id" -> snapId.toString,
+      s"${LmPropPrefix}text-col" -> textCol,
+      s"${LmPropPrefix}total-tokens" -> total.toString)
+    val mdlId = TableIdentifier(ns.split('.').toSeq, mdlName)
+    if (catalog.tableExists(mdlId)) {
+      val existing = Table.load(catalog, mdlId, io)
+      val after = graft.table.Mutations.overwrite(existing, spark, lg)
+      after.newTransaction().setProperties(props).commit()
+    } else {
+      val created = Table.create(catalog, mdlId, gSchema,
+        properties = props, io = io)
+      graft.table.TableOps.append(created, lg)
+    }
+    (new StructType().add("model_table", StringType)
+      .add("grams", LongType).add("total_tokens", LongType)
+      .add("source_snapshot_id", LongType),
+      Seq(mdlName, lg.count(), total, snapId))
+  }
+
+  /** Exact token total of a gram ledger: Σ cnt over the n = 1 rows
+    * (the unigram slice) — the stupid-backoff floor's denominator. */
+  private def unigramTotal(ledger:
+      org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    Option(ledger.where(col("n") === 1).agg(sum("cnt")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+  }
+
+  /** `train_lm(incremental => true)`: chain the gram ledger to the
+    * source head WITHOUT a rebuild — append the count DELTAS of rows
+    * added since the recorded snapshot and advance the stamped token
+    * total by exact long arithmetic. Same contract as
+    * `train_tokenizer`'s chain: `appendsBetween` skips replace
+    * snapshots (source compaction never re-delivers); rows DELETED
+    * from the source keep their counts until a full rebuild; two
+    * commits, so a crash between them leaves a visibly short stamp,
+    * never a double count. */
+  private def appendToLm(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      textCol: String, mdlName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val mdlId = TableIdentifier(ns.split('.').toSeq, mdlName)
+    if (!catalog.tableExists(mdlId))
+      throw new IllegalArgumentException(s"train_lm: model " +
+        s"$mdlName does not exist - run a full train first " +
+        "(incremental => false)")
+    val mdl = Table.load(catalog, mdlId, io)
+    def prop(k: String): String = mdl.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"train_lm: $mdlName " +
+        s"has no '$k' property - not a train_lm table"))
+    val srcTable = prop(s"${LmPropPrefix}source-table")
+    if (srcTable != s"$ns.$tbl")
+      throw new IllegalArgumentException(s"train_lm: model " +
+        s"$mdlName was trained from $srcTable, not $ns.$tbl")
+    if (prop(s"${LmPropPrefix}text-col") != textCol)
+      throw new IllegalArgumentException(s"train_lm: model " +
+        s"$mdlName was trained on " +
+        s"${prop(s"${LmPropPrefix}text-col")}, call uses $textCol")
+    val recorded = prop(s"${LmPropPrefix}source-snapshot-id").toLong
+    if (t.snapshotById(recorded).isEmpty)
+      throw new IllegalArgumentException(s"train_lm: model " +
+        s"$mdlName records source snapshot $recorded which no longer " +
+        "exists (expired?) - retrain the model")
+    val head =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"train_lm: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"train_lm: snapshot_id $snapRaw not found")
+      else snapRaw
+    val fresh =
+      if (head == recorded)
+        graft.table.Scan(t, spark).toDF.limit(0)
+      else graft.table.Scan(t, spark).appendsBetween(recorded, head).toDF
+    val deltas = graft.ops.LangModel.gramCounts(fresh, textCol)
+      .localCheckpoint(true)
+    val deltaTotal = unigramTotal(deltas)
+    val appended = deltas.count()
+    val total = prop(s"${LmPropPrefix}total-tokens").toLong + deltaTotal
+    val mdl2 =
+      if (appended == 0L) mdl
+      else graft.table.TableOps.append(mdl, deltas)
+    mdl2.newTransaction().setProperties(Map(
+      s"${LmPropPrefix}source-snapshot-id" -> head.toString,
+      s"${LmPropPrefix}total-tokens" -> total.toString)).commit()
+    (new StructType().add("model_table", StringType)
+      .add("grams_appended", LongType).add("total_tokens", LongType)
+      .add("source_snapshot_id", LongType),
+      Seq(mdlName, appended, total, head))
+  }
+
+  /** `score_text(ns, model_table, 'free text')`: score a literal
+    * string against a persisted `train_lm` ledger - the interactive
+    * "how surprising is this text to the corpus" probe, and the SQL
+    * face of [[graft.ops.LangModel.scoreWithCounts]] at one-document
+    * granularity. Returns the single per-document row the library
+    * returns: trigram count, per-backoff-level hit counts, OOV count,
+    * exact scaled score, and the descaled mean. */
+  private def scoreText(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val text = input.getUTF8String(2).toString
+    if (!t.metadata.properties.contains(s"${LmPropPrefix}total-tokens"))
+      throw new IllegalArgumentException("score_text: table has no " +
+        s"'${LmPropPrefix}total-tokens' property - not a train_lm " +
+        "model table")
+    val ledger = graft.table.Scan(t, spark).toDF
+    import spark.implicits._
+    val one = Seq((0L, text)).toDF("doc_id", "text")
+    val out = graft.ops.LangModel.scoreWithCounts(one, ledger)
+      .drop("doc_id")
+    (out.schema, out.collect().map(_.toSeq).toSeq)
+  }
+
+  /** `train_classifier(ns, table, label_pred)`: persist the hashed
+    * linear text classifier's COUNT LEDGER
+    * ([[graft.ops.Classifier.labelCounts]] — `(bucket, p_cnt,
+    * n_cnt)`, ≤ 65 536 rows whatever the corpus size) as a graft
+    * table with the source snapshot, text column, and label predicate
+    * stamped as properties. Counts — not the derived weights — are
+    * what persists: they are ADDITIVE over disjoint document sets, so
+    * `incremental => true` chains new docs' count deltas and the read
+    * path's sum-merge ([[graft.ops.Classifier.weightsFromCounts]])
+    * equals a full refit bit-for-bit. The label predicate is any SQL
+    * boolean expression over the table's columns (true → positive,
+    * false → negative, NULL → neither). */
+  private def trainClassifier(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      labelPred: String, textCol: String, mdlName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"train_classifier: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"train_classifier: snapshot_id $snapRaw not found")
+      else snapRaw
+    val df = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    val lg = graft.ops.Classifier.labelCounts(df,
+        org.apache.spark.sql.functions.expr(labelPred), textCol)
+      .localCheckpoint(true)
+    val (posTot, negTot) = ledgerTotals(lg)
+    val gSchema = graft.spec.SchemaConverters.fromSparkSchema(lg.schema)
+    val props = Map(
+      s"${ClfPropPrefix}source-table" -> s"$ns.$tbl",
+      s"${ClfPropPrefix}source-snapshot-id" -> snapId.toString,
+      s"${ClfPropPrefix}text-col" -> textCol,
+      s"${ClfPropPrefix}label-pred" -> labelPred,
+      s"${ClfPropPrefix}pos-tokens" -> posTot.toString,
+      s"${ClfPropPrefix}neg-tokens" -> negTot.toString)
+    val mdlId = TableIdentifier(ns.split('.').toSeq, mdlName)
+    if (catalog.tableExists(mdlId)) {
+      val existing = Table.load(catalog, mdlId, io)
+      val after = graft.table.Mutations.overwrite(existing, spark, lg)
+      after.newTransaction().setProperties(props).commit()
+    } else {
+      val created = Table.create(catalog, mdlId, gSchema,
+        properties = props, io = io)
+      graft.table.TableOps.append(created, lg)
+    }
+    (new StructType().add("model_table", StringType)
+      .add("buckets", LongType).add("pos_tokens", LongType)
+      .add("neg_tokens", LongType).add("source_snapshot_id", LongType),
+      Seq(mdlName, lg.count(), posTot, negTot, snapId))
+  }
+
+  /** Exact positive / negative token totals of a classifier ledger. */
+  private def ledgerTotals(ledger:
+      org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions.sum
+    val r = ledger.agg(sum("p_cnt"), sum("n_cnt")).head
+    (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+      Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
+  /** `train_classifier(incremental => true)`: chain the bucket-count
+    * ledger to the source head WITHOUT a refit — append the count
+    * DELTAS of rows added since the recorded snapshot (labeled with
+    * the STAMPED predicate; a different predicate errors rather than
+    * silently corrupting the model) and advance the stamped totals by
+    * exact long arithmetic. `appendsBetween` skips replace snapshots;
+    * rows DELETED from the source keep their counts until a full
+    * rebuild; two commits, so a crash between them leaves a visibly
+    * short stamp, never a double count. */
+  private def appendToClassifier(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      labelPred: String, textCol: String, mdlName: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val mdlId = TableIdentifier(ns.split('.').toSeq, mdlName)
+    if (!catalog.tableExists(mdlId))
+      throw new IllegalArgumentException(s"train_classifier: model " +
+        s"$mdlName does not exist - run a full train first " +
+        "(incremental => false)")
+    val mdl = Table.load(catalog, mdlId, io)
+    def prop(k: String): String = mdl.metadata.properties.getOrElse(k,
+      throw new IllegalArgumentException(s"train_classifier: " +
+        s"$mdlName has no '$k' property - not a train_classifier " +
+        "table"))
+    val srcTable = prop(s"${ClfPropPrefix}source-table")
+    if (srcTable != s"$ns.$tbl")
+      throw new IllegalArgumentException(s"train_classifier: model " +
+        s"$mdlName was trained from $srcTable, not $ns.$tbl")
+    if (prop(s"${ClfPropPrefix}text-col") != textCol)
+      throw new IllegalArgumentException(s"train_classifier: model " +
+        s"$mdlName was trained on " +
+        s"${prop(s"${ClfPropPrefix}text-col")}, call uses $textCol")
+    if (prop(s"${ClfPropPrefix}label-pred") != labelPred)
+      throw new IllegalArgumentException(s"train_classifier: model " +
+        s"$mdlName was labeled by " +
+        s"'${prop(s"${ClfPropPrefix}label-pred")}', call uses " +
+        s"'$labelPred' - chaining mixed labelings would corrupt " +
+        "the model")
+    val recorded = prop(s"${ClfPropPrefix}source-snapshot-id").toLong
+    if (t.snapshotById(recorded).isEmpty)
+      throw new IllegalArgumentException(s"train_classifier: model " +
+        s"$mdlName records source snapshot $recorded which no longer " +
+        "exists (expired?) - retrain the model")
+    val head =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"train_classifier: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"train_classifier: snapshot_id $snapRaw not found")
+      else snapRaw
+    val fresh =
+      if (head == recorded)
+        graft.table.Scan(t, spark).toDF.limit(0)
+      else graft.table.Scan(t, spark).appendsBetween(recorded, head).toDF
+    val deltas = graft.ops.Classifier.labelCounts(fresh,
+        org.apache.spark.sql.functions.expr(labelPred), textCol)
+      .localCheckpoint(true)
+    val (dPos, dNeg) = ledgerTotals(deltas)
+    val appended = deltas.count()
+    val posTot = prop(s"${ClfPropPrefix}pos-tokens").toLong + dPos
+    val negTot = prop(s"${ClfPropPrefix}neg-tokens").toLong + dNeg
+    val mdl2 =
+      if (appended == 0L) mdl
+      else graft.table.TableOps.append(mdl, deltas)
+    mdl2.newTransaction().setProperties(Map(
+      s"${ClfPropPrefix}source-snapshot-id" -> head.toString,
+      s"${ClfPropPrefix}pos-tokens" -> posTot.toString,
+      s"${ClfPropPrefix}neg-tokens" -> negTot.toString)).commit()
+    (new StructType().add("model_table", StringType)
+      .add("buckets_appended", LongType).add("pos_tokens", LongType)
+      .add("neg_tokens", LongType).add("source_snapshot_id", LongType),
+      Seq(mdlName, appended, posTot, negTot, head))
+  }
+
+  /** `classify_text(ns, model_table, 'free text')`: score a literal
+    * string against a persisted `train_classifier` ledger - the
+    * interactive "would the quality filter keep this" probe, and the
+    * SQL face of [[graft.ops.Classifier.linearScore]] at one-document
+    * granularity. Returns `(n_feats, margin_scaled, mean_margin,
+    * accept)`. */
+  private def classifyText(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val text = input.getUTF8String(2).toString
+    if (!t.metadata.properties.contains(s"${ClfPropPrefix}label-pred"))
+      throw new IllegalArgumentException("classify_text: table has " +
+        s"no '${ClfPropPrefix}label-pred' property - not a " +
+        "train_classifier model table")
+    val ledger = graft.table.Scan(t, spark).toDF
+    val model = graft.ops.Classifier.weightsFromCounts(ledger)
+    import spark.implicits._
+    val one = Seq((0L, text)).toDF("doc_id", "text")
+    val out = graft.ops.Classifier.linearScore(one, model)
+      .drop("doc_id")
+    (out.schema, out.collect().map(_.toSeq).toSeq)
   }
 
   /** `segment_text(ns, model_table, 'free text'[, vocab_size])`:
@@ -1706,4 +2119,6 @@ private[sources] object GraftBoundProcedure {
   private val TextPropPrefix = "graft.text-index."
   private val PqPropPrefix = "graft.pq-index."
   private val TokPropPrefix = "graft.tok-model."
+  private val LmPropPrefix = "graft.lm-model."
+  private val ClfPropPrefix = "graft.clf-model."
 }

@@ -284,6 +284,125 @@ object Streams {
       textCol: String = "text"): TokenizerLedgerIngestSink =
     new TokenizerLedgerIngestSink(sink, model, textCol)
 
+  /** Streaming LM-ledger ingestion for `writeStream.foreachBatch` —
+    * the language-model twin of [[TokenizerLedgerIngestSink]], backed
+    * by a persisted `train_lm` model table: each micro-batch's
+    * documents append to the corpus table and their gram-count DELTAS
+    * ([[graft.ops.LangModel.gramCounts]]) to the ledger, the stamped
+    * token total advancing by exact long arithmetic. Gram counts are
+    * additive over disjoint document sets, so the streamed ledger
+    * equals a full retrain at EVERY batch boundary (the i51 "chain ==
+    * rebuild" contract held live), and `train_lm(incremental => true)`
+    * keeps chaining the same model after the stream stops. Retried
+    * micro-batch ids are skipped. */
+  final class LmLedgerIngestSink(initialSink: Table,
+      initialModel: Table, textCol: String = "text")
+      extends Serializable {
+    if (!initialModel.metadata.properties.contains(
+        "graft.lm-model.total-tokens"))
+      throw new IllegalArgumentException("LmLedgerIngestSink: table " +
+        "has no total-tokens property — not a train_lm model table")
+    @volatile private var sinkRef: Table = initialSink
+    @volatile private var modelRef: Table = initialModel
+    @volatile private var lastBatchId: Long = Long.MinValue
+
+    /** The foreachBatch function. */
+    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      if (batch0.isEmpty) return
+      val batch = batch0.localCheckpoint(true)
+      sinkRef = TableOps.append(sinkRef, batch)
+      val deltas = graft.ops.LangModel.gramCounts(batch, textCol)
+        .localCheckpoint(true)
+      val dTotal = Option(deltas.where(col("n") === 1)
+          .agg(org.apache.spark.sql.functions.sum("cnt")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      if (!deltas.isEmpty) modelRef = TableOps.append(modelRef, deltas)
+      // the stamp tracks the sink head even for no-token batches, so a
+      // later procedure chain must not re-deliver those documents
+      val props = modelRef.metadata.properties
+      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+        modelRef = modelRef.newTransaction().setProperties(Map(
+          "graft.lm-model.source-snapshot-id" -> h.toString,
+          "graft.lm-model.total-tokens" ->
+            (props("graft.lm-model.total-tokens").toLong + dTotal)
+              .toString)).commit()
+      }
+    }
+
+    def sink: Table = sinkRef
+    def model: Table = modelRef
+  }
+
+  def lmLedgerIngestSink(sink: Table, model: Table,
+      textCol: String = "text"): LmLedgerIngestSink =
+    new LmLedgerIngestSink(sink, model, textCol)
+
+  /** Streaming classifier-ledger ingestion for `writeStream
+    * .foreachBatch` — the classifier twin of [[LmLedgerIngestSink]],
+    * backed by a persisted `train_classifier` model table: each
+    * micro-batch's documents append to the corpus table and their
+    * bucket-count DELTAS ([[graft.ops.Classifier.labelCounts]],
+    * labeled with the model's STAMPED predicate) to the ledger, the
+    * stamped token totals advancing by exact long arithmetic. Bucket
+    * counts are additive over disjoint document sets, so the streamed
+    * ledger equals a full refit at EVERY batch boundary (the i54
+    * "chain == rebuild" contract held live), and
+    * `train_classifier(incremental => true)` keeps chaining the same
+    * model after the stream stops. Retried micro-batch ids are
+    * skipped. */
+  final class ClassifierLedgerIngestSink(initialSink: Table,
+      initialModel: Table, textCol: String = "text")
+      extends Serializable {
+    private val labelPred = initialModel.metadata.properties
+      .getOrElse("graft.clf-model.label-pred",
+        throw new IllegalArgumentException("ClassifierLedgerIngestSink" +
+          ": table has no label-pred property — not a " +
+          "train_classifier model table"))
+    @volatile private var sinkRef: Table = initialSink
+    @volatile private var modelRef: Table = initialModel
+    @volatile private var lastBatchId: Long = Long.MinValue
+
+    /** The foreachBatch function. */
+    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
+      if (batchId <= lastBatchId) return
+      lastBatchId = batchId
+      if (batch0.isEmpty) return
+      val batch = batch0.localCheckpoint(true)
+      sinkRef = TableOps.append(sinkRef, batch)
+      val deltas = graft.ops.Classifier.labelCounts(batch,
+          expr(labelPred), textCol)
+        .localCheckpoint(true)
+      val tots = deltas.agg(
+        org.apache.spark.sql.functions.sum("p_cnt"),
+        org.apache.spark.sql.functions.sum("n_cnt")).head
+      def tot(i: Int): Long = if (tots.isNullAt(i)) 0L
+        else tots.getLong(i)
+      if (!deltas.isEmpty) modelRef = TableOps.append(modelRef, deltas)
+      // the stamp tracks the sink head even for no-token batches, so a
+      // later procedure chain must not re-deliver those documents
+      val props = modelRef.metadata.properties
+      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+        modelRef = modelRef.newTransaction().setProperties(Map(
+          "graft.clf-model.source-snapshot-id" -> h.toString,
+          "graft.clf-model.pos-tokens" ->
+            (props("graft.clf-model.pos-tokens").toLong + tot(0))
+              .toString,
+          "graft.clf-model.neg-tokens" ->
+            (props("graft.clf-model.neg-tokens").toLong + tot(1))
+              .toString)).commit()
+      }
+    }
+
+    def sink: Table = sinkRef
+    def model: Table = modelRef
+  }
+
+  def classifierLedgerIngestSink(sink: Table, model: Table,
+      textCol: String = "text"): ClassifierLedgerIngestSink =
+    new ClassifierLedgerIngestSink(sink, model, textCol)
+
   /** Streaming PQ-index ingestion for `writeStream.foreachBatch` —
     * the codes twin of [[AnnIndexIngestSink]], backed by a persisted
     * `build_pq_index` table: each micro-batch's vectors append to the

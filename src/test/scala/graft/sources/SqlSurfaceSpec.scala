@@ -1065,6 +1065,253 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.train_lm persists an additive gram ledger; " +
+      "chain == rebuild; score_text backoff arithmetic is exact") {
+    withCatalog("lm") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      Seq((1L, "a b c a b c"), (2L, "a b x"),
+          (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text").createOrReplaceTempView("lm_base")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM lm_base")
+      val rep = spark.sql(s"CALL $c.system.train_lm('db', 'docs')")
+        .collect().head
+      // ug a3 b3 c2 x1 | bg ab3 bc2 ca1 bx1 | tri abc2 bca1 cab1 abx1
+      assert(rep.getString(0) == "docs_lm_model" &&
+        rep.getLong(1) == 12L && rep.getLong(2) == 9L, s"report $rep")
+      val props = loadT(dir, "docs_lm_model").metadata.properties
+      assert(props("graft.lm-model.total-tokens") == "9" &&
+        props("graft.lm-model.source-table") == "db.docs",
+        props.toString)
+      val P = graft.ops.LangModel.ProbScale
+      // trigram hit + OOV: (a,b,c) -> P*2 div 3; (b,c,d) -> OOV 0
+      val s1 = spark.sql(s"CALL $c.system.score_text(" +
+        s"'db', 'docs_lm_model', 'a b c d')").collect().head
+      assert((s1.getLong(0), s1.getLong(1), s1.getLong(4),
+        s1.getLong(5)) == ((2L, 1L, 1L, 2L * P / 3)), s1.toString)
+      assert(s1.getDouble(6) == 0.333333, s1.toString)
+      // bigram backoff: (x,a,b) -> trigram absent, bigram (a,b) n2=3
+      // with context n1(a)=3 -> 2P*3 div (5*3) = 2P/5
+      val s2 = spark.sql(s"CALL $c.system.score_text(" +
+        s"'db', 'docs_lm_model', 'x a b')").collect().head
+      assert((s2.getLong(0), s2.getLong(2), s2.getLong(5)) ==
+        ((1L, 1L, 2L * P * 3 / (5 * 3))), s2.toString)
+      // unigram backoff: (q,q,c) -> 4P*n1(c)=2 div (25*T=9)
+      val s3 = spark.sql(s"CALL $c.system.score_text(" +
+        s"'db', 'docs_lm_model', 'q q c')").collect().head
+      assert((s3.getLong(0), s3.getLong(3), s3.getLong(5)) ==
+        ((1L, 1L, 4L * P * 2 / (25 * 9))), s3.toString)
+      // too short to score -> zero row, no error
+      val s4 = spark.sql(s"CALL $c.system.score_text(" +
+        s"'db', 'docs_lm_model', 'a b')").collect().head
+      assert(s4.getLong(0) == 0L && s4.getDouble(6) == 0.0, s4.toString)
+      // incremental chain: 'c c' adds ug c:2 + bg cc:1 rows, total 9+2
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (4, 'c c')")
+      val rep2 = spark.sql(s"CALL $c.system.train_lm(" +
+        s"'db', 'docs', incremental => true)").collect().head
+      assert(rep2.getLong(1) == 2L && rep2.getLong(2) == 11L,
+        s"chain report $rep2")
+      val props2 = loadT(dir, "docs_lm_model").metadata.properties
+      assert(props2("graft.lm-model.total-tokens") == "11" &&
+        props2("graft.lm-model.source-snapshot-id") ==
+          rep2.getLong(3).toString, props2.toString)
+      // no-op re-chain appends nothing
+      val rep3 = spark.sql(s"CALL $c.system.train_lm(" +
+        s"'db', 'docs', incremental => true)").collect().head
+      assert(rep3.getLong(1) == 0L && rep3.getLong(2) == 11L, s"$rep3")
+      // chained ledger (duplicate gram rows, sum-merged) == a
+      // from-scratch gramCounts over the full corpus
+      val full = spark.sql(s"SELECT doc_id, text FROM $c.db.docs")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("n", "w1", "w2", "w3")
+          .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)),
+            Option(r.getString(3)), r.getLong(4))).sortBy(_.toString)
+          .toSeq
+      val chained = canon(
+        graft.table.Scan(loadT(dir, "docs_lm_model"), spark).toDF)
+      val scratch = canon(graft.ops.LangModel.gramCounts(full))
+      assert(chained == scratch,
+        "chained ledger must equal a from-scratch train")
+    }
+  }
+
+  test("train_lm / score_text error surface") {
+    withCatalog("lme") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (1, 'hello world now')")
+      spark.sql(s"CREATE TABLE $c.db.docs2 (doc_id BIGINT, text STRING)")
+      spark.sql(s"INSERT INTO $c.db.docs2 VALUES (1, 'other corpus')")
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      // incremental before any full train
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_lm('db', 'docs', " +
+          "incremental => true)").collect() }
+      assert(causes(e1).contains("does not exist"), causes(e1))
+      spark.sql(s"CALL $c.system.train_lm('db', 'docs')").collect()
+      // chain with a mismatched text column
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_lm('db', 'docs', " +
+          "text_col => 'other', incremental => true)").collect() }
+      assert(causes(e2).contains("trained on"), causes(e2))
+      // chain against the wrong source table
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_lm('db', 'docs2', " +
+          "model_table => 'docs_lm_model', incremental => true)")
+        .collect() }
+      assert(causes(e3).contains("was trained from"), causes(e3))
+      // score_text against a table that is not an LM model
+      val e4 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.score_text('db', 'docs', 'hello')")
+        .collect() }
+      assert(causes(e4).contains("not a train_lm"), causes(e4))
+    }
+  }
+
+  test("CALL system.train_classifier persists an additive bucket " +
+      "ledger; chain == rebuild; classify_text weights are exact") {
+    withCatalog("clf") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs " +
+        "(doc_id BIGINT, lab BOOLEAN, text STRING)")
+      Seq((1L, java.lang.Boolean.TRUE, "x x y"),
+          (2L, java.lang.Boolean.FALSE, "y z"),
+          (3L, null.asInstanceOf[java.lang.Boolean], "z z z"),
+          (4L, java.lang.Boolean.TRUE, null.asInstanceOf[String]))
+        .toDF("doc_id", "lab", "text")
+        .createOrReplaceTempView("clf_base")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM clf_base")
+      val rep = spark.sql(s"CALL $c.system.train_classifier(" +
+        s"'db', 'docs', 'lab')").collect().head
+      // pos: x2 y1 | neg: y1 z1 (NULL label doc 3 in neither;
+      // NULL text doc 4 contributes nothing) -> 3 bucket rows
+      assert(rep.getString(0) == "docs_clf_model" &&
+        rep.getLong(1) == 3L && rep.getLong(2) == 3L &&
+        rep.getLong(3) == 2L, s"report $rep")
+      val S = graft.ops.Classifier.Scale
+      // w(x) = S*3 div 4 - S/2; w(y) = 0; q unseen -> 0
+      val s1 = spark.sql(s"CALL $c.system.classify_text(" +
+        s"'db', 'docs_clf_model', 'x y q')").collect().head
+      assert((s1.getLong(0), s1.getLong(1), s1.getBoolean(3)) ==
+        ((3L, S * 3 / 4 - S / 2, true)), s1.toString)
+      // w(z) = S*1 div 3 - S/2, twice; negative margin -> reject
+      val s2 = spark.sql(s"CALL $c.system.classify_text(" +
+        s"'db', 'docs_clf_model', 'z z')").collect().head
+      assert((s2.getLong(0), s2.getLong(1), s2.getBoolean(3)) ==
+        ((2L, 2 * (S / 3 - S / 2), false)), s2.toString)
+      // incremental chain: (5, false, 'x') adds one delta row for x
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (5, false, 'x')")
+      val rep2 = spark.sql(s"CALL $c.system.train_classifier(" +
+        s"'db', 'docs', 'lab', incremental => true)").collect().head
+      assert(rep2.getLong(1) == 1L && rep2.getLong(2) == 3L &&
+        rep2.getLong(3) == 3L, s"chain report $rep2")
+      // chained weight w(x) = S*3 div 5 - S/2 = S/10
+      val s3 = spark.sql(s"CALL $c.system.classify_text(" +
+        s"'db', 'docs_clf_model', 'x')").collect().head
+      assert((s3.getLong(0), s3.getLong(1), s3.getBoolean(3)) ==
+        ((1L, S * 3 / 5 - S / 2, true)), s3.toString)
+      // no-op re-chain appends nothing
+      val rep3 = spark.sql(s"CALL $c.system.train_classifier(" +
+        s"'db', 'docs', 'lab', incremental => true)").collect().head
+      assert(rep3.getLong(1) == 0L, s"$rep3")
+      // chained ledger sum-merge == from-scratch labelCounts
+      val full = spark.sql(s"SELECT * FROM $c.db.docs")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("bucket").agg(
+            org.apache.spark.sql.functions.sum("p_cnt").as("p"),
+            org.apache.spark.sql.functions.sum("n_cnt").as("n"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1).toSeq
+      assert(canon(graft.table.Scan(loadT(dir, "docs_clf_model"),
+          spark).toDF) ==
+        canon(graft.ops.Classifier.labelCounts(full,
+          org.apache.spark.sql.functions.col("lab"))),
+        "chained ledger must equal a from-scratch fit")
+    }
+  }
+
+  test("train_classifier / classify_text error surface") {
+    withCatalog("clfe") { (c, _) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs " +
+        "(doc_id BIGINT, lang STRING, text STRING)")
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (1, 'en', 'hi there')")
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      // incremental before any full train
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_classifier('db', 'docs', " +
+          "'lang = ''en''', incremental => true)").collect() }
+      assert(causes(e1).contains("does not exist"), causes(e1))
+      spark.sql(s"CALL $c.system.train_classifier('db', 'docs', " +
+        "'lang = ''en''')").collect()
+      // chain with a different label predicate must refuse
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_classifier('db', 'docs', " +
+          "'lang = ''fr''', incremental => true)").collect() }
+      assert(causes(e2).contains("was labeled by"), causes(e2))
+      // chain with a mismatched text column
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_classifier('db', 'docs', " +
+          "'lang = ''en''', text_col => 'other', " +
+          "incremental => true)").collect() }
+      assert(causes(e3).contains("trained on"), causes(e3))
+      // classify_text against a table that is not a classifier model
+      val e4 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.classify_text('db', 'docs', 'hello')")
+        .collect() }
+      assert(causes(e4).contains("not a train_classifier"), causes(e4))
+      // zero-token text -> margin-0 reject row, no error (note '!!!'
+      // WOULD count as one whitespace token — the classifier buckets
+      // raw whitespace tokens, unlike the tokenizer's [a-z0-9]+ words)
+      val s0 = spark.sql(s"CALL $c.system.classify_text(" +
+        s"'db', 'docs_clf_model', '')").collect().head
+      assert(s0.getLong(0) == 0L && !s0.getBoolean(3), s0.toString)
+    }
+  }
+
+  test("corpus_stats: hand-counted totals; snapshot-addressed audit") {
+    withCatalog("cst") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      spark.sql(s"INSERT INTO $c.db.docs VALUES " +
+        "(1, 'A  b'), (2, NULL), (3, 'c c')")
+      val snap0 = loadT(dir, "docs").currentSnapshot.get.snapshotId
+      val s0 = spark.sql(s"CALL $c.system.corpus_stats('db', 'docs')")
+        .collect().head
+      // 'A  b' -> 'a b' (2 toks, 4 raw chars); 'c c' (2 toks, 3 chars)
+      assert((s0.getLong(1), s0.getLong(2), s0.getLong(3),
+        s0.getLong(4), s0.getLong(5)) == ((3L, 1L, 7L, 4L, 3L)),
+        s0.toString)
+      // mutate, then audit BOTH states: head sees the change, the
+      // pinned snapshot still reports the original totals
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (4, 'b b')")
+      val s1 = spark.sql(s"CALL $c.system.corpus_stats('db', 'docs')")
+        .collect().head
+      assert((s1.getLong(1), s1.getLong(3), s1.getLong(4),
+        s1.getLong(5)) == ((4L, 10L, 6L, 3L)), s1.toString)
+      val sOld = spark.sql(s"CALL $c.system.corpus_stats(" +
+        s"'db', 'docs', snapshot_id => ${snap0}L)").collect().head
+      assert(sOld.getLong(0) == snap0 && sOld.getLong(1) == 3L &&
+        sOld.getLong(4) == 4L, sOld.toString)
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.corpus_stats('db', 'docs', " +
+          "snapshot_id => 12345L)").collect() }
+      assert(causes(e1).contains("snapshot_id"), causes(e1))
+    }
+  }
+
   test("corpus_diff: self-diff is all-unchanged; bad snapshots error") {
     withCatalog("cdf") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")

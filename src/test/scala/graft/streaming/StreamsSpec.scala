@@ -352,6 +352,148 @@ class StreamsSpec extends AnyFunSuite {
     assert(ledgerRows == 8L, s"3 + 5 delta rows, got $ledgerRows")
   }
 
+  test("LmLedgerIngestSink: additive gram deltas per micro-batch; " +
+      "streamed ledger equals a full retrain at every boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-lmsink-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    val docSchema = Schema(0, Seq(
+      NestedField(1, "doc_id", LongType, required = true),
+      NestedField(2, "text", StringType, required = false)))
+    val mdlSchema = Schema(0, Seq(
+      NestedField(1, "n", IntType, required = false),
+      NestedField(2, "w1", StringType, required = false),
+      NestedField(3, "w2", StringType, required = false),
+      NestedField(4, "w3", StringType, required = false),
+      NestedField(5, "cnt", LongType, required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "docs"),
+      docSchema, io = io)
+    val mdlT = Table.create(cat, TableIdentifier(Seq("db"), "mdl"),
+      mdlSchema, properties = Map(
+        "graft.lm-model.total-tokens" -> "0"), io = io)
+    val pipe = Streams.lmLedgerIngestSink(sinkT, mdlT)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(df, id))
+      .start()
+    try {
+      input.addData((1L, "a b c a b c"),
+        (2L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData((3L, "a b x"))
+      q.processAllAvailable()
+      // replayed batch id must be a no-op
+      pipe.addBatch(Seq((3L, "a b x")).toDF("doc_id", "text"), 1L)
+    } finally q.stop()
+    // batch1: 6 tokens (ug a2 b2 c2, bg ab2 bc2 ca1, tri abc2 bca1
+    // cab1 = 9 rows); batch2: 3 tokens (ug a1 b1 x1, bg ab1 bx1,
+    // tri abx1 = 6 rows)
+    val props = pipe.model.metadata.properties
+    assert(props("graft.lm-model.total-tokens") == "9", props.toString)
+    assert(props("graft.lm-model.source-snapshot-id").toLong ==
+      pipe.sink.currentSnapshot.get.snapshotId)
+    val ledgerRows = Scan(pipe.model, spark).toDF.count()
+    assert(ledgerRows == 15L, s"9 + 6 delta rows, got $ledgerRows")
+    // streamed ledger sum-merge == from-scratch gramCounts over the
+    // drained corpus
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("n", "w1", "w2", "w3")
+        .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1), Option(r.getString(2)),
+          Option(r.getString(3)), r.getLong(4))).sortBy(_.toString)
+        .toSeq
+    val corpus = Scan(pipe.sink, spark).toDF
+    assert(canon(Scan(pipe.model, spark).toDF) ==
+      canon(graft.ops.LangModel.gramCounts(corpus)),
+      "streamed ledger must equal a from-scratch train")
+    // and the scores read from the streamed ledger are the library's
+    val viaLedger = graft.ops.LangModel.scoreWithCounts(
+        corpus, Scan(pipe.model, spark).toDF)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val scratch = graft.ops.LangModel.trigramBackoff(
+        corpus, org.apache.spark.sql.functions.lit(true))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(viaLedger == scratch)
+  }
+
+  test("ClassifierLedgerIngestSink: stamped-predicate labeling per " +
+      "micro-batch; streamed ledger equals a full refit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-clfsink-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    val docSchema = Schema(0, Seq(
+      NestedField(1, "doc_id", LongType, required = true),
+      NestedField(2, "lab", BooleanType, required = false),
+      NestedField(3, "text", StringType, required = false)))
+    val mdlSchema = Schema(0, Seq(
+      NestedField(1, "bucket", StringType, required = false),
+      NestedField(2, "p_cnt", LongType, required = false),
+      NestedField(3, "n_cnt", LongType, required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "docs"),
+      docSchema, io = io)
+    val mdlT = Table.create(cat, TableIdentifier(Seq("db"), "mdl"),
+      mdlSchema, properties = Map(
+        "graft.clf-model.label-pred" -> "lab",
+        "graft.clf-model.pos-tokens" -> "0",
+        "graft.clf-model.neg-tokens" -> "0"), io = io)
+    val pipe = Streams.classifierLedgerIngestSink(sinkT, mdlT)
+    val input = MemoryStream[(Long, java.lang.Boolean, String)]
+    val q = input.toDF().toDF("doc_id", "lab", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(df, id))
+      .start()
+    try {
+      input.addData((1L, java.lang.Boolean.TRUE, "x x y"),
+        (2L, java.lang.Boolean.FALSE, "y z"))
+      q.processAllAvailable()
+      // NULL label -> neither sample; NULL text -> no tokens
+      input.addData((3L, null.asInstanceOf[java.lang.Boolean], "q"),
+        (4L, java.lang.Boolean.TRUE, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      // replayed batch id must be a no-op
+      pipe.addBatch(Seq((1L, java.lang.Boolean.TRUE, "x x y"))
+        .toDF("doc_id", "lab", "text"), 0L)
+    } finally q.stop()
+    // batch1: pos x2 y1 | neg y1 z1 (3 bucket rows); batch2: nothing
+    val props = pipe.model.metadata.properties
+    assert(props("graft.clf-model.pos-tokens") == "3" &&
+      props("graft.clf-model.neg-tokens") == "2", props.toString)
+    assert(props("graft.clf-model.source-snapshot-id").toLong ==
+      pipe.sink.currentSnapshot.get.snapshotId)
+    assert(Scan(pipe.model, spark).toDF.count() == 3L)
+    // streamed ledger sum-merge == from-scratch labelCounts over the
+    // drained corpus, and the derived weights match a full fit
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("bucket").agg(
+          org.apache.spark.sql.functions.sum("p_cnt").as("p"),
+          org.apache.spark.sql.functions.sum("n_cnt").as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val corpus = Scan(pipe.sink, spark).toDF
+    assert(canon(Scan(pipe.model, spark).toDF) ==
+      canon(graft.ops.Classifier.labelCounts(corpus, col("lab"))),
+      "streamed ledger must equal a from-scratch fit")
+    val viaLedger = graft.ops.Classifier.weightsFromCounts(
+        Scan(pipe.model, spark).toDF)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    val scratch = graft.ops.Classifier.fit(
+        corpus.where(col("lab") === true),
+        corpus.where(col("lab") === false))
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(viaLedger == scratch)
+  }
+
   test("table tailer drains appended snapshots incrementally, resumes from checkpoint") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-tail-").toString
