@@ -6,6 +6,7 @@ import java.nio.file.Files
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 import graft.spec._
 
@@ -129,8 +130,15 @@ class RestCatalogSpec extends AnyFunSuite {
         case ("POST", List("namespaces", s, "tables")) =>
           val n = SchemaJson.parseTree(body)
           val schema = SchemaJson.parseSchema(n.get("schema"))
+          // spec: the create request's properties land on the table
+          // (the persisted-model procedures stamp their config here)
+          val props = Option(n.get("properties")).map(p =>
+            p.fields.asScala.map(e =>
+              e.getKey -> e.getValue.asText).toMap)
+            .getOrElse(Map.empty[String, String])
           val meta = cat.createTable(
-            TableIdentifier(ns(s), n.get("name").asText), schema)
+            TableIdentifier(ns(s), n.get("name").asText), schema,
+            properties = props)
           reply(200, s"""{"metadata-location": "x", "metadata": ${meta.toJson}}""")
         case ("POST", List("namespaces", s, "register")) =>
           lastRegisterBody.set(body)
@@ -660,6 +668,52 @@ class RestCatalogSpec extends AnyFunSuite {
         // the NULL-text row survives
         assert(spark.sql(s"SELECT doc_id FROM $c.db.docs ORDER BY doc_id")
           .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L, 6L))
+      }
+    }
+  }
+
+  test("CALL system.train_lm through the REST catalog: the ledger " +
+      "model table lives server-side; score_text, chain, and " +
+      "corpus_stats round-trip over the wire") {
+    withServerUri { (_, backing, uri) =>
+      withSparkRestCatalog(uri) { (spark, c) =>
+        spark.sql(s"CREATE NAMESPACE $c.db")
+        spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+        spark.sql(s"INSERT INTO $c.db.docs VALUES " +
+          "(1, 'a b c a b c'), (2, 'a b x')")
+        // full train: ug a3 b3 c2 x1 | bg ab3 bc2 ca1 bx1 |
+        // tri abc2 bca1 cab1 abx1 -> 12 ledger rows, 9 tokens
+        val rep = spark.sql(s"CALL $c.system.train_lm('db', 'docs')")
+          .collect().head
+        assert(rep.getString(0) == "docs_lm_model" &&
+          rep.getLong(1) == 12L && rep.getLong(2) == 9L, s"report $rep")
+        // the model table and its stamped config exist SERVER-side
+        val mdl = backing.loadTable(
+          TableIdentifier(Seq("db"), "docs_lm_model"))
+        assert(mdl.properties("graft.lm-model.total-tokens") == "9" &&
+          mdl.properties("graft.lm-model.source-table") == "db.docs",
+          mdl.properties.toString)
+        // score over the wire: (a,b,c) -> P*2 div 3; (b,c,d) -> OOV
+        val s1 = spark.sql(s"CALL $c.system.score_text(" +
+          s"'db', 'docs_lm_model', 'a b c d')").collect().head
+        assert((s1.getLong(0), s1.getLong(1), s1.getLong(4),
+          s1.getLong(5)) == ((2L, 1L, 1L, 666666666L)), s1.toString)
+        // chain over the wire: 'c c' -> ug c2 + bg cc1, total 9+2
+        spark.sql(s"INSERT INTO $c.db.docs VALUES (4, 'c c')")
+        val rep2 = spark.sql(s"CALL $c.system.train_lm(" +
+          s"'db', 'docs', incremental => true)").collect().head
+        assert(rep2.getLong(1) == 2L && rep2.getLong(2) == 11L,
+          s"chain report $rep2")
+        assert(backing.loadTable(
+            TableIdentifier(Seq("db"), "docs_lm_model"))
+          .properties("graft.lm-model.total-tokens") == "11")
+        // corpus_stats over the wire: 3 docs, 0 NULL, 11+5+3=19 chars,
+        // 11 tokens, distinct {a,b,c,x} = 4
+        val st = spark.sql(s"CALL $c.system.corpus_stats(" +
+          s"'db', 'docs')").collect().head
+        assert((st.getLong(1), st.getLong(2), st.getLong(3),
+          st.getLong(4), st.getLong(5)) == ((3L, 0L, 19L, 11L, 4L)),
+          st.toString)
       }
     }
   }
