@@ -42,7 +42,7 @@ private[sources] object GraftProcedures {
     "build_pq_index", "text_search", "ann_search", "pq_search",
     "train_tokenizer", "segment_text", "corpus_diff",
     "train_lm", "score_text", "train_classifier", "classify_text",
-    "corpus_stats")
+    "corpus_stats", "ancestors_of")
 
   def load(catalog: Catalog, io: FileIO,
       ident: Identifier): Option[UnboundProcedure] =
@@ -283,6 +283,10 @@ private[sources] class GraftBoundProcedure(
       pDefault("text_col", StringType, "'text'"),
       // -1 -> the current snapshot; else audit the table AS OF this id
       pDefault("snapshot_id", LongType, "-1"))
+    case "ancestors_of" => Array(
+      p("ns", StringType), p("table", StringType),
+      // -1 -> walk up from the current snapshot
+      pDefault("snapshot_id", LongType, "-1"))
     case "text_search" => Array(
       p("ns", StringType), p("index_table", StringType),
       p("query", StringType),
@@ -326,6 +330,7 @@ private[sources] class GraftBoundProcedure(
         case "segment_text" => segmentText(t, spark, input)
         case "score_text" => scoreText(t, spark, input)
         case "classify_text" => classifyText(t, spark, input)
+        case "ancestors_of" => ancestorsOf(t, input)
         case _ => singleRowCall(t, spark, ns, tbl, input)
       }
     val result: V2Scan = new LocalScan {
@@ -1497,6 +1502,34 @@ private[sources] class GraftBoundProcedure(
       .add("distinct_tokens", LongType),
       Seq(snapId, r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), distinctToks))
+  }
+
+  /** `ancestors_of(ns, table[, snapshot_id])`: the snapshot lineage
+    * walk — one row per ancestor from the given (default: current)
+    * snapshot up the parent chain, newest first, with the commit
+    * operation. Metadata-only: no data files are opened. The
+    * time-travel companion to `corpus_diff`: pick a lineage point
+    * there, audit it with `corpus_stats(snapshot_id =>)`. */
+  private def ancestorsOf(t: Table,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val snapRaw = input.getLong(2)
+    val start =
+      if (snapRaw == -1L) t.currentSnapshot.getOrElse(
+        throw new IllegalArgumentException(
+          "ancestors_of: table has no snapshots"))
+      else t.snapshotById(snapRaw).getOrElse(
+        throw new IllegalArgumentException(
+          s"ancestors_of: snapshot_id $snapRaw not found"))
+    val chain = Iterator.iterate(Option(start))(
+        _.flatMap(_.parentSnapshotId).flatMap(t.snapshotById))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+    (new StructType().add("snapshot_id", LongType)
+      .add("parent_id", LongType).add("timestamp_ms", LongType)
+      .add("operation", StringType),
+      chain.map(s => Seq(s.snapshotId,
+        s.parentSnapshotId.map(java.lang.Long.valueOf).orNull,
+        s.timestampMs,
+        s.summary.map(_.operation.name).orNull)))
   }
 
   /** `train_tokenizer`: ONE corpus pass (word counts) + a

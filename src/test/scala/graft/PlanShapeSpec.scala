@@ -231,6 +231,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"d24 lost map-side partial aggregation:\n$p")
   }
 
+  test("d34 classifier: the ≤65k-bucket model broadcasts — the " +
+      "corpus is never shuffled on a feature key for scoring") {
+    val p = staticPlan("d34_quality_classifier")
+    assert(broadcasts(p) >= 1,
+      s"the bounded weight model must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"scoring must join on the bucket key:\n$p")
+    assert(p.toString.contains("partial"),
+      s"d34 lost map-side partial aggregation:\n$p")
+  }
+
+  test("d42 trigram LM: dictionary joins are gram-key equi-joins " +
+      "(the 1-row token total broadcasts); per-doc agg stays partial") {
+    val p = staticPlan("d42_trigram_backoff")
+    assert(broadcasts(p) >= 1,
+      s"the single-row train-token total must broadcast:\n$p")
+    assert(!p.toString.contains("CartesianProduct"),
+      s"backoff scoring must join occurrences on gram keys:\n$p")
+    assert(p.toString.contains("partial"),
+      s"d42 lost map-side partial aggregation:\n$p")
+  }
+
   test("e13 BM25: query terms broadcast — the corpus postings are " +
       "never shuffled for scoring") {
     val p = staticPlan("e13_bm25")

@@ -1278,6 +1278,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("ancestors_of: newest-first lineage walk with parent links " +
+      "and operations; snapshot-pinned walk is a suffix") {
+    withCatalog("anc") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.t (id BIGINT)")
+      (1 to 3).foreach(i =>
+        spark.sql(s"INSERT INTO $c.db.t VALUES ($i)"))
+      val rows = spark.sql(s"CALL $c.system.ancestors_of('db', 't')")
+        .collect()
+      assert(rows.length == 3, rows.mkString(","))
+      // newest first; each row's parent is the next row's id
+      assert(rows(0).getLong(0) ==
+        loadT(dir, "t").currentSnapshot.get.snapshotId)
+      assert(rows(0).getLong(1) == rows(1).getLong(0) &&
+        rows(1).getLong(1) == rows(2).getLong(0))
+      assert(rows(2).isNullAt(1), "root has no parent")
+      assert(rows.forall(_.getString(3) == "append"),
+        rows.map(_.getString(3)).mkString(","))
+      assert(rows(0).getLong(2) >= rows(2).getLong(2),
+        "timestamps must not decrease toward the head")
+      // pinned walk from the middle snapshot is the 2-row suffix
+      val mid = rows(1).getLong(0)
+      val sub = spark.sql(s"CALL $c.system.ancestors_of('db', 't', " +
+        s"snapshot_id => ${mid}L)").collect()
+      assert(sub.map(_.getLong(0)).toSeq ==
+        rows.drop(1).map(_.getLong(0)).toSeq, sub.mkString(","))
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.getMessage).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.ancestors_of('db', 't', " +
+          "snapshot_id => 999L)").collect() }
+      assert(causes(e1).contains("snapshot_id"), causes(e1))
+    }
+  }
+
   test("corpus_stats: hand-counted totals; snapshot-addressed audit") {
     withCatalog("cst") { (c, dir) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
