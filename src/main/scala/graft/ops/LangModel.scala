@@ -119,25 +119,44 @@ object LangModel {
     * still equal a full retrain bit-for-bit after
     * [[scoreWithCounts]]'s sum-merge. The total token count (the
     * unigram denominator) is derivable as Σ cnt over the n = 1 rows —
-    * no separate state. One training scan per gram order, each
-    * collapsing map-side to vocabulary-sized output. */
+    * no separate state.
+    *
+    * ONE training scan for all three gram orders: each document's
+    * trigram, bigram, and unigram occurrences emit as tagged structs
+    * from a single explode, and one map-side-combined
+    * `groupBy(n, w1, w2, w3)` counts them all. When the result is
+    * MATERIALIZED — `CALL train_lm`'s checkpoint-then-persist, the
+    * streaming sink's per-batch deltas — training therefore costs one
+    * corpus pass instead of three, the 3×-less-I/O shape that matters
+    * at 100 TB. (Left lazy inside [[trigramBackoff]], Catalyst pushes
+    * each dictionary's `n =` filter back through the aggregate and
+    * re-derives per-order branches — same scan count as a per-order
+    * build, the filters just discard the other orders' structs after
+    * the shared explode; the gates pin both plans to identical
+    * counts.) The shuffle carries the per-partition DISTINCT gram
+    * set, not token volume. */
   def gramCounts(df: DataFrame, textCol: String = "text"): DataFrame = {
     val tk = Names.fresh(df.columns)(i => s"__graft_tk$i")
     val src = df.select(toks(col(textCol)).as(tk))
     val nullS = lit(null).cast("string")
-    val tri = gramOcc(src, tk, 3, Seq("w1", "w2", "w3"), Nil)
-      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
-      .select(lit(3).as("n"), col("w1"), col("w2"), col("w3"),
-        col("cnt"))
-    val bg = gramOcc(src, tk, 2, Seq("w1", "w2"), Nil)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-      .select(lit(2).as("n"), col("w1"), col("w2"), nullS.as("w3"),
-        col("cnt"))
-    val ug = src.select(explode(col(tk)).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("cnt"))
-      .select(lit(1).as("n"), col("w1"), nullS.as("w2"),
-        nullS.as("w3"), col("cnt"))
-    tri.unionByName(bg).unionByName(ug)
+    val structT = "array<struct<n:int,w1:string,w2:string,w3:string>>"
+    def gramStructs(n: Int): Column = {
+      // size(NULL) is NULL and sequence(0, negative) would descend:
+      // guard short/NULL docs to the empty array per order
+      when(size(col(tk)) < n, array().cast(structT))
+        .otherwise(transform(sequence(lit(0), size(col(tk)) - n),
+          i => struct(lit(n).as("n"),
+            element_at(col(tk), i + 1).as("w1"),
+            (if (n >= 2) element_at(col(tk), i + 2) else nullS)
+              .as("w2"),
+            (if (n >= 3) element_at(col(tk), i + 3) else nullS)
+              .as("w3"))))
+    }
+    src.select(explode(concat(gramStructs(3), gramStructs(2),
+        gramStructs(1))).as("__g"))
+      .select(col("__g.n").as("n"), col("__g.w1").as("w1"),
+        col("__g.w2").as("w2"), col("__g.w3").as("w3"))
+      .groupBy("n", "w1", "w2", "w3").agg(count(lit(1)).as("cnt"))
   }
 
   /** Score every document of `df` against a [[gramCounts]] ledger —
