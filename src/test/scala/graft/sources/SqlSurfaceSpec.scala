@@ -1138,6 +1138,61 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("train_lm / train_classifier chains survive source compaction: " +
+      "replace snapshots are never re-delivered") {
+    withCatalog("lmc") { (c, dir) =>
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs " +
+        "(doc_id BIGINT, lang STRING, text STRING)")
+      spark.sql(s"INSERT INTO $c.db.docs VALUES " +
+        "(1, 'en', 'a b c'), (2, 'fr', 'b c d')")
+      spark.sql(s"CALL $c.system.train_lm('db', 'docs')").collect()
+      spark.sql(s"CALL $c.system.train_classifier('db', 'docs', " +
+        "'lang = ''en''')").collect()
+      // grow the table in two small appends, then COMPACT — the
+      // rewrite commits a replace snapshot containing every row
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (3, 'en', 'c d')")
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (4, 'fr', 'd e')")
+      spark.sql(s"CALL $c.system.compact('db', 'docs')").collect()
+      // chain across the compaction: only docs 3 and 4 are deltas
+      val lm = spark.sql(s"CALL $c.system.train_lm('db', 'docs', " +
+        "incremental => true)").collect().head
+      val clf = spark.sql(s"CALL $c.system.train_classifier(" +
+        s"'db', 'docs', 'lang = ''en''', incremental => true)")
+        .collect().head
+      // full-recount totals: tokens 3+3+2+2 = 10; pos (en) 3+2 = 5,
+      // neg (fr) 3+2 = 5 — a re-delivered compaction rewrite would
+      // roughly double these
+      assert(lm.getLong(2) == 10L, s"lm chained total: $lm")
+      assert(clf.getLong(2) == 5L && clf.getLong(3) == 5L,
+        s"clf chained totals: $clf")
+      // and the chained ledgers equal from-scratch builds
+      val full = spark.sql(
+        s"SELECT doc_id, lang, text FROM $c.db.docs")
+      def canonLm(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("n", "w1", "w2", "w3")
+          .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+          .collect().map(r => (r.getInt(0), r.getString(1),
+            Option(r.getString(2)), Option(r.getString(3)),
+            r.getLong(4))).sortBy(_.toString).toSeq
+      assert(canonLm(graft.table.Scan(loadT(dir, "docs_lm_model"),
+          spark).toDF) ==
+        canonLm(graft.ops.LangModel.gramCounts(full)),
+        "LM chain across compaction must equal a full retrain")
+      val viaLedger = graft.ops.Classifier.weightsFromCounts(
+          graft.table.Scan(loadT(dir, "docs_clf_model"), spark).toDF)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      val scratch = graft.ops.Classifier.fit(
+          full.where(org.apache.spark.sql.functions
+            .col("lang") === "en"),
+          full.where(org.apache.spark.sql.functions
+            .col("lang") =!= "en"))
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(viaLedger == scratch,
+        "classifier chain across compaction must equal a full refit")
+    }
+  }
+
   test("train_lm / score_text error surface") {
     withCatalog("lme") { (c, _) =>
       spark.sql(s"CREATE NAMESPACE $c.db")
