@@ -301,10 +301,13 @@ class RestCatalog(
   override def createTable(id: TableIdentifier, schema: Schema,
       spec: PartitionSpec, sortOrder: SortOrder,
       properties: Map[String, String]): TableMetadata = {
+    // jstr-escape keys AND values: stamped config like a classifier's
+    // label predicate can carry quotes/backslashes, and a naive
+    // interpolation would emit invalid JSON
     val props = properties.map { case (k, v) =>
-      s""""$k": "$v"""" }.mkString(",")
+      s"${jstr(k)}: ${jstr(v)}" }.mkString(",")
     val body =
-      s"""{"name": "${id.name}",
+      s"""{"name": ${jstr(id.name)},
          |"schema": ${schema.toJson},
          |"properties": {$props}}""".stripMargin
     val resp = expect("POST",

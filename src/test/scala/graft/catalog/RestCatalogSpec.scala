@@ -718,6 +718,39 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.train_classifier through the REST catalog: a " +
+      "label-pred with double quotes survives the create-table JSON") {
+    withServerUri { (_, backing, uri) =>
+      withSparkRestCatalog(uri) { (spark, c) =>
+        spark.sql(s"CREATE NAMESPACE $c.db")
+        spark.sql(s"CREATE TABLE $c.db.docs " +
+          "(doc_id BIGINT, lang STRING, text STRING)")
+        spark.sql(s"INSERT INTO $c.db.docs VALUES " +
+          "(1, 'en', 'x y'), (2, 'fr', 'y z')")
+        // Spark SQL double-quoted string literal inside the predicate
+        // — the stamped property value carries literal double quotes,
+        // which a naively interpolated create-table JSON body would
+        // corrupt
+        val pred = """lang = "en""""
+        val rep = spark.sql(s"CALL $c.system.train_classifier(" +
+          s"'db', 'docs', 'lang = \"en\"')").collect().head
+        assert(rep.getLong(2) == 2L && rep.getLong(3) == 2L,
+          s"report $rep")
+        val mdl = backing.loadTable(
+          TableIdentifier(Seq("db"), "docs_clf_model"))
+        assert(mdl.properties("graft.clf-model.label-pred") == pred,
+          mdl.properties.toString)
+        // chain with the identical quoted predicate round-trips
+        spark.sql(s"INSERT INTO $c.db.docs VALUES (3, 'en', 'z')")
+        val rep2 = spark.sql(s"CALL $c.system.train_classifier(" +
+          s"'db', 'docs', 'lang = \"en\"', incremental => true)")
+          .collect().head
+        assert(rep2.getLong(2) == 3L && rep2.getLong(3) == 2L,
+          s"chain report $rep2")
+      }
+    }
+  }
+
   test("CALL system.register_table through the REST catalog posts the " +
       "metadata location and round-trips the table") {
     withServerUri { (_, backing, uri) =>
