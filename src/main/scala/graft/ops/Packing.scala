@@ -333,13 +333,18 @@ object Packing {
       weights: Map[String, Long], totalN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(totalN >= 0, "totalN must be >= 0")
+    val bigW = weights.values.foldLeft(BigInt(0))(_ + _)
     require(weights.nonEmpty && weights.values.forall(_ >= 0) &&
-      weights.values.sum > 0, "weights must be non-negative, sum > 0")
+      bigW > 0, "weights must be non-negative, sum > 0")
     val spark = df.sparkSession
     import spark.implicits._
-    val bigW = weights.values.sum
+    // apportionment in BigInt: totalN * w overflows Long for
+    // trillion-row corpora with large weights; the work is
+    // model-sized (one entry per stratum), so exact arithmetic is
+    // free — quotas convert back to Long at the end
     val base = weights.toSeq.map { case (s, w) =>
-      (s, totalN * w / bigW, totalN * w % bigW) }
+      val share = BigInt(totalN) * w
+      (s, (share / bigW).toLong, share % bigW) }
     val leftover = (totalN - base.map(_._2).sum).toInt
     val quotas = base.sortBy { case (s, _, r) => (-r, s) }
       .zipWithIndex

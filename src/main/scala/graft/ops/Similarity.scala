@@ -580,7 +580,10 @@ object Similarity {
     *
     * Inputs: `candidates` = `(qIdCol, idCol, relCol)`;
     * `sims` = `(qIdCol, aCol, bCol, simCol)` covering every ordered
-    * candidate pair of a query. Output:
+    * candidate pair of a query — ENFORCED: a looked-up pair that is
+    * absent throws rather than silently defaulting (a 0 default would
+    * clamp the max at >= 0 under all-negative sims and change
+    * selections with no signal). Output:
     * `(qIdCol, step, idCol, mmr_scaled)` with step 1..k in selection
     * order.
     *
@@ -630,7 +633,14 @@ object Similarity {
             var mx = 0L
             var first = true
             sel.foreach { sid =>
-              val sv = simMap.getOrElse((id, sid), 0L)
+              // full-pair coverage is a hard contract: a silent 0
+              // default would clamp the max at >= 0 when every present
+              // sim is negative, changing selections without any error
+              val sv = simMap.getOrElse((id, sid),
+                throw new IllegalArgumentException(
+                  s"mmrDiversify: sims is missing the ordered pair " +
+                    s"($id, $sid) for query $qid — sims must cover " +
+                    "every ordered candidate pair"))
               if (first || sv > mx) { mx = sv; first = false }
             }
             val score = lamNum * rel - (lamDen - lamNum) * mx

@@ -101,10 +101,11 @@ object Unigram {
     val merged = ledger.groupBy("piece").agg(sum(col("cnt")).as("cnt"))
     val singles = merged.where(length(col("piece")) === 1)
     val multi = merged.where(length(col("piece")) > 1)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("cnt").desc, col("piece").asc)
-    val topMulti = multi.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= vocabSize).drop("__rn")
+    // top-V cut as orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps + a driver merge of V rows), never the single-partition
+    // WindowExec a global row_number() would force
+    val topMulti = multi
+      .orderBy(col("cnt").desc, col("piece").asc).limit(vocabSize)
     val vocab = singles.unionByName(topMulti)
       .select(col("piece"), col("cnt"),
         (qlogExpr("cnt") - qlogT).as("weight"))

@@ -13,6 +13,23 @@ import graft.spec.Operation
   */
 object Streams {
 
+  /** Restart-replay guard for the index/model ingest sinks: the last
+    * committed micro-batch id is stamped as a property on the
+    * index/model table (in the SAME commit as the per-batch stamp
+    * where one already exists), and a FRESH handle initializes its
+    * skip watermark from it — so a micro-batch replayed after a
+    * driver restart whose commits already landed is skipped instead
+    * of double-delivered. The residual window: the stamp is a
+    * separate commit from the data append, so a crash BETWEEN an
+    * append and its stamp can still double-deliver that one batch on
+    * restart — visible as a model/index snapshot newer than the last
+    * stamp (repair = full rebuild/retrain). Exactly-once would need
+    * the stamp and the append in one atomic commit. */
+  private[streaming] def stampedBatchId(index: Table,
+      prop: String): Long =
+    index.metadata.properties.get(prop).map(_.toLong)
+      .getOrElse(Long.MinValue)
+
   /** Iceberg sink for `writeStream.foreachBatch`: each micro-batch
     * commits one append snapshot (exactly the one-snapshot-per-batch
     * shape of the reference's BulkWriter, made transactional). The
@@ -52,17 +69,18 @@ object Streams {
     * the same structure. Batch cost is the [[graft.ops.Dedup
     * .indexedExactRemovals]] / [[graft.ops.Dedup
     * .indexedMinhashRemovals]] shape: narrow index column scans, no
-    * corpus text pass. Retried micro-batch ids are skipped
-    * (same-handle at-most-once, the [[IcebergStreamSink]] contract);
-    * both appends are ordinary snapshots, so a crash between them is
-    * visible and re-runnable rather than silently double-counted. */
+    * corpus text pass. Retried micro-batch ids are skipped —
+    * including across driver restarts, via the stamped last-batch-id
+    * ([[Streams.stampedBatchId]]; one residual crash window, between
+    * an append and its stamp, documented there). */
   final class IndexedDedupSink(initialSink: Table, initialIndex: Table,
       textCol: String = "text", idCol: String = "doc_id",
       minhash: Boolean = false, threshold: Double = 0.8,
       numHashes: Int = 64) extends Serializable {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
-    @volatile private var lastBatchId: Long = Long.MinValue
+    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
+      initialIndex, "graft.dedup-index.last-batch-id")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -86,6 +104,10 @@ object Streams {
           graft.ops.Dedup.signatureFrame(survivors, textCol, idCol,
             numHashes))
       }
+      // persist the batch watermark so a restarted handle skips
+      // replayed batches that already committed (see stampedBatchId)
+      indexRef = indexRef.newTransaction().setProperties(Map(
+        "graft.dedup-index.last-batch-id" -> batchId.toString)).commit()
     }
 
     def sink: Table = sinkRef
@@ -113,8 +135,8 @@ object Streams {
     * chaining the same index after the stream stops — the snapshot
     * stamp makes the two interoperate). Wrong-dim rows land in the
     * corpus but not the index (the full-build contract). Retried
-    * micro-batch ids are skipped; each append is an ordinary snapshot,
-    * so a crash between the commits is visible, never double rows. */
+    * micro-batch ids are skipped — including across driver restarts,
+    * via the stamped last-batch-id ([[Streams.stampedBatchId]]). */
   final class AnnIndexIngestSink(initialSink: Table, initialIndex: Table,
       vecCol: String = "embedding", idCol: String = "vec_id")
       extends Serializable {
@@ -127,7 +149,8 @@ object Streams {
     private val dim = props("graft.ann-index.dim").toInt
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
-    @volatile private var lastBatchId: Long = Long.MinValue
+    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
+      initialIndex, "graft.ann-index.last-batch-id")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -150,7 +173,8 @@ object Streams {
       // corpus now, and a later procedure chain must not re-deliver
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
         indexRef = indexRef.newTransaction().setProperties(Map(
-          "graft.ann-index.source-snapshot-id" -> h.toString)).commit()
+          "graft.ann-index.source-snapshot-id" -> h.toString,
+          "graft.ann-index.last-batch-id" -> batchId.toString)).commit()
       }
     }
 
@@ -176,7 +200,9 @@ object Streams {
     * `build_text_index(incremental => true)` procedure can keep
     * chaining after the stream stops. NULL-text docs count toward
     * `n_docs` and produce no postings (the build contract). Retried
-    * micro-batch ids are skipped. */
+    * micro-batch ids are skipped — including across driver
+    * restarts, via the stamped last-batch-id
+    * ([[Streams.stampedBatchId]]). */
   final class TextIndexIngestSink(initialSink: Table,
       initialIndex: Table, textCol: String = "text",
       idCol: String = "doc_id") extends Serializable {
@@ -187,7 +213,8 @@ object Streams {
       .toInt
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
-    @volatile private var lastBatchId: Long = Long.MinValue
+    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
+      initialIndex, "graft.text-index.last-batch-id")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -213,7 +240,8 @@ object Streams {
           "graft.text-index.n-docs" ->
             (props("graft.text-index.n-docs").toLong + bDocs).toString,
           "graft.text-index.total-dl" ->
-            (props("graft.text-index.total-dl").toLong + bDl).toString))
+            (props("graft.text-index.total-dl").toLong + bDl).toString,
+          "graft.text-index.last-batch-id" -> batchId.toString))
           .commit()
       }
     }
@@ -237,7 +265,8 @@ object Streams {
     * EVERY batch boundary (the i47 "chain == rebuild" contract), and
     * `train_tokenizer(incremental => true)` keeps chaining the same
     * model after the stream stops. Retried micro-batch ids are
-    * skipped. */
+    * skipped — including across driver restarts, via the stamped
+    * last-batch-id ([[Streams.stampedBatchId]]). */
   final class TokenizerLedgerIngestSink(initialSink: Table,
       initialModel: Table, textCol: String = "text")
       extends Serializable {
@@ -248,7 +277,8 @@ object Streams {
           "train_tokenizer model table")).toInt
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
-    @volatile private var lastBatchId: Long = Long.MinValue
+    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
+      initialModel, "graft.tok-model.last-batch-id")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -272,7 +302,9 @@ object Streams {
           "graft.tok-model.source-snapshot-id" -> h.toString,
           "graft.tok-model.total-cnt" ->
             (props("graft.tok-model.total-cnt").toLong + dTotal)
-              .toString)).commit()
+              .toString,
+          "graft.tok-model.last-batch-id" -> batchId.toString))
+          .commit()
       }
     }
 
@@ -294,7 +326,9 @@ object Streams {
     * equals a full retrain at EVERY batch boundary (the i51 "chain ==
     * rebuild" contract held live), and `train_lm(incremental => true)`
     * keeps chaining the same model after the stream stops. Retried
-    * micro-batch ids are skipped. */
+    * micro-batch ids are skipped — including across driver
+    * restarts, via the stamped last-batch-id
+    * ([[Streams.stampedBatchId]]). */
   final class LmLedgerIngestSink(initialSink: Table,
       initialModel: Table, textCol: String = "text")
       extends Serializable {
@@ -304,7 +338,8 @@ object Streams {
         "has no total-tokens property — not a train_lm model table")
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
-    @volatile private var lastBatchId: Long = Long.MinValue
+    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
+      initialModel, "graft.lm-model.last-batch-id")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -327,7 +362,9 @@ object Streams {
           "graft.lm-model.source-snapshot-id" -> h.toString,
           "graft.lm-model.total-tokens" ->
             (props("graft.lm-model.total-tokens").toLong + dTotal)
-              .toString)).commit()
+              .toString,
+          "graft.lm-model.last-batch-id" -> batchId.toString))
+          .commit()
       }
     }
 
@@ -351,7 +388,8 @@ object Streams {
     * "chain == rebuild" contract held live), and
     * `train_classifier(incremental => true)` keeps chaining the same
     * model after the stream stops. Retried micro-batch ids are
-    * skipped. */
+    * skipped — including across driver restarts, via the stamped
+    * last-batch-id ([[Streams.stampedBatchId]]). */
   final class ClassifierLedgerIngestSink(initialSink: Table,
       initialModel: Table, textCol: String = "text")
       extends Serializable {
@@ -362,7 +400,8 @@ object Streams {
           "train_classifier model table"))
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
-    @volatile private var lastBatchId: Long = Long.MinValue
+    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
+      initialModel, "graft.clf-model.last-batch-id")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -391,7 +430,9 @@ object Streams {
               .toString,
           "graft.clf-model.neg-tokens" ->
             (props("graft.clf-model.neg-tokens").toLong + tot(1))
-              .toString)).commit()
+              .toString,
+          "graft.clf-model.last-batch-id" -> batchId.toString))
+          .commit()
       }
     }
 
@@ -414,7 +455,9 @@ object Streams {
     * re-encode at every batch boundary, and `build_pq_index(
     * incremental => true)` keeps chaining after the stream stops.
     * Wrong-dim rows land in the corpus but not the index. Retried
-    * micro-batch ids are skipped. */
+    * micro-batch ids are skipped — including across driver
+    * restarts, via the stamped last-batch-id
+    * ([[Streams.stampedBatchId]]). */
   final class PqIndexIngestSink(initialSink: Table, initialIndex: Table,
       vecCol: String = "embedding", idCol: String = "vec_id")
       extends Serializable {
@@ -427,7 +470,8 @@ object Streams {
     private val dim = props("graft.pq-index.dim").toInt
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
-    @volatile private var lastBatchId: Long = Long.MinValue
+    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
+      initialIndex, "graft.pq-index.last-batch-id")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -442,7 +486,8 @@ object Streams {
         indexRef = TableOps.append(indexRef, payload)
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
         indexRef = indexRef.newTransaction().setProperties(Map(
-          "graft.pq-index.source-snapshot-id" -> h.toString)).commit()
+          "graft.pq-index.source-snapshot-id" -> h.toString,
+          "graft.pq-index.last-batch-id" -> batchId.toString)).commit()
       }
     }
 
