@@ -60,5 +60,10 @@ object SparkEntry {
     // the unigram (SentencePiece-style) tokenizer's corpus
     // deployment path (train vocab + segment distinct words + one
     // word→pieces join)
-    "d42_trigram_backoff", "e20_hybrid_rrf", "d48_unigram_tokenize")
+    "d42_trigram_backoff", "e20_hybrid_rrf", "d48_unigram_tokenize",
+    // round 18: hybrid fusion riding the INDEXED retrievers — both
+    // indexes built in the warmup pass, so the timed path is
+    // bucket-load + probed-cells-load + fuse, never a corpus scan
+    // (the answer to e20's "at 100x, ride the indexes" plan note)
+    "e22_hybrid_indexed")
 }

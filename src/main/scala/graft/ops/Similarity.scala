@@ -363,7 +363,7 @@ object Similarity {
   def ivfTopKFromIndex(loadCells: Seq[Int] => DataFrame,
       queries: DataFrame, centroids: Seq[Array[Double]], k: Int,
       nprobe: Int = 2, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", withVec: Boolean = false): DataFrame = {
     // tiny (|queries| × nprobe); pinned so the collect and the join
     // don't each re-run the probe expressions
     val probed = probedQueries(queries, centroids, nprobe, vecCol, idCol)
@@ -379,8 +379,14 @@ object Similarity {
         col("__qn"), col("__cn")))
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid").asc)
-    scored.select("qid", "nid", "score")
-      .withColumn("rank", row_number().over(w))
+    // withVec: carry the neighbor vector (already loaded from the
+    // probed cells) into the top-k — lets a re-ranker (e.g. MMR) use
+    // candidate vectors without a second index read
+    val base = if (withVec)
+      scored.select(col("qid"), col("nid"), col("score"),
+        col("__cv").as("vec"))
+    else scored.select("qid", "nid", "score")
+    base.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
 

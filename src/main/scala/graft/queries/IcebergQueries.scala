@@ -1711,7 +1711,8 @@ object IcebergQueries {
       corpusSql: String = "SELECT vec_id, embedding FROM embeddings",
       dimSql: String =
         "SELECT max(len(embedding)) AS d FROM embeddings",
-      qSql: Option[String] = None):
+      qSql: Option[String] = None,
+      k: Int = 5, nprobe: Int = 3):
       String = stash match {
     case None =>
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS " +
@@ -1752,7 +1753,7 @@ object IcebergQueries {
          |      ROW_NUMBER() OVER (PARTITION BY q.qid
          |        ORDER BY ${cos("q.qv", "c.ctr")} DESC, c.cell ASC) AS cr
          |    FROM q CROSS JOIN cells c
-         |  ) WHERE cr <= 3
+         |  ) WHERE cr <= $nprobe
          |)
          |SELECT qid, nid, rank FROM (
          |  SELECT p.qid, a.nid,
@@ -1760,7 +1761,7 @@ object IcebergQueries {
          |      ORDER BY ${cos("p.qv", "a.cv")} DESC, a.nid ASC) AS rank
          |  FROM probes p JOIN assigned a
          |    ON a.cell = p.cell AND a.nid <> p.qid
-         |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+         |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
   @volatile private var i37Stash: Option[Seq[Array[Double]]] = None
@@ -2453,6 +2454,100 @@ object IcebergQueries {
         s"WHERE vec_id <= $mid")
   }
 
+  @volatile private var i58Stash: Option[Seq[Array[Double]]] = None
+
+  /** `CALL mmr_search` — diversified retrieval from pure SQL: the
+    * cell-pruned IVF top-12 over the persisted `build_ann_index`
+    * table re-ranked by maximal marginal relevance (λ = 7/10) over
+    * int8-code dot products, external query = vec 0's floats through
+    * the JSON round-trip (the i43 pattern). The oracle composes the
+    * trained-centroid ANN replay (candidate selection, this run's
+    * stash) with the e21 int8-quantize + greedy-unroll CTEs
+    * ([[OpsQueries.mmrUnrollSql]] — ONE greedy definition shared with
+    * e21), so candidate probing, quantization, every integer margin,
+    * and the selection order all sit under one hash gate. */
+  def i58SqlMmrSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val c = "g58" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf58" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val tmp = "g58v_" + java.util.UUID.randomUUID.toString.take(8)
+    emb.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp")
+    s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 8, '', -1, 4242)").collect()
+    val props = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+      .metadata.properties
+    i58Stash = Some(graft.ops.Similarity.centroidsFromJson(
+      props("graft.ann-index.centroids")))
+    val dim = props("graft.ann-index.dim").toInt
+    val qvec = emb.where(col("vec_id") === 0 &&
+        size(col("embedding")) === dim)
+      .select("embedding").head(1).headOption.getOrElse(
+        throw new IllegalStateException("vec 0 missing or wrong-dim"))
+      .getSeq[Float](0)
+    val json = qvec.mkString("[", ",", "]")
+    val out = s.sql(s"CALL $c.system.mmr_search('$ns', " +
+      s"'vecs_ann_idx', '$json', 5, 12, 3, 7, 10)")
+    val steps = out.orderBy("step").select("step")
+      .collect().map(_.getLong(0)).toSeq
+    require(steps == (1L to 5L), s"selection steps must be 1..5: $steps")
+    out.select("step", "vec_id", "mmr_scaled").orderBy("step")
+  }
+
+  private def i58Sql: String = i58Stash match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS step, CAST(NULL AS BIGINT) AS " +
+        "vec_id, CAST(NULL AS BIGINT) AS mmr_scaled WHERE 1 = 0"
+    case Some(cbs) =>
+      val (mmrCtes, unions) = OpsQueries.mmrUnrollSql(5, 7L, 10L)
+      val code = OpsQueries.int8CodeSql
+      raw"""WITH annc AS (
+        |  SELECT nid FROM (
+        |${annReplaySql(Some(cbs), qSql = Some(
+             s"SELECT ${Long.MinValue} AS qid, " +
+               "CAST(embedding AS DOUBLE[]) AS qv FROM src WHERE " +
+               "vec_id = 0 AND len(embedding) = (SELECT d FROM dim)"),
+             k = 12)}) AS g
+        |), base AS (
+        |  SELECT vec_id,
+        |    COALESCE(list_min(CAST(embedding AS DOUBLE[])), 0.0) AS lo,
+        |    COALESCE((list_max(CAST(embedding AS DOUBLE[]))
+        |      - list_min(CAST(embedding AS DOUBLE[]))) / 255.0, 0.0)
+        |      AS scale,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0
+        |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v, x -> $code) END AS codes
+        |  FROM base
+        |), ccodes AS (
+        |  SELECT c.vec_id, c.codes FROM codes c
+        |  JOIN annc a ON a.nid = c.vec_id
+        |), qc AS (
+        |  SELECT codes AS qc FROM codes WHERE vec_id = 0
+        |), cand AS (
+        |  SELECT CAST(0 AS BIGINT) AS qid, c.vec_id AS nid,
+        |    ${OpsQueries.idotSql("q.qc", "c.codes")} AS rel
+        |  FROM ccodes c, qc q
+        |), sims AS (
+        |  SELECT CAST(0 AS BIGINT) AS qid, c1.vec_id AS a,
+        |    c2.vec_id AS b,
+        |    ${OpsQueries.idotSql("c1.codes", "c2.codes")} AS sim
+        |  FROM ccodes c1 JOIN ccodes c2 ON c2.vec_id <> c1.vec_id
+        |), $mmrCtes
+        |SELECT step, nid AS vec_id, mmr AS mmr_scaled FROM ($unions) u
+        |ORDER BY step""".stripMargin
+  }
+
   @volatile private var i41Stash: Option[Long] = None
 
   /** Streaming text-index ingestion ([[graft.streaming.Streams
@@ -2752,6 +2847,264 @@ object IcebergQueries {
           "CAST(embedding AS DOUBLE[]) AS qv FROM src WHERE " +
           "vec_id = 0 AND len(embedding) = (SELECT d FROM dim)")) +
       ") AS g ORDER BY rank"
+  }
+
+  @volatile private var i56Stash: Option[Seq[Array[Double]]] = None
+
+  /** `CALL hybrid_search` — RRF fusion over BOTH persisted indexes,
+    * the query a retrieval user actually runs: build_text_index +
+    * build_ann_index, then one call fuses a bucket-pruned BM25
+    * top-20 with a cell-pruned IVF exact-cosine top-20 into the
+    * final top-10. The lexical query is doc 0's first four
+    * normalized tokens (the i42 probe), the vector query vec 0's
+    * floats through the JSON round-trip (the i43 pattern). The gate
+    * holds THREE contracts at once: (1) the SQL result must equal
+    * the library composition `bm25FromIndex` + `ivfTopKFromIndex` +
+    * `rrfFuse` row-for-row, where every library-side index load is
+    * REQUIRED in-query to read strictly fewer files than the index
+    * holds (bucket/cell partition pruning — the timed path never
+    * scans a corpus); (2) the fused scores are exact longs
+    * (`RrfScale div (60 + rank)` summed), hash-gated against a
+    * DuckDB replay composing the shared `bm25ReplaySql` +
+    * `annReplaySql` definitions with the e20 fusion CTE; (3) vec 0
+    * must surface in the fused list (its self-hit is the vector
+    * rank-1), pinning the no-self-exclusion sentinel rule through
+    * the fusion. */
+  def i56SqlHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val c = "g56" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf56" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val td = "g56d_" + java.util.UUID.randomUUID.toString.take(8)
+    val tv = "g56v_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(td)
+    emb.createOrReplaceTempView(tv)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $td")
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tv")
+    s.sql(s"CALL $c.system.build_text_index('$ns', 'docs')").collect()
+    s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 8, '', -1, 4242)").collect()
+    val tIdx = loadByIdentifier(s, c, ns, "docs_text_idx")
+    val aIdx = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+    val tProps = tIdx.metadata.properties
+    val aProps = aIdx.metadata.properties
+    val centroids = graft.ops.Similarity.centroidsFromJson(
+      aProps("graft.ann-index.centroids"))
+    i56Stash = Some(centroids)
+    val dim = aProps("graft.ann-index.dim").toInt
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val qstr = docs.where(col("doc_id") === 0)
+      .select(concat_ws(" ", slice(split(norm, " "), 1, 4)).as("q"))
+      .head.getString(0)
+    val qvec = emb.where(col("vec_id") === 0 &&
+        size(col("embedding")) === dim)
+      .select("embedding").head(1).headOption.getOrElse(
+        throw new IllegalStateException("vec 0 missing or wrong-dim"))
+      .getSeq[Float](0)
+    val json = qvec.mkString("[", ",", "]")
+    val qlit = qstr.replace("'", "''")
+    val out = s.sql(s"CALL $c.system.hybrid_search('$ns', " +
+      s"'docs_text_idx', 'vecs_ann_idx', '$qlit', '$json', " +
+      "10, 20, 3, 60)").orderBy("rank")
+    val sqlRows = out.collect().map(_.toSeq).toSeq
+    require(sqlRows.exists(_(1) == 0L),
+      "vec 0's self-hit (vector rank 1) must surface in the fused " +
+        "top-10 — the sentinel qid must not self-exclude real ids")
+    // library-path parity, WITH the pruning asserts the procedure's
+    // production path cannot carry (a query touching every bucket is
+    // legal there; this probe must prune)
+    val nb = tProps("graft.text-index.num-buckets").toInt
+    val tAll = graft.table.Scan(tIdx, s).planFiles().size
+    val aAll = graft.table.Scan(aIdx, s).planFiles().size
+    val probe = s.range(1).select(lit(0L).as("query_id"),
+      lit(qstr).as("query"))
+    val lex = graft.ops.Retrieval.bm25FromIndex(
+      terms => {
+        val buckets = terms.map(tm => graft.functions.BucketUtil
+          .bucketUTF8(org.apache.spark.unsafe.types.UTF8String
+            .fromString(tm), nb)).distinct.sorted
+        val pruned = graft.table.Scan(tIdx, s)
+          .filter(Col("tbucket").in(buckets: _*))
+        require(pruned.planFiles().size < tAll,
+          s"probed read must partition-prune: " +
+            s"${pruned.planFiles().size} of $tAll files")
+        pruned.toDF
+      },
+      probe, tProps("graft.text-index.n-docs").toLong,
+      tProps("graft.text-index.total-dl").toLong, k = 20)
+    val qdf = s.range(1).select(lit(Long.MinValue).as("vec_id"),
+      typedLit(qvec).as("embedding"))
+    val vec = graft.ops.Similarity.ivfTopKFromIndex(
+      cells => {
+        val pruned = graft.table.Scan(aIdx, s)
+          .filter(Col("cell").in(cells: _*))
+        require(pruned.planFiles().size < aAll,
+          s"probed read must partition-prune: " +
+            s"${pruned.planFiles().size} of $aAll files")
+        pruned.toDF
+      },
+      qdf, centroids, k = 20, nprobe = 3)
+    val libRows = graft.ops.Retrieval.rrfFuse(Seq(
+        lex.select(lit(0L).as("query_id"), col("doc_id"), col("rank")),
+        vec.select(lit(0L).as("query_id"), col("nid").as("doc_id"),
+          col("rank"))),
+        k = 10)
+      .select(col("rank"), col("doc_id"), col("rrf_scaled"),
+        col("n_lists"))
+      .orderBy("rank").collect().map(_.toSeq).toSeq
+    require(libRows == sqlRows,
+      s"CALL hybrid_search must equal the library composition " +
+        s"row-for-row:\n  sql: $sqlRows\n  lib: $libRows")
+    out
+  }
+
+  /** i56 oracle: the i42 BM25 replay (top-20) and the i43 external-
+    * vector ANN replay (top-20, this run's trained centroids) fused
+    * with the e20 RRF CTE — all three ingredient definitions shared
+    * with their own gates, composed. */
+  private def i56Sql: String = i56Stash match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS " +
+        "doc_id, CAST(NULL AS BIGINT) AS rrf_scaled, " +
+        "CAST(NULL AS BIGINT) AS n_lists WHERE 1 = 0"
+    case Some(cbs) =>
+      val R = graft.ops.Retrieval.RrfScale
+      raw"""WITH lex AS (
+        |  SELECT doc_id, rank FROM (
+        |${OpsQueries.bm25ReplaySql(0, 20, qtermsSql = Some(
+             "SELECT 0 AS query_id, UNNEST(list_distinct(tk[1:4])) " +
+               "AS term FROM toks WHERE doc_id = 0"))}) AS l
+        |), vec AS (
+        |  SELECT nid AS doc_id, CAST(rank AS BIGINT) AS rank FROM (
+        |${annReplaySql(Some(cbs), qSql = Some(
+             s"SELECT ${Long.MinValue} AS qid, " +
+               "CAST(embedding AS DOUBLE[]) AS qv FROM src WHERE " +
+               "vec_id = 0 AND len(embedding) = (SELECT d FROM dim)"),
+             k = 20)}) AS a
+        |), uni AS (
+        |  SELECT doc_id, CAST($R AS BIGINT) // (60 + rank) AS c
+        |  FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST($R AS BIGINT) // (60 + rank) AS c
+        |  FROM vec
+        |), fused AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_scaled,
+        |    COUNT(*) AS n_lists
+        |  FROM uni GROUP BY 1
+        |)
+        |SELECT rank, doc_id, rrf_scaled, n_lists FROM (
+        |  SELECT doc_id, rrf_scaled, n_lists,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY rrf_scaled DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM fused) r
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
+  @volatile private var i57Stash:
+    Option[(Seq[Seq[Array[Double]]], Long)] = None
+
+  /** Streaming PQ ingestion ([[graft.streaming.Streams
+    * .PqIndexIngestSink]]) chained INTO the batch procedure — closes
+    * the one pipeline component that had unit-only coverage: full
+    * `build_pq_index` on half the vectors, two streamed waves through
+    * the sink (frozen-codebook encoding per micro-batch, snapshot
+    * stamp advancing with the corpus head), then — interop — a direct
+    * append picked up by `build_pq_index(incremental => true)`. Codes
+    * are per-row deterministic under the frozen model, so the ADC
+    * search over the final codes table must equal the trained-model
+    * replay over ALL four vintages ([[OpsQueries.pqReplaySql]] — the
+    * e15b/i44 shared oracle definition); codebooks asserted
+    * byte-stable across stream AND procedure chain, and the stamp
+    * must track the corpus head. */
+  def i57StreamPqIngest(s: SparkSession, dir: String): DataFrame = {
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val mid = emb.agg(max(col("vec_id"))).head.getLong(0) / 2
+    val c = "g57" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf57" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    s.sql(s"CREATE TABLE $c.$ns.feed (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val tmp = "g57v_" + java.util.UUID.randomUUID.toString.take(8)
+    emb.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tmp " +
+      s"WHERE vec_id <= $mid")
+    s.sql(s"CALL $c.system.build_pq_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 4, 8, '', -1, 4242)").collect()
+    val idxT0 = loadByIdentifier(s, c, ns, "vecs_pq_idx")
+    val cstamp = idxT0.metadata.properties("graft.pq-index.codebooks")
+    val pipe = graft.streaming.Streams.pqIndexIngestSink(
+      loadByIdentifier(s, c, ns, "vecs"), idxT0)
+    val q = s.readStream.format("graft")
+      .option("warehouse", warehouse)
+      .option("namespace", ns)
+      .option("table", "feed")
+      .load()
+      .writeStream
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+        pipe.addBatch(b, id))
+      .outputMode("append").start()
+    try {
+      s.sql(s"INSERT INTO $c.$ns.feed SELECT vec_id + 10000000, " +
+        s"embedding FROM $tmp WHERE vec_id > $mid")
+      q.processAllAvailable()
+      s.sql(s"INSERT INTO $c.$ns.feed SELECT vec_id + 20000000, " +
+        s"embedding FROM $tmp WHERE vec_id > $mid AND vec_id % 2 = 0")
+      q.processAllAvailable()
+    } finally q.stop()
+    // interop: the batch procedure chains cleanly after the stream —
+    // its recorded snapshot tracked the sink head the whole time
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT vec_id + 30000000, " +
+      s"embedding FROM $tmp WHERE vec_id > $mid AND vec_id % 3 = 0")
+    s.sql(s"CALL $c.system.build_pq_index('$ns', 'vecs', " +
+      "incremental => true)").collect()
+    val idxT = loadByIdentifier(s, c, ns, "vecs_pq_idx")
+    val props = idxT.metadata.properties
+    require(props("graft.pq-index.codebooks") == cstamp,
+      "neither the stream nor the chain may refit")
+    require(props("graft.pq-index.source-snapshot-id").toLong ==
+      loadByIdentifier(s, c, ns, "vecs").currentSnapshot.get.snapshotId,
+      "stamp must track the corpus head")
+    val cbs = graft.ops.Similarity.pqCodebooksFromJson(cstamp,
+      props("graft.pq-index.ksub").toInt)
+    i57Stash = Some((cbs, mid))
+    val dim = props("graft.pq-index.dim").toInt
+    val queries = emb.where(col("vec_id") < 3 &&
+      size(col("embedding")) === dim)
+    graft.ops.Similarity.pqTopKFromCodes(
+      graft.table.Scan(idxT, s).toDF, queries, cbs, k = 5)
+      .select("qid", "nid", "rank")
+      .orderBy("qid", "rank")
+  }
+
+  private def i57Sql: String = i57Stash match {
+    case None => OpsQueries.pqReplaySql(None)
+    case Some((cbs, mid)) => OpsQueries.pqReplaySql(Some(cbs),
+      corpusSql = s"""SELECT vec_id, embedding FROM embeddings
+         |    WHERE vec_id <= $mid
+         |  UNION ALL SELECT vec_id + 10000000, embedding
+         |    FROM embeddings WHERE vec_id > $mid
+         |  UNION ALL SELECT vec_id + 20000000, embedding
+         |    FROM embeddings WHERE vec_id > $mid AND vec_id % 2 = 0
+         |  UNION ALL SELECT vec_id + 30000000, embedding
+         |    FROM embeddings WHERE vec_id > $mid AND vec_id % 3 = 0"""
+        .stripMargin,
+      dimSql = "SELECT max(len(embedding)) AS d FROM embeddings " +
+        s"WHERE vec_id <= $mid")
   }
 
   val i35Sql: String =
@@ -3225,6 +3578,9 @@ object IcebergQueries {
     "i43_sql_ann_search" -> (i43SqlAnnSearch _),
     "i44_pq_index_chained" -> (i44PqIndexChained _),
     "i45_sql_pq_search" -> (i45SqlPqSearch _),
+    "i56_sql_hybrid_search" -> (i56SqlHybridSearch _),
+    "i57_stream_pq_ingest" -> (i57StreamPqIngest _),
+    "i58_sql_mmr_search" -> (i58SqlMmrSearch _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -3304,6 +3660,9 @@ object IcebergQueries {
     "i43_sql_ann_search" -> i43Sql,
     "i44_pq_index_chained" -> i44Sql,
     "i45_sql_pq_search" -> i45Sql,
+    "i56_sql_hybrid_search" -> i56Sql,
+    "i57_stream_pq_ingest" -> i57Sql,
+    "i58_sql_mmr_search" -> i58Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

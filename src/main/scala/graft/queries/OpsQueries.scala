@@ -637,7 +637,7 @@ object OpsQueries {
     * (e3b) and indexed (e17) gates share one SQL definition — a fix to
     * the shared arithmetic can never drift their oracles apart. */
   private def plantedIvfSearchSql(stride: Int, nCells: Int,
-      nprobe: Int): String = {
+      nprobe: Int, probeMaxId: Int = 3, k: Int = 5): String = {
     import PlantedSql.cos
     def f(cell: String): String = PlantedSql.centroid(stride, cell)
     val distCols = PlantedSql.distCols(stride, nCells, "cv")
@@ -651,7 +651,8 @@ object OpsQueries {
        |), q AS (
        |  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
        |  FROM embeddings
-       |  WHERE vec_id < 3 AND len(embedding) = (SELECT d FROM dim)
+       |  WHERE vec_id < $probeMaxId
+       |    AND len(embedding) = (SELECT d FROM dim)
        |), cells AS (
        |  SELECT cell, list_transform(
        |    generate_series(1, (SELECT d FROM dim)),
@@ -678,7 +679,7 @@ object OpsQueries {
        |      ORDER BY ${cos("p.qv", "a.cv")} DESC, a.nid ASC) AS rank
        |  FROM probes p JOIN assigned a
        |    ON a.cell = p.cell AND a.nid <> p.qid
-       |) WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
+       |) WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
   // ------------- e17 indexed IVF search over a cached inverted file
@@ -2106,6 +2107,82 @@ object OpsQueries {
 
   val e18Sql: String = bm25ReplaySql(5, 10)
 
+  // -------- e22 indexed hybrid RRF over BOTH cached indexes (oracle)
+  /** [[Retrieval.rrfFuse]] of the INDEXED retrievers — e18's
+    * bucket-pruned BM25 top-20 + e17's probed-cell IVF exact-cosine
+    * top-20, fused to the top-10: the production hybrid-search shape
+    * at 100 TB, where NEITHER retriever may touch a corpus at query
+    * time (contrast e20: same fusion, deliberately unindexed
+    * retrievers). Both indexes are built in the memoized warmup pass
+    * (the d41/e17/e18 pattern — on a real cluster these are the
+    * `build_text_index` / `build_ann_index` tables i56 drives through
+    * `CALL hybrid_search`), so the timed path is: query-term bucket
+    * load + score, nprobe probe + probed-cells load + re-rank, and a
+    * top-k-list-sized fusion. Fused scores are exact longs, so the
+    * gate hashes scores, membership AND ranks. */
+  def e22HybridIndexed(s: SparkSession, dir: String): DataFrame = {
+    val (post, nDocs, totalDl) = e18IndexFor(s, dir)
+    val docs = t(s, dir, "documents")
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val probes = docs.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(split(norm, " "), 1, 4)).as("query"))
+    val lex = Retrieval.bm25FromIndex(
+      terms => {
+        val buckets = terms.map(term => graft.functions.BucketUtil
+          .bucketUTF8(org.apache.spark.unsafe.types.UTF8String
+            .fromString(term), E18Buckets)).distinct
+        post.where(col("tbucket").isin(buckets: _*))
+      },
+      probes, nDocs, totalDl, k = 20)
+      .select("query_id", "doc_id", "rank")
+    val (centroids, assigned) = e17IndexFor(s, dir)
+    val dim = centroids.head.length
+    val qs = t(s, dir, "embeddings")
+      .where(col("vec_id") < 5 && size(col("embedding")) === dim)
+    val vec = Similarity.ivfTopKFromIndex(
+        cells => assigned.where(col("cell").isin(cells: _*)),
+        qs, centroids, k = 20, nprobe = E17Nprobe)
+      .select(col("qid").as("query_id"), col("nid").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+    Retrieval.rrfFuse(Seq(lex, vec), k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  /** e22 oracle: the e18 BM25 replay (top-20) + the e17 planted-IVF
+    * replay (stride 53, top-20, probes < 5) composed with the e20
+    * fusion CTE — all three ingredient definitions shared with their
+    * own gates. */
+  val e22Sql: String = {
+    val R = Retrieval.RrfScale
+    raw"""WITH lex AS (
+      |  SELECT query_id, doc_id, rank FROM (
+      |${bm25ReplaySql(5, 20)}) AS l
+      |), vec AS (
+      |  SELECT qid AS query_id, nid AS doc_id,
+      |    CAST(rank AS BIGINT) AS rank
+      |  FROM (
+      |${plantedIvfSearchSql(53, E17Cells, E17Nprobe,
+           probeMaxId = 5, k = 20)}) AS a
+      |), uni AS (
+      |  SELECT query_id, doc_id,
+      |    CAST($R AS BIGINT) // (60 + rank) AS c FROM lex
+      |  UNION ALL
+      |  SELECT query_id, doc_id,
+      |    CAST($R AS BIGINT) // (60 + rank) AS c FROM vec
+      |), fused AS (
+      |  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS rrf_scaled,
+      |    COUNT(*) AS n_lists
+      |  FROM uni GROUP BY 1, 2
+      |)
+      |SELECT query_id, rank, doc_id, rrf_scaled, n_lists FROM (
+      |  SELECT query_id, doc_id, rrf_scaled, n_lists,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY rrf_scaled DESC, doc_id ASC) AS BIGINT) AS rank
+      |  FROM fused) r
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   // -------------------------------- d25 leakage-safe split (oracle)
   /** Leakage-safe split gate ([[Splits.leakageSafeSplit]]): the ccb
     * planted graph (chains, cliques, singletons) through the real
@@ -3312,14 +3389,28 @@ object OpsQueries {
       .orderBy("qid", "step")
   }
 
-  val e21Sql: String = {
-    val ln = E21LamNum; val lc = E21LamDen - E21LamNum
-    val code = "CAST(LEAST(GREATEST(floor((x - lo) / scale + 0.5), " +
+  /** The int8 scalar-quantization code expression over `(lo, scale,
+    * x)` — the DuckDB mirror of [[Similarity.quantizeInt8]]'s
+    * `floor((x - lo)/scale + 0.5)` clamp. Shared by e21 and i58. */
+  private[queries] val int8CodeSql: String =
+    "CAST(LEAST(GREATEST(floor((x - lo) / scale + 0.5), " +
       "0.0), 255.0) AS BIGINT)"
-    def idot(a: String, b: String) =
-      s"CAST(list_dot_product(CAST($a AS DOUBLE[]), " +
-        s"CAST($b AS DOUBLE[])) AS BIGINT)"
-    val steps = (2 to E21K).map { i =>
+
+  /** Exact integer dot product of two code lists. */
+  private[queries] def idotSql(a: String, b: String): String =
+    s"CAST(list_dot_product(CAST($a AS DOUBLE[]), " +
+      s"CAST($b AS DOUBLE[])) AS BIGINT)"
+
+  /** The MMR greedy selection unrolled as chained CTEs — `(ctes,
+    * unions)` to splice after `cand(qid, nid, rel)` and
+    * `sims(qid, a, b, sim)` CTEs defined upstream. Shared by e21
+    * (brute-force int8 candidates) and i58 (`CALL mmr_search` over
+    * the persisted IVF index) so both gates replay ONE greedy
+    * definition. */
+  private[queries] def mmrUnrollSql(k: Int, lamNum: Long,
+      lamDen: Long): (String, String) = {
+    val ln = lamNum; val lc = lamDen - lamNum
+    val steps = (2 to k).map { i =>
       val prev = (1 until i).map(j => s"SELECT qid, nid FROM sel$j")
         .mkString(" UNION ALL ")
       s"""prevu$i AS (
@@ -3342,8 +3433,23 @@ object OpsQueries {
          |  ) z WHERE rn = 1
          |)""".stripMargin
     }.mkString(", ")
-    val unions = (1 to E21K).map(i => s"SELECT * FROM sel$i")
+    val ctes =
+      s"""sel1 AS (
+         |  SELECT qid, nid, CAST(1 AS BIGINT) AS step, $ln * rel AS mmr
+         |  FROM (
+         |    SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY rel DESC, nid ASC) AS rn FROM cand) z
+         |  WHERE rn = 1
+         |), $steps""".stripMargin
+    val unions = (1 to k).map(i => s"SELECT * FROM sel$i")
       .mkString(" UNION ALL ")
+    (ctes, unions)
+  }
+
+  val e21Sql: String = {
+    val code = int8CodeSql
+    def idot(a: String, b: String) = idotSql(a, b)
+    val (mmrCtes, unions) = mmrUnrollSql(E21K, E21LamNum, E21LamDen)
     s"""WITH base AS (
        |  SELECT vec_id,
        |    COALESCE(list_min(CAST(embedding AS DOUBLE[])), 0.0) AS lo,
@@ -3375,13 +3481,7 @@ object OpsQueries {
        |  JOIN cand c2 ON c2.qid = c1.qid AND c2.nid <> c1.nid
        |  JOIN codes k1 ON k1.vec_id = c1.nid
        |  JOIN codes k2 ON k2.vec_id = c2.nid
-       |), sel1 AS (
-       |  SELECT qid, nid, CAST(1 AS BIGINT) AS step, $ln * rel AS mmr
-       |  FROM (
-       |    SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
-       |      ORDER BY rel DESC, nid ASC) AS rn FROM cand) z
-       |  WHERE rn = 1
-       |), $steps
+       |), $mmrCtes
        |SELECT qid, step, nid, mmr AS mmr_scaled FROM ($unions) u
        |ORDER BY qid, step""".stripMargin
   }
@@ -3590,6 +3690,7 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d42_trigram_backoff" -> (d42TrigramBackoff _),
     "e20_hybrid_rrf" -> (e20HybridRrf _),
+    "e22_hybrid_indexed" -> (e22HybridIndexed _),
     "e21_mmr_diversify" -> (e21MmrDiversify _),
     "d44_mixture_sample" -> (d44MixtureSample _),
     "d45_budget_sample" -> (d45BudgetSample _),
@@ -3676,6 +3777,7 @@ object OpsQueries {
     "d42_trigram_backoff" -> d42Sql,
     "d43_lm_filter" -> d43Sql,
     "e20_hybrid_rrf" -> e20Sql,
+    "e22_hybrid_indexed" -> e22Sql,
     "e21_mmr_diversify" -> e21Sql,
     "d44_mixture_sample" -> d44Sql,
     "d45_budget_sample" -> d45Sql,

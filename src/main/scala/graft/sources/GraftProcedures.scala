@@ -40,6 +40,7 @@ private[sources] object GraftProcedures {
     "rewrite_position_deletes", "rewrite_equality_deletes",
     "build_dedup_index", "build_ann_index", "build_text_index",
     "build_pq_index", "text_search", "ann_search", "pq_search",
+    "hybrid_search", "mmr_search",
     "train_tokenizer", "segment_text", "corpus_diff",
     "train_lm", "score_text", "train_classifier", "classify_text",
     "corpus_stats", "ancestors_of")
@@ -302,6 +303,31 @@ private[sources] class GraftBoundProcedure(
       // the query vector as a JSON number array, e.g. '[0.1, -2.5]'
       p("query", StringType),
       pDefault("k", IntegerType, "10"))
+    case "hybrid_search" => Array(
+      p("ns", StringType), p("text_index", StringType),
+      p("ann_index", StringType),
+      // the lexical query string (BM25 over the text index)
+      p("query", StringType),
+      // the query vector as a JSON number array (IVF over the
+      // ann index)
+      p("query_vec", StringType),
+      pDefault("k", IntegerType, "10"),
+      // per-retriever candidate-list depth before fusion
+      pDefault("k_per_list", IntegerType, "20"),
+      pDefault("nprobe", IntegerType, "3"),
+      // the RRF constant: contributions are RrfScale div (k_rrf+rank)
+      pDefault("k_rrf", IntegerType, "60"))
+    case "mmr_search" => Array(
+      p("ns", StringType), p("index_table", StringType),
+      // the query vector as a JSON number array
+      p("query", StringType),
+      pDefault("k", IntegerType, "5"),
+      // IVF candidate-list depth before the MMR re-rank
+      pDefault("candidates", IntegerType, "12"),
+      pDefault("nprobe", IntegerType, "3"),
+      // λ = lam_num/lam_den: 1 → pure relevance, 0 → pure diversity
+      pDefault("lam_num", LongType, "7"),
+      pDefault("lam_den", LongType, "10"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -327,6 +353,8 @@ private[sources] class GraftBoundProcedure(
         case "text_search" => textSearch(t, spark, input)
         case "ann_search" => annSearch(t, spark, input)
         case "pq_search" => pqSearch(t, spark, input)
+        case "hybrid_search" => hybridSearch(t, spark, input)
+        case "mmr_search" => mmrSearch(t, spark, input)
         case "segment_text" => segmentText(t, spark, input)
         case "score_text" => scoreText(t, spark, input)
         case "classify_text" => classifyText(t, spark, input)
@@ -729,7 +757,8 @@ private[sources] class GraftBoundProcedure(
         val mdlName = if (mdlRaw.isEmpty) s"${tbl}_tok_model" else mdlRaw
         val snapRaw = input.getLong(5)
         if (input.getBoolean(6))
-          appendToTokenizer(t, spark, ns, tbl, textCol, mdlName, snapRaw)
+          appendToTokenizer(t, spark, ns, tbl, textCol, maxPieceLen,
+            mdlName, snapRaw)
         else trainTokenizer(t, spark, ns, tbl, textCol, maxPieceLen,
           mdlName, snapRaw)
       case "train_lm" =>
@@ -892,28 +921,29 @@ private[sources] class GraftBoundProcedure(
       Seq(idxName, nCentroids, dim, indexed, total, snapId))
   }
 
-  /** `text_search(ns, index_table, query, k)`: BM25 top-k over a
-    * `build_text_index` table, straight from SQL — the query's terms
-    * hash to their buckets, ONLY those partitions are read (manifest
-    * partition pruning), and [[graft.ops.Retrieval.bm25FromIndex]]
-    * reproduces the unindexed scoring bit-for-bit from the stamped
-    * stats. Returns the top-k `(rank, <id>, score_scaled)` rows. */
-  private def textSearch(t: Table,
-      spark: org.apache.spark.sql.SparkSession,
-      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
-    def prop(k: String): String = t.metadata.properties.getOrElse(k,
-      throw new IllegalArgumentException(s"text_search: table has no " +
-        s"'$k' property — not a build_text_index table; run " +
+  /** Shared `text_search` / `hybrid_search` core: the bucket-pruned
+    * BM25 top-k ranking for ONE query string against a
+    * `build_text_index` table — query terms hash to their buckets,
+    * ONLY those partitions are read (manifest partition pruning), and
+    * [[graft.ops.Retrieval.bm25FromIndex]] reproduces the unindexed
+    * scoring bit-for-bit from the stamped stats. Returns the ranking
+    * `(query_id, rank, <idCol>, score_scaled)` plus the stamped id
+    * column name. */
+  private def bm25IndexRanking(t: Table,
+      spark: org.apache.spark.sql.SparkSession, proc: String,
+      query: String, k: Int):
+      (org.apache.spark.sql.DataFrame, String) = {
+    def prop(key: String): String = t.metadata.properties.getOrElse(key,
+      throw new IllegalArgumentException(s"$proc: table has no " +
+        s"'$key' property — not a build_text_index table; run " +
         "build_text_index first"))
-    val query = input.getUTF8String(2).toString
-    val k = input.getInt(3)
     if (k <= 0) throw new IllegalArgumentException(
-      s"text_search: k must be positive, got $k")
+      s"$proc: k must be positive, got $k")
     val nDocs = prop(s"${TextPropPrefix}n-docs").toLong
     val totalDl = prop(s"${TextPropPrefix}total-dl").toLong
     val numBuckets = prop(s"${TextPropPrefix}num-buckets").toInt
     val idCol = prop(s"${TextPropPrefix}id-col")
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.lit
     val queries = spark.range(1).select(lit(0L).as("query_id"),
       lit(query).as("query"))
     val out = graft.ops.Retrieval.bm25FromIndex(
@@ -925,38 +955,53 @@ private[sources] class GraftBoundProcedure(
           .filter(graft.table.Col("tbucket").in(buckets: _*)).toDF
       },
       queries, nDocs, totalDl, k, idCol = idCol)
+    (out, idCol)
+  }
+
+  /** `text_search(ns, index_table, query, k)`: BM25 top-k over a
+    * `build_text_index` table, straight from SQL
+    * ([[bm25IndexRanking]]). Returns the top-k
+    * `(rank, <id>, score_scaled)` rows. */
+  private def textSearch(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val query = input.getUTF8String(2).toString
+    val k = input.getInt(3)
+    import org.apache.spark.sql.functions.col
+    val (ranking, idCol) =
+      bm25IndexRanking(t, spark, "text_search", query, k)
+    val out = ranking
       .select(col("rank"), col(idCol), col("score_scaled"))
       .orderBy("rank")
     (out.schema, out.collect().map(_.toSeq).toSeq)
   }
 
-  /** `ann_search(ns, index_table, query, k, nprobe)`: IVF top-k over a
-    * `build_ann_index` table, straight from SQL — the query vector (a
-    * JSON number array) probes its `nprobe` cells against the STAMPED
-    * centroids, ONLY those partitions are read, and
-    * [[graft.ops.Similarity.ivfTopKFromIndex]] re-ranks exactly.
-    * Returns the top-k `(rank, <id>, score)` rows (cosine). */
-  private def annSearch(t: Table,
-      spark: org.apache.spark.sql.SparkSession,
-      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
-    def prop(k: String): String = t.metadata.properties.getOrElse(k,
-      throw new IllegalArgumentException(s"ann_search: table has no " +
-        s"'$k' property — not a build_ann_index table; run " +
+  /** Shared `ann_search` / `hybrid_search` core: the cell-pruned IVF
+    * exact-cosine top-k ranking for ONE external JSON query vector
+    * against a `build_ann_index` table — the vector probes its
+    * `nprobe` cells against the STAMPED centroids, ONLY those
+    * partitions are read, and [[graft.ops.Similarity
+    * .ivfTopKFromIndex]] re-ranks exactly. Returns the ranking
+    * `(qid, rank, nid, score)` plus the stamped id column name. */
+  private def ivfIndexRanking(t: Table,
+      spark: org.apache.spark.sql.SparkSession, proc: String,
+      qJson: String, k: Int, nprobe: Int, withVec: Boolean = false):
+      (org.apache.spark.sql.DataFrame, String) = {
+    def prop(key: String): String = t.metadata.properties.getOrElse(key,
+      throw new IllegalArgumentException(s"$proc: table has no " +
+        s"'$key' property — not a build_ann_index table; run " +
         "build_ann_index first"))
-    val qJson = input.getUTF8String(2).toString
-    val k = input.getInt(3)
-    val nprobe = input.getInt(4)
     if (k <= 0 || nprobe <= 0) throw new IllegalArgumentException(
-      s"ann_search: k and nprobe must be positive, got ($k, $nprobe)")
+      s"$proc: k and nprobe must be positive, got ($k, $nprobe)")
     val centroids = graft.ops.Similarity.centroidsFromJson(
       prop(s"${AnnPropPrefix}centroids"))
     val dim = prop(s"${AnnPropPrefix}dim").toInt
     val vec = graft.ops.Similarity.centroidsFromJson(s"[$qJson]") match {
       case Seq(v) if v.length == dim => v
       case Seq(v) => throw new IllegalArgumentException(
-        s"ann_search: query has ${v.length} dims, index has $dim")
+        s"$proc: query has ${v.length} dims, index has $dim")
       case _ => throw new IllegalArgumentException(
-        s"ann_search: query must be one JSON number array, got '$qJson'")
+        s"$proc: query must be one JSON number array, got '$qJson'")
     }
     val idCol = prop(s"${AnnPropPrefix}id-col")
     val vecCol = prop(s"${AnnPropPrefix}vec-col")
@@ -970,7 +1015,7 @@ private[sources] class GraftBoundProcedure(
     // go null and silently drop every row)
     val sentinel = t.schema.fieldByName(idCol).map(_.fieldType) match {
       case Some(graft.spec.StringType) =>
-        lit(" graft-external-query")
+        lit("\u0000graft-external-query")
       case _ => lit(Long.MinValue)
     }
     val queries = spark.range(1).select(sentinel.as(idCol),
@@ -978,9 +1023,167 @@ private[sources] class GraftBoundProcedure(
     val out = graft.ops.Similarity.ivfTopKFromIndex(
       cells => graft.table.Scan(t, spark)
         .filter(graft.table.Col("cell").in(cells: _*)).toDF,
-      queries, centroids, k, nprobe, vecCol, idCol)
+      queries, centroids, k, nprobe, vecCol, idCol, withVec)
+    (out, idCol)
+  }
+
+  /** `ann_search(ns, index_table, query, k, nprobe)`: IVF top-k over a
+    * `build_ann_index` table, straight from SQL
+    * ([[ivfIndexRanking]]). Returns the top-k `(rank, <id>, score)`
+    * rows (cosine). */
+  private def annSearch(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val qJson = input.getUTF8String(2).toString
+    val k = input.getInt(3)
+    val nprobe = input.getInt(4)
+    import org.apache.spark.sql.functions.col
+    val (ranking, _) =
+      ivfIndexRanking(t, spark, "ann_search", qJson, k, nprobe)
+    val out = ranking
       .select(col("rank"), col("nid"), col("score"))
       .orderBy("rank")
+    (out.schema, out.collect().map(_.toSeq).toSeq)
+  }
+
+  /** `hybrid_search(ns, text_index, ann_index, query, query_vec, k,
+    * k_per_list, nprobe, k_rrf)`: the hybrid lexical+vector query a
+    * retrieval user actually runs, composed ENTIRELY from the
+    * PERSISTED indexes — a bucket-pruned BM25 top-`k_per_list` over
+    * the text index ([[bm25IndexRanking]]), a cell-pruned IVF
+    * exact-cosine top-`k_per_list` over the ANN index
+    * ([[ivfIndexRanking]]), fused to the final top-k with
+    * reciprocal-rank fusion ([[graft.ops.Retrieval.rrfFuse]] — exact
+    * integer contributions `RrfScale div (k_rrf + rank)`, so fused
+    * scores hash-gate across engines). Query-time cost on BOTH sides
+    * is probe + pruned-partition load + rank: the corpus is never
+    * scanned, and the fusion itself is top-k-list-sized. Returns the
+    * top-k `(rank, <id>, rrf_scaled, n_lists)` rows; `n_lists` says
+    * whether both retrievers or only one surfaced the document. */
+  private def hybridSearch(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val ns = input.getUTF8String(0).toString
+    val annName = input.getUTF8String(2).toString
+    val query = input.getUTF8String(3).toString
+    val qJson = input.getUTF8String(4).toString
+    val k = input.getInt(5)
+    val kPerList = input.getInt(6)
+    val nprobe = input.getInt(7)
+    val kRrf = input.getInt(8)
+    if (k <= 0 || kPerList <= 0 || kRrf < 0)
+      throw new IllegalArgumentException("hybrid_search: need k > 0, " +
+        s"k_per_list > 0, k_rrf >= 0; got ($k, $kPerList, $kRrf)")
+    val annT = GraftProcedures.loadTable(catalog, io, ns, annName)
+    val (lex0, textIdCol) =
+      bm25IndexRanking(t, spark, "hybrid_search", query, kPerList)
+    val (vec0, annIdCol) =
+      ivfIndexRanking(annT, spark, "hybrid_search", qJson, kPerList,
+        nprobe)
+    // fusion groups by id VALUE, so the two indexes must identify
+    // documents in the same typed id domain — a silent cross-type
+    // coercion would fuse nothing and report half-empty n_lists
+    val tType = t.schema.fieldByName(textIdCol).map(_.fieldType)
+    val aType = annT.schema.fieldByName(annIdCol).map(_.fieldType)
+    if (tType != aType) throw new IllegalArgumentException(
+      s"hybrid_search: text index id column '$textIdCol' ($tType) " +
+        s"and ann index id column '$annIdCol' ($aType) have " +
+        "different types — the two indexes do not share an id domain")
+    import org.apache.spark.sql.functions.{col, lit}
+    // normalize both rankings to one (query_id, id, rank) shape; the
+    // ANN side's qid is the self-exclusion sentinel, not an id
+    val lex = lex0.select(lit(0L).as("query_id"),
+      col(textIdCol).as("__hid"), col("rank"))
+    val vec = vec0.select(lit(0L).as("query_id"),
+      col("nid").as("__hid"), col("rank"))
+    val fused = graft.ops.Retrieval.rrfFuse(Seq(lex, vec), k,
+      kRrf, qIdCol = "query_id", idCol = "__hid")
+    val out = fused.select(col("rank"), col("__hid").as(textIdCol),
+        col("rrf_scaled"), col("n_lists"))
+      .orderBy("rank")
+    (out.schema, out.collect().map(_.toSeq).toSeq)
+  }
+
+  /** `mmr_search(ns, index_table, query, k, candidates, nprobe,
+    * lam_num, lam_den)`: diversified retrieval from pure SQL — the
+    * cell-pruned IVF top-`candidates` over a `build_ann_index` table
+    * re-ranked with maximal marginal relevance
+    * ([[graft.ops.Similarity.mmrDiversify]], λ = lam_num/lam_den).
+    * Relevance and pairwise similarity are int8-code dot products
+    * (per-vector scalar quantization — exact integers, the e21
+    * arithmetic), computed over ONLY the candidate set: the vectors
+    * ride out of the probed-cell read (`withVec`), so the index is
+    * touched exactly once and everything after is
+    * candidate-count-sized. Returns `(step, <id>, mmr_scaled)` in
+    * selection order — step 1 is the most relevant hit, each later
+    * step the best remaining relevance-vs-redundancy trade. */
+  private def mmrSearch(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val qJson = input.getUTF8String(2).toString
+    val k = input.getInt(3)
+    val candidates = input.getInt(4)
+    val nprobe = input.getInt(5)
+    val lamNum = input.getLong(6)
+    val lamDen = input.getLong(7)
+    if (k <= 0 || candidates < k)
+      throw new IllegalArgumentException("mmr_search: need " +
+        s"0 < k <= candidates; got (k = $k, candidates = $candidates)")
+    if (lamDen <= 0 || lamNum < 0 || lamNum > lamDen)
+      throw new IllegalArgumentException("mmr_search: need " +
+        s"0 <= lam_num/lam_den <= 1; got $lamNum/$lamDen")
+    val idCol0 = t.metadata.properties.getOrElse(
+      s"${AnnPropPrefix}id-col",
+      throw new IllegalArgumentException("mmr_search: table has no " +
+        s"'${AnnPropPrefix}id-col' property — not a build_ann_index " +
+        "table; run build_ann_index first"))
+    // the greedy loop keys candidates by LONG id (integer-exact MMR)
+    t.schema.fieldByName(idCol0).map(_.fieldType) match {
+      case Some(graft.spec.LongType) | Some(graft.spec.IntType) =>
+      case other => throw new IllegalArgumentException(
+        s"mmr_search: id column '$idCol0' is ${other.orNull} — MMR " +
+          "re-ranking requires an integer id column")
+    }
+    val (cand0, idCol) = ivfIndexRanking(t, spark, "mmr_search",
+      qJson, candidates, nprobe, withVec = true)
+    import org.apache.spark.sql.functions.{aggregate => hofAggregate,
+      broadcast, col, lit, typedLit, zip_with}
+    // candidate set is ≤ `candidates` rows — pin it: the quantize,
+    // rel, and pairwise-sim stages each read it
+    val cand = cand0.select(col("nid"), col("vec"))
+      .localCheckpoint(true)
+    // int8 scalar quantization (the e21 arithmetic): integer dot
+    // products make every greedy margin exact and engine-portable
+    val codes = graft.ops.Similarity.quantizeInt8(cand,
+      vecCol = "vec", idCol = "nid").select("nid", "codes")
+    val dim = t.metadata.properties(s"${AnnPropPrefix}dim").toInt
+    val vec = graft.ops.Similarity.centroidsFromJson(s"[$qJson]") match {
+      case Seq(v) if v.length == dim => v
+      case _ => throw new IllegalArgumentException(
+        s"mmr_search: query must be one JSON $dim-dim number array")
+    }
+    val qCodes = graft.ops.Similarity.quantizeInt8(
+      spark.range(1).select(lit(0L).as("nid"),
+        typedLit(vec.map(_.toFloat).toSeq).as("vec")),
+      vecCol = "vec", idCol = "nid")
+      .select(col("codes").as("qc"))
+    def dotc(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      hofAggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x)
+    val rel = codes.crossJoin(broadcast(qCodes))
+      .select(lit(0L).as("qid"), col("nid"),
+        dotc(col("qc"), col("codes")).as("rel"))
+    val sims = codes.select(col("nid").as("a"), col("codes").as("ca"))
+      .crossJoin(codes.select(col("nid").as("b"),
+        col("codes").as("cb")))
+      .where(col("a") =!= col("b"))
+      .select(lit(0L).as("qid"), col("a"), col("b"),
+        dotc(col("ca"), col("cb")).as("sim"))
+    val out = graft.ops.Similarity.mmrDiversify(rel, sims, k,
+        lamNum, lamDen, idCol = "nid")
+      .select(col("step"), col("nid").as(idCol), col("mmr_scaled"))
+      .orderBy("step")
     (out.schema, out.collect().map(_.toSeq).toSeq)
   }
 
@@ -1603,7 +1806,7 @@ private[sources] class GraftBoundProcedure(
     * leaves a visibly short stamp, never double counts. */
   private def appendToTokenizer(t: Table,
       spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
-      textCol: String, mdlName: String,
+      textCol: String, maxPieceLenArg: Int, mdlName: String,
       snapRaw: Long): (StructType, Seq[Any]) = {
     val mdlId = TableIdentifier(ns.split('.').toSeq, mdlName)
     if (!catalog.tableExists(mdlId))
@@ -1636,6 +1839,17 @@ private[sources] class GraftBoundProcedure(
           s"train_tokenizer: snapshot_id $snapRaw not found")
       else snapRaw
     val maxPieceLen = prop(s"${TokPropPrefix}max-piece-len").toInt
+    // a chain ALWAYS uses the stamped piece length (the ledger's
+    // candidate universe is fixed at train time); a caller explicitly
+    // asking for a different one must get an error, not a silent
+    // override — mirror the text_col check. The declared default (4)
+    // is indistinguishable from "not passed", so only non-default
+    // mismatches can be detected.
+    if (maxPieceLenArg != 4 && maxPieceLenArg != maxPieceLen)
+      throw new IllegalArgumentException(s"train_tokenizer: model " +
+        s"$mdlName was trained with max_piece_len $maxPieceLen, " +
+        s"call asks for $maxPieceLenArg — incremental chains cannot " +
+        "change the piece length; retrain (incremental => false)")
     val fresh =
       if (head == recorded)
         graft.table.Scan(t, spark).toDF.limit(0)

@@ -75,6 +75,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no non-broadcast cartesian anywhere:\n$p")
   }
 
+  test("e22 indexed hybrid: both query sides broadcast, no cartesian " +
+      "— neither retriever rescans a corpus inside the fusion") {
+    val p = staticPlan("e22_hybrid_indexed")
+    // bm25FromIndex's qterms/qidf broadcasts + the probed-query
+    // broadcast into the cell join
+    assert(broadcasts(p) >= 2,
+      s"both query sides must broadcast:\n$p")
+    assert(p.collect { case n if
+      n.nodeName.contains("CartesianProduct") => n }.isEmpty,
+      s"no non-broadcast cartesian anywhere:\n$p")
+  }
+
   test("d42 trigram LM: dictionaries join as equi-joins — no " +
       "cartesian, the corpus-stats single row broadcasts") {
     val p = staticPlan("d42_trigram_backoff")
@@ -83,6 +95,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.collect { case n if
       n.nodeName.contains("CartesianProduct") => n }.isEmpty,
       s"gram scoring must stay equi-join shaped:\n$p")
+  }
+
+  test("d46 unigram vocab: no unpartitioned WindowExec — the top-V " +
+      "cut is TakeOrderedAndProject, never a single-partition window") {
+    val p = staticPlan("d46_unigram_vocab")
+    val globalWindows = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"vocab cut must not serialize through one partition:\n$p")
   }
 
   test("d48 unigram tokenize: dictionary-sized DP, corpus touched by " +

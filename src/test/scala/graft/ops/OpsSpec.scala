@@ -1695,6 +1695,23 @@ class MmrSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.toSeq == Seq(4L, 5L), "tie -> lower id first; only 2 rows")
   }
 
+  test("mmr: a missing sim pair throws instead of defaulting to 0") {
+    val cand = Seq((1L, 1L, 100L), (1L, 2L, 90L), (1L, 3L, 80L))
+      .toDF("qid", "nid", "rel")
+    // only the (1,2)/(2,1) pair is covered — once doc 1 is selected,
+    // scoring doc 3 must look up (3, 1) and fail fast
+    val sims = Seq((1L, 1L, 2L, 200L), (1L, 2L, 1L, 200L))
+      .toDF("qid", "a", "b", "sim")
+    val e = intercept[org.apache.spark.SparkException] {
+      Similarity.mmrDiversify(cand, sims, k = 3,
+        lamNum = 1L, lamDen = 2L).collect()
+    }
+    def causes(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(causes(e).contains("missing the ordered pair"), causes(e))
+  }
+
   test("mmr runs per query independently") {
     val cand = Seq((1L, 1L, 10L), (2L, 7L, 20L))
       .toDF("qid", "nid", "rel")

@@ -750,6 +750,164 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.hybrid_search fuses the persisted text and ann " +
+      "indexes; row-for-row parity with the library composition") {
+    withCatalog("hyb") { (c, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit, typedLit}
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      spark.sql(s"CREATE TABLE $c.db.vecs " +
+        "(vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      Seq(
+        (0L, "alpha bravo charlie delta echo"),
+        (1L, "alpha bravo zulu yankee xray"),
+        (2L, "charlie delta foxtrot golf"),
+        (3L, "hotel india juliet kilo"),
+        (4L, "alpha charlie echo golf india"),
+        (5L, "mike november oscar papa"))
+        .toDF("doc_id", "text").createOrReplaceTempView("hyb_docs")
+      val vrows = (0L until 6L).map { i =>
+        val base = if (i % 2 == 0) Seq(1f, 0f, 0f, 0f)
+          else Seq(0f, 0f, 0f, 1f)
+        (i, base.map(_ + i.toFloat / 100f))
+      }
+      vrows.toDF("vec_id", "embedding")
+        .createOrReplaceTempView("hyb_vecs")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM hyb_docs")
+      spark.sql(s"INSERT INTO $c.db.vecs SELECT * FROM hyb_vecs")
+      spark.sql(s"CALL $c.system.build_text_index('db', 'docs', " +
+        "num_buckets => 4)").collect()
+      spark.sql(s"CALL $c.system.build_ann_index('db', 'vecs', " +
+        "n_centroids => 2)").collect()
+
+      val qstr = "alpha bravo charlie delta"
+      val qvec = vrows.head._2
+      val json = qvec.mkString("[", ",", "]")
+      val got = spark.sql(s"CALL $c.system.hybrid_search('db', " +
+        s"'docs_text_idx', 'vecs_ann_idx', '$qstr', '$json', " +
+        "5, 5, 1, 60)").orderBy("rank").collect().map(_.toSeq).toSeq
+
+      // the library composition with the same inputs and models
+      val tIdx = loadT(dir, "docs_text_idx")
+      val aIdx = loadT(dir, "vecs_ann_idx")
+      val tProps = tIdx.metadata.properties
+      val nb = tProps("graft.text-index.num-buckets").toInt
+      val centroids = graft.ops.Similarity.centroidsFromJson(
+        aIdx.metadata.properties("graft.ann-index.centroids"))
+      val probe = spark.range(1).select(lit(0L).as("query_id"),
+        lit(qstr).as("query"))
+      val lex = graft.ops.Retrieval.bm25FromIndex(
+        terms => {
+          val buckets = terms.map(tm => graft.functions.BucketUtil
+            .bucketUTF8(org.apache.spark.unsafe.types.UTF8String
+              .fromString(tm), nb)).distinct.sorted
+          graft.table.Scan(tIdx, spark)
+            .filter(graft.table.Col("tbucket").in(buckets: _*)).toDF
+        },
+        probe, tProps("graft.text-index.n-docs").toLong,
+        tProps("graft.text-index.total-dl").toLong, k = 5)
+      val qdf = spark.range(1).select(
+        lit(Long.MinValue).as("vec_id"),
+        typedLit(qvec).as("embedding"))
+      val vec = graft.ops.Similarity.ivfTopKFromIndex(
+        cells => graft.table.Scan(aIdx, spark)
+          .filter(graft.table.Col("cell").in(cells: _*)).toDF,
+        qdf, centroids, k = 5, nprobe = 1)
+      val exp = graft.ops.Retrieval.rrfFuse(Seq(
+          lex.select(lit(0L).as("query_id"), col("doc_id"),
+            col("rank")),
+          vec.select(lit(0L).as("query_id"), col("nid").as("doc_id"),
+            col("rank"))),
+          k = 5)
+        .select(col("rank"), col("doc_id"), col("rrf_scaled"),
+          col("n_lists"))
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+      assert(got == exp, s"sql $got vs lib $exp")
+      // vec 0 is a corpus member passed as an EXTERNAL vector: its
+      // self-hit is the vector rank-1, and doc 0 leads the lexical
+      // list too, so id 0 must fuse to rank 1 with both lists
+      assert(got.head(0) == 1L && got.head(1) == 0L &&
+        got.head(3) == 2L, s"fused head ${got.head}")
+
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      // error surface: a non-text-index first table
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.hybrid_search('db', 'vecs_ann_idx', " +
+        s"'vecs_ann_idx', 'x', '$json', 5, 5, 1, 60)") }
+      assert(causes(e1).contains("not a build_text_index table"),
+        causes(e1))
+      // mismatched id domains: a STRING-keyed text index cannot fuse
+      // with the BIGINT-keyed ann index
+      spark.sql(s"CREATE TABLE $c.db.sdocs (name STRING, text STRING)")
+      spark.sql(s"INSERT INTO $c.db.sdocs VALUES ('a', 'alpha bravo')")
+      spark.sql(s"CALL $c.system.build_text_index('db', 'sdocs', " +
+        "id_col => 'name', num_buckets => 4)").collect()
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.hybrid_search('db', 'sdocs_text_idx', " +
+        s"'vecs_ann_idx', 'alpha', '$json', 5, 5, 1, 60)") }
+      assert(causes(e2).contains("id domain"), causes(e2))
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.hybrid_search('db', 'docs_text_idx', " +
+        s"'vecs_ann_idx', 'x', '$json', 0, 5, 1, 60)") }
+      assert(causes(e3).contains("need k > 0"), causes(e3))
+    }
+  }
+
+  test("CALL system.mmr_search re-ranks the IVF candidates by " +
+      "maximal marginal relevance over int8-code dots") {
+    withCatalog("mmr") { (c, _) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.vecs " +
+        "(vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      // v1 on the x axis, v2 a near-duplicate of v1, v3 diverse but
+      // still query-relevant: pure relevance ranks (1, 2, 3); MMR at
+      // λ=3/10 must demote the near-duplicate v2 behind v3
+      Seq(
+        (1L, Seq(1f, 0f, 0f, 0f)),
+        (2L, Seq(0.996f, 0.004f, 0f, 0f)),
+        (3L, Seq(0.6f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding").createOrReplaceTempView("mmr_src")
+      spark.sql(s"INSERT INTO $c.db.vecs SELECT * FROM mmr_src")
+      spark.sql(s"CALL $c.system.build_ann_index('db', 'vecs', " +
+        "n_centroids => 2)").collect()
+      val json = "[1.0, 0.0, 0.0, 0.0]"
+      val got = spark.sql(s"CALL $c.system.mmr_search('db', " +
+        s"'vecs_ann_idx', '$json', 3, 3, 2, 3, 10)")
+        .orderBy("step").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // codes: v1 (255,0,0,0), v2 (255,1,0,0), v3 (153,255,0,0);
+      // q (255,0,0,0). rel: v1 = v2 = 65025, v3 = 39015.
+      // sims: (v2,v1) = 65025, (v3,v1) = 39015, (v3,v2) = 39270.
+      // step1: rel tie 65025 -> lowest id v1, mmr = 3·65025 = 195075.
+      // step2: v2 margin 3·65025 − 7·65025 = −260100 LOSES to v3
+      // margin 3·39015 − 7·39015 = −156060 -> the DIVERSE v3 wins.
+      // step3: v2 at max-sim 65025 -> −260100.
+      assert(got.toSeq == Seq((1L, 1L, 195075L), (2L, 3L, -156060L),
+        (3L, 2L, -260100L)), s"got ${got.toSeq}")
+
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.mmr_search('db', 'vecs', '$json', 3, 3, " +
+        "2, 7, 10)") }
+      assert(causes(e1).contains("not a build_ann_index table"),
+        causes(e1))
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.mmr_search('db', 'vecs_ann_idx', '$json', " +
+        "5, 3, 2, 7, 10)") }
+      assert(causes(e2).contains("0 < k <= candidates"), causes(e2))
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.mmr_search('db', 'vecs_ann_idx', '$json', " +
+        "3, 3, 2, 11, 10)") }
+      assert(causes(e3).contains("lam_num/lam_den"), causes(e3))
+    }
+  }
+
   test("CALL system.dedup_table mode 'best' keeps the max-quality " +
       "copy per exact-dup cluster and requires quality_col") {
     withCatalog("db2") { (c, _) =>
@@ -1054,6 +1212,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"CALL $c.system.train_tokenizer('db', 'docs', " +
           "text_col => 'other', incremental => true)").collect() }
       assert(causes(e3).contains("trained on"), causes(e3))
+      // chain asking for a different (non-default) piece length: the
+      // ledger's candidate universe is fixed at train time, so this
+      // must error instead of silently using the stamped value
+      val e3b = intercept[Exception] { spark.sql(
+        s"CALL $c.system.train_tokenizer('db', 'docs', " +
+          "max_piece_len => 7, incremental => true)").collect() }
+      assert(causes(e3b).contains("cannot change the piece length"),
+        causes(e3b))
       // segment_text against a table that is not a tokenizer model
       val e4 = intercept[Exception] { spark.sql(
         s"CALL $c.system.segment_text('db', 'docs', 'hello')")

@@ -112,6 +112,16 @@ class StreamsSpec extends AnyFunSuite {
     pipe.addBatch(base, 0L)
     assert(pipe.sink.metadata.snapshots.size == sinkSnaps,
       "replayed batch id must not double-append")
+    // RESTART replay: a FRESH handle (driver restart) initializes its
+    // skip watermark from the index's stamped last-batch-id, so a
+    // replayed already-committed batch is skipped there too
+    assert(pipe.index.metadata
+      .properties("graft.dedup-index.last-batch-id") == "1")
+    val fresh = Streams.indexedDedupSink(pipe.sink, pipe.index,
+      minhash = true, threshold = 0.5, numHashes = 32)
+    fresh.addBatch(base, 1L)
+    assert(fresh.sink.metadata.snapshots.size == sinkSnaps,
+      "replayed batch after a restart must not double-append")
   }
 
   test("AnnIndexIngestSink: frozen-model assignment per micro-batch, " +
@@ -350,6 +360,14 @@ class StreamsSpec extends AnyFunSuite {
     // the ledger holds per-batch delta rows (not merged on disk)
     val ledgerRows = Scan(pipe.model, spark).toDF.count()
     assert(ledgerRows == 8L, s"3 + 5 delta rows, got $ledgerRows")
+    // RESTART replay: a FRESH handle reads the stamped last-batch-id
+    // and skips an already-committed batch — counts never double
+    assert(props("graft.tok-model.last-batch-id") == "1")
+    val fresh = Streams.tokenizerLedgerIngestSink(pipe.sink, pipe.model)
+    fresh.addBatch(Seq((3L, "abc")).toDF("doc_id", "text"), 1L)
+    assert(fresh.model.metadata
+      .properties("graft.tok-model.total-cnt") == "11",
+      "restart-replayed batch must not double-count the ledger")
   }
 
   test("LmLedgerIngestSink: additive gram deltas per micro-batch; " +
