@@ -19,16 +19,25 @@ object Streams {
     * where one already exists), and a FRESH handle initializes its
     * skip watermark from it — so a micro-batch replayed after a
     * driver restart whose commits already landed is skipped instead
-    * of double-delivered. The residual window: the stamp is a
-    * separate commit from the data append, so a crash BETWEEN an
-    * append and its stamp can still double-deliver that one batch on
-    * restart — visible as a model/index snapshot newer than the last
-    * stamp (repair = full rebuild/retrain). Exactly-once would need
-    * the stamp and the append in one atomic commit. */
-  private[streaming] def stampedBatchId(index: Table,
-      prop: String): Long =
-    index.metadata.properties.get(prop).map(_.toLong)
-      .getOrElse(Long.MinValue)
+    * of double-delivered. Batch ids are PER QUERY (every stream
+    * starts at 0), so when several streams feed one index each must
+    * pass a distinct `streamId` — the watermark property is
+    * namespaced by it and one stream's stamp never blocks another's
+    * batches. The residual window: the stamp is a separate commit
+    * from the data append, so a crash BETWEEN an append and its
+    * stamp can still double-deliver that one batch on restart —
+    * visible as a model/index snapshot newer than the last stamp
+    * (repair = full rebuild/retrain). Exactly-once would need the
+    * stamp and the append in one atomic commit. */
+  private[streaming] def batchIdProp(prefix: String,
+      streamId: String): String =
+    if (streamId.isEmpty) s"$prefix.last-batch-id"
+    else s"$prefix.last-batch-id.$streamId"
+
+  private[streaming] def stampedBatchId(index: Table, prefix: String,
+      streamId: String): Long =
+    index.metadata.properties.get(batchIdProp(prefix, streamId))
+      .map(_.toLong).getOrElse(Long.MinValue)
 
   /** Iceberg sink for `writeStream.foreachBatch`: each micro-batch
     * commits one append snapshot (exactly the one-snapshot-per-batch
@@ -76,11 +85,12 @@ object Streams {
   final class IndexedDedupSink(initialSink: Table, initialIndex: Table,
       textCol: String = "text", idCol: String = "doc_id",
       minhash: Boolean = false, threshold: Double = 0.8,
-      numHashes: Int = 64) extends Serializable {
+      numHashes: Int = 64, streamId: String = "")
+      extends Serializable {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
     @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialIndex, "graft.dedup-index.last-batch-id")
+      initialIndex, "graft.dedup-index", streamId)
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -107,7 +117,8 @@ object Streams {
       // persist the batch watermark so a restarted handle skips
       // replayed batches that already committed (see stampedBatchId)
       indexRef = indexRef.newTransaction().setProperties(Map(
-        "graft.dedup-index.last-batch-id" -> batchId.toString)).commit()
+        Streams.batchIdProp("graft.dedup-index", streamId) ->
+            batchId.toString)).commit()
     }
 
     def sink: Table = sinkRef
@@ -117,9 +128,9 @@ object Streams {
   def indexedDedupSink(sink: Table, index: Table,
       textCol: String = "text", idCol: String = "doc_id",
       minhash: Boolean = false, threshold: Double = 0.8,
-      numHashes: Int = 64): IndexedDedupSink =
+      numHashes: Int = 64, streamId: String = ""): IndexedDedupSink =
     new IndexedDedupSink(sink, index, textCol, idCol, minhash,
-      threshold, numHashes)
+      threshold, numHashes, streamId)
 
   /** Streaming ANN-index ingestion for `writeStream.foreachBatch`,
     * backed by a persisted `build_ann_index` table: each micro-batch's
@@ -138,8 +149,8 @@ object Streams {
     * micro-batch ids are skipped — including across driver restarts,
     * via the stamped last-batch-id ([[Streams.stampedBatchId]]). */
   final class AnnIndexIngestSink(initialSink: Table, initialIndex: Table,
-      vecCol: String = "embedding", idCol: String = "vec_id")
-      extends Serializable {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      streamId: String = "") extends Serializable {
     private val props = initialIndex.metadata.properties
     private val centroids = graft.ops.Similarity.centroidsFromJson(
       props.getOrElse("graft.ann-index.centroids",
@@ -150,7 +161,7 @@ object Streams {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
     @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialIndex, "graft.ann-index.last-batch-id")
+      initialIndex, "graft.ann-index", streamId)
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -174,7 +185,8 @@ object Streams {
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
         indexRef = indexRef.newTransaction().setProperties(Map(
           "graft.ann-index.source-snapshot-id" -> h.toString,
-          "graft.ann-index.last-batch-id" -> batchId.toString)).commit()
+          Streams.batchIdProp("graft.ann-index", streamId) ->
+            batchId.toString)).commit()
       }
     }
 
@@ -183,9 +195,9 @@ object Streams {
   }
 
   def annIndexIngestSink(sink: Table, index: Table,
-      vecCol: String = "embedding",
-      idCol: String = "vec_id"): AnnIndexIngestSink =
-    new AnnIndexIngestSink(sink, index, vecCol, idCol)
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      streamId: String = ""): AnnIndexIngestSink =
+    new AnnIndexIngestSink(sink, index, vecCol, idCol, streamId)
 
   /** Streaming text-index ingestion for `writeStream.foreachBatch`,
     * backed by a persisted `build_text_index` table: each micro-batch's
@@ -205,7 +217,8 @@ object Streams {
     * ([[Streams.stampedBatchId]]). */
   final class TextIndexIngestSink(initialSink: Table,
       initialIndex: Table, textCol: String = "text",
-      idCol: String = "doc_id") extends Serializable {
+      idCol: String = "doc_id", streamId: String = "")
+      extends Serializable {
     private val numBuckets = initialIndex.metadata.properties.getOrElse(
       "graft.text-index.num-buckets",
       throw new IllegalArgumentException("TextIndexIngestSink: index " +
@@ -214,7 +227,7 @@ object Streams {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
     @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialIndex, "graft.text-index.last-batch-id")
+      initialIndex, "graft.text-index", streamId)
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -241,7 +254,8 @@ object Streams {
             (props("graft.text-index.n-docs").toLong + bDocs).toString,
           "graft.text-index.total-dl" ->
             (props("graft.text-index.total-dl").toLong + bDl).toString,
-          "graft.text-index.last-batch-id" -> batchId.toString))
+          Streams.batchIdProp("graft.text-index", streamId) ->
+            batchId.toString))
           .commit()
       }
     }
@@ -251,9 +265,9 @@ object Streams {
   }
 
   def textIndexIngestSink(sink: Table, index: Table,
-      textCol: String = "text",
-      idCol: String = "doc_id"): TextIndexIngestSink =
-    new TextIndexIngestSink(sink, index, textCol, idCol)
+      textCol: String = "text", idCol: String = "doc_id",
+      streamId: String = ""): TextIndexIngestSink =
+    new TextIndexIngestSink(sink, index, textCol, idCol, streamId)
 
   /** Streaming tokenizer-ledger ingestion for `writeStream
     * .foreachBatch` — the tokenizer twin of [[TextIndexIngestSink]],
@@ -268,8 +282,8 @@ object Streams {
     * skipped — including across driver restarts, via the stamped
     * last-batch-id ([[Streams.stampedBatchId]]). */
   final class TokenizerLedgerIngestSink(initialSink: Table,
-      initialModel: Table, textCol: String = "text")
-      extends Serializable {
+      initialModel: Table, textCol: String = "text",
+      streamId: String = "") extends Serializable {
     private val maxPieceLen = initialModel.metadata.properties
       .getOrElse("graft.tok-model.max-piece-len",
         throw new IllegalArgumentException("TokenizerLedgerIngestSink" +
@@ -278,7 +292,7 @@ object Streams {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
     @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialModel, "graft.tok-model.last-batch-id")
+      initialModel, "graft.tok-model", streamId)
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -303,7 +317,8 @@ object Streams {
           "graft.tok-model.total-cnt" ->
             (props("graft.tok-model.total-cnt").toLong + dTotal)
               .toString,
-          "graft.tok-model.last-batch-id" -> batchId.toString))
+          Streams.batchIdProp("graft.tok-model", streamId) ->
+            batchId.toString))
           .commit()
       }
     }
@@ -313,8 +328,9 @@ object Streams {
   }
 
   def tokenizerLedgerIngestSink(sink: Table, model: Table,
-      textCol: String = "text"): TokenizerLedgerIngestSink =
-    new TokenizerLedgerIngestSink(sink, model, textCol)
+      textCol: String = "text",
+      streamId: String = ""): TokenizerLedgerIngestSink =
+    new TokenizerLedgerIngestSink(sink, model, textCol, streamId)
 
   /** Streaming LM-ledger ingestion for `writeStream.foreachBatch` —
     * the language-model twin of [[TokenizerLedgerIngestSink]], backed
@@ -330,8 +346,8 @@ object Streams {
     * restarts, via the stamped last-batch-id
     * ([[Streams.stampedBatchId]]). */
   final class LmLedgerIngestSink(initialSink: Table,
-      initialModel: Table, textCol: String = "text")
-      extends Serializable {
+      initialModel: Table, textCol: String = "text",
+      streamId: String = "") extends Serializable {
     if (!initialModel.metadata.properties.contains(
         "graft.lm-model.total-tokens"))
       throw new IllegalArgumentException("LmLedgerIngestSink: table " +
@@ -339,7 +355,7 @@ object Streams {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
     @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialModel, "graft.lm-model.last-batch-id")
+      initialModel, "graft.lm-model", streamId)
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -363,7 +379,8 @@ object Streams {
           "graft.lm-model.total-tokens" ->
             (props("graft.lm-model.total-tokens").toLong + dTotal)
               .toString,
-          "graft.lm-model.last-batch-id" -> batchId.toString))
+          Streams.batchIdProp("graft.lm-model", streamId) ->
+            batchId.toString))
           .commit()
       }
     }
@@ -373,8 +390,9 @@ object Streams {
   }
 
   def lmLedgerIngestSink(sink: Table, model: Table,
-      textCol: String = "text"): LmLedgerIngestSink =
-    new LmLedgerIngestSink(sink, model, textCol)
+      textCol: String = "text",
+      streamId: String = ""): LmLedgerIngestSink =
+    new LmLedgerIngestSink(sink, model, textCol, streamId)
 
   /** Streaming classifier-ledger ingestion for `writeStream
     * .foreachBatch` — the classifier twin of [[LmLedgerIngestSink]],
@@ -391,8 +409,8 @@ object Streams {
     * skipped — including across driver restarts, via the stamped
     * last-batch-id ([[Streams.stampedBatchId]]). */
   final class ClassifierLedgerIngestSink(initialSink: Table,
-      initialModel: Table, textCol: String = "text")
-      extends Serializable {
+      initialModel: Table, textCol: String = "text",
+      streamId: String = "") extends Serializable {
     private val labelPred = initialModel.metadata.properties
       .getOrElse("graft.clf-model.label-pred",
         throw new IllegalArgumentException("ClassifierLedgerIngestSink" +
@@ -401,7 +419,7 @@ object Streams {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
     @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialModel, "graft.clf-model.last-batch-id")
+      initialModel, "graft.clf-model", streamId)
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -431,7 +449,8 @@ object Streams {
           "graft.clf-model.neg-tokens" ->
             (props("graft.clf-model.neg-tokens").toLong + tot(1))
               .toString,
-          "graft.clf-model.last-batch-id" -> batchId.toString))
+          Streams.batchIdProp("graft.clf-model", streamId) ->
+            batchId.toString))
           .commit()
       }
     }
@@ -441,8 +460,9 @@ object Streams {
   }
 
   def classifierLedgerIngestSink(sink: Table, model: Table,
-      textCol: String = "text"): ClassifierLedgerIngestSink =
-    new ClassifierLedgerIngestSink(sink, model, textCol)
+      textCol: String = "text",
+      streamId: String = ""): ClassifierLedgerIngestSink =
+    new ClassifierLedgerIngestSink(sink, model, textCol, streamId)
 
   /** Streaming PQ-index ingestion for `writeStream.foreachBatch` —
     * the codes twin of [[AnnIndexIngestSink]], backed by a persisted
@@ -459,8 +479,8 @@ object Streams {
     * restarts, via the stamped last-batch-id
     * ([[Streams.stampedBatchId]]). */
   final class PqIndexIngestSink(initialSink: Table, initialIndex: Table,
-      vecCol: String = "embedding", idCol: String = "vec_id")
-      extends Serializable {
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      streamId: String = "") extends Serializable {
     private val props = initialIndex.metadata.properties
     private val codebooks = graft.ops.Similarity.pqCodebooksFromJson(
       props.getOrElse("graft.pq-index.codebooks",
@@ -471,7 +491,7 @@ object Streams {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
     @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialIndex, "graft.pq-index.last-batch-id")
+      initialIndex, "graft.pq-index", streamId)
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
@@ -487,7 +507,8 @@ object Streams {
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
         indexRef = indexRef.newTransaction().setProperties(Map(
           "graft.pq-index.source-snapshot-id" -> h.toString,
-          "graft.pq-index.last-batch-id" -> batchId.toString)).commit()
+          Streams.batchIdProp("graft.pq-index", streamId) ->
+            batchId.toString)).commit()
       }
     }
 
@@ -496,9 +517,9 @@ object Streams {
   }
 
   def pqIndexIngestSink(sink: Table, index: Table,
-      vecCol: String = "embedding",
-      idCol: String = "vec_id"): PqIndexIngestSink =
-    new PqIndexIngestSink(sink, index, vecCol, idCol)
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      streamId: String = ""): PqIndexIngestSink =
+    new PqIndexIngestSink(sink, index, vecCol, idCol, streamId)
 
   /** Watermarked tumbling-window rollup: the streaming analog of the
     * q13 batch query. `events` must carry an event-time column. */

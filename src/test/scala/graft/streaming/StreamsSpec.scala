@@ -122,6 +122,18 @@ class StreamsSpec extends AnyFunSuite {
     fresh.addBatch(base, 1L)
     assert(fresh.sink.metadata.snapshots.size == sinkSnaps,
       "replayed batch after a restart must not double-append")
+    // a DIFFERENT stream's batch ids also start at 0 — its handle
+    // must namespace the watermark (streamId) and not be blocked by
+    // this stream's stamp
+    val other = Streams.indexedDedupSink(fresh.sink, fresh.index,
+      minhash = true, threshold = 0.5, numHashes = 32, streamId = "b")
+    other.addBatch(
+      Seq((40L, "completely new content for the second stream path"))
+        .toDF("doc_id", "text"), 0L)
+    val kept2 = Scan(other.sink, spark).toDF
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2.contains(40L),
+      s"second stream's batch 0 must not be skipped: $kept2")
   }
 
   test("AnnIndexIngestSink: frozen-model assignment per micro-batch, " +
