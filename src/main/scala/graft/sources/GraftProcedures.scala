@@ -1175,8 +1175,8 @@ private[sources] class GraftBoundProcedure(
       .select(lit(0L).as("qid"), col("nid"),
         dotc(col("qc"), col("codes")).as("rel"))
     val sims = codes.select(col("nid").as("a"), col("codes").as("ca"))
-      .crossJoin(codes.select(col("nid").as("b"),
-        col("codes").as("cb")))
+      .crossJoin(broadcast(codes.select(col("nid").as("b"),
+        col("codes").as("cb"))))
       .where(col("a") =!= col("b"))
       .select(lit(0L).as("qid"), col("a"), col("b"),
         dotc(col("ca"), col("cb")).as("sim"))
