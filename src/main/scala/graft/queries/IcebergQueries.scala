@@ -2548,6 +2548,52 @@ object IcebergQueries {
         |ORDER BY step""".stripMargin
   }
 
+  /** `CALL sample_mixture` — the DoReMi/Pile epoch mixture written as
+    * a graft TABLE from pure SQL: same weights (5:3:1:1) and total
+    * (40) as d44, so the d44 oracle definition gates the whole
+    * surface — JSON weight parsing, the Hamilton apportionment, the
+    * md5-hash-ordered per-stratum take, the semi-join back to full
+    * rows, and the stratum-partitioned commit. In-query: the report's
+    * rows_written must equal the read-back count, and a one-stratum
+    * read of the sample must partition-prune. */
+  def i59SampleMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text")
+    val c = "g59" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf59" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, source STRING, " +
+      "text STRING)")
+    val tmp = "g59d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    val rep = s.sql(s"CALL $c.system.sample_mixture('$ns', 'docs', " +
+      """'{"src0": 5, "src1": 3, "src2": 1, "src3": 1}', 40)""")
+      .collect().head
+    require(rep.getString(0) == "docs_sample" && rep.getLong(2) == 40L
+      && rep.getInt(3) == 4, s"report $rep")
+    val sampleT = loadByIdentifier(s, c, ns, "docs_sample")
+    val got = graft.table.Scan(sampleT, s).toDF
+      .select("source", "doc_id").orderBy("source", "doc_id")
+    require(rep.getLong(1) == got.count(),
+      s"rows_written ${rep.getLong(1)} must equal the read-back count")
+    // the sample is stratum-partitioned: a one-domain read prunes
+    val allFiles = graft.table.Scan(sampleT, s).planFiles().size
+    if (allFiles > 1) {
+      val pruned = graft.table.Scan(sampleT, s)
+        .filter(Col("source").eqTo("src1")).planFiles().size
+      require(pruned < allFiles,
+        s"one-stratum read must partition-prune: $pruned of $allFiles")
+    }
+    got
+  }
+
+  private val i59Sql: String = "SELECT source, doc_id FROM (" +
+    OpsQueries.d44Sql + ") g ORDER BY source, doc_id"
+
   @volatile private var i41Stash: Option[Long] = None
 
   /** Streaming text-index ingestion ([[graft.streaming.Streams
@@ -3581,6 +3627,7 @@ object IcebergQueries {
     "i56_sql_hybrid_search" -> (i56SqlHybridSearch _),
     "i57_stream_pq_ingest" -> (i57StreamPqIngest _),
     "i58_sql_mmr_search" -> (i58SqlMmrSearch _),
+    "i59_sample_mixture" -> (i59SampleMixture _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -3663,6 +3710,7 @@ object IcebergQueries {
     "i56_sql_hybrid_search" -> i56Sql,
     "i57_stream_pq_ingest" -> i57Sql,
     "i58_sql_mmr_search" -> i58Sql,
+    "i59_sample_mixture" -> i59Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

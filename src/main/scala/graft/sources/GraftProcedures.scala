@@ -40,7 +40,7 @@ private[sources] object GraftProcedures {
     "rewrite_position_deletes", "rewrite_equality_deletes",
     "build_dedup_index", "build_ann_index", "build_text_index",
     "build_pq_index", "text_search", "ann_search", "pq_search",
-    "hybrid_search", "mmr_search",
+    "hybrid_search", "mmr_search", "sample_mixture",
     "train_tokenizer", "segment_text", "corpus_diff",
     "train_lm", "score_text", "train_classifier", "classify_text",
     "corpus_stats", "ancestors_of")
@@ -328,6 +328,18 @@ private[sources] class GraftBoundProcedure(
       // λ = lam_num/lam_den: 1 → pure relevance, 0 → pure diversity
       pDefault("lam_num", LongType, "7"),
       pDefault("lam_den", LongType, "10"))
+    case "sample_mixture" => Array(
+      p("ns", StringType), p("table", StringType),
+      // JSON object of stratum -> non-negative integer weight,
+      // e.g. '{"web": 5, "code": 3}'
+      p("weights", StringType),
+      p("total_n", LongType),
+      pDefault("stratum_col", StringType, "'source'"),
+      pDefault("id_col", StringType, "'doc_id'"),
+      // '' -> "<table>_sample" in the same namespace
+      pDefault("target_table", StringType, "''"),
+      // -1 -> the current snapshot; else sample the table AS OF it
+      pDefault("snapshot_id", LongType, "-1"))
     case "rewrite_data_files" => Array(
       p("ns", StringType), p("table", StringType),
       // '' → incremental bin-pack; 'c1,c2' → FULL z-order rewrite
@@ -783,6 +795,12 @@ private[sources] class GraftBoundProcedure(
       case "corpus_stats" =>
         corpusStats(t, spark, ns, tbl,
           input.getUTF8String(2).toString, input.getLong(3))
+      case "sample_mixture" =>
+        sampleMixture(t, spark, ns, tbl,
+          input.getUTF8String(2).toString, input.getLong(3),
+          input.getUTF8String(4).toString,
+          input.getUTF8String(5).toString,
+          input.getUTF8String(6).toString, input.getLong(7))
     }
     (schema, Seq(row))
   }
@@ -1185,6 +1203,87 @@ private[sources] class GraftBoundProcedure(
       .select(col("step"), col("nid").as(idCol), col("mmr_scaled"))
       .orderBy("step")
     (out.schema, out.collect().map(_.toSeq).toSeq)
+  }
+
+  /** `sample_mixture(ns, table, weights, total_n[, stratum_col,
+    * id_col, target_table, snapshot_id])`: materialize a DoReMi/Pile
+    * epoch mixture as a NEW graft table — the Hamilton-apportioned,
+    * md5-hash-ordered, integer-exact sample
+    * [[graft.ops.Packing.mixtureSample]] computes, joined back to the
+    * FULL source rows and committed as one stratum-partitioned
+    * append. `weights` is a JSON object of stratum → non-negative
+    * integer weight (e.g. `'{"web": 5, "code": 3}'`); strata absent
+    * from it contribute nothing, and a stratum smaller than its
+    * quota yields everything it has — the shortfall is visible as
+    * `rows_written < total_n`. Snapshot-addressable like every
+    * curation step, and the sample is itself a graft table: time
+    * travel, `corpus_stats`, and downstream training reads all work
+    * on it.
+    *
+    * Scale shape: the apportionment runs driver-side over the WEIGHT
+    * MAP (model-sized); the per-stratum take is one hash-partition +
+    * ranked window over ONLY `(stratum_col, id_col)`; the kept keys
+    * then left-semi join the source once to carry the full rows —
+    * two source scans total, no data on the driver. The target is
+    * identity-partitioned by stratum, so per-domain reads of the
+    * mixture prune to their partitions. */
+  private def sampleMixture(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      weightsJson: String, totalN: Long, stratumCol: String,
+      idCol: String, tgtRaw: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    val weights = """"([^"]+)"\s*:\s*(-?\d+)""".r
+      .findAllMatchIn(weightsJson)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    if (weights.isEmpty) throw new IllegalArgumentException(
+      "sample_mixture: weights must be a JSON object of stratum -> " +
+        s"integer weight, got '$weightsJson'")
+    if (weights.values.exists(_ < 0) || weights.values.forall(_ == 0L))
+      throw new IllegalArgumentException(
+        "sample_mixture: weights must be non-negative with sum > 0")
+    if (totalN < 0) throw new IllegalArgumentException(
+      s"sample_mixture: total_n must be >= 0, got $totalN")
+    val tgtName = if (tgtRaw.isEmpty) s"${tbl}_sample" else tgtRaw
+    val tgtId = TableIdentifier(ns.split('.').toSeq, tgtName)
+    if (catalog.tableExists(tgtId))
+      throw new IllegalArgumentException(s"sample_mixture: target " +
+        s"$tgtName already exists — drop it or pass target_table")
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"sample_mixture: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"sample_mixture: snapshot_id $snapRaw not found")
+      else snapRaw
+    val src = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    val keys = graft.ops.Packing.mixtureSample(src, stratumCol, idCol,
+      weights, totalN).select(stratumCol, idCol)
+    val rows = src.join(keys, Seq(stratumCol, idCol), "left_semi")
+    val gSchema = graft.spec.SchemaConverters
+      .fromSparkSchema(rows.schema)
+    val stratumFieldId = gSchema.fieldByName(stratumCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"sample_mixture: no column '$stratumCol' in $ns.$tbl")).id
+    val spec = graft.spec.PartitionSpec.builder(0)
+      .identity(stratumFieldId, stratumCol).build()
+    val props = Map(
+      "graft.sample.source-table" -> s"$ns.$tbl",
+      "graft.sample.source-snapshot-id" -> snapId.toString,
+      "graft.sample.stratum-col" -> stratumCol,
+      "graft.sample.id-col" -> idCol,
+      "graft.sample.weights" -> weightsJson,
+      "graft.sample.total-n" -> totalN.toString)
+    val created = Table.create(catalog, tgtId, gSchema, spec = spec,
+      properties = props, io = io)
+    val committed = graft.table.TableOps.append(created, rows)
+    val written = committed.currentSnapshot.flatMap(_.summary)
+      .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+      .getOrElse(graft.table.Scan(committed, spark).count())
+    (new StructType().add("target_table", StringType)
+      .add("rows_written", LongType).add("total_requested", LongType)
+      .add("strata", IntegerType).add("source_snapshot_id", LongType),
+      Seq(tgtName, written, totalN, weights.size, snapId))
   }
 
   /** `pq_search(ns, index_table, query, k)`: PQ-ADC top-k over a

@@ -908,6 +908,69 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.sample_mixture writes a stratum-partitioned " +
+      "sample table with exact Hamilton quotas") {
+    withCatalog("smx") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, " +
+        "source STRING, text STRING)")
+      // 6 docs in a, 6 in b, 2 in c (c smaller than any real quota),
+      // plus a stratum absent from the weights (contributes nothing)
+      val rows = (0L until 6L).map(i => (i, "a", s"doc a$i")) ++
+        (10L until 16L).map(i => (i, "b", s"doc b$i")) ++
+        Seq((20L, "c", "doc c0"), (21L, "c", "doc c1"),
+          (30L, "zz", "unweighted"))
+      rows.toDF("doc_id", "source", "text")
+        .createOrReplaceTempView("smx_src")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM smx_src")
+      // weights 3:2:5 over total 10 -> exact quotas 3, 2, 5; stratum
+      // c yields only its 2 rows (shortfall), so 3+2+2 = 7 rows land
+      val rep = spark.sql(s"CALL $c.system.sample_mixture('db', " +
+        """'docs', '{"a": 3, "b": 2, "c": 5}', 10)""").collect().head
+      assert(rep.getString(0) == "docs_sample" &&
+        rep.getLong(1) == 7L && rep.getLong(2) == 10L &&
+        rep.getInt(3) == 3, s"report $rep")
+      val got = spark.sql(
+        s"SELECT source, COUNT(*) FROM $c.db.docs_sample GROUP BY 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 2L), s"$got")
+      // full rows (not just keys) landed, stratum-partitioned
+      val sampleT = loadT(dir, "docs_sample")
+      assert(sampleT.spec.fields.map(f => (f.name, f.transform)) ==
+        Seq(("source", graft.spec.Transform.Identity)))
+      assert(spark.sql(s"SELECT text FROM $c.db.docs_sample " +
+        "WHERE source = 'c'").collect().map(_.getString(0)).toSet ==
+        Set("doc c0", "doc c1"))
+      // the kept ids are the library sample exactly
+      val expected = graft.ops.Packing.mixtureSample(
+          spark.sql(s"SELECT * FROM $c.db.docs"), "source", "doc_id",
+          Map("a" -> 3L, "b" -> 2L, "c" -> 5L), 10L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val gotIds = spark.sql(s"SELECT doc_id FROM $c.db.docs_sample")
+        .collect().map(_.getLong(0)).toSet
+      assert(gotIds == expected, s"$gotIds vs $expected")
+
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.sample_mixture('db', 'docs', 'nonsense', 5)") }
+      assert(causes(e1).contains("JSON object"), causes(e1))
+      val e2 = intercept[Exception] { spark.sql(
+        s"""CALL $c.system.sample_mixture('db', 'docs', '{"a": 0}', 5)""") }
+      assert(causes(e2).contains("sum > 0"), causes(e2))
+      // target exists -> refuse (never silently overwrite a sample)
+      val e3 = intercept[Exception] { spark.sql(
+        s"""CALL $c.system.sample_mixture('db', 'docs', '{"a": 1}', 5)""") }
+      assert(causes(e3).contains("already exists"), causes(e3))
+      val e4 = intercept[Exception] { spark.sql(
+        s"""CALL $c.system.sample_mixture('db', 'docs', '{"a": 1}', 5,
+           stratum_col => 'nope', target_table => 's2')""") }
+      assert(causes(e4).toLowerCase.contains("nope"), causes(e4))
+    }
+  }
+
   test("CALL system.dedup_table mode 'best' keeps the max-quality " +
       "copy per exact-dup cluster and requires quality_col") {
     withCatalog("db2") { (c, _) =>
