@@ -2594,6 +2594,43 @@ object IcebergQueries {
   private val i59Sql: String = "SELECT source, doc_id FROM (" +
     OpsQueries.d44Sql + ") g ORDER BY source, doc_id"
 
+  /** `CALL sample_budget` — the "N chars per domain" epoch cut
+    * written as a graft TABLE: same cost column (n_chars) and budget
+    * (4000) as d45, so the d45 oracle definition gates the whole
+    * surface. In-query: rows_written == read-back, and the read-back
+    * per-stratum cost totals must each respect the budget. */
+  def i60SampleBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source", "text", "n_chars")
+    val c = "g60" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf60" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, source STRING, " +
+      "text STRING, n_chars BIGINT)")
+    val tmp = "g60d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    val rep = s.sql(s"CALL $c.system.sample_budget('$ns', 'docs', " +
+      "'n_chars', 4000)").collect().head
+    require(rep.getString(0) == "docs_sample" &&
+      rep.getLong(2) == 4000L, s"report $rep")
+    val sampleT = loadByIdentifier(s, c, ns, "docs_sample")
+    val sample = graft.table.Scan(sampleT, s).toDF
+    require(rep.getLong(1) == sample.count(),
+      s"rows_written ${rep.getLong(1)} must equal the read-back count")
+    val over = sample.groupBy("source")
+      .agg(sum(col("n_chars")).as("tot"))
+      .where(col("tot") > 4000L).count()
+    require(over == 0L, "no stratum may exceed its budget")
+    sample.select("source", "doc_id").orderBy("source", "doc_id")
+  }
+
+  private val i60Sql: String = "SELECT source, doc_id FROM (" +
+    OpsQueries.d45Sql + ") g ORDER BY source, doc_id"
+
   @volatile private var i41Stash: Option[Long] = None
 
   /** Streaming text-index ingestion ([[graft.streaming.Streams
@@ -3628,6 +3665,7 @@ object IcebergQueries {
     "i57_stream_pq_ingest" -> (i57StreamPqIngest _),
     "i58_sql_mmr_search" -> (i58SqlMmrSearch _),
     "i59_sample_mixture" -> (i59SampleMixture _),
+    "i60_sample_budget" -> (i60SampleBudget _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -3711,6 +3749,7 @@ object IcebergQueries {
     "i57_stream_pq_ingest" -> i57Sql,
     "i58_sql_mmr_search" -> i58Sql,
     "i59_sample_mixture" -> i59Sql,
+    "i60_sample_budget" -> i60Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

@@ -40,7 +40,7 @@ private[sources] object GraftProcedures {
     "rewrite_position_deletes", "rewrite_equality_deletes",
     "build_dedup_index", "build_ann_index", "build_text_index",
     "build_pq_index", "text_search", "ann_search", "pq_search",
-    "hybrid_search", "mmr_search", "sample_mixture",
+    "hybrid_search", "mmr_search", "sample_mixture", "sample_budget",
     "train_tokenizer", "segment_text", "corpus_diff",
     "train_lm", "score_text", "train_classifier", "classify_text",
     "corpus_stats", "ancestors_of")
@@ -334,6 +334,18 @@ private[sources] class GraftBoundProcedure(
       // e.g. '{"web": 5, "code": 3}'
       p("weights", StringType),
       p("total_n", LongType),
+      pDefault("stratum_col", StringType, "'source'"),
+      pDefault("id_col", StringType, "'doc_id'"),
+      // '' -> "<table>_sample" in the same namespace
+      pDefault("target_table", StringType, "''"),
+      // -1 -> the current snapshot; else sample the table AS OF it
+      pDefault("snapshot_id", LongType, "-1"))
+    case "sample_budget" => Array(
+      p("ns", StringType), p("table", StringType),
+      // per-doc cost column (token count, char count, bytes)
+      p("cost_col", StringType),
+      // per-stratum inclusive cost cap
+      p("budget", LongType),
       pDefault("stratum_col", StringType, "'source'"),
       pDefault("id_col", StringType, "'doc_id'"),
       // '' -> "<table>_sample" in the same namespace
@@ -797,6 +809,12 @@ private[sources] class GraftBoundProcedure(
           input.getUTF8String(2).toString, input.getLong(3))
       case "sample_mixture" =>
         sampleMixture(t, spark, ns, tbl,
+          input.getUTF8String(2).toString, input.getLong(3),
+          input.getUTF8String(4).toString,
+          input.getUTF8String(5).toString,
+          input.getUTF8String(6).toString, input.getLong(7))
+      case "sample_budget" =>
+        sampleBudget(t, spark, ns, tbl,
           input.getUTF8String(2).toString, input.getLong(3),
           input.getUTF8String(4).toString,
           input.getUTF8String(5).toString,
@@ -1284,6 +1302,69 @@ private[sources] class GraftBoundProcedure(
       .add("rows_written", LongType).add("total_requested", LongType)
       .add("strata", IntegerType).add("source_snapshot_id", LongType),
       Seq(tgtName, written, totalN, weights.size, snapId))
+  }
+
+  /** `sample_budget(ns, table, cost_col, budget[, stratum_col,
+    * id_col, target_table, snapshot_id])`: the "N tokens per domain"
+    * epoch cut written as a NEW stratum-partitioned graft table —
+    * [[graft.ops.Packing.budgetSample]]'s deterministic hash-ordered
+    * prefix (a row is kept while its INCLUSIVE running `cost_col`
+    * total stays ≤ `budget`, so no stratum ever exceeds the budget),
+    * joined back to the FULL source rows and committed as one append.
+    * The companion to [[sampleMixture]]: that one fixes COUNTS per
+    * stratum, this one fixes COST. Same target-table contract:
+    * refuses to overwrite, snapshot-addressable, per-domain reads of
+    * the sample partition-prune. Scale shape: one hash-partition +
+    * running-sum window over `(stratum, id, cost)` only, then one
+    * left-semi join back — two source scans, no driver data. */
+  private def sampleBudget(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      costCol: String, budget: Long, stratumCol: String,
+      idCol: String, tgtRaw: String,
+      snapRaw: Long): (StructType, Seq[Any]) = {
+    if (budget < 0) throw new IllegalArgumentException(
+      s"sample_budget: budget must be >= 0, got $budget")
+    val tgtName = if (tgtRaw.isEmpty) s"${tbl}_sample" else tgtRaw
+    val tgtId = TableIdentifier(ns.split('.').toSeq, tgtName)
+    if (catalog.tableExists(tgtId))
+      throw new IllegalArgumentException(s"sample_budget: target " +
+        s"$tgtName already exists — drop it or pass target_table")
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"sample_budget: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"sample_budget: snapshot_id $snapRaw not found")
+      else snapRaw
+    val src = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    val keys = graft.ops.Packing.budgetSample(src, stratumCol, idCol,
+      costCol, budget).select(stratumCol, idCol)
+    val rows = src.join(keys, Seq(stratumCol, idCol), "left_semi")
+    val gSchema = graft.spec.SchemaConverters
+      .fromSparkSchema(rows.schema)
+    val stratumFieldId = gSchema.fieldByName(stratumCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"sample_budget: no column '$stratumCol' in $ns.$tbl")).id
+    val spec = graft.spec.PartitionSpec.builder(0)
+      .identity(stratumFieldId, stratumCol).build()
+    val props = Map(
+      "graft.sample.source-table" -> s"$ns.$tbl",
+      "graft.sample.source-snapshot-id" -> snapId.toString,
+      "graft.sample.stratum-col" -> stratumCol,
+      "graft.sample.id-col" -> idCol,
+      "graft.sample.cost-col" -> costCol,
+      "graft.sample.budget" -> budget.toString)
+    val created = Table.create(catalog, tgtId, gSchema, spec = spec,
+      properties = props, io = io)
+    val committed = graft.table.TableOps.append(created, rows)
+    val written = committed.currentSnapshot.flatMap(_.summary)
+      .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+      .getOrElse(graft.table.Scan(committed, spark).count())
+    (new StructType().add("target_table", StringType)
+      .add("rows_written", LongType).add("budget", LongType)
+      .add("source_snapshot_id", LongType),
+      Seq(tgtName, written, budget, snapId))
   }
 
   /** `pq_search(ns, index_table, query, k)`: PQ-ADC top-k over a

@@ -968,6 +968,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"""CALL $c.system.sample_mixture('db', 'docs', '{"a": 1}', 5,
            stratum_col => 'nope', target_table => 's2')""") }
       assert(causes(e4).toLowerCase.contains("nope"), causes(e4))
+
+      // sample_budget: the cost-cut twin — inclusive per-stratum cap,
+      // row-for-row parity with the library prefix cut
+      spark.sql(s"ALTER TABLE $c.db.docs ADD COLUMN cost BIGINT")
+      spark.sql(s"UPDATE $c.db.docs SET cost = doc_id % 7 + 1")
+      val rep2 = spark.sql(s"CALL $c.system.sample_budget('db', " +
+        "'docs', 'cost', 9, target_table => 'bcut')").collect().head
+      assert(rep2.getString(0) == "bcut" && rep2.getLong(2) == 9L,
+        s"report $rep2")
+      val expectedB = graft.ops.Packing.budgetSample(
+          spark.sql(s"SELECT * FROM $c.db.docs"), "source", "doc_id",
+          "cost", 9L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val gotB = spark.sql(s"SELECT doc_id FROM $c.db.bcut")
+        .collect().map(_.getLong(0)).toSet
+      assert(gotB == expectedB && rep2.getLong(1) == expectedB.size,
+        s"$gotB vs $expectedB")
+      val overs = spark.sql(s"SELECT source, SUM(cost) AS t FROM " +
+        s"$c.db.bcut GROUP BY 1 HAVING SUM(cost) > 9").collect()
+      assert(overs.isEmpty, s"budget exceeded: ${overs.toSeq}")
+      val e5 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.sample_budget('db', 'docs', 'cost', -1, " +
+        "target_table => 'b2')") }
+      assert(causes(e5).contains("must be >= 0"), causes(e5))
+      val e6 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.sample_budget('db', 'docs', 'cost', 9, " +
+        "target_table => 'bcut')") }
+      assert(causes(e6).contains("already exists"), causes(e6))
     }
   }
 
