@@ -15,20 +15,27 @@ object Streams {
 
   /** Restart-replay guard for the index/model ingest sinks: the last
     * committed micro-batch id is stamped as a property on the
-    * index/model table (in the SAME commit as the per-batch stamp
-    * where one already exists), and a FRESH handle initializes its
-    * skip watermark from it — so a micro-batch replayed after a
-    * driver restart whose commits already landed is skipped instead
-    * of double-delivered. Batch ids are PER QUERY (every stream
-    * starts at 0), so when several streams feed one index each must
-    * pass a distinct `streamId` — the watermark property is
+    * index/model table — in the SAME commit as the batch's index/model
+    * data append when one happens (atomic: that batch can never
+    * double-deliver into the index), falling back to a property-only
+    * commit for batches with no index payload — and a FRESH handle
+    * initializes its skip watermark from it, so a micro-batch replayed
+    * after a driver restart whose commits already landed is skipped
+    * instead of double-delivered. Batch ids are PER QUERY (every
+    * stream starts at 0), so when several streams feed one index each
+    * must pass a distinct `streamId` — the watermark property is
     * namespaced by it and one stream's stamp never blocks another's
-    * batches. The residual window: the stamp is a separate commit
-    * from the data append, so a crash BETWEEN an append and its
-    * stamp can still double-deliver that one batch on restart —
-    * visible as a model/index snapshot newer than the last stamp
-    * (repair = full rebuild/retrain). Exactly-once would need the
-    * stamp and the append in one atomic commit. */
+    * batches. A batch-id-0 arrival against a stamped watermark > 0 is
+    * refused loudly: batch ids also reset to 0 when a user starts a
+    * NEW query (new checkpoint location) against the same index, and
+    * silently skipping would drop the new query's first batches —
+    * pass a distinct `streamId` (or reuse the original checkpoint) to
+    * proceed. Residual windows: the CORPUS (sink-table) append is a
+    * separate table and cannot share the index commit, so a crash
+    * between it and the stamp can double-deliver that batch into the
+    * corpus; and a no-payload batch's property-only stamp can be lost
+    * to a crash (re-delivering a batch that adds nothing). The index/
+    * model itself is exactly-once for every batch that touches it. */
   private[streaming] def batchIdProp(prefix: String,
       streamId: String): String =
     if (streamId.isEmpty) s"$prefix.last-batch-id"
@@ -38,6 +45,36 @@ object Streams {
       streamId: String): Long =
     index.metadata.properties.get(batchIdProp(prefix, streamId))
       .map(_.toLong).getOrElse(Long.MinValue)
+
+  /** Per-handle replay gate (state for [[stampedBatchId]]'s contract):
+    * `admit` returns false for batch ids at or below the watermark
+    * (an already-committed replay — skip), advances it otherwise, and
+    * throws on the new-query shape — a handle whose FIRST batch is id
+    * 0 while the stamped watermark is > 0. That shape cannot be a
+    * restart replay (Spark re-delivers only the latest uncommitted
+    * batch, and a query whose stamp passed 0 has committed batch 0),
+    * so it is a NEW query (fresh checkpoint) reusing this index under
+    * the same streamId; skipping would silently drop its data. */
+  private[streaming] final class BatchGate(stamped: Long,
+      streamId: String, what: String) extends Serializable {
+    private var last: Long = stamped
+    private var first: Boolean = true
+
+    def admit(batchId: Long): Boolean = {
+      val isFirst = first
+      first = false
+      if (isFirst && batchId == 0L && last > 0L)
+        throw new IllegalStateException(s"$what: batch id 0 arrived " +
+          s"but the index/model already stamps last-batch-id $last" +
+          (if (streamId.isEmpty) "" else s" for stream '$streamId'") +
+          " — this is a NEW query (fresh checkpoint) whose batch ids " +
+          "restart at 0, not a restart replay; its batches would be " +
+          "silently dropped. Pass a distinct streamId for the new " +
+          "query, or restart it from the original checkpoint location.")
+      if (batchId <= last) false
+      else { last = batchId; true }
+    }
+  }
 
   /** Iceberg sink for `writeStream.foreachBatch`: each micro-batch
     * commits one append snapshot (exactly the one-snapshot-per-batch
@@ -89,13 +126,13 @@ object Streams {
       extends Serializable {
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
-    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialIndex, "graft.dedup-index", streamId)
+    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
+      initialIndex, "graft.dedup-index", streamId), streamId,
+      "IndexedDedupSink")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return
-      lastBatchId = batchId
+      if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
       val spark = batch0.sparkSession
       // pin the micro-batch: removals, the sink append, and the
@@ -108,17 +145,20 @@ object Streams {
       else graft.ops.Dedup.indexedExactRemovals(batch, idxDf, textCol,
         idCol)).localCheckpoint(true)
       val survivors = batch.join(removals, Seq(idCol), "left_anti")
+      // the batch watermark rides the signature append (atomic: a
+      // restarted handle can never double-deliver these signatures);
+      // an all-duplicate batch stamps property-only (see stampedBatchId)
+      val stamp = Map(
+        Streams.batchIdProp("graft.dedup-index", streamId) ->
+          batchId.toString)
       if (!survivors.isEmpty) {
         sinkRef = TableOps.append(sinkRef, survivors)
         indexRef = TableOps.append(indexRef,
           graft.ops.Dedup.signatureFrame(survivors, textCol, idCol,
-            numHashes))
+            numHashes), props = stamp)
+      } else {
+        indexRef = indexRef.newTransaction().setProperties(stamp).commit()
       }
-      // persist the batch watermark so a restarted handle skips
-      // replayed batches that already committed (see stampedBatchId)
-      indexRef = indexRef.newTransaction().setProperties(Map(
-        Streams.batchIdProp("graft.dedup-index", streamId) ->
-            batchId.toString)).commit()
     }
 
     def sink: Table = sinkRef
@@ -160,13 +200,13 @@ object Streams {
     private val dim = props("graft.ann-index.dim").toInt
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
-    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialIndex, "graft.ann-index", streamId)
+    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
+      initialIndex, "graft.ann-index", streamId), streamId,
+      "AnnIndexIngestSink")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return
-      lastBatchId = batchId
+      if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
       // pin the micro-batch: the corpus append and the assignment each
       // read it — the source must not re-execute
@@ -178,15 +218,18 @@ object Streams {
             .as("cell"),
           graft.ops.Similarity.l2norm(col(vecCol)).as("norm"),
           col(vecCol))
-      if (!payload.isEmpty)
-        indexRef = TableOps.append(indexRef, payload)
-      // advance even on a wrong-dim-only batch: those rows are in the
-      // corpus now, and a later procedure chain must not re-deliver
+      // the snapshot stamp + batch watermark ride the payload append
+      // (atomic); a wrong-dim-only batch still stamps property-only —
+      // those rows are in the corpus now, and a later procedure chain
+      // must not re-deliver them
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        indexRef = indexRef.newTransaction().setProperties(Map(
+        val stamp = Map(
           "graft.ann-index.source-snapshot-id" -> h.toString,
           Streams.batchIdProp("graft.ann-index", streamId) ->
-            batchId.toString)).commit()
+            batchId.toString)
+        indexRef =
+          if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
+          else indexRef.newTransaction().setProperties(stamp).commit()
       }
     }
 
@@ -226,13 +269,13 @@ object Streams {
       .toInt
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
-    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialIndex, "graft.text-index", streamId)
+    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
+      initialIndex, "graft.text-index", streamId), streamId,
+      "TextIndexIngestSink")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return
-      lastBatchId = batchId
+      if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
       val batch = batch0.localCheckpoint(true)
       sinkRef = TableOps.append(sinkRef, batch)
@@ -241,22 +284,24 @@ object Streams {
           .icebergBucket(col("term"), numBuckets))
       val (bDocs, bDl) =
         graft.ops.Retrieval.corpusStats(batch, textCol)
-      if (!payload.isEmpty)
-        indexRef = TableOps.append(indexRef, payload)
-      // stats advance even for a NULL-text-only batch (those docs are
-      // corpus members), and the stamp tracks the sink head so a
-      // later procedure chain must not re-deliver
+      // stats + snapshot stamp + batch watermark ride the postings
+      // append (atomic: the stats can never advance without their
+      // postings or vice versa); a NULL-text-only batch still stamps
+      // property-only — those docs are corpus members and count toward
+      // n_docs, and a later procedure chain must not re-deliver them
       val props = indexRef.metadata.properties
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        indexRef = indexRef.newTransaction().setProperties(Map(
+        val stamp = Map(
           "graft.text-index.source-snapshot-id" -> h.toString,
           "graft.text-index.n-docs" ->
             (props("graft.text-index.n-docs").toLong + bDocs).toString,
           "graft.text-index.total-dl" ->
             (props("graft.text-index.total-dl").toLong + bDl).toString,
           Streams.batchIdProp("graft.text-index", streamId) ->
-            batchId.toString))
-          .commit()
+            batchId.toString)
+        indexRef =
+          if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
+          else indexRef.newTransaction().setProperties(stamp).commit()
       }
     }
 
@@ -291,13 +336,13 @@ object Streams {
           "train_tokenizer model table")).toInt
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
-    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialModel, "graft.tok-model", streamId)
+    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
+      initialModel, "graft.tok-model", streamId), streamId,
+      "TokenizerLedgerIngestSink")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return
-      lastBatchId = batchId
+      if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
       val batch = batch0.localCheckpoint(true)
       sinkRef = TableOps.append(sinkRef, batch)
@@ -307,19 +352,22 @@ object Streams {
       val dTotal = Option(deltas.agg(
           org.apache.spark.sql.functions.sum("cnt")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (dTotal > 0L) modelRef = TableOps.append(modelRef, deltas)
-      // the stamp tracks the sink head even for no-word batches, so a
-      // later procedure chain must not re-deliver those documents
+      // total + snapshot stamp + batch watermark ride the delta append
+      // (atomic: the total can never advance without its deltas); a
+      // no-word batch still stamps property-only — the sink head moved
+      // and a later procedure chain must not re-deliver those documents
       val props = modelRef.metadata.properties
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        modelRef = modelRef.newTransaction().setProperties(Map(
+        val stamp = Map(
           "graft.tok-model.source-snapshot-id" -> h.toString,
           "graft.tok-model.total-cnt" ->
             (props("graft.tok-model.total-cnt").toLong + dTotal)
               .toString,
           Streams.batchIdProp("graft.tok-model", streamId) ->
-            batchId.toString))
-          .commit()
+            batchId.toString)
+        modelRef =
+          if (dTotal > 0L) TableOps.append(modelRef, deltas, stamp)
+          else modelRef.newTransaction().setProperties(stamp).commit()
       }
     }
 
@@ -354,13 +402,13 @@ object Streams {
         "has no total-tokens property — not a train_lm model table")
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
-    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialModel, "graft.lm-model", streamId)
+    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
+      initialModel, "graft.lm-model", streamId), streamId,
+      "LmLedgerIngestSink")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return
-      lastBatchId = batchId
+      if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
       val batch = batch0.localCheckpoint(true)
       sinkRef = TableOps.append(sinkRef, batch)
@@ -369,19 +417,23 @@ object Streams {
       val dTotal = Option(deltas.where(col("n") === 1)
           .agg(org.apache.spark.sql.functions.sum("cnt")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      if (!deltas.isEmpty) modelRef = TableOps.append(modelRef, deltas)
-      // the stamp tracks the sink head even for no-token batches, so a
-      // later procedure chain must not re-deliver those documents
+      val hasDeltas = !deltas.isEmpty
+      // total + snapshot stamp + batch watermark ride the delta append
+      // (atomic); a no-token batch still stamps property-only — the
+      // sink head moved and a later procedure chain must not
+      // re-deliver those documents
       val props = modelRef.metadata.properties
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        modelRef = modelRef.newTransaction().setProperties(Map(
+        val stamp = Map(
           "graft.lm-model.source-snapshot-id" -> h.toString,
           "graft.lm-model.total-tokens" ->
             (props("graft.lm-model.total-tokens").toLong + dTotal)
               .toString,
           Streams.batchIdProp("graft.lm-model", streamId) ->
-            batchId.toString))
-          .commit()
+            batchId.toString)
+        modelRef =
+          if (hasDeltas) TableOps.append(modelRef, deltas, stamp)
+          else modelRef.newTransaction().setProperties(stamp).commit()
       }
     }
 
@@ -418,13 +470,13 @@ object Streams {
           "train_classifier model table"))
     @volatile private var sinkRef: Table = initialSink
     @volatile private var modelRef: Table = initialModel
-    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialModel, "graft.clf-model", streamId)
+    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
+      initialModel, "graft.clf-model", streamId), streamId,
+      "ClassifierLedgerIngestSink")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return
-      lastBatchId = batchId
+      if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
       val batch = batch0.localCheckpoint(true)
       sinkRef = TableOps.append(sinkRef, batch)
@@ -436,12 +488,14 @@ object Streams {
         org.apache.spark.sql.functions.sum("n_cnt")).head
       def tot(i: Int): Long = if (tots.isNullAt(i)) 0L
         else tots.getLong(i)
-      if (!deltas.isEmpty) modelRef = TableOps.append(modelRef, deltas)
-      // the stamp tracks the sink head even for no-token batches, so a
-      // later procedure chain must not re-deliver those documents
+      val hasDeltas = !deltas.isEmpty
+      // totals + snapshot stamp + batch watermark ride the delta
+      // append (atomic); a no-token batch still stamps property-only —
+      // the sink head moved and a later procedure chain must not
+      // re-deliver those documents
       val props = modelRef.metadata.properties
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        modelRef = modelRef.newTransaction().setProperties(Map(
+        val stamp = Map(
           "graft.clf-model.source-snapshot-id" -> h.toString,
           "graft.clf-model.pos-tokens" ->
             (props("graft.clf-model.pos-tokens").toLong + tot(0))
@@ -450,8 +504,10 @@ object Streams {
             (props("graft.clf-model.neg-tokens").toLong + tot(1))
               .toString,
           Streams.batchIdProp("graft.clf-model", streamId) ->
-            batchId.toString))
-          .commit()
+            batchId.toString)
+        modelRef =
+          if (hasDeltas) TableOps.append(modelRef, deltas, stamp)
+          else modelRef.newTransaction().setProperties(stamp).commit()
       }
     }
 
@@ -490,25 +546,28 @@ object Streams {
     private val dim = props("graft.pq-index.dim").toInt
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
-    @volatile private var lastBatchId: Long = Streams.stampedBatchId(
-      initialIndex, "graft.pq-index", streamId)
+    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
+      initialIndex, "graft.pq-index", streamId), streamId,
+      "PqIndexIngestSink")
 
     /** The foreachBatch function. */
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (batchId <= lastBatchId) return
-      lastBatchId = batchId
+      if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
       val batch = batch0.localCheckpoint(true)
       sinkRef = TableOps.append(sinkRef, batch)
       val payload = graft.ops.Similarity.pqEncode(
         batch.where(size(col(vecCol)) === dim), codebooks, vecCol, idCol)
-      if (!payload.isEmpty)
-        indexRef = TableOps.append(indexRef, payload)
+      // snapshot stamp + batch watermark ride the codes append
+      // (atomic); a wrong-dim-only batch stamps property-only
       sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        indexRef = indexRef.newTransaction().setProperties(Map(
+        val stamp = Map(
           "graft.pq-index.source-snapshot-id" -> h.toString,
           Streams.batchIdProp("graft.pq-index", streamId) ->
-            batchId.toString)).commit()
+            batchId.toString)
+        indexRef =
+          if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
+          else indexRef.newTransaction().setProperties(stamp).commit()
       }
     }
 

@@ -114,7 +114,8 @@ class Table(
     * loop the reference configures but never wires (`config.go:68-69`,
     * `errors.go:95-123`). */
   def commitSnapshot(pending: PendingSnapshot,
-      retries: Int = Table.MaxRetries): Table = {
+      retries: Int = Table.MaxRetries,
+      extraProps: Map[String, String] = Map.empty): Table = {
     var attempt = 0
     var meta = metadata
     while (true) {
@@ -127,14 +128,19 @@ class Table(
       // spec vocabulary: add-snapshot (no ref movement) + a
       // set-snapshot-ref advancing the target branch, carrying the
       // ref's existing retention knobs forward (a data commit must not
-      // wipe branch retention config)
+      // wipe branch retention config). `extraProps` ride the SAME
+      // commit — callers that must stamp bookkeeping alongside data
+      // (the streaming sinks' batch watermark) get atomicity instead
+      // of a second metadata commit with a crash window between.
       val prevRef = meta.ref(writeBranch)
       val ups = Seq(
         TableUpdate.AddSnapshot(snap),
         TableUpdate.SetSnapshotRef(writeBranch, snap.snapshotId, "branch",
           prevRef.flatMap(_.minSnapshotsToKeep),
           prevRef.flatMap(_.maxSnapshotAgeMs),
-          prevRef.flatMap(_.maxRefAgeMs)))
+          prevRef.flatMap(_.maxRefAgeMs))) ++
+        (if (extraProps.isEmpty) Seq.empty
+         else Seq(TableUpdate.SetProperties(extraProps)))
       try {
         val committed = catalog.commitTable(id, reqs, ups)
         val positioned = Table.positioned(committed, writeBranch)

@@ -657,11 +657,14 @@ object DeleteFileWriter {
 /** Convenience write ops on a table (fluent facades in M7 widen this). */
 object TableOps {
   /** Append honoring the table's partition spec
-    * (`table/insert.go:49-170`). */
-  def append(table: Table, df: DataFrame): Table = {
+    * (`table/insert.go:49-170`). `props`, when given, are set in the
+    * SAME commit as the data — the atomic data+bookkeeping shape the
+    * streaming sinks' batch watermark needs. */
+  def append(table: Table, df: DataFrame,
+      props: Map[String, String] = Map.empty): Table = {
     val files = PartitionedWriter.writeDataFiles(table.metadata, df)
     table.commitSnapshot(PendingSnapshot(Operation.Append,
-      addedDataFiles = files))
+      addedDataFiles = files), extraProps = props)
   }
 
   /** Register EXISTING parquet files as table data — Iceberg's

@@ -127,6 +127,7 @@ class StreamsSpec extends AnyFunSuite {
     // this stream's stamp
     val other = Streams.indexedDedupSink(fresh.sink, fresh.index,
       minhash = true, threshold = 0.5, numHashes = 32, streamId = "b")
+    val idxVersions = fresh.index.metadata.metadataLog.size
     other.addBatch(
       Seq((40L, "completely new content for the second stream path"))
         .toDF("doc_id", "text"), 0L)
@@ -134,6 +135,25 @@ class StreamsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept2.contains(40L),
       s"second stream's batch 0 must not be skipped: $kept2")
+    // the watermark stamp RIDES the signature append: one index
+    // commit for the whole batch (atomic — no separate stamp commit
+    // to crash between), and the property landed
+    assert(other.index.metadata.metadataLog.size == idxVersions + 1,
+      "survivor batch must be ONE index commit (append + stamp)")
+    assert(other.index.metadata.properties(
+      "graft.dedup-index.last-batch-id.b") == "0")
+    // a NEW query (fresh checkpoint) under the SAME streamId restarts
+    // batch ids at 0 — silently skipping would drop its data, so a
+    // fresh handle whose FIRST batch is id 0 against a stamp > 0 must
+    // refuse loudly (pass a distinct streamId to proceed)
+    val reused = Streams.indexedDedupSink(other.sink, other.index,
+      minhash = true, threshold = 0.5, numHashes = 32)
+    val ex = intercept[IllegalStateException] {
+      reused.addBatch(
+        Seq((50L, "data a new query must not lose silently"))
+          .toDF("doc_id", "text"), 0L)
+    }
+    assert(ex.getMessage.contains("NEW query"), ex.getMessage)
   }
 
   test("AnnIndexIngestSink: frozen-model assignment per micro-batch, " +

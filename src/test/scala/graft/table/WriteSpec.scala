@@ -134,6 +134,21 @@ class PartitionedWriteSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(ids == (10 to 1 by -1).map(_.toLong))
   }
+
+  test("append with extraProps: data + properties land in ONE commit") {
+    val t0 = freshTable("propped", PartitionSpec.unpartitioned)
+    val before = t0.metadata.metadataLog.size
+    val t1 = TableOps.append(t0, usersDf(1 to 5, _ => 19800),
+      props = Map("graft.test.stamp" -> "7"))
+    // exactly one metadata version was written: the snapshot AND the
+    // property are atomic (the streaming sinks' watermark contract —
+    // no crash window between a data append and its stamp)
+    assert(t1.metadata.metadataLog.size == before + 1,
+      s"one commit, got ${t1.metadata.metadataLog.size - before}")
+    assert(t1.metadata.properties.get("graft.test.stamp").contains("7"))
+    assert(t1.metadata.snapshots.size == t0.metadata.snapshots.size + 1)
+    assert(Scan(t1, spark).toDF.count() == 5)
+  }
 }
 
 class DeleteFileWriterSpec extends AnyFunSuite {
