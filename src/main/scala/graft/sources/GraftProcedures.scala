@@ -41,6 +41,7 @@ private[sources] object GraftProcedures {
     "build_dedup_index", "build_ann_index", "build_text_index",
     "build_pq_index", "text_search", "ann_search", "pq_search",
     "hybrid_search", "mmr_search", "sample_mixture", "sample_budget",
+    "pack_corpus",
     "train_tokenizer", "segment_text", "corpus_diff",
     "train_lm", "score_text", "train_classifier", "classify_text",
     "corpus_stats", "ancestors_of")
@@ -223,7 +224,8 @@ private[sources] class GraftBoundProcedure(
     case "train_tokenizer" => Array(
       p("ns", StringType), p("table", StringType),
       pDefault("text_col", StringType, "'text'"),
-      pDefault("max_piece_len", IntegerType, "4"),
+      pDefault("max_piece_len", IntegerType,
+        GraftBoundProcedure.TokDefaultMaxPieceLen.toString),
       // '' -> "<table>_tok_model" in the same namespace
       pDefault("model_table", StringType, "''"),
       // -1 -> the current snapshot; else train AS OF this id
@@ -339,6 +341,20 @@ private[sources] class GraftBoundProcedure(
       // '' -> "<table>_sample" in the same namespace
       pDefault("target_table", StringType, "''"),
       // -1 -> the current snapshot; else sample the table AS OF it
+      pDefault("snapshot_id", LongType, "-1"))
+    case "pack_corpus" => Array(
+      p("ns", StringType), p("table", StringType),
+      // context-window capacity in tokens (whitespace token count of
+      // text_col); a document larger than it packs into a bin alone
+      p("window", LongType),
+      pDefault("text_col", StringType, "'text'"),
+      pDefault("id_col", StringType, "'doc_id'"),
+      // shard = id div docs_per_shard: the greedy fold's parallelism
+      // unit (sequential within a shard, parallel across shards)
+      pDefault("docs_per_shard", LongType, "100"),
+      // '' -> "<table>_packed" in the same namespace
+      pDefault("target_table", StringType, "''"),
+      // -1 -> the current snapshot; else pack the table AS OF it
       pDefault("snapshot_id", LongType, "-1"))
     case "sample_budget" => Array(
       p("ns", StringType), p("table", StringType),
@@ -819,6 +835,11 @@ private[sources] class GraftBoundProcedure(
           input.getUTF8String(4).toString,
           input.getUTF8String(5).toString,
           input.getUTF8String(6).toString, input.getLong(7))
+      case "pack_corpus" =>
+        packCorpus(t, spark, ns, tbl, input.getLong(2),
+          input.getUTF8String(3).toString,
+          input.getUTF8String(4).toString, input.getLong(5),
+          input.getUTF8String(6).toString, input.getLong(7))
     }
     (schema, Seq(row))
   }
@@ -1223,6 +1244,27 @@ private[sources] class GraftBoundProcedure(
     (out.schema, out.collect().map(_.toSeq).toSeq)
   }
 
+  /** Both samplers pull kept keys back to full rows with a left-semi
+    * join on `(stratum, id)` — duplicate ids within a stratum would
+    * pull ALL their rows back, silently breaking the count/budget
+    * contract. Fail loud instead. Cost: one shuffle over the two key
+    * columns only (the sampler's own window shuffles the same keys),
+    * with a `limit(1)` so the scan short-circuits once any duplicate
+    * is found. */
+  private def requireUniqueIds(src: org.apache.spark.sql.DataFrame,
+      stratumCol: String, idCol: String, proc: String): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val dup = src.groupBy(col(stratumCol), col(idCol))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > 1L)
+      .limit(1).collect()
+    if (dup.nonEmpty) throw new IllegalArgumentException(s"$proc: " +
+      s"id_col '$idCol' is not unique within stratum " +
+      s"'${dup.head.get(0)}' (e.g. id ${dup.head.get(1)} appears " +
+      s"${dup.head.get(2)} times) — the per-stratum count/budget " +
+      "contract requires unique ids; deduplicate first (CALL " +
+      "dedup_table) or pass a unique id_col")
+  }
+
   /** `sample_mixture(ns, table, weights, total_n[, stratum_col,
     * id_col, target_table, snapshot_id])`: materialize a DoReMi/Pile
     * epoch mixture as a NEW graft table — the Hamilton-apportioned,
@@ -1275,6 +1317,7 @@ private[sources] class GraftBoundProcedure(
           s"sample_mixture: snapshot_id $snapRaw not found")
       else snapRaw
     val src = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    requireUniqueIds(src, stratumCol, idCol, "sample_mixture")
     val keys = graft.ops.Packing.mixtureSample(src, stratumCol, idCol,
       weights, totalN).select(stratumCol, idCol)
     val rows = src.join(keys, Seq(stratumCol, idCol), "left_semi")
@@ -1338,6 +1381,7 @@ private[sources] class GraftBoundProcedure(
           s"sample_budget: snapshot_id $snapRaw not found")
       else snapRaw
     val src = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    requireUniqueIds(src, stratumCol, idCol, "sample_budget")
     val keys = graft.ops.Packing.budgetSample(src, stratumCol, idCol,
       costCol, budget).select(stratumCol, idCol)
     val rows = src.join(keys, Seq(stratumCol, idCol), "left_semi")
@@ -1365,6 +1409,93 @@ private[sources] class GraftBoundProcedure(
       .add("rows_written", LongType).add("budget", LongType)
       .add("source_snapshot_id", LongType),
       Seq(tgtName, written, budget, snapId))
+  }
+
+  /** `pack_corpus(ns, table, window[, text_col, id_col,
+    * docs_per_shard, target_table, snapshot_id])`: materialize greedy
+    * sequence packing — the terminal step of a training-data
+    * pipeline — as a NEW shard-partitioned graft table. Documents
+    * shard by `id div docs_per_shard`; within each shard, ascending-id
+    * documents greedily fill `window`-token bins
+    * ([[graft.ops.Packing.packGreedy]] — an oversized document packs
+    * into a bin alone), and each (shard, bin) writes ONE row with the
+    * bin's doc count, token total, and the id-ordered concatenated
+    * text ([[graft.ops.Packing.materializePacked]]) — the blob a
+    * training shard-writer serializes. Tokens are whitespace counts of
+    * `text_col` ([[graft.ops.TextAnalysis.tokenCount]]), the engine's
+    * token convention everywhere. Snapshot-addressable like every
+    * curation step, and the output is itself a graft table: time
+    * travel and per-shard reads (partition-pruned) work on it.
+    *
+    * Scale shape: the greedy fold is sequential only WITHIN a shard
+    * (bounded: `docs_per_shard` rows) and parallel across shards; the
+    * text rides one join keyed on the id and one (shard, bin)
+    * hash-agg whose rows are bounded by `window` tokens. No driver
+    * data, no global sort — 100 TB packs as (shards in parallel) ×
+    * (bounded docs per shard). */
+  private def packCorpus(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      window: Long, textCol: String, idCol: String, docsPerShard: Long,
+      tgtRaw: String, snapRaw: Long): (StructType, Seq[Any]) = {
+    import org.apache.spark.sql.functions.{col, floor, sum}
+    if (window <= 0) throw new IllegalArgumentException(
+      s"pack_corpus: window must be positive, got $window")
+    if (docsPerShard <= 0) throw new IllegalArgumentException(
+      s"pack_corpus: docs_per_shard must be positive, got $docsPerShard")
+    val tgtName = if (tgtRaw.isEmpty) s"${tbl}_packed" else tgtRaw
+    val tgtId = TableIdentifier(ns.split('.').toSeq, tgtName)
+    if (catalog.tableExists(tgtId))
+      throw new IllegalArgumentException(s"pack_corpus: target " +
+        s"$tgtName already exists — drop it or pass target_table")
+    val snapId =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"pack_corpus: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"pack_corpus: snapshot_id $snapRaw not found")
+      else snapRaw
+    Seq(textCol, idCol).foreach { c =>
+      if (t.schema.fieldByName(c).isEmpty)
+        throw new IllegalArgumentException(
+          s"pack_corpus: no column '$c' in $ns.$tbl")
+    }
+    val src = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
+    val sized = src.select(col(idCol),
+      floor(col(idCol).cast("long") / docsPerShard).cast("long")
+        .as("shard"),
+      graft.ops.TextAnalysis.tokenCount(col(textCol)).as("tokens"))
+    val assignments = graft.ops.Packing.packGreedy(sized, idCol,
+      "tokens", "shard", capacity = window)
+    val rows = graft.ops.Packing.materializePacked(src, assignments,
+      idCol, textCol)
+    val gSchema = graft.spec.SchemaConverters
+      .fromSparkSchema(rows.schema)
+    val shardFieldId = gSchema.fieldByName("shard").get.id
+    val spec = graft.spec.PartitionSpec.builder(0)
+      .identity(shardFieldId, "shard").build()
+    val props = Map(
+      "graft.pack.source-table" -> s"$ns.$tbl",
+      "graft.pack.source-snapshot-id" -> snapId.toString,
+      "graft.pack.text-col" -> textCol,
+      "graft.pack.id-col" -> idCol,
+      "graft.pack.window" -> window.toString,
+      "graft.pack.docs-per-shard" -> docsPerShard.toString)
+    val created = Table.create(catalog, tgtId, gSchema, spec = spec,
+      properties = props, io = io)
+    val committed = graft.table.TableOps.append(created, rows)
+    val bins = committed.currentSnapshot.flatMap(_.summary)
+      .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+      .getOrElse(graft.table.Scan(committed, spark).count())
+    // docs packed: summed from the WRITTEN table's n_docs column —
+    // a narrow column read, never a recompute of the packing
+    val docs = Option(graft.table.Scan(committed, spark).toDF
+        .agg(sum(col("n_docs"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    (new StructType().add("target_table", StringType)
+      .add("bins_written", LongType).add("docs_packed", LongType)
+      .add("window", LongType).add("source_snapshot_id", LongType),
+      Seq(tgtName, bins, docs, window, snapId))
   }
 
   /** `pq_search(ns, index_table, query, k)`: PQ-ADC top-k over a
@@ -2022,10 +2153,11 @@ private[sources] class GraftBoundProcedure(
     // a chain ALWAYS uses the stamped piece length (the ledger's
     // candidate universe is fixed at train time); a caller explicitly
     // asking for a different one must get an error, not a silent
-    // override — mirror the text_col check. The declared default (4)
-    // is indistinguishable from "not passed", so only non-default
+    // override — mirror the text_col check. The declared default is
+    // indistinguishable from "not passed", so only non-default
     // mismatches can be detected.
-    if (maxPieceLenArg != 4 && maxPieceLenArg != maxPieceLen)
+    if (maxPieceLenArg != GraftBoundProcedure.TokDefaultMaxPieceLen &&
+        maxPieceLenArg != maxPieceLen)
       throw new IllegalArgumentException(s"train_tokenizer: model " +
         s"$mdlName was trained with max_piece_len $maxPieceLen, " +
         s"call asks for $maxPieceLenArg — incremental chains cannot " +
@@ -2546,6 +2678,10 @@ private[sources] object GraftBoundProcedure {
   private val TextPropPrefix = "graft.text-index."
   private val PqPropPrefix = "graft.pq-index."
   private val TokPropPrefix = "graft.tok-model."
+  /** The declared default of train_tokenizer's `max_piece_len` — ONE
+    * constant shared by the parameter declaration and the
+    * incremental-chain mismatch check, so the two can never drift. */
+  private[sources] val TokDefaultMaxPieceLen = 4
   private val LmPropPrefix = "graft.lm-model."
   private val ClfPropPrefix = "graft.clf-model."
 }

@@ -996,6 +996,78 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"CALL $c.system.sample_budget('db', 'docs', 'cost', 9, " +
         "target_table => 'bcut')") }
       assert(causes(e6).contains("already exists"), causes(e6))
+
+      // duplicate (stratum, id) in the source → refuse loudly: the
+      // key semi-join would pull BOTH rows back and silently break
+      // the per-stratum count/budget contract
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (0, 'a', 'dup a0', 1)")
+      val e7 = intercept[Exception] { spark.sql(
+        s"""CALL $c.system.sample_mixture('db', 'docs', '{"a": 1}',
+           5, target_table => 'dup1')""") }
+      assert(causes(e7).contains("not unique"), causes(e7))
+      val e8 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.sample_budget('db', 'docs', 'cost', 9, " +
+        "target_table => 'dup2')") }
+      assert(causes(e8).contains("not unique"), causes(e8))
+    }
+  }
+
+  test("CALL system.pack_corpus writes a shard-partitioned packed " +
+      "table with library parity and loud error paths") {
+    withCatalog("pck") { (c, dir) =>
+      import spark.implicits._
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      // shard 0: ids 0-3 (docs_per_shard 4); shard 1: ids 4-5.
+      // window 5 tokens → shard 0 packs [0,1] (2+3), [2] (4 alone:
+      // 2+3+4 > 5 twice over), [3] (oversized 6-token doc, bin alone);
+      // shard 1 packs [4,5] (1+4).
+      val rows = Seq(
+        (0L, "a b"), (1L, "c d e"), (2L, "f g h i"),
+        (3L, "one two three four five six"),
+        (4L, "j"), (5L, "k l m n"))
+      rows.toDF("doc_id", "text").createOrReplaceTempView("pck_src")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM pck_src")
+      val rep = spark.sql(s"CALL $c.system.pack_corpus('db', 'docs', " +
+        "5, docs_per_shard => 4)").collect().head
+      assert(rep.getString(0) == "docs_packed" &&
+        rep.getLong(1) == 4L && rep.getLong(2) == 6L &&
+        rep.getLong(3) == 5L, s"report $rep")
+      val got = spark.sql("SELECT shard, bin, n_docs, n_tokens, " +
+        s"packed_text FROM $c.db.docs_packed ORDER BY shard, bin")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).toSeq
+      assert(got == Seq(
+        (0L, 0L, 2L, 5L, "a b c d e"),
+        (0L, 1L, 1L, 4L, "f g h i"),
+        (0L, 2L, 1L, 6L, "one two three four five six"),
+        (1L, 0L, 2L, 5L, "j k l m n")), s"$got")
+      // shard-partitioned
+      val packedT = loadT(dir, "docs_packed")
+      assert(packedT.spec.fields.map(f => (f.name, f.transform)) ==
+        Seq(("shard", graft.spec.Transform.Identity)))
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pack_corpus('db', 'docs', 0)") }
+      assert(causes(e1).contains("window must be positive"), causes(e1))
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pack_corpus('db', 'docs', 5, " +
+        "docs_per_shard => 0)") }
+      assert(causes(e2).contains("docs_per_shard must be positive"),
+        causes(e2))
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pack_corpus('db', 'docs', 5)") }
+      assert(causes(e3).contains("already exists"), causes(e3))
+      val e4 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pack_corpus('db', 'docs', 5, " +
+        "text_col => 'nope', target_table => 'p2')") }
+      assert(causes(e4).contains("nope"), causes(e4))
+      val e5 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pack_corpus('db', 'docs', 5, " +
+        "snapshot_id => 12345, target_table => 'p3')") }
+      assert(causes(e5).contains("not found"), causes(e5))
     }
   }
 
