@@ -104,7 +104,7 @@ object Dedup {
     * even across 10¹¹ documents. The d6b/d6c gates stay exact: d6c
     * gates the string-set [[jaccard]] column itself (unchanged), d6b's
     * planted pairs are exact copies (identical sets hash identically). */
-  private def hashedShingleSets(df: DataFrame, textCol: String,
+  private[ops] def hashedShingleSets(df: DataFrame, textCol: String,
       idCol: String): DataFrame =
     tokenized(df, textCol, idCol)
       .select(col("__id"), array_distinct(
@@ -154,7 +154,7 @@ object Dedup {
     * frame — the pipeline-internal form ([[candidatesOfHashedSets]]).
     * Same values as [[minhashSignatures]] (the set's distinct cannot
     * change a min; re-mix of the same base hashes). */
-  private def signaturesOfHashedSets(hs: DataFrame,
+  private[ops] def signaturesOfHashedSets(hs: DataFrame,
       numHashes: Int): DataFrame = {
     val exploded = hs.select(col("__id"), explode(col("__hs")).as("__h"))
     val aggs = (0 until numHashes).map(k =>
@@ -217,7 +217,7 @@ object Dedup {
 
   /** Band-explode a `(__id, __sig)` signature frame to
     * `(__id, __band, __bucket)` rows. */
-  private def bandExplode(sig: DataFrame, numHashes: Int,
+  private[ops] def bandExplode(sig: DataFrame, numHashes: Int,
       bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands

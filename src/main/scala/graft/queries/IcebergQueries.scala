@@ -2631,6 +2631,64 @@ object IcebergQueries {
   private val i60Sql: String = "SELECT source, doc_id FROM (" +
     OpsQueries.d45Sql + ") g ORDER BY source, doc_id"
 
+  /** `CALL pack_corpus` — greedy sequence packing materialized as a
+    * shard-partitioned graft TABLE from pure SQL: same window (512)
+    * and sharding (id div 100) as d21, so the d21 digest oracle gates
+    * the whole surface end to end — token sizing, the per-shard
+    * greedy fold, the id-ordered text concatenation, and the
+    * shard-partitioned commit. In-query: the report's bins/docs must
+    * equal the read-back, the read-back must equal the library
+    * composition row for row, and a one-shard read partition-prunes. */
+  def i61PackCorpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g61" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf61" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g61d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp")
+    val rep = s.sql(s"CALL $c.system.pack_corpus('$ns', 'docs', 512)")
+      .collect().head
+    require(rep.getString(0) == "docs_packed" && rep.getLong(3) == 512L,
+      s"report $rep")
+    val packedT = loadByIdentifier(s, c, ns, "docs_packed")
+    val got = graft.table.Scan(packedT, s).toDF
+    require(rep.getLong(1) == got.count(),
+      s"bins_written ${rep.getLong(1)} must equal the read-back count")
+    require(rep.getLong(2) == docs.count(),
+      s"docs_packed ${rep.getLong(2)} must equal the corpus size")
+    // in-query parity: the table IS the library composition
+    val sized = docs.select(col("doc_id"),
+      floor(col("doc_id") / 100).cast("long").as("shard"),
+      graft.ops.TextAnalysis.tokenCount(col("text")).as("tokens"))
+    val lib = graft.ops.Packing.materializePacked(docs,
+      graft.ops.Packing.packGreedy(sized, "doc_id", "tokens", "shard",
+        capacity = 512))
+    require(got.select("shard", "bin", "n_docs", "n_tokens",
+        "packed_text").except(lib.select("shard", "bin", "n_docs",
+        "n_tokens", "packed_text")).isEmpty &&
+        lib.count() == got.count(),
+      "pack_corpus table must equal the library packing row for row")
+    // shard-partitioned: a one-shard read prunes
+    val allFiles = graft.table.Scan(packedT, s).planFiles().size
+    if (allFiles > 1) {
+      val pruned = graft.table.Scan(packedT, s)
+        .filter(Col("shard").eqTo(0L)).planFiles().size
+      require(pruned < allFiles,
+        s"one-shard read must partition-prune: $pruned of $allFiles")
+    }
+    got.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        md5(col("packed_text")).as("packed_fp"))
+      .orderBy("shard", "bin")
+  }
+
+  private val i61Sql: String = OpsQueries.d21Sql
+
   @volatile private var i41Stash: Option[Long] = None
 
   /** Streaming text-index ingestion ([[graft.streaming.Streams
@@ -3059,7 +3117,15 @@ object IcebergQueries {
       "SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS BIGINT) AS " +
         "doc_id, CAST(NULL AS BIGINT) AS rrf_scaled, " +
         "CAST(NULL AS BIGINT) AS n_lists WHERE 1 = 0"
-    case Some(cbs) =>
+    case Some(cbs) => hybridFusedSql(cbs, 10)
+  }
+
+  /** The i56 indexed-hybrid replay parameterized by the fused-list
+    * depth `k` — shared verbatim by i56 (k = 10) and i62's
+    * diversified re-rank (candidate list, k = 12), per the
+    * parameterize-shared-replays rule. */
+  private def hybridFusedSql(cbs: Seq[Array[Double]],
+      k: Int): String = {
       val R = graft.ops.Retrieval.RrfScale
       raw"""WITH lex AS (
         |  SELECT doc_id, rank FROM (
@@ -3089,7 +3155,139 @@ object IcebergQueries {
         |    CAST(ROW_NUMBER() OVER (
         |      ORDER BY rrf_scaled DESC, doc_id ASC) AS BIGINT) AS rank
         |  FROM fused) r
-        |WHERE rank <= 10 ORDER BY rank""".stripMargin
+        |WHERE rank <= $k ORDER BY rank""".stripMargin
+  }
+
+  @volatile private var i62Stash: Option[Seq[Array[Double]]] = None
+
+  /** Diversified hybrid retrieval — the production RAG shape: the
+    * indexed `CALL hybrid_search` top-12 (both persisted indexes,
+    * bucket/cell-pruned, the i56 surface) re-ranked with maximal
+    * marginal relevance ([[graft.ops.Similarity.mmrDiversify]],
+    * λ = 7/10). Relevance is the fused `rrf_scaled` (already an exact
+    * integer); pairwise redundancy is the e21 int8-code dot product
+    * over the candidate vectors, fetched from the vecs table by id —
+    * everything after the hybrid call is candidate-count-sized.
+    * Zero new machinery: the gate composes i56's procedure with e21's
+    * re-rank, and the oracle composes their replay definitions the
+    * same way. */
+  def i62HybridMmr(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val c = "g62" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf62" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
+      "embedding ARRAY<FLOAT>)")
+    val td = "g62d_" + java.util.UUID.randomUUID.toString.take(8)
+    val tv = "g62v_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(td)
+    emb.createOrReplaceTempView(tv)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $td")
+    s.sql(s"INSERT INTO $c.$ns.vecs SELECT * FROM $tv")
+    s.sql(s"CALL $c.system.build_text_index('$ns', 'docs')").collect()
+    s.sql(s"CALL $c.system.build_ann_index('$ns', 'vecs', " +
+      s"'embedding', 'vec_id', 8, '', -1, 4242)").collect()
+    val aProps = loadByIdentifier(s, c, ns, "vecs_ann_idx")
+      .metadata.properties
+    i62Stash = Some(graft.ops.Similarity.centroidsFromJson(
+      aProps("graft.ann-index.centroids")))
+    val dim = aProps("graft.ann-index.dim").toInt
+    val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+    val qstr = docs.where(col("doc_id") === 0)
+      .select(concat_ws(" ", slice(split(norm, " "), 1, 4)).as("q"))
+      .head.getString(0)
+    val qvec = emb.where(col("vec_id") === 0 &&
+        size(col("embedding")) === dim)
+      .select("embedding").head(1).headOption.getOrElse(
+        throw new IllegalStateException("vec 0 missing or wrong-dim"))
+      .getSeq[Float](0)
+    val json = qvec.mkString("[", ",", "]")
+    val qlit = qstr.replace("'", "''")
+    // the hybrid CANDIDATE list: fused top-12 (vs i56's final top-10)
+    val fused = s.sql(s"CALL $c.system.hybrid_search('$ns', " +
+      s"'docs_text_idx', 'vecs_ann_idx', '$qlit', '$json', " +
+      "12, 20, 3, 60)")
+    val candIds = fused.select("doc_id").collect().map(_.getLong(0))
+    require(candIds.length == 12, s"need 12 candidates: $candIds")
+    val rel = fused.select(lit(0L).as("qid"),
+      col("doc_id").as("nid"), col("rrf_scaled").as("rel"))
+    // candidate vectors by id from the vecs table (top-k-sized IN
+    // probe; file-stat pruning applies), then the e21 int8 pairwise
+    val vecsT = loadByIdentifier(s, c, ns, "vecs")
+    val cvecs = graft.table.Scan(vecsT, s)
+      .filter(Col("vec_id").in(candIds.map(_.asInstanceOf[AnyRef]): _*))
+      .toDF
+    val codes = graft.ops.Similarity.quantizeInt8(cvecs,
+      vecCol = "embedding", idCol = "vec_id").select("vec_id", "codes")
+    def dotc(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x)
+    val sims = codes.select(col("vec_id").as("a"), col("codes").as("ca"))
+      .crossJoin(broadcast(codes.select(col("vec_id").as("b"),
+        col("codes").as("cb"))))
+      .where(col("a") =!= col("b"))
+      .select(lit(0L).as("qid"), col("a"), col("b"),
+        dotc(col("ca"), col("cb")).as("sim"))
+    val out = graft.ops.Similarity.mmrDiversify(rel, sims, k = 5,
+        lamNum = 7L, lamDen = 10L)
+      .select(col("step"), col("nid").as("doc_id"), col("mmr_scaled"))
+      .orderBy("step")
+    val steps = out.select("step").collect().map(_.getLong(0)).toSeq
+    require(steps == (1L to 5L), s"selection steps must be 1..5: $steps")
+    out
+  }
+
+  /** i62 oracle: the shared indexed-hybrid replay
+    * ([[hybridFusedSql]], k = 12) as the candidate CTE — rel IS the
+    * fused rrf_scaled — composed with e21's int8 code CTEs and the
+    * shared MMR greedy unroll ([[OpsQueries.mmrUnrollSql]]). */
+  private def i62Sql: String = i62Stash match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS step, CAST(NULL AS BIGINT) AS " +
+        "doc_id, CAST(NULL AS BIGINT) AS mmr_scaled WHERE 1 = 0"
+    case Some(cbs) =>
+      val (mmrCtes, unions) = OpsQueries.mmrUnrollSql(5, 7L, 10L)
+      val code = OpsQueries.int8CodeSql
+      raw"""WITH cand0 AS (
+        |  SELECT doc_id, rrf_scaled FROM (
+        |${hybridFusedSql(cbs, 12)}) AS h
+        |), base AS (
+        |  SELECT vec_id,
+        |    COALESCE(list_min(CAST(embedding AS DOUBLE[])), 0.0) AS lo,
+        |    COALESCE((list_max(CAST(embedding AS DOUBLE[]))
+        |      - list_min(CAST(embedding AS DOUBLE[]))) / 255.0, 0.0)
+        |      AS scale,
+        |    CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |), codes AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0
+        |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
+        |      ELSE list_transform(v, x -> $code) END AS codes
+        |  FROM base
+        |), ccodes AS (
+        |  SELECT c.vec_id, c.codes FROM codes c
+        |  JOIN cand0 g ON g.doc_id = c.vec_id
+        |), cand AS (
+        |  SELECT CAST(0 AS BIGINT) AS qid, g.doc_id AS nid,
+        |    CAST(g.rrf_scaled AS BIGINT) AS rel
+        |  FROM cand0 g
+        |), sims AS (
+        |  SELECT CAST(0 AS BIGINT) AS qid, c1.vec_id AS a,
+        |    c2.vec_id AS b,
+        |    ${OpsQueries.idotSql("c1.codes", "c2.codes")} AS sim
+        |  FROM ccodes c1 JOIN ccodes c2 ON c2.vec_id <> c1.vec_id
+        |), $mmrCtes
+        |SELECT step, nid AS doc_id, mmr AS mmr_scaled FROM ($unions) u
+        |ORDER BY step""".stripMargin
   }
 
   @volatile private var i57Stash:
@@ -3666,6 +3864,8 @@ object IcebergQueries {
     "i58_sql_mmr_search" -> (i58SqlMmrSearch _),
     "i59_sample_mixture" -> (i59SampleMixture _),
     "i60_sample_budget" -> (i60SampleBudget _),
+    "i61_pack_corpus" -> (i61PackCorpus _),
+    "i62_hybrid_mmr" -> (i62HybridMmr _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -3750,6 +3950,8 @@ object IcebergQueries {
     "i58_sql_mmr_search" -> i58Sql,
     "i59_sample_mixture" -> i59Sql,
     "i60_sample_budget" -> i60Sql,
+    "i61_pack_corpus" -> i61Sql,
+    "i62_hybrid_mmr" -> i62Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,
