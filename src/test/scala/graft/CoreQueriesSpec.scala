@@ -42,16 +42,24 @@ class CoreQueriesSpec extends AnyFunSuite {
     assert(SparkEntry.benchQueries.forall(SparkEntry.queries.contains))
   }
 
-  // the dominant cost of the full suite (~150 end-to-end queries ×2
-  // runs each): SlowTest-tagged so `-l graft.SlowTest` gives a fast
-  // inner loop; the full tier remains the shipping gate
+  // the dominant cost of the full suite (~200 end-to-end queries):
+  // SlowTest-tagged so `-l graft.SlowTest` gives a fast inner loop;
+  // the full tier remains the shipping gate. Each query runs ONCE —
+  // the driver hash-gates every oracle'd query against DuckDB each
+  // round, so an in-suite second run re-proves nothing for them; only
+  // the oracle-FREE family keeps the determinism double-run, where
+  // in-suite repeatability IS the evidence (they get rows-only driver
+  // checks).
   for ((name, fn) <- SparkEntry.queries) {
     test(s"$name runs at sf0.001 and is deterministic", SlowTest) {
       val df1 = fn(spark, sf)
       assert(df1.schema.nonEmpty)
       val rows1 = df1.collect()
-      val rows2 = fn(spark, sf).collect()
-      assert(rows1.toSeq == rows2.toSeq, s"$name not deterministic")
+      assert(rows1 != null)
+      if (!SparkEntry.oracleSql.contains(name)) {
+        val rows2 = fn(spark, sf).collect()
+        assert(rows1.toSeq == rows2.toSeq, s"$name not deterministic")
+      }
     }
   }
 
