@@ -2689,6 +2689,56 @@ object IcebergQueries {
 
   private val i61Sql: String = OpsQueries.d21Sql
 
+  /** `CALL pack_corpus(incremental => true)` — the chain: full pack
+    * of the first three shards (ids < 300, docs_per_shard 100), the
+    * rest of the corpus appended to the source, then one incremental
+    * call packs ONLY the appended rows into new shards, stamps
+    * riding the same commit. Greedy packing is per-shard-independent
+    * and the appended ids open fresh shards, so the chained table
+    * must hash-equal the full-corpus d21 replay — the same
+    * chain-equals-rebuild contract as every other curation chain
+    * (i33/i37/i39/i44/i47/i51/i54). */
+  def i63PackChained(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val c = "g63" + java.util.UUID.randomUUID.toString.take(8)
+    s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
+    s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
+    val ns = "sf63" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+      java.util.UUID.randomUUID.toString.take(8)
+    s.sql(s"CREATE NAMESPACE $c.$ns")
+    s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
+    val tmp = "g63d_" + java.util.UUID.randomUUID.toString.take(8)
+    docs.createOrReplaceTempView(tmp)
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      "WHERE doc_id < 300")
+    val rep1 = s.sql(s"CALL $c.system.pack_corpus('$ns', 'docs', 512)")
+      .collect().head
+    s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $tmp " +
+      "WHERE doc_id >= 300")
+    val rep2 = s.sql(s"CALL $c.system.pack_corpus('$ns', 'docs', " +
+      "512, incremental => true)").collect().head
+    require(rep2.getString(0) == "docs_packed" && rep2.getLong(1) > 0,
+      s"chain must append bins: $rep2")
+    val packedT = loadByIdentifier(s, c, ns, "docs_packed")
+    val props = packedT.metadata.properties
+    require(props("graft.pack.max-shard").toLong > 2L,
+      s"chain must advance max-shard: ${props("graft.pack.max-shard")}")
+    val got = graft.table.Scan(packedT, s).toDF
+    require(got.count() == rep1.getLong(1) + rep2.getLong(1),
+      "read-back bins must equal full + chained bins_written")
+    // a second chain with nothing new appends nothing
+    val rep3 = s.sql(s"CALL $c.system.pack_corpus('$ns', 'docs', " +
+      "512, incremental => true)").collect().head
+    require(rep3.getLong(1) == 0L && rep3.getLong(2) == 0L,
+      s"an empty chain must write nothing: $rep3")
+    got.select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        md5(col("packed_text")).as("packed_fp"))
+      .orderBy("shard", "bin")
+  }
+
+  private val i63Sql: String = OpsQueries.d21Sql
+
   @volatile private var i41Stash: Option[Long] = None
 
   /** Streaming text-index ingestion ([[graft.streaming.Streams
@@ -3170,7 +3220,16 @@ object IcebergQueries {
     * everything after the hybrid call is candidate-count-sized.
     * Zero new machinery: the gate composes i56's procedure with e21's
     * re-rank, and the oracle composes their replay definitions the
-    * same way. */
+    * same way.
+    *
+    * Hybrid lists are wider than the vector corpus: a lexical-only
+    * hit may have NO embedding (sf0.1 plants exactly this — 5 000
+    * docs, 2 000 vectors). Such a candidate contributes zero
+    * redundancy: the sims grid is built over ALL ordered candidate
+    * pairs with sim = 0 where either side lacks a vector —
+    * deliberate zeros, satisfying [[graft.ops.Similarity
+    * .mmrDiversify]]'s full-pair-coverage contract explicitly rather
+    * than tripping its missing-pair fail-fast. */
   def i62HybridMmr(s: SparkSession, dir: String): DataFrame = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
@@ -3223,19 +3282,27 @@ object IcebergQueries {
     val vecsT = loadByIdentifier(s, c, ns, "vecs")
     val cvecs = graft.table.Scan(vecsT, s)
       .filter(Col("vec_id").in(candIds.map(_.asInstanceOf[AnyRef]): _*))
-      .toDF
+      .toDF.where(size(col("embedding")) === dim)
     val codes = graft.ops.Similarity.quantizeInt8(cvecs,
       vecCol = "embedding", idCol = "vec_id").select("vec_id", "codes")
     def dotc(a: org.apache.spark.sql.Column,
         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
         (acc, x) => acc + x)
-    val sims = codes.select(col("vec_id").as("a"), col("codes").as("ca"))
-      .crossJoin(broadcast(codes.select(col("vec_id").as("b"),
-        col("codes").as("cb"))))
+    // the FULL ordered pair grid over the candidate list, sim = 0
+    // when either side lacks a (right-dim) vector — see scaladoc
+    val aIds = fused.select(col("doc_id").as("a"))
+    val grid = aIds
+      .crossJoin(broadcast(fused.select(col("doc_id").as("b"))))
       .where(col("a") =!= col("b"))
+    val sims = grid
+      .join(broadcast(codes.select(col("vec_id").as("a"),
+        col("codes").as("ca"))), Seq("a"), "left")
+      .join(broadcast(codes.select(col("vec_id").as("b"),
+        col("codes").as("cb"))), Seq("b"), "left")
       .select(lit(0L).as("qid"), col("a"), col("b"),
-        dotc(col("ca"), col("cb")).as("sim"))
+        coalesce(when(col("ca").isNotNull && col("cb").isNotNull,
+          dotc(col("ca"), col("cb"))), lit(0L)).as("sim"))
     val out = graft.ops.Similarity.mmrDiversify(rel, sims, k = 5,
         lamNum = 7L, lamDen = 10L)
       .select(col("step"), col("nid").as("doc_id"), col("mmr_scaled"))
@@ -3273,18 +3340,19 @@ object IcebergQueries {
         |      THEN list_transform(v, x -> CAST(0 AS BIGINT))
         |      ELSE list_transform(v, x -> $code) END AS codes
         |  FROM base
-        |), ccodes AS (
-        |  SELECT c.vec_id, c.codes FROM codes c
-        |  JOIN cand0 g ON g.doc_id = c.vec_id
         |), cand AS (
         |  SELECT CAST(0 AS BIGINT) AS qid, g.doc_id AS nid,
         |    CAST(g.rrf_scaled AS BIGINT) AS rel
         |  FROM cand0 g
         |), sims AS (
-        |  SELECT CAST(0 AS BIGINT) AS qid, c1.vec_id AS a,
-        |    c2.vec_id AS b,
-        |    ${OpsQueries.idotSql("c1.codes", "c2.codes")} AS sim
-        |  FROM ccodes c1 JOIN ccodes c2 ON c2.vec_id <> c1.vec_id
+        |  SELECT CAST(0 AS BIGINT) AS qid, g1.doc_id AS a,
+        |    g2.doc_id AS b,
+        |    COALESCE(
+        |      ${OpsQueries.idotSql("c1.codes", "c2.codes")}, 0) AS sim
+        |  FROM cand0 g1
+        |  JOIN cand0 g2 ON g2.doc_id <> g1.doc_id
+        |  LEFT JOIN codes c1 ON c1.vec_id = g1.doc_id
+        |  LEFT JOIN codes c2 ON c2.vec_id = g2.doc_id
         |), $mmrCtes
         |SELECT step, nid AS doc_id, mmr AS mmr_scaled FROM ($unions) u
         |ORDER BY step""".stripMargin
@@ -3866,6 +3934,7 @@ object IcebergQueries {
     "i60_sample_budget" -> (i60SampleBudget _),
     "i61_pack_corpus" -> (i61PackCorpus _),
     "i62_hybrid_mmr" -> (i62HybridMmr _),
+    "i63_pack_chained" -> (i63PackChained _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -3952,6 +4021,7 @@ object IcebergQueries {
     "i60_sample_budget" -> i60Sql,
     "i61_pack_corpus" -> i61Sql,
     "i62_hybrid_mmr" -> i62Sql,
+    "i63_pack_chained" -> i63Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,
