@@ -351,11 +351,16 @@ private[sources] class GraftBoundProcedure(
       pDefault("id_col", StringType, "'doc_id'"),
       // shard = id div docs_per_shard: the greedy fold's parallelism
       // unit (sequential within a shard, parallel across shards)
-      pDefault("docs_per_shard", LongType, "100"),
+      pDefault("docs_per_shard", LongType,
+        GraftBoundProcedure.PackDefaultDocsPerShard.toString),
       // '' -> "<table>_packed" in the same namespace
       pDefault("target_table", StringType, "''"),
       // -1 -> the current snapshot; else pack the table AS OF it
-      pDefault("snapshot_id", LongType, "-1"))
+      pDefault("snapshot_id", LongType, "-1"),
+      // true → chain: pack only rows appended since the recorded
+      // snapshot into NEW shards (appends into already-packed shards
+      // are refused — they would change existing bins)
+      pDefault("incremental", BooleanType, "false"))
     case "sample_budget" => Array(
       p("ns", StringType), p("table", StringType),
       // per-doc cost column (token count, char count, bytes)
@@ -836,7 +841,12 @@ private[sources] class GraftBoundProcedure(
           input.getUTF8String(5).toString,
           input.getUTF8String(6).toString, input.getLong(7))
       case "pack_corpus" =>
-        packCorpus(t, spark, ns, tbl, input.getLong(2),
+        if (input.getBoolean(8))
+          appendToPacked(t, spark, ns, tbl, input.getLong(2),
+            input.getUTF8String(3).toString,
+            input.getUTF8String(4).toString, input.getLong(5),
+            input.getUTF8String(6).toString)
+        else packCorpus(t, spark, ns, tbl, input.getLong(2),
           input.getUTF8String(3).toString,
           input.getUTF8String(4).toString, input.getLong(5),
           input.getUTF8String(6).toString, input.getLong(7))
@@ -1437,7 +1447,7 @@ private[sources] class GraftBoundProcedure(
       spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
       window: Long, textCol: String, idCol: String, docsPerShard: Long,
       tgtRaw: String, snapRaw: Long): (StructType, Seq[Any]) = {
-    import org.apache.spark.sql.functions.{col, floor, sum}
+    import org.apache.spark.sql.functions.{col, max, sum}
     if (window <= 0) throw new IllegalArgumentException(
       s"pack_corpus: window must be positive, got $window")
     if (docsPerShard <= 0) throw new IllegalArgumentException(
@@ -1461,10 +1471,11 @@ private[sources] class GraftBoundProcedure(
           s"pack_corpus: no column '$c' in $ns.$tbl")
     }
     val src = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
-    val sized = src.select(col(idCol),
-      floor(col(idCol).cast("long") / docsPerShard).cast("long")
-        .as("shard"),
-      graft.ops.TextAnalysis.tokenCount(col(textCol)).as("tokens"))
+    val sized = packSized(src, idCol, textCol, docsPerShard)
+    // the chain watermark: packs into shards <= this are frozen
+    // (max over the id column only — a pruned narrow scan)
+    val maxShard = Option(sized.agg(max(col("shard"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
     val assignments = graft.ops.Packing.packGreedy(sized, idCol,
       "tokens", "shard", capacity = window)
     val rows = graft.ops.Packing.materializePacked(src, assignments,
@@ -1480,7 +1491,8 @@ private[sources] class GraftBoundProcedure(
       "graft.pack.text-col" -> textCol,
       "graft.pack.id-col" -> idCol,
       "graft.pack.window" -> window.toString,
-      "graft.pack.docs-per-shard" -> docsPerShard.toString)
+      "graft.pack.docs-per-shard" -> docsPerShard.toString,
+      "graft.pack.max-shard" -> maxShard.toString)
     val created = Table.create(catalog, tgtId, gSchema, spec = spec,
       properties = props, io = io)
     val committed = graft.table.TableOps.append(created, rows)
@@ -1496,6 +1508,127 @@ private[sources] class GraftBoundProcedure(
       .add("bins_written", LongType).add("docs_packed", LongType)
       .add("window", LongType).add("source_snapshot_id", LongType),
       Seq(tgtName, bins, docs, window, snapId))
+  }
+
+  /** (id, shard, tokens) projection shared by the full build and the
+    * chain — shard = id div docs_per_shard, tokens = the engine's
+    * whitespace count. */
+  private def packSized(src: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      docsPerShard: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, floor}
+    src.select(col(idCol),
+      floor(col(idCol).cast("long") / docsPerShard).cast("long")
+        .as("shard"),
+      graft.ops.TextAnalysis.tokenCount(col(textCol)).as("tokens"))
+  }
+
+  /** `pack_corpus(incremental => true)`: chain the packed table
+    * forward — pack ONLY the rows appended to the source since the
+    * recorded snapshot, as new (shard, bin) rows in one append whose
+    * commit also advances the snapshot and max-shard stamps
+    * (atomic, the streaming-sink shape). Exactness contract: greedy
+    * packing is per-shard-independent, so the chain equals a full
+    * repack IF every appended id opens a NEW shard (fresh shard >
+    * stamped max-shard). An append into an already-packed shard
+    * would extend that shard's last bin — i.e. rewrite an existing
+    * row — so it is REFUSED with instructions to run a full repack,
+    * never silently approximated. Ids must not go backwards for the
+    * same reason. Scale shape: per-chain cost is one pass over the
+    * APPENDED rows only; frozen shards are never re-read. */
+  private def appendToPacked(t: Table,
+      spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
+      window: Long, textCol: String, idCol: String, docsPerShard: Long,
+      tgtRaw: String): (StructType, Seq[Any]) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val tgtName = if (tgtRaw.isEmpty) s"${tbl}_packed" else tgtRaw
+    val tgtId = TableIdentifier(ns.split('.').toSeq, tgtName)
+    if (!catalog.tableExists(tgtId))
+      throw new IllegalArgumentException(s"pack_corpus: target " +
+        s"$tgtName does not exist — run a full pack first " +
+        "(incremental => false)")
+    val packed = Table.load(catalog, tgtId, io)
+    def prop(k: String): String = packed.metadata.properties.getOrElse(
+      s"graft.pack.$k", throw new IllegalArgumentException(
+        s"pack_corpus: $tgtName has no 'graft.pack.$k' property — " +
+          "not a pack_corpus table"))
+    if (prop("source-table") != s"$ns.$tbl")
+      throw new IllegalArgumentException(s"pack_corpus: $tgtName was " +
+        s"packed from ${prop("source-table")}, not $ns.$tbl")
+    // a chain ALWAYS uses the stamped config (frozen shards were cut
+    // with it); an explicitly different ask errors, like the
+    // tokenizer's piece-length check. window is a required parameter,
+    // so every mismatch is detectable; the defaulted knobs only on a
+    // non-default ask.
+    if (window != prop("window").toLong)
+      throw new IllegalArgumentException(s"pack_corpus: $tgtName was " +
+        s"packed with window ${prop("window")}, call asks for " +
+        s"$window — chains cannot change the window; repack " +
+        "(incremental => false)")
+    Seq(("text_col", textCol, "text"), ("id_col", idCol, "doc_id"))
+      .foreach { case (name, arg, dflt) =>
+        val stamped = prop(name.replace('_', '-'))
+        if (arg != dflt && arg != stamped)
+          throw new IllegalArgumentException(s"pack_corpus: $tgtName " +
+            s"was packed with $name '$stamped', call asks for '$arg'")
+      }
+    if (docsPerShard != GraftBoundProcedure.PackDefaultDocsPerShard &&
+        docsPerShard != prop("docs-per-shard").toLong)
+      throw new IllegalArgumentException(s"pack_corpus: $tgtName was " +
+        s"packed with docs_per_shard ${prop("docs-per-shard")}, call " +
+        s"asks for $docsPerShard")
+    val dps = prop("docs-per-shard").toLong
+    val sTextCol = prop("text-col")
+    val sIdCol = prop("id-col")
+    val recorded = prop("source-snapshot-id").toLong
+    val maxShard = prop("max-shard").toLong
+    val head = t.currentSnapshot.map(_.snapshotId).getOrElse(
+      throw new IllegalArgumentException(
+        s"pack_corpus: $ns.$tbl has no snapshots"))
+    if (head == recorded)
+      return (new StructType().add("target_table", StringType)
+        .add("bins_written", LongType).add("docs_packed", LongType)
+        .add("window", LongType).add("source_snapshot_id", LongType),
+        Seq(tgtName, 0L, 0L, window, head))
+    val fresh = graft.table.Scan(t, spark)
+      .appendsBetween(recorded, head).toDF
+    val sized = packSized(fresh, sIdCol, sTextCol, dps)
+      .localCheckpoint(true)
+    val bounds = sized.agg(min(col("shard")), max(col("shard"))).head
+    if (bounds.isNullAt(0)) {
+      // appends happened but carried no rows (e.g. compaction-only
+      // history) — just advance the stamp so the chain stays anchored
+      val advanced = packed.newTransaction().setProperties(Map(
+        "graft.pack.source-snapshot-id" -> head.toString)).commit()
+      return (new StructType().add("target_table", StringType)
+        .add("bins_written", LongType).add("docs_packed", LongType)
+        .add("window", LongType).add("source_snapshot_id", LongType),
+        Seq(tgtName, 0L, 0L, window, head))
+    }
+    if (bounds.getLong(0) <= maxShard)
+      throw new IllegalArgumentException(s"pack_corpus: appended ids " +
+        s"reach into already-packed shard ${bounds.getLong(0)} " +
+        s"(packed through shard $maxShard) — packing them would " +
+        "change existing bins; run a full repack " +
+        "(incremental => false) with a fresh target_table")
+    val docsN = sized.count()
+    val assignments = graft.ops.Packing.packGreedy(sized, sIdCol,
+      "tokens", "shard", capacity = window)
+    val rows = graft.ops.Packing.materializePacked(fresh, assignments,
+      sIdCol, sTextCol)
+    // stamps ride the data append (atomic — the chain can never
+    // record a snapshot whose bins did not commit)
+    val committed = graft.table.TableOps.append(packed, rows,
+      props = Map(
+        "graft.pack.source-snapshot-id" -> head.toString,
+        "graft.pack.max-shard" -> bounds.getLong(1).toString))
+    val bins = committed.currentSnapshot.flatMap(_.summary)
+      .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
+      .getOrElse(0L)
+    (new StructType().add("target_table", StringType)
+      .add("bins_written", LongType).add("docs_packed", LongType)
+      .add("window", LongType).add("source_snapshot_id", LongType),
+      Seq(tgtName, bins, docsN, window, head))
   }
 
   /** `pq_search(ns, index_table, query, k)`: PQ-ADC top-k over a
@@ -2682,6 +2815,9 @@ private[sources] object GraftBoundProcedure {
     * constant shared by the parameter declaration and the
     * incremental-chain mismatch check, so the two can never drift. */
   private[sources] val TokDefaultMaxPieceLen = 4
+  /** pack_corpus's declared `docs_per_shard` default — same
+    * shared-constant rule as [[TokDefaultMaxPieceLen]]. */
+  private[sources] val PackDefaultDocsPerShard = 100L
   private val LmPropPrefix = "graft.lm-model."
   private val ClfPropPrefix = "graft.clf-model."
 }

@@ -1068,6 +1068,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"CALL $c.system.pack_corpus('db', 'docs', 5, " +
         "snapshot_id => 12345, target_table => 'p3')") }
       assert(causes(e5).contains("not found"), causes(e5))
+
+      // ---- the incremental chain
+      // nothing appended since the full pack → a no-op report
+      val r0 = spark.sql(s"CALL $c.system.pack_corpus('db', 'docs', " +
+        "5, incremental => true)").collect().head
+      assert(r0.getLong(1) == 0L && r0.getLong(2) == 0L, s"$r0")
+      // fresh shard (ids 8-9 → shard 2 > packed max-shard 1) chains
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (8, 'p q'), (9, 'r')")
+      val r1 = spark.sql(s"CALL $c.system.pack_corpus('db', 'docs', " +
+        "5, incremental => true)").collect().head
+      assert(r1.getLong(1) == 1L && r1.getLong(2) == 2L, s"$r1")
+      val chained = spark.sql("SELECT shard, bin, packed_text FROM " +
+        s"$c.db.docs_packed WHERE shard = 2").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      assert(chained == Seq((2L, 0L, "p q r")), s"$chained")
+      // an append into an already-packed shard is refused loudly
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (6, 'late arrival')")
+      val e6 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pack_corpus('db', 'docs', 5, " +
+        "incremental => true)") }
+      assert(causes(e6).contains("already-packed shard"), causes(e6))
+      // config drift is refused: a chain cannot change the window
+      val e7 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pack_corpus('db', 'docs', 7, " +
+        "incremental => true)") }
+      assert(causes(e7).contains("cannot change the window"), causes(e7))
+      // incremental against a missing target
+      val e8 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.pack_corpus('db', 'docs', 5, " +
+        "incremental => true, target_table => 'absent')") }
+      assert(causes(e8).contains("does not exist"), causes(e8))
     }
   }
 
