@@ -15,11 +15,15 @@ object SparkEntry {
       OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * Every oracle passes through [[graft.queries.OracleSql]]'s
+    * evaluate-CTEs-once rewrite — see its scaladoc for why (DuckDB
+    * CTE inlining makes the MMR-unroll oracles combinatorial). */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracles ++ PredicateQueries.oracles ++
-      IcebergQueries.oracles ++ MutationQueries.oracles ++
-      OpsQueries.oracles
+    OracleSql.materializeCtes(
+      CoreQueries.oracles ++ PredicateQueries.oracles ++
+        IcebergQueries.oracles ++ MutationQueries.oracles ++
+        OpsQueries.oracles)
 
   /** Headline subset Bench.scala times per round (kept separate so the
     * bench isn't diluted by correctness-only micro-queries). */
@@ -65,5 +69,11 @@ object SparkEntry {
     // indexes built in the warmup pass, so the timed path is
     // bucket-load + probed-cells-load + fuse, never a corpus scan
     // (the answer to e20's "at 100x, ride the indexes" plan note)
-    "e22_hybrid_indexed")
+    "e22_hybrid_indexed",
+    // round 19: packed-text materialization — the terminal
+    // training-pipeline stage (token-count, shard-local greedy fill,
+    // per-bin ordered concat + digest), newly writable from SQL via
+    // CALL pack_corpus (i61/i63); benched here as the pure
+    // query-shaped core so the shard-writer path has a tracked row
+    "d21_packed_text")
 }
