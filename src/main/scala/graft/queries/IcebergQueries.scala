@@ -3230,22 +3230,31 @@ object IcebergQueries {
     * deliberate zeros, satisfying [[graft.ops.Similarity
     * .mmrDiversify]]'s full-pair-coverage contract explicitly rather
     * than tripping its missing-pair fail-fast. */
-  def i62HybridMmr(s: SparkSession, dir: String): DataFrame = {
+  /** Shared i62/i64 fixture: documents + embeddings loaded into graft
+    * tables `docs`/`vecs` under a fresh catalog/namespace, BOTH
+    * persisted indexes built (`build_text_index`,
+    * `build_ann_index(8 cells, seed 4242)`), the 4-term lexical query
+    * from doc 0 and the vec-0 query vector extracted. Returns
+    * (catalog, namespace, escaped query literal, query-vector JSON,
+    * trained centroids, dim). */
+  private def hybridIndexSetup(s: SparkSession, dir: String,
+      tag: String): (String, String, String, String,
+      Seq[Array[Double]], Int) = {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
     val emb = s.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding")
-    val c = "g62" + java.util.UUID.randomUUID.toString.take(8)
+    val c = tag + java.util.UUID.randomUUID.toString.take(8)
     s.conf.set(s"spark.sql.catalog.$c", "graft.sources.GraftSparkCatalog")
     s.conf.set(s"spark.sql.catalog.$c.warehouse", warehouse)
-    val ns = "sf62" + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
+    val ns = "sf" + tag + dir.replaceAll("[^0-9a-zA-Z]", "_") + "_" +
       java.util.UUID.randomUUID.toString.take(8)
     s.sql(s"CREATE NAMESPACE $c.$ns")
     s.sql(s"CREATE TABLE $c.$ns.docs (doc_id BIGINT, text STRING)")
     s.sql(s"CREATE TABLE $c.$ns.vecs (vec_id BIGINT, " +
       "embedding ARRAY<FLOAT>)")
-    val td = "g62d_" + java.util.UUID.randomUUID.toString.take(8)
-    val tv = "g62v_" + java.util.UUID.randomUUID.toString.take(8)
+    val td = tag + "d_" + java.util.UUID.randomUUID.toString.take(8)
+    val tv = tag + "v_" + java.util.UUID.randomUUID.toString.take(8)
     docs.createOrReplaceTempView(td)
     emb.createOrReplaceTempView(tv)
     s.sql(s"INSERT INTO $c.$ns.docs SELECT * FROM $td")
@@ -3255,8 +3264,8 @@ object IcebergQueries {
       s"'embedding', 'vec_id', 8, '', -1, 4242)").collect()
     val aProps = loadByIdentifier(s, c, ns, "vecs_ann_idx")
       .metadata.properties
-    i62Stash = Some(graft.ops.Similarity.centroidsFromJson(
-      aProps("graft.ann-index.centroids")))
+    val cbs = graft.ops.Similarity.centroidsFromJson(
+      aProps("graft.ann-index.centroids"))
     val dim = aProps("graft.ann-index.dim").toInt
     val norm = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
     val qstr = docs.where(col("doc_id") === 0)
@@ -3267,8 +3276,13 @@ object IcebergQueries {
       .select("embedding").head(1).headOption.getOrElse(
         throw new IllegalStateException("vec 0 missing or wrong-dim"))
       .getSeq[Float](0)
-    val json = qvec.mkString("[", ",", "]")
-    val qlit = qstr.replace("'", "''")
+    (c, ns, qstr.replace("'", "''"), qvec.mkString("[", ",", "]"),
+      cbs, dim)
+  }
+
+  def i62HybridMmr(s: SparkSession, dir: String): DataFrame = {
+    val (c, ns, qlit, json, cbs, dim) = hybridIndexSetup(s, dir, "g62")
+    i62Stash = Some(cbs)
     // the hybrid CANDIDATE list: fused top-12 (vs i56's final top-10)
     val fused = s.sql(s"CALL $c.system.hybrid_search('$ns', " +
       s"'docs_text_idx', 'vecs_ann_idx', '$qlit', '$json', " +
@@ -3320,9 +3334,28 @@ object IcebergQueries {
     case None =>
       "SELECT CAST(NULL AS BIGINT) AS step, CAST(NULL AS BIGINT) AS " +
         "doc_id, CAST(NULL AS BIGINT) AS mmr_scaled WHERE 1 = 0"
-    case Some(cbs) =>
+    case Some(cbs) => hybridMmrReplaySql(cbs, withRrf = false)
+  }
+
+  /** The diversified-hybrid replay shared verbatim by i62 (the library
+    * composition) and i64 (`CALL hybrid_mmr_search`): the indexed-
+    * hybrid fused top-12 as the candidate CTE — rel IS the fused
+    * rrf_scaled — composed with e21's int8 code CTEs and the shared
+    * MMR greedy unroll ([[OpsQueries.mmrUnrollSql]]). `withRrf` adds
+    * the fused relevance column the one-call procedure also returns. */
+  private def hybridMmrReplaySql(cbs: Seq[Array[Double]],
+      withRrf: Boolean): String = {
       val (mmrCtes, unions) = OpsQueries.mmrUnrollSql(5, 7L, 10L)
       val code = OpsQueries.int8CodeSql
+      val tail =
+        if (withRrf)
+          raw"""SELECT u.step, u.nid AS doc_id, u.mmr AS mmr_scaled,
+            |  CAST(g.rrf_scaled AS BIGINT) AS rrf_scaled
+            |FROM ($unions) u JOIN cand0 g ON g.doc_id = u.nid
+            |ORDER BY u.step""".stripMargin
+        else
+          raw"""SELECT step, nid AS doc_id, mmr AS mmr_scaled
+            |FROM ($unions) u ORDER BY step""".stripMargin
       raw"""WITH cand0 AS (
         |  SELECT doc_id, rrf_scaled FROM (
         |${hybridFusedSql(cbs, 12)}) AS h
@@ -3354,8 +3387,83 @@ object IcebergQueries {
         |  LEFT JOIN codes c1 ON c1.vec_id = g1.doc_id
         |  LEFT JOIN codes c2 ON c2.vec_id = g2.doc_id
         |), $mmrCtes
-        |SELECT step, nid AS doc_id, mmr AS mmr_scaled FROM ($unions) u
-        |ORDER BY step""".stripMargin
+        |$tail""".stripMargin
+  }
+
+  @volatile private var i64Stash: Option[Seq[Array[Double]]] = None
+
+  /** `CALL hybrid_mmr_search` — the i62 composition as ONE procedure
+    * call, the SQL surface a RAG user actually runs: fused hybrid
+    * top-12 over both persisted indexes re-ranked by maximal marginal
+    * relevance, vectors for the redundancy term fetched from the ANN
+    * index itself by a top-k-sized id probe (no source table touched
+    * at query time). In-query, the procedure's rows are asserted
+    * equal, step for step, to the explicitly composed replay —
+    * `CALL hybrid_search` top-12 piped through
+    * [[graft.ops.Similarity.mmrDiversify]], the i62-gated shape —
+    * including the fused-relevance column the one-call form carries
+    * along. sf0.1 plants a lexical-only candidate with NO indexed
+    * vector, exercising the deliberate-0-sim path through the
+    * procedure too. */
+  def i64HybridMmrProc(s: SparkSession, dir: String): DataFrame = {
+    val (c, ns, qlit, json, cbs, dim) = hybridIndexSetup(s, dir, "g64")
+    i64Stash = Some(cbs)
+    val out = s.sql(s"CALL $c.system.hybrid_mmr_search('$ns', " +
+      s"'docs_text_idx', 'vecs_ann_idx', '$qlit', '$json', " +
+      "5, 12, 20, 3, 60, 7, 10)")
+      .orderBy("step")
+    // library-parity: compose the same answer from the already-gated
+    // pieces (the i62 shape) and require row-for-row equality
+    val fused = s.sql(s"CALL $c.system.hybrid_search('$ns', " +
+      s"'docs_text_idx', 'vecs_ann_idx', '$qlit', '$json', " +
+      "12, 20, 3, 60)")
+    val rel = fused.select(lit(0L).as("qid"),
+      col("doc_id").as("nid"), col("rrf_scaled").as("rel"))
+    val candIds = fused.select("doc_id").collect().map(_.getLong(0))
+    val vecsT = loadByIdentifier(s, c, ns, "vecs")
+    val cvecs = graft.table.Scan(vecsT, s)
+      .filter(Col("vec_id").in(candIds.map(_.asInstanceOf[AnyRef]): _*))
+      .toDF.where(size(col("embedding")) === dim)
+    val codes = graft.ops.Similarity.quantizeInt8(cvecs,
+      vecCol = "embedding", idCol = "vec_id").select("vec_id", "codes")
+    def dotc(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x)
+    val grid = fused.select(col("doc_id").as("a"))
+      .crossJoin(broadcast(fused.select(col("doc_id").as("b"))))
+      .where(col("a") =!= col("b"))
+    val sims = grid
+      .join(broadcast(codes.select(col("vec_id").as("a"),
+        col("codes").as("ca"))), Seq("a"), "left")
+      .join(broadcast(codes.select(col("vec_id").as("b"),
+        col("codes").as("cb"))), Seq("b"), "left")
+      .select(lit(0L).as("qid"), col("a"), col("b"),
+        coalesce(when(col("ca").isNotNull && col("cb").isNotNull,
+          dotc(col("ca"), col("cb"))), lit(0L)).as("sim"))
+    val lib = graft.ops.Similarity.mmrDiversify(rel, sims, k = 5,
+        lamNum = 7L, lamDen = 10L)
+      .join(fused.select(col("doc_id").as("nid"), col("rrf_scaled")),
+        Seq("nid"))
+      .select(col("step"), col("nid").as("doc_id"),
+        col("mmr_scaled"), col("rrf_scaled"))
+      .orderBy("step")
+    val libRows = lib.collect().map(_.toSeq).toSeq
+    val sqlRows = out.collect().map(_.toSeq).toSeq
+    require(libRows == sqlRows,
+      s"CALL hybrid_mmr_search must equal the library composition " +
+        s"row-for-row:\n  sql: $sqlRows\n  lib: $libRows")
+    out
+  }
+
+  /** i64 oracle: the SAME replay as i62 ([[hybridMmrReplaySql]]) plus
+    * the fused-relevance column. */
+  private def i64Sql: String = i64Stash match {
+    case None =>
+      "SELECT CAST(NULL AS BIGINT) AS step, CAST(NULL AS BIGINT) AS " +
+        "doc_id, CAST(NULL AS BIGINT) AS mmr_scaled, " +
+        "CAST(NULL AS BIGINT) AS rrf_scaled WHERE 1 = 0"
+    case Some(cbs) => hybridMmrReplaySql(cbs, withRrf = true)
   }
 
   @volatile private var i57Stash:
@@ -3935,6 +4043,7 @@ object IcebergQueries {
     "i61_pack_corpus" -> (i61PackCorpus _),
     "i62_hybrid_mmr" -> (i62HybridMmr _),
     "i63_pack_chained" -> (i63PackChained _),
+    "i64_hybrid_mmr_proc" -> (i64HybridMmrProc _),
     "i19_nested_evolution" -> (i19NestedEvolution _),
     "i19_nested_columnar" -> (i19NestedColumnar _),
     "i19_nested_promotion" -> (i19NestedPromotion _),
@@ -4022,6 +4131,7 @@ object IcebergQueries {
     "i61_pack_corpus" -> i61Sql,
     "i62_hybrid_mmr" -> i62Sql,
     "i63_pack_chained" -> i63Sql,
+    "i64_hybrid_mmr_proc" -> i64Sql,
     "i19_nested_evolution" -> i19Sql,
     "i19_nested_columnar" -> i19bSql,
     "i19_nested_promotion" -> i19cSql,

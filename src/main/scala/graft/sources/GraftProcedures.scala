@@ -40,7 +40,8 @@ private[sources] object GraftProcedures {
     "rewrite_position_deletes", "rewrite_equality_deletes",
     "build_dedup_index", "build_ann_index", "build_text_index",
     "build_pq_index", "text_search", "ann_search", "pq_search",
-    "hybrid_search", "mmr_search", "sample_mixture", "sample_budget",
+    "hybrid_search", "mmr_search", "hybrid_mmr_search",
+    "sample_mixture", "sample_budget",
     "pack_corpus",
     "train_tokenizer", "segment_text", "corpus_diff",
     "train_lm", "score_text", "train_classifier", "classify_text",
@@ -330,6 +331,25 @@ private[sources] class GraftBoundProcedure(
       // λ = lam_num/lam_den: 1 → pure relevance, 0 → pure diversity
       pDefault("lam_num", LongType, "7"),
       pDefault("lam_den", LongType, "10"))
+    case "hybrid_mmr_search" => Array(
+      p("ns", StringType), p("text_index", StringType),
+      p("ann_index", StringType),
+      // the lexical query string (BM25 over the text index)
+      p("query", StringType),
+      // the query vector as a JSON number array (IVF over the
+      // ann index)
+      p("query_vec", StringType),
+      pDefault("k", IntegerType, "5"),
+      // fused candidate-list depth before the MMR re-rank
+      pDefault("candidates", IntegerType, "12"),
+      // per-retriever candidate-list depth before fusion
+      pDefault("k_per_list", IntegerType, "20"),
+      pDefault("nprobe", IntegerType, "3"),
+      // the RRF constant: contributions are RrfScale div (k_rrf+rank)
+      pDefault("k_rrf", IntegerType, "60"),
+      // λ = lam_num/lam_den: 1 → pure relevance, 0 → pure diversity
+      pDefault("lam_num", LongType, "7"),
+      pDefault("lam_den", LongType, "10"))
     case "sample_mixture" => Array(
       p("ns", StringType), p("table", StringType),
       // JSON object of stratum -> non-negative integer weight,
@@ -400,6 +420,7 @@ private[sources] class GraftBoundProcedure(
         case "pq_search" => pqSearch(t, spark, input)
         case "hybrid_search" => hybridSearch(t, spark, input)
         case "mmr_search" => mmrSearch(t, spark, input)
+        case "hybrid_mmr_search" => hybridMmrSearch(t, spark, input)
         case "segment_text" => segmentText(t, spark, input)
         case "score_text" => scoreText(t, spark, input)
         case "classify_text" => classifyText(t, spark, input)
@@ -1138,22 +1159,42 @@ private[sources] class GraftBoundProcedure(
     val kPerList = input.getInt(6)
     val nprobe = input.getInt(7)
     val kRrf = input.getInt(8)
+    import org.apache.spark.sql.functions.col
+    val (fused, textIdCol, _) = hybridFusedRanking(t, spark,
+      "hybrid_search", ns, annName, query, qJson, k, kPerList, nprobe,
+      kRrf)
+    val out = fused.select(col("rank"), col("__hid").as(textIdCol),
+        col("rrf_scaled"), col("n_lists"))
+      .orderBy("rank")
+    (out.schema, out.collect().map(_.toSeq).toSeq)
+  }
+
+  /** Shared `hybrid_search` / `hybrid_mmr_search` core: BM25
+    * top-`kPerList` over the text index, IVF top-`kPerList` over the
+    * ANN index, RRF-fused to the top-`k`
+    * `(query_id, rank, __hid, rrf_scaled, n_lists)` ranking. Returns
+    * the fused ranking, the text index's stamped id column name, and
+    * the loaded ANN index table. */
+  private def hybridFusedRanking(t: Table,
+      spark: org.apache.spark.sql.SparkSession, proc: String,
+      ns: String, annName: String, query: String, qJson: String,
+      k: Int, kPerList: Int, nprobe: Int, kRrf: Int):
+      (org.apache.spark.sql.DataFrame, String, Table) = {
     if (k <= 0 || kPerList <= 0 || kRrf < 0)
-      throw new IllegalArgumentException("hybrid_search: need k > 0, " +
+      throw new IllegalArgumentException(s"$proc: need k > 0, " +
         s"k_per_list > 0, k_rrf >= 0; got ($k, $kPerList, $kRrf)")
     val annT = GraftProcedures.loadTable(catalog, io, ns, annName)
     val (lex0, textIdCol) =
-      bm25IndexRanking(t, spark, "hybrid_search", query, kPerList)
+      bm25IndexRanking(t, spark, proc, query, kPerList)
     val (vec0, annIdCol) =
-      ivfIndexRanking(annT, spark, "hybrid_search", qJson, kPerList,
-        nprobe)
+      ivfIndexRanking(annT, spark, proc, qJson, kPerList, nprobe)
     // fusion groups by id VALUE, so the two indexes must identify
     // documents in the same typed id domain — a silent cross-type
     // coercion would fuse nothing and report half-empty n_lists
     val tType = t.schema.fieldByName(textIdCol).map(_.fieldType)
     val aType = annT.schema.fieldByName(annIdCol).map(_.fieldType)
     if (tType != aType) throw new IllegalArgumentException(
-      s"hybrid_search: text index id column '$textIdCol' ($tType) " +
+      s"$proc: text index id column '$textIdCol' ($tType) " +
         s"and ann index id column '$annIdCol' ($aType) have " +
         "different types — the two indexes do not share an id domain")
     import org.apache.spark.sql.functions.{col, lit}
@@ -1165,9 +1206,116 @@ private[sources] class GraftBoundProcedure(
       col("nid").as("__hid"), col("rank"))
     val fused = graft.ops.Retrieval.rrfFuse(Seq(lex, vec), k,
       kRrf, qIdCol = "query_id", idCol = "__hid")
-    val out = fused.select(col("rank"), col("__hid").as(textIdCol),
-        col("rrf_scaled"), col("n_lists"))
-      .orderBy("rank")
+    (fused, textIdCol, annT)
+  }
+
+  /** `hybrid_mmr_search(ns, text_index, ann_index, query, query_vec,
+    * k, candidates, k_per_list, nprobe, k_rrf, lam_num, lam_den)`:
+    * the production RAG retrieval in ONE call — the indexed hybrid
+    * top-`candidates` (both persisted indexes, bucket/cell-pruned,
+    * RRF-fused — the `hybrid_search` core) re-ranked with maximal
+    * marginal relevance ([[graft.ops.Similarity.mmrDiversify]],
+    * λ = lam_num/lam_den). Relevance IS the fused `rrf_scaled`
+    * (already an exact integer); pairwise redundancy is the int8-code
+    * dot product (the `mmr_search` arithmetic) over the candidate
+    * vectors, fetched from the ANN index by a top-k-sized id-IN probe
+    * (file-stat pruning applies; the index is the vector store, so no
+    * source table is touched). A hybrid list is wider than the vector
+    * corpus — a lexical-only candidate may have NO indexed vector;
+    * it contributes ZERO redundancy via deliberate 0-sims over the
+    * full ordered pair grid, satisfying mmrDiversify's
+    * full-pair-coverage contract explicitly. Everything after the two
+    * index probes is candidate-count-sized.
+    *
+    * Choosing λ: relevance and redundancy are on DIFFERENT integer
+    * scales — `rrf_scaled` is O(RrfScale / k_rrf) ≈ 1.6e7 per
+    * contributing list, while a code dot is ≤ 255² · dim. The greedy
+    * margin is `lam_num · rel − (lam_den − lam_num) · max_sim`, so the
+    * diversity term bites when λ/(1−λ) is comparable to the
+    * sim/rel scale ratio (≈ 255² · dim · k_rrf / RrfScale — e.g.
+    * ~4e-3 at dim 64) and below; the 7/10 default keeps the fused
+    * ORDER except where fused scores tie (rank-sum collisions, which
+    * RRF produces often), where it breaks ties toward diversity.
+    * Returns `(step, <id>, mmr_scaled, rrf_scaled)` in selection
+    * order. */
+  private def hybridMmrSearch(t: Table,
+      spark: org.apache.spark.sql.SparkSession,
+      input: InternalRow): (StructType, Seq[Seq[Any]]) = {
+    val ns = input.getUTF8String(0).toString
+    val annName = input.getUTF8String(2).toString
+    val query = input.getUTF8String(3).toString
+    val qJson = input.getUTF8String(4).toString
+    val k = input.getInt(5)
+    val candidates = input.getInt(6)
+    val kPerList = input.getInt(7)
+    val nprobe = input.getInt(8)
+    val kRrf = input.getInt(9)
+    val lamNum = input.getLong(10)
+    val lamDen = input.getLong(11)
+    if (k <= 0 || candidates < k)
+      throw new IllegalArgumentException("hybrid_mmr_search: need " +
+        s"0 < k <= candidates; got (k = $k, candidates = $candidates)")
+    if (lamDen <= 0 || lamNum < 0 || lamNum > lamDen)
+      throw new IllegalArgumentException("hybrid_mmr_search: need " +
+        s"0 <= lam_num/lam_den <= 1; got $lamNum/$lamDen")
+    val (fused0, textIdCol, annT) = hybridFusedRanking(t, spark,
+      "hybrid_mmr_search", ns, annName, query, qJson, candidates,
+      kPerList, nprobe, kRrf)
+    // the greedy loop keys candidates by LONG id (integer-exact MMR)
+    t.schema.fieldByName(textIdCol).map(_.fieldType) match {
+      case Some(graft.spec.LongType) | Some(graft.spec.IntType) =>
+      case other => throw new IllegalArgumentException(
+        s"hybrid_mmr_search: id column '$textIdCol' is " +
+          s"${other.orNull} — MMR re-ranking requires an integer id " +
+          "column")
+    }
+    import org.apache.spark.sql.functions.{aggregate => hofAggregate,
+      broadcast, coalesce, col, lit, when, zip_with}
+    // candidate list is ≤ `candidates` rows — pin it: the id probe,
+    // rel, and both pair-grid sides each read it
+    val fused = fused0.localCheckpoint(true)
+    val candIds = fused.select("__hid").collect()
+      .map(_.get(0).asInstanceOf[AnyRef])
+    val annIdCol = annT.metadata.properties(s"${AnnPropPrefix}id-col")
+    val vecCol = annT.metadata.properties(s"${AnnPropPrefix}vec-col")
+    // candidate vectors by id from the ANN index (top-k-sized IN
+    // probe), then per-vector int8 quantization — candidates absent
+    // from the index simply produce no codes row (left-join 0-sim)
+    val cvecs = graft.table.Scan(annT, spark)
+      .filter(graft.table.Col(annIdCol).in(candIds: _*))
+      .select(annIdCol, vecCol).toDF
+    val codes = graft.ops.Similarity.quantizeInt8(cvecs,
+      vecCol = vecCol, idCol = annIdCol)
+      .select(col(annIdCol).as("__cid"), col("codes"))
+    def dotc(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      hofAggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x)
+    val rel = fused.select(lit(0L).as("qid"), col("__hid").as("nid"),
+      col("rrf_scaled").as("rel"))
+    // the FULL ordered pair grid over the candidate list, sim = 0
+    // when either side lacks an indexed vector — see scaladoc
+    val grid = fused.select(col("__hid").as("a"))
+      .crossJoin(broadcast(fused.select(col("__hid").as("b"))))
+      .where(col("a") =!= col("b"))
+    val sims = grid
+      .join(broadcast(codes.select(col("__cid").as("a"),
+        col("codes").as("ca"))), Seq("a"), "left")
+      .join(broadcast(codes.select(col("__cid").as("b"),
+        col("codes").as("cb"))), Seq("b"), "left")
+      .select(lit(0L).as("qid"), col("a"), col("b"),
+        coalesce(when(col("ca").isNotNull && col("cb").isNotNull,
+          dotc(col("ca"), col("cb"))), lit(0L)).as("sim"))
+    val picked = graft.ops.Similarity.mmrDiversify(rel, sims, k,
+      lamNum, lamDen)
+    // carry the fused relevance alongside the greedy margin: the one
+    // call returns everything the RAG layer needs to build a context
+    val out = picked
+      .join(fused.select(col("__hid").as("nid"), col("rrf_scaled")),
+        Seq("nid"))
+      .select(col("step"), col("nid").as(textIdCol),
+        col("mmr_scaled"), col("rrf_scaled"))
+      .orderBy("step")
     (out.schema, out.collect().map(_.toSeq).toSeq)
   }
 

@@ -908,6 +908,136 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("CALL system.hybrid_mmr_search diversifies the fused hybrid " +
+      "list in one call; a vector-less candidate contributes zero " +
+      "redundancy") {
+    withCatalog("hmm") { (c, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{aggregate => hofAggregate,
+        broadcast, coalesce, col, lit, when, zip_with}
+      spark.sql(s"CREATE NAMESPACE $c.db")
+      spark.sql(s"CREATE TABLE $c.db.docs (doc_id BIGINT, text STRING)")
+      spark.sql(s"CREATE TABLE $c.db.vecs " +
+        "(vec_id BIGINT, embedding ARRAY<FLOAT>)")
+      // doc 1 is a near-duplicate of doc 0 in BOTH modalities; doc 2
+      // is relevant but diverse; doc 3 is LEXICAL-ONLY — it has no
+      // vector row at all, so its redundancy must be the deliberate 0
+      Seq(
+        (0L, "alpha bravo charlie delta"),
+        (1L, "alpha bravo charlie delta echo"),
+        (2L, "alpha bravo golf hotel"),
+        (3L, "alpha charlie india juliet"),
+        (4L, "mike november oscar papa"))
+        .toDF("doc_id", "text").createOrReplaceTempView("hmm_docs")
+      Seq(
+        (0L, Seq(1f, 0f, 0f, 0f)),
+        (1L, Seq(0.996f, 0.004f, 0f, 0f)),
+        (2L, Seq(0.6f, 1f, 0f, 0f)),
+        (4L, Seq(0f, 0f, 1f, 0f)))
+        .toDF("vec_id", "embedding").createOrReplaceTempView("hmm_vecs")
+      spark.sql(s"INSERT INTO $c.db.docs SELECT * FROM hmm_docs")
+      spark.sql(s"INSERT INTO $c.db.vecs SELECT * FROM hmm_vecs")
+      spark.sql(s"CALL $c.system.build_text_index('db', 'docs', " +
+        "num_buckets => 4)").collect()
+      spark.sql(s"CALL $c.system.build_ann_index('db', 'vecs', " +
+        "n_centroids => 2)").collect()
+      val qstr = "alpha bravo charlie delta"
+      val json = "[1.0, 0.0, 0.0, 0.0]"
+      // relevance is rrf-scaled (~1e7 per list here) while redundancy
+      // is an int8-code dot (~6.5e4): λ must sit near the scale ratio
+      // for the trade to bite — 3/100 here (see the procedure scaladoc)
+      val got = spark.sql(s"CALL $c.system.hybrid_mmr_search('db', " +
+        s"'docs_text_idx', 'vecs_ann_idx', '$qstr', '$json', " +
+        "3, 4, 5, 2, 60, 3, 100)").orderBy("step")
+      assert(got.columns.toSeq ==
+        Seq("step", "doc_id", "mmr_scaled", "rrf_scaled"))
+      val gotRows = got.collect().map(_.toSeq).toSeq
+
+      // the library composition: the gated hybrid_search fused list
+      // re-ranked by mmrDiversify with left-join-0 pairwise sims
+      val fused = spark.sql(s"CALL $c.system.hybrid_search('db', " +
+        s"'docs_text_idx', 'vecs_ann_idx', '$qstr', '$json', " +
+        "4, 5, 2, 60)")
+      val rel = fused.select(lit(0L).as("qid"),
+        col("doc_id").as("nid"), col("rrf_scaled").as("rel"))
+      val candIds = fused.select("doc_id").collect().map(_.getLong(0))
+      // the vector-less lexical hit must actually be in the fused list
+      // for this test to exercise the 0-sim path
+      assert(candIds.contains(3L), s"doc 3 not fused: ${candIds.toSeq}")
+      val cvecs = graft.table.Scan(loadT(dir, "vecs"), spark)
+        .filter(graft.table.Col("vec_id")
+          .in(candIds.map(_.asInstanceOf[AnyRef]): _*)).toDF
+      val codes = graft.ops.Similarity.quantizeInt8(cvecs,
+        vecCol = "embedding", idCol = "vec_id")
+        .select("vec_id", "codes")
+      def dotc(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        hofAggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+          (acc, x) => acc + x)
+      val grid = fused.select(col("doc_id").as("a"))
+        .crossJoin(broadcast(fused.select(col("doc_id").as("b"))))
+        .where(col("a") =!= col("b"))
+      val sims = grid
+        .join(broadcast(codes.select(col("vec_id").as("a"),
+          col("codes").as("ca"))), Seq("a"), "left")
+        .join(broadcast(codes.select(col("vec_id").as("b"),
+          col("codes").as("cb"))), Seq("b"), "left")
+        .select(lit(0L).as("qid"), col("a"), col("b"),
+          coalesce(when(col("ca").isNotNull && col("cb").isNotNull,
+            dotc(col("ca"), col("cb"))), lit(0L)).as("sim"))
+      val exp = graft.ops.Similarity.mmrDiversify(rel, sims, k = 3,
+          lamNum = 3L, lamDen = 100L)
+        .join(fused.select(col("doc_id").as("nid"), col("rrf_scaled")),
+          Seq("nid"))
+        .select(col("step"), col("nid").as("doc_id"),
+          col("mmr_scaled"), col("rrf_scaled"))
+        .orderBy("step").collect().map(_.toSeq).toSeq
+      assert(gotRows == exp, s"sql $gotRows vs lib $exp")
+      // semantics: doc 0 tops both retrievers -> step 1; at λ = 3/10
+      // the near-duplicate doc 1 must NOT be step 2 — a diverse or
+      // zero-redundancy candidate beats it
+      assert(gotRows.head(0) == 1L && gotRows.head(1) == 0L,
+        s"step 1 must be doc 0: ${gotRows.head}")
+      assert(gotRows(1)(1) != 1L,
+        s"near-dup doc 1 must be demoted at step 2: ${gotRows(1)}")
+      // every returned rrf_scaled matches the fused list's value
+      val fusedById = fused.collect()
+        .map(r => r.getLong(1) -> r.getLong(2)).toMap
+      gotRows.foreach { r =>
+        assert(r(3) == fusedById(r(1).asInstanceOf[Long]),
+          s"rrf carry mismatch: $r vs $fusedById")
+      }
+
+      def causes(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+      val e1 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.hybrid_mmr_search('db', 'docs_text_idx', " +
+        s"'vecs_ann_idx', '$qstr', '$json', 5, 4, 5, 2, 60, 3, 10)") }
+      assert(causes(e1).contains("0 < k <= candidates"), causes(e1))
+      val e2 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.hybrid_mmr_search('db', 'docs_text_idx', " +
+        s"'vecs_ann_idx', '$qstr', '$json', 3, 4, 5, 2, 60, 11, 10)") }
+      assert(causes(e2).contains("lam_num/lam_den"), causes(e2))
+      // a STRING-keyed id domain passes fusion but cannot MMR-re-rank
+      spark.sql(s"CREATE TABLE $c.db.sdocs (name STRING, text STRING)")
+      spark.sql(s"CREATE TABLE $c.db.svecs " +
+        "(name STRING, embedding ARRAY<FLOAT>)")
+      spark.sql(s"INSERT INTO $c.db.sdocs VALUES ('a', 'alpha bravo')")
+      Seq(("a", Seq(1f, 0f, 0f, 0f)), ("b", Seq(0f, 1f, 0f, 0f)))
+        .toDF("name", "embedding").createOrReplaceTempView("hmm_svecs")
+      spark.sql(s"INSERT INTO $c.db.svecs SELECT * FROM hmm_svecs")
+      spark.sql(s"CALL $c.system.build_text_index('db', 'sdocs', " +
+        "id_col => 'name', num_buckets => 4)").collect()
+      spark.sql(s"CALL $c.system.build_ann_index('db', 'svecs', " +
+        "id_col => 'name', n_centroids => 2)").collect()
+      val e3 = intercept[Exception] { spark.sql(
+        s"CALL $c.system.hybrid_mmr_search('db', 'sdocs_text_idx', " +
+        s"'svecs_ann_idx', 'alpha', '$json', 1, 1, 5, 1, 60, 3, 10)") }
+      assert(causes(e3).contains("requires an integer id"), causes(e3))
+    }
+  }
+
   test("CALL system.sample_mixture writes a stratum-partitioned " +
       "sample table with exact Hamilton quotas") {
     withCatalog("smx") { (c, dir) =>
