@@ -571,6 +571,42 @@ object Similarity {
         .as("mse"))
   }
 
+  /** Exact integer dot product of two int8-code array columns —
+    * ≤ 255²·dim per term, engine-portable (the [[mmrDiversify]]
+    * sim/rel arithmetic). */
+  def codeDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+      (acc, x) => acc + x)
+
+  /** The full ordered pair grid over a top-k candidate id list with
+    * [[codeDot]] similarities, and a DELIBERATE 0 where either side
+    * has no codes row — satisfying [[mmrDiversify]]'s full-pair-
+    * coverage contract for candidate lists wider than the coded
+    * corpus (a hybrid list's lexical-only hit has no vector: zero
+    * redundancy is the intended semantics, distinct from the
+    * missing-pair fail-fast). ONE definition shared by
+    * `hybrid_mmr_search` and the i62/i64 gate compositions so the
+    * 0-fill rule can never drift between the procedure and the gates
+    * that assert against it. `ids` is one id column (`idCol`);
+    * `codes` is `(codesIdCol, codesCol)`. Both sides are candidate-
+    * count-sized; every join side is broadcast. Output:
+    * `(qid = 0, a, b, sim)`. */
+  def zeroFilledCodeSims(ids: DataFrame, idCol: String,
+      codes: DataFrame, codesIdCol: String,
+      codesCol: String = "codes"): DataFrame = {
+    val grid = ids.select(col(idCol).as("a"))
+      .crossJoin(broadcast(ids.select(col(idCol).as("b"))))
+      .where(col("a") =!= col("b"))
+    grid
+      .join(broadcast(codes.select(col(codesIdCol).as("a"),
+        col(codesCol).as("ca"))), Seq("a"), "left")
+      .join(broadcast(codes.select(col(codesIdCol).as("b"),
+        col(codesCol).as("cb"))), Seq("b"), "left")
+      .select(lit(0L).as("qid"), col("a"), col("b"),
+        coalesce(when(col("ca").isNotNull && col("cb").isNotNull,
+          codeDot(col("ca"), col("cb"))), lit(0L)).as("sim"))
+  }
+
   /** Maximal-marginal-relevance diversification (Carbonell &
     * Goldstein 1998) of per-query candidate lists — the re-rank step
     * that keeps a RAG / few-shot retrieval context from filling with

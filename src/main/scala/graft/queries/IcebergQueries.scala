@@ -3299,24 +3299,11 @@ object IcebergQueries {
       .toDF.where(size(col("embedding")) === dim)
     val codes = graft.ops.Similarity.quantizeInt8(cvecs,
       vecCol = "embedding", idCol = "vec_id").select("vec_id", "codes")
-    def dotc(a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
-        (acc, x) => acc + x)
     // the FULL ordered pair grid over the candidate list, sim = 0
-    // when either side lacks a (right-dim) vector — see scaladoc
-    val aIds = fused.select(col("doc_id").as("a"))
-    val grid = aIds
-      .crossJoin(broadcast(fused.select(col("doc_id").as("b"))))
-      .where(col("a") =!= col("b"))
-    val sims = grid
-      .join(broadcast(codes.select(col("vec_id").as("a"),
-        col("codes").as("ca"))), Seq("a"), "left")
-      .join(broadcast(codes.select(col("vec_id").as("b"),
-        col("codes").as("cb"))), Seq("b"), "left")
-      .select(lit(0L).as("qid"), col("a"), col("b"),
-        coalesce(when(col("ca").isNotNull && col("cb").isNotNull,
-          dotc(col("ca"), col("cb"))), lit(0L)).as("sim"))
+    // when either side lacks a (right-dim) vector — the shared
+    // 0-fill definition ([[graft.ops.Similarity.zeroFilledCodeSims]])
+    val sims = graft.ops.Similarity.zeroFilledCodeSims(
+      fused, "doc_id", codes, "vec_id")
     val out = graft.ops.Similarity.mmrDiversify(rel, sims, k = 5,
         lamNum = 7L, lamDen = 10L)
       .select(col("step"), col("nid").as("doc_id"), col("mmr_scaled"))
@@ -3426,21 +3413,8 @@ object IcebergQueries {
       .toDF.where(size(col("embedding")) === dim)
     val codes = graft.ops.Similarity.quantizeInt8(cvecs,
       vecCol = "embedding", idCol = "vec_id").select("vec_id", "codes")
-    def dotc(a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
-        (acc, x) => acc + x)
-    val grid = fused.select(col("doc_id").as("a"))
-      .crossJoin(broadcast(fused.select(col("doc_id").as("b"))))
-      .where(col("a") =!= col("b"))
-    val sims = grid
-      .join(broadcast(codes.select(col("vec_id").as("a"),
-        col("codes").as("ca"))), Seq("a"), "left")
-      .join(broadcast(codes.select(col("vec_id").as("b"),
-        col("codes").as("cb"))), Seq("b"), "left")
-      .select(lit(0L).as("qid"), col("a"), col("b"),
-        coalesce(when(col("ca").isNotNull && col("cb").isNotNull,
-          dotc(col("ca"), col("cb"))), lit(0L)).as("sim"))
+    val sims = graft.ops.Similarity.zeroFilledCodeSims(
+      fused, "doc_id", codes, "vec_id")
     val lib = graft.ops.Similarity.mmrDiversify(rel, sims, k = 5,
         lamNum = 7L, lamDen = 10L)
       .join(fused.select(col("doc_id").as("nid"), col("rrf_scaled")),

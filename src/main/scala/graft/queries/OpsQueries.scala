@@ -3361,9 +3361,10 @@ object OpsQueries {
     val codes = Similarity.quantizeInt8(emb).select("vec_id", "codes")
     val q = codes.where(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("codes").as("qc"))
-    def dotc(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
-        (acc, x) => acc + x)
+    // NOTE: multi-query (qid-keyed) grids, so the single-query
+    // Similarity.zeroFilledCodeSims does not apply here — only the
+    // dot definition is shared
+    val dotc = Similarity.codeDot _
     // corpus scan × broadcast queries — the corpus never shuffles
     val rel = codes.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))

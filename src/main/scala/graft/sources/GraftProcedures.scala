@@ -866,7 +866,7 @@ private[sources] class GraftBoundProcedure(
           appendToPacked(t, spark, ns, tbl, input.getLong(2),
             input.getUTF8String(3).toString,
             input.getUTF8String(4).toString, input.getLong(5),
-            input.getUTF8String(6).toString)
+            input.getUTF8String(6).toString, input.getLong(7))
         else packCorpus(t, spark, ns, tbl, input.getLong(2),
           input.getUTF8String(3).toString,
           input.getUTF8String(4).toString, input.getLong(5),
@@ -1269,8 +1269,7 @@ private[sources] class GraftBoundProcedure(
           s"${other.orNull} — MMR re-ranking requires an integer id " +
           "column")
     }
-    import org.apache.spark.sql.functions.{aggregate => hofAggregate,
-      broadcast, coalesce, col, lit, when, zip_with}
+    import org.apache.spark.sql.functions.{col, lit}
     // candidate list is ≤ `candidates` rows — pin it: the id probe,
     // rel, and both pair-grid sides each read it
     val fused = fused0.localCheckpoint(true)
@@ -1287,25 +1286,13 @@ private[sources] class GraftBoundProcedure(
     val codes = graft.ops.Similarity.quantizeInt8(cvecs,
       vecCol = vecCol, idCol = annIdCol)
       .select(col(annIdCol).as("__cid"), col("codes"))
-    def dotc(a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      hofAggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
-        (acc, x) => acc + x)
     val rel = fused.select(lit(0L).as("qid"), col("__hid").as("nid"),
       col("rrf_scaled").as("rel"))
     // the FULL ordered pair grid over the candidate list, sim = 0
-    // when either side lacks an indexed vector — see scaladoc
-    val grid = fused.select(col("__hid").as("a"))
-      .crossJoin(broadcast(fused.select(col("__hid").as("b"))))
-      .where(col("a") =!= col("b"))
-    val sims = grid
-      .join(broadcast(codes.select(col("__cid").as("a"),
-        col("codes").as("ca"))), Seq("a"), "left")
-      .join(broadcast(codes.select(col("__cid").as("b"),
-        col("codes").as("cb"))), Seq("b"), "left")
-      .select(lit(0L).as("qid"), col("a"), col("b"),
-        coalesce(when(col("ca").isNotNull && col("cb").isNotNull,
-          dotc(col("ca"), col("cb"))), lit(0L)).as("sim"))
+    // when either side lacks an indexed vector — the ONE shared
+    // 0-fill definition the i62/i64 gates also compose with
+    val sims = graft.ops.Similarity.zeroFilledCodeSims(
+      fused, "__hid", codes, "__cid")
     val picked = graft.ops.Similarity.mmrDiversify(rel, sims, k,
       lamNum, lamDen)
     // carry the fused relevance alongside the greedy margin: the one
@@ -1361,8 +1348,8 @@ private[sources] class GraftBoundProcedure(
     }
     val (cand0, idCol) = ivfIndexRanking(t, spark, "mmr_search",
       qJson, candidates, nprobe, withVec = true)
-    import org.apache.spark.sql.functions.{aggregate => hofAggregate,
-      broadcast, col, lit, typedLit, zip_with}
+    import org.apache.spark.sql.functions.{broadcast, col, lit,
+      typedLit}
     // candidate set is ≤ `candidates` rows — pin it: the quantize,
     // rel, and pairwise-sim stages each read it
     val cand = cand0.select(col("nid"), col("vec"))
@@ -1382,19 +1369,15 @@ private[sources] class GraftBoundProcedure(
         typedLit(vec.map(_.toFloat).toSeq).as("vec")),
       vecCol = "vec", idCol = "nid")
       .select(col("codes").as("qc"))
-    def dotc(a: org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      hofAggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
-        (acc, x) => acc + x)
     val rel = codes.crossJoin(broadcast(qCodes))
       .select(lit(0L).as("qid"), col("nid"),
-        dotc(col("qc"), col("codes")).as("rel"))
-    val sims = codes.select(col("nid").as("a"), col("codes").as("ca"))
-      .crossJoin(broadcast(codes.select(col("nid").as("b"),
-        col("codes").as("cb"))))
-      .where(col("a") =!= col("b"))
-      .select(lit(0L).as("qid"), col("a"), col("b"),
-        dotc(col("ca"), col("cb")).as("sim"))
+        graft.ops.Similarity.codeDot(col("qc"), col("codes"))
+          .as("rel"))
+    // every candidate came out of the index WITH a vector, so the
+    // shared grid's 0-fill never fires here — full coverage by
+    // construction, one sims definition across the MMR surfaces
+    val sims = graft.ops.Similarity.zeroFilledCodeSims(
+      codes, "nid", codes, "nid")
     val out = graft.ops.Similarity.mmrDiversify(rel, sims, k,
         lamNum, lamDen, idCol = "nid")
       .select(col("step"), col("nid").as(idCol), col("mmr_scaled"))
@@ -1405,10 +1388,12 @@ private[sources] class GraftBoundProcedure(
   /** Both samplers pull kept keys back to full rows with a left-semi
     * join on `(stratum, id)` — duplicate ids within a stratum would
     * pull ALL their rows back, silently breaking the count/budget
-    * contract. Fail loud instead. Cost: one shuffle over the two key
-    * columns only (the sampler's own window shuffles the same keys),
-    * with a `limit(1)` so the scan short-circuits once any duplicate
-    * is found. */
+    * contract. Fail loud instead. Cost: one FULL aggregation pass
+    * over the two key columns (narrow scan + one shuffle — the same
+    * keys the sampler's own window shuffles; the limit(1) only bounds
+    * what reaches the driver, it cannot short-circuit the group-by
+    * underneath it). Paid on every call, duplicates or not — the
+    * price of refusing a silently-wrong sample. */
   private def requireUniqueIds(src: org.apache.spark.sql.DataFrame,
       stratumCol: String, idCol: String, proc: String): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
@@ -1641,9 +1626,16 @@ private[sources] class GraftBoundProcedure(
       "graft.pack.window" -> window.toString,
       "graft.pack.docs-per-shard" -> docsPerShard.toString,
       "graft.pack.max-shard" -> maxShard.toString)
+    // the pack stamps ride the BIN append, not the create: a crash
+    // between the two commits must leave a table that says "not a
+    // pack_corpus table yet", never an empty one stamped as packed-
+    // through-snapId (which a later chain would silently trust) — the
+    // same atomic data+bookkeeping shape the chain and the streaming
+    // sinks use
     val created = Table.create(catalog, tgtId, gSchema, spec = spec,
-      properties = props, io = io)
-    val committed = graft.table.TableOps.append(created, rows)
+      io = io)
+    val committed = graft.table.TableOps.append(created, rows,
+      props = props)
     val bins = committed.currentSnapshot.flatMap(_.summary)
       .flatMap(_.counters.get(graft.spec.Summary.AddedRecords))
       .getOrElse(graft.table.Scan(committed, spark).count())
@@ -1687,7 +1679,7 @@ private[sources] class GraftBoundProcedure(
   private def appendToPacked(t: Table,
       spark: org.apache.spark.sql.SparkSession, ns: String, tbl: String,
       window: Long, textCol: String, idCol: String, docsPerShard: Long,
-      tgtRaw: String): (StructType, Seq[Any]) = {
+      tgtRaw: String, snapRaw: Long): (StructType, Seq[Any]) = {
     import org.apache.spark.sql.functions.{col, max, min}
     val tgtName = if (tgtRaw.isEmpty) s"${tbl}_packed" else tgtRaw
     val tgtId = TableIdentifier(ns.split('.').toSeq, tgtName)
@@ -1730,9 +1722,21 @@ private[sources] class GraftBoundProcedure(
     val sIdCol = prop("id-col")
     val recorded = prop("source-snapshot-id").toLong
     val maxShard = prop("max-shard").toLong
-    val head = t.currentSnapshot.map(_.snapshotId).getOrElse(
-      throw new IllegalArgumentException(
-        s"pack_corpus: $ns.$tbl has no snapshots"))
+    if (t.snapshotById(recorded).isEmpty)
+      throw new IllegalArgumentException(s"pack_corpus: $tgtName " +
+        s"records source snapshot $recorded which no longer exists " +
+        "(expired?) — run a full repack (incremental => false) with " +
+        "a fresh target_table")
+    // chain UP TO snapshot_id when given (the sibling-chain contract:
+    // the ann/pq/text chains honor it the same way)
+    val head =
+      if (snapRaw == -1L) t.currentSnapshot.map(_.snapshotId).getOrElse(
+        throw new IllegalArgumentException(
+          s"pack_corpus: $ns.$tbl has no snapshots"))
+      else if (t.snapshotById(snapRaw).isEmpty)
+        throw new IllegalArgumentException(
+          s"pack_corpus: snapshot_id $snapRaw not found")
+      else snapRaw
     if (head == recorded)
       return (new StructType().add("target_table", StringType)
         .add("bins_written", LongType).add("docs_packed", LongType)

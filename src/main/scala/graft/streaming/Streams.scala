@@ -33,9 +33,14 @@ object Streams {
     * proceed. Residual windows: the CORPUS (sink-table) append is a
     * separate table and cannot share the index commit, so a crash
     * between it and the stamp can double-deliver that batch into the
-    * corpus; and a no-payload batch's property-only stamp can be lost
-    * to a crash (re-delivering a batch that adds nothing). The index/
-    * model itself is exactly-once for every batch that touches it. */
+    * corpus; a no-payload batch's property-only stamp can be lost
+    * to a crash (re-delivering a batch that adds nothing); and when
+    * the stamped watermark is exactly 0 (the prior query committed
+    * ONLY batch 0), a new query's batch 0 is indistinguishable from
+    * that batch's crash-window replay and is skipped — start new
+    * queries under a distinct streamId to stay out of this corner.
+    * The index/model itself is exactly-once for every batch that
+    * touches it. */
   private[streaming] def batchIdProp(prefix: String,
       streamId: String): String =
     if (streamId.isEmpty) s"$prefix.last-batch-id"
@@ -54,7 +59,12 @@ object Streams {
     * restart replay (Spark re-delivers only the latest uncommitted
     * batch, and a query whose stamp passed 0 has committed batch 0),
     * so it is a NEW query (fresh checkpoint) reusing this index under
-    * the same streamId; skipping would silently drop its data. */
+    * the same streamId; skipping would silently drop its data. The
+    * one shape the guard cannot catch: a stamp of EXACTLY 0 (the
+    * prior query committed only batch 0) makes a new query's batch 0
+    * indistinguishable from that batch's own crash-window replay, and
+    * it is skipped as a replay — documented in the sink scaladoc's
+    * residual windows. */
   private[streaming] final class BatchGate(stamped: Long,
       streamId: String, what: String) extends Serializable {
     private var last: Long = stamped

@@ -20,6 +20,11 @@ object SparkTestSession {
 class CoreQueriesSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
   private lazy val spark = SparkTestSession.spark
+  // computed once: oracleSql is a def that rebuilds and regex-rewrites
+  // the whole ~195-entry map per call; the per-query loop below only
+  // needs the key set, which (unlike the stash-dependent values) is
+  // static
+  private val oracleKeys = SparkEntry.oracleSql.keySet
 
   test("entry returns rows", SlowTest) {
     assert(SparkEntry.entry(spark).count() > 0)
@@ -56,7 +61,7 @@ class CoreQueriesSpec extends AnyFunSuite {
       assert(df1.schema.nonEmpty)
       val rows1 = df1.collect()
       assert(rows1 != null)
-      if (!SparkEntry.oracleSql.contains(name)) {
+      if (!oracleKeys.contains(name)) {
         val rows2 = fn(spark, sf).collect()
         assert(rows1.toSeq == rows2.toSeq, s"$name not deterministic")
       }

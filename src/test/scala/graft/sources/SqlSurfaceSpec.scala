@@ -1176,6 +1176,19 @@ class SqlSurfaceSpec extends AnyFunSuite {
       val packedT = loadT(dir, "docs_packed")
       assert(packedT.spec.fields.map(f => (f.name, f.transform)) ==
         Seq(("shard", graft.spec.Transform.Identity)))
+      // the pack stamps ride the BIN append, never the create: the
+      // create-time metadata (the log's prior version) must carry NO
+      // graft.pack.* properties — a crash between the two commits
+      // must leave "not a pack_corpus table", never an empty table
+      // stamped as fully packed
+      val createMeta = graft.spec.MetadataJson.parse(
+        new HadoopFileIO().readString(
+          packedT.metadata.metadataLog.head.metadataFile))
+      assert(!createMeta.properties.keys.exists(_.startsWith(
+        "graft.pack.")), s"create metadata must not stamp pack " +
+        s"props, has ${createMeta.properties.keys}")
+      assert(packedT.metadata.properties.get("graft.pack.window")
+        .contains("5"))
       def causes(e: Throwable): String =
         Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
           .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
@@ -1229,6 +1242,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
         s"CALL $c.system.pack_corpus('db', 'docs', 5, " +
         "incremental => true, target_table => 'absent')") }
       assert(causes(e8).contains("does not exist"), causes(e8))
+
+      // ---- snapshot_id-bounded chain (the sibling-chain contract):
+      // a fresh lineage packs the current state, two shard batches
+      // land, and a chain with snapshot_id => S must pack ONLY the
+      // rows up to S and anchor there — the later batch stays
+      // unpacked until the next default chain
+      spark.sql(s"CALL $c.system.pack_corpus('db', 'docs', 5, " +
+        "docs_per_shard => 4, target_table => 'p5')").collect()
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (12, 's t'), (13, 'u')")
+      val snapS = loadT(dir, "docs").currentSnapshot.get.snapshotId
+      spark.sql(s"INSERT INTO $c.db.docs VALUES (16, 'v w x')")
+      val rS = spark.sql(s"CALL $c.system.pack_corpus('db', 'docs', " +
+        s"5, docs_per_shard => 4, incremental => true, " +
+        s"target_table => 'p5', snapshot_id => $snapS)").collect().head
+      assert(rS.getLong(2) == 2L && rS.getLong(4) == snapS,
+        s"bounded chain must pack ids 12-13 and anchor at $snapS: $rS")
+      assert(loadT(dir, "p5").metadata
+        .properties("graft.pack.source-snapshot-id") == snapS.toString)
+      val shard3 = spark.sql("SELECT packed_text FROM " +
+        s"$c.db.p5 WHERE shard = 3").collect().map(_.getString(0)).toSeq
+      assert(shard3 == Seq("s t u"), s"$shard3")
+      // the default chain then picks up the batch after S
+      val rT = spark.sql(s"CALL $c.system.pack_corpus('db', 'docs', " +
+        "5, docs_per_shard => 4, incremental => true, " +
+        "target_table => 'p5')").collect().head
+      assert(rT.getLong(2) == 1L, s"follow-up chain packs id 16: $rT")
+      assert(spark.sql(s"SELECT packed_text FROM $c.db.p5 " +
+        "WHERE shard = 4").collect().map(_.getString(0)).toSeq ==
+        Seq("v w x"))
     }
   }
 
