@@ -65,7 +65,15 @@ object Bounds {
         x: Long, y: Long) => x.compareTo(y)
     case (FloatType, x: Float, y: Float) => java.lang.Float.compare(x, y)
     case (DoubleType, x: Double, y: Double) => java.lang.Double.compare(x, y)
-    case (StringType, x: String, y: String) => x.compareTo(y)
+    // UTF-8 unsigned-byte order, NOT String.compareTo (UTF-16 code
+    // units): parquet computes string min/max in UTF-8 byte order, so
+    // the pruner must compare in the same order — the two diverge for
+    // supplementary-plane chars (emoji, surrogate-paired) vs
+    // [U+E000, U+FFFF], where UTF-16 would prune files that match
+    case (StringType, x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(StandardCharsets.UTF_8),
+        y.getBytes(StandardCharsets.UTF_8))
     case (DecimalType(_, _), x: java.math.BigDecimal, y: java.math.BigDecimal) =>
       x.compareTo(y)
     case (BinaryType | UUIDType | _: FixedType,

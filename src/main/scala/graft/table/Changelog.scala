@@ -74,22 +74,24 @@ object Changelog {
   def netChanges(changes: DataFrame): DataFrame = {
     val dataCols = changes.columns.filterNot(
       Set(ChangeType, ChangeOrdinal, CommitSnapshotId))
-    val keyCols = ArraySeq.unsafeWrapArray(dataCols.map(col))
+    val keyCols = groupableKeys(changes, dataCols)
+    val carried = dataCols.toSeq.map(n => first(col(n)).as(n))
     changes
       .groupBy(keyCols: _*)
-      .agg(
+      .agg(carried.head, (carried.tail :+
         sum(when(col(ChangeType) === Insert, 1L).otherwise(-1L))
-          .as("__net"),
-        max(col(ChangeOrdinal)).as(ChangeOrdinal),
+          .as("__net") :+
+        max(col(ChangeOrdinal)).as(ChangeOrdinal) :+
         max_by(col(CommitSnapshotId), col(ChangeOrdinal))
-          .as(CommitSnapshotId))
+          .as(CommitSnapshotId)): _*)
       .where(col("__net") =!= 0L)
       .withColumn(ChangeType,
         when(col("__net") > 0L, Insert).otherwise(Delete))
       .withColumn("__dup",
         explode(array_repeat(lit(1), abs(col("__net")).cast("int"))))
       .drop("__net", "__dup")
-      .select((keyCols :+ col(ChangeType) :+ col(ChangeOrdinal) :+
+      .select((ArraySeq.unsafeWrapArray(dataCols.map(col)) :+
+        col(ChangeType) :+ col(ChangeOrdinal) :+
         col(CommitSnapshotId)): _*)
   }
 
@@ -101,13 +103,16 @@ object Changelog {
   def removeCarryovers(changes: DataFrame): DataFrame = {
     val dataCols = changes.columns.filterNot(
       Set(ChangeType, ChangeOrdinal, CommitSnapshotId))
-    val keyCols = ArraySeq.unsafeWrapArray(dataCols.map(col)) :+
+    val keyCols = groupableKeys(changes, dataCols) :+
       col(ChangeOrdinal) :+ col(CommitSnapshotId)
+    val carried = dataCols.toSeq.map(n => first(col(n)).as(n))
     changes
       .groupBy(keyCols: _*)
-      .agg(
-        sum(when(col(ChangeType) === Insert, 1L).otherwise(0L)).as("__i"),
-        sum(when(col(ChangeType) === Delete, 1L).otherwise(0L)).as("__d"))
+      .agg(carried.head, (carried.tail :+
+        sum(when(col(ChangeType) === Insert, 1L).otherwise(0L))
+          .as("__i") :+
+        sum(when(col(ChangeType) === Delete, 1L).otherwise(0L))
+          .as("__d")): _*)
       .withColumn("__net", col("__i") - col("__d"))
       .where(col("__net") =!= 0L)
       .withColumn(ChangeType,
@@ -116,6 +121,51 @@ object Changelog {
         explode(array_repeat(lit(1), abs(col("__net")).cast("int"))))
       .select((ArraySeq.unsafeWrapArray(dataCols.map(col)) :+
         col(ChangeType) :+ col(ChangeOrdinal) :+ col(CommitSnapshotId)): _*)
+  }
+
+  /** Group-by keys over the data columns that tolerate unorderable
+    * (map-typed) columns: an orderable column groups by itself; a map
+    * groups by its [[canonicalized]] form (key-sorted entry arrays —
+    * orderable, collision-free, and equal for physically reordered but
+    * equal maps). Keys are aliased `__gk*` so the original columns can
+    * ride alongside as `first(...)` aggregates without name clashes —
+    * `first` is well-defined because every row in a group carries a
+    * canonically-equal value. */
+  private def groupableKeys(changes: DataFrame,
+      dataCols: Array[String]): Seq[Column] = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    dataCols.toSeq.zipWithIndex.map { case (n, i) =>
+      val dt = changes.schema(n).dataType
+      val k = if (RowOrdering.isOrderable(dt)) col(n)
+        else canonicalized(col(n), dt)
+      k.as(s"__gk$i")
+    }
+  }
+
+  /** Multiset EXCEPT ALL that tolerates unorderable (map) columns —
+    * `DataFrame.exceptAll` rejects maps outright. Orderable schemas
+    * delegate to the built-in; otherwise rows pair up by their
+    * canonical form with per-duplicate occurrence numbers and the
+    * unmatched left occurrences survive (exact multiset semantics:
+    * n left copies minus m right copies leaves n − m rows). */
+  private[table] def exceptAllCanonical(left: DataFrame,
+      right: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val unorderable = left.schema.fields.exists(f =>
+      !RowOrdering.isOrderable(f.dataType))
+    if (!unorderable) return left.exceptAll(right)
+    import org.apache.spark.sql.expressions.Window
+    val names = left.columns
+    def keyed(df: DataFrame): DataFrame = {
+      val keys = groupableKeys(df, names)
+      val withKeys = df.select((names.map(col) ++ keys): _*)
+      val keyNames = keys.indices.map(i => s"__gk$i")
+      withKeys.withColumn("__occ", row_number().over(
+        Window.partitionBy(keyNames.map(col): _*).orderBy(lit(1))))
+    }
+    val keyNames = names.indices.map(i => s"__gk$i") :+ "__occ"
+    keyed(left).join(keyed(right), keyNames, "left_anti")
+      .select(names.map(col): _*)
   }
 
   /** Canonical form for the order surrogate: maps become key-sorted
@@ -276,7 +326,8 @@ object Changelog {
             parentTasks.filter(t => affected(t.file.filePath)))
           val after = reader.readTasks(schema,
             sTasks.filter(t => affected(t.file.filePath)))
-          Seq(tag(before.exceptAll(after), Delete, ordinal, s.snapshotId))
+          Seq(tag(exceptAllCanonical(before, after), Delete, ordinal,
+            s.snapshotId))
         }
       }
 

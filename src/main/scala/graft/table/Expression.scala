@@ -215,10 +215,14 @@ object ExprCompiler {
       s"$c NOT IN ${vs.map(sqlLit).mkString("(", ", ", ")")}"
     case IsNull(c) => s"$c IS NULL"
     case NotNull(c) => s"$c IS NOT NULL"
+    // ESCAPE is mandatory: ANSI/DuckDB LIKE has NO default escape
+    // character, so without the clause the backslashes likePrefix
+    // emits are literal backslashes, not escapes — a prefix containing
+    // % or _ would silently match the wrong rows in the oracle
     case StartsWith(c, p) =>
-      s"$c LIKE ${sqlLit(likePrefix(p))}"
+      s"$c LIKE ${sqlLit(likePrefix(p))} ESCAPE '\\'"
     case NotStartsWith(c, p) =>
-      s"NOT ($c LIKE ${sqlLit(likePrefix(p))})"
+      s"NOT ($c LIKE ${sqlLit(likePrefix(p))} ESCAPE '\\')"
     case AlwaysTrue => "TRUE"
     case AlwaysFalse => "FALSE"
   }

@@ -340,7 +340,7 @@ object Maintenance extends org.apache.spark.internal.Logging {
       olderThanMs: Long = System.currentTimeMillis() - 3L * 24 * 3600 * 1000,
       dryRun: Boolean = false): GcReport = {
     val meta = table.metadata
-    def norm(p: String): String = p.replaceFirst("^file:/+", "/")
+    def norm(p: String): String = Scan.normPath(p)
     val reachable = (reachableFrom(table, meta.snapshots) ++
       meta.snapshots.map(_.manifestList)).map(norm)
     val loc = meta.location.stripSuffix("/")
@@ -467,16 +467,20 @@ object Maintenance extends org.apache.spark.internal.Logging {
       manifestList = listPath,
       summary = Some(summary),
       schemaId = Some(meta.currentSchemaId))
+    // honor the handle's write branch like every commitSnapshot path:
+    // a WAP-branch handle's rewrite must advance the BRANCH ref, never
+    // publish the unaudited branch lineage to main
+    val branch = table.writeBranch
     val reqs = Seq(graft.catalog.TableRequirement.AssertRefSnapshotId(
-      "main", meta.ref("main").map(_.snapshotId)))
+      branch, meta.ref(branch).map(_.snapshotId)))
     val committed =
       try table.catalog.commitTable(table.id, reqs, Seq(
         graft.catalog.TableUpdate.AddSnapshot(snapshot),
         graft.catalog.TableUpdate.SetSnapshotRef(
-          "main", snapshotId, "branch",
-          meta.ref("main").flatMap(_.minSnapshotsToKeep),
-          meta.ref("main").flatMap(_.maxSnapshotAgeMs),
-          meta.ref("main").flatMap(_.maxRefAgeMs))))
+          branch, snapshotId, "branch",
+          meta.ref(branch).flatMap(_.minSnapshotsToKeep),
+          meta.ref(branch).flatMap(_.maxSnapshotAgeMs),
+          meta.ref(branch).flatMap(_.maxRefAgeMs))))
       catch {
         // CAS loss → re-plan the whole rewrite against refreshed
         // metadata (withConflictRetry): recommitting a manifest list
@@ -484,7 +488,9 @@ object Maintenance extends org.apache.spark.internal.Logging {
         case e: graft.catalog.CommitFailedException =>
           throw new graft.catalog.CommitConflictException(e.getMessage)
       }
-    new Table(table.catalog, table.id, committed, table.io)
+    new Table(table.catalog, table.id,
+      Table.positioned(committed, branch), table.io, branch,
+      table.branchStillSeen(committed))
   }
 
   /** All storage paths reachable from a snapshot: its manifest list,

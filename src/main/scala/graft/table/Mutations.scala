@@ -85,33 +85,38 @@ object Mutations {
       if (candidates.isEmpty) t
       else {
         val deletes = readFiles(t, spark, candidates.map(_.file.filePath))
-          .withColumn("file_path", col("_metadata.file_path"))
+          .withColumn("file_path",
+            Scan.decodedMetaPath(col("_metadata.file_path")))
           .withColumn("pos", col("_metadata.row_index"))
           .where(matchFilter(pred))
           .select("file_path", "pos")
-        if (deletes.isEmpty) t
-        else {
-          // partition-scoped delete files: the plan knows each candidate's
-          // partition tuple, so deletes route into per-partition files and
-          // later scans of other partitions never touch them. Candidates
-          // written under an OLDER spec have tuples whose field names don't
-          // line up with the default spec — routing them through it would
-          // scope the delete to a partition the planner never matches and
-          // the rows would silently resurface; those go through the global
-          // (empty-tuple) writer instead, which attaches everywhere.
-          val defaultSpecId = t.metadata.defaultSpecId
-          val pathToPartition =
-            if (candidates.forall(_.specId == defaultSpecId))
-              candidates.map(c => c.file.filePath -> c.file.partition).toMap
-            else Map.empty[String, Map[String, Any]]
-          val delFiles = DeleteFileWriter.writePositionDeletesPartitioned(
-            t.metadata, deletes, pathToPartition)
-          t.commitSnapshot(PendingSnapshot(Operation.Delete,
-            addedDeleteFiles = delFiles,
-            // position deletes target these paths; a concurrent rewrite
-            // of one must fail the rebase, not silently no-op the delete
-            referencedDataPaths = candidates.map(_.file.filePath).toSet))
-        }
+        // partition-scoped delete files: the plan knows each candidate's
+        // partition tuple, so deletes route into per-partition files and
+        // later scans of other partitions never touch them. Candidates
+        // written under an OLDER spec have tuples whose field names don't
+        // line up with the default spec — routing them through it would
+        // scope the delete to a partition the planner never matches and
+        // the rows would silently resurface; those go through the global
+        // (empty-tuple) writer instead, which attaches everywhere.
+        val defaultSpecId = t.metadata.defaultSpecId
+        val pathToPartition =
+          if (candidates.forall(_.specId == defaultSpecId))
+            candidates.map(c => c.file.filePath -> c.file.partition).toMap
+          else Map.empty[String, Map[String, Any]]
+        // ONE pass: no isEmpty probe (it would run the same
+        // predicate-matching scan twice) — write, then drop zero-row
+        // delete files from the commit; an all-empty write commits
+        // nothing (the stray empty parquet is orphan-GC food, the
+        // same as any abort path)
+        val delFiles = DeleteFileWriter.writePositionDeletesPartitioned(
+          t.metadata, deletes, pathToPartition)
+          .filter(_.recordCount > 0)
+        if (delFiles.isEmpty) t
+        else t.commitSnapshot(PendingSnapshot(Operation.Delete,
+          addedDeleteFiles = delFiles,
+          // position deletes target these paths; a concurrent rewrite
+          // of one must fail the rebase, not silently no-op the delete
+          referencedDataPaths = candidates.map(_.file.filePath).toSet))
       }
     }
 

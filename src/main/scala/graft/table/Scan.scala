@@ -407,10 +407,7 @@ class Scan private (
     parts.reduce(_ unionAll _)
   }
 
-  /** `file:`-scheme-insensitive path equality: `_metadata.file_path`
-    * reports `file:///x` while manifests may carry `/x` or `file:/x`. */
-  private def normPath(p: String): String =
-    p.replaceFirst("^file:/+", "/")
+  private def normPath(p: String): String = Scan.normPath(p)
   private def normPathCol(c: org.apache.spark.sql.Column) =
     regexp_replace(c, "^file:/+", "/")
 
@@ -436,7 +433,8 @@ class Scan private (
     // read-side application the reference never wired,
     // table/scan.go:146-149)
     if (needMeta)
-      df = df.withColumn("__file_path", col("_metadata.file_path"))
+      df = df.withColumn("__file_path",
+          Scan.decodedMetaPath(col("_metadata.file_path")))
         .withColumn("__pos", col("_metadata.row_index"))
 
     // field-ID remap (SURVEY M6 "reads remap by field ID"): each query
@@ -530,7 +528,8 @@ class Scan private (
     }
     if (withMeta)
       raw.select(keyCols :+
-        col("_metadata.file_path").as("__meta_file_path"): _*)
+        Scan.decodedMetaPath(col("_metadata.file_path"))
+          .as("__meta_file_path"): _*)
     else raw.select(keyCols: _*)
   }
 
@@ -647,7 +646,8 @@ class Scan private (
                 .select(filePairs.map { case (qf, ff) =>
                   col(ff.name).cast(toSparkType(qf.fieldType))
                     .as(qf.name) } ++ Seq(
-                  col("_metadata.file_path").as("file_path"),
+                  Scan.decodedMetaPath(col("_metadata.file_path"))
+                    .as("file_path"),
                   col("_metadata.row_index").as("pos")): _*)
               val delDf = eqKeyDf(schema, pairs, files.map(_._1).toSeq,
                 withMeta = false).distinct()
@@ -677,6 +677,29 @@ object Scan {
     * not grow with partition count; see readTasks). Overridable per
     * scan via `option("max-eq-delete-groups", n)`. */
   val MaxEqDeleteGroups = 8
+
+  /** `file:`-scheme-insensitive path equality: `_metadata.file_path`
+    * reports `file:///x` while manifests may carry `/x` or `file:/x`.
+    * THE one normalizer for path-set membership — the scan's delete
+    * joins and maintenance's orphan GC both use it; the codebase's
+    * other normalizer, `DataWriter.normalizePath`, serves the opposite
+    * purpose (producing the `file:`-prefixed form `_metadata` reports)
+    * and must stay distinct. */
+  private[table] def normPath(p: String): String =
+    p.replaceFirst("^file:/+", "/")
+
+  /** `_metadata.file_path` is the URI-ENCODED form ("__p_c=a%20b")
+    * while manifests carry the raw filesystem path ("__p_c=a b") —
+    * they differ exactly when a partition value contains a space, %,
+    * or other URI-reserved char. Every _metadata-derived path decodes
+    * through here AT CAPTURE, so all persisted delete-file paths and
+    * every path comparison use the ONE raw form. Backed by the
+    * codegen'd [[graft.functions.MetaPathDecodeExpr]] (see its
+    * scaladoc for why neither `url_decode` nor `URLDecoder` fits).
+    * No-op for ordinary paths. */
+  private[table] def decodedMetaPath(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MetaPathDecodeExpr.column(c)
 
   /** Remap a column read under the file's schema (`ft`) to the query
     * schema's type (`qt`) BY FIELD ID. Struct pairs rebuild

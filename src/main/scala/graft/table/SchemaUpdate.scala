@@ -15,6 +15,18 @@ final class SchemaUpdate(table: Table) {
   def addColumn(name: String, t: IcebergType, required: Boolean = false,
       doc: Option[String] = None): SchemaUpdate = {
     require(!fields.exists(_.name == name), s"column $name already exists")
+    // Iceberg's rule: a required column cannot be ADDED once data
+    // exists — pre-evolution files have no value for it, the scan
+    // null-fills it, and Spark's optimizer trusts the resulting
+    // non-nullable schema (rewriting `c IS NULL` to false), silently
+    // corrupting results. Only an empty table (no snapshots, or a
+    // current snapshot with zero rows) may gain one.
+    require(!required || table.currentSnapshot.forall(s =>
+        s.summary.flatMap(_.counters.get(Summary.TotalRecords))
+          .contains(0L)),
+      s"cannot add required column $name to a table with existing " +
+        "data: pre-evolution rows would null-fill a NOT NULL column; " +
+        "add it optional (or makeOptional later)")
     nextId += 1
     fields = fields :+ NestedField(nextId, name, t, required, doc)
     this

@@ -22,12 +22,27 @@ object DataWriter {
 
   /** Normalize to the URI form Spark's `_metadata.file_path` reports
     * ("file:/abs/path", no authority — verified empirically) so MoR
-    * position deletes join exactly. */
+    * position deletes join exactly. Textual, NOT `java.net.URI`: URI
+    * parsing rejects raw spaces (URISyntaxException), and Hive-style
+    * partition dirs put spaces and other reserved chars in the path
+    * ("__p_c=a b", timestamp values) — a filesystem path is not an
+    * encoded URI. */
   def normalizePath(p: String): String = {
-    val u = new java.net.URI(p)
-    if (u.getScheme == null) "file:" + p
-    else if (u.getScheme == "file") "file:" + u.getPath
-    else p
+    val colon = p.indexOf(':')
+    val scheme =
+      if (colon <= 0) None
+      else {
+        val s = p.substring(0, colon)
+        if (s.forall(c => c.isLetterOrDigit || c == '+' || c == '-' ||
+            c == '.')) Some(s)
+        else None
+      }
+    scheme match {
+      case None => "file:" + p
+      case Some("file") =>
+        "file:/" + p.substring(5).dropWhile(_ == '/')
+      case Some(_) => p
+    }
   }
 
   /** Write `df` as Snappy parquet into a fresh directory under the
@@ -98,7 +113,8 @@ object DataWriter {
     // EMPTY output dir, where schema inference would throw
     spark.read.schema(SchemaConverters.toSparkSchema(schema))
       .parquet(paths: _*)
-      .groupBy(col("_metadata.file_path").as("__fp"))
+      .groupBy(Scan.decodedMetaPath(col("_metadata.file_path"))
+        .as("__fp"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
@@ -185,20 +201,34 @@ object DataWriter {
         }
       }
 
-      // String bounds truncate to 16 chars (SURVEY §7 risk 3 — the
-      // reference truncates nothing, which would embed whole documents
-      // in every manifest entry): lower truncates to a prefix (still a
-      // valid lower bound); upper truncates then increments the last
-      // char so it stays an upper bound; un-incrementable -> no bound.
+      // String bounds truncate to 16 CODE POINTS (SURVEY §7 risk 3 —
+      // the reference truncates nothing, which would embed whole
+      // documents in every manifest entry): lower truncates to a
+      // prefix (still a valid lower bound); upper truncates then
+      // increments the last code point so it stays an upper bound;
+      // un-incrementable -> no bound. Code-point arithmetic, never
+      // char: a char-level truncate can split a surrogate pair and a
+      // char-level increment can step INTO the surrogate range — an
+      // unpaired surrogate UTF-8-serializes as '?', silently writing
+      // an upper bound BELOW the file's real data (unsound pruning).
+      // Incrementing U+D7FF skips the surrogate gap to U+E000.
       val MaxBound = 16
       def truncated(v: Any, isUpper: Boolean): Option[Any] = v match {
-        case s: String if s.length > MaxBound =>
-          if (!isUpper) Some(s.take(MaxBound))
+        case s: String if s.codePointCount(0, s.length) > MaxBound =>
+          val prefix = s.substring(0, s.offsetByCodePoints(0, MaxBound))
+          if (!isUpper) Some(prefix)
           else {
-            val prefix = s.take(MaxBound)
-            val idx = prefix.lastIndexWhere(_ != Char.MaxValue)
+            val cps = prefix.codePoints.toArray
+            val idx = cps.lastIndexWhere(_ != Character.MAX_CODE_POINT)
             if (idx < 0) None
-            else Some(prefix.substring(0, idx) + (prefix(idx) + 1).toChar)
+            else {
+              val next = if (cps(idx) == 0xD7FF) 0xE000 else cps(idx) + 1
+              val sb = new java.lang.StringBuilder
+              var i = 0
+              while (i < idx) { sb.appendCodePoint(cps(i)); i += 1 }
+              sb.appendCodePoint(next)
+              Some(sb.toString)
+            }
           }
         case other => Some(other)
       }
@@ -415,7 +445,7 @@ private[graft] object PartitionDirs {
     relDir.split('/').filter(s => s.nonEmpty && s.contains('=')).map { seg =>
       val idx = seg.indexOf('=')
       val colName = seg.substring(0, idx).stripPrefix(partPrefix)
-      val raw = java.net.URLDecoder.decode(seg.substring(idx + 1), "UTF-8")
+      val raw = unescapePathName(seg.substring(idx + 1))
       val typed: Any =
         if (raw == "__HIVE_DEFAULT_PARTITION__") null
         else partitionType.fieldByName(colName).map(f =>
@@ -443,8 +473,7 @@ private[graft] object PartitionDirs {
         if (idx < 0) walk(sd.getPath, values)
         else {
           val colName = name.substring(0, idx).stripPrefix(partPrefix)
-          val raw = java.net.URLDecoder.decode(
-            name.substring(idx + 1), "UTF-8")
+          val raw = unescapePathName(name.substring(idx + 1))
           val typed: Any =
             if (raw == "__HIVE_DEFAULT_PARTITION__") null
             else partitionType.fieldByName(colName).map(f =>
@@ -457,13 +486,53 @@ private[graft] object PartitionDirs {
   }
 
   def parseValue(raw: String, t: IcebergType): Any = t match {
-    case IntType | DateType => raw.toInt
-    case LongType | TimeType | TimestampType | TimestampTzType => raw.toLong
+    case IntType => raw.toInt
+    // identity-partitioned dates/timestamps come back in Spark's
+    // calendar rendering ("2020-01-01", "2020-01-01 00:00:00[.f]");
+    // transform-derived partition values stay integral. Manifests
+    // store days/micros ints either way.
+    case DateType =>
+      try raw.toInt
+      catch { case _: NumberFormatException =>
+        java.time.LocalDate.parse(raw).toEpochDay.toInt }
+    case TimestampType | TimestampTzType =>
+      try raw.toLong
+      catch { case _: NumberFormatException =>
+        // sessions pin UTC (SURVEY §7), so the rendered wall clock IS
+        // the UTC instant for tz-aware values and the literal fields
+        // for NTZ — both serialize to the same epoch-micros long
+        val ldt = java.time.LocalDateTime.parse(raw.replace(' ', 'T'))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L }
+    case LongType | TimeType => raw.toLong
     case FloatType => raw.toFloat
     case DoubleType => raw.toDouble
     case BooleanType => raw.toBoolean
     case DecimalType(_, s) => new java.math.BigDecimal(raw).setScale(s)
     case _ => raw
+  }
+
+  /** Hive/Spark partition-dir unescape: ONLY `%XX` hex sequences
+    * decode (Spark's `ExternalCatalogUtils.unescapePathName`
+    * semantics). `java.net.URLDecoder` is the WRONG tool here — it
+    * also turns a literal `+` into a space, silently corrupting any
+    * string partition value containing `+` (Hive escaping never
+    * encodes a space as `+`; it writes spaces raw). */
+  private[table] def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code =
+          try Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          catch { case _: NumberFormatException => -1 }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 }
 

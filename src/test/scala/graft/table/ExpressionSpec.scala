@@ -63,7 +63,10 @@ class ExpressionSpec extends AnyFunSuite {
 
   test("sql rendering escapes strings and prefixes") {
     assert(Eq("name", "O'Brien").toSql == "name = 'O''Brien'")
-    assert(StartsWith("n", "50%_x").toSql == "n LIKE '50\\%\\_x%'")
+    // ESCAPE is mandatory: ANSI/DuckDB LIKE has no default escape
+    // char, so without it the backslashes would match literally
+    assert(StartsWith("n", "50%_x").toSql ==
+      "n LIKE '50\\%\\_x%' ESCAPE '\\'")
     assert(In("r", Seq("a", "b")).toSql == "r IN ('a', 'b')")
     assert(Col("p").between(1, 2).toSql == "(p >= 1 AND p <= 2)")
   }
