@@ -89,6 +89,17 @@ object Packing {
       .drop("__parts")
   }
 
+  /** The engine-portable sample order key: `md5(id)`, with NULL ids
+    * REFUSED loudly — NULL hashes to NULL and the id tiebreak is NULL
+    * too, so all NULL-id rows would tie, sort first (asc nulls-first),
+    * and fill quotas with an arbitrary run-dependent subset, silently
+    * breaking the samplers' deterministic contract. The
+    * [[globalOrderIndex]] rule, applied to all four samplers. */
+  private def md5Order(idCol: String): org.apache.spark.sql.Column =
+    when(col(idCol).isNull,
+      raise_error(lit("sampling requires non-null ids (md5 order)")))
+      .otherwise(md5(col(idCol).cast("string")))
+
   /** Deterministic stratified sample: up to `quota` rows per stratum,
     * chosen by a pseudo-random but engine-portable order —
     * `md5(id)` (any engine computes the same digest), with the id as
@@ -100,7 +111,7 @@ object Packing {
     // collision-free working column — never clobber a user column
     val rk = graft.util.Names.fresh(df.columns)(i => s"__graft_rk$i")
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5Order(idCol), col(idCol))
     df.withColumn(rk, row_number().over(w))
       .where(col(rk) <= quota)
       .drop(rk)
@@ -296,7 +307,7 @@ object Packing {
     val rk = graft.util.Names.fresh(df.columns)(i => s"__graft_rk$i")
     val qt = graft.util.Names.fresh(df.columns :+ rk)(i => s"__graft_q$i")
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5Order(idCol), col(idCol))
     val nCol = count(lit(1))
       .over(Window.partitionBy(col(stratumCol))).cast("double")
     val quota = ceil(
@@ -354,7 +365,7 @@ object Packing {
     val rk = graft.util.Names.fresh(df.columns :+ "quota")(i =>
       s"__graft_rk$i")
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5Order(idCol), col(idCol))
     df.select(col(stratumCol), col(idCol))
       .join(broadcast(quotas), stratumCol)
       .withColumn(rk, row_number().over(w))
@@ -383,7 +394,7 @@ object Packing {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 0, "budget must be >= 0")
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+      .orderBy(md5Order(idCol), col(idCol))
     val cum = graft.util.Names.fresh(df.columns)(i => s"__graft_cum$i")
     df.select(col(stratumCol), col(idCol),
         col(costCol).cast("long").as("cost"))

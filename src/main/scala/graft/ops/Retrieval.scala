@@ -36,8 +36,15 @@ object Retrieval {
   /** Score scale for the integer per-term scores (10⁹). */
   val ScoreScale = 1.0e9
 
+  /** Tokenize, with the empty token REMOVED: `split("", " ")` yields
+    * `[""]`, so without the filter an empty/whitespace-only document
+    * would index as dl = 1 with a `""` posting (skewing avgdl), and an
+    * empty query's `""` probe term would retrieve every such document
+    * as a BM25 hit. With it, empty docs produce no postings and a
+    * dl of 0, matching [[TextAnalysis.tokenCount]]'s empty→0 rule
+    * (the same artifact Classifier.labelCounts guards against). */
   private def toks(text: Column): Column =
-    split(TextAnalysis.normalized(text), " ")
+    array_remove(split(TextAnalysis.normalized(text), " "), "")
 
   /** Postings list: one row per distinct `(idCol, term)` with the term
     * frequency and the document length in tokens. Tokenizes ONCE into

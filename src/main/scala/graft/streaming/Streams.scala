@@ -82,8 +82,19 @@ object Streams {
           "silently dropped. Pass a distinct streamId for the new " +
           "query, or restart it from the original checkpoint location.")
       if (batchId <= last) false
-      else { last = batchId; true }
+      else { prev = last; last = batchId; true }
     }
+
+    /** Revert the watermark advance of a batch whose commits THREW:
+      * `admit` advances optimistically, so without this a
+      * same-process restart reusing the handle would skip the failed
+      * batch as "already committed" and its data would be silently
+      * lost. (A process crash is covered separately: the in-memory
+      * watermark dies with it and the fresh handle re-reads the
+      * stamped one, which only ever advances WITH a commit.) */
+    def abort(batchId: Long): Unit =
+      if (last == batchId) last = prev
+    private var prev: Long = stamped
   }
 
   /** Iceberg sink for `writeStream.foreachBatch`: each micro-batch
@@ -93,10 +104,15 @@ object Streams {
   final class IcebergStreamSink(initial: Table) extends Serializable {
     @volatile private var tableRef: Table = initial
 
-    /** The foreachBatch function: append the batch, commit, advance. */
+    /** The foreachBatch function: append the batch, commit, advance.
+      * The batch is pinned first — the emptiness probe and the write
+      * must see the SAME data, and the source must not re-execute
+      * (the same discipline as every ingest sink below). */
     def addBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-      if (!batch.isEmpty) {
-        val files = PartitionedWriter.writeDataFiles(tableRef.metadata, batch)
+      val pinned = batch.localCheckpoint(true)
+      if (!pinned.isEmpty) {
+        val files = PartitionedWriter.writeDataFiles(tableRef.metadata,
+          pinned)
         tableRef = tableRef.commitSnapshot(PendingSnapshot(Operation.Append,
           addedDataFiles = files))
       }
@@ -134,6 +150,22 @@ object Streams {
       minhash: Boolean = false, threshold: Double = 0.8,
       numHashes: Int = 64, streamId: String = "")
       extends Serializable {
+    // a build_dedup_index table stamps its config; a sink constructed
+    // with a DIFFERENT width/column set would band mixed-width
+    // signatures into the shared index — silent corruption the batch
+    // procedure already refuses, so the sink must too. (Un-stamped
+    // index tables — built directly from Dedup.signatureFrame in
+    // library code — skip the check: the caller owns consistency.)
+    for ((prop, arg, what) <- Seq(
+        ("graft.dedup-index.num-hashes", numHashes.toString, "num_hashes"),
+        ("graft.dedup-index.text-col", textCol, "text_col"),
+        ("graft.dedup-index.id-col", idCol, "id_col")))
+      initialIndex.metadata.properties.get(prop).foreach { stamped =>
+        if (stamped != arg) throw new IllegalArgumentException(
+          s"IndexedDedupSink: index stamps $what '$stamped' but the " +
+            s"sink was constructed with '$arg' — mixed signature " +
+            "configs would silently corrupt the shared index")
+      }
     @volatile private var sinkRef: Table = initialSink
     @volatile private var indexRef: Table = initialIndex
     private val gate = new Streams.BatchGate(Streams.stampedBatchId(
@@ -144,31 +176,36 @@ object Streams {
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
-      val spark = batch0.sparkSession
-      // pin the micro-batch: removals, the sink append, and the
-      // signature append each read it — the source must not re-execute
-      val batch = batch0.localCheckpoint(true)
-      val idxDf = graft.table.Scan(indexRef, spark).toDF
-      val removals = (if (minhash)
-        graft.ops.Dedup.indexedMinhashRemovals(batch, idxDf, textCol,
-          idCol, numHashes, threshold = threshold)
-      else graft.ops.Dedup.indexedExactRemovals(batch, idxDf, textCol,
-        idCol)).localCheckpoint(true)
-      val survivors = batch.join(removals, Seq(idCol), "left_anti")
-      // the batch watermark rides the signature append (atomic: a
-      // restarted handle can never double-deliver these signatures);
-      // an all-duplicate batch stamps property-only (see stampedBatchId)
-      val stamp = Map(
-        Streams.batchIdProp("graft.dedup-index", streamId) ->
-          batchId.toString)
-      if (!survivors.isEmpty) {
-        sinkRef = TableOps.append(sinkRef, survivors)
-        indexRef = TableOps.append(indexRef,
-          graft.ops.Dedup.signatureFrame(survivors, textCol, idCol,
-            numHashes), props = stamp)
-      } else {
-        indexRef = indexRef.newTransaction().setProperties(stamp).commit()
-      }
+      try {
+        val spark = batch0.sparkSession
+        // pin the micro-batch: removals, the sink append, and the
+        // signature append each read it — the source must not
+        // re-execute
+        val batch = batch0.localCheckpoint(true)
+        val idxDf = graft.table.Scan(indexRef, spark).toDF
+        val removals = (if (minhash)
+          graft.ops.Dedup.indexedMinhashRemovals(batch, idxDf, textCol,
+            idCol, numHashes, threshold = threshold)
+        else graft.ops.Dedup.indexedExactRemovals(batch, idxDf, textCol,
+          idCol)).localCheckpoint(true)
+        val survivors = batch.join(removals, Seq(idCol), "left_anti")
+        // the batch watermark rides the signature append (atomic: a
+        // restarted handle can never double-deliver these signatures);
+        // an all-duplicate batch stamps property-only (see
+        // stampedBatchId)
+        val stamp = Map(
+          Streams.batchIdProp("graft.dedup-index", streamId) ->
+            batchId.toString)
+        if (!survivors.isEmpty) {
+          sinkRef = TableOps.append(sinkRef, survivors)
+          indexRef = TableOps.append(indexRef,
+            graft.ops.Dedup.signatureFrame(survivors, textCol, idCol,
+              numHashes), props = stamp)
+        } else {
+          indexRef = indexRef.newTransaction().setProperties(stamp)
+            .commit()
+        }
+      } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
 
     def sink: Table = sinkRef
@@ -218,29 +255,31 @@ object Streams {
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
-      // pin the micro-batch: the corpus append and the assignment each
-      // read it — the source must not re-execute
-      val batch = batch0.localCheckpoint(true)
-      sinkRef = TableOps.append(sinkRef, batch)
-      val payload = batch.where(size(col(vecCol)) === dim)
-        .select(col(idCol),
-          graft.ops.Similarity.nearestCell(col(vecCol), centroids)
-            .as("cell"),
-          graft.ops.Similarity.l2norm(col(vecCol)).as("norm"),
-          col(vecCol))
-      // the snapshot stamp + batch watermark ride the payload append
-      // (atomic); a wrong-dim-only batch still stamps property-only —
-      // those rows are in the corpus now, and a later procedure chain
-      // must not re-deliver them
-      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        val stamp = Map(
-          "graft.ann-index.source-snapshot-id" -> h.toString,
-          Streams.batchIdProp("graft.ann-index", streamId) ->
-            batchId.toString)
-        indexRef =
-          if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
-          else indexRef.newTransaction().setProperties(stamp).commit()
-      }
+      try {
+        // pin the micro-batch: the corpus append and the assignment
+        // each read it — the source must not re-execute
+        val batch = batch0.localCheckpoint(true)
+        sinkRef = TableOps.append(sinkRef, batch)
+        val payload = batch.where(size(col(vecCol)) === dim)
+          .select(col(idCol),
+            graft.ops.Similarity.nearestCell(col(vecCol), centroids)
+              .as("cell"),
+            graft.ops.Similarity.l2norm(col(vecCol)).as("norm"),
+            col(vecCol))
+        // the snapshot stamp + batch watermark ride the payload append
+        // (atomic); a wrong-dim-only batch still stamps property-only —
+        // those rows are in the corpus now, and a later procedure chain
+        // must not re-deliver them
+        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+          val stamp = Map(
+            "graft.ann-index.source-snapshot-id" -> h.toString,
+            Streams.batchIdProp("graft.ann-index", streamId) ->
+              batchId.toString)
+          indexRef =
+            if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
+            else indexRef.newTransaction().setProperties(stamp).commit()
+        }
+      } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
 
     def sink: Table = sinkRef
@@ -287,32 +326,35 @@ object Streams {
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
-      val batch = batch0.localCheckpoint(true)
-      sinkRef = TableOps.append(sinkRef, batch)
-      val payload = graft.ops.Retrieval.postings(batch, textCol, idCol)
-        .withColumn("tbucket", graft.functions.IcebergFunctions
-          .icebergBucket(col("term"), numBuckets))
-      val (bDocs, bDl) =
-        graft.ops.Retrieval.corpusStats(batch, textCol)
-      // stats + snapshot stamp + batch watermark ride the postings
-      // append (atomic: the stats can never advance without their
-      // postings or vice versa); a NULL-text-only batch still stamps
-      // property-only — those docs are corpus members and count toward
-      // n_docs, and a later procedure chain must not re-deliver them
-      val props = indexRef.metadata.properties
-      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        val stamp = Map(
-          "graft.text-index.source-snapshot-id" -> h.toString,
-          "graft.text-index.n-docs" ->
-            (props("graft.text-index.n-docs").toLong + bDocs).toString,
-          "graft.text-index.total-dl" ->
-            (props("graft.text-index.total-dl").toLong + bDl).toString,
-          Streams.batchIdProp("graft.text-index", streamId) ->
-            batchId.toString)
-        indexRef =
-          if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
-          else indexRef.newTransaction().setProperties(stamp).commit()
-      }
+      try {
+        val batch = batch0.localCheckpoint(true)
+        sinkRef = TableOps.append(sinkRef, batch)
+        val payload = graft.ops.Retrieval.postings(batch, textCol, idCol)
+          .withColumn("tbucket", graft.functions.IcebergFunctions
+            .icebergBucket(col("term"), numBuckets))
+        val (bDocs, bDl) =
+          graft.ops.Retrieval.corpusStats(batch, textCol)
+        // stats + snapshot stamp + batch watermark ride the postings
+        // append (atomic: the stats can never advance without their
+        // postings or vice versa); a NULL-text-only batch still stamps
+        // property-only — those docs are corpus members and count
+        // toward n_docs, and a later procedure chain must not
+        // re-deliver them
+        val props = indexRef.metadata.properties
+        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+          val stamp = Map(
+            "graft.text-index.source-snapshot-id" -> h.toString,
+            "graft.text-index.n-docs" ->
+              (props("graft.text-index.n-docs").toLong + bDocs).toString,
+            "graft.text-index.total-dl" ->
+              (props("graft.text-index.total-dl").toLong + bDl).toString,
+            Streams.batchIdProp("graft.text-index", streamId) ->
+              batchId.toString)
+          indexRef =
+            if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
+            else indexRef.newTransaction().setProperties(stamp).commit()
+        }
+      } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
 
     def sink: Table = sinkRef
@@ -354,31 +396,34 @@ object Streams {
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
-      val batch = batch0.localCheckpoint(true)
-      sinkRef = TableOps.append(sinkRef, batch)
-      val deltas = graft.ops.Unigram.pieceCounts(
-        graft.ops.Bpe.wordCounts(batch, textCol), maxPieceLen)
-        .localCheckpoint(true)
-      val dTotal = Option(deltas.agg(
-          org.apache.spark.sql.functions.sum("cnt")).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      // total + snapshot stamp + batch watermark ride the delta append
-      // (atomic: the total can never advance without its deltas); a
-      // no-word batch still stamps property-only — the sink head moved
-      // and a later procedure chain must not re-deliver those documents
-      val props = modelRef.metadata.properties
-      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        val stamp = Map(
-          "graft.tok-model.source-snapshot-id" -> h.toString,
-          "graft.tok-model.total-cnt" ->
-            (props("graft.tok-model.total-cnt").toLong + dTotal)
-              .toString,
-          Streams.batchIdProp("graft.tok-model", streamId) ->
-            batchId.toString)
-        modelRef =
-          if (dTotal > 0L) TableOps.append(modelRef, deltas, stamp)
-          else modelRef.newTransaction().setProperties(stamp).commit()
-      }
+      try {
+        val batch = batch0.localCheckpoint(true)
+        sinkRef = TableOps.append(sinkRef, batch)
+        val deltas = graft.ops.Unigram.pieceCounts(
+          graft.ops.Bpe.wordCounts(batch, textCol), maxPieceLen)
+          .localCheckpoint(true)
+        val dTotal = Option(deltas.agg(
+            org.apache.spark.sql.functions.sum("cnt")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        // total + snapshot stamp + batch watermark ride the delta
+        // append (atomic: the total can never advance without its
+        // deltas); a no-word batch still stamps property-only — the
+        // sink head moved and a later procedure chain must not
+        // re-deliver those documents
+        val props = modelRef.metadata.properties
+        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+          val stamp = Map(
+            "graft.tok-model.source-snapshot-id" -> h.toString,
+            "graft.tok-model.total-cnt" ->
+              (props("graft.tok-model.total-cnt").toLong + dTotal)
+                .toString,
+            Streams.batchIdProp("graft.tok-model", streamId) ->
+              batchId.toString)
+          modelRef =
+            if (dTotal > 0L) TableOps.append(modelRef, deltas, stamp)
+            else modelRef.newTransaction().setProperties(stamp).commit()
+        }
+      } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
 
     def sink: Table = sinkRef
@@ -420,31 +465,33 @@ object Streams {
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
-      val batch = batch0.localCheckpoint(true)
-      sinkRef = TableOps.append(sinkRef, batch)
-      val deltas = graft.ops.LangModel.gramCounts(batch, textCol)
-        .localCheckpoint(true)
-      val dTotal = Option(deltas.where(col("n") === 1)
-          .agg(org.apache.spark.sql.functions.sum("cnt")).head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val hasDeltas = !deltas.isEmpty
-      // total + snapshot stamp + batch watermark ride the delta append
-      // (atomic); a no-token batch still stamps property-only — the
-      // sink head moved and a later procedure chain must not
-      // re-deliver those documents
-      val props = modelRef.metadata.properties
-      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        val stamp = Map(
-          "graft.lm-model.source-snapshot-id" -> h.toString,
-          "graft.lm-model.total-tokens" ->
-            (props("graft.lm-model.total-tokens").toLong + dTotal)
-              .toString,
-          Streams.batchIdProp("graft.lm-model", streamId) ->
-            batchId.toString)
-        modelRef =
-          if (hasDeltas) TableOps.append(modelRef, deltas, stamp)
-          else modelRef.newTransaction().setProperties(stamp).commit()
-      }
+      try {
+        val batch = batch0.localCheckpoint(true)
+        sinkRef = TableOps.append(sinkRef, batch)
+        val deltas = graft.ops.LangModel.gramCounts(batch, textCol)
+          .localCheckpoint(true)
+        val dTotal = Option(deltas.where(col("n") === 1)
+            .agg(org.apache.spark.sql.functions.sum("cnt")).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val hasDeltas = !deltas.isEmpty
+        // total + snapshot stamp + batch watermark ride the delta
+        // append (atomic); a no-token batch still stamps property-only
+        // — the sink head moved and a later procedure chain must not
+        // re-deliver those documents
+        val props = modelRef.metadata.properties
+        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+          val stamp = Map(
+            "graft.lm-model.source-snapshot-id" -> h.toString,
+            "graft.lm-model.total-tokens" ->
+              (props("graft.lm-model.total-tokens").toLong + dTotal)
+                .toString,
+            Streams.batchIdProp("graft.lm-model", streamId) ->
+              batchId.toString)
+          modelRef =
+            if (hasDeltas) TableOps.append(modelRef, deltas, stamp)
+            else modelRef.newTransaction().setProperties(stamp).commit()
+        }
+      } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
 
     def sink: Table = sinkRef
@@ -488,37 +535,39 @@ object Streams {
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
-      val batch = batch0.localCheckpoint(true)
-      sinkRef = TableOps.append(sinkRef, batch)
-      val deltas = graft.ops.Classifier.labelCounts(batch,
-          expr(labelPred), textCol)
-        .localCheckpoint(true)
-      val tots = deltas.agg(
-        org.apache.spark.sql.functions.sum("p_cnt"),
-        org.apache.spark.sql.functions.sum("n_cnt")).head
-      def tot(i: Int): Long = if (tots.isNullAt(i)) 0L
-        else tots.getLong(i)
-      val hasDeltas = !deltas.isEmpty
-      // totals + snapshot stamp + batch watermark ride the delta
-      // append (atomic); a no-token batch still stamps property-only —
-      // the sink head moved and a later procedure chain must not
-      // re-deliver those documents
-      val props = modelRef.metadata.properties
-      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        val stamp = Map(
-          "graft.clf-model.source-snapshot-id" -> h.toString,
-          "graft.clf-model.pos-tokens" ->
-            (props("graft.clf-model.pos-tokens").toLong + tot(0))
-              .toString,
-          "graft.clf-model.neg-tokens" ->
-            (props("graft.clf-model.neg-tokens").toLong + tot(1))
-              .toString,
-          Streams.batchIdProp("graft.clf-model", streamId) ->
-            batchId.toString)
-        modelRef =
-          if (hasDeltas) TableOps.append(modelRef, deltas, stamp)
-          else modelRef.newTransaction().setProperties(stamp).commit()
-      }
+      try {
+        val batch = batch0.localCheckpoint(true)
+        sinkRef = TableOps.append(sinkRef, batch)
+        val deltas = graft.ops.Classifier.labelCounts(batch,
+            expr(labelPred), textCol)
+          .localCheckpoint(true)
+        val tots = deltas.agg(
+          org.apache.spark.sql.functions.sum("p_cnt"),
+          org.apache.spark.sql.functions.sum("n_cnt")).head
+        def tot(i: Int): Long = if (tots.isNullAt(i)) 0L
+          else tots.getLong(i)
+        val hasDeltas = !deltas.isEmpty
+        // totals + snapshot stamp + batch watermark ride the delta
+        // append (atomic); a no-token batch still stamps property-only
+        // — the sink head moved and a later procedure chain must not
+        // re-deliver those documents
+        val props = modelRef.metadata.properties
+        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+          val stamp = Map(
+            "graft.clf-model.source-snapshot-id" -> h.toString,
+            "graft.clf-model.pos-tokens" ->
+              (props("graft.clf-model.pos-tokens").toLong + tot(0))
+                .toString,
+            "graft.clf-model.neg-tokens" ->
+              (props("graft.clf-model.neg-tokens").toLong + tot(1))
+                .toString,
+            Streams.batchIdProp("graft.clf-model", streamId) ->
+              batchId.toString)
+          modelRef =
+            if (hasDeltas) TableOps.append(modelRef, deltas, stamp)
+            else modelRef.newTransaction().setProperties(stamp).commit()
+        }
+      } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
 
     def sink: Table = sinkRef
@@ -564,21 +613,24 @@ object Streams {
     def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
       if (!gate.admit(batchId)) return
       if (batch0.isEmpty) return
-      val batch = batch0.localCheckpoint(true)
-      sinkRef = TableOps.append(sinkRef, batch)
-      val payload = graft.ops.Similarity.pqEncode(
-        batch.where(size(col(vecCol)) === dim), codebooks, vecCol, idCol)
-      // snapshot stamp + batch watermark ride the codes append
-      // (atomic); a wrong-dim-only batch stamps property-only
-      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-        val stamp = Map(
-          "graft.pq-index.source-snapshot-id" -> h.toString,
-          Streams.batchIdProp("graft.pq-index", streamId) ->
-            batchId.toString)
-        indexRef =
-          if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
-          else indexRef.newTransaction().setProperties(stamp).commit()
-      }
+      try {
+        val batch = batch0.localCheckpoint(true)
+        sinkRef = TableOps.append(sinkRef, batch)
+        val payload = graft.ops.Similarity.pqEncode(
+          batch.where(size(col(vecCol)) === dim), codebooks, vecCol,
+          idCol)
+        // snapshot stamp + batch watermark ride the codes append
+        // (atomic); a wrong-dim-only batch stamps property-only
+        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+          val stamp = Map(
+            "graft.pq-index.source-snapshot-id" -> h.toString,
+            Streams.batchIdProp("graft.pq-index", streamId) ->
+              batchId.toString)
+          indexRef =
+            if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
+            else indexRef.newTransaction().setProperties(stamp).commit()
+        }
+      } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
 
     def sink: Table = sinkRef

@@ -350,10 +350,14 @@ object Maintenance extends org.apache.spark.internal.Logging {
       val n = norm(p)
       val base = n.substring(n.lastIndexOf('/') + 1)
       // hidden files (.crc sidecars, _SUCCESS markers) belong to the
-      // filesystem layer, not the table — never ours to GC
+      // filesystem layer, not the table — never ours to GC; tailer
+      // checkpoints (Streams.TableTailer) are durable consumer state
+      // no snapshot references — deleting one would silently reset
+      // its consumer to a full-table redelivery
       !base.startsWith(".") && !base.startsWith("_") &&
         !reachable.contains(n) && !n.endsWith(".json") &&
         !n.contains("version-hint") &&
+        !base.startsWith("tail-checkpoint") &&
         (try table.io.modificationTime(p) < olderThanMs
          catch { case _: Exception => false })
     }

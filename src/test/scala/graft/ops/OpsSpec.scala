@@ -1783,4 +1783,39 @@ class MixtureSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(Packing.budgetSample(df, "source", "doc_id", "c", 100L)
       .count() == 2L)
   }
+
+  test("samplers fail loud on NULL ids (md5 order would be " +
+      "nondeterministic)") {
+    val df = Seq((Option(1L), "S"), (Option.empty[Long], "S"))
+      .toDF("doc_id", "source")
+    val e = intercept[Exception] {
+      Packing.stratifiedSample(df, "source", "doc_id", quota = 1)
+        .collect()
+    }
+    assert(e.getMessage != null)
+    val e2 = intercept[Exception] {
+      Packing.budgetSample(df.withColumn("c", lit(1L)), "source",
+        "doc_id", "c", 10L).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
+  test("BM25 ignores the empty token: empty docs index as dl 0 with " +
+      "no postings, empty queries retrieve nothing") {
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val post = Retrieval.postings(docs).collect()
+    assert(post.forall(_.getAs[String]("term").nonEmpty),
+      s"no empty-term postings: ${post.toSeq}")
+    assert(post.map(_.getAs[Long]("doc_id")).toSet == Set(1L),
+      "empty/whitespace docs produce no postings")
+    val (n, dl) = Retrieval.corpusStats(docs)
+    assert(n == 3L && dl == 2L,
+      s"empty docs count as dl 0, got ($n, $dl)")
+    val hits = Retrieval.bm25TopK(docs,
+      Seq((9L, "   ")).toDF("query_id", "query"), k = 5,
+      qTextCol = "query").collect()
+    assert(hits.isEmpty,
+      s"an empty query must retrieve nothing: ${hits.toSeq}")
+  }
 }

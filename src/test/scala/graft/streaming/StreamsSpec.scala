@@ -784,4 +784,51 @@ class StreamsSpec extends AnyFunSuite {
       assert(kept == Set(2L, 6L), s"got $kept")
     } finally q.stop()
   }
+
+  test("BatchGate: a batch whose commits threw is re-admitted after " +
+      "abort; a committed batch stays skipped") {
+    val gate = new Streams.BatchGate(stamped = 3L, streamId = "",
+      what = "test")
+    assert(!gate.admit(3L), "stamped batch replays are skipped")
+    assert(gate.admit(4L))
+    // batch 4's commit THREW: without abort, re-delivery of 4 on a
+    // same-process restart would be skipped and its data lost
+    gate.abort(4L)
+    assert(gate.admit(4L), "aborted batch must be re-admittable")
+    // now 4 committed; its replay skips, 5 admits
+    assert(!gate.admit(4L))
+    assert(gate.admit(5L))
+    // abort of a non-current batch is a no-op
+    gate.abort(4L)
+    assert(!gate.admit(4L))
+  }
+
+  test("IndexedDedupSink refuses a config that mismatches the " +
+      "index's stamped build") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dsinkcfg-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "docs"),
+      Schema(0, Seq(
+        NestedField(1, "doc_id", LongType, required = true),
+        NestedField(2, "text", StringType, required = false))),
+      io = new HadoopFileIO())
+    var idxT = Table.create(cat, TableIdentifier(Seq("db"), "idx"),
+      graft.spec.SchemaConverters.fromSparkSchema(
+        graft.ops.Dedup.signatureFrame(
+          Seq((1L, "x")).toDF("doc_id", "text"), "text", "doc_id",
+          128).schema),
+      io = new HadoopFileIO())
+    idxT = idxT.newTransaction().setProperties(Map(
+      "graft.dedup-index.num-hashes" -> "128",
+      "graft.dedup-index.text-col" -> "text",
+      "graft.dedup-index.id-col" -> "doc_id")).commit()
+    val e = intercept[IllegalArgumentException] {
+      Streams.indexedDedupSink(sinkT, idxT, numHashes = 64)
+    }
+    assert(e.getMessage.contains("num_hashes"), e.getMessage)
+    // the stamped config itself is accepted
+    Streams.indexedDedupSink(sinkT, idxT, numHashes = 128)
+  }
 }

@@ -394,6 +394,22 @@ class RefExpirySpec extends AnyFunSuite {
     assert(second.deleted.isEmpty && second.failed.isEmpty)
   }
 
+  test("removeOrphanFiles never deletes tailer checkpoints") {
+    var t = freshTable("tailgc")
+    t = TableOps.append(t, usersDf(1 to 5))
+    val metaDir = t.metadata.location.stripSuffix("/") + "/metadata"
+    // a TableTailer's durable consumer state: unreachable from any
+    // snapshot, not .json — deleting it would silently reset the
+    // consumer to a full-table redelivery
+    val cp = s"$metaDir/tail-checkpoint-myconsumer"
+    t.io.writeString(cp, "12345")
+    val report = Maintenance.removeOrphanFiles(t,
+      olderThanMs = System.currentTimeMillis() + 60000)
+    assert(t.io.exists(cp), "tailer checkpoint must survive orphan GC")
+    assert(!report.deleted.exists(_.contains("tail-checkpoint")),
+      report.deleted.toString)
+  }
+
   test("GC failures are surfaced, and expiry still commits") {
     var t = freshTable("gcfail")
     t = TableOps.append(t, usersDf(1 to 5))
