@@ -339,20 +339,27 @@ object Streams {
         // postings or vice versa); a NULL-text-only batch still stamps
         // property-only — those docs are corpus members and count
         // toward n_docs, and a later procedure chain must not
-        // re-deliver them
-        val props = indexRef.metadata.properties
+        // re-deliver them. The additive stats are READ-MODIFY-WRITE:
+        // they recompute from refreshed metadata on every CAS attempt
+        // (appendComputed), so a concurrent stream's increment is
+        // never overwritten by this batch's stale arithmetic.
         sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          val stamp = Map(
-            "graft.text-index.source-snapshot-id" -> h.toString,
-            "graft.text-index.n-docs" ->
-              (props("graft.text-index.n-docs").toLong + bDocs).toString,
-            "graft.text-index.total-dl" ->
-              (props("graft.text-index.total-dl").toLong + bDl).toString,
-            Streams.batchIdProp("graft.text-index", streamId) ->
-              batchId.toString)
+          def stamp(m: graft.spec.TableMetadata): Map[String, String] =
+            Map(
+              "graft.text-index.source-snapshot-id" -> h.toString,
+              "graft.text-index.n-docs" ->
+                (m.properties("graft.text-index.n-docs").toLong + bDocs)
+                  .toString,
+              "graft.text-index.total-dl" ->
+                (m.properties("graft.text-index.total-dl").toLong + bDl)
+                  .toString,
+              Streams.batchIdProp("graft.text-index", streamId) ->
+                batchId.toString)
           indexRef =
-            if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
-            else indexRef.newTransaction().setProperties(stamp).commit()
+            if (!payload.isEmpty)
+              TableOps.appendComputed(indexRef, payload, stamp)
+            else indexRef.newTransaction()
+              .setProperties(stamp(indexRef.metadata)).commit()
         }
       } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
@@ -409,19 +416,22 @@ object Streams {
         // append (atomic: the total can never advance without its
         // deltas); a no-word batch still stamps property-only — the
         // sink head moved and a later procedure chain must not
-        // re-deliver those documents
-        val props = modelRef.metadata.properties
+        // re-deliver those documents. The additive total recomputes
+        // from refreshed metadata per CAS attempt (appendComputed).
         sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          val stamp = Map(
-            "graft.tok-model.source-snapshot-id" -> h.toString,
-            "graft.tok-model.total-cnt" ->
-              (props("graft.tok-model.total-cnt").toLong + dTotal)
-                .toString,
-            Streams.batchIdProp("graft.tok-model", streamId) ->
-              batchId.toString)
+          def stamp(m: graft.spec.TableMetadata): Map[String, String] =
+            Map(
+              "graft.tok-model.source-snapshot-id" -> h.toString,
+              "graft.tok-model.total-cnt" ->
+                (m.properties("graft.tok-model.total-cnt").toLong +
+                  dTotal).toString,
+              Streams.batchIdProp("graft.tok-model", streamId) ->
+                batchId.toString)
           modelRef =
-            if (dTotal > 0L) TableOps.append(modelRef, deltas, stamp)
-            else modelRef.newTransaction().setProperties(stamp).commit()
+            if (dTotal > 0L)
+              TableOps.appendComputed(modelRef, deltas, stamp)
+            else modelRef.newTransaction()
+              .setProperties(stamp(modelRef.metadata)).commit()
         }
       } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
@@ -477,19 +487,22 @@ object Streams {
         // total + snapshot stamp + batch watermark ride the delta
         // append (atomic); a no-token batch still stamps property-only
         // — the sink head moved and a later procedure chain must not
-        // re-deliver those documents
-        val props = modelRef.metadata.properties
+        // re-deliver those documents. The additive total recomputes
+        // from refreshed metadata per CAS attempt (appendComputed).
         sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          val stamp = Map(
-            "graft.lm-model.source-snapshot-id" -> h.toString,
-            "graft.lm-model.total-tokens" ->
-              (props("graft.lm-model.total-tokens").toLong + dTotal)
-                .toString,
-            Streams.batchIdProp("graft.lm-model", streamId) ->
-              batchId.toString)
+          def stamp(m: graft.spec.TableMetadata): Map[String, String] =
+            Map(
+              "graft.lm-model.source-snapshot-id" -> h.toString,
+              "graft.lm-model.total-tokens" ->
+                (m.properties("graft.lm-model.total-tokens").toLong +
+                  dTotal).toString,
+              Streams.batchIdProp("graft.lm-model", streamId) ->
+                batchId.toString)
           modelRef =
-            if (hasDeltas) TableOps.append(modelRef, deltas, stamp)
-            else modelRef.newTransaction().setProperties(stamp).commit()
+            if (hasDeltas)
+              TableOps.appendComputed(modelRef, deltas, stamp)
+            else modelRef.newTransaction()
+              .setProperties(stamp(modelRef.metadata)).commit()
         }
       } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
@@ -550,22 +563,25 @@ object Streams {
         // totals + snapshot stamp + batch watermark ride the delta
         // append (atomic); a no-token batch still stamps property-only
         // — the sink head moved and a later procedure chain must not
-        // re-deliver those documents
-        val props = modelRef.metadata.properties
+        // re-deliver those documents. The additive totals recompute
+        // from refreshed metadata per CAS attempt (appendComputed).
         sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          val stamp = Map(
-            "graft.clf-model.source-snapshot-id" -> h.toString,
-            "graft.clf-model.pos-tokens" ->
-              (props("graft.clf-model.pos-tokens").toLong + tot(0))
-                .toString,
-            "graft.clf-model.neg-tokens" ->
-              (props("graft.clf-model.neg-tokens").toLong + tot(1))
-                .toString,
-            Streams.batchIdProp("graft.clf-model", streamId) ->
-              batchId.toString)
+          def stamp(m: graft.spec.TableMetadata): Map[String, String] =
+            Map(
+              "graft.clf-model.source-snapshot-id" -> h.toString,
+              "graft.clf-model.pos-tokens" ->
+                (m.properties("graft.clf-model.pos-tokens").toLong +
+                  tot(0)).toString,
+              "graft.clf-model.neg-tokens" ->
+                (m.properties("graft.clf-model.neg-tokens").toLong +
+                  tot(1)).toString,
+              Streams.batchIdProp("graft.clf-model", streamId) ->
+                batchId.toString)
           modelRef =
-            if (hasDeltas) TableOps.append(modelRef, deltas, stamp)
-            else modelRef.newTransaction().setProperties(stamp).commit()
+            if (hasDeltas)
+              TableOps.appendComputed(modelRef, deltas, stamp)
+            else modelRef.newTransaction()
+              .setProperties(stamp(modelRef.metadata)).commit()
         }
       } catch { case t: Throwable => gate.abort(batchId); throw t }
     }

@@ -115,10 +115,25 @@ class Table(
     * `errors.go:95-123`). */
   def commitSnapshot(pending: PendingSnapshot,
       retries: Int = Table.MaxRetries,
-      extraProps: Map[String, String] = Map.empty): Table = {
+      extraProps: Map[String, String] = Map.empty): Table =
+    commitSnapshotComputed(pending, retries, _ => extraProps)
+
+  /** [[commitSnapshot]] with the extra properties RECOMPUTED from the
+    * refreshed metadata on every attempt. This is the CAS loop for
+    * read-modify-write property arithmetic: a caller whose stamps are
+    * derived from the table's current properties (the streaming sinks'
+    * additive n-docs / total-dl / token totals) must not re-apply a
+    * STALE precomputed map after a conflict retry — the concurrent
+    * commit that caused the conflict may have advanced the very
+    * property being incremented, and overwriting it with the stale
+    * arithmetic silently loses that increment. */
+  def commitSnapshotComputed(pending: PendingSnapshot,
+      retries: Int = Table.MaxRetries,
+      extraPropsFn: TableMetadata => Map[String, String]): Table = {
     var attempt = 0
     var meta = metadata
     while (true) {
+      val extraProps = extraPropsFn(meta)
       // `meta` is positioned at the target branch head, so the parent
       // chain, carried-forward manifests, and rebase validation all
       // follow the branch, not main.

@@ -736,6 +736,18 @@ object TableOps {
       addedDataFiles = files), extraProps = props)
   }
 
+  /** [[append]] with properties recomputed from refreshed metadata on
+    * every conflict-retry attempt ([[Table.commitSnapshotComputed]]) —
+    * the shape for read-modify-write stamp arithmetic (the streaming
+    * sinks' additive corpus stats), which a stale precomputed map
+    * would silently corrupt under concurrent writers. */
+  def appendComputed(table: Table, df: DataFrame,
+      propsFn: TableMetadata => Map[String, String]): Table = {
+    val files = PartitionedWriter.writeDataFiles(table.metadata, df)
+    table.commitSnapshotComputed(PendingSnapshot(Operation.Append,
+      addedDataFiles = files), extraPropsFn = propsFn)
+  }
+
   /** Register EXISTING parquet files as table data — Iceberg's
     * `add_files` import (the migration path the reference's catalog
     * layer implies but never ships: its writer always copies rows,

@@ -149,6 +149,29 @@ class PartitionedWriteSpec extends AnyFunSuite {
     assert(t1.metadata.snapshots.size == t0.metadata.snapshots.size + 1)
     assert(Scan(t1, spark).toDF.count() == 5)
   }
+
+  test("appendComputed recomputes read-modify-write props on a " +
+      "conflict retry (concurrent-writer CAS)") {
+    var t = freshTable("casprops", PartitionSpec.unpartitioned)
+    t = t.newTransaction()
+      .setProperties(Map("graft.test.cnt" -> "10")).commit()
+    // STALE handle A reads cnt = 10
+    val a = Table.load(t.catalog, t.id, t.io)
+    // writer B lands an append that moves the ref AND sets cnt = 25
+    TableOps.append(t.refresh(), usersDf(1 to 3, _ => 19800),
+      props = Map("graft.test.cnt" -> "25"))
+    // A increments by 5 FROM WHATEVER IS CURRENT: its first attempt
+    // CAS-fails (B moved the ref) and the retry must recompute from
+    // the refreshed metadata — a stale precomputed map would commit
+    // 15 and silently erase B's update
+    val committed = TableOps.appendComputed(a,
+      usersDf(4 to 6, _ => 19800),
+      m => Map("graft.test.cnt" ->
+        (m.properties("graft.test.cnt").toLong + 5).toString))
+    assert(committed.metadata.properties("graft.test.cnt") == "30",
+      s"lost update: ${committed.metadata.properties("graft.test.cnt")}")
+    assert(Scan(committed, spark).toDF.count() == 6)
+  }
 }
 
 class DeleteFileWriterSpec extends AnyFunSuite {
