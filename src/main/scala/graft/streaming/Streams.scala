@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.table.{PendingSnapshot, PartitionedWriter, Table, TableOps}
-import graft.spec.Operation
+import graft.spec.{Operation, TableMetadata}
 
 /** Structured Streaming surface (engine capability beyond the
   * reference, whose closest analog is BulkWriter micro-batching —
@@ -97,6 +97,130 @@ object Streams {
     private var prev: Long = stamped
   }
 
+  /** Resolve a `source-snapshot-id` anchor against CONCURRENT writer
+    * streams on one index: a stamp must never move the anchor
+    * BACKWARDS along the sink table's commit order, so the head `ours`
+    * observed by this writer only wins over the currently-stamped
+    * anchor when it is the NEWER sink commit (higher sequence number
+    * in `sinkMeta`). A stamped anchor absent from our sink view can
+    * only be a snapshot committed AFTER our handle's refresh
+    * (snapshots enter the log in commit order; expiring a
+    * just-stamped head while its writer stream is live is outside the
+    * maintenance contract), so it is kept as the newer one. Evaluated
+    * inside the computed-stamp CAS loop, so a stamp that raced a
+    * concurrent writer re-resolves against that writer's anchor on
+    * the retry — two concurrent writer streams can no longer stamp
+    * the anchor out of commit order (previously a documented
+    * one-writer-per-index operational rule). */
+  private[streaming] def resolveSourceAnchor(indexMeta: TableMetadata,
+      anchorProp: String, ours: Long, sinkMeta: TableMetadata): Long =
+    indexMeta.properties.get(anchorProp).map(_.toLong) match {
+      case None => ours
+      case Some(s) if s == ours => ours
+      case Some(s) =>
+        (sinkMeta.snapshotById(s), sinkMeta.snapshotById(ours)) match {
+          case (Some(ss), Some(os)) =>
+            if (ss.sequenceNumber > os.sequenceNumber) s else ours
+          case (None, _) => s
+          case _ => ours
+        }
+    }
+
+  /** Shared micro-batch core of the seven ingest sinks below: admit
+    * the batch through the replay [[BatchGate]], pin it with
+    * `localCheckpoint` (the emptiness probe, the corpus append, and
+    * the payload build must all see the SAME data — the source must
+    * not re-execute), run the sink-specific body, and revert the
+    * gate's optimistic watermark advance when the body throws. Every
+    * gate/stamp/commit fix lands HERE once instead of seven times
+    * (the r19 exactly-once commit fold had to touch seven
+    * near-identical copies — the duplication this base retires). */
+  private[streaming] abstract class MicroBatchSink(
+      protected val propNs: String, protected val streamId: String,
+      what: String, initialIndex: Table) extends Serializable {
+    @volatile protected var indexRef: Table = initialIndex
+    private val gate = new BatchGate(
+      stampedBatchId(initialIndex, propNs, streamId), streamId, what)
+
+    /** Sink-specific body, called with the PINNED, non-empty batch. */
+    protected def runBatch(batch: DataFrame, batchId: Long): Unit
+
+    /** The foreachBatch function. */
+    final def addBatch(batch0: DataFrame, batchId: Long): Unit =
+      synchronized {
+        if (!gate.admit(batchId)) return
+        if (batch0.isEmpty) return
+        try runBatch(batch0.localCheckpoint(true), batchId)
+        catch { case t: Throwable => gate.abort(batchId); throw t }
+      }
+
+    /** Index/model payload commit: the payload rides the SAME commit
+      * as the computed stamp (atomic — that batch can never
+      * double-deliver into the index), with the stamp map recomputed
+      * from refreshed metadata on every CAS attempt so concurrent
+      * writers' increments survive conflict retries. */
+    protected final def commitPayload(payload: DataFrame,
+        stamp: TableMetadata => Map[String, String]): Unit =
+      indexRef = TableOps.appendComputed(indexRef, payload, stamp)
+
+    /** No-payload batches stamp property-only — through
+      * [[TableOps.stampComputed]]'s empty-snapshot commit, whose
+      * branch-ref assertion serializes the stamp against EVERY
+      * concurrent commit (a bare property transaction would re-apply
+      * stale read-modify-write arithmetic on retry and silently lose
+      * a concurrent writer's increment, even at zero local delta). */
+    protected final def stampIndex(
+        stamp: TableMetadata => Map[String, String]): Unit =
+      indexRef = TableOps.stampComputed(indexRef, stamp)
+
+    protected final def batchStamp(batchId: Long): (String, String) =
+      batchIdProp(propNs, streamId) -> batchId.toString
+  }
+
+  /** [[MicroBatchSink]] body shared by the six index/model INGEST
+    * sinks: append the pinned batch to the corpus (sink) table, build
+    * the per-sink index payload plus its additive stamp arithmetic,
+    * and commit the index with the `source-snapshot-id` anchor and
+    * batch watermark riding the payload append. Additive properties
+    * (corpus stats, token totals) recompute from refreshed metadata on
+    * every CAS attempt, and the anchor resolves by sink commit order
+    * ([[Streams.resolveSourceAnchor]]) in that same loop. */
+  private[streaming] abstract class AnchoredIngestSink(propNs0: String,
+      what: String, initialSink: Table, initialIndex: Table,
+      streamId0: String)
+      extends MicroBatchSink(propNs0, streamId0, what, initialIndex) {
+    @volatile protected var sinkRef: Table = initialSink
+
+    /** Per-sink payload build from the pinned batch: returns the index
+      * payload, whether it is non-empty (the probe is per-sink — e.g.
+      * the tokenizer ledger keys on its delta total), and the additive
+      * property arithmetic to recompute per CAS attempt. */
+    protected def prepare(batch: DataFrame):
+        (DataFrame, Boolean, TableMetadata => Map[String, String])
+
+    protected final def runBatch(batch: DataFrame,
+        batchId: Long): Unit = {
+      sinkRef = TableOps.append(sinkRef, batch)
+      val (payload, hasPayload, additive) = prepare(batch)
+      // a no-payload batch (all-NULL texts, wrong-dim vectors, no
+      // tokens) still stamps: the sink head moved and a later
+      // procedure chain must not re-deliver those corpus rows
+      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+        val anchorProp = s"$propNs.source-snapshot-id"
+        def stamp(m: TableMetadata): Map[String, String] =
+          additive(m) +
+            (anchorProp -> resolveSourceAnchor(m, anchorProp, h,
+              sinkRef.metadata).toString) +
+            batchStamp(batchId)
+        if (hasPayload) commitPayload(payload, stamp)
+        else stampIndex(stamp)
+      }
+    }
+
+    def sink: Table = sinkRef
+    def index: Table = indexRef
+  }
+
   /** Iceberg sink for `writeStream.foreachBatch`: each micro-batch
     * commits one append snapshot (exactly the one-snapshot-per-batch
     * shape of the reference's BulkWriter, made transactional). The
@@ -149,7 +273,8 @@ object Streams {
       textCol: String = "text", idCol: String = "doc_id",
       minhash: Boolean = false, threshold: Double = 0.8,
       numHashes: Int = 64, streamId: String = "")
-      extends Serializable {
+      extends MicroBatchSink("graft.dedup-index", streamId,
+        "IndexedDedupSink", initialIndex) {
     // a build_dedup_index table stamps its config; a sink constructed
     // with a DIFFERENT width/column set would band mixed-width
     // signatures into the shared index — silent corruption the batch
@@ -167,46 +292,62 @@ object Streams {
             "configs would silently corrupt the shared index")
       }
     @volatile private var sinkRef: Table = initialSink
-    @volatile private var indexRef: Table = initialIndex
-    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
-      initialIndex, "graft.dedup-index", streamId), streamId,
-      "IndexedDedupSink")
 
-    /** The foreachBatch function. */
-    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (!gate.admit(batchId)) return
-      if (batch0.isEmpty) return
-      try {
-        val spark = batch0.sparkSession
-        // pin the micro-batch: removals, the sink append, and the
-        // signature append each read it — the source must not
-        // re-execute
-        val batch = batch0.localCheckpoint(true)
-        val idxDf = graft.table.Scan(indexRef, spark).toDF
-        val removals = (if (minhash)
-          graft.ops.Dedup.indexedMinhashRemovals(batch, idxDf, textCol,
-            idCol, numHashes, threshold = threshold)
-        else graft.ops.Dedup.indexedExactRemovals(batch, idxDf, textCol,
-          idCol)).localCheckpoint(true)
-        val survivors = batch.join(removals, Seq(idCol), "left_anti")
-        // the batch watermark rides the signature append (atomic: a
-        // restarted handle can never double-deliver these signatures);
-        // an all-duplicate batch stamps property-only (see
-        // stampedBatchId)
-        val stamp = Map(
-          Streams.batchIdProp("graft.dedup-index", streamId) ->
-            batchId.toString)
-        if (!survivors.isEmpty) {
-          sinkRef = TableOps.append(sinkRef, survivors)
-          indexRef = TableOps.append(indexRef,
-            graft.ops.Dedup.signatureFrame(survivors, textCol, idCol,
-              numHashes), props = stamp)
-        } else {
-          indexRef = indexRef.newTransaction().setProperties(stamp)
-            .commit()
-        }
-      } catch { case t: Throwable => gate.abort(batchId); throw t }
-    }
+    /** Heal record for the abort-driven in-process retry: the pinned
+      * survivors of a batch whose SINK append committed but whose
+      * signature commit threw. Without it, the retried batch would
+      * recompute removals against an index that never saw those
+      * signatures, re-append the same survivors to the sink (double
+      * delivery), and leave sink and index permanently diverged. On
+      * re-delivery of exactly that batch the sink append is SKIPPED
+      * and only the recorded survivors' signatures + stamp are
+      * committed, converging both tables; a DIFFERENT batch arriving
+      * while the record is pending is refused loudly (the failed
+      * batch was never re-delivered — proceeding would bake the
+      * divergence in). Same-process only: a process crash drops the
+      * record, and the corpus-side crash window documented on
+      * [[Streams.stampedBatchId]] applies as before. */
+    private var pendingSig: Option[(Long, DataFrame)] = None
+
+    protected def runBatch(batch: DataFrame, batchId: Long): Unit =
+      pendingSig match {
+        case Some((pid, survivors)) if pid == batchId =>
+          commitSignatures(survivors, batchId)
+          pendingSig = None
+        case Some((pid, _)) =>
+          throw new IllegalStateException("IndexedDedupSink: batch " +
+            s"$pid's sink append committed but its signature commit " +
+            s"failed, and batch $batchId arrived instead of its " +
+            s"re-delivery — restart the query from its checkpoint so " +
+            s"batch $pid is re-delivered and the index converges with " +
+            "the sink")
+        case None =>
+          val idxDf = graft.table.Scan(indexRef, batch.sparkSession).toDF
+          val removals = (if (minhash)
+            graft.ops.Dedup.indexedMinhashRemovals(batch, idxDf, textCol,
+              idCol, numHashes, threshold = threshold)
+          else graft.ops.Dedup.indexedExactRemovals(batch, idxDf, textCol,
+            idCol)).localCheckpoint(true)
+          val survivors = batch.join(removals, Seq(idCol), "left_anti")
+          // the batch watermark rides the signature append (atomic: a
+          // restarted handle can never double-deliver these
+          // signatures); an all-duplicate batch stamps property-only
+          // (see stampedBatchId)
+          if (!survivors.isEmpty) {
+            // pin the survivors: the sink append, the heal record, and
+            // the signature build must agree exactly
+            val pinned = survivors.localCheckpoint(true)
+            sinkRef = TableOps.append(sinkRef, pinned)
+            pendingSig = Some((batchId, pinned))
+            commitSignatures(pinned, batchId)
+            pendingSig = None
+          } else stampIndex(_ => Map(batchStamp(batchId)))
+      }
+
+    private def commitSignatures(survivors: DataFrame,
+        batchId: Long): Unit =
+      commitPayload(graft.ops.Dedup.signatureFrame(survivors, textCol,
+        idCol, numHashes), _ => Map(batchStamp(batchId)))
 
     def sink: Table = sinkRef
     def index: Table = indexRef
@@ -237,53 +378,30 @@ object Streams {
     * via the stamped last-batch-id ([[Streams.stampedBatchId]]). */
   final class AnnIndexIngestSink(initialSink: Table, initialIndex: Table,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      streamId: String = "") extends Serializable {
-    private val props = initialIndex.metadata.properties
+      streamId: String = "")
+      extends AnchoredIngestSink("graft.ann-index", "AnnIndexIngestSink",
+        initialSink, initialIndex, streamId) {
     private val centroids = graft.ops.Similarity.centroidsFromJson(
-      props.getOrElse("graft.ann-index.centroids",
+      initialIndex.metadata.properties.getOrElse(
+        "graft.ann-index.centroids",
         throw new IllegalArgumentException("AnnIndexIngestSink: " +
           "index has no centroids property — not a build_ann_index " +
           "table")))
-    private val dim = props("graft.ann-index.dim").toInt
-    @volatile private var sinkRef: Table = initialSink
-    @volatile private var indexRef: Table = initialIndex
-    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
-      initialIndex, "graft.ann-index", streamId), streamId,
-      "AnnIndexIngestSink")
+    private val dim =
+      initialIndex.metadata.properties("graft.ann-index.dim").toInt
 
-    /** The foreachBatch function. */
-    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (!gate.admit(batchId)) return
-      if (batch0.isEmpty) return
-      try {
-        // pin the micro-batch: the corpus append and the assignment
-        // each read it — the source must not re-execute
-        val batch = batch0.localCheckpoint(true)
-        sinkRef = TableOps.append(sinkRef, batch)
-        val payload = batch.where(size(col(vecCol)) === dim)
-          .select(col(idCol),
-            graft.ops.Similarity.nearestCell(col(vecCol), centroids)
-              .as("cell"),
-            graft.ops.Similarity.l2norm(col(vecCol)).as("norm"),
-            col(vecCol))
-        // the snapshot stamp + batch watermark ride the payload append
-        // (atomic); a wrong-dim-only batch still stamps property-only —
-        // those rows are in the corpus now, and a later procedure chain
-        // must not re-deliver them
-        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          val stamp = Map(
-            "graft.ann-index.source-snapshot-id" -> h.toString,
-            Streams.batchIdProp("graft.ann-index", streamId) ->
-              batchId.toString)
-          indexRef =
-            if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
-            else indexRef.newTransaction().setProperties(stamp).commit()
-        }
-      } catch { case t: Throwable => gate.abort(batchId); throw t }
+    /** Frozen-centroid cell assignment; wrong-dim rows land in the
+      * corpus but not the index (the full-build contract). */
+    protected def prepare(batch: DataFrame): (DataFrame, Boolean,
+        TableMetadata => Map[String, String]) = {
+      val payload = batch.where(size(col(vecCol)) === dim)
+        .select(col(idCol),
+          graft.ops.Similarity.nearestCell(col(vecCol), centroids)
+            .as("cell"),
+          graft.ops.Similarity.l2norm(col(vecCol)).as("norm"),
+          col(vecCol))
+      (payload, !payload.isEmpty, _ => Map.empty)
     }
-
-    def sink: Table = sinkRef
-    def index: Table = indexRef
   }
 
   def annIndexIngestSink(sink: Table, index: Table,
@@ -310,62 +428,33 @@ object Streams {
   final class TextIndexIngestSink(initialSink: Table,
       initialIndex: Table, textCol: String = "text",
       idCol: String = "doc_id", streamId: String = "")
-      extends Serializable {
+      extends AnchoredIngestSink("graft.text-index",
+        "TextIndexIngestSink", initialSink, initialIndex, streamId) {
     private val numBuckets = initialIndex.metadata.properties.getOrElse(
       "graft.text-index.num-buckets",
       throw new IllegalArgumentException("TextIndexIngestSink: index " +
         "has no num-buckets property — not a build_text_index table"))
       .toInt
-    @volatile private var sinkRef: Table = initialSink
-    @volatile private var indexRef: Table = initialIndex
-    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
-      initialIndex, "graft.text-index", streamId), streamId,
-      "TextIndexIngestSink")
 
-    /** The foreachBatch function. */
-    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (!gate.admit(batchId)) return
-      if (batch0.isEmpty) return
-      try {
-        val batch = batch0.localCheckpoint(true)
-        sinkRef = TableOps.append(sinkRef, batch)
-        val payload = graft.ops.Retrieval.postings(batch, textCol, idCol)
-          .withColumn("tbucket", graft.functions.IcebergFunctions
-            .icebergBucket(col("term"), numBuckets))
-        val (bDocs, bDl) =
-          graft.ops.Retrieval.corpusStats(batch, textCol)
-        // stats + snapshot stamp + batch watermark ride the postings
-        // append (atomic: the stats can never advance without their
-        // postings or vice versa); a NULL-text-only batch still stamps
-        // property-only — those docs are corpus members and count
-        // toward n_docs, and a later procedure chain must not
-        // re-deliver them. The additive stats are READ-MODIFY-WRITE:
-        // they recompute from refreshed metadata on every CAS attempt
-        // (appendComputed), so a concurrent stream's increment is
-        // never overwritten by this batch's stale arithmetic.
-        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          def stamp(m: graft.spec.TableMetadata): Map[String, String] =
-            Map(
-              "graft.text-index.source-snapshot-id" -> h.toString,
-              "graft.text-index.n-docs" ->
-                (m.properties("graft.text-index.n-docs").toLong + bDocs)
-                  .toString,
-              "graft.text-index.total-dl" ->
-                (m.properties("graft.text-index.total-dl").toLong + bDl)
-                  .toString,
-              Streams.batchIdProp("graft.text-index", streamId) ->
-                batchId.toString)
-          indexRef =
-            if (!payload.isEmpty)
-              TableOps.appendComputed(indexRef, payload, stamp)
-            else indexRef.newTransaction()
-              .setProperties(stamp(indexRef.metadata)).commit()
-        }
-      } catch { case t: Throwable => gate.abort(batchId); throw t }
+    /** Term-bucketed postings; the additive corpus stats (n-docs /
+      * total-dl, exact long arithmetic) recompute per CAS attempt so a
+      * concurrent stream's increment is never overwritten by this
+      * batch's stale arithmetic. NULL-text docs count toward n-docs
+      * and produce no postings (the build contract). */
+    protected def prepare(batch: DataFrame): (DataFrame, Boolean,
+        TableMetadata => Map[String, String]) = {
+      val payload = graft.ops.Retrieval.postings(batch, textCol, idCol)
+        .withColumn("tbucket", graft.functions.IcebergFunctions
+          .icebergBucket(col("term"), numBuckets))
+      val (bDocs, bDl) = graft.ops.Retrieval.corpusStats(batch, textCol)
+      (payload, !payload.isEmpty, m => Map(
+        "graft.text-index.n-docs" ->
+          (m.properties("graft.text-index.n-docs").toLong + bDocs)
+            .toString,
+        "graft.text-index.total-dl" ->
+          (m.properties("graft.text-index.total-dl").toLong + bDl)
+            .toString))
     }
-
-    def sink: Table = sinkRef
-    def index: Table = indexRef
   }
 
   def textIndexIngestSink(sink: Table, index: Table,
@@ -387,57 +476,34 @@ object Streams {
     * last-batch-id ([[Streams.stampedBatchId]]). */
   final class TokenizerLedgerIngestSink(initialSink: Table,
       initialModel: Table, textCol: String = "text",
-      streamId: String = "") extends Serializable {
+      streamId: String = "")
+      extends AnchoredIngestSink("graft.tok-model",
+        "TokenizerLedgerIngestSink", initialSink, initialModel,
+        streamId) {
     private val maxPieceLen = initialModel.metadata.properties
       .getOrElse("graft.tok-model.max-piece-len",
         throw new IllegalArgumentException("TokenizerLedgerIngestSink" +
           ": table has no max-piece-len property — not a " +
           "train_tokenizer model table")).toInt
-    @volatile private var sinkRef: Table = initialSink
-    @volatile private var modelRef: Table = initialModel
-    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
-      initialModel, "graft.tok-model", streamId), streamId,
-      "TokenizerLedgerIngestSink")
 
-    /** The foreachBatch function. */
-    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (!gate.admit(batchId)) return
-      if (batch0.isEmpty) return
-      try {
-        val batch = batch0.localCheckpoint(true)
-        sinkRef = TableOps.append(sinkRef, batch)
-        val deltas = graft.ops.Unigram.pieceCounts(
-          graft.ops.Bpe.wordCounts(batch, textCol), maxPieceLen)
-          .localCheckpoint(true)
-        val dTotal = Option(deltas.agg(
-            org.apache.spark.sql.functions.sum("cnt")).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        // total + snapshot stamp + batch watermark ride the delta
-        // append (atomic: the total can never advance without its
-        // deltas); a no-word batch still stamps property-only — the
-        // sink head moved and a later procedure chain must not
-        // re-deliver those documents. The additive total recomputes
-        // from refreshed metadata per CAS attempt (appendComputed).
-        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          def stamp(m: graft.spec.TableMetadata): Map[String, String] =
-            Map(
-              "graft.tok-model.source-snapshot-id" -> h.toString,
-              "graft.tok-model.total-cnt" ->
-                (m.properties("graft.tok-model.total-cnt").toLong +
-                  dTotal).toString,
-              Streams.batchIdProp("graft.tok-model", streamId) ->
-                batchId.toString)
-          modelRef =
-            if (dTotal > 0L)
-              TableOps.appendComputed(modelRef, deltas, stamp)
-            else modelRef.newTransaction()
-              .setProperties(stamp(modelRef.metadata)).commit()
-        }
-      } catch { case t: Throwable => gate.abort(batchId); throw t }
+    /** Piece-count deltas; the additive total (exact long arithmetic)
+      * recomputes per CAS attempt. The payload probe keys on the delta
+      * total: a no-word batch stamps property-only. */
+    protected def prepare(batch: DataFrame): (DataFrame, Boolean,
+        TableMetadata => Map[String, String]) = {
+      val deltas = graft.ops.Unigram.pieceCounts(
+        graft.ops.Bpe.wordCounts(batch, textCol), maxPieceLen)
+        .localCheckpoint(true)
+      val dTotal = Option(deltas.agg(
+          org.apache.spark.sql.functions.sum("cnt")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      (deltas, dTotal > 0L, m => Map(
+        "graft.tok-model.total-cnt" ->
+          (m.properties("graft.tok-model.total-cnt").toLong + dTotal)
+            .toString))
     }
 
-    def sink: Table = sinkRef
-    def model: Table = modelRef
+    def model: Table = indexRef
   }
 
   def tokenizerLedgerIngestSink(sink: Table, model: Table,
@@ -460,55 +526,30 @@ object Streams {
     * ([[Streams.stampedBatchId]]). */
   final class LmLedgerIngestSink(initialSink: Table,
       initialModel: Table, textCol: String = "text",
-      streamId: String = "") extends Serializable {
+      streamId: String = "")
+      extends AnchoredIngestSink("graft.lm-model", "LmLedgerIngestSink",
+        initialSink, initialModel, streamId) {
     if (!initialModel.metadata.properties.contains(
         "graft.lm-model.total-tokens"))
       throw new IllegalArgumentException("LmLedgerIngestSink: table " +
         "has no total-tokens property — not a train_lm model table")
-    @volatile private var sinkRef: Table = initialSink
-    @volatile private var modelRef: Table = initialModel
-    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
-      initialModel, "graft.lm-model", streamId), streamId,
-      "LmLedgerIngestSink")
 
-    /** The foreachBatch function. */
-    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (!gate.admit(batchId)) return
-      if (batch0.isEmpty) return
-      try {
-        val batch = batch0.localCheckpoint(true)
-        sinkRef = TableOps.append(sinkRef, batch)
-        val deltas = graft.ops.LangModel.gramCounts(batch, textCol)
-          .localCheckpoint(true)
-        val dTotal = Option(deltas.where(col("n") === 1)
-            .agg(org.apache.spark.sql.functions.sum("cnt")).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val hasDeltas = !deltas.isEmpty
-        // total + snapshot stamp + batch watermark ride the delta
-        // append (atomic); a no-token batch still stamps property-only
-        // — the sink head moved and a later procedure chain must not
-        // re-deliver those documents. The additive total recomputes
-        // from refreshed metadata per CAS attempt (appendComputed).
-        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          def stamp(m: graft.spec.TableMetadata): Map[String, String] =
-            Map(
-              "graft.lm-model.source-snapshot-id" -> h.toString,
-              "graft.lm-model.total-tokens" ->
-                (m.properties("graft.lm-model.total-tokens").toLong +
-                  dTotal).toString,
-              Streams.batchIdProp("graft.lm-model", streamId) ->
-                batchId.toString)
-          modelRef =
-            if (hasDeltas)
-              TableOps.appendComputed(modelRef, deltas, stamp)
-            else modelRef.newTransaction()
-              .setProperties(stamp(modelRef.metadata)).commit()
-        }
-      } catch { case t: Throwable => gate.abort(batchId); throw t }
+    /** Gram-count deltas; the additive token total (unigram rows only,
+      * exact long arithmetic) recomputes per CAS attempt. */
+    protected def prepare(batch: DataFrame): (DataFrame, Boolean,
+        TableMetadata => Map[String, String]) = {
+      val deltas = graft.ops.LangModel.gramCounts(batch, textCol)
+        .localCheckpoint(true)
+      val dTotal = Option(deltas.where(col("n") === 1)
+          .agg(org.apache.spark.sql.functions.sum("cnt")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      (deltas, !deltas.isEmpty, m => Map(
+        "graft.lm-model.total-tokens" ->
+          (m.properties("graft.lm-model.total-tokens").toLong + dTotal)
+            .toString))
     }
 
-    def sink: Table = sinkRef
-    def model: Table = modelRef
+    def model: Table = indexRef
   }
 
   def lmLedgerIngestSink(sink: Table, model: Table,
@@ -532,62 +573,40 @@ object Streams {
     * last-batch-id ([[Streams.stampedBatchId]]). */
   final class ClassifierLedgerIngestSink(initialSink: Table,
       initialModel: Table, textCol: String = "text",
-      streamId: String = "") extends Serializable {
+      streamId: String = "")
+      extends AnchoredIngestSink("graft.clf-model",
+        "ClassifierLedgerIngestSink", initialSink, initialModel,
+        streamId) {
     private val labelPred = initialModel.metadata.properties
       .getOrElse("graft.clf-model.label-pred",
         throw new IllegalArgumentException("ClassifierLedgerIngestSink" +
           ": table has no label-pred property — not a " +
           "train_classifier model table"))
-    @volatile private var sinkRef: Table = initialSink
-    @volatile private var modelRef: Table = initialModel
-    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
-      initialModel, "graft.clf-model", streamId), streamId,
-      "ClassifierLedgerIngestSink")
 
-    /** The foreachBatch function. */
-    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (!gate.admit(batchId)) return
-      if (batch0.isEmpty) return
-      try {
-        val batch = batch0.localCheckpoint(true)
-        sinkRef = TableOps.append(sinkRef, batch)
-        val deltas = graft.ops.Classifier.labelCounts(batch,
-            expr(labelPred), textCol)
-          .localCheckpoint(true)
-        val tots = deltas.agg(
-          org.apache.spark.sql.functions.sum("p_cnt"),
-          org.apache.spark.sql.functions.sum("n_cnt")).head
-        def tot(i: Int): Long = if (tots.isNullAt(i)) 0L
-          else tots.getLong(i)
-        val hasDeltas = !deltas.isEmpty
-        // totals + snapshot stamp + batch watermark ride the delta
-        // append (atomic); a no-token batch still stamps property-only
-        // — the sink head moved and a later procedure chain must not
-        // re-deliver those documents. The additive totals recompute
-        // from refreshed metadata per CAS attempt (appendComputed).
-        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          def stamp(m: graft.spec.TableMetadata): Map[String, String] =
-            Map(
-              "graft.clf-model.source-snapshot-id" -> h.toString,
-              "graft.clf-model.pos-tokens" ->
-                (m.properties("graft.clf-model.pos-tokens").toLong +
-                  tot(0)).toString,
-              "graft.clf-model.neg-tokens" ->
-                (m.properties("graft.clf-model.neg-tokens").toLong +
-                  tot(1)).toString,
-              Streams.batchIdProp("graft.clf-model", streamId) ->
-                batchId.toString)
-          modelRef =
-            if (hasDeltas)
-              TableOps.appendComputed(modelRef, deltas, stamp)
-            else modelRef.newTransaction()
-              .setProperties(stamp(modelRef.metadata)).commit()
-        }
-      } catch { case t: Throwable => gate.abort(batchId); throw t }
+    /** Bucket-count deltas labeled with the model's STAMPED predicate;
+      * the additive pos/neg token totals (exact long arithmetic)
+      * recompute per CAS attempt. */
+    protected def prepare(batch: DataFrame): (DataFrame, Boolean,
+        TableMetadata => Map[String, String]) = {
+      val deltas = graft.ops.Classifier.labelCounts(batch,
+          expr(labelPred), textCol)
+        .localCheckpoint(true)
+      val tots = deltas.agg(
+        org.apache.spark.sql.functions.sum("p_cnt"),
+        org.apache.spark.sql.functions.sum("n_cnt")).head
+      def tot(i: Int): Long = if (tots.isNullAt(i)) 0L
+        else tots.getLong(i)
+      val (dPos, dNeg) = (tot(0), tot(1))
+      (deltas, !deltas.isEmpty, m => Map(
+        "graft.clf-model.pos-tokens" ->
+          (m.properties("graft.clf-model.pos-tokens").toLong + dPos)
+            .toString,
+        "graft.clf-model.neg-tokens" ->
+          (m.properties("graft.clf-model.neg-tokens").toLong + dNeg)
+            .toString))
     }
 
-    def sink: Table = sinkRef
-    def model: Table = modelRef
+    def model: Table = indexRef
   }
 
   def classifierLedgerIngestSink(sink: Table, model: Table,
@@ -611,46 +630,26 @@ object Streams {
     * ([[Streams.stampedBatchId]]). */
   final class PqIndexIngestSink(initialSink: Table, initialIndex: Table,
       vecCol: String = "embedding", idCol: String = "vec_id",
-      streamId: String = "") extends Serializable {
-    private val props = initialIndex.metadata.properties
+      streamId: String = "")
+      extends AnchoredIngestSink("graft.pq-index", "PqIndexIngestSink",
+        initialSink, initialIndex, streamId) {
     private val codebooks = graft.ops.Similarity.pqCodebooksFromJson(
-      props.getOrElse("graft.pq-index.codebooks",
+      initialIndex.metadata.properties.getOrElse(
+        "graft.pq-index.codebooks",
         throw new IllegalArgumentException("PqIndexIngestSink: index " +
           "has no codebooks property — not a build_pq_index table")),
-      props("graft.pq-index.ksub").toInt)
-    private val dim = props("graft.pq-index.dim").toInt
-    @volatile private var sinkRef: Table = initialSink
-    @volatile private var indexRef: Table = initialIndex
-    private val gate = new Streams.BatchGate(Streams.stampedBatchId(
-      initialIndex, "graft.pq-index", streamId), streamId,
-      "PqIndexIngestSink")
+      initialIndex.metadata.properties("graft.pq-index.ksub").toInt)
+    private val dim =
+      initialIndex.metadata.properties("graft.pq-index.dim").toInt
 
-    /** The foreachBatch function. */
-    def addBatch(batch0: DataFrame, batchId: Long): Unit = synchronized {
-      if (!gate.admit(batchId)) return
-      if (batch0.isEmpty) return
-      try {
-        val batch = batch0.localCheckpoint(true)
-        sinkRef = TableOps.append(sinkRef, batch)
-        val payload = graft.ops.Similarity.pqEncode(
-          batch.where(size(col(vecCol)) === dim), codebooks, vecCol,
-          idCol)
-        // snapshot stamp + batch watermark ride the codes append
-        // (atomic); a wrong-dim-only batch stamps property-only
-        sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
-          val stamp = Map(
-            "graft.pq-index.source-snapshot-id" -> h.toString,
-            Streams.batchIdProp("graft.pq-index", streamId) ->
-              batchId.toString)
-          indexRef =
-            if (!payload.isEmpty) TableOps.append(indexRef, payload, stamp)
-            else indexRef.newTransaction().setProperties(stamp).commit()
-        }
-      } catch { case t: Throwable => gate.abort(batchId); throw t }
+    /** Frozen-codebook encoding; wrong-dim rows land in the corpus but
+      * not the index (the full-build contract). */
+    protected def prepare(batch: DataFrame): (DataFrame, Boolean,
+        TableMetadata => Map[String, String]) = {
+      val payload = graft.ops.Similarity.pqEncode(
+        batch.where(size(col(vecCol)) === dim), codebooks, vecCol, idCol)
+      (payload, !payload.isEmpty, _ => Map.empty)
     }
-
-    def sink: Table = sinkRef
-    def index: Table = indexRef
   }
 
   def pqIndexIngestSink(sink: Table, index: Table,

@@ -748,6 +748,24 @@ object TableOps {
       addedDataFiles = files), extraPropsFn = propsFn)
   }
 
+  /** Property-only stamp with the map recomputed from refreshed
+    * metadata on every conflict-retry attempt — the metadata-only twin
+    * of [[appendComputed]]. Deliberately implemented as an EMPTY
+    * append snapshot through [[Table.commitSnapshotComputed]] rather
+    * than a bare property transaction: the snapshot commit's branch-ref
+    * assertion serializes it against EVERY concurrent commit —
+    * including other property-only stamps, which
+    * [[Transaction.commit]]'s requirement (a ref check that a pure
+    * property commit never trips) cannot see, so a bare transaction
+    * could re-apply stale read-modify-write arithmetic and silently
+    * lose a concurrent writer's increment even with zero local delta.
+    * Cost: one data-less snapshot in the history per stamp (no data
+    * manifests are rewritten; expiry reclaims them like any other). */
+  def stampComputed(table: Table,
+      propsFn: TableMetadata => Map[String, String]): Table =
+    table.commitSnapshotComputed(PendingSnapshot(Operation.Append),
+      extraPropsFn = propsFn)
+
   /** Register EXISTING parquet files as table data — Iceberg's
     * `add_files` import (the migration path the reference's catalog
     * layer implies but never ships: its writer always copies rows,

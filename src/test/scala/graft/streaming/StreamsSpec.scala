@@ -831,4 +831,171 @@ class StreamsSpec extends AnyFunSuite {
     // the stamped config itself is accepted
     Streams.indexedDedupSink(sinkT, idxT, numHashes = 128)
   }
+
+  test("resolveSourceAnchor keeps the anchor in sink commit order " +
+      "(two concurrent writer streams cannot regress it)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-anchor-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    var sinkT = Table.create(cat, TableIdentifier(Seq("db"), "corpus"),
+      Schema(0, Seq(NestedField(1, "doc_id", LongType, required = true))),
+      io = new HadoopFileIO())
+    sinkT = TableOps.append(sinkT, Seq(1L).toDF("doc_id"))
+    val h1 = sinkT.currentSnapshot.get.snapshotId
+    sinkT = TableOps.append(sinkT, Seq(2L).toDF("doc_id"))
+    val h2 = sinkT.currentSnapshot.get.snapshotId
+    val prop = "graft.ann-index.source-snapshot-id"
+    def idxMeta(stamp: Option[Long]): TableMetadata =
+      sinkT.metadata.copy(properties = stamp
+        .map(s => Map(prop -> s.toString)).getOrElse(Map.empty))
+    // no stamp yet: ours wins
+    assert(Streams.resolveSourceAnchor(idxMeta(None), prop, h1,
+      sinkT.metadata) == h1)
+    // ours is the newer sink commit: advance
+    assert(Streams.resolveSourceAnchor(idxMeta(Some(h1)), prop, h2,
+      sinkT.metadata) == h2)
+    // the STAMPED anchor is the newer sink commit (a concurrent
+    // writer's stamp landed first): ours must NOT regress it
+    assert(Streams.resolveSourceAnchor(idxMeta(Some(h2)), prop, h1,
+      sinkT.metadata) == h2)
+    // a stamped anchor our sink view has never seen can only have
+    // been committed after our refresh: treated as newer, kept
+    assert(Streams.resolveSourceAnchor(idxMeta(Some(999L)), prop, h2,
+      sinkT.metadata) == 999L)
+  }
+
+  test("two writer streams on one ANN index: anchors and batch " +
+      "watermarks converge across interleaved handles") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-twostream-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    val centroids: Seq[Array[Double]] =
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecSchema = Schema(0, Seq(
+      NestedField(1, "vec_id", LongType, required = true),
+      NestedField(2, "embedding",
+        ListType(3, FloatType, elementRequired = false),
+        required = false)))
+    val idxSchema = Schema(0, Seq(
+      NestedField(1, "vec_id", LongType, required = true),
+      NestedField(2, "cell", IntType, required = false),
+      NestedField(3, "norm", DoubleType, required = false),
+      NestedField(4, "embedding",
+        ListType(5, FloatType, elementRequired = false),
+        required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "vecs"),
+      vecSchema, io = io)
+    val idxT = Table.create(cat, TableIdentifier(Seq("db"), "idx"),
+      idxSchema, properties = Map(
+        "graft.ann-index.centroids" ->
+          graft.ops.Similarity.centroidsToJson(centroids),
+        "graft.ann-index.dim" -> "2"), io = io)
+    def vecs(ids: Long*) =
+      ids.map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val a = Streams.annIndexIngestSink(sinkT, idxT, streamId = "a")
+    a.addBatch(vecs(1L), 0L)
+    // writer B starts from A's state, then A continues from handles
+    // that are now STALE — its index commit must CAS-retry against
+    // B's commits and re-resolve the anchor from refreshed metadata
+    val b = Streams.annIndexIngestSink(a.sink, a.index, streamId = "b")
+    b.addBatch(vecs(2L), 0L)
+    a.addBatch(vecs(3L), 1L)
+    val idx = a.index.refresh()
+    val sink = a.sink.refresh()
+    assert(Scan(sink, spark).toDF.select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(Scan(idx, spark).toDF.select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // the anchor ends at the TRUE newest sink head (A's last commit),
+    // and neither stream's watermark clobbered the other's
+    assert(idx.metadata.properties(
+      "graft.ann-index.source-snapshot-id").toLong ==
+      sink.currentSnapshot.get.snapshotId)
+    assert(idx.metadata.properties(
+      "graft.ann-index.last-batch-id.a") == "1")
+    assert(idx.metadata.properties(
+      "graft.ann-index.last-batch-id.b") == "0")
+  }
+
+  test("IndexedDedupSink heals an abort-driven in-process retry: " +
+      "sink-committed survivors are not re-appended, signatures " +
+      "converge") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-heal-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    val docSchema = Schema(0, Seq(
+      NestedField(1, "doc_id", LongType, required = true),
+      NestedField(2, "text", StringType, required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "clean"),
+      docSchema, io = io)
+    val idxT = Table.create(cat, TableIdentifier(Seq("db"), "idx"),
+      graft.spec.SchemaConverters.fromSparkSchema(
+        graft.ops.Dedup.signatureFrame(
+          Seq((1L, "x")).toDF("doc_id", "text")).schema), io = io)
+    val pipe = Streams.indexedDedupSink(sinkT, idxT)
+    val batch = Seq(
+      (1L, "some genuinely novel first document text"),
+      (2L, "a different second document about engines"))
+      .toDF("doc_id", "text")
+
+    // wedge the INDEX table's next catalog version with an unparseable
+    // metadata file: the sink append succeeds, the signature commit
+    // throws, and the gate+heal record must cover the retry
+    val metaDir = java.nio.file.Paths.get(dir, "db", "idx", "metadata")
+    val next = {
+      val s = java.nio.file.Files.list(metaDir)
+      try {
+        val vs = s.iterator().asInstanceOf[java.util.Iterator[
+          java.nio.file.Path]]
+        var max = 0
+        vs.forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("v") && n.endsWith(".metadata.json"))
+            max = math.max(max,
+              n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+        }
+        max + 1
+      } finally s.close()
+    }
+    val wedge = metaDir.resolve(f"v$next%05d.metadata.json")
+    java.nio.file.Files.write(wedge, "not json".getBytes("UTF-8"))
+    intercept[Exception] { pipe.addBatch(batch, 0L) }
+    assert(Scan(pipe.sink.refresh(), spark).toDF.count() == 2,
+      "the sink append committed before the signature commit failed")
+    java.nio.file.Files.delete(wedge)
+
+    // a DIFFERENT batch while the heal record is pending is refused
+    // loudly — proceeding would bake the sink/index divergence in
+    val other = Seq((9L, "unrelated text arriving out of order"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalStateException] {
+      pipe.addBatch(other, 1L)
+    }
+    assert(ex.getMessage.contains("re-delivery"), ex.getMessage)
+
+    // re-delivery of the failed batch heals: NO second sink append,
+    // signatures + watermark land, and the stream continues normally
+    pipe.addBatch(batch, 0L)
+    assert(Scan(pipe.sink, spark).toDF.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L),
+      "survivors must appear in the sink exactly once after the heal")
+    assert(Scan(pipe.index, spark).toDF.select("doc_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(pipe.index.metadata
+      .properties("graft.dedup-index.last-batch-id") == "0")
+    pipe.addBatch(other, 1L)
+    assert(Scan(pipe.sink, spark).toDF.count() == 3)
+    // an exact duplicate of a healed row is still dropped (the index
+    // converged, so dedup semantics are intact)
+    pipe.addBatch(Seq(
+      (20L, "some genuinely novel first document text"))
+      .toDF("doc_id", "text"), 2L)
+    assert(Scan(pipe.sink, spark).toDF.count() == 3,
+      "duplicate of a healed survivor must still be dropped")
+  }
 }

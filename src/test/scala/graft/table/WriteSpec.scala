@@ -172,6 +172,37 @@ class PartitionedWriteSpec extends AnyFunSuite {
       s"lost update: ${committed.metadata.properties("graft.test.cnt")}")
     assert(Scan(committed, spark).toDF.count() == 6)
   }
+
+  test("stampComputed serializes property-only stamps against " +
+      "concurrent property-only stamps (no lost increment)") {
+    var t = freshTable("casstamp", PartitionSpec.unpartitioned)
+    t = TableOps.append(t, usersDf(1 to 3, _ => 19800),
+      props = Map("graft.test.cnt" -> "10"))
+    // STALE handle A reads cnt = 10
+    val a = Table.load(t.catalog, t.id, t.io)
+    // writer B lands a PROPERTY-ONLY stamp setting cnt = 25. A bare
+    // property transaction would not move any ref, so a concurrent
+    // writer's ref assertion could not see it — the empty-snapshot
+    // stamp moves main, making B's commit visible to A's CAS.
+    val b = TableOps.stampComputed(t.refresh(),
+      _ => Map("graft.test.cnt" -> "25"))
+    assert(b.metadata.properties("graft.test.cnt") == "25")
+    assert(Scan(b, spark).toDF.count() == 3,
+      "a stamp snapshot must carry the data forward unchanged")
+    // A increments by 5 FROM WHATEVER IS CURRENT, property-only: its
+    // first attempt must CAS-fail on B's stamp snapshot and the retry
+    // must recompute — the lost-increment class ADVICE r19 flagged for
+    // the streaming sinks' no-payload batches
+    val committed = TableOps.stampComputed(a,
+      m => Map("graft.test.cnt" ->
+        (m.properties("graft.test.cnt").toLong + 5).toString))
+    assert(committed.metadata.properties("graft.test.cnt") == "30",
+      s"lost update: ${committed.metadata.properties("graft.test.cnt")}")
+    // both stamps are data-less appends: rows unchanged, history grew
+    assert(Scan(committed, spark).toDF.count() == 3)
+    assert(committed.metadata.snapshots.size == 3,
+      s"append + 2 stamp snapshots: ${committed.metadata.snapshots.size}")
+  }
 }
 
 class DeleteFileWriterSpec extends AnyFunSuite {
