@@ -821,7 +821,13 @@ object Dedup {
       when(aggregate(votes, lit(0), (acc, v) => acc + v) > 0,
         shiftleft(lit(1L), bit)).otherwise(lit(0L))
     }
-    bitVotes.reduce((a, b) => a.bitwiseOR(b))
+    // NULL text fingerprints NULL, matching the aggregation form
+    // ([[simhashFingerprints]] drops NULL-text docs): the bit votes'
+    // `when(NULL > 0, ...)` would otherwise default every bit to 0 and
+    // all NULL documents would share fingerprint 0L — banding would
+    // then collapse a corpus's missing-body rows as mutual near-dups
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(bitVotes.reduce((a, b) => a.bitwiseOR(b)))
   }
 
   /** SimHash fingerprints as an AGGREGATION — same rationale as

@@ -41,10 +41,20 @@ object Packing {
   def packGreedy(df: DataFrame, idCol: String, tokenCol: String,
       shardCol: String, capacity: Long): DataFrame = {
     val spark = df.sparkSession
+    // NULL ids/sizes/shards are refused loudly (same contract as the
+    // samplers): the typed fold below would otherwise die in the
+    // encoder with a message that names a tuple field, not the column
+    // — and a packer that silently guessed a size would corrupt every
+    // downstream offset. Callers with NULL-able token counts decide
+    // the semantics themselves (the d9/d21/pack_corpus sites coalesce
+    // a NULL-text tokenCount to 0).
+    def req(c: String) = when(col(c).isNull, raise_error(lit(
+      s"packGreedy: NULL $c — packing needs concrete ids and sizes")))
+      .otherwise(col(c))
     val in = df.select(
-      col(shardCol).cast("long").as("shard"),
-      col(idCol).cast("long").as("id"),
-      col(tokenCol).cast("long").as("tokens"))
+      req(shardCol).cast("long").as("shard"),
+      req(idCol).cast("long").as("id"),
+      req(tokenCol).cast("long").as("tokens"))
     import spark.implicits._
     val packed = in.as[(Long, Long, Long)]
       .groupByKey(_._1)

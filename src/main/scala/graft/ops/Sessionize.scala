@@ -32,13 +32,21 @@ object Sessionize {
     * integer arithmetic, engine-portable. */
   def withSessionIdx(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, gap: Column): DataFrame = {
+    // A NULL-timestamp event cannot be placed on a timeline, and the
+    // two engines would place it DIFFERENTLY (Spark windows order
+    // NULLS FIRST, DuckDB NULLS LAST — one fabricates a NaN session,
+    // the other silently merges the event into whichever session
+    // happens to be last): excluded by contract, pinned by the
+    // planted-parity harness. NULL users are a valid group (all
+    // anonymous events sessionize together on both engines).
+    val timed = events.where(col(tsCol).isNotNull)
     val order = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
     val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val prevTs = lag(unix_micros(col(tsCol)), 1).over(order)
     val isBreak = when(prevTs.isNull, 1L)
       .when(unix_micros(col(tsCol)) - prevTs > gap, 1L)
       .otherwise(0L)
-    events.withColumn("session_idx", sum(isBreak).over(run) - 1L)
+    timed.withColumn("session_idx", sum(isBreak).over(run) - 1L)
   }
 
   /** Per-session rollup: event count, first/last event micros, span.

@@ -57,6 +57,12 @@ object Similarity {
       .where(col("qid") =!= col("nid"))
       .withColumn("score", cosineWithNorms(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")))
+      // NULL scores are NULL/dim-mismatched vectors (vecDot's NULL
+      // contract): dropped EXPLICITLY — desc ordering happens to sort
+      // them last, but with fewer than k real candidates they would
+      // otherwise fill top-k ranks with non-neighbors. Zero-norm
+      // vectors keep their defined 0.0. Pinned by planted parity.
+      .where(col("score").isNotNull)
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -81,6 +87,11 @@ object Similarity {
     * what lets e2b_bucket_determinism gate this exact code path against
     * a DuckDB oracle using an integer-LCG generator both engines can
     * compute bit-identically (xxhash64 itself has no DuckDB analog). */
+  /** Degenerate rows: a NULL or EMPTY vector dots NULL against every
+    * plane (zip_with pads the empty side with nulls), so no sign bit
+    * sets and all such rows land in bucket 0 — deterministic, and
+    * harmless for recall because their exact-cosine re-rank score can
+    * never reach a top-k. Pinned by the planted-parity harness. */
   def hyperplaneSignature(vec: Column, planes: Int, seed: Long,
       component: Option[(Column, Column) => Column] = None): Column = {
     val comp = component.getOrElse(

@@ -38,10 +38,24 @@ object TextAnalysis {
   def piiCount(text: Column, re: String): Column =
     regexp_count(text, lit(re)).cast("long")
 
-  /** Whitespace token count, robust to empty/blank strings. */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+  /** Case-preserving whitespace-collapsed, trimmed text — the shared
+    * tokenization base. The collapse runs BEFORE the trim because
+    * Spark's `trim` strips only 0x20: text edged with tabs/newlines
+    * ("doc body\n") would otherwise keep the edge whitespace, and
+    * splitting it grows phantom '' tokens that inflate every token
+    * count by up to 2 (the pitfall [[Packing.chunkByTokens]] already
+    * documents and this base now fixes for the token stats too —
+    * found by the planted-corpus edge suite, invisible to the gates
+    * because the generated testdata contains no tabs/newlines). */
+  private def wsCollapsed(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
+
+  /** Whitespace token count, robust to empty/blank/tab-edged text. */
+  def tokenCount(text: Column): Column = {
+    val base = wsCollapsed(text)
+    when(length(base) === 0, lit(0L))
+      .otherwise(size(split(base, " ")).cast("long"))
+  }
 
   /** BPE-ish token count: word pieces + standalone punctuation
     * (`\w+` or single non-space-non-word chars). */
@@ -62,7 +76,7 @@ object TextAnalysis {
   /** Mean token length in characters (0 for empty docs). */
   def meanTokenLength(text: Column): Column = {
     val n = tokenCount(text)
-    val chars = length(regexp_replace(trim(text), "\\s+", ""))
+    val chars = length(regexp_replace(text, "\\s+", ""))
     when(n === 0, lit(0.0)).otherwise(chars.cast("double") / n)
   }
 
@@ -79,19 +93,27 @@ object TextAnalysis {
   /** Fraction of tokens that are (English) stopwords — a standard
     * quality signal for web-scraped corpora. */
   def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = split(normalized(text), " ")
     val stops = filter(toks, t => t.isInCollection(stopwords))
     when(tokenCount(text) === 0, lit(0.0))
       .otherwise(size(stops).cast("double") / size(toks))
   }
 
   /** Composite quality score in [0, 1]: length sweet-spot, some
-    * stopwords, not all punctuation. Heuristic, deterministic. */
+    * stopwords, not all punctuation. Heuristic, deterministic.
+    * NULL text scores NULL — `least`/`greatest` SKIP null operands, so
+    * without the explicit guard a NULL document would score the
+    * constant ~0.7 (lenScore and stopScore silently collapse to their
+    * 1.0 caps, punctPenalty to its 0.0 floor) and sail through every
+    * quality filter; NULL-in-NULL-out drops it from `quality > x`
+    * filters like every other per-row metric here. */
   def qualityScore(text: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
     val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
-    round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6)
+    when(text.isNull, lit(null).cast("double"))
+      .otherwise(
+        round((lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3), 6))
   }
 
   // ------------------------------------------- repetition signals

@@ -2327,17 +2327,20 @@ object IcebergQueries {
     raw"""WITH toks AS (
       |  SELECT text,
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ',
-      |      'g'))), ' ') AS tk
+      |      'g'))), ' ') AS tk,
+      |    length(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nlen
       |  FROM documents
       |)
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
       |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
       |    AS BIGINT) AS null_texts,
       |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars,
-      |  CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL THEN len(tk)
-      |    ELSE 0 END), 0) AS BIGINT) AS total_tokens,
+      |  CAST(COALESCE(SUM(CASE WHEN text IS NOT NULL AND nlen > 0
+      |    THEN len(tk) ELSE 0 END), 0) AS BIGINT) AS total_tokens,
       |  (SELECT CAST(COUNT(DISTINCT w) AS BIGINT)
-      |   FROM (SELECT unnest(tk) AS w FROM toks) u) AS distinct_tokens
+      |   FROM (SELECT unnest(tk) AS w FROM toks
+      |         WHERE text IS NOT NULL AND nlen > 0) u)
+      |    AS distinct_tokens
       |FROM toks""".stripMargin
 
   val i49Sql: String =

@@ -50,12 +50,12 @@ object OpsQueries {
 
   val d2Sql: String =
     """SELECT doc_id,
-      |  CASE WHEN length(trim(text)) = 0 THEN 0
-      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+      |  CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      |       ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_tokens,
       |  CAST(length(text) AS BIGINT) AS n_chars_measured,
-      |  CASE WHEN length(trim(text)) = 0 THEN 0.0
+      |  CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0.0
       |       ELSE round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-      |            / len(string_split_regex(trim(text), '\s+')), 6) END
+      |            / len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')), 6) END
       |    AS mean_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -131,14 +131,19 @@ object OpsQueries {
   val d5Sql: String =
     """WITH scored AS (
       |  SELECT
+      |    -- carried so sq can NULL the score for NULL text: DuckDB's
+      |    -- LEAST/GREATEST skip NULL operands exactly like Spark's,
+      |    -- so without the guard a missing-body doc would score the
+      |    -- constant 0.7 and land in a real quality bucket
+      |    text IS NULL AS is_null_text,
       |    LEAST(LENGTH(text) / 500.0, 1.0) AS len_score,
-      |    CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+      |    CASE WHEN LENGTH(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0.0
       |         ELSE LEN(list_filter(
-      |                string_split_regex(LOWER(TRIM(text)), '\s+'),
+      |                string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '),
       |                t -> t IN ('the','a','an','and','or','of','to','in',
       |                           'is','it','that','for','on','with','as',
       |                           'at','by')))
-      |              * 1.0 / LEN(string_split_regex(LOWER(TRIM(text)), '\s+'))
+      |              * 1.0 / LEN(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '))
       |    END AS stop_ratio,
       |    CASE WHEN LENGTH(text) = 0 THEN 0.0
       |         ELSE (LENGTH(text) - LENGTH(regexp_replace(text,
@@ -146,9 +151,11 @@ object OpsQueries {
       |    END AS punct_ratio
       |  FROM documents
       |), sq AS (
-      |  SELECT ROUND(len_score * 0.4
+      |  SELECT CASE WHEN is_null_text THEN NULL
+      |    ELSE ROUND(len_score * 0.4
       |             + LEAST(stop_ratio * 5.0, 1.0) * 0.3
-      |             + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6) AS q
+      |             + GREATEST(0.0, 1.0 - punct_ratio * 4.0) * 0.3, 6)
+      |    END AS q
       |  FROM scored
       |)
       |SELECT FLOOR(q * 10) / 10 AS quality_bucket, COUNT(*) AS n
@@ -187,13 +194,27 @@ object OpsQueries {
 
   val e1Sql: String =
     """SELECT qid, nid, rank FROM (
-      |  SELECT q.vec_id AS qid, e.vec_id AS nid,
-      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-      |      ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-      |                                      CAST(e.embedding AS DOUBLE[])) DESC,
-      |               e.vec_id ASC) AS rank
-      |  FROM embeddings q, embeddings e
-      |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) sub
+      |  SELECT qid, nid,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, nid ASC) AS rank
+      |  FROM (
+      |    -- NULL/dim-mismatched candidates are excluded (the engine's
+      |    -- vecDot NULLs them and bruteForceTopK drops NULL scores;
+      |    -- DuckDB's list_cosine_similarity would THROW); zero-norm
+      |    -- vectors score 0.0 on both engines (DuckDB would NaN,
+      |    -- which sorts ABOVE every real score in DESC)
+      |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |      CASE WHEN list_inner_product(CAST(q.embedding AS DOUBLE[]),
+      |                  CAST(q.embedding AS DOUBLE[])) = 0
+      |             OR list_inner_product(CAST(e.embedding AS DOUBLE[]),
+      |                  CAST(e.embedding AS DOUBLE[])) = 0 THEN 0.0
+      |        ELSE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                    CAST(e.embedding AS DOUBLE[]))
+      |        END AS score
+      |    FROM embeddings q, embeddings e
+      |    WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+      |      AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
+      |      AND len(e.embedding) = len(q.embedding)) s0) sub
       |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
 
   // ------------------------------------------- e2 LSH ANN (no SQL)
@@ -518,13 +539,18 @@ object OpsQueries {
   }
 
   val e2bSql: String = {
+    // the len-0 guard mirrors the engine: an EMPTY vector's plane dot
+    // is NULL (zip_with pads the empty side with nulls), so no sign
+    // bit sets and the bucket is 0 — same as a NULL vector. DuckDB's
+    // list_reduce THROWS on an empty list instead of returning NULL.
     def plane(p: Int): String =
-      s"""(CASE WHEN list_reduce(list_transform(
+      s"""(CASE WHEN (CASE WHEN len(embedding) = 0 THEN NULL
+         |  ELSE list_reduce(list_transform(
          |    generate_series(1, len(embedding)),
          |    i -> embedding[i]::DOUBLE *
          |      (((1103515245 * (42 + $p * 1000 + (i - 1)) + 12345)
          |        % 2001) - 1000)),
-         |  (acc, x) -> acc + x) >= 0
+         |  (acc, x) -> acc + x) END) >= 0
          |  THEN ${1L << p}::BIGINT ELSE 0::BIGINT END)""".stripMargin
     s"""SELECT vec_id,
        |${(0 until E2bPlanes).map(plane).mkString(" +\n")} AS bucket
@@ -1019,9 +1045,12 @@ object OpsQueries {
     * attention-mask construction reads — falls out of the replay as
     * `acc - tokens`). */
   def d9SeqPack(s: SparkSession, dir: String): DataFrame = {
+    // NULL text packs as 0 tokens (tokenCount is NULL-in-NULL-out,
+    // but a packing slot must have a concrete size)
     val docs = t(s, dir, "documents").select(col("doc_id"),
       floor(col("doc_id") / 100).cast("long").as("shard"),
-      TextAnalysis.tokenCount(col("text")).as("tokens"))
+      coalesce(TextAnalysis.tokenCount(col("text")), lit(0L))
+        .as("tokens"))
     Packing.packGreedy(docs, "doc_id", "tokens", "shard", capacity = 512)
       .orderBy("shard", "id")
   }
@@ -1029,8 +1058,10 @@ object OpsQueries {
   val d9Sql: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, doc_id // 100 AS shard,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+      |    -- COALESCE: NULL text packs as 0 tokens (the engine-side
+      |    -- coalesce over tokenCount), not a NULL that nulls the bin
+      |    COALESCE(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      |         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END, 0) AS tokens
       |  FROM documents
       |), ordered AS (
       |  SELECT shard, doc_id, tokens,
@@ -1157,7 +1188,8 @@ object OpsQueries {
     val docs = t(s, dir, "documents")
     val sized = docs.select(col("doc_id"),
       floor(col("doc_id") / 100).cast("long").as("shard"),
-      TextAnalysis.tokenCount(col("text")).as("tokens"))
+      coalesce(TextAnalysis.tokenCount(col("text")), lit(0L))
+        .as("tokens"))
     val assignments = Packing.packGreedy(sized, "doc_id", "tokens",
       "shard", capacity = 512)
     Packing.materializePacked(docs, assignments)
@@ -1169,8 +1201,10 @@ object OpsQueries {
   val d21Sql: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id, doc_id // 100 AS shard,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+      |    -- COALESCE: NULL text packs as 0 tokens (the engine-side
+      |    -- coalesce over tokenCount), not a NULL that nulls the bin
+      |    COALESCE(CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      |         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END, 0) AS tokens
       |  FROM documents
       |), ordered AS (
       |  SELECT shard, doc_id, tokens,
@@ -1277,10 +1311,14 @@ object OpsQueries {
 
   val e6Sql: String =
     """WITH o AS (
+      |  -- NULL-timestamp events are excluded by the sessionize
+      |  -- contract: un-filtered, Spark's NULLS-FIRST window order
+      |  -- fabricates a NaN session while DuckDB's NULLS-LAST merges
+      |  -- the event into the last session — neither is a session
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    LAG(epoch_us(ts)) OVER (PARTITION BY user_id
       |      ORDER BY ts, event_id) AS prev
-      |  FROM events
+      |  FROM events WHERE ts IS NOT NULL
       |), b AS (
       |  SELECT user_id, event_id, us,
       |    CASE WHEN prev IS NULL OR us - prev > 1800000000
@@ -1330,8 +1368,8 @@ object OpsQueries {
       |  SELECT doc_id,
       |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
       |                 ' ') AS tk,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |    CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      |         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n
       |  FROM documents
       |)
       |SELECT doc_id,
@@ -1531,8 +1569,8 @@ object OpsQueries {
       |  COUNT(*) AS n_docs
       |FROM (
       |  SELECT lang,
-      |    CASE WHEN length(trim(text)) = 0 THEN 0
-      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      |    CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      |         ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n
       |  FROM documents)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -1636,7 +1674,12 @@ object OpsQueries {
        |  FROM base
        |)
        |SELECT vec_id,
-       |  md5(array_to_string(codes, ',')) AS code_fp,
+       |  -- COALESCE: DuckDB's array_to_string([]) is NULL where the
+       |  -- engine's array_join([]) is '' — an EMPTY vector must
+       |  -- fingerprint md5('') on both sides, while NULL stays NULL
+       |  CASE WHEN codes IS NULL THEN NULL
+       |    ELSE md5(COALESCE(array_to_string(codes, ','), '')) END
+       |    AS code_fp,
        |  round(lo, 6) AS lo_r,
        |  round(scale, 6) AS scale_r,
        |  round(CASE WHEN len(v) = 0 THEN 0.0 ELSE
@@ -1707,8 +1750,8 @@ object OpsQueries {
 
   val d19Sql: String =
     """SELECT doc_id,
-      |  CASE WHEN length(trim(text)) = 0 THEN 0
-      |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+      |  CASE WHEN length(trim(regexp_replace(text, '\s+', ' ', 'g'))) = 0 THEN 0
+      |       ELSE len(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) END AS n_ws,
       |  CAST(len(regexp_extract_all(text,
       |    '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpe
       |FROM documents ORDER BY doc_id""".stripMargin
@@ -1747,12 +1790,18 @@ object OpsQueries {
        |  FROM base
        |)
        |SELECT qid, nid, rank FROM (
+       |  -- NULL/dim-mismatched candidates excluded, like e1: the
+       |  -- engine's vecDot NULLs them and bruteForceTopK drops NULL
+       |  -- scores (the truncated-dot the index arithmetic would
+       |  -- compute for a longer list is not a neighbor score)
        |  SELECT q.vec_id AS qid, e.vec_id AS nid,
        |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${PlantedSql.cos("q.rv", "e.rv")} DESC,
        |               e.vec_id ASC) AS rank
        |  FROM recon q, recon e
-       |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id) sub
+       |  WHERE q.vec_id < 3 AND e.vec_id <> q.vec_id
+       |    AND q.rv IS NOT NULL AND e.rv IS NOT NULL
+       |    AND len(e.rv) = len(q.rv)) sub
        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin
   }
 
@@ -1808,10 +1857,16 @@ object OpsQueries {
   val d23Sql: String =
     """WITH planted AS (
       |  SELECT doc_id,
-      |    text || chr(10) || 'subscribe to our newsletter for updates'
-      |      || chr(10) || 'doc body ' || doc_id || chr(10)
-      |      || CASE WHEN doc_id % 7 = 0 THEN 'cookie policy accepted'
-      |              ELSE 'tail ' || doc_id END AS text
+      |    -- concat_ws, not ||: both engines SKIP a NULL text here, so
+      |    -- a missing-body doc plants 3 boilerplate lines instead of
+      |    -- vanishing into a NULL document (|| would null the whole
+      |    -- concatenation and the oracle would drop the doc row that
+      |    -- the engine keeps — found by the planted-parity harness)
+      |    concat_ws(chr(10), text,
+      |      'subscribe to our newsletter for updates',
+      |      'doc body ' || doc_id,
+      |      CASE WHEN doc_id % 7 = 0 THEN 'cookie policy accepted'
+      |           ELSE 'tail ' || doc_id END) AS text
       |  FROM documents WHERE doc_id < 500
       |), ls AS (
       |  SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted
@@ -1903,8 +1958,13 @@ object OpsQueries {
       qtermsSql: Option[String] = None): String =
     raw"""WITH toks AS (
       |  SELECT doc_id,
-      |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
-      |                 ' ') AS tk
+      |    -- the empty token is dropped (Retrieval.toks's array_remove
+      |    -- rule): an empty/whitespace-only doc must index as dl 0,
+      |    -- not dl 1 — a phantom '' token here inflates avgdl and
+      |    -- shifts EVERY BM25 score in the corpus
+      |    list_filter(
+      |      string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+      |                   ' '), t -> t <> '') AS tk
       |  FROM ($corpusSql) AS src
       |), post AS (
       |  SELECT doc_id, tk[i] AS term, len(tk) AS dl, COUNT(*) AS tf
@@ -2292,20 +2352,20 @@ object OpsQueries {
        |        $argmax
        |     END = 'en') AS lang_ok,
        |    (ROUND(LEAST(LENGTH(text) / 500.0, 1.0) * 0.4
-       |      + LEAST((CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+       |      + LEAST((CASE WHEN LENGTH(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0.0
        |          ELSE LEN(list_filter(
-       |                 string_split_regex(LOWER(TRIM(text)), '\\s+'),
+       |                 string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '),
        |                 t -> t IN ('the','a','an','and','or','of','to','in',
        |                            'is','it','that','for','on','with','as',
        |                            'at','by')))
-       |               * 1.0 / LEN(string_split_regex(LOWER(TRIM(text)),
-       |                           '\\s+')) END) * 5.0, 1.0) * 0.3
+       |               * 1.0 / LEN(string_split(lower(trim(regexp_replace(text,
+       |                  '\\s+', ' ', 'g'))), ' ')) END) * 5.0, 1.0) * 0.3
        |      + GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) = 0 THEN 0.0
        |          ELSE (LENGTH(text) - LENGTH(regexp_replace(text,
        |                 '[!-/:-@\\[-`{-~]', '', 'g'))) * 1.0 / LENGTH(text)
        |          END) * 4.0) * 0.3, 6) >= 0.55) AS q_ok,
-       |    (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
-       |          ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0
+       |    (CASE WHEN (CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) = 0 THEN 0
+       |          ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) END) = 0
        |        THEN 1.0
        |        ELSE round(len(list_distinct(string_split(
        |               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
@@ -3313,16 +3373,28 @@ object OpsQueries {
       |  SELECT query_id, doc_id, rank FROM (
       |${bm25ReplaySql(5, 20)}) AS l
       |), vec AS (
+      |  -- e1's guarded cosine: NULL/dim-mismatched candidates are
+      |  -- excluded (engine drops NULL vecDot scores; DuckDB's
+      |  -- list_cosine_similarity would THROW), zero-norm scores 0.0
       |  SELECT qid AS query_id, nid AS doc_id,
       |    CAST(rank AS BIGINT) AS rank
       |  FROM (
-      |    SELECT q.vec_id AS qid, e.vec_id AS nid,
-      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
-      |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-      |                                        CAST(e.embedding AS DOUBLE[])) DESC,
-      |                 e.vec_id ASC) AS rank
-      |    FROM embeddings q, embeddings e
-      |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) sub
+      |    SELECT qid, nid,
+      |      ROW_NUMBER() OVER (PARTITION BY qid
+      |        ORDER BY score DESC, nid ASC) AS rank
+      |    FROM (
+      |      SELECT q.vec_id AS qid, e.vec_id AS nid,
+      |        CASE WHEN list_inner_product(CAST(q.embedding AS DOUBLE[]),
+      |                    CAST(q.embedding AS DOUBLE[])) = 0
+      |               OR list_inner_product(CAST(e.embedding AS DOUBLE[]),
+      |                    CAST(e.embedding AS DOUBLE[])) = 0 THEN 0.0
+      |          ELSE list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+      |                                      CAST(e.embedding AS DOUBLE[]))
+      |          END AS score
+      |      FROM embeddings q, embeddings e
+      |      WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+      |        AND q.embedding IS NOT NULL AND e.embedding IS NOT NULL
+      |        AND len(e.embedding) = len(q.embedding)) s0) sub
       |  WHERE rank <= 20
       |), uni AS (
       |  SELECT query_id, doc_id,
@@ -3468,8 +3540,13 @@ object OpsQueries {
        |), q AS (
        |  SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 3
        |), rel AS (
+       |  -- NULL/dim-mismatched candidates excluded: the engine's
+       |  -- codeDot NULLs them (they sort below every real score and
+       |  -- can never enter the top-$E21Cands); DuckDB's
+       |  -- list_inner_product THROWS on a length mismatch instead
        |  SELECT q.qid, b.vec_id AS nid, ${idot("q.qc", "b.codes")} AS rel
        |  FROM codes b, q WHERE b.vec_id <> q.qid
+       |    AND b.codes IS NOT NULL AND len(b.codes) = len(q.qc)
        |), cand AS (
        |  SELECT qid, nid, rel FROM (
        |    SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid

@@ -1660,7 +1660,12 @@ private[sources] class GraftBoundProcedure(
     src.select(col(idCol),
       floor(col(idCol).cast("long") / docsPerShard).cast("long")
         .as("shard"),
-      graft.ops.TextAnalysis.tokenCount(col(textCol)).as("tokens"))
+      // NULL text packs as 0 tokens — tokenCount is NULL-in-NULL-out,
+      // but a packing slot must have a concrete size (packGreedy
+      // refuses NULLs loudly rather than guessing)
+      org.apache.spark.sql.functions.coalesce(
+        graft.ops.TextAnalysis.tokenCount(col(textCol)),
+        org.apache.spark.sql.functions.lit(0L)).as("tokens"))
   }
 
   /** `pack_corpus(incremental => true)`: chain the packed table
@@ -2283,16 +2288,23 @@ private[sources] class GraftBoundProcedure(
       else snapRaw
     val df = graft.table.Scan(t, spark).useSnapshot(snapId).toDF
     import org.apache.spark.sql.functions._
-    val tk = split(graft.ops.TextAnalysis.normalized(col(textCol)), " ")
+    val norm = graft.ops.TextAnalysis.normalized(col(textCol))
+    val tk = split(norm, " ")
+    // empty/whitespace-only docs count 0 tokens (split of "" yields
+    // [""], which would silently count 1 and seed a phantom ''
+    // vocabulary entry) — the TextAnalysis.tokenCount rule, mirrored
+    // in the i55 oracle's CASE guard
     val r = df.agg(
       count(lit(1)).as("n_docs"),
       coalesce(sum(when(col(textCol).isNull, 1L).otherwise(0L)),
         lit(0L)).as("null_texts"),
       coalesce(sum(length(col(textCol)).cast("long")), lit(0L))
         .as("total_chars"),
-      coalesce(sum(when(col(textCol).isNotNull, size(tk).cast("long"))
-        .otherwise(0L)), lit(0L)).as("total_tokens")).head
-    val distinctToks = df.where(col(textCol).isNotNull)
+      coalesce(sum(when(col(textCol).isNotNull && length(norm) > 0,
+        size(tk).cast("long")).otherwise(0L)), lit(0L))
+        .as("total_tokens")).head
+    val distinctToks = df
+      .where(col(textCol).isNotNull && length(norm) > 0)
       .select(explode(tk).as("__tok"))
       .agg(count_distinct(col("__tok"))).head.getLong(0)
     (new StructType().add("snapshot_id", LongType)
