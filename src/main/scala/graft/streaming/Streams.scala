@@ -30,17 +30,18 @@ object Streams {
     * NEW query (new checkpoint location) against the same index, and
     * silently skipping would drop the new query's first batches —
     * pass a distinct `streamId` (or reuse the original checkpoint) to
-    * proceed. Residual windows: the CORPUS (sink-table) append is a
-    * separate table and cannot share the index commit, so a crash
-    * between it and the stamp can double-deliver that batch into the
-    * corpus; a no-payload batch's property-only stamp can be lost
-    * to a crash (re-delivering a batch that adds nothing); and when
-    * the stamped watermark is exactly 0 (the prior query committed
-    * ONLY batch 0), a new query's batch 0 is indistinguishable from
-    * that batch's crash-window replay and is skipped — start new
-    * queries under a distinct streamId to stay out of this corner.
-    * The index/model itself is exactly-once for every batch that
-    * touches it. */
+    * proceed. The CORPUS (sink-table) append is a separate table and
+    * cannot share the index commit, but it carries its OWN durable
+    * batch stamp in the same commit ([[MicroBatchSink.sinkStamp]]):
+    * a crash between the corpus commit and the index commit leaves
+    * the sink stamp ahead of the index watermark, the re-delivered
+    * batch skips the corpus re-append, and only the index half is
+    * completed — both tables are exactly-once for every batch.
+    * Remaining corner: when the stamped watermark is exactly 0 (the
+    * prior query committed ONLY batch 0), a new query's batch 0 is
+    * indistinguishable from that batch's crash-window replay and is
+    * skipped — start new queries under a distinct streamId to stay
+    * out of this corner. */
   private[streaming] def batchIdProp(prefix: String,
       streamId: String): String =
     if (streamId.isEmpty) s"$prefix.last-batch-id"
@@ -175,6 +176,40 @@ object Streams {
 
     protected final def batchStamp(batchId: Long): (String, String) =
       batchIdProp(propNs, streamId) -> batchId.toString
+
+    /** Durable sink-side batch stamp, riding the SAME commit as the
+      * corpus append (as a table property for the fast pending check
+      * AND a snapshot-summary entry so a heal can find WHICH commit
+      * carried a batch). With it, the corpus half of a batch is
+      * replay-protected even across process crashes: a restart that
+      * re-delivers a batch whose corpus commit landed but whose index
+      * commit didn't can skip the re-append and finish only the index
+      * half — previously the documented double-delivery crash
+      * window. */
+    protected final def sinkStamp(batchId: Long): Map[String, String] =
+      Map(batchIdProp(propNs, streamId) -> batchId.toString)
+
+    /** The batch id of a sink-side commit whose INDEX half never
+      * landed — the sink's durable stamp is ahead of the index's
+      * watermark. Non-empty only inside the crash window or after a
+      * failed in-process attempt. */
+    protected final def pendingSinkBatch(
+        sinkMeta: TableMetadata): Option[Long] =
+      sinkMeta.properties.get(batchIdProp(propNs, streamId))
+        .map(_.toLong)
+        .filter(_ > stampedBatchId(indexRef, propNs, streamId))
+
+    /** A batch OTHER than the pending one arrived while the sink and
+      * index are diverged: proceeding would bake the divergence in
+      * (the pending batch's index half can only be rebuilt from its
+      * own re-delivery), so refuse loudly. */
+    protected final def refusePending(pending: Long,
+        batchId: Long): Nothing =
+      throw new IllegalStateException(s"$what: the sink table carries " +
+        s"batch $pending but the index/model never committed it, and " +
+        s"batch $batchId arrived instead of its re-delivery — restart " +
+        "the query from its checkpoint so the pending batch is " +
+        "re-delivered and the index converges with the sink")
   }
 
   /** [[MicroBatchSink]] body shared by the six index/model INGEST
@@ -200,12 +235,29 @@ object Streams {
 
     protected final def runBatch(batch: DataFrame,
         batchId: Long): Unit = {
-      sinkRef = TableOps.append(sinkRef, batch)
+      val hOpt: Option[Long] = pendingSinkBatch(sinkRef.metadata) match {
+        case Some(p) if p == batchId =>
+          // crash-window / failed-attempt replay: the corpus commit
+          // for THIS batch already landed (its stamp rode that
+          // commit) — skip the re-append and finish only the index
+          // half. The anchor is the commit that CARRIED the batch,
+          // resolved by its summary stamp: stamping today's head
+          // instead could claim coverage of a later corpus commit
+          // whose own index half hasn't landed. (Fallback to the
+          // head only if expiry removed the carrying snapshot.)
+          batchSnapshot(batchId)
+            .orElse(sinkRef.currentSnapshot.map(_.snapshotId))
+        case Some(p) => refusePending(p, batchId)
+        case None =>
+          sinkRef = TableOps.append(sinkRef, batch,
+            props = sinkStamp(batchId), summary = sinkStamp(batchId))
+          sinkRef.currentSnapshot.map(_.snapshotId)
+      }
       val (payload, hasPayload, additive) = prepare(batch)
       // a no-payload batch (all-NULL texts, wrong-dim vectors, no
       // tokens) still stamps: the sink head moved and a later
       // procedure chain must not re-deliver those corpus rows
-      sinkRef.currentSnapshot.map(_.snapshotId).foreach { h =>
+      hOpt.foreach { h =>
         val anchorProp = s"$propNs.source-snapshot-id"
         def stamp(m: TableMetadata): Map[String, String] =
           additive(m) +
@@ -217,6 +269,16 @@ object Streams {
       }
     }
 
+    /** The sink snapshot that carried `batchId`'s corpus rows, by its
+      * summary stamp (newest-first — a batch lands in one commit). */
+    private def batchSnapshot(batchId: Long): Option[Long] = {
+      val key = batchIdProp(propNs, streamId)
+      sinkRef.metadata.snapshots.reverseIterator.collectFirst {
+        case s if s.summary.exists(_.extra.get(key)
+            .contains(batchId.toString)) => s.snapshotId
+      }
+    }
+
     def sink: Table = sinkRef
     def index: Table = indexRef
   }
@@ -224,29 +286,48 @@ object Streams {
   /** Iceberg sink for `writeStream.foreachBatch`: each micro-batch
     * commits one append snapshot (exactly the one-snapshot-per-batch
     * shape of the reference's BulkWriter, made transactional). The
-    * returned handle tracks the evolving table. */
-  final class IcebergStreamSink(initial: Table) extends Serializable {
+    * returned handle tracks the evolving table.
+    *
+    * Replay-guarded like the ingest sinks: the batch watermark rides
+    * the SAME commit as the append, so a restarted query
+    * re-delivering an already-committed micro-batch is skipped
+    * instead of double-appended — previously this plain sink was the
+    * one sink with NO replay protection at all (foreachBatch is
+    * at-least-once by contract). Several streams writing one table
+    * pass distinct `streamId`s ([[stampedBatchId]]'s namespacing and
+    * new-query rules apply). An EMPTY batch commits nothing and
+    * stamps nothing — replaying it re-skips harmlessly. */
+  final class IcebergStreamSink(initial: Table,
+      streamId: String = "") extends Serializable {
     @volatile private var tableRef: Table = initial
+    private val gate = new BatchGate(stampedBatchId(initial,
+      "graft.sink", streamId), streamId, "IcebergStreamSink")
 
     /** The foreachBatch function: append the batch, commit, advance.
       * The batch is pinned first — the emptiness probe and the write
       * must see the SAME data, and the source must not re-execute
       * (the same discipline as every ingest sink below). */
     def addBatch(batch: DataFrame, batchId: Long): Unit = synchronized {
-      val pinned = batch.localCheckpoint(true)
-      if (!pinned.isEmpty) {
-        val files = PartitionedWriter.writeDataFiles(tableRef.metadata,
-          pinned)
-        tableRef = tableRef.commitSnapshot(PendingSnapshot(Operation.Append,
-          addedDataFiles = files))
-      }
+      if (!gate.admit(batchId)) return
+      try {
+        val pinned = batch.localCheckpoint(true)
+        if (!pinned.isEmpty) {
+          val files = PartitionedWriter.writeDataFiles(tableRef.metadata,
+            pinned)
+          tableRef = tableRef.commitSnapshot(
+            PendingSnapshot(Operation.Append, addedDataFiles = files),
+            extraProps = Map(batchIdProp("graft.sink", streamId) ->
+              batchId.toString))
+        }
+      } catch { case t: Throwable => gate.abort(batchId); throw t }
     }
 
     def table: Table = tableRef
   }
 
-  def icebergSink(table: Table): IcebergStreamSink =
-    new IcebergStreamSink(table)
+  def icebergSink(table: Table,
+      streamId: String = ""): IcebergStreamSink =
+    new IcebergStreamSink(table, streamId)
 
   /** In-flight dedup for `writeStream.foreachBatch`, backed by a
     * persisted [[graft.ops.Dedup.signatureFrame]] INDEX table instead
@@ -267,8 +348,10 @@ object Streams {
     * .indexedMinhashRemovals]] shape: narrow index column scans, no
     * corpus text pass. Retried micro-batch ids are skipped —
     * including across driver restarts, via the stamped last-batch-id
-    * ([[Streams.stampedBatchId]]; one residual crash window, between
-    * an append and its stamp, documented there). */
+    * ([[Streams.stampedBatchId]]); a crash between the sink append
+    * and the signature commit heals on re-delivery via the durable
+    * sink-side stamp (see [[runBatch]]) — both tables are
+    * exactly-once. */
   final class IndexedDedupSink(initialSink: Table, initialIndex: Table,
       textCol: String = "text", idCol: String = "doc_id",
       minhash: Boolean = false, threshold: Double = 0.8,
@@ -293,61 +376,60 @@ object Streams {
       }
     @volatile private var sinkRef: Table = initialSink
 
-    /** Heal record for the abort-driven in-process retry: the pinned
-      * survivors of a batch whose SINK append committed but whose
-      * signature commit threw. Without it, the retried batch would
-      * recompute removals against an index that never saw those
-      * signatures, re-append the same survivors to the sink (double
-      * delivery), and leave sink and index permanently diverged. On
-      * re-delivery of exactly that batch the sink append is SKIPPED
-      * and only the recorded survivors' signatures + stamp are
-      * committed, converging both tables; a DIFFERENT batch arriving
-      * while the record is pending is refused loudly (the failed
-      * batch was never re-delivered — proceeding would bake the
-      * divergence in). Same-process only: a process crash drops the
-      * record, and the corpus-side crash window documented on
-      * [[Streams.stampedBatchId]] applies as before. */
-    private var pendingSig: Option[(Long, DataFrame)] = None
-
-    protected def runBatch(batch: DataFrame, batchId: Long): Unit =
-      pendingSig match {
-        case Some((pid, survivors)) if pid == batchId =>
-          commitSignatures(survivors, batchId)
-          pendingSig = None
-        case Some((pid, _)) =>
-          throw new IllegalStateException("IndexedDedupSink: batch " +
-            s"$pid's sink append committed but its signature commit " +
-            s"failed, and batch $batchId arrived instead of its " +
-            s"re-delivery — restart the query from its checkpoint so " +
-            s"batch $pid is re-delivered and the index converges with " +
-            "the sink")
-        case None =>
-          val idxDf = graft.table.Scan(indexRef, batch.sparkSession).toDF
-          val removals = (if (minhash)
-            graft.ops.Dedup.indexedMinhashRemovals(batch, idxDf, textCol,
-              idCol, numHashes, threshold = threshold)
-          else graft.ops.Dedup.indexedExactRemovals(batch, idxDf, textCol,
-            idCol)).localCheckpoint(true)
-          val survivors = batch.join(removals, Seq(idCol), "left_anti")
-          // the batch watermark rides the signature append (atomic: a
-          // restarted handle can never double-deliver these
-          // signatures); an all-duplicate batch stamps property-only
-          // (see stampedBatchId)
-          if (!survivors.isEmpty) {
-            // pin the survivors: the sink append, the heal record, and
-            // the signature build must agree exactly
-            val pinned = survivors.localCheckpoint(true)
-            sinkRef = TableOps.append(sinkRef, pinned)
-            pendingSig = Some((batchId, pinned))
-            commitSignatures(pinned, batchId)
-            pendingSig = None
-          } else stampIndex(_ => Map(batchStamp(batchId)))
+    /** Heal semantics: the survivors' SINK append carries the durable
+      * batch stamp ([[MicroBatchSink.sinkStamp]]) in the same commit,
+      * so a batch whose sink append committed but whose signature
+      * commit didn't — a failed in-process attempt OR a process crash
+      * between the two commits — is detected on re-delivery
+      * ([[MicroBatchSink.pendingSinkBatch]]), its sink append is
+      * SKIPPED, and only the recomputed survivors' signatures + stamp
+      * are committed, converging both tables. The recompute is
+      * deterministic: the re-delivered batch is the same data and the
+      * index is unchanged (its commit is exactly what failed), so the
+      * removals — and therefore the survivors already sitting in the
+      * sink — reproduce identically. (Like every foreachBatch
+      * exactly-once pattern this assumes a REPLAYABLE source: a
+      * source that re-delivers different rows under the same batch id
+      * voids the convergence guarantee — the empty-recompute check
+      * below catches the fully-disjoint case loudly.) A DIFFERENT
+      * batch arriving while the divergence is pending is refused
+      * loudly. This closes the corpus-side double-delivery crash
+      * window that [[Streams.stampedBatchId]] previously documented
+      * as residual. */
+    protected def runBatch(batch: DataFrame, batchId: Long): Unit = {
+      val heal = pendingSinkBatch(sinkRef.metadata) match {
+        case Some(p) if p == batchId => true
+        case Some(p) => refusePending(p, batchId)
+        case None => false
       }
-
-    private def commitSignatures(survivors: DataFrame,
-        batchId: Long): Unit =
-      commitPayload(graft.ops.Dedup.signatureFrame(survivors, textCol,
-        idCol, numHashes), _ => Map(batchStamp(batchId)))
+      val idxDf = graft.table.Scan(indexRef, batch.sparkSession).toDF
+      val removals = (if (minhash)
+        graft.ops.Dedup.indexedMinhashRemovals(batch, idxDf, textCol,
+          idCol, numHashes, threshold = threshold)
+      else graft.ops.Dedup.indexedExactRemovals(batch, idxDf, textCol,
+        idCol)).localCheckpoint(true)
+      val survivors = batch.join(removals, Seq(idCol), "left_anti")
+      // the batch watermark rides the signature append (atomic: a
+      // restarted handle can never double-deliver these signatures);
+      // an all-duplicate batch stamps property-only (see
+      // stampedBatchId)
+      if (!survivors.isEmpty) {
+        val pinned = survivors.localCheckpoint(true)
+        if (!heal)
+          sinkRef = TableOps.append(sinkRef, pinned,
+            props = sinkStamp(batchId), summary = sinkStamp(batchId))
+        commitPayload(graft.ops.Dedup.signatureFrame(pinned, textCol,
+          idCol, numHashes), _ => Map(batchStamp(batchId)))
+      } else if (heal)
+        // the pending sink commit had survivors by construction; an
+        // empty recompute means the re-delivered batch is NOT the
+        // pending one — converging on it would corrupt the index
+        throw new IllegalStateException("IndexedDedupSink: healing " +
+          s"batch $batchId recomputed no survivors, but its sink " +
+          "commit appended rows — the re-delivered batch does not " +
+          "match the one whose signature commit failed")
+      else stampIndex(_ => Map(batchStamp(batchId)))
+    }
 
     def sink: Table = sinkRef
     def index: Table = indexRef

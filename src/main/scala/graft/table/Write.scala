@@ -728,12 +728,18 @@ object TableOps {
   /** Append honoring the table's partition spec
     * (`table/insert.go:49-170`). `props`, when given, are set in the
     * SAME commit as the data — the atomic data+bookkeeping shape the
-    * streaming sinks' batch watermark needs. */
+    * streaming sinks' batch watermark needs. `summary` entries land in
+    * the SNAPSHOT's summary (not table properties): per-commit facts a
+    * reader may need to find this specific commit again later (the
+    * streaming sinks stamp the micro-batch id there so a crash-restart
+    * heal can resolve which sink snapshot carried a given batch). */
   def append(table: Table, df: DataFrame,
-      props: Map[String, String] = Map.empty): Table = {
+      props: Map[String, String] = Map.empty,
+      summary: Map[String, String] = Map.empty): Table = {
     val files = PartitionedWriter.writeDataFiles(table.metadata, df)
     table.commitSnapshot(PendingSnapshot(Operation.Append,
-      addedDataFiles = files), extraProps = props)
+      addedDataFiles = files, summaryExtra = summary),
+      extraProps = props)
   }
 
   /** [[append]] with properties recomputed from refreshed metadata on

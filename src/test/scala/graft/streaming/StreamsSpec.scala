@@ -920,9 +920,9 @@ class StreamsSpec extends AnyFunSuite {
       "graft.ann-index.last-batch-id.b") == "0")
   }
 
-  test("IndexedDedupSink heals an abort-driven in-process retry: " +
-      "sink-committed survivors are not re-appended, signatures " +
-      "converge") {
+  test("IndexedDedupSink heals a failed signature commit across a " +
+      "restart: sink-committed survivors are not re-appended, " +
+      "signatures converge") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-heal-").toString
     val cat = new LocalCatalog(dir)
@@ -969,7 +969,7 @@ class StreamsSpec extends AnyFunSuite {
       "the sink append committed before the signature commit failed")
     java.nio.file.Files.delete(wedge)
 
-    // a DIFFERENT batch while the heal record is pending is refused
+    // a DIFFERENT batch while the divergence is pending is refused
     // loudly — proceeding would bake the sink/index divergence in
     val other = Seq((9L, "unrelated text arriving out of order"))
       .toDF("doc_id", "text")
@@ -978,24 +978,143 @@ class StreamsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("re-delivery"), ex.getMessage)
 
-    // re-delivery of the failed batch heals: NO second sink append,
-    // signatures + watermark land, and the stream continues normally
-    pipe.addBatch(batch, 0L)
-    assert(Scan(pipe.sink, spark).toDF.select("doc_id").collect()
+    // re-delivery through a FRESH handle (process crash + restart —
+    // the batch stamp is durable on the sink table, not handle state)
+    // heals: NO second sink append, signatures + watermark land, and
+    // the stream continues normally
+    val restarted = Streams.indexedDedupSink(pipe.sink.refresh(),
+      pipe.index.refresh())
+    restarted.addBatch(batch, 0L)
+    assert(Scan(restarted.sink, spark).toDF.select("doc_id").collect()
       .map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L),
       "survivors must appear in the sink exactly once after the heal")
-    assert(Scan(pipe.index, spark).toDF.select("doc_id").collect()
+    assert(Scan(restarted.index, spark).toDF.select("doc_id").collect()
       .map(_.getLong(0)).toSet == Set(1L, 2L))
-    assert(pipe.index.metadata
+    assert(restarted.index.metadata
       .properties("graft.dedup-index.last-batch-id") == "0")
-    pipe.addBatch(other, 1L)
-    assert(Scan(pipe.sink, spark).toDF.count() == 3)
+    restarted.addBatch(other, 1L)
+    assert(Scan(restarted.sink, spark).toDF.count() == 3)
     // an exact duplicate of a healed row is still dropped (the index
     // converged, so dedup semantics are intact)
-    pipe.addBatch(Seq(
+    restarted.addBatch(Seq(
       (20L, "some genuinely novel first document text"))
       .toDF("doc_id", "text"), 2L)
-    assert(Scan(pipe.sink, spark).toDF.count() == 3,
+    assert(Scan(restarted.sink, spark).toDF.count() == 3,
       "duplicate of a healed survivor must still be dropped")
+  }
+
+  test("AnnIndexIngestSink crash heal: a fresh handle skips the " +
+      "corpus re-append and anchors at the commit that CARRIED the " +
+      "batch, not a later head") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-annheal-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val io = new HadoopFileIO()
+    val centroids: Seq[Array[Double]] =
+      Seq(Array(1.0, 0.0), Array(0.0, 1.0))
+    val vecSchema = Schema(0, Seq(
+      NestedField(1, "vec_id", LongType, required = true),
+      NestedField(2, "embedding",
+        ListType(3, FloatType, elementRequired = false),
+        required = false)))
+    val idxSchema = Schema(0, Seq(
+      NestedField(1, "vec_id", LongType, required = true),
+      NestedField(2, "cell", IntType, required = false),
+      NestedField(3, "norm", DoubleType, required = false),
+      NestedField(4, "embedding",
+        ListType(5, FloatType, elementRequired = false),
+        required = false)))
+    val sinkT = Table.create(cat, TableIdentifier(Seq("db"), "vecs"),
+      vecSchema, io = io)
+    val idxT = Table.create(cat, TableIdentifier(Seq("db"), "idx"),
+      idxSchema, properties = Map(
+        "graft.ann-index.centroids" ->
+          graft.ops.Similarity.centroidsToJson(centroids),
+        "graft.ann-index.dim" -> "2"), io = io)
+    def vecs(ids: Long*) =
+      ids.map(i => (i, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pipe = Streams.annIndexIngestSink(sinkT, idxT)
+    pipe.addBatch(vecs(1L), 0L)
+
+    // wedge the INDEX catalog: batch 1's corpus append lands (with
+    // its durable stamp), the index commit throws — the crash window
+    val metaDir = java.nio.file.Paths.get(dir, "db", "idx", "metadata")
+    val next = {
+      val s = java.nio.file.Files.list(metaDir)
+      try {
+        var max = 0
+        s.forEach { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("v") && n.endsWith(".metadata.json"))
+            max = math.max(max,
+              n.stripPrefix("v").stripSuffix(".metadata.json").toInt)
+        }
+        max + 1
+      } finally s.close()
+    }
+    val wedge = metaDir.resolve(f"v$next%05d.metadata.json")
+    java.nio.file.Files.write(wedge, "not json".getBytes("UTF-8"))
+    intercept[Exception] { pipe.addBatch(vecs(2L), 1L) }
+    java.nio.file.Files.delete(wedge)
+    val sinkAfterCrash = pipe.sink.refresh()
+    val carrying = sinkAfterCrash.currentSnapshot.get.snapshotId
+    assert(Scan(sinkAfterCrash, spark).toDF.count() == 2,
+      "the corpus commit for batch 1 landed before the crash")
+
+    // ANOTHER sink commit lands before the restart (e.g. a different
+    // pipeline appending to the corpus): the heal must still anchor
+    // at batch 1's CARRYING commit — anchoring at this newer head
+    // would claim index coverage of rows whose payload never landed
+    val advanced = TableOps.append(sinkAfterCrash, vecs(99L))
+
+    // fresh handle (restart) + re-delivery of batch 1
+    val restarted = Streams.annIndexIngestSink(advanced,
+      pipe.index.refresh())
+    restarted.addBatch(vecs(2L), 1L)
+    assert(Scan(restarted.sink, spark).toDF.select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L, 99L),
+      "no corpus double-append on heal")
+    assert(Scan(restarted.index, spark).toDF.select("vec_id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 2L),
+      "the index converged with batch 1's payload")
+    assert(restarted.index.metadata.properties(
+      "graft.ann-index.source-snapshot-id").toLong == carrying,
+      "anchor must be the commit that carried the healed batch")
+    assert(restarted.index.metadata.properties(
+      "graft.ann-index.last-batch-id") == "1")
+  }
+
+  test("IcebergStreamSink replay guard: an already-committed batch " +
+      "id is skipped, including across a restart") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-plainsink-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val t0 = Table.create(cat, TableIdentifier(Seq("db"), "events"),
+      eventSchema, io = new HadoopFileIO())
+    val sink = Streams.icebergSink(t0)
+    def df(ids: Long*) = ids.map(i => (i, i * 10L, 1.0))
+      .toDF("event_id", "user_id", "value")
+    sink.addBatch(df(1L, 2L), 0L)
+    sink.addBatch(df(3L), 1L)
+    val snaps = sink.table.metadata.snapshots.size
+    // same-handle replay: skipped
+    sink.addBatch(df(3L), 1L)
+    assert(sink.table.metadata.snapshots.size == snaps)
+    // restart replay: a FRESH handle reads the durable watermark
+    val restarted = Streams.icebergSink(sink.table.refresh())
+    restarted.addBatch(df(3L), 1L)
+    assert(restarted.table.metadata.snapshots.size == snaps,
+      "replayed batch after a restart must not double-append")
+    restarted.addBatch(df(4L), 2L)
+    assert(Scan(restarted.table, spark).toDF.count() == 4)
+    // a NEW query (fresh checkpoint) restarting ids at 0 under the
+    // same streamId is refused loudly, like every ingest sink
+    val reused = Streams.icebergSink(restarted.table)
+    val ex = intercept[IllegalStateException] {
+      reused.addBatch(df(9L), 0L)
+    }
+    assert(ex.getMessage.contains("NEW query"), ex.getMessage)
   }
 }
