@@ -1066,8 +1066,12 @@ object IcebergQueries {
   val i31Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity
       |FROM lineitem
-      |WHERE l_orderkey < 300 AND l_quantity <= 45.0
-      |  AND l_linenumber <> 7 AND l_quantity >= 3.0
+      |-- DELETE keeps rows whose predicate is NULL: the survivor
+      |-- set is NOT-coalesce(pred,false) per delete, not 3VL ranges
+      |WHERE l_orderkey < 300
+      |  AND NOT coalesce(l_quantity > 45.0, false)
+      |  AND NOT coalesce(l_linenumber = 7, false)
+      |  AND NOT coalesce(l_quantity < 3.0, false)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   /** `CALL graft.system.rewrite_equality_deletes` — two `deleteByKeys`
@@ -1118,7 +1122,8 @@ object IcebergQueries {
   val i32Sql: String =
     """SELECT l_orderkey, l_linenumber, l_quantity
       |FROM lineitem
-      |WHERE l_orderkey < 300 AND l_quantity <= 45.0
+      |WHERE l_orderkey < 300
+      |  AND NOT coalesce(l_quantity > 45.0, false)
       |  AND l_orderkey NOT IN (3, 7, 32, 66, 97)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
@@ -1441,8 +1446,10 @@ object IcebergQueries {
       |       ELSE c_mktsegment END AS c_mktsegment,
       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
       |FROM customer
-      |WHERE NOT (c_custkey % 3 = 0 AND c_acctbal < 0)
-      |  AND NOT (c_custkey % 3 <> 0 AND c_custkey % 7 = 0)
+      |-- MERGE deletes only where the condition is TRUE: a NULL acctbal
+      |-- makes it NULL and the row SURVIVES (NOT-coalesce, not 3VL NOT)
+      |WHERE NOT coalesce(c_custkey % 3 = 0 AND c_acctbal < 0, false)
+      |  AND NOT coalesce(c_custkey % 3 <> 0 AND c_custkey % 7 = 0, false)
       |UNION ALL
       |SELECT c_custkey + 2000000, c_mktsegment,
       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS c_acctbal
@@ -1719,8 +1726,13 @@ object IcebergQueries {
         "nid, CAST(NULL AS BIGINT) AS rank WHERE 1 = 0"
     case Some(cbs) =>
       import OpsQueries.PlantedSql.cos
+      // explicit DOUBLE[] cast: DuckDB types bare VALUES array
+      // literals as DECIMAL sized by their digit count, and the
+      // decimal fold of (cv-ctr)^2 then overflows DECIMAL(38) for
+      // vectors of ordinary magnitude — the whole replay is double
+      // arithmetic, so pin the literals to DOUBLE too
       val values = cbs.zipWithIndex.map { case (ctr, cell) =>
-        s"($cell, [${ctr.mkString(", ")}])"
+        s"($cell, CAST([${ctr.mkString(", ")}] AS DOUBLE[]))"
       }.mkString(",\n    ")
       s"""WITH dim AS (
          |  $dimSql
@@ -2665,10 +2677,12 @@ object IcebergQueries {
       s"bins_written ${rep.getLong(1)} must equal the read-back count")
     require(rep.getLong(2) == docs.count(),
       s"docs_packed ${rep.getLong(2)} must equal the corpus size")
-    // in-query parity: the table IS the library composition
+    // in-query parity: the table IS the library composition (NULL
+    // text packs as 0 tokens, the pack_corpus/d9/d21 rule)
     val sized = docs.select(col("doc_id"),
       floor(col("doc_id") / 100).cast("long").as("shard"),
-      graft.ops.TextAnalysis.tokenCount(col("text")).as("tokens"))
+      coalesce(graft.ops.TextAnalysis.tokenCount(col("text")), lit(0L))
+        .as("tokens"))
     val lib = graft.ops.Packing.materializePacked(docs,
       graft.ops.Packing.packGreedy(sized, "doc_id", "tokens", "shard",
         capacity = 512))
@@ -3812,16 +3826,22 @@ object IcebergQueries {
     """WITH a AS (
       |  SELECT DISTINCT md5(lower(trim(
       |    regexp_replace(text || ' zza', '\s+', ' ', 'g')))) AS fp
-      |  FROM documents WHERE doc_id < 50
+      |  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
       |), b AS (
       |  SELECT DISTINCT md5(lower(trim(
       |    regexp_replace(text || ' zzb', '\s+', ' ', 'g')))) AS fp
-      |  FROM documents WHERE doc_id < 50
+      |  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
       |)
       |SELECT fp, n FROM (
       |  SELECT fp, CAST(2 AS BIGINT) AS n FROM a
       |  UNION ALL
       |  SELECT fp, CAST(1 AS BIGINT) AS n FROM b
+      |  UNION ALL
+      |  -- NULL-text rows bypass the dedup state (never collapsed):
+      |  -- every wave delivers each of them once — 3 waves here
+      |  SELECT CAST(NULL AS VARCHAR) AS fp, 3 * COUNT(*) AS n
+      |  FROM documents WHERE doc_id < 50 AND text IS NULL
+      |  HAVING COUNT(*) > 0
       |) ORDER BY fp""".stripMargin
 
   val i21Sql: String =
@@ -3832,14 +3852,21 @@ object IcebergQueries {
       |), w1 AS (
       |  SELECT DISTINCT md5(lower(trim(
       |    regexp_replace(text || ' zzq1', '\s+', ' ', 'g')))) AS fp
-      |  FROM documents WHERE doc_id < 50
+      |  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
       |), w2 AS (
       |  SELECT DISTINCT md5(lower(trim(
       |    regexp_replace(text || ' zzq2', '\s+', ' ', 'g')))) AS fp
-      |  FROM documents WHERE doc_id < 50
+      |  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
       |)
       |SELECT fp FROM (SELECT fp FROM w1 UNION SELECT fp FROM w2) u
       |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = u.fp)
+      |UNION ALL
+      |-- NULL-text rows bypass the ingest-dedup state (a missing body
+      |-- is never "the same document"): every delivery passes each of
+      |-- them through — the fixture delivers its waves 5 times
+      |SELECT CAST(NULL AS VARCHAR) AS fp
+      |FROM documents CROSS JOIN generate_series(1, 5)
+      |WHERE doc_id < 50 AND text IS NULL
       |ORDER BY fp""".stripMargin
 
   /** Watermarked windowed-aggregation gate
@@ -3885,10 +3912,14 @@ object IcebergQueries {
   }
 
   val i23Sql: String =
-    """SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
+    """-- NULL-timestamp events carry no window: Spark's TimeWindowing
+      |-- rule filters them before the streaming aggregate, so the
+      |-- replay must too (a batch date_trunc would keep a NULL group)
+      |SELECT event_type, epoch_us(date_trunc('hour', ts)) AS hour_us,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |FROM events WHERE ts IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Global aggregates through the CatalogPlugin, answered ENTIRELY
     * from manifest statistics (complete aggregate pushdown): the plan

@@ -51,7 +51,10 @@ object MutationQueries {
   val m1Sql: String =
     """SELECT l_returnflag, COUNT(*) AS n,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-      |FROM lineitem WHERE NOT (l_quantity > 45)
+      |-- survivors of DELETE WHERE l_quantity > 45: a NULL-quantity row
+      |-- is NOT matched and SURVIVES (SQL DELETE semantics); a bare
+      |-- NOT(pred) would drop it under 3VL
+      |FROM lineitem WHERE NOT coalesce(l_quantity > 45, false)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ------------------------------------------------- m2: MoR delete
@@ -80,7 +83,8 @@ object MutationQueries {
 
   val m2Sql: String =
     """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-      |FROM lineitem WHERE l_returnflag <> 'R'
+      |-- IS DISTINCT FROM: a NULL-flag row survives the flag='R' delete
+      |FROM lineitem WHERE l_returnflag IS DISTINCT FROM 'R'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
@@ -205,7 +209,8 @@ object MutationQueries {
   val m7Sql: String =
     """SELECT n_nationkey, n_name, n_regionkey FROM (
       |  SELECT n_nationkey, n_name, n_regionkey FROM nation
-      |  WHERE n_regionkey NOT IN (0, 4)
+      |  -- NULL region keys survive the IN-list delete (NOT-coalesce)
+      |  WHERE NOT coalesce(n_regionkey IN (0, 4), false)
       |  UNION ALL
       |  SELECT n_nationkey + 1000 AS n_nationkey, n_name, n_regionkey
       |  FROM nation WHERE n_regionkey = 1

@@ -912,10 +912,13 @@ object OpsQueries {
       "SELECT CAST(NULL AS BIGINT) AS qid, CAST(NULL AS BIGINT) AS nid," +
         " CAST(NULL AS BIGINT) AS rank WHERE 1 = 0"
     case Some(cbs) =>
+      // DOUBLE[] cast for the same reason as the IVF cells VALUES:
+      // bare array literals type as DECIMAL and overflow the fold
       val values = (for {
         (cb, j) <- cbs.zipWithIndex
         (cent, c) <- cb.zipWithIndex
-      } yield s"($j, $c, [${cent.mkString(", ")}])").mkString(",\n    ")
+      } yield s"($j, $c, CAST([${cent.mkString(", ")}] AS DOUBLE[]))")
+        .mkString(",\n    ")
       s"""WITH dim AS (
          |  $dimSql
          |), src AS (

@@ -561,10 +561,20 @@ private[sources] class GraftScanBuilder(
     if (vals.contains(null)) return None
     if (ice == StringType &&
         vals.exists(_.asInstanceOf[String].length >= 16)) return None
-    val extreme =
+    val extreme0 =
       if (vals.isEmpty) null
       else vals.reduce((a, b) =>
         if ((Bounds.compare(a, b, ice) <= 0) == isMin) a else b)
+    // parquet footer stats normalize a +0.0 minimum to -0.0 (the
+    // conservative total-order bound); ±0.0 compare EQUAL under SQL
+    // semantics, so answer the aggregate with the canonical +0.0 — a
+    // row-level MIN over the same data returns +0.0 and the two paths
+    // must not diverge on sign-of-zero
+    val extreme = extreme0 match {
+      case d: java.lang.Double if d == 0.0 => java.lang.Double.valueOf(0.0)
+      case fl: java.lang.Float if fl == 0.0f => java.lang.Float.valueOf(0.0f)
+      case other => other
+    }
     val sparkType = SchemaConverters.toSparkType(ice)
     val catalyst = extreme match {
       case null => null

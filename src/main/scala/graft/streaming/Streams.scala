@@ -772,7 +772,14 @@ object Streams {
   def dedupIngest(stream: DataFrame, corpus: DataFrame,
       textCol: String = "text"): DataFrame = {
     val (fresh, fpCol) = corpusAntiJoined(stream, corpus, textCol)
-    fresh.dropDuplicates(fpCol).drop(fpCol)
+    // NULL-text rows have no fingerprint and are NEVER collapsed (the
+    // Dedup.exact rule — a missing body is not "the same document" as
+    // another missing body): they bypass the state store entirely.
+    // Keyed dropDuplicates would instead treat every NULL key as
+    // EQUAL and silently keep only the first missing-body row.
+    fresh.where(col(fpCol).isNotNull).dropDuplicates(fpCol)
+      .unionByName(fresh.where(col(fpCol).isNull))
+      .drop(fpCol)
   }
 
   /** Shared prefix of both ingest-dedup variants: fingerprint the
@@ -808,9 +815,12 @@ object Streams {
   def dedupIngestBounded(stream: DataFrame, corpus: DataFrame,
       tsCol: String, delay: String,
       textCol: String = "text"): DataFrame = {
-    val (fresh, fpCol) = corpusAntiJoined(stream, corpus, textCol)
-    fresh.withWatermark(tsCol, delay)
+    val (fresh0, fpCol) = corpusAntiJoined(stream, corpus, textCol)
+    val fresh = fresh0.withWatermark(tsCol, delay)
+    // NULL-text rows bypass the state store, same as [[dedupIngest]]
+    fresh.where(col(fpCol).isNotNull)
       .dropDuplicatesWithinWatermark(fpCol)
+      .unionByName(fresh.where(col(fpCol).isNull))
       .drop(fpCol)
   }
 
