@@ -563,8 +563,25 @@ object Maintenance extends org.apache.spark.internal.Logging {
       }
     }.toSet
 
+    // streaming heal pins: a sink-side batch stamp's CARRYING snapshot
+    // (the one whose summary entry matches the table property,
+    // [[graft.streaming.Streams]]' durable-stamp contract) is what a
+    // crashed stream's restart resolves its index anchor from —
+    // expiring it mid-crash-window would force the heal onto the
+    // current-head fallback, which can claim anchor coverage of
+    // another stream's not-yet-indexed corpus rows. Only the LATEST
+    // stamp per stream key pins (older batches' index halves have
+    // committed, so their carrying snapshots expire normally).
+    val stampPinned = meta.properties.collect {
+      case (k, v) if k.contains(".last-batch-id") =>
+        ordered.reverseIterator.collectFirst {
+          case s if s.summary.exists(_.extra.get(k).contains(v)) =>
+            s.snapshotId
+        }
+    }.flatten.toSet
+
     val retained = ordered.takeRight(math.max(retainLast, 1))
-      .map(_.snapshotId).toSet ++ current ++ refPinned
+      .map(_.snapshotId).toSet ++ current ++ refPinned ++ stampPinned
     val expired = ordered.filter(s =>
       s.timestampMs < olderThanMs && !retained.contains(s.snapshotId))
     if (expired.isEmpty && staleRefs.isEmpty) return table

@@ -178,6 +178,36 @@ class MaintenanceSpec extends AnyFunSuite {
       .head.getLong(0) == 100L)
   }
 
+  test("expireSnapshots pins each stream's LATEST batch-stamp " +
+      "carrying snapshot (the crash heal's anchor source)") {
+    var t = freshTable("expirestamp")
+    val key = "graft.ann-index.last-batch-id.s1"
+    // batch 0's corpus commit (stamp rides it, property + summary)
+    t = TableOps.append(t, usersDf(1 to 5),
+      props = Map(key -> "0"), summary = Map(key -> "0"))
+    val carrying0 = t.currentSnapshot.get.snapshotId
+    Thread.sleep(5)
+    // batch 1 supersedes it — batch 0's index half has committed, so
+    // its carrying snapshot is ordinary history again
+    t = TableOps.append(t, usersDf(6 to 10),
+      props = Map(key -> "1"), summary = Map(key -> "1"))
+    val carrying1 = t.currentSnapshot.get.snapshotId
+    Thread.sleep(5)
+    // unrelated commits advance the head past the carrying snapshot
+    t = TableOps.append(t, usersDf(11 to 15))
+    t = TableOps.append(t, usersDf(16 to 20))
+    val cutoff = t.currentSnapshot.get.timestampMs + 1
+    t = Maintenance.expireSnapshots(t, olderThanMs = cutoff,
+      retainLast = 1)
+    val ids = t.metadata.snapshots.map(_.snapshotId).toSet
+    assert(ids.contains(carrying1),
+      "the LATEST stamp's carrying snapshot must survive expiry — a " +
+        "crashed stream's heal resolves its index anchor from it")
+    assert(!ids.contains(carrying0),
+      "superseded stamps' carrying snapshots expire normally")
+    assert(Scan(t, spark).count() == 20)
+  }
+
   test("expireSnapshots keeps files still referenced by retained snapshots") {
     var t = freshTable("expire2")
     t = TableOps.append(t, usersDf(1 to 10).coalesce(1))
