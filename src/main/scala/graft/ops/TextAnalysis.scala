@@ -50,12 +50,16 @@ object TextAnalysis {
   private def wsCollapsed(text: Column): Column =
     trim(regexp_replace(text, "\\s+", " "))
 
-  /** Whitespace token count, robust to empty/blank/tab-edged text. */
-  def tokenCount(text: Column): Column = {
-    val base = wsCollapsed(text)
-    when(length(base) === 0, lit(0L))
-      .otherwise(size(split(base, " ")).cast("long"))
-  }
+  /** Whitespace token count, robust to empty/blank/tab-edged text.
+    * Single evaluation of the collapse regex: splitting collapsed text
+    * can only yield an empty token when the text was empty (split of
+    * "" is [""]), so removing "" replaces the length-guard branch —
+    * which would otherwise evaluate the regexp_replace a second time
+    * wherever conditional subexpression elimination doesn't apply
+    * (interpreted eval inside higher-order functions, the measured
+    * pitfall documented at Dedup.scala). */
+  def tokenCount(text: Column): Column =
+    size(array_remove(split(wsCollapsed(text), " "), "")).cast("long")
 
   /** BPE-ish token count: word pieces + standalone punctuation
     * (`\w+` or single non-space-non-word chars). */
@@ -73,11 +77,15 @@ object TextAnalysis {
         sequence(lit(0), length(word) - 2),
         i => word.substr(i + 1, lit(2))))
 
-  /** Mean token length in characters (0 for empty docs). */
+  /** Mean token length in characters (0 for empty docs). One regex
+    * pass: in collapsed text the non-whitespace character count is
+    * exactly `length(base) - (n - 1)` (n tokens are joined by single
+    * spaces), so no second strip-regex is needed. */
   def meanTokenLength(text: Column): Column = {
-    val n = tokenCount(text)
-    val chars = length(regexp_replace(text, "\\s+", ""))
-    when(n === 0, lit(0.0)).otherwise(chars.cast("double") / n)
+    val base = wsCollapsed(text)
+    val n = size(array_remove(split(base, " "), "")).cast("long")
+    when(n === 0, lit(0.0))
+      .otherwise((length(base) - n + 1).cast("double") / n)
   }
 
   /** Punctuation character ratio. */
@@ -93,10 +101,13 @@ object TextAnalysis {
   /** Fraction of tokens that are (English) stopwords — a standard
     * quality signal for web-scraped corpora. */
   def stopwordRatio(text: Column): Column = {
+    // no zero-guard needed: split of normalized text yields at least
+    // [""] (one element, never a stopword), so an empty/blank doc is
+    // 0/1 = 0.0 — and skipping the guard skips a second tokenCount
+    // collapse pass
     val toks = split(normalized(text), " ")
     val stops = filter(toks, t => t.isInCollection(stopwords))
-    when(tokenCount(text) === 0, lit(0.0))
-      .otherwise(size(stops).cast("double") / size(toks))
+    size(stops).cast("double") / size(toks)
   }
 
   /** Composite quality score in [0, 1]: length sweet-spot, some
