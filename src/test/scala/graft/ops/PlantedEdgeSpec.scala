@@ -214,4 +214,54 @@ class PlantedEdgeSpec extends AnyFunSuite {
     assert(d.head.getString(0) == "ex.ample.org")
     assert(d.head.getLong(1) == 2L && d.head.getLong(2) == 1L)
   }
+
+  test("property: tokenCount/meanTokenLength match a reference over " +
+      "arbitrary whitespace-riddled text") {
+    import org.scalacheck.Gen
+    // whitespace-heavy BMP alphabet: every Java-\s char, a non-\s
+    // unicode space (U+00A0 — both engines must treat it as a
+    // character), CJK, letters, punctuation. No surrogates: Spark's
+    // length() counts codepoints while String.length counts UTF-16
+    // units, and this property pins tokenization, not width-counting.
+    val alphabet = Gen.frequency(
+      5 -> Gen.oneOf(' ', '\t', '\n', '\r', '\u000B', '\f'),
+      1 -> Gen.const('\u00A0'),
+      8 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('的', 'ß', 'é', '.', ',', '!', '-'))
+    val genText = Gen.chooseNum(0, 60)
+      .flatMap(n => Gen.listOfN(n, alphabet).map(_.mkString))
+    val samples = {
+      val buf = Seq.newBuilder[String]
+      var seed = org.scalacheck.rng.Seed(7L)
+      var i = 0
+      while (i < 80) {
+        genText.apply(Gen.Parameters.default, seed)
+          .foreach { s => buf += s; i += 1 }
+        seed = seed.next
+      }
+      buf.result()
+    }
+    def refTokens(s: String): Seq[String] =
+      s.split("\\s+").toSeq.filter(_.nonEmpty)
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val got = df.select(col("id"),
+        TextAnalysis.tokenCount(col("text")).as("n"),
+        TextAnalysis.meanTokenLength(col("text")).as("mean"))
+      .collect().map(r => r.getLong(0).toInt ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val toks = refTokens(s)
+      val (n, mean) = got(i)
+      assert(n == toks.size.toLong,
+        s"tokenCount mismatch on ${s.map(_.toInt).mkString("[", ",", "]")}: " +
+          s"got $n, ref ${toks.size}")
+      val refMean =
+        if (toks.isEmpty) 0.0
+        else toks.map(_.length).sum.toDouble / toks.size
+      assert(math.abs(mean - refMean) < 1e-9,
+        s"meanTokenLength mismatch on ${s.map(_.toInt).mkString("[", ",", "]")}: " +
+          s"got $mean, ref $refMean")
+    }
+  }
 }
