@@ -139,9 +139,16 @@ object Streams {
   private[streaming] abstract class MicroBatchSink(
       protected val propNs: String, protected val streamId: String,
       what: String, initialIndex: Table) extends Serializable {
-    @volatile protected var indexRef: Table = initialIndex
+    // refreshed at construction: the replay gate's watermark and the
+    // pending-sink check read TABLE state, and a handle built from a
+    // stale snapshot of it would re-admit batches whose commits
+    // already landed (double-delivering into the index) or miss a
+    // pending sink stamp (double-delivering into the corpus). One
+    // catalog read per handle buys current state; after that our own
+    // commits keep the refs current.
+    @volatile protected var indexRef: Table = initialIndex.refresh()
     private val gate = new BatchGate(
-      stampedBatchId(initialIndex, propNs, streamId), streamId, what)
+      stampedBatchId(indexRef, propNs, streamId), streamId, what)
 
     /** Sink-specific body, called with the PINNED, non-empty batch. */
     protected def runBatch(batch: DataFrame, batchId: Long): Unit
@@ -224,7 +231,9 @@ object Streams {
       what: String, initialSink: Table, initialIndex: Table,
       streamId0: String)
       extends MicroBatchSink(propNs0, streamId0, what, initialIndex) {
-    @volatile protected var sinkRef: Table = initialSink
+    // refreshed for the same reason as indexRef: the pending-sink
+    // check and the batch-snapshot anchor lookup read sink metadata
+    @volatile protected var sinkRef: Table = initialSink.refresh()
 
     /** Per-sink payload build from the pinned batch: returns the index
       * payload, whether it is non-empty (the probe is per-sink — e.g.
@@ -299,8 +308,10 @@ object Streams {
     * stamps nothing — replaying it re-skips harmlessly. */
   final class IcebergStreamSink(initial: Table,
       streamId: String = "") extends Serializable {
-    @volatile private var tableRef: Table = initial
-    private val gate = new BatchGate(stampedBatchId(initial,
+    // refreshed so a handle built from a stale snapshot cannot read a
+    // stale watermark and re-append an already-committed batch
+    @volatile private var tableRef: Table = initial.refresh()
+    private val gate = new BatchGate(stampedBatchId(tableRef,
       "graft.sink", streamId), streamId, "IcebergStreamSink")
 
     /** The foreachBatch function: append the batch, commit, advance.
@@ -374,7 +385,8 @@ object Streams {
             s"sink was constructed with '$arg' — mixed signature " +
             "configs would silently corrupt the shared index")
       }
-    @volatile private var sinkRef: Table = initialSink
+    // refreshed: the pending-sink heal check reads sink metadata
+    @volatile private var sinkRef: Table = initialSink.refresh()
 
     /** Heal semantics: the survivors' SINK append carries the durable
       * batch stamp ([[MicroBatchSink.sinkStamp]]) in the same commit,

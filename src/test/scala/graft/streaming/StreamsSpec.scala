@@ -1109,6 +1109,14 @@ class StreamsSpec extends AnyFunSuite {
       "replayed batch after a restart must not double-append")
     restarted.addBatch(df(4L), 2L)
     assert(Scan(restarted.table, spark).toDF.count() == 4)
+    // a handle constructed from a STALE snapshot of the table must
+    // not read a stale watermark: construction refreshes from the
+    // catalog, so the replay of batch 2 is still skipped (without
+    // the refresh it would double-append)
+    val stale = Streams.icebergSink(t0)
+    stale.addBatch(df(4L), 2L)
+    assert(Scan(stale.table, spark).toDF.count() == 4,
+      "stale-handle replay must not double-append")
     // a NEW query (fresh checkpoint) restarting ids at 0 under the
     // same streamId is refused loudly, like every ingest sink
     val reused = Streams.icebergSink(restarted.table)

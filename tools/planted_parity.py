@@ -1,14 +1,17 @@
 #!/usr/bin/env python3
 """Planted-corpus oracle parity harness (dev-only, driver-style).
 
-The generated testdata contains NO empty/whitespace/NULL texts and no
-tab/newline-edged documents, so the per-round correctness gates cannot
+The generated testdata contains NO empty/whitespace/NULL texts, no
+tab/newline-edged documents, no NULL vectors/event fields, and ZERO
+NULLs in any TPC-H column — so the per-round correctness gates cannot
 see a Spark-vs-DuckDB divergence that only manifests on those rows
 (the r19 BM25 empty-token bug and the r20 phantom-token trim bug were
-both of this class). This harness closes the oracle side of that blind
-spot: it PLANTS a corpus full of exactly those rows, runs every
-documents-only gated query through graft.Verify, and replays the same
-oracle SQL in DuckDB with the tools/selfcheck.py compare.
+both of this class). This harness closes that blind spot on BOTH
+sides: it PLANTS all ten driver tables full of exactly those rows,
+runs EVERY gated query through graft.Verify, and replays the same
+oracle SQL in DuckDB with the tools/selfcheck.py compare. Expect
+"== 195 pass, 0 fail" — any FAIL is a real engine-vs-oracle semantic
+drift on rows the normal gates never exercise.
 
 Usage: python3 tools/planted_parity.py [plantedDir] [outDir]
 (defaults /tmp/planted_sf /tmp/planted_out; run from the repo root)
