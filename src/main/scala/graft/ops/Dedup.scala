@@ -151,9 +151,17 @@ object Dedup {
   }
 
   /** Signature aggregation over an ALREADY-CACHED [[hashedShingleSets]]
-    * frame — the pipeline-internal form ([[candidatesOfHashedSets]]).
-    * Same values as [[minhashSignatures]] (the set's distinct cannot
-    * change a min; re-mix of the same base hashes). */
+    * frame — the pipeline-internal form ([[minhashEdges]] and the
+    * incremental/indexed removal paths). Same values as
+    * [[minhashSignatures]] (the set's distinct cannot change a min;
+    * re-mix of the same base hashes). The AGGREGATE form (explode
+    * hashed shingles once, re-mix once per seed, map-side min-combine)
+    * is required here, not the k-wide column expression: even isolated
+    * in its own cached stage, the column form's 32+ copies of the
+    * shingling subtree overflow codegen's method limit, the stage
+    * falls back to interpreted eval with no CSE, and the regex re-runs
+    * per seed per shingle — measured 15x (12 s vs 0.8 s at sf0.001)
+    * on the d6 bench. */
   private[ops] def signaturesOfHashedSets(hs: DataFrame,
       numHashes: Int): DataFrame = {
     val exploded = hs.select(col("__id"), explode(col("__hs")).as("__h"))
@@ -194,26 +202,9 @@ object Dedup {
     // sets). [[minhashSignatures]]' string-explode generator already
     // dodges the InferFiltersFromGenerate re-evaluation trap without
     // any cache (see its note), and the small banded frame is still
-    // cached inside [[bandedCandidates]].
+    // cached inside the banding step.
     bandedCandidates(
       minhashSignatures(df, textCol, idCol, numHashes), numHashes, bands)
-
-  /** Candidates over an already-cached [[hashedShingleSets]] frame —
-    * the pipeline-internal form used by [[minhashEdges]], where the
-    * cached sets also feed the verify joins. */
-  private def candidatesOfHashedSets(hs: DataFrame, numHashes: Int,
-      bands: Int): DataFrame =
-    // AGGREGATE-form signatures (explode hashed shingles once, re-mix
-    // once per seed, map-side min-combine), not the k-wide column
-    // expression: even isolated in its own cached stage, the column
-    // form's 32+ copies of the shingling subtree overflow codegen's
-    // method limit, the stage falls back to interpreted eval with no
-    // CSE, and the regex re-runs per seed per shingle — measured 15x
-    // (12 s vs 0.8 s at sf0.001) on the d6 bench. The agg form
-    // shuffles one combined row per document (partial min is
-    // map-side), so it also scales.
-    bandedCandidates(signaturesOfHashedSets(hs, numHashes),
-      numHashes, bands)
 
   /** Band-explode a `(__id, __sig)` signature frame to
     * `(__id, __band, __bucket)` rows. */
@@ -284,7 +275,19 @@ object Dedup {
     // verify-join sides read it; also keeps the shingle expression in
     // its own codegen stage instead of fusing into the join stages
     val hs = hashedShingleSets(df, textCol, idCol).cache()
-    val cands = candidatesOfHashedSets(hs, numHashes, bands)
+    // LAZY candidate stage (r21): the verify join reads the candidate
+    // subtree exactly once, so the intermediate pair-list barrier the
+    // pipeline used to pay (an extra eager localCheckpoint job between
+    // banding and verify) bought nothing — one barrier at the verified
+    // edge list is enough, and the banded cache is released with it.
+    val banded = bandExplode(
+      signaturesOfHashedSets(hs, numHashes), numHashes, bands).cache()
+    val cands = banded.as("a")
+      .join(banded.as("b"), col("a.__band") === col("b.__band") &&
+        col("a.__bucket") === col("b.__bucket") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
     val edges = cands
       .join(hs.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__hs", "__hs_a"), "id_a")
@@ -295,7 +298,7 @@ object Dedup {
     val out =
       if (emitJaccard) edges.select("id_a", "id_b", "jaccard")
       else edges.select("id_a", "id_b")
-    materializeAndRelease(out, hs)
+    materializeAndRelease(out, hs, banded)
   }
 
   /** Connected components over a near-dup edge list. Returns
@@ -322,11 +325,41 @@ object Dedup {
   def connectedComponents(edges: DataFrame, ids: DataFrame,
       maxIter: Int = 20, checkpointInterval: Int = 5,
       driverMaxEdges: Int = 1000000): DataFrame = {
+    val (labels, nodes) = edgeComponents(edges, maxIter,
+      checkpointInterval, driverMaxEdges)
+    val singletons = ids.select(col(ids.columns.head).as("id"))
+      .join(broadcastIfLocal(nodes.select("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    labels.unionByName(singletons)
+  }
+
+  /** `broadcast()` hint only when the frame is a driver-local relation
+    * (the [[driverComponents]] regime, provably tiny); a distributed
+    * label frame keeps its planner-chosen strategy. */
+  private def broadcastIfLocal(df: DataFrame): DataFrame =
+    if (df.queryExecution.logical.collectFirst {
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+          true
+      }.nonEmpty) broadcast(df)
+    else df
+
+  /** Component labels over EDGE-TOUCHED nodes only — the shared core
+    * of [[connectedComponents]] (which rejoins singletons from a
+    * caller id set) and the dedup drop-set paths (which never need
+    * singletons: an untouched node is kept by construction). Returns
+    * `(labels, nodes)`: labels = (id, component) for every node that
+    * appears in an edge, nodes = those ids. In the driver regime both
+    * are LocalRelations, so later joins against them carry true size
+    * stats and broadcast at planning time. */
+  private[ops] def edgeComponents(edges: DataFrame, maxIter: Int = 20,
+      checkpointInterval: Int = 5,
+      driverMaxEdges: Int = 1000000): (DataFrame, DataFrame) = {
     val e = edges.select(col("id_a"), col("id_b")).cache()
     val probe = e.limit(driverMaxEdges + 1).collect()
     if (probe.length <= driverMaxEdges) {
       e.unpersist(false)
-      return driverComponents(probe.map(r => (r.get(0), r.get(1))), edges, ids)
+      val labels = driverLabels(probe.map(r => (r.get(0), r.get(1))), edges)
+      return (labels, labels.select("id"))
     }
     // symmetric edge list, reused every iteration
     val sym = e.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -404,17 +437,15 @@ object Dedup {
     edgeNodes.unpersist(false)
     sym.unpersist(false)
     e.unpersist(false)
-    val singletons = ids.select(col(ids.columns.head).as("id"))
-      .join(nodeSet.select("id"), Seq("id"), "left_anti")
-      .withColumn("component", col("id"))
-    finalLabels.unionByName(singletons)
+    (finalLabels, nodeSet)
   }
 
   /** Small-graph path: union-find with path compression on the driver,
-    * canonical label = min member per set; singletons rejoin via
-    * anti-join. Exact same semantics as the distributed loop. */
-  private def driverComponents(pairs: Array[(Any, Any)], edges: DataFrame,
-      ids: DataFrame): DataFrame = {
+    * canonical label = min member per set, emitted as a LocalRelation
+    * (true size stats — see [[edgeComponents]]). Exact same semantics
+    * as the distributed loop. */
+  private def driverLabels(pairs: Array[(Any, Any)],
+      edges: DataFrame): DataFrame = {
     val parent = collection.mutable.HashMap.empty[Any, Any]
     def find(x: Any): Any = {
       var r = x
@@ -447,13 +478,13 @@ object Dedup {
       org.apache.spark.sql.types.StructField("component", idType)))
     val rows = parent.keys.toSeq.map(m =>
       org.apache.spark.sql.Row(m, minOf(find(m))))
-    val labelDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-    val singletons = ids.select(col(ids.columns.head).as("id"))
-      .join(org.apache.spark.sql.functions.broadcast(
-        labelDf.select("id")), Seq("id"), "left_anti")
-      .withColumn("component", col("id"))
-    labelDf.unionByName(singletons)
+    // LocalRelation, not parallelize: a driver-local row list behind an
+    // RDD planned as LogicalRDD carries defaultSizeInBytes (treated as
+    // huge), so every later join against the labels planned sort-merge
+    // and shuffled the OTHER side; the LocalRelation's true size lets
+    // Catalyst broadcast it at planning time (r21, guide §3.1).
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
   /** MinHash-LSH near-dedup end to end: keep the minimum id per
@@ -489,11 +520,30 @@ object Dedup {
       .unionByName(df.where(col(textCol).isNull))
     val edges = minhashEdges(reps, textCol, idCol, numHashes, bands,
       threshold, emitJaccard = false) // graph caller: ids only
-    val comps = connectedComponents(edges, reps.select(col(idCol)))
-    // min id per component IS the component label — no second window
-    val keep = comps.select(col("component").as("__keep")).distinct()
-    df.join(keep, df(idCol) === col("__keep"), "left_semi")
+    // Keep = reps MINUS the small drop set, not a corpus-sized keep
+    // set (r21, guide §2.4): a representative drops iff it is
+    // edge-touched and not its component's min — so components are
+    // labeled over EDGE-TOUCHED nodes only (tiny: the verified
+    // near-dup neighborhood) and the final step is one anti-join of
+    // the windowed reps against that drop list. The previous shape
+    // (components over ALL rep ids, then df ⋈ distinct component
+    // labels) re-ran the exact() window a second time for the
+    // singleton id set and shuffled a corpus-sized keep list twice;
+    // all three corpus-sized exchanges are gone. The drop list is
+    // bounded by the touched set; at bench scale AQE broadcasts it,
+    // at 100 TB a huge near-dup neighborhood degrades to a shuffled
+    // anti-join of ids — still never a corpus-payload shuffle.
+    reps.join(dropSet(edges, idCol), Seq(idCol), "left_anti")
   }
+
+  /** Ids to DROP among a verified edge list's touched nodes: every
+    * edge-touched node that is not its component's min-id label.
+    * Shared by [[minhashDedup]] and [[minhashDedupBest]] (the latter
+    * ranks by quality instead — see its inline window). */
+  private def dropSet(edges: DataFrame, idCol: String): DataFrame =
+    edgeComponents(edges)._1
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
 
   /** Near-dup dedup keeping the BEST copy per duplicate cluster —
     * highest `qualityCol`, ties broken by lowest id — instead of
@@ -512,9 +562,10 @@ object Dedup {
     * global (max quality, min id) winner is also the winner of its own
     * exact group, so it IS that group's representative and wins among
     * representatives. The quality window then runs over CLUSTERED
-    * representatives only — singletons survive via a left-anti bypass,
-    * mirroring [[connectedComponents]]' edge-touched-nodes discipline.
-    * NULL-text rows cannot cluster and are always kept. */
+    * representatives only — untouched representatives survive the
+    * drop-set anti-join by construction (they are in no component), so
+    * no singleton bypass is needed. NULL-text rows cannot cluster and
+    * are always kept. */
   def minhashDedupBest(df: DataFrame, qualityCol: String,
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 64, bands: Int = 16,
@@ -530,8 +581,6 @@ object Dedup {
       .drop("__rk", cFp)
     val edges = minhashEdges(reps, textCol, idCol, numHashes, bands,
       threshold, emitJaccard = false)
-    val touched = edges.select(col("id_a").as(idCol))
-      .unionAll(edges.select(col("id_b").as(idCol))).distinct()
     // the components frame's (id, component) columns get fresh names
     // BEFORE the join: a caller whose idCol is literally "id" (or
     // qualityCol "component") would otherwise make the unqualified
@@ -539,19 +588,27 @@ object Dedup {
     val cId = graft.util.Names.fresh(df.columns)(i => s"__graft_cid$i")
     val cComp = graft.util.Names.fresh(df.columns :+ cId)(
       i => s"__graft_comp$i")
-    val comps = connectedComponents(edges, touched)
+    val comps = edgeComponents(edges)._1
       .select(col("id").as(cId), col("component").as(cComp))
+    // Drop-set shape (r21, guide §2.3/§2.4 — see [[minhashDedup]]):
+    // a clustered representative drops iff it is NOT its component's
+    // quality-best member. Quality is looked up with a NARROW
+    // (id, quality) corpus projection hash-joined against the tiny
+    // components frame — not by re-running the exact-collapse window a
+    // second and third time as the previous best/untouched unions did
+    // — and the final step is one anti-join of the windowed reps
+    // against the drop list plus the NULL-text bypass, replacing the
+    // corpus-sized keep-list semi-join.
+    val quality = df.select(col(idCol).as(cId),
+      col(qualityCol).as("__graft_q"))
     val w = Window.partitionBy(cComp)
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
-    val best = reps.join(comps, reps(idCol) === col(cId))
+      .orderBy(col("__graft_q").desc, col(cId).asc)
+    val dropped = quality.join(comps, Seq(cId))
       .withColumn("__rk", row_number().over(w))
-      .where(col("__rk") === 1)
-      .select(reps(idCol))
-    val untouched = reps.select(col(idCol))
-      .join(touched, Seq(idCol), "left_anti")
-    val nullText = df.where(col(textCol).isNull).select(col(idCol))
-    df.join(best.unionAll(untouched).unionAll(nullText),
-      Seq(idCol), "left_semi")
+      .where(col("__rk") > 1)
+      .select(col(cId).as(idCol))
+    reps.join(dropped, Seq(idCol), "left_anti")
+      .unionByName(df.where(col(textCol).isNull))
   }
 
   // ------------- incremental dedup: new batch vs a canonical base
@@ -646,15 +703,18 @@ object Dedup {
       .select(least(col("a.__id"), col("b.__id")).as("id_a"),
         greatest(col("a.__id"), col("b.__id")).as("id_b"))
       .distinct()
-    val pairs = materializeAndRelease(cands, banded)
-    val edges = pairs
+    // single barrier (r21): the verify join reads the candidate
+    // subtree exactly once, so candidates stay lazy and only the
+    // verified edge list is materialized — one checkpoint job instead
+    // of two; both caches release at that point
+    val edges = cands
       .join(hs.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__hs", "__hs_a"), "id_a")
       .join(hs.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__hs", "__hs_b"), "id_b")
       .where(jaccard(col("__hs_a"), col("__hs_b")) >= threshold)
       .select("id_a", "id_b")
-    val verified = materializeAndRelease(edges, hs)
+    val verified = materializeAndRelease(edges, hs, banded)
     removalPolicy(verified, newIds, newDf, idCol, qualityCol)
   }
 
@@ -665,9 +725,12 @@ object Dedup {
   private def removalPolicy(verified: DataFrame, newIds: DataFrame,
       newDf: DataFrame, idCol: String,
       qualityCol: Option[String]): DataFrame = {
-    val touched = verified.select(col("id_a").as("id"))
-      .unionAll(verified.select(col("id_b").as("id"))).distinct()
-    val flagged = connectedComponents(verified, touched)
+    // edgeComponents, not connectedComponents(verified, touched): the
+    // id set of interest IS the edge-touched set, so the singleton
+    // rejoin was a no-op — and skipping it keeps the driver-regime
+    // labels a LocalRelation with true size stats (broadcast joins
+    // below instead of shuffling the batch side; r21, guide §3.1)
+    val flagged = edgeComponents(verified)._1
       .join(newIds, col("id") === col("__nid"), "left")
       .select(col("id"), col("component"),
         col("__nid").isNotNull.as("__is_new"))
@@ -793,19 +856,20 @@ object Dedup {
       .select(least(col("a.__id"), col("b.__id")).as("id_a"),
         greatest(col("a.__id"), col("b.__id")).as("id_b"))
       .distinct()
-    // materialize the (tiny) pair list, release the banded cache, but
-    // KEEP newHs cached — the verify joins below read its hashed sets
-    val pairs = materializeAndRelease(cands, bandedNew)
+    // single barrier (r21): candidates stay lazy — the verify join
+    // reads the candidate subtree exactly once, so the old
+    // intermediate pair-list checkpoint bought nothing; one
+    // materialization at the verified edge list releases both caches
     val hsAll = newHs.select("__id", "__hs")
       .unionAll(idxSig.select("__id", "__hs"))
-    val edges = pairs
+    val edges = cands
       .join(hsAll.withColumnRenamed("__id", "id_a")
         .withColumnRenamed("__hs", "__hs_a"), "id_a")
       .join(hsAll.withColumnRenamed("__id", "id_b")
         .withColumnRenamed("__hs", "__hs_b"), "id_b")
       .where(jaccard(col("__hs_a"), col("__hs_b")) >= threshold)
       .select("id_a", "id_b")
-    val verified = materializeAndRelease(edges, newHs)
+    val verified = materializeAndRelease(edges, newHs, bandedNew)
     removalPolicy(verified, newIds, newDf, idCol, qualityCol)
   }
 

@@ -90,25 +90,42 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75,
       logIdf: Boolean = false): DataFrame = {
     val tk = graft.util.Names.fresh(docs.columns)(i => s"__graft_tk$i")
-    val qterms = queries.select(col(qIdCol),
-        explode(array_distinct(toks(col(qTextCol)))).as("term"))
-    // BM25 only ever reads document frequencies and term frequencies
-    // of QUERY terms — so the exploded corpus is broadcast-filtered by
-    // the distinct query-term set BEFORE any aggregation. The full
-    // vocabulary is never aggregated, and the tf aggregate sees only
-    // matching tokens (dl is carried from the pre-filter token count,
-    // so document length stays the FULL length).
-    val matched = docs
+    // Query terms collected driver-side ONCE and re-emitted as a
+    // LocalRelation — a query batch is small by definition (the
+    // [[bm25FromIndex]] collect discipline). The literal In-filter
+    // over the exploded tokens replaces the former distinct-shuffle +
+    // broadcast-exchange job chain, and the LocalRelation stops every
+    // later reference to the query frame from re-running its scan.
+    val (qterms, terms) = collectQueryTerms(queries, qIdCol, qTextCol)
+    // ONE corpus text pass (r21, guide §2.3 "don't compute twice"):
+    // the former shape tokenized the corpus TWICE — once for matched
+    // postings, once for the (n_docs, avgdl) stats aggregate, two full
+    // regex passes over 100 TB of text. Here each document's token
+    // array is exploded WITH a sentinel "" row carrying its dl ("" can
+    // never be a real token: [[toks]] strips empties), so one
+    // aggregation yields query-term postings AND one stats row per
+    // document. That aggregate — postings plus one tiny row per doc,
+    // counts not text — is pinned once (localCheckpoint) and both the
+    // stats fold and the scoring read it; the text is never re-read.
+    // NULL-text docs sentinel with a NULL dl (coalesce only fills the
+    // ARRAY), so `sum(dl)` skips them exactly like the old
+    // `sum(size(toks(NULL)))` did while `count` still counts them.
+    val exploded = docs
       .select(col(idCol), toks(col(textCol)).as(tk))
-      .select(col(idCol), explode(col(tk)).as("term"),
+      .select(col(idCol),
+        explode(coalesce(concat(col(tk), array(lit(""))),
+          array(lit("")))).as("term"),
         size(col(tk)).cast("long").as("dl"))
-      .join(broadcast(qterms.select("term").distinct()), "term")
-    val post = matched.groupBy(col(idCol), col("term"), col("dl"))
+      .where(col("term") === "" ||
+        (if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)))
+    val post0 = exploded.groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
-    // single-row corpus stats; joined in via a 1-row broadcast
-    val stats = docs.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(size(toks(col(textCol))).cast("long")).as("total_dl"))
+      .localCheckpoint(true)
+    val post = post0.where(col("term") =!= "")
+    // single-row corpus stats off the sentinel rows; 1-row broadcast
+    val stats = post0.where(col("term") === "")
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(col("dl")).as("total_dl"))
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
     rankMatchedPostings(post, qterms, stats, k, idCol, qIdCol, k1, b,
@@ -153,19 +170,36 @@ object Retrieval {
       idCol: String = "doc_id", qIdCol: String = "query_id",
       qTextCol: String = "query", k1: Double = 1.2, b: Double = 0.75,
       logIdf: Boolean = false): DataFrame = {
-    val qterms = queries.select(col(qIdCol),
-      explode(array_distinct(toks(col(qTextCol)))).as("term"))
-    val terms = qterms.select("term").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    // one driver collect for both the bucket-probe term list and the
+    // scoring joins (see [[bm25TopK]]); bucket co-residents are
+    // filtered back out by the literal In over the loaded postings
+    val (qterms, terms) = collectQueryTerms(queries, qIdCol, qTextCol)
     val post = loadPostings(terms)
       .select(col(idCol), col("term"), col("dl"), col("tf"))
-      .join(broadcast(qterms.select("term").distinct()), "term")
+      .where(if (terms.isEmpty) lit(false)
+        else col("term").isin(terms: _*))
     val stats = queries.sparkSession.range(1).select(
       lit(nDocs).cast("double").as("n_docs"),
       (lit(totalDl).cast("double") / lit(nDocs).cast("double"))
         .as("avgdl"))
     rankMatchedPostings(post, qterms, stats, k, idCol, qIdCol, k1, b,
       logIdf)
+  }
+
+  /** One driver collect of a query batch's `(qIdCol, term)` pairs:
+    * returns them re-emitted as a LocalRelation (true size stats, no
+    * re-scan per reference) plus the sorted distinct term vocabulary.
+    * Query batches are small by definition — the scale contract every
+    * retrieval path here already documents. */
+  private def collectQueryTerms(queries: DataFrame, qIdCol: String,
+      qTextCol: String): (DataFrame, Seq[String]) = {
+    val qterms0 = queries.select(col(qIdCol),
+      explode(array_distinct(toks(col(qTextCol)))).as("term"))
+    val rows = qterms0.collect()
+    val qterms = queries.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava,
+      qterms0.schema)
+    (qterms, rows.map(_.getAs[String]("term")).distinct.toSeq.sorted)
   }
 
   /** The scoring tail shared by [[bm25TopK]] and [[bm25FromIndex]]:
@@ -194,7 +228,18 @@ object Retrieval {
             lit(k1) * (lit(1.0 - b) + lit(b) *
               (col("dl").cast("double") / col("avgdl"))))
           * ScoreScale + 0.5).cast("long").as("s"))
-    val scored = perTerm.groupBy(col(qIdCol), col(idCol))
+    // ONE exchange for the per-document sum AND the top-k window
+    // (guide §2.4 — operations keyed the same way share an exchange):
+    // hash-partitioning by the query id alone satisfies the
+    // (qIdCol, idCol) aggregation's clustering AND the window's, so
+    // the aggregate runs complete-mode after this exchange and
+    // WindowExec adds only a local sort. The window always forced
+    // per-query locality anyway, so the keying loses no parallelism
+    // the old two-exchange plan actually had; per-(query, doc) term
+    // multiplicity is bounded by the query vocabulary, so the skipped
+    // map-side combine costs at most that small factor in rows.
+    val scored = perTerm.repartition(col(qIdCol))
+      .groupBy(col(qIdCol), col(idCol))
       .agg(sum(col("s")).as("score_scaled"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(qIdCol))
@@ -236,7 +281,11 @@ object Retrieval {
     require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
     val contribs = rankings.map(_.select(col(qIdCol), col(idCol),
       expr(s"${RrfScale}L div (${kRrf}L + `$rankCol`)").as("__rrf")))
+    // fused sum and top-k window share one query-id exchange (the
+    // rankMatchedPostings §2.4 pattern); inputs are top-k lists, so
+    // the skipped map-side combine is over a few hundred rows
     val fused = contribs.reduce(_ unionByName _)
+      .repartition(col(qIdCol))
       .groupBy(col(qIdCol), col(idCol))
       .agg(sum(col("__rrf")).as("rrf_scaled"),
         count(lit(1)).as("n_lists"))

@@ -375,12 +375,17 @@ object Similarity {
       queries: DataFrame, centroids: Seq[Array[Double]], k: Int,
       nprobe: Int = 2, vecCol: String = "embedding",
       idCol: String = "vec_id", withVec: Boolean = false): DataFrame = {
-    // tiny (|queries| × nprobe); pinned so the collect and the join
-    // don't each re-run the probe expressions
-    val probed = probedQueries(queries, centroids, nprobe, vecCol, idCol)
-      .localCheckpoint(true)
-    val cells = probed.select("__cell").distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
+    // tiny (|queries| × nprobe): ONE driver collect serves both the
+    // probed-cell list and the join's build side — re-emitted as a
+    // LocalRelation so the probe expressions run once and the join
+    // side carries true size stats (r21; formerly a localCheckpoint
+    // job PLUS a separate distinct+collect job)
+    val probed0 = probedQueries(queries, centroids, nprobe, vecCol, idCol)
+    val probedRows = probed0.collect()
+    val probed = queries.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters
+        .SeqHasAsJava(probedRows.toSeq).asJava, probed0.schema)
+    val cells = probedRows.map(_.getAs[Int]("__cell")).distinct.toSeq.sorted
     val assigned = loadCells(cells).select(col(idCol).as("nid"),
       col(vecCol).as("__cv"), col("norm").as("__cn"),
       col("cell").as("__cell"))

@@ -80,11 +80,21 @@ object Unigram {
   def trainVocab(df: DataFrame, textCol: String = "text",
       vocabSize: Int = 64, maxPieceLen: Int = 4): (DataFrame, Long) = {
     require(vocabSize >= 0 && maxPieceLen >= 1)
-    val pc = pieceCounts(Bpe.wordCounts(df, textCol), maxPieceLen)
+    // cached: the scalar total AND the vocab cut read the piece-count
+    // aggregate — uncached, the whole corpus word-count + piece-explode
+    // chain ran TWICE (r21, guide §1.2 "don't compute things twice");
+    // the frame is dictionary-sized (distinct pieces), not corpus-sized
+    val pc = pieceCounts(Bpe.wordCounts(df, textCol), maxPieceLen).cache()
     // total candidate-piece occurrences: one scalar aggregate
     val t = Option(pc.agg(sum(col("cnt"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
-    vocabFromCounts(pc, vocabSize, t)
+    val (vocab, qlogT) = vocabFromCounts(pc, vocabSize, t)
+    // pin the (vocab-sized) model and release the piece-count cache:
+    // every caller either collects the vocab (segmentation) or orders
+    // it (the d46 gate), so the eager checkpoint is never wasted work
+    val pinned = vocab.localCheckpoint(true)
+    pc.unpersist(false)
+    (pinned, qlogT)
   }
 
   /** Derive the `(vocab, qlogT)` model from a PIECE-COUNT LEDGER — a
