@@ -734,29 +734,37 @@ object Dedup {
       .join(newIds, col("id") === col("__nid"), "left")
       .select(col("id"), col("component"),
         col("__nid").isNotNull.as("__is_new"))
-    val hasOldW = Window.partitionBy(col("component"))
-    val withHasOld = flagged.withColumn("__has_old",
-      max(when(!col("__is_new"), 1).otherwise(0)).over(hasOldW) === 1)
-    // new members of base-containing components always drop
-    val dropVsBase = withHasOld
-      .where(col("__is_new") && col("__has_old")).select(col("id"))
-    // new-only components keep one winner
-    val newOnly = withHasOld.where(!col("__has_old"))
+    // ONE window pass for both drop rules (r21): the former
+    // dropVsBase ∪ dropWithinNew union evaluated the flagged subtree
+    // (components ⋈ batch ids, plus the batch scan for quality) once
+    // per branch and paid a distinct exchange to merge. Fused rule:
+    // a NEW member drops iff its component contains an old member, OR
+    // it is not rank 1 within its component. Equivalence: in a
+    // has-old component `__has_old` alone drops every new member
+    // (rank irrelevant); in a new-only component there are no old
+    // rows, so the rank over ALL members equals the old rank over new
+    // members (old rows, when quality-joined, carry NULL quality and
+    // sort last — also irrelevant, has-old components never reach the
+    // rank test). Ids are unique per component member, so no distinct
+    // is needed.
     val ranked = qualityCol match {
       case Some(q) =>
         val quality = newDf.select(col(idCol).as("__qid"),
           col(q).as("__qv"))
-        val w = Window.partitionBy(col("component"))
-          .orderBy(col("__qv").desc, col("id").asc)
-        newOnly.join(quality, col("id") === col("__qid"))
-          .withColumn("__rk", row_number().over(w))
+        flagged.join(quality, col("id") === col("__qid"), "left")
+          .withColumn("__rk", row_number().over(
+            Window.partitionBy(col("component"))
+              .orderBy(col("__qv").desc, col("id").asc)))
       case None =>
-        val w = Window.partitionBy(col("component"))
-          .orderBy(col("id").asc)
-        newOnly.withColumn("__rk", row_number().over(w))
+        flagged.withColumn("__rk", row_number().over(
+          Window.partitionBy(col("component"))
+            .orderBy(col("id").asc)))
     }
-    val dropWithinNew = ranked.where(col("__rk") > 1).select(col("id"))
-    dropVsBase.unionAll(dropWithinNew).distinct()
+    ranked
+      .withColumn("__has_old",
+        max(when(!col("__is_new"), 1).otherwise(0))
+          .over(Window.partitionBy(col("component"))) === 1)
+      .where(col("__is_new") && (col("__has_old") || col("__rk") > 1))
       .select(col("id").as(idCol))
   }
 
@@ -968,8 +976,27 @@ object Dedup {
       .withColumn("__n", Similarity.l2norm(col("__v")))
       .withColumn("__cell", Similarity.nearestCell(col("__v"), centroids))
       .cache()
-    val dropped = assigned.as("a").join(assigned.as("b"),
+    // SALTED pair join (r21, guide §2.5): keyed by cell alone, the
+    // within-cell pair stage's parallelism is bounded by the NUMBER OF
+    // CELLS (k reduce partitions at 100 TB however large the cluster)
+    // — and when the build side broadcasts, by the probe side's input
+    // split count. Each right-side row takes one deterministic salt
+    // (id-hash — never rand(), SPARK-38388); the left side replicates
+    // across all salts and is exchanged by (cell, salt), splitting
+    // every cell's O(m²) dot products into `salts` independent
+    // partitions. Pair coverage is exact: a (a, b) pair meets exactly
+    // once, at b's salt. The dropped set is unchanged (and distinct()
+    // guards it regardless).
+    val salts = math.max(1, df.sparkSession.sparkContext
+      .defaultParallelism / math.max(1, centroids.size))
+    val probe = assigned.withColumn("__salt",
+        explode(array((0 until salts).map(lit(_)): _*)))
+      .repartition(col("__cell"), col("__salt"))
+    val build = assigned.withColumn("__salt",
+      pmod(xxhash64(col("__id")), lit(salts.toLong)).cast("int"))
+    val dropped = probe.as("a").join(build.as("b"),
         col("a.__cell") === col("b.__cell") &&
+          col("a.__salt") === col("b.__salt") &&
           col("a.__id") < col("b.__id"))
       .where(Similarity.cosineWithNorms(col("a.__v"), col("b.__v"),
         col("a.__n"), col("b.__n")) >= threshold)

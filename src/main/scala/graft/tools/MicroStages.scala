@@ -11,11 +11,14 @@ object MicroStages {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val builder = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    sys.env.get("GRAFT_MPS").foreach(v => builder.config(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // job counter + per-job trace (id, wall ms, task count, callsite)
