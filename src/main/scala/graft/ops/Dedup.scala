@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Upper bound on [[semanticDedup]]'s probe-side salt replication —
+    * the skew-split trade's shuffle-byte multiplier is capped here
+    * (probe rows carry the full vector payload `salts` times). */
+  val SemanticDedupMaxSalts = 16
+
   /** Exact dedup: keep the smallest id per identical (normalized)
     * text. NULL-text rows are never collapsed — a missing document
     * body is not "the same document" as another missing body — which
@@ -747,23 +752,36 @@ object Dedup {
     // sort last — also irrelevant, has-old components never reach the
     // rank test). Ids are unique per component member, so no distinct
     // is needed.
-    val ranked = qualityCol match {
+    // ONE Window node (r22): the rank and the has-old flag share the
+    // same partition key AND the same ordering, so both window
+    // functions live in a single WindowExec — the flag's max declares
+    // an explicit whole-partition frame (a full-partition max is
+    // ordering-independent, so attaching the rank's ordering changes
+    // no value). The previous unordered second spec planned a second
+    // Window node (and its sort) over the same exchange.
+    val (ranked, w) = qualityCol match {
       case Some(q) =>
         val quality = newDf.select(col(idCol).as("__qid"),
           col(q).as("__qv"))
-        flagged.join(quality, col("id") === col("__qid"), "left")
-          .withColumn("__rk", row_number().over(
-            Window.partitionBy(col("component"))
-              .orderBy(col("__qv").desc, col("id").asc)))
-      case None =>
-        flagged.withColumn("__rk", row_number().over(
+        (flagged.join(quality, col("id") === col("__qid"), "left"),
           Window.partitionBy(col("component"))
-            .orderBy(col("id").asc)))
+            .orderBy(col("__qv").desc, col("id").asc))
+      case None =>
+        (flagged, Window.partitionBy(col("component"))
+          .orderBy(col("id").asc))
     }
+    val wFull = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    // one SELECT carrying both window expressions: sequential
+    // withColumn calls insert a Project between the two Window
+    // operators, which blocks CollapseWindow — extracted together,
+    // the analyzer groups them into the single node (plan-pinned by
+    // DedupSpec)
     ranked
-      .withColumn("__has_old",
-        max(when(!col("__is_new"), 1).otherwise(0))
-          .over(Window.partitionBy(col("component"))) === 1)
+      .select(col("id"), col("__is_new"),
+        row_number().over(w).as("__rk"),
+        (max(when(!col("__is_new"), 1).otherwise(0)).over(wFull) === 1)
+          .as("__has_old"))
       .where(col("__is_new") && (col("__has_old") || col("__rk") > 1))
       .select(col("id").as(idCol))
   }
@@ -987,8 +1005,16 @@ object Dedup {
     // partitions. Pair coverage is exact: a (a, b) pair meets exactly
     // once, at b's salt. The dropped set is unchanged (and distinct()
     // guards it regardless).
-    val salts = math.max(1, df.sparkSession.sparkContext
-      .defaultParallelism / math.max(1, centroids.size))
+    //
+    // CAPPED at [[SemanticDedupMaxSalts]] (r22): each salt replicates
+    // the probe side's VECTOR payload through the exchange, so
+    // `defaultParallelism / nCells` unbounded would multiply shuffle
+    // bytes ~1000x on a 10k-core cluster with few cells. 16 splits the
+    // worst per-cell O(m²) pair work well past where scheduling
+    // overhead dominates, for at most 16x payload replication.
+    val salts = math.min(SemanticDedupMaxSalts,
+      math.max(1, df.sparkSession.sparkContext
+        .defaultParallelism / math.max(1, centroids.size)))
     val probe = assigned.withColumn("__salt",
         explode(array((0 until salts).map(lit(_)): _*)))
       .repartition(col("__cell"), col("__salt"))

@@ -16,14 +16,14 @@ import graft.util.Names
   * least `window` tokens — the same filter signal, and embarrassingly
   * parallel.
   *
-  * Scale shape: one corpus scan explodes each document into its
+  * Scale shape: ONE corpus scan explodes each document into its
   * window hashes (tokenized ONCE into a bound attribute — the
-  * Dedup.scala:35-39 re-eval trap); window-hash occurrence counts
-  * collapse map-side before their exchange (hot boilerplate windows
-  * never ship raw volume); the mark join is hash-keyed (AQE skew-safe)
-  * and the interval merge is one document-key window pass. Nothing is
-  * ever pairwise: a window shared by 10⁶ documents costs 10⁶ marked
-  * rows, not 10¹² pairs.
+  * Dedup.scala:35-39 re-eval trap); occurrence counting and canonical
+  * marking run as window functions over one hash-keyed exchange (r22
+  * — the former count+join shape scanned the corpus twice), and the
+  * interval merge is one document-key window pass. Nothing is ever
+  * pairwise: a window shared by 10⁶ documents costs 10⁶ marked rows,
+  * not 10¹² pairs.
   */
 object ExactSubstr {
 
@@ -50,10 +50,23 @@ object ExactSubstr {
     val windows = docs.select(col(idCol), toks.as(cTk))
       .select(col(idCol), posexplode(hashes).as(Seq(cPos, cH)))
       .withColumn(cPos, col(cPos).cast("long"))
-    val counts = windows.groupBy(cH).agg(
-      count(lit(1)).as("__n"),
-      min(struct(col(idCol), col(cPos))).as("__first"))
-    val marked = windows.join(counts, cH)
+    // ONE corpus pass (r22, guide §2.3): the per-hash occurrence count
+    // and canonical first occurrence are WINDOW functions over a
+    // single hash-keyed exchange — the former groupBy + self-join
+    // evaluated the tokenize+md5 subtree twice (a (doc, pos, hash)
+    // frame is larger than the text itself, so pinning was not an
+    // option), and its probe side shuffled the same raw rows this
+    // window shape shuffles. Skew trade, documented: a window
+    // partition cannot be AQE-split like the old join could, so one
+    // ultra-hot boilerplate window hash (10⁹ copies at 100 TB) now
+    // processes on one task — linearly (count + min, spillable
+    // buffer), not quadratically; the saved full corpus scan dominates
+    // until that extreme.
+    val byH = Window.partitionBy(col(cH))
+    val marked = windows
+      .withColumn("__n", count(lit(1)).over(byH))
+      .withColumn("__first",
+        min(struct(col(idCol), col(cPos))).over(byH))
       .where(col("__n") >= 2 &&
         (if (keepFirst)
           !(col("__first")(idCol) === col(idCol) &&

@@ -55,6 +55,13 @@ object Importance {
     def buckets(df: DataFrame, cols: Column*): DataFrame =
       df.select(cols :+ explode(grams(col(textCol))).as("__g"): _*)
         .select(cols :+ featureBucket(col("__g")).as(cB): _*)
+    // Deliberately TWO source passes (r22, examined — the d24
+    // analysis): a shared per-(doc, bucket) pre-aggregate never gets
+    // its stage reused (the outer join's inferred isnotnull(id)
+    // pushes into only one reference, breaking canonical equality),
+    // so the "one pass" rewrite measured as extra exchange + same two
+    // scans. The counts exchange collapses map-side to ≤ B rows per
+    // partition, so the second pass's shuffle is already trivial.
     val sCounts = buckets(source).groupBy(cB)
       .agg(count(lit(1)).as(cS))
     val tCounts = buckets(target).groupBy(cB)

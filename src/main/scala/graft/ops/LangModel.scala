@@ -64,6 +64,16 @@ object LangModel {
       Names.fresh(df.columns)(i => s"__graft_${s}$i"))
     val bg = df.select(col(idCol),
       explode(TextAnalysis.ngrams(toks(col(textCol)), 2)).as(cG))
+    // Deliberately TWO corpus tokenize passes (r22, examined): a
+    // per-(doc, gram) pre-aggregate whose shuffle both the counts and
+    // the scoring probe read would cut this to one pass, but the two
+    // subtree references canonicalize differently (the final left
+    // join's inferred isnotnull(id) pushes into the probe's scan only),
+    // so AQE never reuses the stage — measured: extra exchange, same
+    // two scans. Pinning the pre-aggregate instead is corpus-sized
+    // (bigram STRINGS per doc ≈ 2x the text itself — not the
+    // counts-not-text e13 trade). Two scans with a map-side-combined
+    // count exchange is the right shape.
     val counts = bg.groupBy(cG).agg(count(lit(1)).as(cN))
     val perDoc = bg.join(counts, cG)
       .groupBy(col(idCol))
@@ -273,6 +283,15 @@ object LangModel {
     * `CALL train_lm` model, so the d42/d43 oracles gate both paths. */
   def trigramBackoff(df: DataFrame, trainPred: Column,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    // Deliberately LAZY (r22, measured): pinning the ledger here
+    // (localCheckpoint) made the bench query 3.7x slower at sf0.1 —
+    // materializing the distinct-gram ledger costs more than the ~6
+    // cheap re-derivations Catalyst plans from the pushed n= filters.
+    // At 100 TB the 6 corpus-half scans ARE the dominant cost, and the
+    // engine's answer to that is the path that already exists:
+    // `CALL train_lm` persists this exact ledger once and
+    // [[scoreWithCounts]] reads the table (the i50/i51 gates) — the
+    // e13-vs-e18 indexed/unindexed split, not an in-memory pin.
     scoreWithCounts(df, gramCounts(df.where(trainPred), textCol),
       textCol, idCol)
 

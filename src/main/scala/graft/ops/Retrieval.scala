@@ -36,6 +36,35 @@ object Retrieval {
   /** Score scale for the integer per-term scores (10⁹). */
   val ScoreScale = 1.0e9
 
+  /** Hard cap on the `(query, term)` pairs [[collectQueryTerms]] will
+    * pull to the driver (r22 guard): the "query batch is small by
+    * definition" contract was previously documented but unenforced — a
+    * caller handing a corpus-sized frame to a retrieval entry point
+    * would OOM the driver silently. 1M pairs ≈ tens of MB collected,
+    * safely inside any driver heap; past it the caller is holding the
+    * API wrong and gets told so instead of a dead driver. */
+  val MaxQueryTermRows = 1 << 20
+
+  /** Past this many DISTINCT query terms, the corpus-token filter
+    * switches from a literal `In` to a broadcast semi-join (r22
+    * guard): a six-figure literal list bloats the plan tree and its
+    * codegen, while a semi-join against the (already collected,
+    * LocalRelation) vocabulary costs one broadcast of the same data.
+    * Both filter identically. */
+  val InFilterMaxTerms = 10000
+
+  /** Past this many terms in a single query, [[rankMatchedPostings]]
+    * falls back from the shared query-id exchange to the two-exchange
+    * shape (r22 guard; the r21 verdict's skew note): the shared
+    * exchange ships UN-combined per-term rows — ×(terms per query)
+    * multiplicity — into one per-query window task with no map-side
+    * combine, which a hot many-term query at 100 TB concentrates on
+    * one straggler. Below the threshold the multiplicity is a small
+    * constant and saving a whole exchange wins; above it, a
+    * (query, doc)-keyed partial aggregation first combines map-side
+    * and spreads the sum across the cluster. */
+  val SharedExchangeMaxTermsPerQuery = 64
+
   /** Tokenize, with the empty token REMOVED: `split("", " ")` yields
     * `[""]`, so without the filter an empty/whitespace-only document
     * would index as dl = 1 with a `""` posting (skewing avgdl), and an
@@ -96,7 +125,8 @@ object Retrieval {
     // over the exploded tokens replaces the former distinct-shuffle +
     // broadcast-exchange job chain, and the LocalRelation stops every
     // later reference to the query frame from re-running its scan.
-    val (qterms, terms) = collectQueryTerms(queries, qIdCol, qTextCol)
+    val (qterms, terms, maxTermsPerQ) =
+      collectQueryTerms(queries, qIdCol, qTextCol)
     // ONE corpus text pass (r21, guide §2.3 "don't compute twice"):
     // the former shape tokenized the corpus TWICE — once for matched
     // postings, once for the (n_docs, avgdl) stats aggregate, two full
@@ -110,14 +140,13 @@ object Retrieval {
     // NULL-text docs sentinel with a NULL dl (coalesce only fills the
     // ARRAY), so `sum(dl)` skips them exactly like the old
     // `sum(size(toks(NULL)))` did while `count` still counts them.
-    val exploded = docs
+    val exploded = filterToTerms(docs
       .select(col(idCol), toks(col(textCol)).as(tk))
       .select(col(idCol),
         explode(coalesce(concat(col(tk), array(lit(""))),
           array(lit("")))).as("term"),
-        size(col(tk)).cast("long").as("dl"))
-      .where(col("term") === "" ||
-        (if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)))
+        size(col(tk)).cast("long").as("dl")),
+      terms, keepEmpty = true)
     val post0 = exploded.groupBy(col(idCol), col("term"), col("dl"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
@@ -129,7 +158,7 @@ object Retrieval {
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
     rankMatchedPostings(post, qterms, stats, k, idCol, qIdCol, k1, b,
-      logIdf)
+      logIdf, combineFirst = maxTermsPerQ > SharedExchangeMaxTermsPerQuery)
   }
 
   /** Corpus-level BM25 stats as exact longs, computed with the same
@@ -173,33 +202,66 @@ object Retrieval {
     // one driver collect for both the bucket-probe term list and the
     // scoring joins (see [[bm25TopK]]); bucket co-residents are
     // filtered back out by the literal In over the loaded postings
-    val (qterms, terms) = collectQueryTerms(queries, qIdCol, qTextCol)
-    val post = loadPostings(terms)
-      .select(col(idCol), col("term"), col("dl"), col("tf"))
-      .where(if (terms.isEmpty) lit(false)
-        else col("term").isin(terms: _*))
+    val (qterms, terms, maxTermsPerQ) =
+      collectQueryTerms(queries, qIdCol, qTextCol)
+    val post = filterToTerms(loadPostings(terms)
+      .select(col(idCol), col("term"), col("dl"), col("tf")),
+      terms, keepEmpty = false)
     val stats = queries.sparkSession.range(1).select(
       lit(nDocs).cast("double").as("n_docs"),
       (lit(totalDl).cast("double") / lit(nDocs).cast("double"))
         .as("avgdl"))
     rankMatchedPostings(post, qterms, stats, k, idCol, qIdCol, k1, b,
-      logIdf)
+      logIdf, combineFirst = maxTermsPerQ > SharedExchangeMaxTermsPerQuery)
   }
 
   /** One driver collect of a query batch's `(qIdCol, term)` pairs:
     * returns them re-emitted as a LocalRelation (true size stats, no
-    * re-scan per reference) plus the sorted distinct term vocabulary.
-    * Query batches are small by definition — the scale contract every
-    * retrieval path here already documents. */
+    * re-scan per reference), the sorted distinct term vocabulary, and
+    * the largest single query's term count (the
+    * [[SharedExchangeMaxTermsPerQuery]] heuristic input). Query
+    * batches are small by definition — and since r22 that contract is
+    * ENFORCED ([[MaxQueryTermRows]]): the collect is bounded by a
+    * limit probe, so an oversized frame fails fast with a named cap
+    * instead of OOMing the driver. */
   private def collectQueryTerms(queries: DataFrame, qIdCol: String,
-      qTextCol: String): (DataFrame, Seq[String]) = {
+      qTextCol: String): (DataFrame, Seq[String], Int) = {
     val qterms0 = queries.select(col(qIdCol),
       explode(array_distinct(toks(col(qTextCol)))).as("term"))
-    val rows = qterms0.collect()
+    val rows = qterms0.limit(MaxQueryTermRows + 1).collect()
+    require(rows.length <= MaxQueryTermRows,
+      s"retrieval query batch exceeds $MaxQueryTermRows (query, term) " +
+        "pairs (Retrieval.MaxQueryTermRows) — the driver-collect " +
+        "retrieval paths are for small query batches; split the batch " +
+        "or run the corpus-side join shape instead")
     val qterms = queries.sparkSession.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava,
       qterms0.schema)
-    (qterms, rows.map(_.getAs[String]("term")).distinct.toSeq.sorted)
+    val maxPerQuery =
+      if (rows.isEmpty) 0
+      else rows.groupBy(_.get(0)).valuesIterator.map(_.length).max
+    (qterms, rows.map(_.getAs[String]("term")).distinct.toSeq.sorted,
+      maxPerQuery)
+  }
+
+  /** Corpus-token filter for a collected query vocabulary: a literal
+    * `In` while the vocabulary is plan-friendly, a broadcast semi-join
+    * against the (LocalRelation) term list past
+    * [[InFilterMaxTerms]] — identical filtering either way.
+    * `keepEmpty` additionally passes the `""` sentinel rows
+    * [[bm25TopK]] threads through its postings aggregation. */
+  private def filterToTerms(df: DataFrame, terms: Seq[String],
+      keepEmpty: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    if (terms.size <= InFilterMaxTerms) {
+      val inTerms =
+        if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)
+      df.where(if (keepEmpty) col("term") === "" || inTerms else inTerms)
+    } else {
+      import spark.implicits._
+      val vocab = (if (keepEmpty) terms :+ "" else terms).toDF("term")
+      df.join(broadcast(vocab), Seq("term"), "left_semi")
+    }
   }
 
   /** The scoring tail shared by [[bm25TopK]] and [[bm25FromIndex]]:
@@ -209,7 +271,8 @@ object Retrieval {
     * so the indexed and unindexed paths can never drift. */
   private def rankMatchedPostings(post: DataFrame, qterms: DataFrame,
       stats: DataFrame, k: Int, idCol: String, qIdCol: String,
-      k1: Double, b: Double, logIdf: Boolean): DataFrame = {
+      k1: Double, b: Double, logIdf: Boolean,
+      combineFirst: Boolean = false): DataFrame = {
     // df over the restricted postings equals full-corpus df for every
     // query term (each (doc, term) row appears exactly once)
     val df_ = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
@@ -238,9 +301,20 @@ object Retrieval {
     // the old two-exchange plan actually had; per-(query, doc) term
     // multiplicity is bounded by the query vocabulary, so the skipped
     // map-side combine costs at most that small factor in rows.
-    val scored = perTerm.repartition(col(qIdCol))
-      .groupBy(col(qIdCol), col(idCol))
-      .agg(sum(col("s")).as("score_scaled"))
+    //
+    // GUARDED (r22): past [[SharedExchangeMaxTermsPerQuery]] terms in
+    // a single query the multiplicity is no longer a small constant —
+    // a hot query's un-combined doc×term rows would concentrate on
+    // one window task (AQE cannot skew-split window partitions) — so
+    // `combineFirst` restores the two-exchange shape: a (query, doc)
+    // keyed aggregation with map-side partial combine, then the
+    // window's own query-id exchange over one row per (query, doc).
+    // The integer score sum is order-independent, so both shapes are
+    // bit-identical.
+    val scored =
+      (if (combineFirst) perTerm else perTerm.repartition(col(qIdCol)))
+        .groupBy(col(qIdCol), col(idCol))
+        .agg(sum(col("s")).as("score_scaled"))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("score_scaled").desc, col(idCol).asc)

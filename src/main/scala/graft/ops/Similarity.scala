@@ -283,14 +283,25 @@ object Similarity {
       nearestCell(col(vecCol), centroids).as("__cell"),
       codesExpr.as("codes"))
     // per-(query, probed-cell) row with the query's ADC distance
-    // table — nprobe duplicates of a small array on a broadcast side
+    // table — nprobe duplicates of a small array on a broadcast side.
+    // ONE driver collect re-emitted as a LocalRelation (r22 — the
+    // e17/ivfTopKFromIndex discipline): the probe expressions and the
+    // distance tables evaluate once, and the join's build side carries
+    // true size stats instead of re-running the query-side scan at
+    // broadcast-build time. Tiny by contract (|queries| × nprobe rows
+    // of m·ksub doubles); values round-trip through Rows verbatim, so
+    // results are bit-identical (the e19 oracle pins this).
     val qv = col("__qv").cast("array<double>")
     val dtab = array((for (j <- 0 until m; c <- 0 until ksub) yield
       graft.functions.VectorFunctions.vecSqDist(
         slice(qv, j * dsub + 1, dsub),
         typedlit(codebooks(j)(c).toSeq))): _*)
-    val probed = probedQueries(queries, centroids, nprobe, vecCol, idCol)
+    val probed0 = probedQueries(queries, centroids, nprobe, vecCol, idCol)
       .select(col("qid"), col("__cell"), dtab.as("__dtab"))
+    val probedRows = probed0.collect()
+    val probed = queries.sparkSession.createDataFrame(
+      scala.jdk.CollectionConverters
+        .SeqHasAsJava(probedRows.toSeq).asJava, probed0.schema)
     val scored = index.join(broadcast(probed), Seq("__cell"))
       .where(col("qid") =!= col("nid"))
       .withColumn("adc", aggregate(

@@ -79,12 +79,33 @@ object Unigram {
     * (`qlog(1) − qlog(T) = −qlogT`). */
   def trainVocab(df: DataFrame, textCol: String = "text",
       vocabSize: Int = 64, maxPieceLen: Int = 4): (DataFrame, Long) = {
+    val (vocab, qlogT, _) = trainVocabWithWords(df, textCol, vocabSize,
+      maxPieceLen)
+    (vocab, qlogT)
+  }
+
+  /** [[trainVocab]] that ALSO returns the pinned `(word, cnt)`
+    * word-count frame the training pass already paid for (r22, guide
+    * §1.2): the trainer's first step is the corpus word extract, and
+    * a deployment caller that trains-then-tokenizes the SAME corpus
+    * ([[tokenize]]'s `words` parameter, the d48/i48 shape) can reuse
+    * the dictionary instead of re-extracting 100 TB of text for the
+    * segmentation's distinct-word set. The pin is dictionary-sized
+    * (distinct words), never corpus-sized. */
+  def trainVocabWithWords(df: DataFrame, textCol: String = "text",
+      vocabSize: Int = 64, maxPieceLen: Int = 4):
+      (DataFrame, Long, DataFrame) = {
     require(vocabSize >= 0 && maxPieceLen >= 1)
+    // pinned LAZILY (no extra job — the piece-count aggregation below
+    // is the first action over it and materializes it in passing);
+    // the returned handle lets tokenize-after-train skip a corpus
+    // extract, and checkpoint blocks free themselves on GC
+    val wc = Bpe.wordCounts(df, textCol).localCheckpoint(false)
     // cached: the scalar total AND the vocab cut read the piece-count
-    // aggregate — uncached, the whole corpus word-count + piece-explode
-    // chain ran TWICE (r21, guide §1.2 "don't compute things twice");
-    // the frame is dictionary-sized (distinct pieces), not corpus-sized
-    val pc = pieceCounts(Bpe.wordCounts(df, textCol), maxPieceLen).cache()
+    // aggregate — uncached, the piece-explode chain ran TWICE (r21,
+    // guide §1.2 "don't compute things twice"); the frame is
+    // dictionary-sized (distinct pieces), not corpus-sized
+    val pc = pieceCounts(wc, maxPieceLen).cache()
     // total candidate-piece occurrences: one scalar aggregate
     val t = Option(pc.agg(sum(col("cnt"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -94,7 +115,7 @@ object Unigram {
     // it (the d46 gate), so the eager checkpoint is never wasted work
     val pinned = vocab.localCheckpoint(true)
     pc.unpersist(false)
-    (pinned, qlogT)
+    (pinned, qlogT, wc)
   }
 
   /** Derive the `(vocab, qlogT)` model from a PIECE-COUNT LEDGER — a
@@ -192,15 +213,23 @@ object Unigram {
     * shape — corpus cost is one extract + one join, never a per-row
     * DP). Returns `(idCol, tokens, score, n_pieces)` with the
     * document's total segmentation score and piece count; documents
-    * with no `[a-z0-9]` words get an empty token array. */
+    * with no `[a-z0-9]` words get an empty token array.
+    *
+    * `words` (r22, guide §1.2): an optional pre-extracted word frame
+    * (a `word` column COVERING every `[a-z0-9]+` word of `df` — e.g.
+    * [[trainVocabWithWords]]' dictionary when training corpus ==
+    * tokenize corpus; a superset is fine, extra words simply don't
+    * join). Without it the segmentation's distinct-word set re-runs
+    * the corpus word extract — a second full regex pass over 100 TB
+    * of text that the caller often already paid for in training. */
   def tokenize(df: DataFrame, vocab: DataFrame, qlogT: Long,
       textCol: String = "text", idCol: String = "doc_id",
-      maxPieceLen: Int = 4): DataFrame = {
+      maxPieceLen: Int = 4, words: Option[DataFrame] = None): DataFrame = {
     val wordsOf = df.select(col(idCol),
       posexplode(regexp_extract_all(lower(col(textCol)),
         lit("[a-z0-9]+"), lit(0))).as(Seq("__pos", "word")))
-    val segs = segmentWords(wordsOf.select("word"), vocab, qlogT,
-      maxPieceLen)
+    val segs = segmentWords(words.getOrElse(wordsOf).select("word"),
+      vocab, qlogT, maxPieceLen)
     val joined = wordsOf.join(segs, "word")
       .groupBy(col(idCol))
       .agg(

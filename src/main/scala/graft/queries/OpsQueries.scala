@@ -3720,9 +3720,11 @@ object OpsQueries {
     * engine's suffix DP vs the oracle's exhaustive enumeration. */
   def d47UnigramSegment(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (vocab, qlogT) = Unigram.trainVocab(docs,
+    // reuse the trainer's pinned dictionary: the standalone
+    // Bpe.wordCounts(docs) here re-ran the corpus word extract (r22)
+    val (vocab, qlogT, words) = Unigram.trainVocabWithWords(docs,
       vocabSize = D46Vocab, maxPieceLen = D46MaxLen)
-    Unigram.segmentWords(Bpe.wordCounts(docs).select("word"), vocab,
+    Unigram.segmentWords(words.select("word"), vocab,
         qlogT, maxPieceLen = D46MaxLen)
       .select(col("word"), concat_ws(" ", col("pieces")).as("seg"),
         col("score"), col("n_pieces"))
@@ -3738,9 +3740,13 @@ object OpsQueries {
     * token string, total score, and piece count hash-gate. */
   def d48UnigramTokenize(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val (vocab, qlogT) = Unigram.trainVocab(docs,
+    // train-then-tokenize on the SAME corpus: thread the trainer's
+    // pinned dictionary through so the segmentation's distinct-word
+    // set skips a full corpus word extract (r22, guide §1.2)
+    val (vocab, qlogT, words) = Unigram.trainVocabWithWords(docs,
       vocabSize = D46Vocab, maxPieceLen = D46MaxLen)
-    Unigram.tokenize(docs, vocab, qlogT, maxPieceLen = D46MaxLen)
+    Unigram.tokenize(docs, vocab, qlogT, maxPieceLen = D46MaxLen,
+        words = Some(words))
       .select(col("doc_id"), concat_ws(" ", col("tokens")).as("toks"),
         col("score"), col("n_pieces"))
       .orderBy("doc_id")

@@ -108,6 +108,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"vocab cut must not serialize through one partition:\n$p")
   }
 
+  test("d27 dup passages: ONE corpus scan — occurrence counts are " +
+      "window functions over the hash exchange, not a self-join (r22)") {
+    val p = staticPlan("d27_dup_passages")
+    val scans = p.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"dup-passage marking must tokenize the corpus once, got " +
+        s"${scans.size} scans:\n$p")
+  }
+
   test("d48 unigram tokenize: dictionary-sized DP, corpus touched by " +
       "equi-joins only") {
     val p = staticPlan("d48_unigram_tokenize")

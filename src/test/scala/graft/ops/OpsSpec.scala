@@ -226,6 +226,30 @@ class DedupSpec extends AnyFunSuite {
     assert(removedQ == Set(1L, 2L), s"removals: $removedQ")
   }
 
+  test("incremental removal policy plans ONE Window node — rank and " +
+      "has-old flag share the partition key AND ordering (r22)") {
+    val base = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again today"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy cat again today"),
+      (2L, "completely different content about spark query engines today"),
+      (3L, "completely different content about spark query engines tonight"))
+      .toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq(None, Some("doc_id")).foreach { q =>
+      val out = Dedup.incrementalMinhashRemovals(fresh, base,
+        numHashes = 32, bands = 16, threshold = 0.5, qualityCol = q)
+      val wins = out.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.size == 1,
+        s"policy tail (qualityCol=$q) must fuse into one WindowExec, " +
+          s"got ${wins.size}:\n${out.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("signatureFrame stores the exact pipeline signatures and " +
       "fingerprints; NULL text excluded") {
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),

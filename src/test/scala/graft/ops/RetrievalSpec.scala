@@ -148,4 +148,52 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got(0).getLong(2) == 100L && got(0).getLong(1) == 1L)
     assert(got(1).getLong(0) == 2L && got(1).getLong(2) == 200L)
   }
+
+  // ------- r22 scale guards: results identical on the fallback paths
+
+  test("combineFirst fallback (> SharedExchangeMaxTermsPerQuery terms " +
+      "per query) scores exactly like the shared-exchange shape") {
+    // 70 distinct terms (68 absent from the corpus) trip the two-
+    // exchange fallback; absent terms never join a posting, so the
+    // result must equal the 2-term query's bit-for-bit
+    val extra = (0 until 68).map(i => s"zz$i").mkString(" ")
+    val wide = Seq((30L, s"spark engine $extra")).toDF("query_id", "query")
+    val narrow = Seq((30L, "spark engine")).toDF("query_id", "query")
+    assert(Retrieval.SharedExchangeMaxTermsPerQuery < 70)
+    val got = Retrieval.bm25TopK(corpus, wide, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = Retrieval.bm25TopK(corpus, narrow, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"fallback diverged: $got vs $want")
+  }
+
+  test("semi-join term filter (> InFilterMaxTerms distinct terms) " +
+      "filters exactly like the literal In") {
+    val n = Retrieval.InFilterMaxTerms + 5
+    val wide = spark.range(1).select(lit(31L).as("query_id"),
+      expr(s"concat('spark engine ', concat_ws(' ', " +
+        s"transform(sequence(0, $n), i -> concat('zz', i))))").as("query"))
+    val narrow = Seq((31L, "spark engine")).toDF("query_id", "query")
+    val got = Retrieval.bm25TopK(corpus, wide, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = Retrieval.bm25TopK(corpus, narrow, k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"semi-join filter diverged: $got vs $want")
+  }
+
+  test("MaxQueryTermRows cap: an oversized query batch fails fast " +
+      "instead of collecting to the driver") {
+    // 1100 queries x 1000 distinct terms = 1.1M (query, term) pairs
+    val big = spark.range(1100).select(col("id").as("query_id"),
+      expr("concat_ws(' ', transform(sequence(0, 999), " +
+        "i -> concat('t', id * 1000 + i)))").as("query"))
+    val e = intercept[IllegalArgumentException](
+      Retrieval.bm25TopK(corpus, big, k = 1).collect())
+    assert(e.getMessage.contains("MaxQueryTermRows"),
+      s"unexpected message: ${e.getMessage}")
+  }
 }

@@ -56,6 +56,44 @@ class StreamsSpec extends AnyFunSuite {
     assert(Scan(t, spark).useSnapshot(first.snapshotId).toDF.count() == 2)
   }
 
+  test("stream sink per-batch job count is bounded (r22 baseline: the " +
+      "exactly-once stamp machinery must not grow per-batch overhead)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-stream-jobs-").toString
+    val cat = new LocalCatalog(dir)
+    cat.createNamespace(Seq("db"))
+    val table = Table.create(cat, TableIdentifier(Seq("db"), "events"),
+      eventSchema, io = new HadoopFileIO())
+    val sink = Streams.icebergSink(table)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // steady-state batch: count jobs for the SECOND batch, after the
+    // first has paid any one-time setup
+    sink.addBatch(Seq((1L, 10L, 1.5), (2L, 10L, 2.5))
+      .toDF("event_id", "user_id", "value"), 0L)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      sink.addBatch(Seq((3L, 11L, 3.0))
+        .toDF("event_id", "user_id", "value"), 1L)
+      // listener bus is async — give it a beat to drain
+      Thread.sleep(500)
+      val n = jobs.get()
+      info(s"per-batch Spark jobs (exactly-once stamped sink): $n")
+      // r22 measured baseline: 5 jobs per stamped batch (write + commit
+      // machinery); regressing past this band means the stamp machinery
+      // grew a per-batch round-trip (track it here)
+      assert(n >= 1 && n <= 8,
+        s"per-batch job count drifted out of the tracked band " +
+          s"(r22 baseline: 5): $n")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(sink.table.metadata.snapshots.size == 2)
+  }
+
   test("IndexedDedupSink: near-dup micro-batch dedup against a chained " +
       "signature-index table — no state store") {
     import spark.implicits._
