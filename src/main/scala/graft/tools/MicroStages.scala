@@ -61,7 +61,8 @@ object MicroStages {
     Seq("e13_bm25", "d6_minhash_dedup", "e20_hybrid_rrf",
         "e8_semantic_dedup", "e22_hybrid_indexed", "e18_bm25_indexed",
         "d41b_indexed_minhash_batch", "d13_contamination",
-        "q5_nation_revenue", "d48_unigram_tokenize").foreach { q =>
+        "q5_nation_revenue", "d48_unigram_tokenize",
+        "d27_dup_passages").foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       time(s"FULL $q")(fn(spark, dir).count())
     }
