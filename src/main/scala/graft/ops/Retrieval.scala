@@ -73,7 +73,20 @@ object Retrieval {
     * dl of 0, matching [[TextAnalysis.tokenCount]]'s empty→0 rule
     * (the same artifact Classifier.labelCounts guards against). */
   private def toks(text: Column): Column =
-    array_remove(split(TextAnalysis.normalized(text), " "), "")
+    // ONE regex pass (r22): split on the whitespace class directly
+    // instead of normalize-then-split — `regexp_replace(\s+ -> " ")`
+    // materialized a full copy of every document before a second
+    // regex-split scanned it. Equivalent BECAUSE this tokenizer strips
+    // empties: leading/trailing whitespace (which normalized()'s trim
+    // used to absorb, including the tabs/newlines ASCII-trim alone
+    // would miss) yields "" elements that array_remove drops, and both
+    // forms split on the same \s+ class, so the token multiset is
+    // identical for every input (e13/e18/e20/e22 + i38/i39/i42/i56
+    // hash gates replay the normalize-then-split form in DuckDB and
+    // stay green). Do NOT copy this into operators that keep empty
+    // tokens — without the remove, the forms differ on leading
+    // whitespace.
+    array_remove(split(lower(text), "\\s+"), "")
 
   /** Postings list: one row per distinct `(idCol, term)` with the term
     * frequency and the document length in tokens. Tokenizes ONCE into
