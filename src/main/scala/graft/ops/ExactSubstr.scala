@@ -63,10 +63,14 @@ object ExactSubstr {
     // buffer), not quadratically; the saved full corpus scan dominates
     // until that extreme.
     val byH = Window.partitionBy(col(cH))
+    // one SELECT for both window expressions: sequential withColumns
+    // insert a Project between the Window operators, which blocks
+    // CollapseWindow and would buffer every hash partition twice
+    // (plan-pinned by PlanShapeSpec's d27 WindowExec count)
     val marked = windows
-      .withColumn("__n", count(lit(1)).over(byH))
-      .withColumn("__first",
-        min(struct(col(idCol), col(cPos))).over(byH))
+      .select(col(idCol), col(cPos),
+        count(lit(1)).over(byH).as("__n"),
+        min(struct(col(idCol), col(cPos))).over(byH).as("__first"))
       .where(col("__n") >= 2 &&
         (if (keepFirst)
           !(col("__first")(idCol) === col(idCol) &&

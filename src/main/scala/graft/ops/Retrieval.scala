@@ -42,7 +42,9 @@ object Retrieval {
     * caller handing a corpus-sized frame to a retrieval entry point
     * would OOM the driver silently. 1M pairs ≈ tens of MB collected,
     * safely inside any driver heap; past it the caller is holding the
-    * API wrong and gets told so instead of a dead driver. */
+    * API wrong and gets told so instead of a dead driver. Deployment
+    * override: conf `graft.retrieval.max-query-term-rows` (a larger
+    * driver can legitimately raise it). */
   val MaxQueryTermRows = 1 << 20
 
   /** Past this many DISTINCT query terms, the corpus-token filter
@@ -50,7 +52,8 @@ object Retrieval {
     * guard): a six-figure literal list bloats the plan tree and its
     * codegen, while a semi-join against the (already collected,
     * LocalRelation) vocabulary costs one broadcast of the same data.
-    * Both filter identically. */
+    * Both filter identically. Override: conf
+    * `graft.retrieval.in-filter-max-terms`. */
   val InFilterMaxTerms = 10000
 
   /** Past this many terms in a single query, [[rankMatchedPostings]]
@@ -62,7 +65,8 @@ object Retrieval {
     * one straggler. Below the threshold the multiplicity is a small
     * constant and saving a whole exchange wins; above it, a
     * (query, doc)-keyed partial aggregation first combines map-side
-    * and spreads the sum across the cluster. */
+    * and spreads the sum across the cluster. Override: conf
+    * `graft.retrieval.shared-exchange-max-terms`. */
   val SharedExchangeMaxTermsPerQuery = 64
 
   /** Tokenize, with the empty token REMOVED: `split("", " ")` yields
@@ -171,8 +175,14 @@ object Retrieval {
       .select(col("n_docs"),
         (col("total_dl").cast("double") / col("n_docs")).as("avgdl"))
     rankMatchedPostings(post, qterms, stats, k, idCol, qIdCol, k1, b,
-      logIdf, combineFirst = maxTermsPerQ > SharedExchangeMaxTermsPerQuery)
+      logIdf, combineFirst = maxTermsPerQ > sharedExchangeCap(docs))
   }
+
+  /** Conf-overridable [[SharedExchangeMaxTermsPerQuery]]. */
+  private def sharedExchangeCap(df: DataFrame): Int =
+    graft.util.DriverCollect.confInt(df,
+      "graft.retrieval.shared-exchange-max-terms",
+      SharedExchangeMaxTermsPerQuery)
 
   /** Corpus-level BM25 stats as exact longs, computed with the same
     * expressions [[bm25TopK]]'s stats aggregate uses — what
@@ -225,7 +235,7 @@ object Retrieval {
       (lit(totalDl).cast("double") / lit(nDocs).cast("double"))
         .as("avgdl"))
     rankMatchedPostings(post, qterms, stats, k, idCol, qIdCol, k1, b,
-      logIdf, combineFirst = maxTermsPerQ > SharedExchangeMaxTermsPerQuery)
+      logIdf, combineFirst = maxTermsPerQ > sharedExchangeCap(queries))
   }
 
   /** One driver collect of a query batch's `(qIdCol, term)` pairs:
@@ -241,15 +251,12 @@ object Retrieval {
       qTextCol: String): (DataFrame, Seq[String], Int) = {
     val qterms0 = queries.select(col(qIdCol),
       explode(array_distinct(toks(col(qTextCol)))).as("term"))
-    val rows = qterms0.limit(MaxQueryTermRows + 1).collect()
-    require(rows.length <= MaxQueryTermRows,
-      s"retrieval query batch exceeds $MaxQueryTermRows (query, term) " +
-        "pairs (Retrieval.MaxQueryTermRows) — the driver-collect " +
-        "retrieval paths are for small query batches; split the batch " +
-        "or run the corpus-side join shape instead")
-    val qterms = queries.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava,
-      qterms0.schema)
+    val cap = graft.util.DriverCollect.confInt(queries,
+      "graft.retrieval.max-query-term-rows", MaxQueryTermRows)
+    val (rows, qterms) = graft.util.DriverCollect.asLocalRelation(
+      qterms0, cap, "retrieval query batch (query, term) pairs " +
+        "(Retrieval.MaxQueryTermRows / conf " +
+        "graft.retrieval.max-query-term-rows)")
     val maxPerQuery =
       if (rows.isEmpty) 0
       else rows.groupBy(_.get(0)).valuesIterator.map(_.length).max
@@ -266,7 +273,9 @@ object Retrieval {
   private def filterToTerms(df: DataFrame, terms: Seq[String],
       keepEmpty: Boolean): DataFrame = {
     val spark = df.sparkSession
-    if (terms.size <= InFilterMaxTerms) {
+    val inMax = graft.util.DriverCollect.confInt(df,
+      "graft.retrieval.in-filter-max-terms", InFilterMaxTerms)
+    if (terms.size <= inMax) {
       val inTerms =
         if (terms.isEmpty) lit(false) else col("term").isin(terms: _*)
       df.where(if (keepEmpty) col("term") === "" || inTerms else inTerms)

@@ -17,6 +17,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Hard cap on the `(query, probed cell)` rows the indexed/IVFPQ
+    * search paths collect to the driver (r22 guard — the
+    * Retrieval.MaxQueryTermRows discipline): probe rows carry vector
+    * payloads (query vectors / ADC distance tables), so an oversized
+    * "query batch" would OOM the driver silently. 128k rows of even
+    * 4 KB payloads is ~0.5 GB — the intended batches are thousands of
+    * times smaller. Override: conf `graft.ann.max-probed-rows`. */
+  val MaxProbedQueryRows = 1 << 17
+
+  private def probeCap(df: org.apache.spark.sql.DataFrame): Int =
+    graft.util.DriverCollect.confInt(df,
+      "graft.ann.max-probed-rows", MaxProbedQueryRows)
+
   /** L2 norm of a float-array column — `sqrt` of the self-dot, via the
     * codegen'd [[graft.functions.VectorKernels]] kernel (bit-identical
     * to the in-order `acc + x²` fold every oracle replays). Exposed so
@@ -298,10 +311,9 @@ object Similarity {
         typedlit(codebooks(j)(c).toSeq))): _*)
     val probed0 = probedQueries(queries, centroids, nprobe, vecCol, idCol)
       .select(col("qid"), col("__cell"), dtab.as("__dtab"))
-    val probedRows = probed0.collect()
-    val probed = queries.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters
-        .SeqHasAsJava(probedRows.toSeq).asJava, probed0.schema)
+    val (_, probed) = graft.util.DriverCollect.asLocalRelation(probed0,
+      probeCap(queries), "IVFPQ probe rows (Similarity." +
+        "MaxProbedQueryRows / conf graft.ann.max-probed-rows)")
     val scored = index.join(broadcast(probed), Seq("__cell"))
       .where(col("qid") =!= col("nid"))
       .withColumn("adc", aggregate(
@@ -390,12 +402,12 @@ object Similarity {
     // probed-cell list and the join's build side — re-emitted as a
     // LocalRelation so the probe expressions run once and the join
     // side carries true size stats (r21; formerly a localCheckpoint
-    // job PLUS a separate distinct+collect job)
+    // job PLUS a separate distinct+collect job). Capped (r22): the
+    // rows carry query vectors.
     val probed0 = probedQueries(queries, centroids, nprobe, vecCol, idCol)
-    val probedRows = probed0.collect()
-    val probed = queries.sparkSession.createDataFrame(
-      scala.jdk.CollectionConverters
-        .SeqHasAsJava(probedRows.toSeq).asJava, probed0.schema)
+    val (probedRows, probed) = graft.util.DriverCollect.asLocalRelation(
+      probed0, probeCap(queries), "IVF probe rows (Similarity." +
+        "MaxProbedQueryRows / conf graft.ann.max-probed-rows)")
     val cells = probedRows.map(_.getAs[Int]("__cell")).distinct.toSeq.sorted
     val assigned = loadCells(cells).select(col(idCol).as("nid"),
       col(vecCol).as("__cv"), col("norm").as("__cn"),

@@ -79,8 +79,8 @@ object Unigram {
     * (`qlog(1) − qlog(T) = −qlogT`). */
   def trainVocab(df: DataFrame, textCol: String = "text",
       vocabSize: Int = 64, maxPieceLen: Int = 4): (DataFrame, Long) = {
-    val (vocab, qlogT, _) = trainVocabWithWords(df, textCol, vocabSize,
-      maxPieceLen)
+    val (vocab, qlogT, _) =
+      trainModel(df, textCol, vocabSize, maxPieceLen, pinWords = false)
     (vocab, qlogT)
   }
 
@@ -91,16 +91,27 @@ object Unigram {
     * ([[tokenize]]'s `words` parameter, the d48/i48 shape) can reuse
     * the dictionary instead of re-extracting 100 TB of text for the
     * segmentation's distinct-word set. The pin is dictionary-sized
-    * (distinct words), never corpus-sized. */
+    * (distinct words), never corpus-sized — but it IS held until GC,
+    * so train-only callers should stay on [[trainVocab]], which skips
+    * it. */
   def trainVocabWithWords(df: DataFrame, textCol: String = "text",
       vocabSize: Int = 64, maxPieceLen: Int = 4):
       (DataFrame, Long, DataFrame) = {
+    val (vocab, qlogT, words) =
+      trainModel(df, textCol, vocabSize, maxPieceLen, pinWords = true)
+    (vocab, qlogT, words.get)
+  }
+
+  private def trainModel(df: DataFrame, textCol: String,
+      vocabSize: Int, maxPieceLen: Int, pinWords: Boolean):
+      (DataFrame, Long, Option[DataFrame]) = {
     require(vocabSize >= 0 && maxPieceLen >= 1)
-    // pinned LAZILY (no extra job — the piece-count aggregation below
-    // is the first action over it and materializes it in passing);
-    // the returned handle lets tokenize-after-train skip a corpus
-    // extract, and checkpoint blocks free themselves on GC
-    val wc = Bpe.wordCounts(df, textCol).localCheckpoint(false)
+    // when a caller wants the dictionary back, it is pinned LAZILY
+    // (no extra job — the piece-count aggregation below is the first
+    // action over it and materializes it in passing; checkpoint blocks
+    // free themselves on GC); train-only callers skip the pin entirely
+    val wc0 = Bpe.wordCounts(df, textCol)
+    val wc = if (pinWords) wc0.localCheckpoint(false) else wc0
     // cached: the scalar total AND the vocab cut read the piece-count
     // aggregate — uncached, the piece-explode chain ran TWICE (r21,
     // guide §1.2 "don't compute things twice"); the frame is
@@ -115,7 +126,7 @@ object Unigram {
     // it (the d46 gate), so the eager checkpoint is never wasted work
     val pinned = vocab.localCheckpoint(true)
     pc.unpersist(false)
-    (pinned, qlogT, wc)
+    (pinned, qlogT, if (pinWords) Some(wc) else None)
   }
 
   /** Derive the `(vocab, qlogT)` model from a PIECE-COUNT LEDGER — a

@@ -117,6 +117,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.size == 1,
       s"dup-passage marking must tokenize the corpus once, got " +
         s"${scans.size} scans:\n$p")
+    // 3 WindowExec nodes exactly: the fused count+first marker over
+    // the hash exchange, plus the two inherently-dependent span-merge
+    // windows (prev-end feeds the span counter)
+    val wins = p.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 3,
+      s"marking must fuse count+first into one WindowExec " +
+        s"(3 total), got ${wins.size}:\n$p")
   }
 
   test("d48 unigram tokenize: dictionary-sized DP, corpus touched by " +

@@ -80,8 +80,13 @@ class StreamsSpec extends AnyFunSuite {
     try {
       sink.addBatch(Seq((3L, 11L, 3.0))
         .toDF("event_id", "user_id", "value"), 1L)
-      // listener bus is async — give it a beat to drain
-      Thread.sleep(500)
+      // listener bus is async — poll until the counter is stable
+      // rather than trusting one fixed sleep
+      var last = -1
+      var spins = 0
+      while (jobs.get() != last && spins < 25) {
+        last = jobs.get(); Thread.sleep(200); spins += 1
+      }
       val n = jobs.get()
       info(s"per-batch Spark jobs (exactly-once stamped sink): $n")
       // r22 measured baseline: 5 jobs per stamped batch (write + commit
