@@ -185,6 +185,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got == want, s"semi-join filter diverged: $got vs $want")
   }
 
+  test("one-regex tokenizer is token-identical to normalize-then-split " +
+      "on every whitespace shape (r22 equivalence property)") {
+    val rnd = new scala.util.Random(42)
+    val ws = " \t\n\r\f"
+    val alpha = "abXY09"
+    val fuzz = (0 until 300).map { _ =>
+      (0 until rnd.nextInt(30)).map { _ =>
+        val pool = if (rnd.nextBoolean()) ws else alpha
+        pool(rnd.nextInt(pool.length))
+      }.mkString
+    }
+    val edge = Seq("", " ", "\t", "\n x ", " a  b\tc\nd ", "x y",
+      "a \r\n b ", null)
+    val df = (fuzz ++ edge).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "text")
+    val newToks = array_remove(split(lower($"text"), "\\s+"), "")
+    val oldToks = array_remove(
+      split(TextAnalysis.normalized($"text"), " "), "")
+    val diff = df.where(!(newToks <=> oldToks))
+    assert(diff.count() == 0,
+      s"tokenizer forms diverged on: ${diff.collect().mkString(", ")}")
+  }
+
   test("MaxQueryTermRows cap: an oversized query batch fails fast " +
       "instead of collecting to the driver") {
     // 1100 queries x 1000 distinct terms = 1.1M (query, term) pairs
